@@ -1,0 +1,44 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * All tables are single parquet files under `\$dir/<name>.parquet`.
+  * `events.ts` is written as parquet TIMESTAMP(NANOS); we normalize to an
+  * epoch-millisecond LongType column `ts_ms` so bucketing math matches the
+  * reference's integer-ms semantics (reference keeps int64 ms columns, see
+  * /root/reference/docs/design/db-parquet/metrics.md).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events with an epoch-ms LongType `ts_ms` column added.
+    *
+    * Spark 4.x rejects parquet TIMESTAMP(NANOS) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` is set (every graft session
+    * sets it — see [[graft.GraftSession]]), in which case `ts` arrives as
+    * LongType nanos. Integer `DIV` (not double division) — ns epochs
+    * (~1.7e18) exceed double's 2^53 exact-integer range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+      case _                                   => unix_millis(col("ts"))
+    }
+    df.withColumn("ts_ms", tsMs.cast("long"))
+  }
+}

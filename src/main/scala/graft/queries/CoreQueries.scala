@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Core relational operators over the synthetic TPC-H-ish tables, each with a
+  * DuckDB oracle. These exercise the Spark surface that the telemetry engine
+  * (promql/logql packages) composes: partial+final hash aggregation,
+  * broadcast/semi/anti joins, window functions, top-k, set ops, scalar
+  * functions, casts and time bucketing (SURVEY.md §2.2–2.9).
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (region/nation/customer/supplier) are explicitly
+  *    `broadcast(...)` — at any SF these stay small relative to facts;
+  *  - fact-side aggregations are single-shuffle groupBys (partial map-side
+  *    combine is automatic);
+  *  - top-k uses window + filter which Spark executes with rank-limit
+  *    pushdown (WindowGroupLimit) rather than a full sort.
+  */
+object CoreQueries extends Catalog {
+
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  private def q3(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderpriority,
+       sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-06-01'
+       GROUP BY l_orderkey, o_orderpriority"""
+
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name"""
+
+  private def qSemi(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  private val qSemiSql =
+    """SELECT c_mktsegment, count(*) AS n_cust, sum(c_acctbal) AS sum_bal
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       GROUP BY c_mktsegment"""
+
+  private def qAnti(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    // customers with no orders in the first half of 1995 (unrestricted
+    // anti-join is empty on this data: every customer has some order)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  private val qAntiSql =
+    """SELECT c_mktsegment, count(*) AS n_cust
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate < TIMESTAMP '1995-07-01')
+       GROUP BY c_mktsegment"""
+
+  private def qTopkWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  private val qTopkWindowSql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders) t
+       WHERE rn <= 3"""
+
+  private def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("running_spend", sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_price"))
+  }
+
+  private val qWindowRunningSql =
+    """SELECT o_custkey, o_orderkey,
+       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+       FROM orders"""
+
+  private def qSortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  private val qSortLimitSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+       FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+       LIMIT 100"""
+
+  private def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    custNations.intersect(suppNations)
+  }
+
+  private val qIntersectSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nationkey FROM supplier"""
+
+  private def qExcept(s: SparkSession, d: String): DataFrame = {
+    // ordered partkeys whose part is large (size > 40): EXCEPT with a
+    // filtered right side so the result is non-empty at every SF
+    val ordered = Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
+    val small = Tables.part(s, d).filter(col("p_size") <= 40)
+      .select(col("p_partkey").as("partkey"))
+    ordered.except(small)
+  }
+
+  private val qExceptSql =
+    """SELECT l_partkey AS partkey FROM lineitem
+       EXCEPT
+       SELECT p_partkey AS partkey FROM part WHERE p_size <= 40"""
+
+  private def qUnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val b = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    a.union(b).distinct().groupBy().agg(count(lit(1)).as("n_nations"))
+  }
+
+  private val qUnionDistinctSql =
+    """SELECT count(*) AS n_nations FROM (
+         SELECT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT s_nationkey AS nationkey FROM supplier) t"""
+
+  private def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  private val qDistinctAggSql =
+    """SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_cust,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+       FROM orders GROUP BY o_orderstatus"""
+
+  private def qScalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        abs(col("value") - lit(100.0)).as("abs_v"),
+        ceil(col("value")).cast("long").as("ceil_v"),
+        floor(col("value")).cast("long").as("floor_v"),
+        round(exp(col("value") / lit(200.0)), 6).as("exp_v"),
+        round(log(col("value") + lit(1.0)), 6).as("ln_v"),
+        round(log2(col("value") + lit(1.0)), 6).as("log2_v"),
+        round(log10(col("value") + lit(1.0)), 6).as("log10_v"),
+        round(sqrt(abs(col("value"))), 6).as("sqrt_v"),
+        signum(col("value") - lit(100.0)).cast("long").as("sign_v"),
+        greatest(col("value"), lit(50.0)).as("clamp_min_v"),
+        least(col("value"), lit(150.0)).as("clamp_max_v"))
+
+  private val qScalarMathSql =
+    """SELECT event_id,
+       abs("value" - 100.0) AS abs_v,
+       CAST(ceil("value") AS BIGINT) AS ceil_v,
+       CAST(floor("value") AS BIGINT) AS floor_v,
+       round(exp("value" / 200.0), 6) AS exp_v,
+       round(ln("value" + 1.0), 6) AS ln_v,
+       round(log2("value" + 1.0), 6) AS log2_v,
+       round(log10("value" + 1.0), 6) AS log10_v,
+       round(sqrt(abs("value")), 6) AS sqrt_v,
+       CAST(sign("value" - 100.0) AS BIGINT) AS sign_v,
+       greatest("value", 50.0) AS clamp_min_v,
+       least("value", 150.0) AS clamp_max_v
+       FROM events"""
+
+  private def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("tname"),
+        col("p_name").contains("green").cast("int").as("has_green"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        col("p_name").rlike("^[a-z]+ ").cast("int").as("starts_word"))
+
+  private val qStringFuncsSql =
+    """SELECT p_partkey,
+       lower(p_name) AS lname,
+       upper(p_brand) AS ubrand,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_type, 1, 5) AS type5,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       trim(p_name) AS tname,
+       CAST(contains(p_name, 'green') AS INT) AS has_green,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+       CAST(regexp_matches(p_name, '^[a-z]+ ') AS INT) AS starts_word
+       FROM part"""
+
+  private def qJsonCase(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k_str", get_json_object(col("props"), "$.k"))
+      .withColumn("k", col("k_str").cast("long"))
+      .withColumn("k_bad", expr("try_cast(event_type AS DOUBLE)"))
+      .withColumn("k_band",
+        when(col("k") >= 66, "high").when(col("k") >= 33, "mid").otherwise("low"))
+      .groupBy(col("event_type"), col("k_band"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(col("k_bad")).as("n_bad"))
+
+  private val qJsonCaseSql =
+    """SELECT event_type, k_band, count(*) AS n, sum(k) AS sum_k, count(k_bad) AS n_bad
+       FROM (
+         SELECT event_type,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                TRY_CAST(event_type AS DOUBLE) AS k_bad,
+                CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 66 THEN 'high'
+                     WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 33 THEN 'mid'
+                     ELSE 'low' END AS k_band
+         FROM events) t
+       GROUP BY event_type, k_band"""
+
+  private def qEventsBucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket_ts", col("ts_ms") - col("ts_ms") % lit(600000L))
+      .groupBy(col("bucket_ts"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+
+  private val qEventsBucketSql =
+    """SELECT epoch_ms(ts) - epoch_ms(ts) % 600000 AS bucket_ts, event_type,
+       count(*) AS n, sum("value") AS sum_v, min("value") AS min_v, max("value") AS max_v
+       FROM events
+       GROUP BY 1, 2"""
+
+  private def qEventsDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_idx", (col("ts_ms") / lit(86400000L)).cast("long"))
+      .groupBy(col("day_idx"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        avg(col("value")).as("avg_v"))
+
+  private val qEventsDailySql =
+    """SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_idx,
+       count(*) AS n, count(DISTINCT user_id) AS n_users, avg("value") AS avg_v
+       FROM events GROUP BY 1"""
+
+  override def all: Seq[Q] = Seq(
+    Q("core_q1_pricing_agg", q1, Some(q1Sql)),
+    Q("core_q3_join_agg", q3, Some(q3Sql)),
+    Q("core_q5_star_join", q5, Some(q5Sql)),
+    Q("core_semi_join", qSemi, Some(qSemiSql)),
+    Q("core_anti_join", qAnti, Some(qAntiSql)),
+    Q("core_window_topk", qTopkWindow, Some(qTopkWindowSql)),
+    Q("core_window_running", qWindowRunning, Some(qWindowRunningSql)),
+    Q("core_sort_limit", qSortLimit, Some(qSortLimitSql)),
+    Q("core_intersect", qIntersect, Some(qIntersectSql)),
+    Q("core_except", qExcept, Some(qExceptSql)),
+    Q("core_union_distinct", qUnionDistinct, Some(qUnionDistinctSql)),
+    Q("core_distinct_agg", qDistinctAgg, Some(qDistinctAggSql)),
+    Q("core_scalar_math", qScalarMath, Some(qScalarMathSql)),
+    Q("core_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
+    Q("core_json_case", qJsonCase, Some(qJsonCaseSql)),
+    Q("core_events_bucket", qEventsBucket, Some(qEventsBucketSql)),
+    Q("core_events_daily", qEventsDaily, Some(qEventsDailySql))
+  )
+}
