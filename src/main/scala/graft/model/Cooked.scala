@@ -1,0 +1,88 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derivation of cooked telemetry tables (reference schema, FIXTURES.md §1-2)
+  * from the driver's synthetic `events` table — deterministic, so the same
+  * derivation is expressible in the DuckDB oracle SQL.
+  *
+  * Cooked metrics contract (docs/design/db-parquet/metrics.md in the
+  * reference): one row per (metric, series, pre-agg bucket) carrying
+  * chq_rollup_{sum,count,min,max} partial aggregates.
+  */
+object Cooked {
+  /** pre-agg frequency for the derived metric tier (ms) */
+  val FreqMs = 60000L
+
+  /** events → cooked metrics at 60 s pre-agg; series label = event_type. */
+  def metrics(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(FreqMs))
+      .withColumn("attr_event_type", col("event_type"))
+      .groupBy(col("chq_timestamp"), col("attr_event_type"))
+      .agg(
+        sum(col("value")).as("chq_rollup_sum"),
+        count(lit(1)).cast("double").as("chq_rollup_count"),
+        min(col("value")).as("chq_rollup_min"),
+        max(col("value")).as("chq_rollup_max"))
+      .withColumn("metric_name", lit("events_value"))
+      .withColumn("chq_metric_type", lit("gauge"))
+
+  /** The same derivation as DuckDB SQL (CTE body named `cooked`), producing
+    * chq_timestamp/attr_event_type/rollup columns. Kept textually in sync
+    * with [[metrics]].
+    */
+  val metricsCte: String =
+    """cooked AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS chq_timestamp,
+              event_type AS attr_event_type,
+              sum("value") AS chq_rollup_sum,
+              CAST(count(*) AS DOUBLE) AS chq_rollup_count,
+              min("value") AS chq_rollup_min,
+              max("value") AS chq_rollup_max
+       FROM events GROUP BY 1, 2)"""
+
+  /** events → cooked logs (reference docs/design/db-parquet/logs.md).
+    * log_message is a deterministic logfmt-ish line so LogQL parser stages
+    * have something real to extract; level derived from event_type.
+    */
+  def logs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("chq_timestamp", col("ts_ms"))
+      .withColumn("chq_tsns", col("ts_ms") * lit(1000000L))
+      .withColumn("log_level",
+        when(col("event_type") === "error", "ERROR")
+          .when(col("event_type") === "purchase", "INFO")
+          .when(col("event_type") === "signup", "INFO")
+          .otherwise("DEBUG"))
+      .withColumn("log_message",
+        concat(lit("evt="), col("event_type"),
+          lit(" user="), col("user_id").cast("string"),
+          lit(" value="), format_number(col("value"), 2),
+          lit(" props="), col("props")))
+      .withColumn("resource_service_name",
+        concat(lit("svc-"), (col("user_id") % 5).cast("string")))
+      .withColumn("attr_event_type", col("event_type"))
+      .withColumn("metric_name", lit("log_events"))
+      .withColumn("chq_fingerprint", xxhash64(col("event_type"), col("log_level")))
+      .select("chq_timestamp", "chq_tsns", "chq_fingerprint", "metric_name",
+        "log_level", "log_message", "resource_service_name", "attr_event_type")
+
+  /** DuckDB equivalent of [[logs]] (CTE named `logs`). format_number uses
+    * comma grouping in Spark; printf('%,.2f') matches in DuckDB.
+    */
+  val logsCte: String =
+    """logs AS (
+       SELECT epoch_ms(ts) AS chq_timestamp,
+              epoch_ms(ts) * 1000000 AS chq_tsns,
+              CASE WHEN event_type = 'error' THEN 'ERROR'
+                   WHEN event_type IN ('purchase','signup') THEN 'INFO'
+                   ELSE 'DEBUG' END AS log_level,
+              'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+                || ' value=' || printf('%,.2f', "value")
+                || ' props=' || props AS log_message,
+              'svc-' || CAST(user_id % 5 AS VARCHAR) AS resource_service_name,
+              event_type AS attr_event_type
+       FROM events)"""
+}

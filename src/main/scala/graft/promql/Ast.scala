@@ -1,0 +1,83 @@
+package graft.promql
+
+/** PromQL AST — the simplified expression tree the engine evaluates.
+  *
+  * Mirrors the *surface* accepted by the reference's simplified PromQL
+  * frontend (/root/reference/promql/parser.go:180-479): selectors with
+  * matchers, range/offset modifiers, the range-function family, unary math
+  * functions, clamp, scalar, histogram_quantile, vector aggregations with
+  * by/without (+topk/bottomk/quantile), and binary operators with vector
+  * matching (1:1 only — group_left/right are rejected, parser.go:455-460).
+  */
+sealed trait Expr
+
+/** label matcher op: `=`, `!=`, `=~`, `!~` */
+sealed trait MatchOp
+object MatchOp {
+  case object Eq extends MatchOp
+  case object Ne extends MatchOp
+  case object Re extends MatchOp
+  case object Nre extends MatchOp
+}
+final case class Matcher(label: String, op: MatchOp, value: String)
+
+/** `metric{a="b", c=~"d"}[5m] offset 1h` — rangeMs=0 → instant selector. */
+final case class Selector(
+    metric: String,
+    matchers: List[Matcher],
+    rangeMs: Long = 0L,
+    offsetMs: Long = 0L,
+    /** subquery step override `[5m:1m]`; 0 = none */
+    subStepMs: Long = 0L) extends Expr
+
+final case class NumberLit(value: Double) extends Expr
+
+/** rate, increase, irate, and the _over_time family — arg must be a Selector. */
+final case class RangeFn(fn: String, arg: Expr) extends Expr
+
+/** quantile_over_time(q, sel[r]) */
+final case class QuantileOverTime(q: Double, arg: Selector) extends Expr
+
+/** abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn(v) */
+final case class UnaryFn(fn: String, arg: Expr) extends Expr
+
+/** clamp_min(v, k) / clamp_max(v, k) */
+final case class Clamp(isMin: Boolean, arg: Expr, k: Double) extends Expr
+
+/** scalar(v) */
+final case class ScalarFn(arg: Expr) extends Expr
+
+/** histogram_quantile(q, v) */
+final case class HistogramQuantile(q: Double, arg: Expr) extends Expr
+
+/** sum/avg/min/max/count/topk/bottomk/quantile ... by/without (...) */
+final case class Agg(
+    op: String,
+    arg: Expr,
+    by: List[String] = Nil,
+    without: List[String] = Nil,
+    /** k for topk/bottomk; q for quantile */
+    param: Option[Double] = None) extends Expr
+
+/** vector matching modifiers for binary ops */
+final case class VectorMatch(on: Boolean = false, labels: List[String] = Nil)
+
+/** arithmetic / comparison / set binary op. `bool`=true → 0/1 instead of filter. */
+final case class BinOp(
+    op: String,
+    lhs: Expr,
+    rhs: Expr,
+    matching: Option[VectorMatch] = None,
+    boolMod: Boolean = false) extends Expr
+
+object Ast {
+  val rangeFns: Set[String] = Set(
+    "rate", "irate", "increase", "sum_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "count_over_time", "last_over_time")
+  val unaryFns: Set[String] = Set(
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn")
+  val aggOps: Set[String] = Set(
+    "sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile")
+  val compOps: Set[String] = Set("==", "!=", ">", "<", ">=", "<=")
+  val setOps: Set[String] = Set("and", "or", "unless")
+}

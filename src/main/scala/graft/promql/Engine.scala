@@ -1,0 +1,461 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Query-time parameters: half-open time range [startMs, endMs), step in ms.
+  * Buckets are epoch-aligned (`ts - ts % step`), matching the reference's
+  * step aggregation (promql/sql_builder.go:529-579 buildStepAggNoWindow).
+  */
+final case class QueryParams(startMs: Long, endMs: Long, stepMs: Long)
+
+/** A cooked-metrics table: chq_timestamp (ms), metric_name,
+  * chq_rollup_{sum,count,min,max} (+optional chq_sketch), and any number of
+  * label columns (resource_ / attr_ / scope_ prefixed, all StringType).
+  */
+final case class MetricStore(df: DataFrame) {
+  import MetricStore._
+  val labelCols: Seq[String] =
+    df.schema.fieldNames.filterNot(systemCols.contains).toSeq
+}
+object MetricStore {
+  val systemCols: Set[String] = Set(
+    "chq_timestamp", "chq_tsns", "chq_id", "chq_tid", "metric_name",
+    "chq_metric_type", "chq_sketch", "chq_rollup_sum", "chq_rollup_count",
+    "chq_rollup_min", "chq_rollup_max", "chq_rollup_avg",
+    "chq_rollup_p25", "chq_rollup_p50", "chq_rollup_p75",
+    "chq_rollup_p90", "chq_rollup_p95", "chq_rollup_p99")
+}
+
+/** An instant-vector DataFrame: `ts` (Long, step bucket start), `value`
+  * (Double), plus one column per series label. The label set is known at
+  * plan time (derived from the store schema / grouping), so every operator
+  * below is plain Column algebra — Catalyst sees a fully static plan.
+  */
+final case class SeriesFrame(df: DataFrame, labels: Seq[String])
+
+/** PromQL → DataFrame compiler.
+  *
+  * Evaluation model (Spark-first re-expression of the reference's
+  * worker-SQL + streaming eval tree, /root/reference/promql/exec_planner.go):
+  *  - leaf = scan cooked metrics, filter matchers+time, epoch-aligned step
+  *    bucket, partial agg per (bucket, series) — one shuffle;
+  *  - range functions = `Window.partitionBy(series).orderBy(ts)
+  *    .rangeBetween(-(range-step), 0)` with the reference's left-inclusive
+  *    coverage rule (promql/leaf_node.go:36-163): a bucket only produces a
+  *    value when the window's leftmost step bucket is present, else NaN;
+  *  - aggs/binops/topk = groupBy / join / rank over the bucket grid.
+  */
+object Engine {
+
+  def query(promql: String, store: MetricStore, p: QueryParams): DataFrame = {
+    val expr = Parser.parse(promql).fold(e => throw new IllegalArgumentException(e), identity)
+    eval(expr, store, p) match {
+      case Right(sf) =>
+        sf.df.select((col("ts") +: sf.labels.map(col) :+ col("value")): _*)
+      case Left(d) =>
+        // scalar-only expression: constant over the bucket grid
+        val spark = store.df.sparkSession
+        val start = alignedStart(p)
+        spark.range(start, p.endMs, p.stepMs).toDF("ts")
+          .withColumn("value", lit(d))
+    }
+  }
+
+  private def alignedStart(p: QueryParams): Long =
+    p.startMs - p.startMs % p.stepMs
+
+  /** Left = scalar literal, Right = vector. */
+  private type V = Either[Double, SeriesFrame]
+
+  private[promql] def eval(e: Expr, store: MetricStore, p: QueryParams): V = e match {
+    case NumberLit(v) => Left(v)
+
+    case s: Selector => Right(leaf(s, "", store, p))
+
+    case RangeFn(fn, arg) => arg match {
+      case s: Selector => Right(leaf(s, fn, store, p))
+      case other => throw new IllegalArgumentException(
+        s"$fn requires a selector argument, got $other")
+    }
+
+    case UnaryFn(fn, arg) => eval(arg, store, p) match {
+      case Left(d) => Left(unaryScalar(fn, d))
+      case Right(sf) =>
+        val v = col("value")
+        val c = fn match {
+          case "abs"   => abs(v)
+          case "ceil"  => ceil(v).cast("double")
+          case "floor" => floor(v).cast("double")
+          case "exp"   => exp(v)
+          case "ln"    => log(v)
+          case "log2"  => log2(v)
+          case "log10" => log10(v)
+          case "sqrt"  => sqrt(v)
+          case "sgn"   => signum(v)
+        }
+        Right(sf.copy(df = sf.df.withColumn("value", c)))
+    }
+
+    case Clamp(isMin, arg, k) => eval(arg, store, p) match {
+      case Left(d) => Left(if (isMin) math.max(d, k) else math.min(d, k))
+      case Right(sf) =>
+        val c = if (isMin) greatest(col("value"), lit(k)) else least(col("value"), lit(k))
+        Right(sf.copy(df = sf.df.withColumn("value", c)))
+    }
+
+    case ScalarFn(arg) => eval(arg, store, p) match {
+      case Left(d) => Left(d)
+      case Right(sf) =>
+        // scalar(v): the single series' value per ts; NaN when 0 or >1 series
+        val g = sf.df.groupBy(col("ts")).agg(
+          count(lit(1)).as("__n"), first(col("value")).as("__v"))
+        Right(SeriesFrame(
+          g.select(col("ts"),
+            when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)).as("value")),
+          Nil))
+    }
+
+    case Agg(op, arg, by, without, param) =>
+      val sf = vector(eval(arg, store, p))
+      Right(aggNode(sf, op, by, without, param))
+
+    case q: QuantileOverTime =>
+      throw new UnsupportedOperationException("quantile_over_time: needs sketch store (round 2)")
+    case h: HistogramQuantile =>
+      throw new UnsupportedOperationException("histogram_quantile: needs sketch store (round 2)")
+
+    case BinOp(op, lhs, rhs, matching, boolMod) =>
+      (eval(lhs, store, p), eval(rhs, store, p)) match {
+        case (Left(a), Left(b)) => Left(scalarArith(op, a, b))
+        case (Right(sf), Left(d)) => Right(vectorScalar(sf, op, lit(d), boolMod, scalarRight = true))
+        case (Left(d), Right(sf)) => Right(vectorScalar(sf, op, lit(d), boolMod, scalarRight = false))
+        case (Right(l), Right(r)) => Right(vectorVector(l, r, op, matching, boolMod))
+      }
+  }
+
+  private def vector(v: V): SeriesFrame = v match {
+    case Right(sf) => sf
+    case Left(d) => throw new IllegalArgumentException(s"expected vector, got scalar $d")
+  }
+
+  private def unaryScalar(fn: String, d: Double): Double = fn match {
+    case "abs"   => math.abs(d)
+    case "ceil"  => math.ceil(d)
+    case "floor" => math.floor(d)
+    case "exp"   => math.exp(d)
+    case "ln"    => math.log(d)
+    case "log2"  => math.log(d) / math.log(2.0)
+    case "log10" => math.log10(d)
+    case "sqrt"  => math.sqrt(d)
+    case "sgn"   => math.signum(d)
+  }
+
+  private def scalarArith(op: String, a: Double, b: Double): Double = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => math.pow(a, b)
+    case "==" => if (a == b) 1 else 0
+    case "!=" => if (a != b) 1 else 0
+    case ">"  => if (a > b) 1 else 0
+    case "<"  => if (a < b) 1 else 0
+    case ">=" => if (a >= b) 1 else 0
+    case "<=" => if (a <= b) 1 else 0
+    case other => throw new IllegalArgumentException(s"scalar op $other")
+  }
+
+  // ---- leaf ---------------------------------------------------------------
+
+  /** Scan + matchers + step bucket + per-series partial agg + range math.
+    * fn == "" → bare selector (per-bucket SUM, reference
+    * evalLeafValuePerBucket with empty FuncName).
+    */
+  private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams): SeriesFrame = {
+    val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
+    val range = sel.rangeMs
+    val off = sel.offsetMs
+    // scan window extended left so the first emitted bucket has full range
+    // coverage (reference effStart = start - range - offset,
+    // queryapi/README.md:4-10)
+    val effStart = p.startMs - range - off
+    val effEnd = p.endMs - off
+
+    var df = store.df
+      .filter(col("chq_timestamp") >= effStart && col("chq_timestamp") < effEnd)
+    if (sel.metric.nonEmpty) df = df.filter(col("metric_name") === sel.metric)
+    sel.matchers.foreach { m => df = df.filter(matcherCond(df, m)) }
+
+    // epoch-aligned step bucket, shifted by offset so output ts is query-time
+    val bucket = ((col("chq_timestamp") + lit(off)) - (col("chq_timestamp") + lit(off)) % lit(step))
+    val labels = store.labelCols
+    val bucketed = df
+      .withColumn("ts", bucket)
+      .groupBy((col("ts") +: labels.map(col)): _*)
+      .agg(
+        sum(col("chq_rollup_sum")).as("bsum"),
+        sum(coalesce(col("chq_rollup_count"), lit(0.0))).as("bcnt"),
+        min(col("chq_rollup_min")).as("bmin"),
+        max(col("chq_rollup_max")).as("bmax"))
+
+    val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
+    val out: DataFrame =
+      if (range > 0 && Ast.rangeFns.contains(fn)) {
+        val lower = math.min(0L, -(range - step))
+        val rw = w.rangeBetween(lower, 0)
+        // coverage: leftmost step bucket of the window must be present
+        // (covered = ts - first + step >= range, leaf_node.go:90-97)
+        val firstTs = min(col("ts")).over(rw)
+        val covered = firstTs <= col("ts") - lit(range) + lit(step)
+        val value = fn match {
+          case "rate" | "irate" => sum(col("bsum")).over(rw) / lit(range / 1000.0)
+          case "increase" | "sum_over_time" => sum(col("bsum")).over(rw)
+          case "count_over_time" => sum(col("bcnt")).over(rw)
+          case "avg_over_time" =>
+            val c = sum(col("bcnt")).over(rw)
+            when(c === 0, lit(Double.NaN)).otherwise(sum(col("bsum")).over(rw) / c)
+          case "min_over_time" => min(col("bmin")).over(rw)
+          case "max_over_time" => max(col("bmax")).over(rw)
+          case "last_over_time" =>
+            last(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
+        }
+        bucketed.withColumn("value",
+          when(covered, value).otherwise(lit(Double.NaN)))
+      } else if (fn.nonEmpty && Ast.rangeFns.contains(fn)) {
+        // instant math: denominator = effective span inferred from the gap
+        // to the previous bucket (leaf_node.go evalRangeAwareScalar rangeMs<=0)
+        val prevTs = lag(col("ts"), 1).over(w)
+        val effSpan = greatest(lit(step), col("ts") - coalesce(prevTs, col("ts")))
+        val value = fn match {
+          case "rate" | "irate" => col("bsum") / (effSpan / lit(1000.0))
+          case "increase" | "sum_over_time" | "last_over_time" => col("bsum")
+          case "count_over_time" => col("bcnt")
+          case "avg_over_time" =>
+            when(col("bcnt") === 0, lit(Double.NaN)).otherwise(col("bsum") / col("bcnt"))
+          case "min_over_time" => col("bmin")
+          case "max_over_time" => col("bmax")
+        }
+        bucketed.withColumn("value", value)
+      } else {
+        // bare selector: per-bucket SUM (evalLeafValuePerBucket, FuncName "")
+        bucketed.withColumn("value", col("bsum"))
+      }
+
+    val trimmed = out
+      .filter(col("ts") >= alignedStart(p) && col("ts") < p.endMs)
+      .drop("bsum", "bcnt", "bmin", "bmax")
+    SeriesFrame(trimmed, labels)
+  }
+
+  private def matcherCond(df: DataFrame, m: Matcher): Column = {
+    // absent label ≡ "" (PromQL semantics); missing column → constant ""
+    val c =
+      if (df.schema.fieldNames.contains(m.label)) coalesce(col(m.label), lit(""))
+      else lit("")
+    m.op match {
+      case MatchOp.Eq  => c === m.value
+      case MatchOp.Ne  => c =!= m.value
+      case MatchOp.Re  => c.rlike("^(?:" + m.value + ")$")
+      case MatchOp.Nre => !c.rlike("^(?:" + m.value + ")$")
+    }
+  }
+
+  // ---- aggregation --------------------------------------------------------
+
+  private def aggNode(sf: SeriesFrame, op: String,
+      by: List[String], without: List[String], param: Option[Double]): SeriesFrame = {
+    val keep: Seq[String] =
+      if (by.nonEmpty) sf.labels.filter(by.contains)
+      else if (without.nonEmpty) sf.labels.filterNot(without.contains)
+      else if (op == "topk" || op == "bottomk") sf.labels // rank keeps series
+      else Nil
+
+    op match {
+      case "topk" | "bottomk" =>
+        val k = param.getOrElse(1.0).toInt
+        // ties broken by series key, mirroring promql/top_k_node.go:25-89
+        val key = concat_ws(" ", sf.labels.map(l => coalesce(col(l), lit(""))): _*)
+        val ord =
+          if (op == "topk") Seq(col("value").desc_nulls_last, key.asc)
+          else Seq(col("value").asc_nulls_last, key.asc)
+        val w = Window.partitionBy(col("ts")).orderBy(ord: _*)
+        SeriesFrame(
+          sf.df.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k).drop("__rk"),
+          sf.labels)
+      case "quantile" =>
+        val q = param.getOrElse(0.5)
+        val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*)
+          .agg(expr(s"percentile(value, $q)").as("value"))
+        SeriesFrame(g, keep)
+      case _ =>
+        val fn: Column = op match {
+          case "sum"   => sum(col("value"))
+          case "avg"   => avg(col("value"))
+          case "min"   => min(col("value"))
+          case "max"   => max(col("value"))
+          case "count" => count(col("value")).cast("double")
+        }
+        val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*).agg(fn.as("value"))
+        SeriesFrame(g, keep)
+    }
+  }
+
+  // ---- binary ops ---------------------------------------------------------
+
+  private def vectorScalar(sf: SeriesFrame, op: String, s: Column,
+      boolMod: Boolean, scalarRight: Boolean): SeriesFrame = {
+    val v = col("value")
+    val (a, b) = if (scalarRight) (v, s) else (s, v)
+    op match {
+      case "+" | "-" | "*" | "/" | "%" | "^" =>
+        sf.copy(df = sf.df.withColumn("value", arith(op, a, b)))
+      case _ =>
+        val cond = compare(op, a, b)
+        if (boolMod)
+          sf.copy(df = sf.df.withColumn("value", when(cond, 1.0).otherwise(0.0)))
+        else
+          sf.copy(df = sf.df.filter(cond))
+    }
+  }
+
+  /** Vector-vector semantics mirror /root/reference/promql/binary_node.go:
+    *  - a side whose tag set is empty acts as a scalar (asScalar), joined on ts;
+    *  - arith/comparison matching excludes the metric name (not carried as a
+    *    label here) and defaults to the FULL tag set of each side — different
+    *    label sets simply never match (matchKey, binary_node.go:314-371);
+    *  - many-to-one matches on the rhs are conflicts and are dropped
+    *    (buildMatchLookup, binary_node.go:391);
+    *  - arith output tags = mergeTagsPreferL; comparison keeps lhs tags.
+    *  - set ops match on the full tag set (name included) with null-safe
+    *    comparison; `or` keeps rhs rows whose key is absent from lhs.
+    */
+  private def vectorVector(l: SeriesFrame, r: SeriesFrame, op: String,
+      matching: Option[VectorMatch], boolMod: Boolean): SeriesFrame = {
+
+    if (Ast.setOps.contains(op)) return setOp(l, r, op, matching)
+
+    // asScalar: empty-tag side broadcasts as a per-ts scalar
+    if (r.labels.isEmpty || l.labels.isEmpty) {
+      val (vec, sc, scalarRight) =
+        if (r.labels.isEmpty) (l, r, true) else (r, l, false)
+      val scDf = sc.df.select(col("ts"), col("value").as("__sv"))
+      val j = vec.df.join(scDf, Seq("ts"), "inner")
+      val (a, b) = if (scalarRight) (col("value"), col("__sv")) else (col("__sv"), col("value"))
+      val out = op match {
+        case "+" | "-" | "*" | "/" | "%" | "^" =>
+          j.withColumn("value", arith(op, a, b))
+        case _ =>
+          val cond = compare(op, a, b)
+          if (boolMod) j.withColumn("value", when(cond, 1.0).otherwise(0.0))
+          else j.filter(cond)
+      }
+      return SeriesFrame(out.drop("__sv"), vec.labels)
+    }
+
+    val matchCols: Seq[String] = matching match {
+      case Some(VectorMatch(true, labels)) => labels
+      case Some(VectorMatch(false, ignore)) =>
+        (l.labels.toSet ++ r.labels.toSet).filterNot(ignore.contains).toSeq.sorted
+      case None => (l.labels.toSet ++ r.labels.toSet).toSeq.sorted
+    }
+    // a side lacking one of the match labels can never produce a matching
+    // key (absent tag ⇒ different key string in the reference)
+    if (!matchCols.forall(l.labels.contains) || !matchCols.forall(r.labels.contains)) {
+      val labels = mergedLabels(l, r)
+      return SeriesFrame(
+        withAllLabels(SeriesFrame(l.df.limit(0), l.labels), labels), labels)
+    }
+
+    val rExtra = r.labels.filterNot(c => matchCols.contains(c) || l.labels.contains(c))
+    // rhs dedup + conflict drop (many-to-one without group modifier)
+    val rAggs = Seq(count(lit(1)).as("__rn"), first(col("value")).as("__rv")) ++
+      rExtra.map(c => first(col(c)).as(c))
+    val rhs = r.df.groupBy(("ts" +: matchCols).map(col): _*)
+      .agg(rAggs.head, rAggs.tail: _*)
+      .filter(col("__rn") === 1).drop("__rn")
+    val j = l.df.withColumnRenamed("value", "__lv")
+      .join(rhs, "ts" +: matchCols, "inner")
+
+    val outLabels = (l.labels ++ rExtra).distinct
+    op match {
+      case "+" | "-" | "*" | "/" | "%" | "^" =>
+        val out = j.withColumn("value", arith(op, col("__lv"), col("__rv")))
+        SeriesFrame(out.drop("__lv", "__rv"), outLabels)
+      case _ =>
+        val cond = compare(op, col("__lv"), col("__rv"))
+        if (boolMod)
+          SeriesFrame(j.withColumn("value", when(cond, 1.0).otherwise(0.0))
+            .drop("__lv", "__rv"), outLabels)
+        else
+          // comparison keeps the LHS sample and LHS tags only
+          SeriesFrame(j.filter(cond).withColumn("value", col("__lv"))
+            .drop("__lv", "__rv").drop(rExtra: _*), l.labels)
+    }
+  }
+
+  private def setOp(l: SeriesFrame, r: SeriesFrame, op: String,
+      matching: Option[VectorMatch]): SeriesFrame = {
+    val keyCols: Seq[String] = matching match {
+      case Some(VectorMatch(true, labels)) => labels
+      case Some(VectorMatch(false, ignore)) =>
+        (l.labels.toSet ++ r.labels.toSet).filterNot(ignore.contains).toSeq.sorted
+      case None => (l.labels.toSet ++ r.labels.toSet).toSeq.sorted
+    }
+    val labels = mergedLabels(l, r)
+    val lAll = withAllLabels(l, labels)
+    val rAll = withAllLabels(r, labels)
+    // Null-safe key equality (absent tags on both sides still match, like
+    // the reference's string matchKey over present tags). The key side is
+    // renamed to avoid self-join attribute ambiguity.
+    def keySide(df: DataFrame): DataFrame =
+      df.select((col("ts").as("__kts") +: keyCols.zipWithIndex.map {
+        case (c, i) => col(c).as(s"__k$i")
+      }): _*).distinct()
+    def joinCond(a: DataFrame, k: DataFrame): Column =
+      keyCols.zipWithIndex.map { case (c, i) => a(c) <=> k(s"__k$i") }
+        .foldLeft(a("ts") === k("__kts"))(_ && _)
+    op match {
+      case "and" =>
+        val rk = keySide(rAll)
+        SeriesFrame(lAll.join(rk, joinCond(lAll, rk), "left_semi"), labels)
+      case "unless" =>
+        val rk = keySide(rAll)
+        SeriesFrame(lAll.join(rk, joinCond(lAll, rk), "left_anti"), labels)
+      case "or" =>
+        val lk = keySide(lAll)
+        val rOnly = rAll.join(lk, joinCond(rAll, lk), "left_anti")
+        SeriesFrame(lAll.unionByName(rOnly), labels)
+    }
+  }
+
+  private def mergedLabels(l: SeriesFrame, r: SeriesFrame): Seq[String] =
+    (l.labels ++ r.labels).distinct
+
+  private def withAllLabels(sf: SeriesFrame, labels: Seq[String]): DataFrame = {
+    val missing = labels.filterNot(sf.labels.contains)
+    missing.foldLeft(sf.df)((d, l) => d.withColumn(l, lit(null).cast("string")))
+      .select((col("ts") +: labels.map(col) :+ col("value")): _*)
+  }
+
+  private def arith(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => pow(a, b)
+  }
+
+  private def compare(op: String, a: Column, b: Column): Column = op match {
+    case "==" => a === b
+    case "!=" => a =!= b
+    case ">"  => a > b
+    case "<"  => a < b
+    case ">=" => a >= b
+    case "<=" => a <= b
+  }
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Cooked
+import graft.promql.{Engine, MetricStore, QueryParams}
+
+/** PromQL engine coverage, each entry running a real PromQL string through
+  * parser → planner → DataFrame compiler over cooked metrics derived from
+  * `events` (graft.model.Cooked), with a hand-derived DuckDB oracle.
+  *
+  * Range-window/NaN policy: buckets without full range coverage evaluate to
+  * NaN in the engine (reference semantics); for the oracle gate we filter
+  * NaN rows on both sides so the compare is over well-defined values.
+  */
+object PromQLQueries extends Catalog {
+  // 2024-01-01T00:00:00Z .. +14d, 1h step — spans the dense half of events
+  private val Start = 1704067200000L
+  private val End = Start + 14L * 86400000L
+  private val StepMs = 3600000L
+
+  private def run(q: String)(s: SparkSession, d: String): DataFrame =
+    Engine.query(q, MetricStore(Cooked.metrics(s, d)), QueryParams(Start, End, StepMs))
+      .filter(!isnan(col("value")))
+
+  /** step-agg CTE over the cooked metrics derivation; effStart extends the
+    * scan left by (range+offset) exactly like the engine's leaf.
+    */
+  private def stepCte(rangeMs: Long = 0, offMs: Long = 0): String = {
+    val effStart = Start - rangeMs - offMs
+    val effEnd = End - offMs
+    s"""${Cooked.metricsCte},
+     step AS (
+       SELECT (chq_timestamp + $offMs) - (chq_timestamp + $offMs) % $StepMs AS ts,
+              attr_event_type,
+              sum(chq_rollup_sum) AS bsum,
+              sum(coalesce(chq_rollup_count, 0)) AS bcnt,
+              min(chq_rollup_min) AS bmin,
+              max(chq_rollup_max) AS bmax
+       FROM cooked
+       WHERE chq_timestamp >= $effStart AND chq_timestamp < $effEnd
+       GROUP BY 1, 2)"""
+  }
+
+  /** windowed CTE for range functions (left-inclusive coverage rule) */
+  private def winCte(rangeMs: Long): String = {
+    val back = rangeMs - StepMs
+    s"""${stepCte(rangeMs)},
+     win AS (
+       SELECT ts, attr_event_type,
+              sum(bsum) OVER w AS wsum, sum(bcnt) OVER w AS wcnt,
+              min(bmin) OVER w AS wmin, max(bmax) OVER w AS wmax,
+              min(ts) OVER w AS first_ts
+       FROM step
+       WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                    RANGE BETWEEN $back PRECEDING AND CURRENT ROW))"""
+  }
+
+  private def covered(rangeMs: Long): String =
+    s"first_ts = ts - ${rangeMs - StepMs} AND ts >= $Start AND ts < $End"
+
+  private val H4 = 4L * 3600000L
+  private val H6 = 6L * 3600000L
+
+  override def all: Seq[Q] = Seq(
+    Q("pq_selector",
+      run("events_value"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_matcher_eq",
+      run("""events_value{attr_event_type="error"}"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE attr_event_type = 'error' AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_matcher_regex",
+      run("""events_value{attr_event_type=~"c.*|s.*", attr_event_type!="signup"}"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE regexp_full_match(attr_event_type, 'c.*|s.*')
+          AND attr_event_type <> 'signup' AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_rate",
+      run("rate(events_value[4h])"),
+      Some(s"""WITH ${winCte(H4)}
+        SELECT ts, attr_event_type, wsum / ${H4 / 1000.0} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("pq_increase",
+      run("increase(events_value[4h])"),
+      Some(s"""WITH ${winCte(H4)}
+        SELECT ts, attr_event_type, wsum AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("pq_avg_over_time",
+      run("avg_over_time(events_value[6h])"),
+      Some(s"""WITH ${winCte(H6)}
+        SELECT ts, attr_event_type, wsum / wcnt AS value
+        FROM win WHERE ${covered(H6)} AND wcnt > 0""")),
+
+    Q("pq_minmax_over_time",
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        val mn = Engine.query("min_over_time(events_value[6h])", store, p)
+          .withColumnRenamed("value", "min_v")
+        val mx = Engine.query("max_over_time(events_value[6h])", store, p)
+          .withColumnRenamed("value", "max_v")
+        mn.join(mx, Seq("ts", "attr_event_type"))
+          .filter(!isnan(col("min_v")) && !isnan(col("max_v")))
+      },
+      Some(s"""WITH ${winCte(H6)}
+        SELECT ts, attr_event_type, wmin AS min_v, wmax AS max_v
+        FROM win WHERE ${covered(H6)}""")),
+
+    Q("pq_count_over_time",
+      run("count_over_time(events_value[4h])"),
+      Some(s"""WITH ${winCte(H4)}
+        SELECT ts, attr_event_type, wcnt AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("pq_sum_rate",
+      run("sum(rate(events_value[4h]))"),
+      Some(s"""WITH ${winCte(H4)},
+        r AS (SELECT ts, attr_event_type,
+                CASE WHEN first_ts = ts - ${H4 - StepMs}
+                     THEN wsum / ${H4 / 1000.0} ELSE 'NaN'::DOUBLE END AS v
+              FROM win WHERE ts >= $Start AND ts < $End)
+        SELECT ts, sum(v) AS value FROM r GROUP BY ts
+        HAVING NOT isnan(sum(v))""")),
+
+    Q("pq_sum_by",
+      run("sum by (attr_event_type) (events_value)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_agg_global",
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        val su = Engine.query("sum(events_value)", store, p).withColumnRenamed("value", "sum_v")
+        val av = Engine.query("avg(events_value)", store, p).withColumnRenamed("value", "avg_v")
+        val mn = Engine.query("min(events_value)", store, p).withColumnRenamed("value", "min_v")
+        val mx = Engine.query("max(events_value)", store, p).withColumnRenamed("value", "max_v")
+        val ct = Engine.query("count(events_value)", store, p).withColumnRenamed("value", "cnt_v")
+        su.join(av, "ts").join(mn, "ts").join(mx, "ts").join(ct, "ts")
+      },
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, sum(bsum) AS sum_v, avg(bsum) AS avg_v, min(bsum) AS min_v,
+               max(bsum) AS max_v, CAST(count(bsum) AS DOUBLE) AS cnt_v
+        FROM step WHERE ts >= $Start AND ts < $End GROUP BY ts""")),
+
+    Q("pq_topk",
+      run("topk(2, events_value)"),
+      Some(s"""WITH ${stepCte()},
+        rk AS (SELECT ts, attr_event_type, bsum,
+                 row_number() OVER (PARTITION BY ts
+                   ORDER BY bsum DESC, attr_event_type ASC) AS rn
+               FROM step WHERE ts >= $Start AND ts < $End)
+        SELECT ts, attr_event_type, bsum AS value FROM rk WHERE rn <= 2""")),
+
+    Q("pq_bottomk",
+      run("bottomk(2, events_value)"),
+      Some(s"""WITH ${stepCte()},
+        rk AS (SELECT ts, attr_event_type, bsum,
+                 row_number() OVER (PARTITION BY ts
+                   ORDER BY bsum ASC, attr_event_type ASC) AS rn
+               FROM step WHERE ts >= $Start AND ts < $End)
+        SELECT ts, attr_event_type, bsum AS value FROM rk WHERE rn <= 2""")),
+
+    Q("pq_quantile_agg",
+      run("quantile(0.9, events_value)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, quantile_cont(bsum, 0.9) AS value
+        FROM step WHERE ts >= $Start AND ts < $End GROUP BY ts""")),
+
+    Q("pq_vector_scalar",
+      run("events_value / 60 + 1"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum / 60 + 1 AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_compare_filter",
+      run("events_value > 150"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE bsum > 150 AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_compare_bool",
+      run("events_value > bool 150"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               CASE WHEN bsum > 150 THEN 1.0 ELSE 0.0 END AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_binop_share",
+      run("""events_value{attr_event_type="error"} / sum(events_value)"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT l.ts, l.attr_event_type, l.bsum / r.tot AS value
+        FROM (SELECT ts, attr_event_type, bsum FROM step
+              WHERE attr_event_type = 'error') l
+        JOIN (SELECT ts, sum(bsum) AS tot FROM step GROUP BY ts) r
+          ON l.ts = r.ts
+        WHERE l.ts >= $Start AND l.ts < $End""")),
+
+    Q("pq_selfjoin_zero",
+      run("""events_value - events_value"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum - bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_and",
+      run("""events_value{attr_event_type=~"error|click"} and (events_value > 150)"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE regexp_full_match(attr_event_type, 'error|click')
+          AND bsum > 150 AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_unless",
+      run("""events_value{attr_event_type=~"error|click"} unless (events_value > 150)"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE regexp_full_match(attr_event_type, 'error|click')
+          AND NOT (bsum > 150) AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_or",
+      run("""events_value{attr_event_type="error"} or events_value{attr_event_type="click"}"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE attr_event_type IN ('error', 'click')
+          AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_unary_clamp",
+      run("clamp_max(clamp_min(sqrt(events_value), 10), 25)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               least(greatest(sqrt(bsum), 10), 25) AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_offset",
+      run("events_value offset 1d"),
+      Some(s"""WITH ${stepCte(0, 86400000L)}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End"""))
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.promql._
+
+class PromQLParserSpec extends AnyFunSuite {
+  private def p(s: String): Expr =
+    Parser.parse(s).fold(e => fail(s"parse '$s': $e"), identity)
+
+  test("selector with matchers, range, offset") {
+    val e = p("""http_requests{job="api", code=~"5..", env!="dev"}[5m] offset 1h""")
+    val s = e.asInstanceOf[Selector]
+    assert(s.metric == "http_requests")
+    assert(s.matchers.map(_.op) == List(MatchOp.Eq, MatchOp.Re, MatchOp.Ne))
+    assert(s.rangeMs == 300000L && s.offsetMs == 3600000L)
+  }
+
+  test("subquery step") {
+    val s = p("m[1h:5m]").asInstanceOf[Selector]
+    assert(s.rangeMs == 3600000L && s.subStepMs == 300000L)
+  }
+
+  test("aggregation prefix and suffix grouping") {
+    val a = p("sum by (job) (rate(m[5m]))").asInstanceOf[Agg]
+    assert(a.op == "sum" && a.by == List("job"))
+    val b = p("sum(rate(m[5m])) without (instance)").asInstanceOf[Agg]
+    assert(b.without == List("instance"))
+  }
+
+  test("topk with param") {
+    val a = p("topk(3, m)").asInstanceOf[Agg]
+    assert(a.op == "topk" && a.param.contains(3.0))
+  }
+
+  test("binary precedence: mul binds tighter than add, comparison loosest") {
+    val e = p("a + b * c > 2").asInstanceOf[BinOp]
+    assert(e.op == ">")
+    val add = e.lhs.asInstanceOf[BinOp]
+    assert(add.op == "+" && add.rhs.asInstanceOf[BinOp].op == "*")
+  }
+
+  test("set ops and bool modifier") {
+    val e = p("a and b or c").asInstanceOf[BinOp]
+    assert(e.op == "or")
+    val c = p("a > bool 0").asInstanceOf[BinOp]
+    assert(c.boolMod)
+  }
+
+  test("on/ignoring accepted, group_left rejected") {
+    val e = p("a / on(job) b").asInstanceOf[BinOp]
+    assert(e.matching.contains(VectorMatch(on = true, List("job"))))
+    assert(Parser.parse("a / on(job) group_left b").isLeft)
+  }
+
+  test("functions") {
+    assert(p("clamp_min(m, 3)") == Clamp(true, Selector("m", Nil), 3.0))
+    assert(p("abs(m)") == UnaryFn("abs", Selector("m", Nil)))
+    assert(p("scalar(m)") == ScalarFn(Selector("m", Nil)))
+    assert(p("histogram_quantile(0.9, m)").isInstanceOf[HistogramQuantile])
+    assert(p("-m").isInstanceOf[BinOp])
+  }
+}
+
+class PromQLEngineSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private lazy val store = MetricStore(graft.model.Cooked.metrics(spark, sf))
+  // sf0.001 events span 2024-01-01..30 but sparse; use wide step for coverage
+  private val start = 1704067200000L
+  private val p = QueryParams(start, start + 7L * 86400000L, 21600000L) // 6h step
+
+  test("bare selector emits per-bucket sums with labels") {
+    val df = Engine.query("events_value", store, p)
+    assert(df.columns.toSeq == Seq("ts", "attr_event_type", "value"))
+    assert(df.count() > 0)
+    // all buckets step-aligned and in range
+    val bad = df.filter(col("ts") % p.stepMs =!= 0 ||
+      col("ts") < p.startMs || col("ts") >= p.endMs).count()
+    assert(bad == 0)
+  }
+
+  test("rate = windowed sum / range seconds with coverage rule") {
+    val range = 24L * 3600000L
+    val rate = Engine.query(s"rate(events_value[1d])", store, p)
+      .filter(!isnan(col("value")))
+    val inc = Engine.query(s"increase(events_value[1d])", store, p)
+      .filter(!isnan(col("value")))
+    val j = rate.withColumnRenamed("value", "r")
+      .join(inc.withColumnRenamed("value", "i"), Seq("ts", "attr_event_type"))
+    val mismatch = j.filter(abs(col("r") * lit(range / 1000.0) - col("i")) > 1e-6).count()
+    assert(mismatch == 0 && j.count() > 0)
+  }
+
+  test("sum() collapses labels; count() counts series") {
+    val df = Engine.query("count(events_value)", store, p)
+    assert(df.columns.toSeq == Seq("ts", "value"))
+    val mx = df.agg(max(col("value"))).head().getDouble(0)
+    assert(mx <= 5.0 && mx >= 1.0) // 5 event types
+  }
+
+  test("vector-vector self subtraction is zero") {
+    val df = Engine.query("events_value - events_value", store, p)
+    assert(df.filter(col("value") =!= 0.0).count() == 0 && df.count() > 0)
+  }
+
+  test("or with disjoint selectors unions both") {
+    val a = Engine.query("""events_value{attr_event_type="error"}""", store, p).count()
+    val b = Engine.query("""events_value{attr_event_type="click"}""", store, p).count()
+    val u = Engine.query(
+      """events_value{attr_event_type="error"} or events_value{attr_event_type="click"}""",
+      store, p).count()
+    assert(u == a + b)
+  }
+
+  test("empty-label side broadcasts as scalar") {
+    val df = Engine.query("events_value / sum(events_value)", store, p)
+    assert(df.columns.contains("attr_event_type"))
+    val over = df.filter(col("value") > 1.0 + 1e-9).count()
+    assert(over == 0 && df.count() > 0)
+  }
+
+  test("scalar literal expression yields grid") {
+    val df = Engine.query("3 * 4", store, p)
+    assert(df.select("value").distinct().head().getDouble(0) == 12.0)
+  }
+}
