@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics: bad casts → NULL (DuckDB try_cast), no ANSI
+      // arithmetic errors mid-pipeline
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -1,0 +1,75 @@
+package graft.logql
+
+import graft.promql.{MatchOp, Matcher}
+
+/** LogQL AST — stream selector + ordered pipeline stages, optionally wrapped
+  * in a range aggregation and a vector aggregation.
+  *
+  * Stage ordering is semantic (reference logql/worker_sql.go:105-162): line
+  * filters apply to the *current* log line (pre/post line_format), label
+  * filters apply where their column exists, label_format can replace
+  * existing columns. The compiler folds stages in order.
+  */
+sealed trait Stage
+
+/** `|= != |~ !~` on the log line */
+final case class LineFilter(op: LineFilterOp, needle: String) extends Stage
+sealed trait LineFilterOp
+object LineFilterOp {
+  case object Contains extends LineFilterOp
+  case object NotContains extends LineFilterOp
+  case object Regex extends LineFilterOp
+  case object NotRegex extends LineFilterOp
+}
+
+/** `| json` with optional explicit mappings label=jsonpath */
+final case class JsonStage(mappings: List[(String, String)]) extends Stage
+/** `| logfmt` */
+final case class LogfmtStage(mappings: List[(String, String)]) extends Stage
+/** `| regexp "(?P<name>...)"` — named capture groups become labels */
+final case class RegexpStage(pattern: String) extends Stage
+/** `| label_format out=src` or `out="{{.a}}-{{.b}}"` */
+final case class LabelFormatStage(assignments: List[(String, Template)]) extends Stage
+/** `| line_format "{{.a}} ..."` — rewrites the log line */
+final case class LineFormatStage(template: Template) extends Stage
+/** `| keep a,b` / `| drop a,b` */
+final case class KeepStage(labels: List[String]) extends Stage
+final case class DropStage(labels: List[String]) extends Stage
+/** `| label op value` — string or numeric comparison */
+final case class LabelFilter(label: String, op: String, value: String,
+    numeric: Boolean) extends Stage
+/** `| unwrap field` / `unwrap duration(field)` / `unwrap bytes(field)` */
+final case class UnwrapStage(field: String, conv: String) extends Stage // conv: "", "duration", "bytes"
+
+/** Go-template subset: literal text + {{.field}} refs (+lower/upper pipes) */
+final case class Template(parts: List[TemplatePart])
+sealed trait TemplatePart
+final case class Lit(text: String) extends TemplatePart
+final case class Ref(field: String, fn: String = "") extends TemplatePart // fn: ""|"lower"|"upper"
+
+/** `{selector} stage*` */
+final case class LogPipeline(matchers: List[Matcher], stages: List[Stage])
+
+/** count_over_time/rate/bytes_over_time/bytes_rate/{sum,avg,min,max,last,
+  * count}_over_time-with-unwrap over `pipeline [range]`
+  */
+final case class LogRangeAgg(fn: String, pipeline: LogPipeline, rangeMs: Long)
+
+/** optional vector agg wrapper: sum/avg/min/max/count/topk/bottomk by/without */
+final case class LogQuery(
+    range: Option[LogRangeAgg],
+    vectorOp: Option[String] = None,
+    by: List[String] = Nil,
+    without: List[String] = Nil,
+    param: Option[Double] = None,
+    /** raw log query when range is None */
+    raw: Option[LogPipeline] = None)
+
+object Ast {
+  val rangeFns: Set[String] = Set(
+    "count_over_time", "rate", "bytes_over_time", "bytes_rate",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "last_over_time", "first_over_time", "rate_counter")
+  val vectorOps: Set[String] = Set(
+    "sum", "avg", "min", "max", "count", "topk", "bottomk")
+}

@@ -1,0 +1,361 @@
+package graft.logql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.promql.{Engine, MatchOp, Matcher, MetricStore, QueryParams}
+
+/** A cooked-logs table (reference docs/design/db-parquet/logs.md): system
+  * columns + string label columns. `log_message` carries the line.
+  */
+final case class LogStore(df: DataFrame) {
+  import LogStore._
+  val labelCols: Seq[String] =
+    df.schema.fieldNames.filterNot(systemCols.contains).toSeq
+}
+object LogStore {
+  val systemCols: Set[String] = Set(
+    "chq_timestamp", "chq_tsns", "chq_id", "chq_fingerprint",
+    "metric_name", "chq_telemetry_type", "log_message")
+}
+
+/** LogQL → DataFrame compiler.
+  *
+  * Pipeline model (Spark-first re-expression of the reference's CTE-layer
+  * builder, logql/worker_sql.go:105-162): an ordered fold over stages where
+  * each stage is a `withColumn`/`filter` on the running DataFrame — line
+  * filters see the current (possibly line_format-rewritten) line, label
+  * filters see columns created by earlier parser stages, label_format can
+  * replace existing columns.
+  *
+  * Aggregations follow the reference's rewrite-to-PromQL design
+  * (promql/rewrite_result.go:32-155): the compiled pipeline is bucketed into
+  * a synthetic cooked-metrics frame (rollup sum/count/min/max of the derived
+  * per-line value) and evaluated by the shared PromQL engine.
+  */
+object Compiler {
+
+  /** Raw log query: filtered/enriched rows, ordered by chq_tsns, limited. */
+  def rawQuery(pipeline: LogPipeline, store: LogStore, startMs: Long, endMs: Long,
+      limit: Int, desc: Boolean = true, fields: Seq[String] = Nil): DataFrame = {
+    val (df, labels) = compilePipeline(pipeline, store, extraNeeded = fields)
+    val timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
+    val ordered = timed.orderBy(if (desc) col("chq_tsns").desc else col("chq_tsns").asc)
+      .limit(limit)
+    val cols =
+      if (fields.nonEmpty) fields
+      else Seq("chq_timestamp", "chq_tsns", "log_message") ++ labels
+    // resolve against the frame — bare col("user") would hit the
+    // current_user() SQL function instead of the extracted label
+    ordered.select(cols.map(ordered(_)): _*)
+  }
+
+  /** Aggregated query via synthetic-metric rewrite + PromQL engine. */
+  def aggQuery(q: LogQuery, store: LogStore, p: QueryParams): DataFrame = {
+    val ra = q.range.getOrElse(
+      throw new IllegalArgumentException("aggQuery requires a range aggregation"))
+    val (df, labels) = compilePipeline(ra.pipeline, store)
+
+    // group labels for the synthetic series: explicit by/without if given,
+    // else all pipeline labels (matches the reference's label requirements
+    // analysis for the synthetic metric, promql/rewrite_result.go). The
+    // unwrap source field is a value, not a series label.
+    val unwrapFields = ra.pipeline.stages.collect { case UnwrapStage(f, _) => f }
+    val allLabels = labels.filterNot(unwrapFields.contains)
+    val seriesLabels: Seq[String] =
+      if (q.by.nonEmpty) q.by.filter(allLabels.contains)
+      else if (q.without.nonEmpty) allLabels.filterNot(q.without.contains)
+      else allLabels
+
+    // derived per-line value + inner PromQL function
+    val (valueCol, promFn) = ra.fn match {
+      case "count_over_time" => (lit(1.0), "sum_over_time")
+      case "rate"            => (lit(1.0), "rate")
+      case "bytes_over_time" => (octet_length(col("log_message")).cast("double"), "sum_over_time")
+      case "bytes_rate"      => (octet_length(col("log_message")).cast("double"), "rate")
+      case "sum_over_time"   => (col("__unwrap_value"), "sum_over_time")
+      case "avg_over_time"   => (col("__unwrap_value"), "avg_over_time")
+      case "min_over_time"   => (col("__unwrap_value"), "min_over_time")
+      case "max_over_time"   => (col("__unwrap_value"), "max_over_time")
+      case "last_over_time"  => (col("__unwrap_value"), "last_over_time")
+      case "rate_counter"    => (col("__unwrap_value"), "rate")
+      case other => throw new IllegalArgumentException(s"unsupported range fn: $other")
+    }
+
+    // synthetic cooked metrics at pre-agg freq = query step
+    val bucket = col("chq_timestamp") - col("chq_timestamp") % lit(p.stepMs)
+    val synth = df
+      .withColumn("__v", valueCol)
+      .filter(col("__v").isNotNull)
+      .withColumn("chq_timestamp", bucket)
+      .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
+      .agg(
+        sum(col("__v")).as("chq_rollup_sum"),
+        count(lit(1)).cast("double").as("chq_rollup_count"),
+        min(col("__v")).as("chq_rollup_min"),
+        max(col("__v")).as("chq_rollup_max"))
+      .withColumn("metric_name", lit("__logql"))
+
+    val rangeStr = s"${ra.rangeMs}ms"
+    val inner = s"$promFn(__logql[$rangeStr])"
+    val promql = q.vectorOp match {
+      case Some(op) =>
+        val grouping =
+          if (q.by.nonEmpty) s" by (${q.by.mkString(",")})"
+          else if (q.without.nonEmpty) s" without (${q.without.mkString(",")})"
+          else ""
+        val param = q.param.map(v =>
+          if (v == v.floor) s"${v.toLong}, " else s"$v, ").getOrElse("")
+        s"$op$grouping($param$inner)"
+      case None => inner
+    }
+    Engine.query(promql, MetricStore(synth), p)
+  }
+
+  /** Full LogQL string → DataFrame (aggregated queries). */
+  def query(logql: String, store: LogStore, p: QueryParams): DataFrame = {
+    val q = Parser.parse(logql).fold(e => throw new IllegalArgumentException(e), identity)
+    q.raw match {
+      case Some(pipe) => rawQuery(pipe, store, p.startMs, p.endMs, limit = 1000)
+      case None => aggQuery(q, store, p)
+    }
+  }
+
+  // ---- pipeline fold -------------------------------------------------------
+
+  /** Compile matchers + stages; returns (DataFrame, current label set). */
+  def compilePipeline(pipeline: LogPipeline, store: LogStore,
+      extraNeeded: Seq[String] = Nil): (DataFrame, Seq[String]) = {
+    var df = store.df
+    pipeline.matchers.foreach { m => df = df.filter(matcherCond(df, m)) }
+
+    // need-key analysis: labels referenced downstream (or requested as
+    // output fields) that a json/logfmt stage must materialize
+    // (reference logql/worker_sql.go:455-520)
+    val needed = (neededLabels(pipeline.stages) ++ extraNeeded).distinct
+
+    var labels: Seq[String] = store.labelCols
+    pipeline.stages.foreach {
+      case LineFilter(op, needle) =>
+        val line = col("log_message")
+        df = op match {
+          case LineFilterOp.Contains    => df.filter(line.contains(needle))
+          case LineFilterOp.NotContains => df.filter(!line.contains(needle))
+          case LineFilterOp.Regex       => df.filter(line.rlike(needle))
+          case LineFilterOp.NotRegex    => df.filter(!line.rlike(needle))
+        }
+
+      case JsonStage(mappings) =>
+        val explicit = mappings.map { case (l, path) => l -> jsonPath(path) }
+        val auto = needed.filterNot(l => df.schema.fieldNames.contains(l) ||
+            explicit.exists(_._1 == l))
+          .map(l => l -> s"$$.$l")
+        (explicit ++ auto).foreach { case (l, path) =>
+          df = df.withColumn(l, get_json_object(col("log_message"), path))
+          labels = (labels :+ l).distinct
+        }
+
+      case LogfmtStage(mappings) =>
+        val explicit = mappings
+        val auto = needed.filterNot(l => df.schema.fieldNames.contains(l) ||
+            explicit.exists(_._1 == l))
+          .map(l => l -> l)
+        (explicit ++ auto).foreach { case (l, key) =>
+          // (?:^|\s)key=([^\s]+) — reference logql/worker_sql.go:599-703
+          df = df.withColumn(l,
+            regexp_extract(col("log_message"), "(?:^|\\s)" + java.util.regex.Pattern.quote(key) + "=([^\\s]+)", 1))
+          labels = (labels :+ l).distinct
+        }
+
+      case RegexpStage(pattern) =>
+        val groups = namedGroups(pattern)
+        groups.zipWithIndex.foreach { case (name, _) =>
+          // extract by group name via Java regex group index; Spark
+          // regexp_extract is index-based, so map name → index
+          val idx = groupIndex(pattern, name)
+          df = df.withColumn(name, regexp_extract(col("log_message"), normalizeGroups(pattern), idx))
+          labels = (labels :+ name).distinct
+        }
+
+      case LabelFormatStage(assignments) =>
+        assignments.foreach { case (target, tmpl) =>
+          df = df.withColumn(target, templateCol(df, tmpl))
+          labels = (labels :+ target).distinct
+        }
+
+      case LineFormatStage(tmpl) =>
+        df = df.withColumn("log_message", templateCol(df, tmpl))
+
+      case KeepStage(ks) =>
+        labels = labels.filter(ks.contains)
+      case DropStage(ds) =>
+        labels = labels.filterNot(ds.contains)
+
+      case LabelFilter(label, op, value, numeric) =>
+        val c =
+          if (df.schema.fieldNames.contains(label)) df(label)
+          else lit(null).cast("string")
+        df = df.filter(labelFilterCond(c, op, value, numeric))
+
+      case UnwrapStage(field, conv) =>
+        val src = df(field)
+        val v = conv match {
+          case "duration" => durationSeconds(src)
+          case "bytes"    => bytesValue(src)
+          case _          => tryDouble(src)
+        }
+        df = df.withColumn("__unwrap_value", v)
+    }
+    (df, labels)
+  }
+
+  private def matcherCond(df: DataFrame, m: Matcher): Column = {
+    val c =
+      if (df.schema.fieldNames.contains(m.label)) coalesce(col(m.label), lit(""))
+      else lit("")
+    m.op match {
+      case MatchOp.Eq  => c === m.value
+      case MatchOp.Ne  => c =!= m.value
+      case MatchOp.Re  => c.rlike("^(?:" + m.value + ")$")
+      case MatchOp.Nre => !c.rlike("^(?:" + m.value + ")$")
+    }
+  }
+
+  /** try_cast-to-double that stays safe under ANSI: only cast rows that
+    * look numeric.
+    */
+  private def tryDouble(c: Column): Column =
+    when(c.rlike("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"), c.cast("double"))
+      .otherwise(lit(null).cast("double"))
+
+  private def labelFilterCond(c: Column, op: String, value: String, numeric: Boolean): Column = {
+    if (numeric) {
+      val n = tryDouble(c) // try_cast semantics: bad parse → null → filtered
+      val v = numericValue(value)
+      op match {
+        case ">" => n > v; case ">=" => n >= v
+        case "<" => n < v; case "<=" => n <= v
+        case "=" | "==" => n === v; case "!=" => n =!= v
+        case other => throw new IllegalArgumentException(s"numeric filter op $other")
+      }
+    } else op match {
+      case "=" | "==" => c === value
+      case "!=" => c =!= value
+      case "=~" => c.rlike("^(?:" + value + ")$")
+      case "!~" => !c.rlike("^(?:" + value + ")$")
+      case ">" => c > value; case ">=" => c >= value
+      case "<" => c < value; case "<=" => c <= value
+    }
+  }
+
+  /** "250ms" → 0.25 etc; plain numbers pass through */
+  private def numericValue(s: String): Double = {
+    val durRe = "^(\\d+(?:\\.\\d+)?)(ms|s|m|h|d)$".r
+    val byteRe = "^(\\d+(?:\\.\\d+)?)(b|B|kb|KB|KiB|mb|MB|MiB|gb|GB|GiB)$".r
+    s match {
+      case durRe(n, u) => n.toDouble * (u match {
+        case "ms" => 0.001; case "s" => 1; case "m" => 60; case "h" => 3600; case "d" => 86400
+      })
+      case byteRe(n, u) => n.toDouble * byteFactor(u)
+      case _ => s.toDouble
+    }
+  }
+
+  private def byteFactor(u: String): Double = u.toLowerCase match {
+    case "b" => 1
+    case "kb" => 1000; case "kib" => 1024
+    case "mb" => 1000000; case "mib" => 1024 * 1024
+    case "gb" => 1e9; case "gib" => 1024.0 * 1024 * 1024
+  }
+
+  /** duration-string column → seconds (reference logql/sql_builder.go:964-1000):
+    * try numeric, else parse (number)(unit) with a when-chain.
+    */
+  def durationSeconds(c: Column): Column = {
+    val num = regexp_extract(c, "^(-?\\d+(?:\\.\\d+)?)", 1).cast("double")
+    val unit = regexp_extract(c, "(ms|us|ns|s|m|h|d)$", 1)
+    when(tryDouble(c).isNotNull, tryDouble(c))
+      .otherwise(num * when(unit === "ns", 1e-9)
+        .when(unit === "us", 1e-6)
+        .when(unit === "ms", 1e-3)
+        .when(unit === "s", 1.0)
+        .when(unit === "m", 60.0)
+        .when(unit === "h", 3600.0)
+        .when(unit === "d", 86400.0)
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** size-string column → bytes ("3MiB" → 3145728) */
+  def bytesValue(c: Column): Column = {
+    val num = regexp_extract(c, "^(-?\\d+(?:\\.\\d+)?)", 1).cast("double")
+    val unit = lower(regexp_extract(c, "(?i)([kmgt]i?b|b)$", 1))
+    when(tryDouble(c).isNotNull, tryDouble(c))
+      .otherwise(num * when(unit === "b", 1.0)
+        .when(unit === "kb", 1e3).when(unit === "kib", 1024.0)
+        .when(unit === "mb", 1e6).when(unit === "mib", 1024.0 * 1024)
+        .when(unit === "gb", 1e9).when(unit === "gib", 1024.0 * 1024 * 1024)
+        .when(unit === "tb", 1e12).when(unit === "tib", math.pow(1024.0, 4))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  private def templateCol(df: DataFrame, t: Template): Column = {
+    val parts = t.parts.map {
+      case Lit(s) => lit(s)
+      case Ref(f, fn) =>
+        val base = coalesce(df(f).cast("string"), lit(""))
+        fn match {
+          case "lower" => lower(base)
+          case "upper" => upper(base)
+          case _       => base
+        }
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
+  /** labels referenced by later stages (filters, templates, unwrap) */
+  private def neededLabels(stages: List[Stage]): Seq[String] =
+    stages.flatMap {
+      case LabelFilter(l, _, _, _) => Seq(l)
+      case UnwrapStage(f, _) => Seq(f)
+      case LabelFormatStage(as) => as.flatMap(_._2.parts.collect { case Ref(f, _) => f })
+      case LineFormatStage(t) => t.parts.collect { case Ref(f, _) => f }
+      case KeepStage(ls) => ls
+      case _ => Nil
+    }.distinct
+
+  /** `$.a.b` stays; bare `a` → `$.a` */
+  private def jsonPath(p: String): String =
+    if (p.startsWith("$")) p else "$." + p
+
+  private val namedGroupRe = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
+
+  def namedGroups(pattern: String): Seq[String] =
+    namedGroupRe.findAllMatchIn(pattern).map(_.group(1)).toSeq
+
+  /** Go `(?P<x>...)` → Java `(?<x>...)` */
+  def normalizeGroups(pattern: String): String =
+    pattern.replaceAll("\\(\\?P<", "(?<")
+
+  /** index of a named group among all capturing groups (reference makes
+    * unnamed groups non-capturing; here we count them instead,
+    * logql/worker_sql.go:942-1093)
+    */
+  def groupIndex(pattern: String, name: String): Int = {
+    var idx = 0
+    var i = 0
+    val p = normalizeGroups(pattern)
+    while (i < p.length) {
+      if (p(i) == '(' && (i == 0 || p(i - 1) != '\\')) {
+        if (i + 1 < p.length && p(i + 1) == '?') {
+          if (i + 2 < p.length && p(i + 2) == '<' &&
+              i + 3 < p.length && p(i + 3) != '=' && p(i + 3) != '!') {
+            idx += 1
+            val end = p.indexOf('>', i)
+            if (p.substring(i + 3, end) == name) return idx
+          } // else non-capturing (?: / lookaround — not counted
+        } else idx += 1
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"group $name not found in $pattern")
+  }
+}

@@ -47,7 +47,9 @@ object Cooked {
     * log_message is a deterministic logfmt-ish line so LogQL parser stages
     * have something real to extract; level derived from event_type.
     */
-  def logs(s: SparkSession, d: String): DataFrame =
+  def logs(s: SparkSession, d: String): DataFrame = logsBase(s, d, jsonLine = false)
+
+  private def logsBase(s: SparkSession, d: String, jsonLine: Boolean): DataFrame =
     Tables.events(s, d)
       .withColumn("chq_timestamp", col("ts_ms"))
       .withColumn("chq_tsns", col("ts_ms") * lit(1000000L))
@@ -57,9 +59,10 @@ object Cooked {
           .when(col("event_type") === "signup", "INFO")
           .otherwise("DEBUG"))
       .withColumn("log_message",
-        concat(lit("evt="), col("event_type"),
+        if (jsonLine) col("props")
+        else concat(lit("evt="), col("event_type"),
           lit(" user="), col("user_id").cast("string"),
-          lit(" value="), format_number(col("value"), 2),
+          lit(" value="), format_string("%.2f", col("value")),
           lit(" props="), col("props")))
       .withColumn("resource_service_name",
         concat(lit("svc-"), (col("user_id") % 5).cast("string")))
@@ -69,9 +72,22 @@ object Cooked {
       .select("chq_timestamp", "chq_tsns", "chq_fingerprint", "metric_name",
         "log_level", "log_message", "resource_service_name", "attr_event_type")
 
-  /** DuckDB equivalent of [[logs]] (CTE named `logs`). format_number uses
-    * comma grouping in Spark; printf('%,.2f') matches in DuckDB.
-    */
+  /** logs variant whose line IS the JSON props payload (for `| json`). */
+  def logsJson(s: SparkSession, d: String): DataFrame = logsBase(s, d, jsonLine = true)
+
+  val logsJsonCte: String =
+    """logsj AS (
+       SELECT epoch_ms(ts) AS chq_timestamp,
+              epoch_ms(ts) * 1000000 AS chq_tsns,
+              CASE WHEN event_type = 'error' THEN 'ERROR'
+                   WHEN event_type IN ('purchase','signup') THEN 'INFO'
+                   ELSE 'DEBUG' END AS log_level,
+              props AS log_message,
+              'svc-' || CAST(user_id % 5 AS VARCHAR) AS resource_service_name,
+              event_type AS attr_event_type
+       FROM events)"""
+
+  /** DuckDB equivalent of [[logs]] (CTE named `logs`). */
   val logsCte: String =
     """logs AS (
        SELECT epoch_ms(ts) AS chq_timestamp,
@@ -80,7 +96,7 @@ object Cooked {
                    WHEN event_type IN ('purchase','signup') THEN 'INFO'
                    ELSE 'DEBUG' END AS log_level,
               'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
-                || ' value=' || printf('%,.2f', "value")
+                || ' value=' || printf('%.2f', "value")
                 || ' props=' || props AS log_message,
               'svc-' || CAST(user_id % 5 AS VARCHAR) AS resource_service_name,
               event_type AS attr_event_type

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Cooked
+import graft.logql.{Compiler, LogStore, Parser => LParser}
+import graft.promql.QueryParams
+
+/** LogQL engine coverage: real LogQL strings through parser → staged
+  * pipeline compiler (→ synthetic-metric rewrite + PromQL engine for
+  * aggregations), over cooked logs derived from `events`, each with a
+  * DuckDB oracle.
+  */
+object LogQLQueries extends Catalog {
+  private val Start = 1704067200000L
+  private val End = Start + 14L * 86400000L
+  private val StepMs = 3600000L
+  private val P = QueryParams(Start, End, StepMs)
+  private val BigLimit = 10000000 // exceed row count → set semantics for compare
+
+  private def raw(logql: String, fields: Seq[String])(s: SparkSession, d: String): DataFrame = {
+    val q = LParser.parse(logql).fold(e => throw new IllegalArgumentException(e), identity)
+    Compiler.rawQuery(q.raw.get, LogStore(Cooked.logs(s, d)), Start, End, BigLimit,
+      desc = true, fields = fields)
+  }
+
+  private def agg(logql: String)(s: SparkSession, d: String): DataFrame =
+    Compiler.query(logql, LogStore(Cooked.logs(s, d)), P)
+      .filter(!isnan(col("value")))
+
+  private val timeCond = s"chq_timestamp >= $Start AND chq_timestamp < $End"
+
+  /** step CTE over cooked logs: per (1h bucket, group label) partial aggs of
+    * a derived per-line value expr; scan extended left by the range like the
+    * engine's leaf.
+    */
+  private def logStep(where: String, groupLabel: String, valueExpr: String,
+      rangeMs: Long): String =
+    s"""${Cooked.logsCte},
+     stepl AS (
+       SELECT chq_timestamp - chq_timestamp % $StepMs AS ts, $groupLabel,
+              sum($valueExpr) AS bsum,
+              CAST(count(*) AS DOUBLE) AS bcnt,
+              min($valueExpr) AS bmin, max($valueExpr) AS bmax
+       FROM logs
+       WHERE ($where) AND chq_timestamp >= ${Start - rangeMs}
+         AND chq_timestamp < $End
+       GROUP BY 1, 2)"""
+
+  private def logWin(rangeMs: Long, groupLabel: String): String =
+    s"""win AS (
+       SELECT ts, $groupLabel,
+              sum(bsum) OVER w AS wsum, sum(bcnt) OVER w AS wcnt,
+              min(bmin) OVER w AS wmin, max(bmax) OVER w AS wmax,
+              min(ts) OVER w AS first_ts
+       FROM stepl
+       WINDOW w AS (PARTITION BY $groupLabel ORDER BY ts
+                    RANGE BETWEEN ${rangeMs - StepMs} PRECEDING AND CURRENT ROW))"""
+
+  private def covered(rangeMs: Long): String =
+    s"first_ts = ts - ${rangeMs - StepMs} AND ts >= $Start AND ts < $End"
+
+  private val H4 = 4L * 3600000L
+
+  override def all: Seq[Q] = Seq(
+    Q("lq_raw_lines",
+      raw("""{log_level="ERROR"} |= "evt=error" """,
+        Seq("chq_timestamp", "chq_tsns", "log_message", "resource_service_name")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp, chq_tsns, log_message, resource_service_name
+        FROM logs
+        WHERE log_level = 'ERROR' AND contains(log_message, 'evt=error')
+          AND $timeCond""")),
+
+    Q("lq_line_filters",
+      raw("""{log_level="DEBUG"} |= "evt=click" != "user=1 " |~ "value=1[0-9]{2}\." """,
+        Seq("chq_timestamp", "log_message")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp, log_message FROM logs
+        WHERE log_level = 'DEBUG'
+          AND contains(log_message, 'evt=click')
+          AND NOT contains(log_message, 'user=1 ')
+          AND regexp_matches(log_message, 'value=1[0-9]{2}\\.')
+          AND $timeCond""")),
+
+    Q("lq_logfmt_labelfilter",
+      raw("""{log_level="DEBUG"} | logfmt | evt="click" | user > 5 """,
+        Seq("chq_timestamp", "evt", "user")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp,
+               regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) AS evt,
+               regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS "user"
+        FROM logs
+        WHERE log_level = 'DEBUG'
+          AND regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) = 'click'
+          AND TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS DOUBLE) > 5
+          AND $timeCond""")),
+
+    Q("lq_regexp_stage",
+      raw("""{log_level="INFO"} | regexp "evt=(?P<etype>[a-z]+) user=(?P<uid>[0-9]+)" | etype="purchase" """,
+        Seq("chq_timestamp", "etype", "uid")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp,
+               regexp_extract(log_message, 'evt=([a-z]+) user=([0-9]+)', 1) AS etype,
+               regexp_extract(log_message, 'evt=([a-z]+) user=([0-9]+)', 2) AS uid
+        FROM logs
+        WHERE log_level = 'INFO'
+          AND regexp_extract(log_message, 'evt=([a-z]+) user=([0-9]+)', 1) = 'purchase'
+          AND $timeCond""")),
+
+    Q("lq_label_format",
+      raw("""{log_level="ERROR"} | logfmt | label_format tag="{{.evt}}-{{.log_level}}", svc_up="{{.resource_service_name | ToUpper}}" """,
+        Seq("chq_timestamp", "tag", "svc_up")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp,
+               regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1)
+                 || '-' || log_level AS tag,
+               upper(resource_service_name) AS svc_up
+        FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
+
+    Q("lq_line_format",
+      raw("""{log_level="INFO"} | logfmt | line_format "u{{.user}} did {{.evt}}" |= "did purchase" """,
+        Seq("chq_timestamp", "log_message")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp,
+               'u' || regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1)
+                 || ' did ' || regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1)
+                 AS log_message
+        FROM logs
+        WHERE log_level = 'INFO'
+          AND contains('u' || regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1)
+                 || ' did ' || regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1),
+               'did purchase')
+          AND $timeCond""")),
+
+    Q("lq_json_stage",
+      { (s, d) =>
+        val q = LParser.parse("""{log_level="DEBUG"} | json | k > 50 """)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        Compiler.rawQuery(q.raw.get, LogStore(Cooked.logsJson(s, d)), Start, End,
+          BigLimit, desc = true, fields = Seq("chq_timestamp", "k"))
+      },
+      Some(s"""WITH ${Cooked.logsJsonCte}
+        SELECT chq_timestamp, json_extract_string(log_message, '$$.k') AS k
+        FROM logsj
+        WHERE log_level = 'DEBUG'
+          AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
+          AND $timeCond""")),
+
+    Q("lq_count_over_time",
+      agg("""sum by (resource_service_name) (count_over_time({attr_event_type="click"}[4h]))"""),
+      Some(s"""WITH ${logStep("attr_event_type = 'click'", "resource_service_name", "1.0", H4)},
+        ${logWin(H4, "resource_service_name")}
+        SELECT ts, resource_service_name, wsum AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("lq_rate",
+      agg("""sum by (resource_service_name) (rate({attr_event_type="click"}[4h]))"""),
+      Some(s"""WITH ${logStep("attr_event_type = 'click'", "resource_service_name", "1.0", H4)},
+        ${logWin(H4, "resource_service_name")}
+        SELECT ts, resource_service_name, wsum / ${H4 / 1000.0} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("lq_bytes_over_time",
+      agg("""sum by (attr_event_type) (bytes_over_time({log_level="DEBUG"}[4h]))"""),
+      Some(s"""WITH ${logStep("log_level = 'DEBUG'", "attr_event_type",
+          "CAST(strlen(log_message) AS DOUBLE)", H4)},
+        ${logWin(H4, "attr_event_type")}
+        SELECT ts, attr_event_type, wsum AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("lq_unwrap_sum",
+      agg("""sum by (attr_event_type) (sum_over_time({log_level="DEBUG"} | logfmt | unwrap user [4h]))"""),
+      Some(s"""WITH ${logStep("log_level = 'DEBUG'", "attr_event_type",
+          "TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS DOUBLE)", H4)},
+        ${logWin(H4, "attr_event_type")}
+        SELECT ts, attr_event_type, wsum AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("lq_unwrap_avg",
+      agg("""avg_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
+      // no vector agg → series labels = all pipeline labels
+      Some(s"""WITH ${Cooked.logsCte},
+        stepl AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 log_level, resource_service_name, attr_event_type,
+                 TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS DOUBLE) AS u
+          FROM logs
+          WHERE log_level = 'INFO' AND chq_timestamp >= ${Start - H4}
+            AND chq_timestamp < $End),
+        stepa AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type,
+                 sum(u) AS bsum, CAST(count(u) AS DOUBLE) AS bcnt
+          FROM stepl WHERE u IS NOT NULL GROUP BY 1, 2, 3, 4),
+        win AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type,
+                 sum(bsum) OVER w AS wsum, sum(bcnt) OVER w AS wcnt,
+                 min(ts) OVER w AS first_ts
+          FROM stepa
+          WINDOW w AS (PARTITION BY log_level, resource_service_name, attr_event_type
+                       ORDER BY ts RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, log_level, resource_service_name, attr_event_type,
+               wsum / wcnt AS value
+        FROM win WHERE ${covered(H4)} AND wcnt > 0""")),
+
+    Q("lq_topk",
+      agg("""topk(2, count_over_time({attr_event_type="purchase"}[1h]))"""),
+      Some(s"""WITH ${Cooked.logsCte},
+        stepl AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 log_level, resource_service_name, attr_event_type,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM logs
+          WHERE attr_event_type = 'purchase' AND $timeCond
+          GROUP BY 1, 2, 3, 4),
+        rk AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type, v,
+                 row_number() OVER (PARTITION BY ts ORDER BY v DESC,
+                   log_level || ' ' || resource_service_name || ' ' || attr_event_type ASC) AS rn
+          FROM stepl)
+        SELECT ts, log_level, resource_service_name, attr_event_type, v AS value
+        FROM rk WHERE rn <= 2"""))
+  )
+}

@@ -2,5 +2,4 @@ package graft.queries
 
 /** Placeholder catalogs — filled in as the corresponding engine packages land. */
 object TelemetryQueries extends Catalog { override def all: Seq[Q] = Seq.empty }
-object LogQLQueries extends Catalog { override def all: Seq[Q] = Seq.empty }
 object PipelineQueries extends Catalog { override def all: Seq[Q] = Seq.empty }

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.logql._
+import graft.promql.{MatchOp, QueryParams}
+import org.apache.spark.sql.functions._
+
+class LogQLParserSpec extends AnyFunSuite {
+  private def p(s: String): LogQuery =
+    Parser.parse(s).fold(e => fail(s"parse '$s': $e"), identity)
+
+  test("raw pipeline with line filters and stages") {
+    val q = p("""{app="web", env!="dev"} |= "error" != "debug" | logfmt | latency > 250ms | drop tmp""")
+    val pipe = q.raw.get
+    assert(pipe.matchers.head.op == MatchOp.Eq)
+    assert(pipe.stages.collect { case l: LineFilter => l }.size == 2)
+    assert(pipe.stages.exists {
+      case LabelFilter("latency", ">", "250ms", true) => true; case _ => false
+    })
+    assert(pipe.stages.contains(DropStage(List("tmp"))))
+  }
+
+  test("selector requires an equality matcher") {
+    assert(Parser.parse("""{app=~"w.*"} |= "x"""").isLeft)
+  }
+
+  test("vector agg over range agg with by") {
+    val q = p("""sum by (app) (rate({app="web"} |= "e" [5m]))""")
+    assert(q.vectorOp.contains("sum") && q.by == List("app"))
+    assert(q.range.get.fn == "rate" && q.range.get.rangeMs == 300000L)
+  }
+
+  test("topk with param and unwrap with conversion") {
+    val q = p("""topk(3, sum_over_time({a="b"} | logfmt | unwrap duration(took) [1m]))""")
+    assert(q.param.contains(3.0))
+    assert(q.range.get.pipeline.stages.exists {
+      case UnwrapStage("took", "duration") => true; case _ => false
+    })
+  }
+
+  test("templates parse refs and pipes") {
+    val t = Parser.parseTemplate("x={{.a}}-{{.b | ToUpper}}!")
+    assert(t.parts == List(Lit("x="), Ref("a"), Lit("-"), Ref("b", "upper"), Lit("!")))
+  }
+}
+
+class LogQLCompilerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val store = LogStore(graft.model.Cooked.logs(spark, sf))
+  private val start = 1704067200000L
+  private val p = QueryParams(start, start + 14L * 86400000L, 21600000L)
+
+  test("raw query filters and extracts logfmt labels") {
+    val q = Parser.parse("""{log_level="ERROR"} | logfmt | evt="error" """).toOption.get
+    val df = Compiler.rawQuery(q.raw.get, store, p.startMs, p.endMs, 100000,
+      fields = Seq("chq_timestamp", "evt", "user"))
+    assert(df.columns.toSeq == Seq("chq_timestamp", "evt", "user"))
+    val n = df.count()
+    assert(n > 0)
+    assert(df.filter(col("evt") =!= "error").count() == 0)
+  }
+
+  test("line_format rewrites the line for later filters") {
+    val q = Parser.parse(
+      """{log_level="INFO"} | logfmt | line_format "u{{.user}}:{{.evt}}" |= ":purchase" """).toOption.get
+    val df = Compiler.rawQuery(q.raw.get, store, p.startMs, p.endMs, 100000)
+    assert(df.count() > 0)
+    assert(df.filter(!col("log_message").rlike("^u\\d+:purchase$")).count() == 0)
+  }
+
+  test("count_over_time equals bucket counts when range == step") {
+    val df = Compiler.query(
+      s"""sum by (attr_event_type) (count_over_time({log_level="DEBUG"}[${p.stepMs}ms]))""",
+      store, p).filter(!isnan(col("value")))
+    val direct = store.df
+      .filter(col("log_level") === "DEBUG" &&
+        col("chq_timestamp") >= p.startMs && col("chq_timestamp") < p.endMs)
+      .groupBy((col("chq_timestamp") - col("chq_timestamp") % p.stepMs).as("ts"),
+        col("attr_event_type"))
+      .agg(count(lit(1)).cast("double").as("expected"))
+    val j = df.join(direct, Seq("ts", "attr_event_type"), "full")
+    assert(j.filter(col("value").isNull || col("expected").isNull ||
+      col("value") =!= col("expected")).count() == 0)
+  }
+
+  test("unwrap duration converts unit strings") {
+    import spark.implicits._
+    val df = Seq("250ms", "1.5s", "2m", "bad", "3").toDF("took")
+    val out = df.select(Compiler.durationSeconds(col("took")).as("s")).collect().map(_.get(0))
+    assert(out(0) == 0.25 && out(1) == 1.5 && out(2) == 120.0)
+    assert(out(3) == null && out(4) == 3.0)
+  }
+
+  test("unwrap bytes converts size strings") {
+    import spark.implicits._
+    val df = Seq("3MiB", "2kb", "7", "x").toDF("b")
+    val out = df.select(Compiler.bytesValue(col("b")).as("v")).collect().map(_.get(0))
+    assert(out(0) == 3.0 * 1024 * 1024 && out(1) == 2000.0 && out(2) == 7.0 && out(3) == null)
+  }
+
+  test("regexp group index handles unnamed and named groups") {
+    val pat = "(a+)b(?P<x>c+)(?:d)(?<y>e)"
+    assert(Compiler.groupIndex(pat, "x") == 2)
+    assert(Compiler.groupIndex(pat, "y") == 3)
+    assert(Compiler.namedGroups(pat) == Seq("x", "y"))
+  }
+}
