@@ -15,19 +15,25 @@ object Cooked {
   /** pre-agg frequency for the derived metric tier (ms) */
   val FreqMs = 60000L
 
-  /** events → cooked metrics at 60 s pre-agg; series label = event_type. */
-  def metrics(s: SparkSession, d: String): DataFrame =
+  /** events → cooked metrics at 60 s pre-agg; series label = event_type.
+    * withSketch adds the `chq_sketch` DDSketch column (quantile paths).
+    */
+  def metrics(s: SparkSession, d: String, withSketch: Boolean = false): DataFrame = {
+    import graft.sketch.{functions => gf}
+    val aggs = Seq(
+      sum(col("value")).as("chq_rollup_sum"),
+      count(lit(1)).cast("double").as("chq_rollup_count"),
+      min(col("value")).as("chq_rollup_min"),
+      max(col("value")).as("chq_rollup_max")) ++
+      (if (withSketch) Seq(gf.ddsketch_agg(col("value")).as("chq_sketch")) else Nil)
     Tables.events(s, d)
       .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(FreqMs))
       .withColumn("attr_event_type", col("event_type"))
       .groupBy(col("chq_timestamp"), col("attr_event_type"))
-      .agg(
-        sum(col("value")).as("chq_rollup_sum"),
-        count(lit(1)).cast("double").as("chq_rollup_count"),
-        min(col("value")).as("chq_rollup_min"),
-        max(col("value")).as("chq_rollup_max"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("metric_name", lit("events_value"))
       .withColumn("chq_metric_type", lit("gauge"))
+  }
 
   /** The same derivation as DuckDB SQL (CTE body named `cooked`), producing
     * chq_timestamp/attr_event_type/rollup columns. Kept textually in sync

@@ -121,10 +121,12 @@ object Engine {
       val sf = vector(eval(arg, store, p))
       Right(aggNode(sf, op, by, without, param))
 
-    case q: QuantileOverTime =>
-      throw new UnsupportedOperationException("quantile_over_time: needs sketch store (round 2)")
-    case h: HistogramQuantile =>
-      throw new UnsupportedOperationException("histogram_quantile: needs sketch store (round 2)")
+    case QuantileOverTime(q, sel) => Right(sketchLeaf(sel, q, store, p))
+    case HistogramQuantile(q, arg) => arg match {
+      case sel: Selector => Right(sketchLeaf(sel, q, store, p))
+      case other => throw new UnsupportedOperationException(
+        s"histogram_quantile over $other: only selector args supported")
+    }
 
     case BinOp(op, lhs, rhs, matching, boolMod) =>
       (eval(lhs, store, p), eval(rhs, store, p)) match {
@@ -248,6 +250,54 @@ object Engine {
       .filter(col("ts") >= alignedStart(p) && col("ts") < p.endMs)
       .drop("bsum", "bcnt", "bmin", "bmax")
     SeriesFrame(trimmed, labels)
+  }
+
+  /** Quantile leaf over the `chq_sketch` column: merge DDSketches per
+    * (bucket, series) — and across the range window when present — then read
+    * value-at-quantile. Mirrors the reference's buildDDS worker path + API
+    * merge (promql/sql_builder.go:581-617, promql/quantile_node.go:28-118).
+    */
+  private def sketchLeaf(sel: Selector, q: Double, store: MetricStore,
+      p: QueryParams): SeriesFrame = {
+    import graft.sketch.{functions => gf}
+    require(store.df.schema.fieldNames.contains("chq_sketch"),
+      "quantile paths need a chq_sketch column in the metric store")
+    val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
+    val range = sel.rangeMs
+    val off = sel.offsetMs
+    val effStart = p.startMs - range - off
+    val effEnd = p.endMs - off
+
+    var df = store.df
+      .filter(col("chq_timestamp") >= effStart && col("chq_timestamp") < effEnd)
+    if (sel.metric.nonEmpty) df = df.filter(col("metric_name") === sel.metric)
+    sel.matchers.foreach { m => df = df.filter(matcherCond(df, m)) }
+
+    val bucket = ((col("chq_timestamp") + lit(off)) - (col("chq_timestamp") + lit(off)) % lit(step))
+    val labels = store.labelCols
+    val bucketed = df
+      .withColumn("ts", bucket)
+      .groupBy((col("ts") +: labels.map(col)): _*)
+      .agg(gf.ddsketch_merge_agg(col("chq_sketch")).as("__sk"))
+
+    val out =
+      if (range > 0) {
+        val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
+          .rangeBetween(math.min(0L, -(range - step)), 0)
+        val covered = min(col("ts")).over(w) <= col("ts") - lit(range) + lit(step)
+        bucketed
+          .withColumn("__wsk", gf.ddsketch_merge_agg(col("__sk")).over(w))
+          .withColumn("value",
+            when(covered, gf.ddsketch_quantile(col("__wsk"), q))
+              .otherwise(lit(Double.NaN)))
+          .drop("__wsk")
+      } else {
+        bucketed.withColumn("value", gf.ddsketch_quantile(col("__sk"), q))
+      }
+
+    SeriesFrame(
+      out.filter(col("ts") >= alignedStart(p) && col("ts") < p.endMs).drop("__sk"),
+      labels)
   }
 
   private def matcherCond(df: DataFrame, m: Matcher): Column = {

@@ -244,6 +244,47 @@ object PromQLQueries extends Catalog {
       run("events_value offset 1d"),
       Some(s"""WITH ${stepCte(0, 86400000L)}
         SELECT ts, attr_event_type, bsum AS value FROM step
-        WHERE ts >= $Start AND ts < $End"""))
+        WHERE ts >= $Start AND ts < $End""")),
+
+    // --- DDSketch paths ----------------------------------------------------
+
+    // exact stats extracted from merged sketches: hash-matches DuckDB's
+    // direct aggregation (count/sum/min/max ride exactly in the sketch)
+    Q("pq_sketch_stats",
+      { (s, d) =>
+        import graft.sketch.{functions => gf}
+        Cooked.metrics(s, d, withSketch = true)
+          .groupBy((col("chq_timestamp") - col("chq_timestamp") % StepMs).as("ts"),
+            col("attr_event_type"))
+          .agg(gf.ddsketch_merge_agg(col("chq_sketch")).as("sk"))
+          .select(col("ts"), col("attr_event_type"),
+            gf.ddsketch_stats(col("sk")).as("st"))
+          .select(col("ts"), col("attr_event_type"),
+            col("st.count").as("cnt"), col("st.sum").as("sum_v"),
+            col("st.min").as("min_v"), col("st.max").as("max_v"))
+      },
+      Some(s"""SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS ts,
+               event_type AS attr_event_type,
+               count(*) AS cnt, sum("value") AS sum_v,
+               min("value") AS min_v, max("value") AS max_v
+        FROM events GROUP BY 1, 2""")),
+
+    // quantiles are alpha-relative-accurate → no hash oracle (rows-only);
+    // accuracy is asserted against exact percentiles in DDSketchSpec
+    Q("pq_hist_quantile",
+      { (s, d) =>
+        Engine.query("histogram_quantile(0.9, events_value)",
+          MetricStore(Cooked.metrics(s, d, withSketch = true)),
+          QueryParams(Start, End, StepMs))
+      },
+      None),
+
+    Q("pq_quantile_over_time",
+      { (s, d) =>
+        Engine.query("quantile_over_time(0.95, events_value[4h])",
+          MetricStore(Cooked.metrics(s, d, withSketch = true)),
+          QueryParams(Start, End, StepMs)).filter(!isnan(col("value")))
+      },
+      None)
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sketch.{DDSketch, functions => gf}
+import org.apache.spark.sql.functions._
+
+class DDSketchSpec extends AnyFunSuite {
+
+  test("relative error guarantee on quantiles") {
+    val alpha = 0.01
+    val sk = new DDSketch(alpha)
+    val rnd = new scala.util.Random(42)
+    val xs = Array.fill(50000)(math.exp(rnd.nextGaussian() * 2))
+    xs.foreach(sk.add)
+    val sorted = xs.sorted
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)) {
+      val exact = sorted(((q * (xs.length - 1))).toInt)
+      val est = sk.quantile(q)
+      assert(math.abs(est - exact) / exact <= 2 * alpha + 0.01,
+        s"q=$q exact=$exact est=$est")
+    }
+    assert(sk.quantile(0.0) == sorted.head && sk.quantile(1.0) == sorted.last)
+  }
+
+  test("merge equals bulk add; serde round-trips") {
+    val a = new DDSketch(); val b = new DDSketch(); val all = new DDSketch()
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(10000)(rnd.nextDouble() * 1000 - 200) // incl. negatives
+    xs.take(5000).foreach(a.add)
+    xs.drop(5000).foreach(b.add)
+    xs.foreach(all.add)
+    val merged = DDSketch.deserialize(a.serialize()).merge(DDSketch.deserialize(b.serialize()))
+    assert(merged.count == all.count && math.abs(merged.sum - all.sum) < 1e-6)
+    assert(merged.min == all.min && merged.max == all.max)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(merged.quantile(q) - all.quantile(q)) <=
+        0.03 * math.abs(all.quantile(q)) + 1e-9)
+  }
+
+  test("bin budget collapses but keeps upper quantiles accurate") {
+    val sk = new DDSketch(0.01, 64)
+    (1 to 100000).foreach(i => sk.add(i.toDouble))
+    assert(sk.binCount <= 64)
+    val p99 = sk.quantile(0.99)
+    assert(math.abs(p99 - 99000) / 99000.0 < 0.05)
+  }
+
+  test("spark aggregate: groupBy sketch stats are exact, quantile bounded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(gf.ddsketch_agg($"v").as("sk"))
+      .select($"g",
+        gf.ddsketch_stats($"sk").as("st"),
+        gf.ddsketch_quantile($"sk", 0.5).as("p50"))
+      .select($"g", $"st.count".as("cnt"), $"st.sum".as("sum"),
+        $"st.min".as("mn"), $"st.max".as("mx"), $"p50")
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == 5000)
+      val mn = r.getDouble(3); val mx = r.getDouble(4)
+      assert(mn >= 1.0 && mn <= 4.0 && mx >= 19997.0)
+      val p50 = r.getDouble(5)
+      assert(math.abs(p50 - 10000) / 10000.0 < 0.05)
+    }
+  }
+
+  test("spark merge agg over pre-built sketches equals direct sketch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 9000).map(i => (i % 3, i % 10, i.toDouble)).toDF("g", "sub", "v")
+    val pre = df.groupBy($"g", $"sub").agg(gf.ddsketch_agg($"v").as("sk"))
+    val merged = pre.groupBy($"g").agg(gf.ddsketch_merge_agg($"sk").as("sk"))
+      .select($"g", gf.ddsketch_stats($"sk").as("st"))
+      .select($"g", $"st.count".as("cnt"), $"st.sum".as("s"))
+      .collect()
+    assert(merged.length == 3)
+    merged.foreach { r => assert(r.getLong(1) == 3000) }
+    val total = merged.map(_.getDouble(2)).sum
+    assert(math.abs(total - (1 to 9000).map(_.toDouble).sum) < 1e-3)
+  }
+}
