@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: everything here is expressed as explode → shuffle-on-key →
+  * aggregate, the shape that survives 100 TB (no driver-side state, no
+  * cross joins except an optional exact-verify step on candidate pairs,
+  * which is bounded by candidate count, not corpus size).
+  *
+  * Cross-engine determinism: hashes derive from md5 (identical in any
+  * engine), so DuckDB oracles can replay every step bit-for-bit.
+  */
+object Dedup {
+
+  /** stable 48-bit integer hash of a string (md5-derived → engine-neutral) */
+  def hash48(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** w-word shingles (space-joined), distinct per doc; docs shorter than w
+    * words yield no shingles.
+    */
+  def shingles(text: Column, w: Int = 5): Column = {
+    val words = split(text, " +")
+    val n = size(words)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(1), n - lit(w - 1)),
+          i => array_join(slice(words, i, lit(w)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact dedup: keep the first row (min orderCol) per identical text. */
+  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val fp = md5(df(textCol))
+    df.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min(col(orderCol)).as(orderCol), count(lit(1)).as("n_copies"))
+      .drop("__fp")
+  }
+
+  /** MinHash signatures: one row per doc, `sig` = array of k min-hashes over
+    * shingles. Docs without shingles are dropped.
+    */
+  def minhash(df: DataFrame, textCol: String, k: Int = 16, w: Int = 5): DataFrame = {
+    val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
+    // one shuffle: per (doc, seed) minimum via k aggregate expressions
+    val mins = (0 until k).map(j => min(hash48(col("sh"), j)).as(s"h$j"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * bucket-join on (band, md5(band-slice)), estimate similarity as the
+    * fraction of equal signature positions. Returns doc pairs (a < b) with
+    * est_sim ≥ threshold.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, k: Int = 16, bands: Int = 4,
+      w: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = minhash(df, textCol, k, w)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(array_join(slice(col("sig"), b * rows + 1, rows), ",")).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+    val pairs = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+    val eq = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+    pairs
+      .withColumn("est_sim", eq.cast("double") / lit(k.toDouble))
+      .filter(col("est_sim") >= threshold)
+      .select(col("a"), col("b"), col("est_sim"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing ≥1 shingle (the verify step
+    * after LSH, or standalone at moderate scale).
+    */
+  def ngramJaccard(df: DataFrame, textCol: String, w: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("x").join(sh.as("y"), "sh")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sa") + col("sb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash signature (`bits`-wide, ≤ 48): per token-with-multiplicity,
+    * ±1 vote per bit of the token hash; sign vector packed into a long.
+    */
+  def simhash(df: DataFrame, textCol: String, bits: Int = 32): DataFrame = {
+    require(bits <= 48, "hash48 provides 48 usable bits")
+    val tok = df.select(col("doc_id"),
+      explode(split(lower(df(textCol)), " +")).as("w"))
+      .withColumn("h", hash48(col("w"), 0))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** near-dup pairs by SimHash hamming distance ≤ maxDist */
+  def simhashPairs(df: DataFrame, textCol: String, bits: Int = 32,
+      maxDist: Int = 3): DataFrame = {
+    val s = simhash(df, textCol, bits)
+    val l = s.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = s.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
+}

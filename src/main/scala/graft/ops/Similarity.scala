@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — one broadcast of the (small) query
+  * set against a full scan of the corpus; correct at any corpus size, cost
+  * linear per query.
+  *
+  * Scale path: LSH bucketing (random-hyperplane signs) so candidate
+  * generation is a bucket join instead of a cross join; brute-force rerank
+  * inside buckets. Planes are derived from md5 (deterministic, no RNG
+  * state).
+  */
+object Similarity {
+
+  /** dot product of two float-array columns in double precision */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row (small set, broadcast),
+    * the k nearest corpus rows by cosine; ties broken by corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** deterministic pseudo-random hyperplane component: md5-derived value in
+    * [-0.5, 0.5) for (plane p, dimension i)
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p|"), i.cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0)) - lit(0.5) // 2^48
+
+  /** sign bit of v · plane_p */
+  private def planeBit(emb: Column, p: Int): Column = {
+    val prods = zip_with(emb, sequence(lit(0), size(emb) - 1),
+      (x, i) => x.cast("double") * planeComponent(p, i))
+    when(aggregate(prods, lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** nPlanes-bit LSH bucket id for an embedding */
+  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map(p => planeBit(emb, p) * lit(1 << p))
+      .reduce((a, b) => a + b)
+
+  /** ANN via random-hyperplane LSH: candidates share a bucket with the
+    * query; rerank by exact cosine, top-k per query. Recall < 1 by design —
+    * probe multiple hash tables for higher recall (tables parameter).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8, tables: Int = 2): DataFrame = {
+    def withBuckets(df: DataFrame, id: Column, emb: Column): DataFrame =
+      df.select(id.as("id"), emb.as("emb"),
+        explode(array((0 until tables).map(t =>
+          concat_ws(":", lit(t),
+            lshBucket(transform(emb, x => x + lit(t * 0.0)), nPlanes + t))): _*))
+          .as("bucket"))
+    val c = withBuckets(corpus, col("vec_id"), col("embedding"))
+    val q = broadcast(withBuckets(queries, col("vec_id"), col("embedding"))
+      .withColumnRenamed("id", "query_id").withColumnRenamed("emb", "q_emb"))
+    val cands = c.join(q, "bucket")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("q_emb"), col("emb"))
+      .distinct()
+    val scored = cands.withColumn("sim", cosine(col("q_emb"), col("emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure Column
+  * algebra (codegen'd, no UDFs) — they scale as plain projections.
+  */
+object TextOps {
+
+  /** whitespace tokens, lowercased */
+  def tokens(text: Column): Column = split(lower(text), " +")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: words + punctuation runs + digit runs */
+  def subwordCountEstimate(text: Column): Column =
+    (size(split(text, " +")) +
+      size(split(text, "[^\\p{Punct}]+")) - 1 +
+      size(split(text, "[^0-9]+")) - 1).cast("long")
+
+  def meanTokenLen(text: Column): Column = {
+    val n = size(tokens(text))
+    when(n > 0,
+      (length(regexp_replace(text, " ", "")).cast("double")) / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    stopwordCountIn(text, stopwords(lang))
+
+  def stopwordCountIn(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(arr, w))).cast("long")
+  }
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val n = size(tokens(text))
+    when(n > 0, stopwordCount(text, lang).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, "\\p{Punct}", ""))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** heuristic quality score in [0,1]: length band + stopword presence +
+    * moderate punctuation + reasonable mean token length
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore + stopScore + punctScore + mtlScore) / lit(4.0), 6)
+  }
+
+  /** n-gram-heuristic language ID: argmax of per-language stopword hit
+    * counts; ties (incl. all-zero) → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(stopwordCountIn(text, ws).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** stable document fingerprint over normalized text (md5 — deterministic
+    * across engines; the reference's xxhash-trigram fingerprint is an
+    * internal id, /root/reference/internal/fingerprint/fingerprint.go:119-172)
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  /** all-in-one profile projection over a documents frame */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = df(textCol)
+    df.select(
+      df("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      round(meanTokenLen(t), 6).as("mean_token_len"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fp"))
+  }
+}

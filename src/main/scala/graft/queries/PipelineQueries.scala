@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators over documents/embeddings — dedup
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search, text
+  * analysis, multimodal plumbing. All hashes are md5-derived so the DuckDB
+  * oracles replay every step bit-for-bit.
+  */
+object PipelineQueries extends Catalog {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // ---- text analysis -------------------------------------------------------
+
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    val t = df("text")
+    df.select(
+      df("doc_id"),
+      TextOps.tokenCount(t).as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      round(TextOps.meanTokenLen(t), 6).as("mean_token_len"),
+      round(TextOps.stopwordRatio(t), 6).as("stopword_ratio"),
+      round(TextOps.punctRatio(t), 6).as("punct_ratio"),
+      TextOps.qualityScore(t).as("quality"),
+      TextOps.fingerprint(t).as("fp"))
+  }
+
+  private val textStatsSql =
+    """WITH t AS (
+       SELECT doc_id, text,
+              string_split(lower(text), ' ') AS ws,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents),
+     m AS (
+       SELECT doc_id, n_chars,
+              CAST(len(ws) AS BIGINT) AS n_tokens,
+              CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mtl,
+              CAST(len(list_filter(ws, w -> list_contains(
+                ['the','a','of','and','to','in','is'], w))) AS DOUBLE) / len(ws) AS swr,
+              CAST(n_chars - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                AS DOUBLE) / n_chars AS pr,
+              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+       FROM t)
+     SELECT doc_id, n_tokens, n_chars,
+            round(mtl, 6) AS mean_token_len,
+            round(swr, 6) AS stopword_ratio,
+            round(pr, 6) AS punct_ratio,
+            round((least(n_chars / 500.0, 1.0)
+                   + least(swr * 5.0, 1.0)
+                   + greatest(1.0 - pr * 5.0, 0.0)
+                   + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+                  6) AS quality,
+            fp
+     FROM m"""
+
+  // ---- dedup ---------------------------------------------------------------
+
+  private def exactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "text", "doc_id")
+
+  private val exactDedupSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)"""
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, d), "text", w = 5, threshold = 0.3)
+
+  private val shingleCte =
+    """sh AS (
+       SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(ws) - 3),
+                i -> array_to_string(ws[i:i+4], ' '))) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       WHERE len(ws) >= 5)"""
+
+  private val ngramJaccardSql =
+    s"""WITH $shingleCte,
+     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+     pairs AS (
+       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       GROUP BY 1, 2)
+     SELECT a, b,
+            round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+     FROM pairs
+     JOIN sizes sa ON sa.doc_id = a
+     JOIN sizes sb ON sb.doc_id = b
+     WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.3"""
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(docs(s, d), "text", k = 16, bands = 4, w = 5, threshold = 0.5)
+
+  private val minhashLshSql =
+    s"""WITH $shingleCte,
+     mh AS (
+       SELECT doc_id, j,
+              min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 12))
+                  AS BIGINT)) AS h
+       FROM sh CROSS JOIN range(0, 16) t(j)
+       GROUP BY 1, 2),
+     sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY 1),
+     banded AS (
+       SELECT doc_id, sig, b,
+              md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+       FROM sig CROSS JOIN range(0, 4) tb(b)),
+     pairs AS (
+       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
+       FROM banded l
+       JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+     SELECT DISTINCT a, b,
+            len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS est_sim
+     FROM pairs
+     WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5"""
+
+  private def simhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(docs(s, d), "text", bits = 32)
+
+  private val simhashSql = {
+    val votes = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val pack = (0 until 32).map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       SELECT doc_id,
+              CAST(('0x' || substr(md5('0|' || unnest(string_split(lower(text), ' '))), 1, 12))
+                AS BIGINT) AS h
+       FROM documents),
+     v AS (SELECT doc_id, $votes FROM tok GROUP BY 1)
+     SELECT doc_id, $pack AS simhash FROM v"""
+  }
+
+  // ---- similarity search ---------------------------------------------------
+
+  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
+  private val cosineTopKSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                  FROM embeddings WHERE vec_id < 5),
+     s AS (
+       SELECT query_id, vec_id,
+              list_sum(list_transform(list_zip(qe, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qe,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       FROM embeddings CROSS JOIN q
+       WHERE vec_id <> query_id),
+     rk AS (
+       SELECT query_id, vec_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rk
+       FROM s)
+     SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
+     FROM rk WHERE rk <= 10"""
+
+  private def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // 4 planes → 16 buckets: enough selectivity at bench SF while keeping
+    // candidates non-empty at the sf0.001 smoke scale
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      nPlanes = 4, tables = 2)
+  }
+
+  // ---- multimodal ----------------------------------------------------------
+
+  private def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+
+  private val mediaFeaturesSql = {
+    val feats = (0 until 8).map(b =>
+      s"CAST(('0x' || substr(md5(text), ${b * 4 + 1}, 3)) AS BIGINT) / 4096.0").mkString(", ")
+    s"""SELECT doc_id AS media_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+            CAST(strlen(text) AS BIGINT) AS n_bytes,
+            md5(text) AS digest,
+            [$feats] AS features,
+            range(0, n_chars % 300 + 1, 30) AS sampled_frames
+       FROM documents"""
+  }
+
+  override def all: Seq[Q] = Seq(
+    Q("pp_text_stats", textStats, Some(textStatsSql)),
+    Q("pp_langid",
+      (s, d) => docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      None), // heuristic argmax — validated in TextOpsSpec, no SQL twin
+    Q("pp_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Q("pp_simhash", simhashSig, Some(simhashSql)),
+    Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    Q("pp_lsh_ann", lshAnn, None), // recall vs brute force asserted in spec
+    Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))
+  )
+}

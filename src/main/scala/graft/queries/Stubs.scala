@@ -2,4 +2,3 @@ package graft.queries
 
 /** Placeholder catalogs — filled in as the corresponding engine packages land. */
 object TelemetryQueries extends Catalog { override def all: Seq[Q] = Seq.empty }
-object PipelineQueries extends Catalog { override def all: Seq[Q] = Seq.empty }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      ("the cat and the dog is in a house", "en"),
+      ("le chat est un animal et la maison", "fr"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("el perro y la casa es un lugar", "es"),
+      ("zzz qqq www", "und")).toDF("text", "expected")
+    val out = df.select(TextOps.langId($"text").as("got"), $"expected").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills",
+      "!!!! ???? ;;;; ####").toDF("text")
+    val out = df.select(TextOps.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("token counting") {
+    val df = Seq("a b  c", "").toDF("text")
+    val out = df.select(TextOps.tokenCount($"text")).collect().map(_.getLong(0))
+    assert(out(0) == 3)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark clusters and shuffle partitions here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "another unrelated document mentioning parquet files and columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(corpus, "text", "doc_id").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(1) == 2L)
+    assert(dup.isDefined && dup.get.getLong(0) == 1L) // kept min doc_id
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccard(corpus, "text", w = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("minhash LSH surfaces exact and near dups") {
+    val pairs = Dedup.minhashLsh(corpus, "text", k = 16, bands = 4, w = 5, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(1.0)) // identical → all minhashes equal
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash: identical texts equal, near-dups close, distinct far") {
+    val sig = Dedup.simhash(corpus, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sig(1L), sig(2L)) < dist(sig(1L), sig(3L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("brute-force cosine: self-similar vectors rank first") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+    val n = out.count()
+    assert(n == 3 * 5)
+    // sims within [-1, 1]
+    assert(out.filter(col("sim") > 1.000001 || col("sim") < -1.000001).count() == 0)
+  }
+
+  test("LSH ANN recall against brute force is reasonable") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 4, tables = 2)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // random hyperplanes on random data
+  }
+}
