@@ -93,6 +93,54 @@ object Cooked {
               event_type AS attr_event_type
        FROM events)"""
 
+  /** events → cooked spans (reference docs/design/db-parquet/traces.md,
+    * span base columns logql/spans_worker_sql.go:95-115). Deterministic:
+    * trace groups events by (user_id, 10-minute window); span ids derive
+    * from md5.
+    */
+  def spans(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val traceKey = concat_ws("|", expr("ts_ms DIV 600000"), col("user_id"))
+    e.select(
+      col("ts_ms").as("chq_timestamp"),
+      (col("ts_ms") * 1000000L).as("chq_tsns"),
+      md5(traceKey).as("span_trace_id"),
+      substring(md5(col("event_id").cast("string")), 1, 16).as("span_id"),
+      when(col("event_id") % 3 === 0, lit(""))
+        .otherwise(substring(md5((col("event_id") - 1).cast("string")), 1, 16))
+        .as("span_parent_span_id"),
+      col("event_type").as("span_name"),
+      when(col("event_type") === "error", "SPAN_KIND_SERVER")
+        .otherwise("SPAN_KIND_CLIENT").as("span_kind"),
+      when(col("event_type") === "error", "STATUS_CODE_ERROR")
+        .otherwise("STATUS_CODE_OK").as("span_status_code"),
+      floor(col("value") * 10).cast("long").as("span_duration"),
+      (col("ts_ms") + floor(col("value") * 10).cast("long")).as("span_end_timestamp"),
+      concat(lit("svc-"), (col("user_id") % 5).cast("string")).as("resource_service_name"),
+      col("event_type").as("attr_event_type"))
+  }
+
+  val spansCte: String =
+    """spans AS (
+       SELECT epoch_ms(ts) AS chq_timestamp,
+              epoch_ms(ts) * 1000000 AS chq_tsns,
+              md5(CAST(epoch_ms(ts) // 600000 AS VARCHAR) || '|'
+                  || CAST(user_id AS VARCHAR)) AS span_trace_id,
+              substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+              CASE WHEN event_id % 3 = 0 THEN ''
+                   ELSE substr(md5(CAST(event_id - 1 AS VARCHAR)), 1, 16) END
+                AS span_parent_span_id,
+              event_type AS span_name,
+              CASE WHEN event_type = 'error' THEN 'SPAN_KIND_SERVER'
+                   ELSE 'SPAN_KIND_CLIENT' END AS span_kind,
+              CASE WHEN event_type = 'error' THEN 'STATUS_CODE_ERROR'
+                   ELSE 'STATUS_CODE_OK' END AS span_status_code,
+              CAST(floor("value" * 10) AS BIGINT) AS span_duration,
+              epoch_ms(ts) + CAST(floor("value" * 10) AS BIGINT) AS span_end_timestamp,
+              'svc-' || CAST(user_id % 5 AS VARCHAR) AS resource_service_name,
+              event_type AS attr_event_type
+       FROM events)"""
+
   /** DuckDB equivalent of [[logs]] (CTE named `logs`). */
   val logsCte: String =
     """logs AS (

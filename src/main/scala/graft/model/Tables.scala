@@ -12,8 +12,18 @@ import org.apache.spark.sql.functions._
   * /root/reference/docs/design/db-parquet/metrics.md).
   */
 object Tables {
+  // Dimension tables are persisted once per session (they're joined by many
+  // catalog queries). Fact tables are NOT cached: an InMemoryRelation loses
+  // parquet filter pushdown and column pruning — at scale the scan-side
+  // pruning is worth far more than re-reading a small file locally.
+  private val dims = Set("region", "nation", "customer", "supplier", "part")
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (dims.contains(name))
+      cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name),
+        spark.read.parquet(s"$dir/$name.parquet").persist())
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

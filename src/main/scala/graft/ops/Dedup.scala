@@ -44,11 +44,18 @@ object Dedup {
 
   /** MinHash signatures: one row per doc, `sig` = array of k min-hashes over
     * shingles. Docs without shingles are dropped.
+    *
+    * Hash family: ONE md5 base hash per shingle, k affine derivations
+    * `((2j+1)·h + j·K) mod 2^48` — 16× fewer md5 calls than hashing per
+    * seed, still engine-neutral (plain integer ops in the oracle).
     */
   def minhash(df: DataFrame, textCol: String, k: Int = 16, w: Int = 5): DataFrame = {
+    val base = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
     val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
-    // one shuffle: per (doc, seed) minimum via k aggregate expressions
-    val mins = (0 until k).map(j => min(hash48(col("sh"), j)).as(s"h$j"))
+      .select(col("doc_id"), base.as("h0"))
+    val mins = (0 until k).map { j =>
+      min((col("h0") * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)).as(s"h$j")
+    }
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
@@ -91,9 +98,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("x").join(sh.as("y"), "sh")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // pair generation via per-shingle doc lists instead of a self-join:
+    // singleton shingles (the vast majority) never reach the pair stage,
+    // and the shuffle carries each shingle once instead of twice
+    val ds = col("ds")
+    val combos = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")

@@ -99,8 +99,8 @@ object PipelineQueries extends Catalog {
     s"""WITH $shingleCte,
      mh AS (
        SELECT doc_id, j,
-              min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 12))
-                  AS BIGINT)) AS h
+              min((CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) * (2*j+1)
+                   + j * 2654435761) % 281474976710656) AS h
        FROM sh CROSS JOIN range(0, 16) t(j)
        GROUP BY 1, 2),
      sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY 1),

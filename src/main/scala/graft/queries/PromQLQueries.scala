@@ -246,6 +246,33 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, bsum AS value FROM step
         WHERE ts >= $Start AND ts < $End""")),
 
+    Q("pq_irate",
+      run("irate(events_value[4h])"), // irate ≡ rate at worker granularity
+      Some(s"""WITH ${winCte(H4)}
+        SELECT ts, attr_event_type, wsum / ${H4 / 1000.0} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("pq_last_over_time",
+      run("last_over_time(events_value[6h])"),
+      // last bucket in the window is the current one → its bucket average
+      Some(s"""WITH ${winCte(H6)}
+        SELECT w.ts, w.attr_event_type, s.bsum / s.bcnt AS value
+        FROM win w JOIN step s ON w.ts = s.ts AND w.attr_event_type = s.attr_event_type
+        WHERE w.first_ts = w.ts - ${H6 - StepMs} AND w.ts >= $Start AND w.ts < $End""")),
+
+    Q("pq_agg_without",
+      run("sum without (attr_event_type) (events_value)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, sum(bsum) AS value FROM step
+        WHERE ts >= $Start AND ts < $End GROUP BY ts""")),
+
+    Q("pq_binop_on",
+      run("increase(events_value[4h]) / on(attr_event_type) rate(events_value[4h])"),
+      // increase/rate = range seconds wherever both sides are covered
+      Some(s"""WITH ${winCte(H4)}
+        SELECT ts, attr_event_type, ${H4 / 1000.0} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
     // --- DDSketch paths ----------------------------------------------------
 
     // exact stats extracted from merged sketches: hash-matches DuckDB's

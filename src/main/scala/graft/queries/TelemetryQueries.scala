@@ -135,11 +135,121 @@ object TelemetryQueries extends Catalog {
        max(epoch_ms(ts)) AS max_ts
        FROM events GROUP BY 1"""
 
+  // ---- spans (LogQL-over-spans, reference spans_worker_sql.go) ------------
+
+  private val SpanStart = 1704067200000L
+  private val SpanEnd = SpanStart + 14L * 86400000L
+
+  private def slowErrorSpans(s: SparkSession, d: String): DataFrame = {
+    import graft.logql.{Compiler, LogStore, Parser => LParser}
+    val q = LParser.parse(
+      """{span_status_code="STATUS_CODE_ERROR"} | span_duration > 1000 """)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    Compiler.rawQuery(q.raw.get, LogStore(graft.model.Cooked.spans(s, d)),
+      SpanStart, SpanEnd, limit = 10000000, fields = Seq(
+        "chq_timestamp", "span_trace_id", "span_id", "span_name", "span_duration"))
+  }
+
+  private val slowErrorSpansSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT chq_timestamp, span_trace_id, span_id, span_name, span_duration
+     FROM spans
+     WHERE span_status_code = 'STATUS_CODE_ERROR' AND span_duration > 1000
+       AND chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd"""
+
+  private def spanRateBySvc(s: SparkSession, d: String): DataFrame = {
+    import graft.logql.{Compiler, LogStore}
+    import graft.promql.QueryParams
+    Compiler.query(
+      """sum by (resource_service_name) (count_over_time({span_kind="SPAN_KIND_CLIENT"}[4h]))""",
+      LogStore(graft.model.Cooked.spans(s, d)),
+      QueryParams(SpanStart, SpanEnd, 3600000L))
+      .filter(!isnan(col("value")))
+  }
+
+  private val spanRateBySvcSql =
+    s"""WITH ${graft.model.Cooked.spansCte},
+     stepl AS (
+       SELECT chq_timestamp - chq_timestamp % 3600000 AS ts, resource_service_name,
+              CAST(count(*) AS DOUBLE) AS bsum
+       FROM spans
+       WHERE span_kind = 'SPAN_KIND_CLIENT'
+         AND chq_timestamp >= ${SpanStart - 14400000L} AND chq_timestamp < $SpanEnd
+       GROUP BY 1, 2),
+     win AS (
+       SELECT ts, resource_service_name, sum(bsum) OVER w AS wsum,
+              min(ts) OVER w AS first_ts
+       FROM stepl
+       WINDOW w AS (PARTITION BY resource_service_name ORDER BY ts
+                    RANGE BETWEEN 10800000 PRECEDING AND CURRENT ROW))
+     SELECT ts, resource_service_name, wsum AS value
+     FROM win
+     WHERE first_ts = ts - 10800000 AND ts >= $SpanStart AND ts < $SpanEnd"""
+
+  private def traceSummary(s: SparkSession, d: String): DataFrame =
+    graft.model.Cooked.spans(s, d)
+      .groupBy(col("span_trace_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_parent_span_id") === "", 1).otherwise(0)).as("n_roots"),
+        sum(col("span_duration")).as("total_duration"),
+        sum(when(col("span_status_code") === "STATUS_CODE_ERROR", 1).otherwise(0))
+          .as("n_errors"),
+        min(col("chq_timestamp")).as("start_ts"))
+
+  private val traceSummarySql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT span_trace_id, count(*) AS n_spans,
+            sum(CASE WHEN span_parent_span_id = '' THEN 1 ELSE 0 END) AS n_roots,
+            sum(span_duration) AS total_duration,
+            sum(CASE WHEN span_status_code = 'STATUS_CODE_ERROR' THEN 1 ELSE 0 END)
+              AS n_errors,
+            min(chq_timestamp) AS start_ts
+     FROM spans GROUP BY 1"""
+
+  // ---- tag discovery -------------------------------------------------------
+
+  private def tagValues(s: SparkSession, d: String): DataFrame =
+    graft.api.Discovery.tagValues(graft.model.Cooked.logs(s, d),
+      "attr_event_type", SpanStart, SpanEnd)
+
+  private val tagValuesSql =
+    s"""WITH ${graft.model.Cooked.logsCte}
+     SELECT attr_event_type AS tag_value, count(*) AS n
+     FROM logs
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd
+       AND attr_event_type IS NOT NULL AND attr_event_type <> ''
+     GROUP BY 1"""
+
+  private def tagNames(s: SparkSession, d: String): DataFrame = {
+    val logs = graft.model.Cooked.logs(s, d)
+    graft.api.Discovery.tagNames(logs,
+      Seq("log_level", "resource_service_name", "attr_event_type"),
+      SpanStart, SpanEnd)
+  }
+
+  private val tagNamesSql =
+    s"""WITH ${graft.model.Cooked.logsCte},
+     t AS (SELECT * FROM logs
+           WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd)
+     SELECT 'log_level' AS tag, count(log_level) AS n FROM t WHERE log_level <> ''
+     UNION ALL
+     SELECT 'resource_service_name', count(resource_service_name) FROM t
+       WHERE resource_service_name <> ''
+     UNION ALL
+     SELECT 'attr_event_type', count(attr_event_type) FROM t
+       WHERE attr_event_type <> ''"""
+
   override def all: Seq[Q] = Seq(
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
-    Q("tq_csv_ingest", csvIngest, Some(csvIngestSql))
+    Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
+    Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
+    Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
+    Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),
+    Q("td_tag_values", tagValues, Some(tagValuesSql)),
+    Q("td_tag_names", tagNames, Some(tagNamesSql))
   )
 }

