@@ -44,23 +44,28 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
-  /** deterministic pseudo-random hyperplane component: md5-derived value in
-    * [-0.5, 0.5) for (plane p, dimension i)
+  /** deterministic pseudo-random hyperplane component in [-0.5, 0.5) for
+    * (plane p, dimension i): md5-derived, computed once driver-side — the
+    * plane is a plan-time constant folded into the expression, not hashed
+    * per row.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p|"), i.cast("string"))), 1, 12), 16, 10)
-      .cast("double") / lit(281474976710656.0)) - lit(0.5) // 2^48
+  private def planeComponent(p: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p|$i".getBytes("UTF-8"))
+    val hex = digest.take(6).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 281474976710656.0 - 0.5 // 2^48
+  }
 
-  /** sign bit of v · plane_p */
-  private def planeBit(emb: Column, p: Int): Column = {
-    val prods = zip_with(emb, sequence(lit(0), size(emb) - 1),
-      (x, i) => x.cast("double") * planeComponent(p, i))
+  /** sign bit of v · plane_p (plane materialized as a literal array) */
+  private def planeBit(emb: Column, p: Int, dims: Int): Column = {
+    val plane = array((0 until dims).map(i => lit(planeComponent(p, i))): _*)
+    val prods = zip_with(emb, plane, (x, w) => x.cast("double") * w)
     when(aggregate(prods, lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** nPlanes-bit LSH bucket id for an embedding */
-  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
-    (0 until nPlanes).map(p => planeBit(emb, p) * lit(1 << p))
+  /** nPlanes-bit LSH bucket id for an embedding of known dimensionality */
+  def lshBucket(emb: Column, nPlanes: Int = 8, dims: Int = 64): Column =
+    (0 until nPlanes).map(p => planeBit(emb, p, dims) * lit(1 << p))
       .reduce((a, b) => a + b)
 
   /** ANN via random-hyperplane LSH: candidates share a bucket with the
@@ -68,12 +73,12 @@ object Similarity {
     * probe multiple hash tables for higher recall (tables parameter).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 8, tables: Int = 2): DataFrame = {
+      nPlanes: Int = 8, tables: Int = 2, dims: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame, id: Column, emb: Column): DataFrame =
       df.select(id.as("id"), emb.as("emb"),
         explode(array((0 until tables).map(t =>
-          concat_ws(":", lit(t),
-            lshBucket(transform(emb, x => x + lit(t * 0.0)), nPlanes + t))): _*))
+          // each table uses a disjoint plane family (offset plane index)
+          concat_ws(":", lit(t), lshBucket(emb, nPlanes + t, dims))): _*))
           .as("bucket"))
     val c = withBuckets(corpus, col("vec_id"), col("embedding"))
     val q = broadcast(withBuckets(queries, col("vec_id"), col("embedding"))
