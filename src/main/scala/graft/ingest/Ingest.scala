@@ -23,8 +23,7 @@ object Readers {
     else if (p.endsWith(".csv") || p.endsWith(".csv.gz"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (p.endsWith(".binpb") || p.endsWith(".binpb.gz"))
-      throw new UnsupportedOperationException(
-        "OTel protobuf ingest not implemented in this round")
+      OtelProto.readLogs(spark, path)
     else throw new IllegalArgumentException(s"unsupported input: $path")
   }
 }
