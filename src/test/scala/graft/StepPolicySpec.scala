@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.StepPolicy
+
+class StepPolicySpec extends AnyFunSuite {
+
+  test("span → step table matches the reference policy") {
+    assert(StepPolicy.stepMsFor(30L * 60000L) == 10000L)      // 30 min
+    assert(StepPolicy.stepMsFor(65L * 60000L) == 10000L)      // boundary
+    assert(StepPolicy.stepMsFor(2L * 3600000L) == 60000L)     // 2 h
+    assert(StepPolicy.stepMsFor(12L * 3600000L) == 60000L)    // boundary
+    assert(StepPolicy.stepMsFor(18L * 3600000L) == 300000L)   // 18 h
+    assert(StepPolicy.stepMsFor(2L * 86400000L) == 1200000L)  // 2 d
+    assert(StepPolicy.stepMsFor(30L * 86400000L) == 3600000L) // 30 d
+  }
+
+  test("tier selection: largest tier dividing the step") {
+    assert(StepPolicy.tierFor(10000L) == 10000L)
+    assert(StepPolicy.tierFor(60000L) == 60000L)
+    assert(StepPolicy.tierFor(300000L) == 300000L)
+    assert(StepPolicy.tierFor(1200000L) == 1200000L)
+    assert(StepPolicy.tierFor(3600000L) == 3600000L)
+    assert(StepPolicy.tierFor(120000L) == 60000L)  // 2 m step → 1 m tier
+    assert(StepPolicy.tierFor(90000L) == 10000L)   // 90 s → 10 s divides
+  }
+
+  test("paramsFor aligns start to step") {
+    val p = StepPolicy.paramsFor(1704067212345L, 1704067212345L + 86400000L)
+    assert(p.stepMs == 300000L && p.startMs % p.stepMs == 0)
+  }
+
+  test("scanTier prunes to the freq partition of a segment dir") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val ev = graft.model.Tables.events(spark, TestSpark.sf)
+    val base = graft.ingest.MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"),
+      col("value"), Seq("attr_event_type" -> col("event_type")),
+      freqMs = 60000L, withSketch = false)
+    val hourly = graft.ingest.MetricsPreAgg.rollup(base, 3600000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiers_").toString
+    graft.ingest.Segments.writeMetricSegments(base, dir)
+    graft.ingest.Segments.writeMetricSegments(hourly, dir)
+    val scan = StepPolicy.scanTier(spark, dir, stepMs = 3600000L)
+    assert(scan.count() == hourly.count())
+    // partition pruning: only the freq=3600000 directory is read
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString()
+    assert(plan.contains("freq") && scan.select("freq").distinct().count() == 1)
+  }
+}
