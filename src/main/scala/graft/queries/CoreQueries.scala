@@ -300,7 +300,10 @@ object CoreQueries extends Catalog {
         count(col("k_bad")).as("n_bad"))
 
   private val qJsonCaseSql =
-    """SELECT event_type, k_band, count(*) AS n, sum(k) AS sum_k, count(k_bad) AS n_bad
+    // CAST sums to BIGINT: DuckDB sum(BIGINT) is HUGEINT, which hash-diverges
+    // from Spark's LongType even when numerically equal
+    """SELECT event_type, k_band, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(k) AS BIGINT) AS sum_k, CAST(count(k_bad) AS BIGINT) AS n_bad
        FROM (
          SELECT event_type,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -172,21 +172,30 @@ object PipelineQueries extends Catalog {
 
   // ---- multimodal ----------------------------------------------------------
 
+  /** array columns are exploded/stringified so the verifier can canonicalize
+    * row-wise: features → one (media_id, feat_idx, feat_value) row each,
+    * sampled_frames → a csv string
+    */
   private def mediaFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("digest"),
+        concat_ws(",", col("sampled_frames")).as("frames_csv"),
+        posexplode(col("features")))
+      .select(col("media_id"), col("media_type"), col("n_bytes"), col("digest"),
+        col("frames_csv"), col("pos").cast("long").as("feat_idx"),
+        round(col("col"), 6).as("feat_value"))
 
-  private val mediaFeaturesSql = {
-    val feats = (0 until 8).map(b =>
-      s"CAST(('0x' || substr(md5(text), ${b * 4 + 1}, 3)) AS BIGINT) / 4096.0").mkString(", ")
+  private val mediaFeaturesSql =
     s"""SELECT doc_id AS media_id,
             CASE WHEN doc_id % 3 = 0 THEN 'image'
                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
             CAST(strlen(text) AS BIGINT) AS n_bytes,
             md5(text) AS digest,
-            [$feats] AS features,
-            range(0, n_chars % 300 + 1, 30) AS sampled_frames
-       FROM documents"""
-  }
+            array_to_string(range(0, n_chars % 300 + 1, 30), ',') AS frames_csv,
+            b.feat_idx AS feat_idx,
+            round(CAST(('0x' || substr(md5(text), CAST(b.feat_idx * 4 + 1 AS INT), 3))
+                       AS BIGINT) / 4096.0, 6) AS feat_value
+       FROM documents CROSS JOIN range(0, 8) b(feat_idx)"""
 
   override def all: Seq[Q] = Seq(
     Q("pp_text_stats", textStats, Some(textStatsSql)),

@@ -82,10 +82,20 @@ object PromQLQueries extends Catalog {
         WHERE regexp_full_match(attr_event_type, 'c.*|s.*')
           AND attr_event_type <> 'signup' AND ts >= $Start AND ts < $End""")),
 
+    // rate emits wsum/range_sec whose true decimal value can sit exactly on a
+    // round-6 boundary, so ulp-level summation-order noise flips the verifier
+    // hash. events.value is 2-decimal quantized → recover the exact integer
+    // "cents" of the window sum on both sides, then divide identically:
+    // bit-identical doubles survive any display rounding.
     Q("pq_rate",
-      run("rate(events_value[4h])"),
+      { (s, d) =>
+        run("rate(events_value[4h])")(s, d).withColumn("value",
+          round(col("value") * lit(H4 / 1000.0 * 100), 0).cast("long") /
+            lit(H4 / 1000.0 * 100))
+      },
       Some(s"""WITH ${winCte(H4)}
-        SELECT ts, attr_event_type, wsum / ${H4 / 1000.0} AS value
+        SELECT ts, attr_event_type,
+               CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS value
         FROM win WHERE ${covered(H4)}""")),
 
     Q("pq_increase",
@@ -246,10 +256,15 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, bsum AS value FROM step
         WHERE ts >= $Start AND ts < $End""")),
 
-    Q("pq_irate",
-      run("irate(events_value[4h])"), // irate ≡ rate at worker granularity
+    Q("pq_irate", // irate ≡ rate at worker granularity; cents trick as pq_rate
+      { (s, d) =>
+        run("irate(events_value[4h])")(s, d).withColumn("value",
+          round(col("value") * lit(H4 / 1000.0 * 100), 0).cast("long") /
+            lit(H4 / 1000.0 * 100))
+      },
       Some(s"""WITH ${winCte(H4)}
-        SELECT ts, attr_event_type, wsum / ${H4 / 1000.0} AS value
+        SELECT ts, attr_event_type,
+               CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS value
         FROM win WHERE ${covered(H4)}""")),
 
     Q("pq_last_over_time",

@@ -199,11 +199,12 @@ object TelemetryQueries extends Catalog {
 
   private val traceSummarySql =
     s"""WITH ${graft.model.Cooked.spansCte}
-     SELECT span_trace_id, count(*) AS n_spans,
-            sum(CASE WHEN span_parent_span_id = '' THEN 1 ELSE 0 END) AS n_roots,
-            sum(span_duration) AS total_duration,
-            sum(CASE WHEN span_status_code = 'STATUS_CODE_ERROR' THEN 1 ELSE 0 END)
-              AS n_errors,
+     SELECT span_trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN span_parent_span_id = '' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_roots,
+            CAST(sum(span_duration) AS BIGINT) AS total_duration,
+            CAST(sum(CASE WHEN span_status_code = 'STATUS_CODE_ERROR'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
             min(chq_timestamp) AS start_ts
      FROM spans GROUP BY 1"""
 
