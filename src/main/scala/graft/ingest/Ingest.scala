@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   */
 object Readers {
 
-  /** dispatch by extension: .parquet, .json[.gz], .csv[.gz]. gz is
-    * transparent to Spark's text-based sources. OTel .binpb ingestion is
-    * NOT implemented yet (needs a proto decoder; reference uses generated
-    * proto code — planned for a later round).
+  /** dispatch by extension: .parquet, .json[.gz], .csv[.gz], .binpb[.gz]
+    * (OTel protobuf — logs by default; use [[OtelProto.readMetrics]] /
+    * [[OtelProto.readSpans]] directly for the other two signals). gz is
+    * transparent to Spark's text-based sources and handled explicitly by
+    * the binpb decoder.
     */
   def readAny(spark: SparkSession, path: String): DataFrame = {
     val p = path.toLowerCase

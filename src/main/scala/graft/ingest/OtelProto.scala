@@ -24,10 +24,16 @@ object OtelProto {
   final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
 
+    private def bounds(need: Int): Unit =
+      if (pos + need > end)
+        throw new IllegalArgumentException(
+          s"truncated protobuf: need $need bytes at $pos, message ends at $end")
+
     def readVarint(): Long = {
       var shift = 0
       var out = 0L
       while (true) {
+        bounds(1)
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -42,6 +48,7 @@ object OtelProto {
     }
 
     def readFixed64(): Long = {
+      bounds(8)
       var out = 0L
       var i = 0
       while (i < 8) { out |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -50,6 +57,7 @@ object OtelProto {
     }
 
     def readFixed32(): Int = {
+      bounds(4)
       var out = 0
       var i = 0
       while (i < 4) { out |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
@@ -59,6 +67,7 @@ object OtelProto {
 
     def readBytes(): Array[Byte] = {
       val len = readVarint().toInt
+      bounds(len)
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
@@ -67,6 +76,7 @@ object OtelProto {
     /** sub-reader over a length-delimited field */
     def readMessage(): Reader = {
       val len = readVarint().toInt
+      bounds(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
@@ -97,7 +107,7 @@ object OtelProto {
         case 2 => out = (r.readVarint() != 0).toString
         case 3 => out = r.readVarint().toString
         case 4 => out = java.lang.Double.longBitsToDouble(r.readFixed64()).toString
-        case 5 | 6 => // array_value / kvlist_value → compact json-ish string
+        case 5 => // array_value { repeated AnyValue values = 1 }
           val inner = r.readMessage()
           val parts = scala.collection.mutable.ListBuffer[String]()
           while (inner.hasNext) {
@@ -106,6 +116,18 @@ object OtelProto {
             else inner.skip(w2)
           }
           out = parts.mkString("[", ",", "]")
+        case 6 => // kvlist_value { repeated KeyValue values = 1 } — entries
+          // are KeyValue messages, NOT AnyValue (distinct parse path)
+          val inner = r.readMessage()
+          val parts = scala.collection.mutable.ListBuffer[String]()
+          while (inner.hasNext) {
+            val (f2, w2) = inner.readTag()
+            if (f2 == 1 && w2 == 2) {
+              val (k, v) = keyValue(inner.readMessage())
+              parts += s"$k:$v"
+            } else inner.skip(w2)
+          }
+          out = parts.mkString("{", ",", "}")
         case 7 => out = java.util.Base64.getEncoder.encodeToString(r.readBytes())
         case _ => r.skip(w)
       }
@@ -199,6 +221,237 @@ object OtelProto {
     out.toSeq
   }
 
+  // ---- MetricsData -----------------------------------------------------------
+
+  /** one decoded number datapoint (gauge or sum); metricType follows the
+    * reference's cooked vocabulary: "gauge" | "count"
+    * (docs/design/db-parquet/metrics.md:210-218; ingest table function role
+    * of internal/metricsprocessing/metric_ingest_duckdb.go:238)
+    */
+  final case class OtelMetric(
+      timeUnixNano: Long,
+      metricName: String,
+      metricType: String,
+      value: Double,
+      attrs: Map[String, String],
+      resourceAttrs: Map[String, String],
+      scopeName: String)
+
+  /** NumberDataPoint: start_time=2, time_unix_nano=3, as_double=4,
+    * as_int=6 (sfixed64), attributes=7
+    */
+  private def numberDataPoint(r: Reader): (Long, Double, Map[String, String]) = {
+    var t = 0L
+    var v = 0.0
+    var attrs = Map.empty[String, String]
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 3 => t = r.readFixed64()
+        case 4 => v = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 6 => v = r.readFixed64().toDouble
+        case 7 => attrs += keyValue(r.readMessage())
+        case _ => r.skip(w)
+      }
+    }
+    (t, v, attrs)
+  }
+
+  /** MetricsData → decoded gauge/sum number datapoints. Histogram /
+    * exponential-histogram / summary points are skipped (the cooked schema
+    * carries distributions as DDSketch columns built at pre-agg, not as
+    * ingested histogram points).
+    */
+  def parseMetrics(data: Array[Byte]): Seq[OtelMetric] = {
+    val out = scala.collection.mutable.ListBuffer[OtelMetric]()
+    val root = new Reader(data, 0, data.length)
+    while (root.hasNext) {
+      val (f, w) = root.readTag()
+      if (f == 1 && w == 2) { // resource_metrics
+        val rm = root.readMessage()
+        var resAttrs = Map.empty[String, String]
+        val scopeMetrics = scala.collection.mutable.ListBuffer[Reader]()
+        while (rm.hasNext) {
+          val (f2, w2) = rm.readTag()
+          f2 match {
+            case 1 =>
+              val res = rm.readMessage()
+              while (res.hasNext) {
+                val (f3, w3) = res.readTag()
+                if (f3 == 1 && w3 == 2) resAttrs += keyValue(res.readMessage())
+                else res.skip(w3)
+              }
+            case 2 => scopeMetrics += rm.readMessage()
+            case _ => rm.skip(w2)
+          }
+        }
+        scopeMetrics.foreach { sm =>
+          var scopeName = ""
+          while (sm.hasNext) {
+            val (f2, w2) = sm.readTag()
+            f2 match {
+              case 1 =>
+                val sc = sm.readMessage()
+                while (sc.hasNext) {
+                  val (f3, w3) = sc.readTag()
+                  if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else sc.skip(w3)
+                }
+              case 2 => // Metric { name=1, gauge=5, sum=7 { is_monotonic=3 } }
+                val m = sm.readMessage()
+                var name = ""
+                val points =
+                  scala.collection.mutable.ListBuffer[(Long, Double, Map[String, String])]()
+                var mtype = "gauge"
+                while (m.hasNext) {
+                  val (f3, w3) = m.readTag()
+                  f3 match {
+                    case 1 => name = m.readString()
+                    case 5 => // gauge { data_points=1 }
+                      val g = m.readMessage()
+                      while (g.hasNext) {
+                        val (f4, w4) = g.readTag()
+                        if (f4 == 1 && w4 == 2) points += numberDataPoint(g.readMessage())
+                        else g.skip(w4)
+                      }
+                    case 7 => // sum { data_points=1, is_monotonic=3 }
+                      val su = m.readMessage()
+                      var monotonic = false
+                      while (su.hasNext) {
+                        val (f4, w4) = su.readTag()
+                        f4 match {
+                          case 1 => points += numberDataPoint(su.readMessage())
+                          case 3 => monotonic = su.readVarint() != 0
+                          case _ => su.skip(w4)
+                        }
+                      }
+                      mtype = if (monotonic) "count" else "gauge"
+                    case _ => m.skip(w3)
+                  }
+                }
+                points.foreach { case (t, v, attrs) =>
+                  out += OtelMetric(t, name, mtype, v, attrs, resAttrs, scopeName)
+                }
+              case _ => sm.skip(w2)
+            }
+          }
+        }
+      } else root.skip(w)
+    }
+    out.toSeq
+  }
+
+  // ---- TracesData ------------------------------------------------------------
+
+  final case class OtelSpan(
+      traceId: String,
+      spanId: String,
+      parentSpanId: String,
+      name: String,
+      kind: Int,
+      startUnixNano: Long,
+      endUnixNano: Long,
+      statusCode: Int,
+      statusMessage: String,
+      attrs: Map[String, String],
+      resourceAttrs: Map[String, String],
+      scopeName: String)
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  val spanKindNames: Array[String] = Array(
+    "SPAN_KIND_UNSPECIFIED", "SPAN_KIND_INTERNAL", "SPAN_KIND_SERVER",
+    "SPAN_KIND_CLIENT", "SPAN_KIND_PRODUCER", "SPAN_KIND_CONSUMER")
+
+  val statusCodeNames: Array[String] =
+    Array("STATUS_CODE_UNSET", "STATUS_CODE_OK", "STATUS_CODE_ERROR")
+
+  /** Span: trace_id=1, span_id=2, parent_span_id=4, name=5, kind=6,
+    * start=7, end=8 (fixed64 ns), attributes=9, status=15 {message=2,
+    * code=3} (role of internal/filereader/ingest_proto_traces.go:1-332)
+    */
+  private def span(r: Reader): OtelSpan = {
+    var traceId = ""; var spanId = ""; var parent = ""
+    var name = ""; var kind = 0
+    var startNs = 0L; var endNs = 0L
+    var code = 0; var msg = ""
+    var attrs = Map.empty[String, String]
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 1 => traceId = hex(r.readBytes())
+        case 2 => spanId = hex(r.readBytes())
+        case 4 => parent = hex(r.readBytes())
+        case 5 => name = r.readString()
+        case 6 => kind = r.readVarint().toInt
+        case 7 => startNs = r.readFixed64()
+        case 8 => endNs = r.readFixed64()
+        case 9 => attrs += keyValue(r.readMessage())
+        case 15 => // Status { message=2, code=3 }
+          val st = r.readMessage()
+          while (st.hasNext) {
+            val (f2, w2) = st.readTag()
+            f2 match {
+              case 2 => msg = st.readString()
+              case 3 => code = st.readVarint().toInt
+              case _ => st.skip(w2)
+            }
+          }
+        case _ => r.skip(w)
+      }
+    }
+    OtelSpan(traceId, spanId, parent, name, kind, startNs, endNs, code, msg,
+      attrs, Map.empty, "")
+  }
+
+  def parseSpans(data: Array[Byte]): Seq[OtelSpan] = {
+    val out = scala.collection.mutable.ListBuffer[OtelSpan]()
+    val root = new Reader(data, 0, data.length)
+    while (root.hasNext) {
+      val (f, w) = root.readTag()
+      if (f == 1 && w == 2) { // resource_spans
+        val rs = root.readMessage()
+        var resAttrs = Map.empty[String, String]
+        val scopeSpans = scala.collection.mutable.ListBuffer[Reader]()
+        while (rs.hasNext) {
+          val (f2, w2) = rs.readTag()
+          f2 match {
+            case 1 =>
+              val res = rs.readMessage()
+              while (res.hasNext) {
+                val (f3, w3) = res.readTag()
+                if (f3 == 1 && w3 == 2) resAttrs += keyValue(res.readMessage())
+                else res.skip(w3)
+              }
+            case 2 => scopeSpans += rs.readMessage()
+            case _ => rs.skip(w2)
+          }
+        }
+        scopeSpans.foreach { ss =>
+          var scopeName = ""
+          while (ss.hasNext) {
+            val (f2, w2) = ss.readTag()
+            f2 match {
+              case 1 =>
+                val sc = ss.readMessage()
+                while (sc.hasNext) {
+                  val (f3, w3) = sc.readTag()
+                  if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else sc.skip(w3)
+                }
+              case 2 =>
+                out += span(ss.readMessage())
+                  .copy(resourceAttrs = resAttrs, scopeName = scopeName)
+              case _ => ss.skip(w2)
+            }
+          }
+        }
+      } else root.skip(w)
+    }
+    out.toSeq
+  }
+
   // ---- Spark integration -----------------------------------------------------
 
   private def maybeGunzip(path: String, content: Array[Byte]): Array[Byte] =
@@ -240,6 +493,75 @@ object OtelProto {
       .withColumn("metric_name", lit("log_events"))
   }
 
+  /** widen map-typed attrs/resourceAttrs into attr_* / resource_* string
+    * columns (dynamic union across records; missing → null). The key-union
+    * pass is a distinct-aggregate over key names only — bounded by distinct
+    * key count, not data volume.
+    */
+  private def widenAttrs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val keys = df.select(
+      explode(concat(
+        transform(map_keys(col("attrs")), k => concat(lit("attr_"), k)),
+        transform(map_keys(col("resourceAttrs")), k => concat(lit("resource_"), k)))))
+      .distinct().as[String].collect().sorted
+    val withCols = keys.foldLeft(df) { (d, k) =>
+      if (k.startsWith("attr_")) d.withColumn(k, col("attrs").getItem(k.stripPrefix("attr_")))
+      else d.withColumn(k, col("resourceAttrs").getItem(k.stripPrefix("resource_")))
+    }
+    withCols.drop("attrs", "resourceAttrs")
+  }
+
+  /** `.binpb[.gz]` OTel metrics → raw metric points ready for
+    * [[MetricsPreAgg.preAggregate]]: chq_timestamp (ms), metric_name,
+    * chq_metric_type, value + flattened attr_* / resource_* strings.
+    */
+  def readMetrics(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val points = files.flatMap { case (p, c) => parseMetrics(maybeGunzip(p, c)) }
+    widenAttrs(points.toDF().select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
+      col("timeUnixNano").as("chq_tsns"),
+      col("metricName").as("metric_name"),
+      col("metricType").as("chq_metric_type"),
+      col("value"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs")))
+  }
+
+  /** `.binpb[.gz]` OTel traces → cooked span columns
+    * (docs/design/db-parquet/traces.md shapes): ids as lowercase hex,
+    * kind/status as enum-name strings, span_duration in ms.
+    */
+  def readSpans(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val spans = files.flatMap { case (p, c) => parseSpans(maybeGunzip(p, c)) }
+    // enum name lookup as element_at over a literal array (codegen'd; out of
+    // range → null → coalesce to the UNSPECIFIED/UNSET name)
+    def nameOf(c: org.apache.spark.sql.Column, names: Array[String]) =
+      coalesce(element_at(array(names.map(lit): _*), c.cast("int") + 1), lit(names(0)))
+    val kindName = (c: org.apache.spark.sql.Column) => nameOf(c, spanKindNames)
+    val codeName = (c: org.apache.spark.sql.Column) => nameOf(c, statusCodeNames)
+    widenAttrs(spans.toDF().select(
+      expr("startUnixNano DIV 1000000").as("chq_timestamp"),
+      col("startUnixNano").as("chq_tsns"),
+      col("traceId").as("span_trace_id"),
+      col("spanId").as("span_id"),
+      col("parentSpanId").as("span_parent_span_id"),
+      col("name").as("span_name"),
+      kindName(col("kind")).as("span_kind"),
+      codeName(col("statusCode")).as("span_status_code"),
+      col("statusMessage").as("span_status_message"),
+      expr("(endUnixNano - startUnixNano) DIV 1000000").as("span_duration"),
+      expr("endUnixNano DIV 1000000").as("span_end_timestamp"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs")))
+  }
+
   // ---- tiny encoder (fixtures/tests; also documents the wire format) ---------
 
   object Encode {
@@ -275,5 +597,62 @@ object OtelProto {
       val scopeLogs = ld(1, scope) ++ records.flatMap(r => ld(2, r))
       ld(1, ld(1, resource) ++ ld(2, scopeLogs))
     }
+
+    def dbl(field: Int, v: Double): Array[Byte] =
+      fixed64(field, java.lang.Double.doubleToLongBits(v))
+
+    def anyKvList(entries: Seq[(String, String)]): Array[Byte] =
+      ld(6, entries.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray)
+
+    def anyArray(values: Seq[String]): Array[Byte] =
+      ld(5, values.flatMap(v => ld(1, anyString(v))).toArray)
+
+    /** NumberDataPoint with as_double */
+    def numberDp(timeNs: Long, value: Double,
+        attrs: Seq[(String, String)]): Array[Byte] =
+      fixed64(3, timeNs) ++ dbl(4, value) ++
+        attrs.flatMap { case (k, v) => ld(7, kv(k, v)) }
+
+    def gaugeMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
+      str(1, name) ++ ld(5, dps.flatMap(d => ld(1, d)).toArray)
+
+    def sumMetric(name: String, monotonic: Boolean,
+        dps: Seq[Array[Byte]]): Array[Byte] =
+      str(1, name) ++ ld(7,
+        dps.flatMap(d => ld(1, d)).toArray ++
+          vint(2, 2) ++ // aggregation_temporality = CUMULATIVE
+          vint(3, if (monotonic) 1L else 0L))
+
+    def metricsData(resourceAttrs: Seq[(String, String)], scopeName: String,
+        metrics: Seq[Array[Byte]]): Array[Byte] = {
+      val resource = resourceAttrs.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray
+      val scopeMetrics = ld(1, str(1, scopeName)) ++ metrics.flatMap(m => ld(2, m))
+      ld(1, ld(1, resource) ++ ld(2, scopeMetrics))
+    }
+
+    private def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    def span(traceIdHex: String, spanIdHex: String, parentHex: String,
+        name: String, kind: Int, startNs: Long, endNs: Long,
+        statusCode: Int, statusMsg: String,
+        attrs: Seq[(String, String)]): Array[Byte] =
+      ld(1, hexBytes(traceIdHex)) ++ ld(2, hexBytes(spanIdHex)) ++
+        (if (parentHex.nonEmpty) ld(4, hexBytes(parentHex)) else Array.empty[Byte]) ++
+        str(5, name) ++ vint(6, kind) ++
+        fixed64(7, startNs) ++ fixed64(8, endNs) ++
+        attrs.flatMap { case (k, v) => ld(9, kv(k, v)) } ++
+        ld(15, str(2, statusMsg) ++ vint(3, statusCode))
+
+    /** one ResourceSpans block per (resourceAttrs, scope, spans) group;
+      * concatenation of blocks is a valid TracesData (repeated field 1)
+      */
+    def tracesData(
+        groups: Seq[(Seq[(String, String)], String, Seq[Array[Byte]])]): Array[Byte] =
+      groups.flatMap { case (resourceAttrs, scopeName, spans) =>
+        val resource = resourceAttrs.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray
+        val scopeSpans = ld(1, str(1, scopeName)) ++ spans.flatMap(sp => ld(2, sp))
+        ld(1, ld(1, resource) ++ ld(2, scopeSpans))
+      }.toArray
   }
 }

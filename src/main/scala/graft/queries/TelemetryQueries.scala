@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ingest.{Flatten, MetricsPreAgg, Readers, Segments}
+import graft.ingest.{Flatten, MetricsPreAgg, OtelProto, Readers, Segments}
 
 /** Processing-side coverage: pre-aggregation, the rollup chain, segment
   * write/compact round-trips, and file-format ingest — each verified
@@ -135,10 +135,101 @@ object TelemetryQueries extends Catalog {
        max(epoch_ms(ts)) AS max_ts
        FROM events GROUP BY 1"""
 
-  // ---- spans (LogQL-over-spans, reference spans_worker_sql.go) ------------
-
   private val SpanStart = 1704067200000L
   private val SpanEnd = SpanStart + 14L * 86400000L
+
+  // ---- OTel binpb round-trips ---------------------------------------------
+
+  private def gzWrite(prefix: String, name: String, blob: Array[Byte]): String = {
+    val f = Files.createTempDirectory(prefix).resolve(name)
+    val os = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    os.write(blob); os.close()
+    f.toString
+  }
+
+  /** OTel MetricsData round-trip: events subset → encoded gauge + monotonic
+    * sum datapoints → .binpb.gz → wire decoder → per-series aggregate. The
+    * oracle recomputes the same aggregate straight from `events`, so every
+    * decode field (time ns→ms, as_double, attrs, resource attrs, metric
+    * type) must survive the wire.
+    */
+  private def binpbMetrics(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val rows = raw(s, d).filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+      .collect() // fixture encoding is driver-side by design (test harness)
+    val (counterRows, gaugeRows) = rows.partition(_.getLong(0) % 10 == 0)
+    def dps(rs: Array[org.apache.spark.sql.Row]) = rs.toSeq.map(r =>
+      Encode.numberDp(r.getLong(1) * 1000000L, r.getDouble(3),
+        Seq("event.type" -> r.getString(2))))
+    val blob = Encode.metricsData(
+      Seq("service.name" -> "fixture-svc"), "graft-test",
+      Seq(Encode.gaugeMetric("events_value", dps(gaugeRows)),
+        Encode.sumMetric("events_count", monotonic = true, dps(counterRows))))
+    OtelProto.readMetrics(s, gzWrite("graft_binpb_m_", "metrics.binpb.gz", blob))
+      .groupBy(col("metric_name"), col("chq_metric_type"),
+        col("attr_event_type"), col("resource_service_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"),
+        min(col("chq_timestamp")).as("min_ts"), max(col("chq_timestamp")).as("max_ts"))
+  }
+
+  private val binpbMetricsSql =
+    """SELECT CASE WHEN event_id % 10 = 0 THEN 'events_count'
+                   ELSE 'events_value' END AS metric_name,
+              CASE WHEN event_id % 10 = 0 THEN 'count' ELSE 'gauge' END
+                AS chq_metric_type,
+              event_type AS attr_event_type,
+              'fixture-svc' AS resource_service_name,
+              CAST(count(*) AS BIGINT) AS n, round(sum("value"), 4) AS sum_v,
+              min(epoch_ms(ts)) AS min_ts, max(epoch_ms(ts)) AS max_ts
+       FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2, 3, 4"""
+
+  /** OTel TracesData round-trip: cooked spans (first 2 days) → encoded
+    * ResourceSpans grouped by service → .binpb.gz → wire decoder →
+    * aggregate; ids (hex bytes), kind/status enums, ns→ms duration and
+    * trace grouping must all survive.
+    */
+  private def binpbSpans(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val twoDays = SpanStart + 2L * 86400000L
+    val rows = graft.model.Cooked.spans(s, d)
+      .filter(col("chq_timestamp") >= SpanStart && col("chq_timestamp") < twoDays)
+      .select("span_trace_id", "span_id", "span_parent_span_id", "span_name",
+        "span_kind", "span_status_code", "chq_timestamp", "span_end_timestamp",
+        "resource_service_name", "attr_event_type")
+      .collect()
+    val groups = rows.groupBy(_.getString(8)).toSeq.sortBy(_._1).map { case (svc, rs) =>
+      (Seq("service.name" -> svc), "graft-test",
+        rs.toSeq.map { r =>
+          val kind = if (r.getString(4) == "SPAN_KIND_SERVER") 2 else 3
+          val code = if (r.getString(5) == "STATUS_CODE_ERROR") 2 else 1
+          Encode.span(r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), kind, r.getLong(6) * 1000000L, r.getLong(7) * 1000000L,
+            code, if (code == 2) "boom" else "",
+            Seq("event.type" -> r.getString(9)))
+        })
+    }
+    OtelProto.readSpans(s, gzWrite("graft_binpb_t_", "traces.binpb.gz",
+      Encode.tracesData(groups)))
+      .groupBy(col("resource_service_name"), col("span_name"), col("span_kind"),
+        col("span_status_code"))
+      .agg(count(lit(1)).as("n"), sum(col("span_duration")).as("dur_sum"),
+        countDistinct(col("span_trace_id")).as("n_traces"),
+        min(col("chq_timestamp")).as("min_ts"))
+  }
+
+  private val binpbSpansSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT resource_service_name, span_name, span_kind, span_status_code,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(span_duration) AS BIGINT) AS dur_sum,
+            CAST(count(DISTINCT span_trace_id) AS BIGINT) AS n_traces,
+            min(chq_timestamp) AS min_ts
+     FROM spans
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < ${SpanStart + 2L * 86400000L}
+     GROUP BY 1, 2, 3, 4"""
+
+  // ---- spans (LogQL-over-spans, reference spans_worker_sql.go) ------------
 
   private def slowErrorSpans(s: SparkSession, d: String): DataFrame = {
     import graft.logql.{Compiler, LogStore, Parser => LParser}
@@ -247,6 +338,8 @@ object TelemetryQueries extends Catalog {
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
     Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
+    Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
+    Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),

@@ -51,4 +51,87 @@ class OtelProtoSpec extends AnyFunSuite {
     val ok = df.filter(org.apache.spark.sql.functions.col("log_level") === "INFO").head()
     assert(ok.getAs[String]("attr_retries") == null)
   }
+
+  test("kvlist + array attribute values parse structurally (not as garbage)") {
+    val rec = Encode.logRecord(1L, 9, "INFO", "body", Nil) ++
+      Encode.ld(6, Encode.str(1, "ctx") ++ Encode.ld(2,
+        Encode.anyKvList(Seq("a" -> "1", "b" -> "x")))) ++
+      Encode.ld(6, Encode.str(1, "tags") ++ Encode.ld(2,
+        Encode.anyArray(Seq("p", "q"))))
+    val blob = Encode.logsData(Nil, "s", Seq(rec))
+    val logs = OtelProto.parseLogs(blob)
+    assert(logs.head.attrs("ctx") == "{a:1,b:x}")
+    assert(logs.head.attrs("tags") == "[p,q]")
+  }
+
+  test("truncated message raises instead of reading past the bound") {
+    val blob = sampleBytes
+    intercept[IllegalArgumentException] {
+      OtelProto.parseLogs(blob.take(blob.length - 3))
+    }
+  }
+
+  test("metrics wire round-trip: gauge + monotonic sum") {
+    val blob = Encode.metricsData(
+      Seq("service.name" -> "svc-a"), "graft-test",
+      Seq(
+        Encode.gaugeMetric("cpu_temp", Seq(
+          Encode.numberDp(1704067200000000000L, 42.5, Seq("core" -> "0")),
+          Encode.numberDp(1704067210000000000L, 43.25, Seq("core" -> "1")))),
+        Encode.sumMetric("requests_total", monotonic = true, Seq(
+          Encode.numberDp(1704067200000000000L, 100.0, Seq("code" -> "200"))))))
+    val ms = OtelProto.parseMetrics(blob)
+    assert(ms.size == 3)
+    val gauge = ms.filter(_.metricName == "cpu_temp")
+    assert(gauge.map(_.metricType).distinct == Seq("gauge"))
+    assert(gauge.map(_.value).sorted == Seq(42.5, 43.25))
+    assert(gauge.head.resourceAttrs == Map("service_name" -> "svc-a"))
+    val ctr = ms.find(_.metricName == "requests_total").get
+    assert(ctr.metricType == "count" && ctr.value == 100.0)
+    assert(ctr.attrs == Map("code" -> "200"))
+  }
+
+  test("spans wire round-trip: ids, kind/status enums, duration") {
+    val tid = "0123456789abcdef0123456789abcdef"
+    val sid = "fedcba9876543210"
+    val blob = Encode.tracesData(Seq((
+      Seq("service.name" -> "svc-b"), "graft-test",
+      Seq(
+        Encode.span(tid, sid, "", "GET /", 2,
+          1704067200000000000L, 1704067200250000000L, 2, "boom",
+          Seq("http.status" -> "500")),
+        Encode.span(tid, "00000000000000aa", sid, "child", 3,
+          1704067200010000000L, 1704067200020000000L, 1, "", Nil)))))
+    val sp = OtelProto.parseSpans(blob)
+    assert(sp.size == 2)
+    val root = sp.find(_.parentSpanId.isEmpty).get
+    assert(root.traceId == tid && root.spanId == sid)
+    assert(root.kind == 2 && root.statusCode == 2 && root.statusMessage == "boom")
+    assert(root.attrs == Map("http_status" -> "500"))
+    val child = sp.find(_.parentSpanId.nonEmpty).get
+    assert(child.parentSpanId == sid)
+    assert((child.endUnixNano - child.startUnixNano) == 10000000L)
+  }
+
+  test("readSpans: binpb.gz → cooked span frame") {
+    val tid = "0123456789abcdef0123456789abcdef"
+    val blob = Encode.tracesData(Seq((
+      Seq("service.name" -> "svc-b"), "graft-test",
+      Seq(Encode.span(tid, "fedcba9876543210", "", "GET /", 2,
+        1704067200000000000L, 1704067200250000000L, 2, "boom",
+        Seq("http.status" -> "500"))))))
+    val dir = Files.createTempDirectory("graft_otel_t_")
+    val gz = dir.resolve("traces.binpb.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(blob); out.close()
+    val df = OtelProto.readSpans(spark, gz.toString)
+    val r = df.head()
+    assert(r.getAs[String]("span_trace_id") == tid)
+    assert(r.getAs[String]("span_kind") == "SPAN_KIND_SERVER")
+    assert(r.getAs[String]("span_status_code") == "STATUS_CODE_ERROR")
+    assert(r.getAs[Long]("span_duration") == 250L)
+    assert(r.getAs[Long]("chq_timestamp") == 1704067200000L)
+    assert(r.getAs[String]("resource_service_name") == "svc-b")
+    assert(r.getAs[String]("attr_http_status") == "500")
+  }
 }
