@@ -119,7 +119,12 @@ object Engine {
 
     case Agg(op, arg, by, without, param) =>
       val sf = vector(eval(arg, store, p))
-      Right(aggNode(sf, op, by, without, param))
+      val agged = aggNode(sf, op, by, without, param)
+      // count-series specialization: a series count is defined on EVERY
+      // bucket of the query grid — densify with zero-fill (reference
+      // buildCountOnly, promql/sql_builder.go:629-751 + count hints at
+      // exec_planner.go:269-284)
+      if (op == "count") Right(densifyCount(agged, store, p)) else Right(agged)
 
     case QuantileOverTime(q, sel) => Right(sketchLeaf(sel, q, store, p))
     case HistogramQuantile(q, arg) => arg match {
@@ -352,6 +357,25 @@ object Engine {
         val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*).agg(fn.as("value"))
         SeriesFrame(g, keep)
     }
+  }
+
+  /** Densified count grid: `spark.range` over the aligned step grid CROSS
+    * JOIN the distinct keep-groups observed in the range (grid size bounded
+    * by group cardinality, exactly the reference's scope — grid-only-for-
+    * count), LEFT JOIN the sparse counts, `coalesce(0)`. The distinct-groups
+    * side is tiny, so Catalyst broadcasts it; no extra shuffle lands on the
+    * big side.
+    */
+  private def densifyCount(sf: SeriesFrame, store: MetricStore,
+      p: QueryParams): SeriesFrame = {
+    val spark = store.df.sparkSession
+    val grid0 = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("ts")
+    val grid =
+      if (sf.labels.isEmpty) grid0
+      else grid0.crossJoin(sf.df.select(sf.labels.map(col): _*).distinct())
+    val out = grid.join(sf.df, "ts" +: sf.labels, "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+    SeriesFrame(out, sf.labels)
   }
 
   // ---- binary ops ---------------------------------------------------------

@@ -267,6 +267,22 @@ object PromQLQueries extends Catalog {
                CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS value
         FROM win WHERE ${covered(H4)}""")),
 
+    // count-series specialization: grid × distinct groups, zero-filled —
+    // every (bucket, matched group) combo appears even with no data
+    Q("pq_count_series",
+      run("""count by (attr_event_type) (events_value{attr_event_type=~"error|signup"})"""),
+      Some(s"""WITH ${stepCte()},
+        m AS (SELECT ts, attr_event_type FROM step
+              WHERE regexp_full_match(attr_event_type, 'error|signup')),
+        grid AS (SELECT r.range AS ts, g.attr_event_type
+                 FROM range($Start, $End, $StepMs) r
+                 CROSS JOIN (SELECT DISTINCT attr_event_type FROM m) g),
+        cnt AS (SELECT ts, attr_event_type, CAST(count(*) AS DOUBLE) AS c
+                FROM m WHERE ts >= $Start AND ts < $End GROUP BY 1, 2)
+        SELECT g.ts, g.attr_event_type, coalesce(c.c, 0.0) AS value
+        FROM grid g
+        LEFT JOIN cnt c ON g.ts = c.ts AND g.attr_event_type = c.attr_event_type""")),
+
     Q("pq_last_over_time",
       run("last_over_time(events_value[6h])"),
       // last bucket in the window is the current one → its bucket average

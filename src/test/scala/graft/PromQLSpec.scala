@@ -99,6 +99,17 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(mx <= 5.0 && mx >= 1.0) // 5 event types
   }
 
+  test("count() densifies: every grid bucket present, empty buckets = 0") {
+    val df = Engine.query(
+      """count by (attr_event_type) (events_value{attr_event_type="signup"})""",
+      store, p)
+    val buckets = (p.endMs - start) / p.stepMs
+    // one group (signup) × full grid, zero-filled where sparse data is absent
+    assert(df.count() == buckets)
+    assert(df.filter(col("value") === 0.0).count() > 0) // sf0.001 has gaps
+    assert(df.filter(col("ts") % p.stepMs =!= 0).count() == 0)
+  }
+
   test("vector-vector self subtraction is zero") {
     val df = Engine.query("events_value - events_value", store, p)
     assert(df.filter(col("value") =!= 0.0).count() == 0 && df.count() > 0)
