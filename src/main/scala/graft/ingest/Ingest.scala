@@ -199,14 +199,53 @@ object Segments {
       .parquet(outDir)
 
   /** Compaction: re-read a segment dir (union-by-name across evolving
-    * schemas), re-sort, rewrite as fewer, larger, sorted files
-    * (reference log_compaction_processor.go:100-339). Output replaces the
-    * input dir atomically-enough for the local harness (temp + move).
+    * schemas), re-sort, and REWRITE it as fewer, larger, sorted files
+    * (reference log_compaction_processor.go:100-339): write to a sibling
+    * temp dir, then swap via two FS renames (dir → .old, tmp → dir) — the
+    * same replace-then-delete pattern the reference uses for segment swap.
+    * Renames go through the Hadoop FileSystem API so the job works on any
+    * Spark-supported FS; on object stores an atomic-commit table format
+    * (Delta/Iceberg) would replace the rename pair.
+    *
+    * Returns the re-read compacted frame.
     */
   def compactMetricSegments(spark: SparkSession, dir: String,
       maxRecordsPerFile: Long = 2000000L): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(dir)
-    df.repartition(col("dateint"), col("freq"))
-      .sortWithinPartitions(col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+    val tmp = dir.stripSuffix("/") + ".compact_tmp"
+    val old = dir.stripSuffix("/") + ".compact_old"
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      // one task per (dateint, freq) group → one sorted file per partition
+      // dir unless maxRecordsPerFile splits it
+      .repartition(col("dateint"), col("freq"))
+      .sortWithinPartitions(col("dateint"), col("freq"),
+        col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+      .write.mode("overwrite")
+      .partitionBy("dateint", "freq")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(conf)
+    val oldP = new org.apache.hadoop.fs.Path(old)
+    fs.delete(oldP, true)
+    if (!fs.rename(dirP, oldP) ||
+        !fs.rename(new org.apache.hadoop.fs.Path(tmp), dirP))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    fs.delete(oldP, true)
+    spark.read.parquet(dir)
+  }
+
+  /** parquet data-file count under a segment dir (compaction metric) */
+  def countDataFiles(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 }

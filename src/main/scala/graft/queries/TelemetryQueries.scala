@@ -76,12 +76,20 @@ object TelemetryQueries extends Catalog {
       raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
       Seq("attr_event_type" -> col("event_type")), freqMs = 60000L,
       withSketch = false)
-    // two writes → many small files → compact → single sorted set
-    Segments.writeMetricSegments(base.filter(col("chq_tid") % 2 === 0), dir,
+    // two interleaved writes (alternating minutes — chq_tid has only one
+    // value per event_type, so it can't split) → many small files per
+    // partition dir → compact → one sorted file per dir
+    val half = expr("chq_timestamp DIV 60000 % 2")
+    Segments.writeMetricSegments(base.filter(half === 0), dir,
       maxRecordsPerFile = 500)
-    Segments.writeMetricSegments(base.filter(col("chq_tid") % 2 =!= 0), dir,
+    Segments.writeMetricSegments(base.filter(half =!= 0), dir,
       maxRecordsPerFile = 500)
+    val before = Segments.countDataFiles(s, dir)
     val compacted = Segments.compactMetricSegments(s, dir)
+    val after = Segments.countDataFiles(s, dir)
+    // the small-files problem must actually be solved on disk
+    require(after < before && after <= 35,
+      s"compaction did not shrink the file set: $before -> $after")
     compacted.groupBy(col("dateint"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("chq_rollup_sum")).as("sum_v"),

@@ -68,4 +68,29 @@ class IngestSpec extends AnyFunSuite {
       .count()
     assert(unsorted == 0)
   }
+
+  test("compaction rewrites the dir: fewer files, same data, still sorted") {
+    val ev = graft.model.Tables.events(spark, sf)
+    val base = MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 60000L, withSketch = false)
+    val dir = Files.createTempDirectory("graft_compact_").toString
+    // three small appends → many files per dateint
+    (0 until 3).foreach { i =>
+      Segments.writeMetricSegments(base.filter(col("chq_tid") % 3 === i), dir,
+        maxRecordsPerFile = 50)
+    }
+    val before = Segments.countDataFiles(spark, dir)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(col("chq_rollup_sum")), count(lit(1))).head()
+    val compacted = Segments.compactMetricSegments(spark, dir)
+    val after = Segments.countDataFiles(spark, dir)
+    assert(after < before, s"expected shrink, got $before -> $after")
+    // data survives the swap (row count exact; sum up to summation order)
+    val sumAfter = compacted.agg(sum(col("chq_rollup_sum")), count(lit(1))).head()
+    assert(math.abs(sumBefore.getDouble(0) - sumAfter.getDouble(0)) < 1e-6)
+    assert(sumBefore.getLong(1) == sumAfter.getLong(1))
+    // no temp/old residue
+    val names = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!names.exists(n => n.contains("compact_tmp") || n.contains("compact_old")))
+  }
 }
