@@ -93,9 +93,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle (the verify step
     * after LSH, or standalone at moderate scale).
+    *
+    * Skew guard: shingles shared by more than `maxDocsPerShingle` docs are
+    * dropped before pair expansion (standard stop-shingle filtering). One
+    * hot shingle shared by 10^6 docs would otherwise emit ~10^12 pairs from
+    * a single reduce key; such shingles are boilerplate with no dedup
+    * signal. When the cap binds, `common` (and thus jaccard) is computed
+    * over the surviving shingles only — document-level similarity from
+    * discriminative n-grams.
     */
   def ngramJaccard(df: DataFrame, textCol: String, w: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDocsPerShingle: Int = 1000): DataFrame = {
     val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation via per-shingle doc lists instead of a self-join:
@@ -107,7 +115,7 @@ object Dedup {
         y => struct(x.as("a"), y.as("b")))))
     val pairs = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocsPerShingle)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -139,15 +147,37 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** near-dup pairs by SimHash hamming distance ≤ maxDist */
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, via banded
+    * bucket joins — NOT an all-pairs comparison. The signature is cut into
+    * `bands` equal bit-slices; by pigeonhole, two signatures within
+    * `maxDist < bands` differing bits agree exactly on ≥1 slice, so
+    * candidate generation is an equi-join on (band, slice value) and the
+    * exact `bit_count(xor)` check only runs on co-bucketed pairs. This is
+    * the shape that survives 100 TB: shuffle keyed by band value, no
+    * cartesian product.
+    */
   def simhashPairs(df: DataFrame, textCol: String, bits: Int = 32,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands (got $maxDist >= $bands)")
+    require(bits % bands == 0, "bands must evenly divide the signature width")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
     val s = simhash(df, textCol, bits)
-    val l = s.select(col("doc_id").as("a"), col("simhash").as("ha"))
-    val r = s.select(col("doc_id").as("b"), col("simhash").as("hb"))
-    l.join(r, col("a") < col("b"))
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val banded = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bval"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
+    val l = banded.select(col("band"), col("bval"),
+      col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = banded.select(col("band"), col("bval"),
+      col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("band", "bval")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("dist") <= maxDist)
-      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+      .select(col("a"), col("b"), col("dist"))
   }
 }

@@ -81,9 +81,12 @@ object PipelineQueries extends Catalog {
   private val ngramJaccardSql =
     s"""WITH $shingleCte,
      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+     capped AS (
+       SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 1000),
      pairs AS (
        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       WHERE x.sh IN (SELECT sh FROM capped)
        GROUP BY 1, 2)
      SELECT a, b,
             round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
@@ -120,6 +123,9 @@ object PipelineQueries extends Catalog {
   private def simhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), "text", bits = 32)
 
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), "text", bits = 32, maxDist = 3, bands = 4)
+
   private val simhashSql = {
     val votes = (0 until 32).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
@@ -133,6 +139,23 @@ object PipelineQueries extends Catalog {
      v AS (SELECT doc_id, $votes FROM tok GROUP BY 1)
      SELECT doc_id, $pack AS simhash FROM v"""
   }
+
+  /** banded twin of [[Dedup.simhashPairs]]: same 4×8-bit band buckets,
+    * same pigeonhole guarantee, exact xor/bit_count check on candidates
+    */
+  private val simhashPairsSql =
+    s"""WITH sigs AS ($simhashSql),
+     banded AS (
+       SELECT doc_id, simhash, b.band AS band,
+              (simhash >> CAST(b.band * 8 AS INT)) & 255 AS bval
+       FROM sigs CROSS JOIN range(0, 4) b(band)),
+     pairs AS (
+       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+              l.simhash AS ha, r.simhash AS hb
+       FROM banded l
+       JOIN banded r ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)
+     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+     FROM pairs WHERE bit_count(xor(ha, hb)) <= 3"""
 
   // ---- similarity search ---------------------------------------------------
 
@@ -206,6 +229,7 @@ object PipelineQueries extends Catalog {
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
+    Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, None), // recall vs brute force asserted in spec
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))

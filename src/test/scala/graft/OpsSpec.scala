@@ -76,6 +76,20 @@ class DedupSpec extends AnyFunSuite {
     def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(dist(sig(1L), sig(2L)) < dist(sig(1L), sig(3L)))
   }
+
+  test("banded simhash pairs = brute-force pairs (pigeonhole completeness)") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val banded = Dedup.simhashPairs(docs, "text", bits = 32, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the collected signatures (small at test scale)
+    val sigs = Dedup.simhash(docs, "text", bits = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute && banded.nonEmpty)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
