@@ -63,10 +63,17 @@ object Similarity {
     when(aggregate(prods, lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
   }
 
+  /** nPlanes-bit LSH bucket id using planes [planeOffset, planeOffset+nPlanes):
+    * bucket bit b comes from plane planeOffset+b, so different offsets give
+    * genuinely disjoint plane families (independent hash tables).
+    */
+  def lshBucketAt(emb: Column, planeOffset: Int, nPlanes: Int, dims: Int): Column =
+    (0 until nPlanes).map(b => planeBit(emb, planeOffset + b, dims) * lit(1 << b))
+      .reduce((a, b) => a + b)
+
   /** nPlanes-bit LSH bucket id for an embedding of known dimensionality */
   def lshBucket(emb: Column, nPlanes: Int = 8, dims: Int = 64): Column =
-    (0 until nPlanes).map(p => planeBit(emb, p, dims) * lit(1 << p))
-      .reduce((a, b) => a + b)
+    lshBucketAt(emb, 0, nPlanes, dims)
 
   /** ANN via random-hyperplane LSH: candidates share a bucket with the
     * query; rerank by exact cosine, top-k per query. Recall < 1 by design —
@@ -77,8 +84,9 @@ object Similarity {
     def withBuckets(df: DataFrame, id: Column, emb: Column): DataFrame =
       df.select(id.as("id"), emb.as("emb"),
         explode(array((0 until tables).map(t =>
-          // each table uses a disjoint plane family (offset plane index)
-          concat_ws(":", lit(t), lshBucket(emb, nPlanes + t, dims))): _*))
+          // table t draws planes [t*nPlanes, (t+1)*nPlanes) — disjoint
+          // families, so each extra table contributes independent recall
+          concat_ws(":", lit(t), lshBucketAt(emb, t * nPlanes, nPlanes, dims))): _*))
           .as("bucket"))
     val c = withBuckets(corpus, col("vec_id"), col("embedding"))
     val q = broadcast(withBuckets(queries, col("vec_id"), col("embedding"))

@@ -193,6 +193,74 @@ object PipelineQueries extends Catalog {
       nPlanes = 4, tables = 2)
   }
 
+  /** DuckDB twin of [[Similarity.lshTopK]]: the md5-derived plane
+    * components are recomputed in SQL (same 6-byte hex → [-0.5, 0.5)
+    * affine map), buckets per table from disjoint plane families
+    * t*4+p, candidate bucket-join, exact cosine rerank, top-10.
+    */
+  private val lshAnnSql = {
+    val planeW = "CAST(('0x' || substr(md5('plane' || CAST(t.t*4 + p.p AS VARCHAR)" +
+      " || '|' || CAST(d.i AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 - 0.5"
+    s"""WITH pl AS (
+       SELECT t.t AS tbl, p.p AS p, d.i AS i, $planeW AS w
+       FROM range(0, 2) t(t) CROSS JOIN range(0, 4) p(p)
+            CROSS JOIN range(0, 64) d(i)),
+     ev AS (
+       SELECT vec_id, d.i AS i,
+              CAST(embedding[CAST(d.i + 1 AS INT)] AS DOUBLE) AS x
+       FROM embeddings CROSS JOIN range(0, 64) d(i)),
+     dots AS (
+       SELECT ev.vec_id, pl.tbl, pl.p, sum(ev.x * pl.w) AS dot
+       FROM ev JOIN pl ON ev.i = pl.i GROUP BY 1, 2, 3),
+     buckets AS (
+       SELECT vec_id, tbl,
+              sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                       ELSE 0 END) AS bucket
+       FROM dots GROUP BY 1, 2),
+     cand AS (
+       SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS vec_id
+       FROM (SELECT * FROM buckets WHERE vec_id < 5) qb
+       JOIN buckets b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+       WHERE b.vec_id <> qb.vec_id),
+     scored AS (
+       SELECT c.query_id, c.vec_id,
+              list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(q.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(v.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       FROM cand c
+       JOIN embeddings q ON q.vec_id = c.query_id
+       JOIN embeddings v ON v.vec_id = c.vec_id),
+     rk AS (
+       SELECT query_id, vec_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rk
+       FROM scored)
+     SELECT query_id, vec_id, round(sim, 6) AS sim FROM rk WHERE rk <= 10"""
+  }
+
+  private val langIdSql =
+    """WITH s AS (
+       SELECT doc_id,
+              len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains(['der','die','das','und','ist','ein'], w))) AS s_de,
+              len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains(['the','a','of','and','to','in','is'], w))) AS s_en,
+              len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains(['el','la','los','y','es','un'], w))) AS s_es,
+              len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains(['le','la','les','et','est','un'], w))) AS s_fr
+       FROM documents)
+     SELECT doc_id,
+            CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 ELSE 'de' END AS lang_pred
+     FROM s"""
+
   // ---- multimodal ----------------------------------------------------------
 
   /** array columns are exploded/stringified so the verifier can canonicalize
@@ -224,14 +292,14 @@ object PipelineQueries extends Catalog {
     Q("pp_text_stats", textStats, Some(textStatsSql)),
     Q("pp_langid",
       (s, d) => docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
-      None), // heuristic argmax — validated in TextOpsSpec, no SQL twin
+      Some(langIdSql)),
     Q("pp_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
-    Q("pp_lsh_ann", lshAnn, None), // recall vs brute force asserted in spec
+    Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))
   )
 }

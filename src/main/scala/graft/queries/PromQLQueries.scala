@@ -327,22 +327,71 @@ object PromQLQueries extends Catalog {
                min("value") AS min_v, max("value") AS max_v
         FROM events GROUP BY 1, 2""")),
 
-    // quantiles are alpha-relative-accurate → no hash oracle (rows-only);
-    // accuracy is asserted against exact percentiles in DDSketchSpec
+    // DDSketch quantiles are deterministic, not just alpha-accurate: with no
+    // bucket collapse (value range here spans ~460 of 2048 bins) the merged
+    // sketch is exactly the log-bucket histogram of the window's raw values,
+    // so the oracle replays the bucket mapping i = ceil(ln(v)/ln(gamma)),
+    // the lower-rank convention rank = floor(q*(n-1))+1, the midpoint value
+    // 2*gamma^i/(gamma+1), and the [min,max] clamp — straight from events.
     Q("pq_hist_quantile",
       { (s, d) =>
         Engine.query("histogram_quantile(0.9, events_value)",
           MetricStore(Cooked.metrics(s, d, withSketch = true)),
           QueryParams(Start, End, StepMs))
+          .withColumn("value", round(col("value"), 6))
       },
-      None),
+      Some(ddsQuantileSql(0.9, 0L))),
 
     Q("pq_quantile_over_time",
       { (s, d) =>
         Engine.query("quantile_over_time(0.95, events_value[4h])",
           MetricStore(Cooked.metrics(s, d, withSketch = true)),
           QueryParams(Start, End, StepMs)).filter(!isnan(col("value")))
+          .withColumn("value", round(col("value"), 6))
       },
-      None)
+      Some(ddsQuantileSql(0.95, H4)))
   )
+
+  /** DuckDB replay of the DDSketch quantile read (see pq_hist_quantile
+    * comment): window expansion via a 0..range/step offset cross join,
+    * coverage = leftmost step bucket present, alpha = 0.01.
+    */
+  private def ddsQuantileSql(q: Double, rangeMs: Long): String = {
+    val nOff = if (rangeMs > 0) rangeMs / StepMs else 1L
+    val effStart = Start - rangeMs
+    val coverGap = if (rangeMs > 0) rangeMs - StepMs else 0L
+    val gamma = "((1.0 + 0.01) / (1.0 - 0.01))"
+    s"""WITH ev AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS b,
+              event_type AS attr_event_type, "value" AS v
+       FROM events
+       WHERE epoch_ms(ts) >= $effStart AND epoch_ms(ts) < $End),
+     win AS (
+       SELECT b + o.o * $StepMs AS ts, attr_event_type, v, b
+       FROM ev CROSS JOIN range(0, $nOff) o(o)),
+     stats AS (
+       SELECT ts, attr_event_type, CAST(count(*) AS BIGINT) AS n,
+              min(v) AS mn, max(v) AS mx, min(b) AS first_b
+       FROM win GROUP BY 1, 2),
+     idx AS (
+       SELECT ts, attr_event_type,
+              CAST(ceil(ln(v) / ln($gamma)) AS BIGINT) AS i, count(*) AS c
+       FROM win GROUP BY 1, 2, 3),
+     cum AS (
+       SELECT ts, attr_event_type, i,
+              sum(c) OVER (PARTITION BY ts, attr_event_type ORDER BY i) AS cum
+       FROM idx),
+     sel AS (
+       SELECT c.ts, c.attr_event_type, min(c.i) AS qi
+       FROM cum c JOIN stats s USING (ts, attr_event_type)
+       WHERE c.cum >= CAST(floor($q * (s.n - 1)) AS BIGINT) + 1
+       GROUP BY 1, 2),
+     anchors AS (SELECT DISTINCT b AS ts, attr_event_type FROM ev)
+     SELECT s.ts, s.attr_event_type,
+            round(least(greatest(2 * pow($gamma, qi) / ($gamma + 1.0), s.mn),
+                        s.mx), 6) AS value
+     FROM sel JOIN stats s USING (ts, attr_event_type)
+     JOIN anchors USING (ts, attr_event_type)
+     WHERE s.first_b = s.ts - $coverGap AND s.ts >= $Start AND s.ts < $End"""
+  }
 }
