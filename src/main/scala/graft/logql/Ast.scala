@@ -41,11 +41,24 @@ final case class LabelFilter(label: String, op: String, value: String,
 /** `| unwrap field` / `unwrap duration(field)` / `unwrap bytes(field)` */
 final case class UnwrapStage(field: String, conv: String) extends Stage // conv: "", "duration", "bytes"
 
-/** Go-template subset: literal text + {{.field}} refs (+lower/upper pipes) */
+/** Go-template subset (reference template compiler,
+  * logql/sql_builder.go:636-953): literal text, {{.field}} refs with
+  * lower/upper/trim/len pipes, and {{if pred}}…{{else}}…{{end}}
+  * conditionals over hasPrefix/hasSuffix/contains/match/eq/ne predicates.
+  */
 final case class Template(parts: List[TemplatePart])
 sealed trait TemplatePart
 final case class Lit(text: String) extends TemplatePart
-final case class Ref(field: String, fn: String = "") extends TemplatePart // fn: ""|"lower"|"upper"
+final case class Ref(field: String, fn: String = "") extends TemplatePart // fn: ""|"lower"|"upper"|"trim"|"len"
+final case class Cond(pred: Pred, thenT: Template, elseT: Template) extends TemplatePart
+
+/** predicate call `fn a b` (reference arg order: needle first, value second
+  * for hasPrefix/hasSuffix/contains/match; eq/ne are symmetric)
+  */
+final case class Pred(fn: String, a: TemplateArg, b: TemplateArg)
+sealed trait TemplateArg
+final case class FieldArg(name: String) extends TemplateArg
+final case class LitArg(value: String) extends TemplateArg
 
 /** `{selector} stage*` */
 final case class LogPipeline(matchers: List[Matcher], stages: List[Stage])

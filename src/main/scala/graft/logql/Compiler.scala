@@ -305,19 +305,67 @@ object Compiler {
         fn match {
           case "lower" => lower(base)
           case "upper" => upper(base)
-          case _       => base
+          case "trim"  => trim(base)
+          // reference len: JSON-array length when the value parses as one,
+          // else character length (logql/sql_builder.go:643-649)
+          case "len" =>
+            coalesce(json_array_length(base), length(base)).cast("string")
+          case _ => base
         }
+      case Cond(pred, thenT, elseT) =>
+        when(predCol(df, pred), templateCol(df, thenT))
+          .otherwise(templateCol(df, elseT))
     }
-    if (parts.size == 1) parts.head else concat(parts: _*)
+    parts match {
+      case Nil         => lit("")
+      case one :: Nil  => one
+      case many        => concat(many: _*)
+    }
   }
+
+  /** template predicate → boolean Column (reference arg order: needle
+    * first — hasPrefix prefix s / contains sub s / match re s)
+    */
+  private def predCol(df: DataFrame, p: Pred): Column = {
+    def argCol(a: TemplateArg): Column = a match {
+      case FieldArg(f) => coalesce(df(f).cast("string"), lit(""))
+      case LitArg(v)   => lit(v)
+    }
+    val (a, b) = (argCol(p.a), argCol(p.b))
+    p.fn match {
+      case "hasPrefix" => b.startsWith(a)
+      case "hasSuffix" => b.endsWith(a)
+      case "contains"  => b.contains(a)
+      case "match"     => p.a match {
+        // rlike needs a plan-time pattern; a column-valued regex would be
+        // per-row compilation anyway
+        case LitArg(re) => b.rlike(re)
+        case FieldArg(f) =>
+          throw new IllegalArgumentException(
+            s"match predicate needs a literal regex, got field .$f")
+      }
+      case "eq" => a === b
+      case "ne" => a =!= b
+    }
+  }
+
+  /** field refs anywhere in a template (incl. conditional branches/preds) */
+  private def templateFields(t: Template): Seq[String] =
+    t.parts.flatMap {
+      case Ref(f, _) => Seq(f)
+      case Cond(Pred(_, a, b), thenT, elseT) =>
+        Seq(a, b).collect { case FieldArg(f) => f } ++
+          templateFields(thenT) ++ templateFields(elseT)
+      case _ => Nil
+    }
 
   /** labels referenced by later stages (filters, templates, unwrap) */
   private def neededLabels(stages: List[Stage]): Seq[String] =
     stages.flatMap {
       case LabelFilter(l, _, _, _) => Seq(l)
       case UnwrapStage(f, _) => Seq(f)
-      case LabelFormatStage(as) => as.flatMap(_._2.parts.collect { case Ref(f, _) => f })
-      case LineFormatStage(t) => t.parts.collect { case Ref(f, _) => f }
+      case LabelFormatStage(as) => as.flatMap(kv => templateFields(kv._2))
+      case LineFormatStage(t) => templateFields(t)
       case KeepStage(ls) => ls
       case _ => Nil
     }.distinct

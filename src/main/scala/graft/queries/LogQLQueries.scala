@@ -118,6 +118,23 @@ object LogQLQueries extends Catalog {
                upper(resource_service_name) AS svc_up
         FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
 
+    // conditional templates + trim/len pipes (reference template compiler
+    // logql/sql_builder.go:636-953)
+    Q("lq_label_format_cond",
+      raw("""{metric_name="log_events", log_level=~"ERROR|INFO"} | logfmt | label_format kind=`{{if hasPrefix "p" .evt}}buy{{else}}other{{end}}`, flagged=`{{if contains "rr" .log_level}}y{{end}}`, svclen="{{.resource_service_name | len}}", evt_t="{{.evt | trim}}" """,
+        Seq("chq_timestamp", "kind", "flagged", "svclen", "evt_t")),
+      Some(s"""WITH ${Cooked.logsCte},
+        x AS (SELECT chq_timestamp, log_level, resource_service_name,
+                     regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) AS evt
+              FROM logs
+              WHERE regexp_full_match(log_level, 'ERROR|INFO') AND $timeCond)
+        SELECT chq_timestamp,
+               CASE WHEN starts_with(evt, 'p') THEN 'buy' ELSE 'other' END AS kind,
+               CASE WHEN contains(log_level, 'rr') THEN 'y' ELSE '' END AS flagged,
+               CAST(length(resource_service_name) AS VARCHAR) AS svclen,
+               trim(evt) AS evt_t
+        FROM x""")),
+
     Q("lq_line_format",
       raw("""{log_level="INFO"} | logfmt | line_format "u{{.user}} did {{.evt}}" |= "did purchase" """,
         Seq("chq_timestamp", "log_message")),

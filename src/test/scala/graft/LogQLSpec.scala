@@ -42,6 +42,32 @@ class LogQLParserSpec extends AnyFunSuite {
     val t = Parser.parseTemplate("x={{.a}}-{{.b | ToUpper}}!")
     assert(t.parts == List(Lit("x="), Ref("a"), Lit("-"), Ref("b", "upper"), Lit("!")))
   }
+
+  test("templates parse trim/len pipes and if/else conditionals") {
+    val t = Parser.parseTemplate("{{.a | trim}}:{{.b | len}}")
+    assert(t.parts == List(Ref("a", "trim"), Lit(":"), Ref("b", "len")))
+
+    val c = Parser.parseTemplate("""{{if hasPrefix "p" .evt}}buy{{else}}no{{end}}-{{.x}}""")
+    assert(c.parts == List(
+      Cond(Pred("hasPrefix", LitArg("p"), FieldArg("evt")),
+        Template(List(Lit("buy"))), Template(List(Lit("no")))),
+      Lit("-"), Ref("x")))
+
+    val noElse = Parser.parseTemplate("""{{if eq .a .b}}same{{end}}""")
+    assert(noElse.parts == List(
+      Cond(Pred("eq", FieldArg("a"), FieldArg("b")),
+        Template(List(Lit("same"))), Template(Nil))))
+
+    // nested conditionals
+    val nested = Parser.parseTemplate(
+      """{{if contains "x" .a}}{{if match "^y" .b}}both{{end}}{{end}}""")
+    assert(nested.parts.head.isInstanceOf[Cond])
+
+    assert(Parser.parse(
+      """{x="1"} | label_format k=`{{if hasSuffix "z" .a}}t{{end}}`""").isRight)
+    // unbalanced raises
+    intercept[Parser.ParseError](Parser.parseTemplate("{{if eq .a .b}}oops"))
+  }
 }
 
 class LogQLCompilerSpec extends AnyFunSuite {
