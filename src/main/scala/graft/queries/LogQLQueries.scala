@@ -118,6 +118,16 @@ object LogQLQueries extends Catalog {
                upper(resource_service_name) AS svc_up
         FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
 
+    // keep/drop narrow the label set carried to the output (fields=Nil so
+    // the default projection exposes exactly the surviving labels)
+    Q("lq_keep_drop",
+      raw("""{log_level="ERROR"} | logfmt | keep evt, user | drop user """,
+        Nil),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp, chq_tsns, log_message,
+               regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) AS evt
+        FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
+
     // conditional templates + trim/len pipes (reference template compiler
     // logql/sql_builder.go:636-953)
     Q("lq_label_format_cond",

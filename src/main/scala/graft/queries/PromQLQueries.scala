@@ -304,6 +304,28 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, ${H4 / 1000.0} AS value
         FROM win WHERE ${covered(H4)}""")),
 
+    // scalar(vector) broadcast into vector arithmetic (scalar_node.go role)
+    Q("pq_scalar_binop",
+      run("events_value / scalar(sum(events_value))"),
+      Some(s"""WITH ${stepCte()}
+        SELECT l.ts, l.attr_event_type, l.bsum / r.tot AS value
+        FROM step l
+        JOIN (SELECT ts, sum(bsum) AS tot FROM step GROUP BY ts) r ON l.ts = r.ts
+        WHERE l.ts >= $Start AND l.ts < $End""")),
+
+    // subquery step [6h:1h]: leaf buckets at the 1h sub-step even though
+    // the query step is 2h (reference: subquery step overrides leaf step)
+    Q("pq_subquery_step",
+      { (s, d) =>
+        Engine.query("max_over_time(events_value[6h:1h])",
+          MetricStore(Cooked.metrics(s, d)),
+          QueryParams(Start, End, 2 * 3600000L))
+          .filter(!isnan(col("value")))
+      },
+      Some(s"""WITH ${winCte(H6)}
+        SELECT ts, attr_event_type, wmax AS value
+        FROM win WHERE ${covered(H6)}""")),
+
     // --- DDSketch paths ----------------------------------------------------
 
     // exact stats extracted from merged sketches: hash-matches DuckDB's

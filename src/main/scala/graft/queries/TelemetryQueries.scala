@@ -146,6 +146,25 @@ object TelemetryQueries extends Catalog {
   private val SpanStart = 1704067200000L
   private val SpanEnd = SpanStart + 14L * 86400000L
 
+  /** HLL cardinality (reference SketchHLL merge paths,
+    * promql/eval_types.go:22-32): the estimate itself is engine-specific,
+    * so the oracle-checkable contract is "estimate within the configured
+    * error band of the exact count" — hll_ok must be 1 for every group.
+    */
+  private def hllCardinality(s: SparkSession, d: String): DataFrame =
+    raw(s, d).groupBy(col("event_type").as("attr_event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("attr_event_type"), col("n_exact"),
+        when(abs(col("approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05, 1L).otherwise(0L).as("hll_ok"))
+
+  private val hllCardinalitySql =
+    """SELECT event_type AS attr_event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+              CAST(1 AS BIGINT) AS hll_ok
+       FROM events GROUP BY 1"""
+
   // ---- OTel binpb round-trips ---------------------------------------------
 
   private def gzWrite(prefix: String, name: String, blob: Array[Byte]): String = {
@@ -346,6 +365,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
     Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
+    Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
