@@ -29,6 +29,39 @@ object Readers {
   }
 }
 
+/** Message-shape fingerprint — the role of the reference's trigram/trie
+  * log clustering (internal/fingerprint/fingerprint.go:119-172,
+  * tenant_manager.go:24-55), re-expressed statelessly: literal-looking
+  * tokens (quoted strings, long hex ids, numbers) collapse to placeholder
+  * markers and the surviving template is hashed, so same-shape messages
+  * share one cluster id regardless of embedded values. Hash is md5-48
+  * (not the reference's xxhash64) so DuckDB oracles replay it
+  * bit-for-bit; pure Column algebra, codegen'd.
+  */
+object LogFingerprint {
+
+  /** message → shape template: "user 4312 bought \"x9\" for 12.50" →
+    * "user <n> bought <s> for <n>"
+    */
+  def template(msg: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(msg, "\"[^\"]*\"", "<s>"),
+        "\\b[0-9a-f]{8,}\\b", "<h>"),
+      "-?[0-9]+(?:\\.[0-9]+)?", "<n>")
+
+  /** 48-bit cluster id of the template */
+  def fingerprint(msg: Column): Column =
+    conv(substring(md5(template(msg)), 1, 12), 16, 10).cast("long")
+
+  /** DuckDB twin of [[fingerprint]] over a message SQL expression */
+  def fingerprintSql(msgExpr: String): String =
+    "CAST(('0x' || substr(md5(" +
+      s"""regexp_replace(regexp_replace(regexp_replace($msgExpr, '"[^"]*"', '<s>', 'g'),""" +
+      """ '\b[0-9a-f]{8,}\b', '<h>', 'g'), '-?[0-9]+(\.[0-9]+)?', '<n>', 'g')""" +
+      "), 1, 12)) AS BIGINT)"
+}
+
 object Flatten {
 
   /** `http.method` → `http_method`, lowercased (reference

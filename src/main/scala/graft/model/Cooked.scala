@@ -74,7 +74,9 @@ object Cooked {
         concat(lit("svc-"), (col("user_id") % 5).cast("string")))
       .withColumn("attr_event_type", col("event_type"))
       .withColumn("metric_name", lit("log_events"))
-      .withColumn("chq_fingerprint", xxhash64(col("event_type"), col("log_level")))
+      // message-shape cluster id (literals → placeholders, template hashed)
+      .withColumn("chq_fingerprint",
+        graft.ingest.LogFingerprint.fingerprint(col("log_message")))
       .select("chq_timestamp", "chq_tsns", "chq_fingerprint", "metric_name",
         "log_level", "log_message", "resource_service_name", "attr_event_type")
 

@@ -146,6 +146,26 @@ object TelemetryQueries extends Catalog {
   private val SpanStart = 1704067200000L
   private val SpanEnd = SpanStart + 14L * 86400000L
 
+  /** Message-shape fingerprint clustering: same-shape lines share one
+    * chq_fingerprint; the oracle replays template extraction + md5-48.
+    */
+  private def logFingerprint(s: SparkSession, d: String): DataFrame =
+    graft.model.Cooked.logs(s, d)
+      .groupBy(col("chq_fingerprint"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("attr_event_type")).as("n_types"),
+        min(col("chq_timestamp")).as("first_ts"))
+
+  private val logFingerprintSql = {
+    import graft.ingest.LogFingerprint
+    s"""WITH ${graft.model.Cooked.logsCte}
+     SELECT ${LogFingerprint.fingerprintSql("log_message")} AS chq_fingerprint,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(DISTINCT attr_event_type) AS BIGINT) AS n_types,
+            min(chq_timestamp) AS first_ts
+     FROM logs GROUP BY 1"""
+  }
+
   /** HLL cardinality (reference SketchHLL merge paths,
     * promql/eval_types.go:22-32): the estimate itself is engine-specific,
     * so the oracle-checkable contract is "estimate within the configured
@@ -365,6 +385,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
     Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
+    Q("tq_log_fingerprint", logFingerprint, Some(logFingerprintSql)),
     Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
