@@ -1,4 +1,12 @@
 package graft
+
+/** Benchmark main: run every catalog query against SPARK_GRAFT_SF_DIR and
+  * print ONE JSON line (driver contract). When a previous round's bench
+  * file is present (SPARK_GRAFT_BASELINE, default BENCH_r01.json), the
+  * line also carries a `regressions` map flagging queries >1.5x slower
+  * than last round (ignoring sub-200 ms noise), and the same list is
+  * echoed to stderr for humans.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,7 +24,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // prior-round per-query times (the baseline file may wrap the bench
+    // line with escaped quotes — match both forms)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+    val baseline: Map[String, Double] =
+      if (new java.io.File(baselinePath).exists()) {
+        val txt = {
+          val src = scala.io.Source.fromFile(baselinePath)
+          try src.mkString finally src.close()
+        }
+        val re = """\\?"([a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressions = results.flatMap { case (k, v) =>
+      baseline.get(k) match {
+        case Some(b) if b >= 0.2 && v > b * 1.5 => Some((k, b, v))
+        case _ => None
+      }
+    }
+    val regJson = regressions
+      .map { case (k, b, v) => "\"" + k + "\":[" + f"$b%.3f,$v%.3f]" }
+      .mkString("{", ",", "}")
+    regressions.foreach { case (k, b, v) =>
+      System.err.println(f"[bench] REGRESSION $k: $b%.3fs -> $v%.3fs (${v / b}%.2fx)")
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

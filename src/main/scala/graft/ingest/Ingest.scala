@@ -29,6 +29,70 @@ object Readers {
   }
 }
 
+/** CSV → cooked-log schema translation (reference
+  * internal/filereader/csv_log_translator.go): headers lowercased and
+  * sanitized, the `data` column becomes log_message, the first recognized
+  * timestamp column becomes chq_timestamp (ns/sec/ms magnitude heuristic +
+  * datetime-string fallback), every remaining column moves into the log_*
+  * namespace (collisions suffixed _2, _3, …), and constant resource
+  * provenance columns are appended.
+  */
+object CsvLog {
+  val TimestampFields: Seq[String] = Seq("timestamp", "time", "datetime",
+    "date", "publish_time", "event_timestamp", "created_at", "updated_at",
+    "@timestamp", "ts", "eventtime", "event_time")
+
+  /** lowercase, non-alphanumeric runs → '_', trim underscores */
+  def sanitize(name: String): String =
+    name.toLowerCase.replaceAll("[^a-z0-9_]+", "_").replaceAll("^_+|_+$", "")
+
+  /** integer sec/ms/ns or datetime string → epoch ms (thresholds from the
+    * reference: >1e15 ns, <2e9 s, else ms)
+    */
+  def toEpochMs(c: Column): Column = {
+    val d = c.cast("double") // ANSI off: non-numeric → null
+    when(d.isNotNull,
+      when(d > 1e15, (d / 1e6).cast("long"))
+        .when(d < 2e9, (d * 1000).cast("long"))
+        .otherwise(d.cast("long")))
+      .otherwise(unix_millis(to_timestamp(c.cast("string"))))
+  }
+
+  def translate(df: DataFrame, bucket: String, objectId: String): DataFrame = {
+    val lowered = df.schema.fieldNames.map(_.toLowerCase)
+    var out = df.select(df.schema.fieldNames.map(f => df(f).as(f.toLowerCase)).toSeq: _*)
+    val tsField = TimestampFields.find(lowered.contains)
+    out = tsField match {
+      case Some(f) => out.withColumn("chq_timestamp", toEpochMs(col(f))).drop(f)
+      // no recognized timestamp: null (the reference stamps wall-clock
+      // arrival time; a deterministic batch job has no such notion)
+      case None => out.withColumn("chq_timestamp", lit(null).cast("long"))
+    }
+    if (out.schema.fieldNames.contains("data"))
+      out = out.withColumn("log_message", col("data").cast("string")).drop("data")
+    val keep = Set("chq_timestamp", "log_message")
+    val used = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = out.schema.fieldNames.toSeq.sorted.flatMap { f =>
+      if (keep.contains(f)) Some(col(f))
+      else {
+        val s = sanitize(f)
+        if (s.isEmpty || s == "data") None
+        else {
+          val n = used.getOrElse(s, 0) + 1
+          used(s) = n
+          val fin = if (n == 1) s else s"${s}_$n"
+          Some(col(f).as(s"log_$fin")) // values keep their inferred types
+        }
+      }
+    }
+    out.select(renamed: _*)
+      .withColumn("resource_bucket_name", lit(bucket))
+      .withColumn("resource_file_name", lit("./" + objectId))
+      .withColumn("resource_file_type", lit(objectId.split('.').drop(1).lastOption.getOrElse("")))
+      .withColumn("resource_service_name", lit("csv-import"))
+  }
+}
+
 /** Message-shape fingerprint — the role of the reference's trigram/trie
   * log clustering (internal/fingerprint/fingerprint.go:119-172,
   * tenant_manager.go:24-55), re-expressed statelessly: literal-looking

@@ -127,6 +127,36 @@ object TelemetryQueries extends Catalog {
        count(*) AS n, round(sum("value"), 4) AS sum_v
        FROM events GROUP BY 1, 2"""
 
+  /** CSV → cooked-log translation (reference csv_log_translator.go):
+    * messy headers sanitize into the log_* namespace, `data` becomes
+    * log_message, the seconds-valued event_time column becomes
+    * chq_timestamp in ms, provenance constants appended.
+    */
+  private def csvLogTranslate(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_csvlog_").toString + "/log.csv"
+    raw(s, d).select(
+      expr("ts_ms DIV 1000").as("event_time"),
+      col("props").as("data"),
+      col("event_type").as("Event Type"),
+      col("value").as("Value%"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val cooked = graft.ingest.CsvLog.translate(
+      Readers.readAny(s, dir + "/*.csv"), "bench-bucket", "log.csv")
+    cooked.groupBy(col("log_event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("log_value")), 4).as("sum_v"),
+        min(col("chq_timestamp")).as("min_ts"),
+        first(col("resource_service_name")).as("svc"),
+        count(col("log_message")).as("n_msg"))
+  }
+
+  private val csvLogTranslateSql =
+    """SELECT event_type AS log_event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum("value"), 4) AS sum_v,
+              min(epoch_ms(ts) // 1000 * 1000) AS min_ts,
+              'csv-import' AS svc,
+              CAST(count(*) AS BIGINT) AS n_msg
+       FROM events GROUP BY 1"""
+
   /** CSV ingest round-trip with header + type inference */
   private def csvIngest(s: SparkSession, d: String): DataFrame = {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/events.csv"
@@ -385,6 +415,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
     Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
+    Q("tq_csv_log_translate", csvLogTranslate, Some(csvLogTranslateSql)),
     Q("tq_log_fingerprint", logFingerprint, Some(logFingerprintSql)),
     Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),

@@ -43,6 +43,48 @@ object StreamingIngest {
       .drop("__w")
   }
 
+  /** foreachBatch segment-write sink with offset bookkeeping — the role of
+    * the reference's Kafka consumer + `kafka_offset_tracker` table
+    * (lrdb/queries/kafka_offset_tracker.sql, common_consumer.go, atomic
+    * swap at metric_rollup_processor.go:486-555). Source offsets live in
+    * Spark's checkpoint (works unchanged over a Kafka source —
+    * `spark.readStream.format("kafka")` — no broker exists in this
+    * harness, so tests drive it with a file source). Each micro-batch
+    * writes its cooked rows under `ingest_batch=<id>/` — a replayed batch
+    * deletes and rewrites ONLY its own directory, so delivery is
+    * exactly-once at the batch level — and appends an idempotent
+    * (batch_id, rows, max_ts) record to a commit log, the queryable
+    * offset-tracker analog.
+    */
+  def segmentWriteStream(rawStream: DataFrame, build: DataFrame => DataFrame,
+      segDir: String, commitDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(commitDir))
+    rawStream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cooked = build(batch).cache()
+        try {
+          val n = cooked.count()
+          if (n > 0) {
+            val batchDir = s"$segDir/ingest_batch=$batchId"
+            val p = new org.apache.hadoop.fs.Path(batchDir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.delete(p, true) // replay rewrites its own dir only
+            graft.ingest.Segments.writeMetricSegments(cooked, batchDir)
+            val maxTs = cooked.agg(max(col("chq_timestamp"))).head().getLong(0)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(commitDir, f"batch_$batchId%09d.json"),
+              s"""{"batch_id":$batchId,"rows":$n,"max_ts":$maxTs}""")
+            ()
+          }
+        } finally { cooked.unpersist(); () }
+      }
+      .start()
+  }
+
   /** run a stream from a parquet directory to completion (AvailableNow),
     * materializing into an in-memory table; returns the result frame.
     * Local-harness helper — a production deploy would writeStream
