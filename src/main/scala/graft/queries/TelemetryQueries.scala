@@ -81,9 +81,9 @@ object TelemetryQueries extends Catalog {
     // partition dir → compact → one sorted file per dir
     val half = expr("chq_timestamp DIV 60000 % 2")
     Segments.writeMetricSegments(base.filter(half === 0), dir,
-      maxRecordsPerFile = 500)
+      maxRecordsPerFile = 2000)
     Segments.writeMetricSegments(base.filter(half =!= 0), dir,
-      maxRecordsPerFile = 500)
+      maxRecordsPerFile = 2000)
     val before = Segments.countDataFiles(s, dir)
     val compacted = Segments.compactMetricSegments(s, dir)
     val after = Segments.countDataFiles(s, dir)

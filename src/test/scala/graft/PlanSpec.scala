@@ -57,4 +57,22 @@ class PlanSpec extends AnyFunSuite {
     // codegen'd operators render as "*(n) Op" in the final AQE plan
     assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), "codegen missing")
   }
+
+  test("banded simhash pair search never degrades to a cartesian product") {
+    val p = plan("pp_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("count-series densification broadcasts the tiny grid sides") {
+    val p = plan("pq_count_series")
+    // the range×groups grid and its join against sparse counts must not
+    // shuffle the big side: broadcast join or BNLJ on the tiny side only
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Broadcast"), "grid join did not broadcast:\n" + p.take(2000))
+  }
+
+  test("LSH ANN bucket join is an equi-join, not a cross join") {
+    val p = plan("pp_lsh_ann")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
