@@ -209,9 +209,18 @@ object MetricsPreAgg {
       avg(col("__v")).as("chq_rollup_avg")) ++
       (if (withSketch) Seq(gf.ddsketch_agg(col("__v")).as("chq_sketch")) else Nil) ++
       labels.map { case (k, _) => first(col(k)).as(k) }
-    base.groupBy(col("chq_timestamp"), col("metric_name"), col("chq_tid"))
+    val agged = base.groupBy(col("chq_timestamp"), col("metric_name"), col("chq_tid"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("chq_rollup_freq", lit(freqMs))
+    // percentile columns extracted from the sketch at ingest, per the cooked
+    // contract (docs/design/db-parquet/metrics.md:85-115 chq_rollup_p25..p99)
+    if (withSketch)
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+        0.9 -> "p90", 0.95 -> "p95", 0.99 -> "p99")
+        .foldLeft(agged) { case (df, (q, nm)) =>
+          df.withColumn(s"chq_rollup_$nm", gf.ddsketch_quantile(col("chq_sketch"), q))
+        }
+    else agged
   }
 
   /** cooked rows at a finer frequency → coarser frequency; identical agg

@@ -39,6 +39,58 @@ object TelemetryQueries extends Catalog {
        event_type AS attr_event_type
        FROM events GROUP BY 1, 3, 8"""
 
+  /** sketch-extracted percentile columns at ingest pre-agg (cooked contract
+    * chq_rollup_p25..p99): the oracle replays the DDSketch quantile read
+    * (log-bucket index, lower-rank, midpoint, clamp) per 10 s bucket.
+    */
+  private def preaggPercentiles(s: SparkSession, d: String): DataFrame =
+    MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = true)
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"),
+        round(col("chq_rollup_p50"), 6).as("p50"),
+        round(col("chq_rollup_p95"), 6).as("p95"))
+
+  private val preaggPercentilesSql = {
+    val g = "((1.0 + 0.01) / (1.0 - 0.01))"
+    def sel(q: Double, nm: String) =
+      s"""$nm AS (
+         SELECT c.chq_timestamp, c.attr_event_type, min(c.i) AS qi
+         FROM cum c JOIN stats st USING (chq_timestamp, attr_event_type)
+         WHERE c.cum >= CAST(floor($q * (st.n - 1)) AS BIGINT) + 1
+         GROUP BY 1, 2)"""
+    def out(nm: String) =
+      s"round(least(greatest(2 * pow($g, $nm.qi) / ($g + 1.0), st.mn), st.mx), 6)"
+    s"""WITH ev AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % 10000 AS chq_timestamp,
+              event_type AS attr_event_type, "value" AS v
+       FROM events),
+     stats AS (
+       SELECT chq_timestamp, attr_event_type, CAST(count(*) AS BIGINT) AS n,
+              min(v) AS mn, max(v) AS mx
+       FROM ev GROUP BY 1, 2),
+     idx AS (
+       SELECT chq_timestamp, attr_event_type,
+              CAST(ceil(ln(v) / ln($g)) AS BIGINT) AS i, count(*) AS c
+       FROM ev GROUP BY 1, 2, 3),
+     cum AS (
+       SELECT chq_timestamp, attr_event_type, i,
+              sum(c) OVER (PARTITION BY chq_timestamp, attr_event_type
+                           ORDER BY i) AS cum
+       FROM idx),
+     ${sel(0.5, "q50")},
+     ${sel(0.95, "q95")}
+     SELECT st.chq_timestamp, st.attr_event_type,
+            CAST(st.n AS DOUBLE) AS chq_rollup_count,
+            ${out("q50")} AS p50,
+            ${out("q95")} AS p95
+     FROM stats st
+     JOIN q50 USING (chq_timestamp, attr_event_type)
+     JOIN q95 USING (chq_timestamp, attr_event_type)"""
+  }
+
   /** full rollup chain 10s→60s→300s→1200s→3600s; the hourly tier must
     * equal a direct hourly aggregation of the raw events (associativity
     * through four re-aggregations).
@@ -397,6 +449,42 @@ object TelemetryQueries extends Catalog {
       SpanStart, SpanEnd)
   }
 
+  /** discovery over the spans signal (reference /api/v1/spans/tagvalues) */
+  private def spanTagValues(s: SparkSession, d: String): DataFrame =
+    graft.api.Discovery.tagValues(graft.model.Cooked.spans(s, d),
+      "span_name", SpanStart, SpanEnd)
+
+  private val spanTagValuesSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT span_name AS tag_value, count(*) AS n
+     FROM spans
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd
+       AND span_name IS NOT NULL AND span_name <> ''
+     GROUP BY 1"""
+
+  /** discovery over the metrics signal (reference /api/v1/metrics/tags) */
+  private def metricTagNames(s: SparkSession, d: String): DataFrame =
+    graft.api.Discovery.tagNames(graft.model.Cooked.metrics(s, d),
+      Seq("metric_name", "chq_metric_type", "attr_event_type"),
+      SpanStart, SpanEnd)
+
+  private val metricTagNamesSql =
+    s"""WITH ${graft.model.Cooked.metricsCte},
+     t AS (SELECT 'events_value' AS metric_name, 'gauge' AS chq_metric_type,
+                  attr_event_type
+           FROM cooked
+           WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd)
+     SELECT tag, CAST(n AS BIGINT) AS n FROM (
+       SELECT 'metric_name' AS tag, count(*) AS n FROM t
+         WHERE metric_name IS NOT NULL AND metric_name <> ''
+       UNION ALL
+       SELECT 'chq_metric_type', count(*) FROM t
+         WHERE chq_metric_type IS NOT NULL AND chq_metric_type <> ''
+       UNION ALL
+       SELECT 'attr_event_type', count(*) FROM t
+         WHERE attr_event_type IS NOT NULL AND attr_event_type <> '') u
+     WHERE n > 0"""
+
   private val tagNamesSql =
     s"""WITH ${graft.model.Cooked.logsCte},
      t AS (SELECT * FROM logs
@@ -411,6 +499,7 @@ object TelemetryQueries extends Catalog {
 
   override def all: Seq[Q] = Seq(
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
+    Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
     Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
@@ -424,6 +513,8 @@ object TelemetryQueries extends Catalog {
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),
     Q("td_tag_values", tagValues, Some(tagValuesSql)),
-    Q("td_tag_names", tagNames, Some(tagNamesSql))
+    Q("td_tag_names", tagNames, Some(tagNamesSql)),
+    Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
+    Q("td_metric_tag_names", metricTagNames, Some(metricTagNamesSql))
   )
 }
