@@ -77,6 +77,7 @@ object Compiler {
       case "min_over_time"   => (col("__unwrap_value"), "min_over_time")
       case "max_over_time"   => (col("__unwrap_value"), "max_over_time")
       case "last_over_time"  => (col("__unwrap_value"), "last_over_time")
+      case "first_over_time" => (col("__unwrap_value"), "first_over_time")
       case "rate_counter"    => (col("__unwrap_value"), "rate")
       case other => throw new IllegalArgumentException(s"unsupported range fn: $other")
     }

@@ -77,8 +77,12 @@ object Cooked {
       // message-shape cluster id (literals → placeholders, template hashed)
       .withColumn("chq_fingerprint",
         graft.ingest.LogFingerprint.fingerprint(col("log_message")))
-      .select("chq_timestamp", "chq_tsns", "chq_fingerprint", "metric_name",
-        "log_level", "log_message", "resource_service_name", "attr_event_type")
+      // unique row id (role of the reference's base32 chq_id,
+      // docs/design/db-parquet/logs.md:18-20; md5-derived for determinism)
+      .withColumn("chq_id", substring(md5(col("event_id").cast("string")), 1, 20))
+      .select("chq_timestamp", "chq_tsns", "chq_id", "chq_fingerprint",
+        "metric_name", "log_level", "log_message", "resource_service_name",
+        "attr_event_type")
 
   /** logs variant whose line IS the JSON props payload (for `| json`). */
   def logsJson(s: SparkSession, d: String): DataFrame = logsBase(s, d, jsonLine = true)

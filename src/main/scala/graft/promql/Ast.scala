@@ -73,7 +73,8 @@ final case class BinOp(
 object Ast {
   val rangeFns: Set[String] = Set(
     "rate", "irate", "increase", "sum_over_time", "avg_over_time",
-    "min_over_time", "max_over_time", "count_over_time", "last_over_time")
+    "min_over_time", "max_over_time", "count_over_time", "last_over_time",
+    "first_over_time")
   val unaryFns: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn")
   val aggOps: Set[String] = Set(

@@ -228,6 +228,8 @@ object Engine {
           case "max_over_time" => max(col("bmax")).over(rw)
           case "last_over_time" =>
             last(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
+          case "first_over_time" =>
+            first(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
         }
         bucketed.withColumn("value",
           when(covered, value).otherwise(lit(Double.NaN)))
@@ -238,7 +240,8 @@ object Engine {
         val effSpan = greatest(lit(step), col("ts") - coalesce(prevTs, col("ts")))
         val value = fn match {
           case "rate" | "irate" => col("bsum") / (effSpan / lit(1000.0))
-          case "increase" | "sum_over_time" | "last_over_time" => col("bsum")
+          case "increase" | "sum_over_time" | "last_over_time" |
+               "first_over_time" => col("bsum")
           case "count_over_time" => col("bcnt")
           case "avg_over_time" =>
             when(col("bcnt") === 0, lit(Double.NaN)).otherwise(col("bsum") / col("bcnt"))
@@ -332,7 +335,7 @@ object Engine {
       case "topk" | "bottomk" =>
         val k = param.getOrElse(1.0).toInt
         // ties broken by series key, mirroring promql/top_k_node.go:25-89
-        val key = concat_ws(" ", sf.labels.map(l => coalesce(col(l), lit(""))): _*)
+        val key = concat_ws("\u0000", sf.labels.map(l => coalesce(col(l), lit(""))): _*)
         val ord =
           if (op == "topk") Seq(col("value").desc_nulls_last, key.asc)
           else Seq(col("value").asc_nulls_last, key.asc)

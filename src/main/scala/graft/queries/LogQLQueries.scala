@@ -196,6 +196,22 @@ object LogQLQueries extends Catalog {
         SELECT ts, attr_event_type, wsum AS value
         FROM win WHERE ${covered(H4)}""")),
 
+    Q("lq_bytes_rate",
+      agg("""sum by (attr_event_type) (bytes_rate({log_level="DEBUG"}[4h]))"""),
+      Some(s"""WITH ${logStep("log_level = 'DEBUG'", "attr_event_type",
+          "CAST(strlen(log_message) AS DOUBLE)", H4)},
+        ${logWin(H4, "attr_event_type")}
+        SELECT ts, attr_event_type, wsum / ${H4 / 1000.0} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
+    Q("lq_rate_counter",
+      agg("""sum by (attr_event_type) (rate_counter({log_level="DEBUG"} | logfmt | unwrap user [4h]))"""),
+      Some(s"""WITH ${logStep("log_level = 'DEBUG'", "attr_event_type",
+          "TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS DOUBLE)", H4)},
+        ${logWin(H4, "attr_event_type")}
+        SELECT ts, attr_event_type, wsum / ${H4 / 1000.0} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
     Q("lq_unwrap_sum",
       agg("""sum by (attr_event_type) (sum_over_time({log_level="DEBUG"} | logfmt | unwrap user [4h]))"""),
       Some(s"""WITH ${logStep("log_level = 'DEBUG'", "attr_event_type",
@@ -229,6 +245,32 @@ object LogQLQueries extends Catalog {
         SELECT ts, log_level, resource_service_name, attr_event_type,
                wsum / wcnt AS value
         FROM win WHERE ${covered(H4)} AND wcnt > 0""")),
+
+    Q("lq_first_over_time",
+      agg("""first_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
+      // first = the window's earliest step bucket's avg unwrapped value
+      Some(s"""WITH ${Cooked.logsCte},
+        stepl AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 log_level, resource_service_name, attr_event_type,
+                 TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS DOUBLE) AS u
+          FROM logs
+          WHERE log_level = 'INFO' AND chq_timestamp >= ${Start - H4}
+            AND chq_timestamp < $End),
+        stepa AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type,
+                 sum(u) AS bsum, CAST(count(u) AS DOUBLE) AS bcnt
+          FROM stepl WHERE u IS NOT NULL GROUP BY 1, 2, 3, 4),
+        win AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type,
+                 first_value(bsum / CASE WHEN bcnt = 0 THEN 1.0 ELSE bcnt END)
+                   OVER w AS fv,
+                 min(ts) OVER w AS first_ts
+          FROM stepa
+          WINDOW w AS (PARTITION BY log_level, resource_service_name, attr_event_type
+                       ORDER BY ts RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, log_level, resource_service_name, attr_event_type, fv AS value
+        FROM win WHERE ${covered(H4)}""")),
 
     Q("lq_topk",
       agg("""topk(2, count_over_time({attr_event_type="purchase"}[1h]))"""),
