@@ -337,11 +337,16 @@ object CoreQueries extends Catalog {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
-        avg(col("value")).as("avg_v"))
+        // value is 2-decimal quantized: recover exact cents before dividing
+        // so the mean is bit-identical across engines (summation-order noise
+        // otherwise flips round-6 at x.xxx8125-style boundaries)
+        (round(sum(col("value")) * 100, 0).cast("long") / 100.0 /
+          count(lit(1))).as("avg_v"))
 
   private val qEventsDailySql =
     """SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_idx,
-       count(*) AS n, count(DISTINCT user_id) AS n_users, avg("value") AS avg_v
+       count(*) AS n, count(DISTINCT user_id) AS n_users,
+       CAST(round(sum("value") * 100, 0) AS BIGINT) / 100.0 / count(*) AS avg_v
        FROM events GROUP BY 1"""
 
   override def all: Seq[Q] = Seq(

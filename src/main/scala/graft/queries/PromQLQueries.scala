@@ -131,15 +131,25 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, wcnt AS value
         FROM win WHERE ${covered(H4)}""")),
 
+    // sum-of-rates: recover the exact total cents like pq_rate — the summed
+    // value can land exactly on a round-6 boundary where summation-order
+    // noise flips the strict hash
     Q("pq_sum_rate",
-      run("sum(rate(events_value[4h]))"),
+      { (s, d) =>
+        run("sum(rate(events_value[4h]))")(s, d).withColumn("value",
+          round(col("value") * lit(H4 / 1000.0 * 100), 0).cast("long") /
+            lit(H4 / 1000.0 * 100))
+      },
       Some(s"""WITH ${winCte(H4)},
         r AS (SELECT ts, attr_event_type,
                 CASE WHEN first_ts = ts - ${H4 - StepMs}
                      THEN wsum / ${H4 / 1000.0} ELSE 'NaN'::DOUBLE END AS v
-              FROM win WHERE ts >= $Start AND ts < $End)
-        SELECT ts, sum(v) AS value FROM r GROUP BY ts
-        HAVING NOT isnan(sum(v))""")),
+              FROM win WHERE ts >= $Start AND ts < $End),
+        r2 AS (SELECT ts, sum(v) AS sv FROM r GROUP BY ts
+               HAVING NOT isnan(sum(v)))
+        SELECT ts, CAST(round(sv * ${H4 / 1000.0 * 100}, 0) AS BIGINT)
+                     / ${H4 / 1000.0 * 100} AS value
+        FROM r2""")),
 
     Q("pq_sum_by",
       run("sum by (attr_event_type) (events_value)"),
