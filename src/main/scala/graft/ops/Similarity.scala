@@ -75,6 +75,29 @@ object Similarity {
   def lshBucket(emb: Column, nPlanes: Int = 8, dims: Int = 64): Column =
     lshBucketAt(emb, 0, nPlanes, dims)
 
+  /** Embedding-cosine near-duplicate PAIRS — dedup over the embedding
+    * space: candidate pairs share an LSH bucket in ≥1 table (bucket
+    * equi-join, never all-pairs), exact cosine rerank keeps pairs ≥
+    * minSim. Same 100 TB shape as the banded text dedups: shuffle keyed
+    * by bucket, exact check only on co-bucketed candidates. Recall < 1 by
+    * design (LSH); raise `tables` for higher recall.
+    */
+  def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int = 4,
+      tables: Int = 2, dims: Int = 64): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t),
+          lshBucketAt(col("embedding"), t * nPlanes, nPlanes, dims))): _*))
+        .as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ea"), col("eb")).distinct()
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ANN via random-hyperplane LSH: candidates share a bucket with the
     * query; rerank by exact cosine, top-k per query. Recall < 1 by design —
     * probe multiple hash tables for higher recall (tables parameter).

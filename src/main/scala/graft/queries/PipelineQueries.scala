@@ -241,6 +241,73 @@ object PipelineQueries extends Catalog {
      SELECT query_id, vec_id, round(sim, 6) AS sim FROM rk WHERE rk <= 10"""
   }
 
+  /** embedding-cosine near-dup pairs (dedup over the embedding space);
+    * threshold 0.4 — the synthetic embeddings carry no true duplicates
+    * (max pairwise cosine ≈ 0.51), so the row exercises the operator's
+    * full path on the most-similar tail
+    */
+  private def embNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, d), minSim = 0.4,
+      nPlanes = 4, tables = 2)
+
+  private val embNearDupSql = {
+    val planeW = "CAST(('0x' || substr(md5('plane' || CAST(t.t*4 + p.p AS VARCHAR)" +
+      " || '|' || CAST(d.i AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 - 0.5"
+    s"""WITH pl AS (
+       SELECT t.t AS tbl, p.p AS p, d.i AS i, $planeW AS w
+       FROM range(0, 2) t(t) CROSS JOIN range(0, 4) p(p)
+            CROSS JOIN range(0, 64) d(i)),
+     ev AS (
+       SELECT vec_id, d.i AS i,
+              CAST(embedding[CAST(d.i + 1 AS INT)] AS DOUBLE) AS x
+       FROM embeddings CROSS JOIN range(0, 64) d(i)),
+     dots AS (
+       SELECT ev.vec_id, pl.tbl, pl.p, sum(ev.x * pl.w) AS dot
+       FROM ev JOIN pl ON ev.i = pl.i GROUP BY 1, 2, 3),
+     buckets AS (
+       SELECT vec_id, tbl,
+              sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                       ELSE 0 END) AS bucket
+       FROM dots GROUP BY 1, 2),
+     cand AS (
+       SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       FROM buckets l
+       JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                     AND l.vec_id < r.vec_id),
+     scored AS (
+       SELECT c.a, c.b,
+              list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(va.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(vb.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       FROM cand c
+       JOIN embeddings va ON va.vec_id = c.a
+       JOIN embeddings vb ON vb.vec_id = c.b)
+     SELECT a, b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.4"""
+  }
+
+  /** whitespace + BPE-ish subword token estimate (words + punctuation runs
+    * + digit runs)
+    */
+  private def tokenEst(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    df.select(col("doc_id"),
+      TextOps.tokenCount(df("text")).as("n_ws_tokens"),
+      TextOps.subwordCountEstimate(df("text")).as("n_subwords"))
+  }
+
+  private val tokenEstSql =
+    """SELECT doc_id,
+              CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT)
+                AS n_ws_tokens,
+              CAST(len(string_split_regex(text, ' +'))
+                   + len(string_split_regex(text, '[^[:punct:]]+')) - 1
+                   + len(string_split_regex(text, '[^0-9]+')) - 1 AS BIGINT)
+                AS n_subwords
+       FROM documents"""
+
   private val langIdSql =
     """WITH s AS (
        SELECT doc_id,
@@ -300,6 +367,8 @@ object PipelineQueries extends Catalog {
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
+    Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
+    Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))
   )
 }
