@@ -66,7 +66,8 @@ final case class LogPipeline(matchers: List[Matcher], stages: List[Stage])
 /** count_over_time/rate/bytes_over_time/bytes_rate/{sum,avg,min,max,last,
   * count}_over_time-with-unwrap over `pipeline [range]`
   */
-final case class LogRangeAgg(fn: String, pipeline: LogPipeline, rangeMs: Long)
+final case class LogRangeAgg(fn: String, pipeline: LogPipeline, rangeMs: Long,
+    param: Option[Double] = None) // quantile_over_time's q
 
 /** optional vector agg wrapper: sum/avg/min/max/count/topk/bottomk by/without */
 final case class LogQuery(
@@ -82,7 +83,8 @@ object Ast {
   val rangeFns: Set[String] = Set(
     "count_over_time", "rate", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "last_over_time", "first_over_time", "rate_counter")
+    "last_over_time", "first_over_time", "rate_counter",
+    "quantile_over_time")
   val vectorOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk")
 }

@@ -66,6 +66,24 @@ object Compiler {
       else if (q.without.nonEmpty) allLabels.filterNot(q.without.contains)
       else allLabels
 
+    // quantile path: the synthetic metric carries a DDSketch column instead
+    // of sum/count rollups, evaluated by the engine's sketch leaf
+    if (ra.fn == "quantile_over_time") {
+      import graft.sketch.{functions => gf}
+      val qv = ra.param.getOrElse(0.5)
+      val bucketQ = col("chq_timestamp") - col("chq_timestamp") % lit(p.stepMs)
+      val synthQ = df
+        .withColumn("__v", col("__unwrap_value"))
+        .filter(col("__v").isNotNull)
+        .withColumn("chq_timestamp", bucketQ)
+        .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
+        .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch"))
+        .withColumn("metric_name", lit("__logql"))
+      return Engine.query(
+        s"quantile_over_time($qv, __logql[${ra.rangeMs}ms])",
+        MetricStore(synthQ), p)
+    }
+
     // derived per-line value + inner PromQL function
     val (valueCol, promFn) = ra.fn match {
       case "count_over_time" => (lit(1.0), "sum_over_time")

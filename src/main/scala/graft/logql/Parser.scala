@@ -250,6 +250,16 @@ private final class LogParser(input: String) {
 
   private def parseRangeAgg(fn: String): LogRangeAgg = {
     expect('(')
+    // quantile_over_time(q, {sel} ... [5m])
+    val param =
+      if (fn == "quantile_over_time") {
+        skipWs()
+        val start = pos
+        while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
+        val p = input.substring(start, pos).toDouble
+        expect(',')
+        Some(p)
+      } else None
     val pipeline = parsePipeline()
     // range attaches after the pipeline: {sel} ... [5m]
     expect('[')
@@ -258,7 +268,7 @@ private final class LogParser(input: String) {
     val rangeMs = PParser.parseDurationMs(input.substring(start, pos))
     expect(']')
     expect(')')
-    LogRangeAgg(fn, pipeline, rangeMs)
+    LogRangeAgg(fn, pipeline, rangeMs, param)
   }
 
   // ---- pipeline ------------------------------------------------------------

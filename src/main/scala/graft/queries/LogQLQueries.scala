@@ -272,6 +272,57 @@ object LogQLQueries extends Catalog {
         SELECT ts, log_level, resource_service_name, attr_event_type, fv AS value
         FROM win WHERE ${covered(H4)}""")),
 
+    // LogQL quantile over unwrapped values: synthetic DDSketch metric →
+    // engine sketch leaf; oracle replays the sketch quantile read (see
+    // pq_hist_quantile) over the same unwrapped values
+    Q("lq_quantile_over_time",
+      { (s, d) =>
+        agg("""quantile_over_time(0.9, {log_level="INFO"} | logfmt | user > 0 | unwrap user [4h])""")(s, d)
+          .withColumn("value", round(col("value"), 6))
+      },
+      Some {
+        val g = "((1.0 + 0.01) / (1.0 - 0.01))"
+        val labs = "log_level, resource_service_name, attr_event_type"
+        s"""WITH ${Cooked.logsCte},
+        ev AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS b, $labs,
+                 TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1)
+                          AS DOUBLE) AS v
+          FROM logs
+          WHERE log_level = 'INFO' AND chq_timestamp >= ${Start - H4}
+            AND chq_timestamp < $End),
+        ev2 AS (SELECT * FROM ev WHERE v IS NOT NULL AND v > 0),
+        win AS (
+          SELECT b + o.o * $StepMs AS ts, $labs, v, b
+          FROM ev2 CROSS JOIN range(0, ${H4 / StepMs}) o(o)),
+        stats AS (
+          SELECT ts, $labs, CAST(count(*) AS BIGINT) AS n,
+                 min(v) AS mn, max(v) AS mx, min(b) AS first_b
+          FROM win GROUP BY 1, 2, 3, 4),
+        idx AS (
+          SELECT ts, $labs, CAST(ceil(ln(v) / ln($g)) AS BIGINT) AS i,
+                 count(*) AS c
+          FROM win GROUP BY 1, 2, 3, 4, 5),
+        cum AS (
+          SELECT ts, $labs, i,
+                 sum(c) OVER (PARTITION BY ts, $labs ORDER BY i) AS cum
+          FROM idx),
+        sel AS (
+          SELECT c.ts, c.log_level, c.resource_service_name, c.attr_event_type,
+                 min(c.i) AS qi
+          FROM cum c JOIN stats s USING (ts, $labs)
+          WHERE c.cum >= CAST(floor(0.9 * (s.n - 1)) AS BIGINT) + 1
+          GROUP BY 1, 2, 3, 4),
+        anchors AS (SELECT DISTINCT b AS ts, $labs FROM ev2)
+        SELECT s.ts, s.log_level, s.resource_service_name, s.attr_event_type,
+               round(least(greatest(2 * pow($g, qi) / ($g + 1.0), s.mn), s.mx), 6)
+                 AS value
+        FROM sel JOIN stats s USING (ts, $labs)
+        JOIN anchors USING (ts, $labs)
+        WHERE s.first_b = s.ts - ${H4 - StepMs}
+          AND s.ts >= $Start AND s.ts < $End"""
+      }),
+
     Q("lq_topk",
       agg("""topk(2, count_over_time({attr_event_type="purchase"}[1h]))"""),
       Some(s"""WITH ${Cooked.logsCte},

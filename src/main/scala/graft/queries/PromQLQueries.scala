@@ -393,6 +393,8 @@ object PromQLQueries extends Catalog {
     val effStart = Start - rangeMs
     val coverGap = if (rangeMs > 0) rangeMs - StepMs else 0L
     val gamma = "((1.0 + 0.01) / (1.0 - 0.01))"
+    // zeros (|v| < 1e-9) land in the sketch's zero bucket: they count into
+    // the rank walk before the positive log buckets and read back as 0.0
     s"""WITH ev AS (
        SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS b,
               event_type AS attr_event_type, "value" AS v
@@ -403,12 +405,13 @@ object PromQLQueries extends Catalog {
        FROM ev CROSS JOIN range(0, $nOff) o(o)),
      stats AS (
        SELECT ts, attr_event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) FILTER (WHERE v < 1e-9) AS BIGINT) AS zc,
               min(v) AS mn, max(v) AS mx, min(b) AS first_b
        FROM win GROUP BY 1, 2),
      idx AS (
        SELECT ts, attr_event_type,
               CAST(ceil(ln(v) / ln($gamma)) AS BIGINT) AS i, count(*) AS c
-       FROM win GROUP BY 1, 2, 3),
+       FROM win WHERE v >= 1e-9 GROUP BY 1, 2, 3),
      cum AS (
        SELECT ts, attr_event_type, i,
               sum(c) OVER (PARTITION BY ts, attr_event_type ORDER BY i) AS cum
@@ -416,13 +419,17 @@ object PromQLQueries extends Catalog {
      sel AS (
        SELECT c.ts, c.attr_event_type, min(c.i) AS qi
        FROM cum c JOIN stats s USING (ts, attr_event_type)
-       WHERE c.cum >= CAST(floor($q * (s.n - 1)) AS BIGINT) + 1
+       WHERE s.zc + c.cum >= CAST(floor($q * (s.n - 1)) AS BIGINT) + 1
        GROUP BY 1, 2),
      anchors AS (SELECT DISTINCT b AS ts, attr_event_type FROM ev)
      SELECT s.ts, s.attr_event_type,
-            round(least(greatest(2 * pow($gamma, qi) / ($gamma + 1.0), s.mn),
-                        s.mx), 6) AS value
-     FROM sel JOIN stats s USING (ts, attr_event_type)
+            round(CASE WHEN s.zc >= CAST(floor($q * (s.n - 1)) AS BIGINT) + 1
+                       THEN 0.0
+                       ELSE least(greatest(2 * pow($gamma, sel.qi)
+                                           / ($gamma + 1.0), s.mn), s.mx)
+                  END, 6) AS value
+     FROM stats s
+     LEFT JOIN sel USING (ts, attr_event_type)
      JOIN anchors USING (ts, attr_event_type)
      WHERE s.first_b = s.ts - $coverGap AND s.ts >= $Start AND s.ts < $End"""
   }

@@ -59,22 +59,27 @@ object TelemetryQueries extends Catalog {
       s"""$nm AS (
          SELECT c.chq_timestamp, c.attr_event_type, min(c.i) AS qi
          FROM cum c JOIN stats st USING (chq_timestamp, attr_event_type)
-         WHERE c.cum >= CAST(floor($q * (st.n - 1)) AS BIGINT) + 1
+         WHERE st.zc + c.cum >= CAST(floor($q * (st.n - 1)) AS BIGINT) + 1
          GROUP BY 1, 2)"""
-    def out(nm: String) =
-      s"round(least(greatest(2 * pow($g, $nm.qi) / ($g + 1.0), st.mn), st.mx), 6)"
+    // zero-bucket rule: rank inside the zero count reads back 0.0
+    def out(q: Double, nm: String) =
+      s"""round(CASE WHEN st.zc >= CAST(floor($q * (st.n - 1)) AS BIGINT) + 1
+                THEN 0.0
+                ELSE least(greatest(2 * pow($g, $nm.qi) / ($g + 1.0), st.mn),
+                           st.mx) END, 6)"""
     s"""WITH ev AS (
        SELECT epoch_ms(ts) - epoch_ms(ts) % 10000 AS chq_timestamp,
               event_type AS attr_event_type, "value" AS v
        FROM events),
      stats AS (
        SELECT chq_timestamp, attr_event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) FILTER (WHERE v < 1e-9) AS BIGINT) AS zc,
               min(v) AS mn, max(v) AS mx
        FROM ev GROUP BY 1, 2),
      idx AS (
        SELECT chq_timestamp, attr_event_type,
               CAST(ceil(ln(v) / ln($g)) AS BIGINT) AS i, count(*) AS c
-       FROM ev GROUP BY 1, 2, 3),
+       FROM ev WHERE v >= 1e-9 GROUP BY 1, 2, 3),
      cum AS (
        SELECT chq_timestamp, attr_event_type, i,
               sum(c) OVER (PARTITION BY chq_timestamp, attr_event_type
@@ -84,11 +89,11 @@ object TelemetryQueries extends Catalog {
      ${sel(0.95, "q95")}
      SELECT st.chq_timestamp, st.attr_event_type,
             CAST(st.n AS DOUBLE) AS chq_rollup_count,
-            ${out("q50")} AS p50,
-            ${out("q95")} AS p95
+            ${out(0.5, "q50")} AS p50,
+            ${out(0.95, "q95")} AS p95
      FROM stats st
-     JOIN q50 USING (chq_timestamp, attr_event_type)
-     JOIN q95 USING (chq_timestamp, attr_event_type)"""
+     LEFT JOIN q50 USING (chq_timestamp, attr_event_type)
+     LEFT JOIN q95 USING (chq_timestamp, attr_event_type)"""
   }
 
   /** full rollup chain 10s→60s→300s→1200s→3600s; the hourly tier must
