@@ -84,15 +84,23 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int = 4,
       tables: Int = 2, dims: Int = 64): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    val b = corpus.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t),
           lshBucketAt(col("embedding"), t * nPlanes, nPlanes, dims))): _*))
         .as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ea"), col("eb")).distinct()
+    val l = b.select(col("bucket"), col("vec_id").as("a"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"))
+    // dedup candidate pairs on ids only — carrying the embedding arrays
+    // through the candidate shuffle is the expensive part at scale — then
+    // re-attach vectors by id (AQE broadcasts the corpus projection when it
+    // is small; at scale this is a key join, never a forced broadcast)
+    val cands = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
