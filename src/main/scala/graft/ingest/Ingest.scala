@@ -242,11 +242,20 @@ object MetricsPreAgg {
       (sum(col("chq_rollup_sum")) / sum(col("chq_rollup_count"))).as("chq_rollup_avg")) ++
       (if (hasSketch) Seq(gf.ddsketch_merge_agg(col("chq_sketch")).as("chq_sketch")) else Nil) ++
       labelCols.map(c => first(col(c), ignoreNulls = true).as(c))
-    cooked
+    val agged = cooked
       .withColumn("__b", col("chq_timestamp") - col("chq_timestamp") % lit(toFreqMs))
       .groupBy(col("__b").as("chq_timestamp"), col("metric_name"), col("chq_tid"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("chq_rollup_freq", lit(toFreqMs))
+    // re-extract percentile columns from the merged sketch at every tier,
+    // keeping the cooked contract intact through the whole chain
+    if (hasSketch)
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+        0.9 -> "p90", 0.95 -> "p95", 0.99 -> "p99")
+        .foldLeft(agged) { case (df, (q, nm)) =>
+          df.withColumn(s"chq_rollup_$nm", gf.ddsketch_quantile(col("chq_sketch"), q))
+        }
+    else agged
   }
 
   /** run the whole chain from the base tier; returns freq → cooked frame */

@@ -69,6 +69,27 @@ class IngestSpec extends AnyFunSuite {
     assert(unsorted == 0)
   }
 
+  test("rollup re-extracts percentiles from merged sketches at every tier") {
+    import graft.sketch.{functions => gf}
+    val ev = graft.model.Tables.events(spark, sf)
+    val base = MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L, withSketch = true)
+    val hourly = MetricsPreAgg.rollup(base, 3600000L)
+    assert(Seq("p25", "p50", "p90", "p99")
+      .forall(p => hourly.columns.contains(s"chq_rollup_$p")))
+    // merged-sketch p50 must equal a direct hourly sketch's p50 (merge of
+    // uncollapsed sketches is exact)
+    val direct = ev
+      .groupBy((col("ts_ms") - col("ts_ms") % 3600000L).as("chq_timestamp"),
+        col("event_type").as("attr_event_type"))
+      .agg(gf.ddsketch_agg(col("value")).as("sk"))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        gf.ddsketch_quantile(col("sk"), 0.5).as("p_direct"))
+    val j = hourly.join(direct, Seq("chq_timestamp", "attr_event_type"))
+    assert(j.filter(col("chq_rollup_p50") =!= col("p_direct")).count() == 0)
+    assert(j.count() > 0)
+  }
+
   test("compaction rewrites the dir: fewer files, same data, still sorted") {
     val ev = graft.model.Tables.events(spark, sf)
     val base = MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"), col("value"),
