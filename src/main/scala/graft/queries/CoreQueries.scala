@@ -366,6 +366,30 @@ object CoreQueries extends Catalog {
     Q("core_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
     Q("core_json_case", qJsonCase, Some(qJsonCaseSql)),
     Q("core_events_bucket", qEventsBucket, Some(qEventsBucketSql)),
-    Q("core_events_daily", qEventsDaily, Some(qEventsDailySql))
+    Q("core_events_daily", qEventsDaily, Some(qEventsDailySql)),
+    Q("core_cube_agg", qCubeAgg, Some(qCubeAggSql))
   )
+
+  /** grouping sets / CUBE — beyond the reference's own surface (SURVEY §2.4
+    * notes the reference lacks it; Spark provides it natively): per
+    * (event_type × weekday) totals with both subtotal planes and the grand
+    * total, GROUPING() flags distinguishing the planes.
+    */
+  private def qCubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("weekday", expr("ts_ms DIV 86400000 % 7"))
+      .cube(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_v"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("weekday")).cast("long").as("g_day"))
+
+  private val qCubeAggSql =
+    """SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS n,
+              round(sum("value"), 4) AS sum_v,
+              CAST(grouping(event_type) AS BIGINT) AS g_type,
+              CAST(grouping(weekday) AS BIGINT) AS g_day
+       FROM (SELECT event_type, epoch_ms(ts) // 86400000 % 7 AS weekday, "value"
+             FROM events) t
+       GROUP BY CUBE (event_type, weekday)"""
 }

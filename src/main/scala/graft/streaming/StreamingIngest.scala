@@ -57,8 +57,10 @@ object StreamingIngest {
     * offset-tracker analog.
     */
   def segmentWriteStream(rawStream: DataFrame, build: DataFrame => DataFrame,
-      segDir: String, commitDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      segDir: String, commitDir: String, checkpointDir: String,
+      writeSegments: (DataFrame, String) => Unit =
+        (df, dir) => graft.ingest.Segments.writeMetricSegments(df, dir))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(commitDir))
     rawStream.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -73,7 +75,7 @@ object StreamingIngest {
             val p = new org.apache.hadoop.fs.Path(batchDir)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             fs.delete(p, true) // replay rewrites its own dir only
-            graft.ingest.Segments.writeMetricSegments(cooked, batchDir)
+            writeSegments(cooked, batchDir)
             val maxTs = cooked.agg(max(col("chq_timestamp"))).head().getLong(0)
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(commitDir, f"batch_$batchId%09d.json"),

@@ -68,4 +68,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(segDir).agg(sum(col("chq_rollup_count"))).head()
       .getDouble(0) == ev.count().toDouble)
   }
+
+  test("segment sink streams cooked LOGS via the log segment writer") {
+    val logs = graft.model.Cooked.logs(spark, sf)
+    val in = Files.createTempDirectory("graft_logsink_in_").toString
+    logs.write.mode("overwrite").parquet(in)
+    val segDir = Files.createTempDirectory("graft_logsink_seg_").toString
+    val commitDir = Files.createTempDirectory("graft_logsink_commit_").toString
+    val ckpt = Files.createTempDirectory("graft_logsink_ckpt_").toString
+    val src = spark.readStream.schema(logs.schema).parquet(in)
+    val q = StreamingIngest.segmentWriteStream(src, identity,
+      segDir, commitDir, ckpt,
+      writeSegments = (df, dir) => graft.ingest.Segments.writeLogSegments(df, dir))
+    q.awaitTermination()
+    val back = spark.read.parquet(segDir)
+    assert(back.count() == logs.count())
+    assert(back.columns.contains("chq_fingerprint") && back.columns.contains("dateint"))
+  }
 }
