@@ -257,10 +257,124 @@ object OtelProto {
     (t, v, attrs)
   }
 
-  /** MetricsData → decoded gauge/sum number datapoints. Histogram /
-    * exponential-histogram / summary points are skipped (the cooked schema
-    * carries distributions as DDSketch columns built at pre-agg, not as
-    * ingested histogram points).
+  final case class OtelHistogram(
+      timeUnixNano: Long,
+      metricName: String,
+      count: Long,
+      sum: Double,
+      min: Double,
+      max: Double,
+      bucketCounts: Seq[Long],
+      explicitBounds: Seq[Double],
+      attrs: Map[String, String],
+      resourceAttrs: Map[String, String],
+      scopeName: String)
+
+  /** HistogramDataPoint: time=3, count=4 (fixed64), sum=5, bucket_counts=6
+    * (packed fixed64), explicit_bounds=7 (packed double), attributes=9,
+    * min=11, max=12
+    */
+  private def histogramDataPoint(r: Reader): OtelHistogram = {
+    var t = 0L; var n = 0L; var s = 0.0
+    var mn = Double.NaN; var mx = Double.NaN
+    val bc = scala.collection.mutable.ListBuffer[Long]()
+    val eb = scala.collection.mutable.ListBuffer[Double]()
+    var attrs = Map.empty[String, String]
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 3 => t = r.readFixed64()
+        case 4 => n = r.readFixed64()
+        case 5 => s = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 6 => // packed fixed64
+          val p = r.readMessage()
+          while (p.hasNext) bc += p.readFixed64()
+        case 7 => // packed double
+          val p = r.readMessage()
+          while (p.hasNext) eb += java.lang.Double.longBitsToDouble(p.readFixed64())
+        case 9 => attrs += keyValue(r.readMessage())
+        case 11 => mn = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 12 => mx = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case _ => r.skip(w)
+      }
+    }
+    OtelHistogram(t, "", n, s, mn, mx, bc.toSeq, eb.toSeq, attrs, Map.empty, "")
+  }
+
+  /** MetricsData → decoded histogram datapoints (Metric field 9); same
+    * walk as [[parseMetrics]], name attached after the metric closes so
+    * field order within Metric doesn't matter
+    */
+  def parseHistograms(data: Array[Byte]): Seq[OtelHistogram] = {
+    val out = scala.collection.mutable.ListBuffer[OtelHistogram]()
+    val root = new Reader(data, 0, data.length)
+    while (root.hasNext) {
+      val (f, w) = root.readTag()
+      if (f == 1 && w == 2) {
+        val rm = root.readMessage()
+        var resAttrs = Map.empty[String, String]
+        val scopeMetrics = scala.collection.mutable.ListBuffer[Reader]()
+        while (rm.hasNext) {
+          val (f2, w2) = rm.readTag()
+          f2 match {
+            case 1 =>
+              val res = rm.readMessage()
+              while (res.hasNext) {
+                val (f3, w3) = res.readTag()
+                if (f3 == 1 && w3 == 2) resAttrs += keyValue(res.readMessage())
+                else res.skip(w3)
+              }
+            case 2 => scopeMetrics += rm.readMessage()
+            case _ => rm.skip(w2)
+          }
+        }
+        scopeMetrics.foreach { sm =>
+          var scopeName = ""
+          while (sm.hasNext) {
+            val (f2, w2) = sm.readTag()
+            f2 match {
+              case 1 =>
+                val sc = sm.readMessage()
+                while (sc.hasNext) {
+                  val (f3, w3) = sc.readTag()
+                  if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else sc.skip(w3)
+                }
+              case 2 =>
+                val m = sm.readMessage()
+                var name = ""
+                val points = scala.collection.mutable.ListBuffer[OtelHistogram]()
+                while (m.hasNext) {
+                  val (f3, w3) = m.readTag()
+                  f3 match {
+                    case 1 => name = m.readString()
+                    case 9 => // histogram { data_points=1 }
+                      val h = m.readMessage()
+                      while (h.hasNext) {
+                        val (f4, w4) = h.readTag()
+                        if (f4 == 1 && w4 == 2)
+                          points += histogramDataPoint(h.readMessage())
+                        else h.skip(w4)
+                      }
+                    case _ => m.skip(w3)
+                  }
+                }
+                points.foreach { p =>
+                  out += p.copy(metricName = name, resourceAttrs = resAttrs,
+                    scopeName = scopeName)
+                }
+              case _ => sm.skip(w2)
+            }
+          }
+        }
+      } else root.skip(w)
+    }
+    out.toSeq
+  }
+
+  /** MetricsData → decoded gauge/sum number datapoints. Exponential-
+    * histogram / summary points are skipped; classic histogram datapoints
+    * decode via [[parseHistograms]] / [[readHistograms]].
     */
   def parseMetrics(data: Array[Byte]): Seq[OtelMetric] = {
     val out = scala.collection.mutable.ListBuffer[OtelMetric]()
@@ -531,6 +645,29 @@ object OtelProto {
       col("attrs"), col("resourceAttrs")))
   }
 
+  /** `.binpb[.gz]` OTel metrics → decoded histogram rows: count/sum/min/max
+    * map straight onto the cooked chq_rollup_* columns; bucket counts and
+    * bounds ride along as arrays for sketch reconstruction.
+    */
+  def readHistograms(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val points = files.flatMap { case (p, c) => parseHistograms(maybeGunzip(p, c)) }
+    widenAttrs(points.toDF().select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
+      col("metricName").as("metric_name"),
+      lit("histogram").as("chq_metric_type"),
+      col("count").as("chq_rollup_count"),
+      col("sum").as("chq_rollup_sum"),
+      col("min").as("chq_rollup_min"),
+      col("max").as("chq_rollup_max"),
+      col("bucketCounts").as("bucket_counts"),
+      col("explicitBounds").as("explicit_bounds"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs")))
+  }
+
   /** `.binpb[.gz]` OTel traces → cooked span columns
     * (docs/design/db-parquet/traces.md shapes): ids as lowercase hex,
     * kind/status as enum-name strings, span_duration in ms.
@@ -622,6 +759,24 @@ object OtelProto {
         dps.flatMap(d => ld(1, d)).toArray ++
           vint(2, 2) ++ // aggregation_temporality = CUMULATIVE
           vint(3, if (monotonic) 1L else 0L))
+
+    /** HistogramDataPoint with packed bucket_counts/explicit_bounds */
+    def histogramDp(timeNs: Long, count: Long, sum: Double,
+        min: Double, max: Double, bucketCounts: Seq[Long],
+        explicitBounds: Seq[Double],
+        attrs: Seq[(String, String)]): Array[Byte] = {
+      def f64(v: Long): Array[Byte] =
+        (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+      fixed64(3, timeNs) ++ fixed64(4, count) ++ dbl(5, sum) ++
+        ld(6, bucketCounts.flatMap(f64).toArray) ++
+        ld(7, explicitBounds.flatMap(d => f64(java.lang.Double.doubleToLongBits(d))).toArray) ++
+        attrs.flatMap { case (k, v) => ld(9, kv(k, v)) } ++
+        dbl(11, min) ++ dbl(12, max)
+    }
+
+    def histogramMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
+      str(1, name) ++ ld(9,
+        dps.flatMap(d => ld(1, d)).toArray ++ vint(2, 2)) // CUMULATIVE
 
     def metricsData(resourceAttrs: Seq[(String, String)], scopeName: String,
         metrics: Seq[Array[Byte]]): Array[Byte] = {

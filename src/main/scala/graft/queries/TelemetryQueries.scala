@@ -318,6 +318,58 @@ object TelemetryQueries extends Catalog {
               min(epoch_ms(ts)) AS min_ts, max(epoch_ms(ts)) AS max_ts
        FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2, 3, 4"""
 
+  /** OTel histogram round-trip: events bucketed into classic histogram
+    * datapoints per (hour, event_type) with bounds (5,20,50,100,200] →
+    * encoded → wire decoder → every decoded field (count/sum/min/max,
+    * packed bucket counts and bounds) checked against a DuckDB replay of
+    * the same bucketing.
+    */
+  private def binpbHistogram(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val bounds = Seq(5.0, 20.0, 50.0, 100.0, 200.0)
+    val rows = raw(s, d).filter(col("event_id") % 3 === 0)
+      .select(expr("ts_ms - ts_ms % 3600000").as("h"), col("event_type"),
+        col("value"))
+      .collect()
+    val dps = rows.groupBy(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1).map { case ((h, et), rs) =>
+        val vs = rs.map(_.getDouble(2))
+        val counts = (bounds.indices :+ bounds.length).map { i =>
+          vs.count { v =>
+            val lo = if (i == 0) Double.NegativeInfinity else bounds(i - 1)
+            val hi = if (i == bounds.length) Double.PositiveInfinity else bounds(i)
+            v > lo && v <= hi
+          }.toLong
+        }
+        Encode.histogramDp(h * 1000000L, vs.length.toLong, vs.sum,
+          vs.min, vs.max, counts, bounds, Seq("event.type" -> et))
+      }
+    val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
+      "graft-test", Seq(Encode.histogramMetric("events_value_hist", dps)))
+    OtelProto.readHistograms(s,
+      gzWrite("graft_binpb_h_", "hist.binpb.gz", blob))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"), round(col("chq_rollup_sum"), 4).as("sum_v"),
+        col("chq_rollup_min").as("min_v"), col("chq_rollup_max").as("max_v"),
+        concat_ws(",", col("bucket_counts")).as("buckets_csv"),
+        concat_ws(",", col("explicit_bounds").cast("array<string>")).as("bounds_csv"))
+  }
+
+  private val binpbHistogramSql =
+    """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS chq_timestamp,
+              event_type AS attr_event_type,
+              CAST(count(*) AS BIGINT) AS chq_rollup_count,
+              round(sum("value"), 4) AS sum_v,
+              min("value") AS min_v, max("value") AS max_v,
+              CAST(count(*) FILTER (WHERE "value" <= 5) AS VARCHAR)
+                || ',' || count(*) FILTER (WHERE "value" > 5 AND "value" <= 20)
+                || ',' || count(*) FILTER (WHERE "value" > 20 AND "value" <= 50)
+                || ',' || count(*) FILTER (WHERE "value" > 50 AND "value" <= 100)
+                || ',' || count(*) FILTER (WHERE "value" > 100 AND "value" <= 200)
+                || ',' || count(*) FILTER (WHERE "value" > 200) AS buckets_csv,
+              '5.0,20.0,50.0,100.0,200.0' AS bounds_csv
+       FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2"""
+
   /** OTel TracesData round-trip: cooked spans (first 2 days) → encoded
     * ResourceSpans grouped by service → .binpb.gz → wire decoder →
     * aggregate; ids (hex bytes), kind/status enums, ns→ms duration and
@@ -514,6 +566,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
+    Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),

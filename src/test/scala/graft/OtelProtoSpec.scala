@@ -91,6 +91,22 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(ctr.attrs == Map("code" -> "200"))
   }
 
+  test("histogram wire round-trip: packed buckets/bounds, count/sum/min/max") {
+    val blob = Encode.metricsData(
+      Seq("service.name" -> "svc-h"), "graft-test",
+      Seq(Encode.histogramMetric("latency", Seq(
+        Encode.histogramDp(1704067200000000000L, 10L, 123.5, 0.5, 90.0,
+          Seq(2L, 5L, 3L), Seq(1.0, 10.0), Seq("route" -> "/api"))))))
+    val hs = OtelProto.parseHistograms(blob)
+    assert(hs.size == 1)
+    val h = hs.head
+    assert(h.metricName == "latency" && h.count == 10L && h.sum == 123.5)
+    assert(h.min == 0.5 && h.max == 90.0)
+    assert(h.bucketCounts == Seq(2L, 5L, 3L) && h.explicitBounds == Seq(1.0, 10.0))
+    assert(h.attrs == Map("route" -> "/api"))
+    assert(h.resourceAttrs == Map("service_name" -> "svc-h"))
+  }
+
   test("spans wire round-trip: ids, kind/status enums, duration") {
     val tid = "0123456789abcdef0123456789abcdef"
     val sid = "fedcba9876543210"
