@@ -75,4 +75,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("pp_lsh_ann")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("embedding near-dup pair search is bucket-keyed, not a cross join") {
+    val p = plan("pp_emb_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
