@@ -343,10 +343,18 @@ object Segments {
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(conf)
     val oldP = new org.apache.hadoop.fs.Path(old)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
     fs.delete(oldP, true)
-    if (!fs.rename(dirP, oldP) ||
-        !fs.rename(new org.apache.hadoop.fs.Path(tmp), dirP))
-      throw new java.io.IOException(s"compaction swap failed for $dir")
+    if (!fs.rename(dirP, oldP)) {
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(s"compaction: could not stage $dir aside")
+    }
+    if (!fs.rename(tmpP, dirP)) {
+      // roll back so the segment dir never stays missing after a failed swap
+      fs.rename(oldP, dirP)
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(s"compaction swap failed for $dir (rolled back)")
+    }
     fs.delete(oldP, true)
     spark.read.parquet(dir)
   }

@@ -65,9 +65,19 @@ object OtelProto {
       out
     }
 
+    /** validated length prefix: rejects negative (int-wrapped) and
+      * over-long lengths before any cursor movement
+      */
+    private def readLen(): Int = {
+      val raw = readVarint()
+      if (raw < 0 || raw > (end - pos))
+        throw new IllegalArgumentException(
+          s"bad length-delimited size $raw at $pos (message ends at $end)")
+      raw.toInt
+    }
+
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
-      bounds(len)
+      val len = readLen()
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
@@ -75,8 +85,7 @@ object OtelProto {
 
     /** sub-reader over a length-delimited field */
     def readMessage(): Reader = {
-      val len = readVarint().toInt
-      bounds(len)
+      val len = readLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
@@ -86,9 +95,9 @@ object OtelProto {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
+      case 1 => bounds(8); pos += 8
+      case 2 => pos += readLen()
+      case 5 => bounds(4); pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }
   }
@@ -286,12 +295,16 @@ object OtelProto {
         case 3 => t = r.readFixed64()
         case 4 => n = r.readFixed64()
         case 5 => s = java.lang.Double.longBitsToDouble(r.readFixed64())
-        case 6 => // packed fixed64
-          val p = r.readMessage()
-          while (p.hasNext) bc += p.readFixed64()
-        case 7 => // packed double
-          val p = r.readMessage()
-          while (p.hasNext) eb += java.lang.Double.longBitsToDouble(p.readFixed64())
+        case 6 => // repeated fixed64: packed (wire 2) or unpacked (wire 1)
+          if (w == 2) {
+            val p = r.readMessage()
+            while (p.hasNext) bc += p.readFixed64()
+          } else bc += r.readFixed64()
+        case 7 => // repeated double: packed or unpacked
+          if (w == 2) {
+            val p = r.readMessage()
+            while (p.hasNext) eb += java.lang.Double.longBitsToDouble(p.readFixed64())
+          } else eb += java.lang.Double.longBitsToDouble(r.readFixed64())
         case 9 => attrs += keyValue(r.readMessage())
         case 11 => mn = java.lang.Double.longBitsToDouble(r.readFixed64())
         case 12 => mx = java.lang.Double.longBitsToDouble(r.readFixed64())
@@ -614,6 +627,9 @@ object OtelProto {
     */
   private def widenAttrs(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
+    // the decoded points feed two jobs (key-union collect + the returned
+    // plan); persist so the gunzip+wire-decode pass runs once per file
+    df.persist()
     val keys = df.select(
       explode(concat(
         transform(map_keys(col("attrs")), k => concat(lit("attr_"), k)),

@@ -66,56 +66,53 @@ object Compiler {
       else if (q.without.nonEmpty) allLabels.filterNot(q.without.contains)
       else allLabels
 
-    // quantile path: the synthetic metric carries a DDSketch column instead
-    // of sum/count rollups, evaluated by the engine's sketch leaf
-    if (ra.fn == "quantile_over_time") {
-      import graft.sketch.{functions => gf}
-      val qv = ra.param.getOrElse(0.5)
-      val bucketQ = col("chq_timestamp") - col("chq_timestamp") % lit(p.stepMs)
-      val synthQ = df
-        .withColumn("__v", col("__unwrap_value"))
-        .filter(col("__v").isNotNull)
-        .withColumn("chq_timestamp", bucketQ)
-        .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
-        .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch"))
-        .withColumn("metric_name", lit("__logql"))
-      return Engine.query(
-        s"quantile_over_time($qv, __logql[${ra.rangeMs}ms])",
-        MetricStore(synthQ), p)
-    }
-
-    // derived per-line value + inner PromQL function
-    val (valueCol, promFn) = ra.fn match {
-      case "count_over_time" => (lit(1.0), "sum_over_time")
-      case "rate"            => (lit(1.0), "rate")
-      case "bytes_over_time" => (octet_length(col("log_message")).cast("double"), "sum_over_time")
-      case "bytes_rate"      => (octet_length(col("log_message")).cast("double"), "rate")
-      case "sum_over_time"   => (col("__unwrap_value"), "sum_over_time")
-      case "avg_over_time"   => (col("__unwrap_value"), "avg_over_time")
-      case "min_over_time"   => (col("__unwrap_value"), "min_over_time")
-      case "max_over_time"   => (col("__unwrap_value"), "max_over_time")
-      case "last_over_time"  => (col("__unwrap_value"), "last_over_time")
-      case "first_over_time" => (col("__unwrap_value"), "first_over_time")
-      case "rate_counter"    => (col("__unwrap_value"), "rate")
-      case other => throw new IllegalArgumentException(s"unsupported range fn: $other")
-    }
-
-    // synthetic cooked metrics at pre-agg freq = query step
     val bucket = col("chq_timestamp") - col("chq_timestamp") % lit(p.stepMs)
-    val synth = df
-      .withColumn("__v", valueCol)
-      .filter(col("__v").isNotNull)
-      .withColumn("chq_timestamp", bucket)
-      .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
-      .agg(
-        sum(col("__v")).as("chq_rollup_sum"),
-        count(lit(1)).cast("double").as("chq_rollup_count"),
-        min(col("__v")).as("chq_rollup_min"),
-        max(col("__v")).as("chq_rollup_max"))
-      .withColumn("metric_name", lit("__logql"))
-
     val rangeStr = s"${ra.rangeMs}ms"
-    val inner = s"$promFn(__logql[$rangeStr])"
+
+    // build (synthetic cooked metrics, inner PromQL) — quantile carries a
+    // DDSketch column (engine sketch leaf) instead of sum/count rollups;
+    // both shapes flow through the SAME outer vector-agg wrapper below
+    val (synth, inner) =
+      if (ra.fn == "quantile_over_time") {
+        import graft.sketch.{functions => gf}
+        val qv = ra.param.getOrElse(0.5)
+        val s = df
+          .withColumn("__v", col("__unwrap_value"))
+          .filter(col("__v").isNotNull)
+          .withColumn("chq_timestamp", bucket)
+          .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
+          .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch"))
+          .withColumn("metric_name", lit("__logql"))
+        (s, s"quantile_over_time($qv, __logql[$rangeStr])")
+      } else {
+        // derived per-line value + inner PromQL function
+        val (valueCol, promFn) = ra.fn match {
+          case "count_over_time" => (lit(1.0), "sum_over_time")
+          case "rate"            => (lit(1.0), "rate")
+          case "bytes_over_time" => (octet_length(col("log_message")).cast("double"), "sum_over_time")
+          case "bytes_rate"      => (octet_length(col("log_message")).cast("double"), "rate")
+          case "sum_over_time"   => (col("__unwrap_value"), "sum_over_time")
+          case "avg_over_time"   => (col("__unwrap_value"), "avg_over_time")
+          case "min_over_time"   => (col("__unwrap_value"), "min_over_time")
+          case "max_over_time"   => (col("__unwrap_value"), "max_over_time")
+          case "last_over_time"  => (col("__unwrap_value"), "last_over_time")
+          case "first_over_time" => (col("__unwrap_value"), "first_over_time")
+          case "rate_counter"    => (col("__unwrap_value"), "rate")
+          case other => throw new IllegalArgumentException(s"unsupported range fn: $other")
+        }
+        val s = df
+          .withColumn("__v", valueCol)
+          .filter(col("__v").isNotNull)
+          .withColumn("chq_timestamp", bucket)
+          .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
+          .agg(
+            sum(col("__v")).as("chq_rollup_sum"),
+            count(lit(1)).cast("double").as("chq_rollup_count"),
+            min(col("__v")).as("chq_rollup_min"),
+            max(col("__v")).as("chq_rollup_max"))
+          .withColumn("metric_name", lit("__logql"))
+        (s, s"$promFn(__logql[$rangeStr])")
+      }
     val promql = q.vectorOp match {
       case Some(op) =>
         val grouping =

@@ -240,8 +240,11 @@ object Engine {
         val effSpan = greatest(lit(step), col("ts") - coalesce(prevTs, col("ts")))
         val value = fn match {
           case "rate" | "irate" => col("bsum") / (effSpan / lit(1000.0))
-          case "increase" | "sum_over_time" | "last_over_time" |
-               "first_over_time" => col("bsum")
+          case "increase" | "sum_over_time" => col("bsum")
+          // instant first/last = the single bucket's average, matching the
+          // windowed path's first/last of bucket averages
+          case "last_over_time" | "first_over_time" =>
+            col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))
           case "count_over_time" => col("bcnt")
           case "avg_over_time" =>
             when(col("bcnt") === 0, lit(Double.NaN)).otherwise(col("bsum") / col("bcnt"))

@@ -62,6 +62,14 @@ object PromQLQueries extends Catalog {
   private val H4 = 4L * 3600000L
   private val H6 = 6L * 3600000L
 
+  /** rate-style values are (exact integer cents)/range_sec: recover the
+    * integer and divide identically on both engines so the doubles are
+    * bit-identical regardless of summation order (see pq_rate comment)
+    */
+  private def exactCents(value: org.apache.spark.sql.Column, rangeMs: Long) =
+    round(value * lit(rangeMs / 1000.0 * 100), 0).cast("long") /
+      lit(rangeMs / 1000.0 * 100)
+
   override def all: Seq[Q] = Seq(
     Q("pq_selector",
       run("events_value"),
@@ -90,8 +98,7 @@ object PromQLQueries extends Catalog {
     Q("pq_rate",
       { (s, d) =>
         run("rate(events_value[4h])")(s, d).withColumn("value",
-          round(col("value") * lit(H4 / 1000.0 * 100), 0).cast("long") /
-            lit(H4 / 1000.0 * 100))
+          exactCents(col("value"), H4))
       },
       Some(s"""WITH ${winCte(H4)}
         SELECT ts, attr_event_type,
@@ -137,8 +144,7 @@ object PromQLQueries extends Catalog {
     Q("pq_sum_rate",
       { (s, d) =>
         run("sum(rate(events_value[4h]))")(s, d).withColumn("value",
-          round(col("value") * lit(H4 / 1000.0 * 100), 0).cast("long") /
-            lit(H4 / 1000.0 * 100))
+          exactCents(col("value"), H4))
       },
       Some(s"""WITH ${winCte(H4)},
         r AS (SELECT ts, attr_event_type,
@@ -269,8 +275,7 @@ object PromQLQueries extends Catalog {
     Q("pq_irate", // irate ≡ rate at worker granularity; cents trick as pq_rate
       { (s, d) =>
         run("irate(events_value[4h])")(s, d).withColumn("value",
-          round(col("value") * lit(H4 / 1000.0 * 100), 0).cast("long") /
-            lit(H4 / 1000.0 * 100))
+          exactCents(col("value"), H4))
       },
       Some(s"""WITH ${winCte(H4)}
         SELECT ts, attr_event_type,

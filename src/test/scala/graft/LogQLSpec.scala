@@ -110,6 +110,22 @@ class LogQLCompilerSpec extends AnyFunSuite {
       col("value") =!= col("expected")).count() == 0)
   }
 
+  test("quantile_over_time honors an outer vector aggregation") {
+    val rangeMs = p.stepMs
+    val inner = Compiler.query(
+      s"""quantile_over_time(0.9, {log_level="INFO"} | logfmt | user > 0 | unwrap user [${rangeMs}ms])""",
+      store, p).filter(!isnan(col("value")))
+    val maxed = Compiler.query(
+      s"""max(quantile_over_time(0.9, {log_level="INFO"} | logfmt | user > 0 | unwrap user [${rangeMs}ms]))""",
+      store, p).filter(!isnan(col("value")))
+    // outer max collapses the per-series quantiles to one row per ts ...
+    assert(maxed.columns.toSeq == Seq("ts", "value"))
+    val perTs = inner.groupBy(col("ts")).agg(max(col("value")).as("expected"))
+    val j = maxed.join(perTs, "ts")
+    // ... and equals the max of the inner per-series quantiles
+    assert(j.filter(col("value") =!= col("expected")).count() == 0 && j.count() > 0)
+  }
+
   test("unwrap duration converts unit strings") {
     import spark.implicits._
     val df = Seq("250ms", "1.5s", "2m", "bad", "3").toDF("took")
