@@ -40,4 +40,28 @@ object StepPolicy {
   def scanTier(spark: SparkSession, segmentDir: String, stepMs: Long): DataFrame =
     spark.read.parquet(segmentDir)
       .filter(org.apache.spark.sql.functions.col("freq") === tierFor(stepMs))
+
+  /** UTC yyyyMMdd int of an epoch-ms timestamp (segment partition key) */
+  def dateintOf(ms: Long): Int = {
+    val d = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC).toLocalDate
+    d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+  }
+
+  /** [[scanTier]] with dateint partition pruning: callers pass the
+    * EFFECTIVE scan range — query range extended left by (range+offset)
+    * lookback, exactly what the engine's leaf will read (the reference's
+    * segment lookup does the same, queryapi/dates.go:23-42 +
+    * lrdb/queries/metric_seg.sql:113-125). Both `freq` and `dateint` are
+    * partition columns, so Catalyst prunes whole directories — on a
+    * 100 TB store this is the difference between scanning one day's tier
+    * and scanning everything.
+    */
+  def scanTier(spark: SparkSession, segmentDir: String, stepMs: Long,
+      effStartMs: Long, effEndMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(segmentDir)
+      .filter(col("freq") === tierFor(stepMs) &&
+        col("dateint") >= dateintOf(effStartMs) &&
+        col("dateint") <= dateintOf(effEndMs - 1))
+  }
 }

@@ -47,12 +47,14 @@ object CsvLog {
     name.toLowerCase.replaceAll("[^a-z0-9_]+", "_").replaceAll("^_+|_+$", "")
 
   /** integer sec/ms/ns or datetime string → epoch ms (thresholds from the
-    * reference: >1e15 ns, <2e9 s, else ms)
+    * reference: >1e15 ns, <2e9 s, else ms; non-positive numerics → null,
+    * matching normalizeTimestamp's `ts <= 0 → 0` garbage-input rule)
     */
   def toEpochMs(c: Column): Column = {
     val d = c.cast("double") // ANSI off: non-numeric → null
     when(d.isNotNull,
-      when(d > 1e15, (d / 1e6).cast("long"))
+      when(d <= 0, lit(null).cast("long"))
+        .when(d > 1e15, (d / 1e6).cast("long"))
         .when(d < 2e9, (d * 1000).cast("long"))
         .otherwise(d.cast("long")))
       .otherwise(unix_millis(to_timestamp(c.cast("string"))))
@@ -328,6 +330,7 @@ object Segments {
       maxRecordsPerFile: Long = 2000000L): DataFrame = {
     val tmp = dir.stripSuffix("/") + ".compact_tmp"
     val old = dir.stripSuffix("/") + ".compact_old"
+    recoverStagedSwap(spark, dir)
     spark.read.option("mergeSchema", "true").parquet(dir)
       // one task per (dateint, freq) group → one sorted file per partition
       // dir unless maxRecordsPerFile splits it
@@ -357,6 +360,22 @@ object Segments {
     }
     fs.delete(oldP, true)
     spark.read.parquet(dir)
+  }
+
+  /** Crash recovery for the two-rename swap: a process that died between
+    * `dir → .compact_old` and `.compact_tmp → dir` leaves the live dir
+    * missing with the data stranded in `.compact_old` — restore it. Called
+    * on compaction entry; callers that only read segments can invoke it
+    * directly after an unclean shutdown.
+    */
+  def recoverStagedSwap(spark: SparkSession, dir: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact_old")
+    if (!fs.exists(dirP) && fs.exists(oldP)) {
+      if (!fs.rename(oldP, dirP))
+        throw new java.io.IOException(s"could not restore $dir from staged $oldP")
+    }
   }
 
   /** parquet data-file count under a segment dir (compaction metric) */

@@ -34,6 +34,11 @@ object OtelProto {
       var out = 0L
       while (true) {
         bounds(1)
+        // a valid varint is ≤10 bytes (70 bits of shift); past that the JVM's
+        // shift-mod-64 would silently wrap and yield a corrupt value
+        if (shift > 63)
+          throw new IllegalArgumentException(
+            s"malformed protobuf: varint longer than 10 bytes at $pos")
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -600,23 +605,16 @@ object OtelProto {
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
     val logs = files.flatMap { case (p, content) => parseLogs(maybeGunzip(p, content)) }
-    val keys = logs
-      .flatMap(l => l.attrs.keys.map("attr_" + _) ++ l.resourceAttrs.keys.map("resource_" + _))
-      .distinct().collect().sorted
-    val base = logs.toDF()
-    val withCols = keys.foldLeft(
-      base.select(
-        expr("timeUnixNano DIV 1000000").as("chq_timestamp"), // integer div: ns epochs exceed double's 2^53
-        col("timeUnixNano").as("chq_tsns"),
-        col("severityText").as("log_level"),
-        col("severityNumber").as("chq_severity_number"),
-        col("body").as("log_message"),
-        col("scopeName").as("scope_name"),
-        col("attrs"), col("resourceAttrs"))) { (df, k) =>
-      if (k.startsWith("attr_")) df.withColumn(k, col("attrs").getItem(k.stripPrefix("attr_")))
-      else df.withColumn(k, col("resourceAttrs").getItem(k.stripPrefix("resource_")))
-    }
-    withCols.drop("attrs", "resourceAttrs")
+    // shared widen path: gunzip + wire decode runs once (materialized), the
+    // key-union pass and the returned plan both read the decoded rows
+    widenAttrs(logs.toDF().select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"), // integer div: ns epochs exceed double's 2^53
+      col("timeUnixNano").as("chq_tsns"),
+      col("severityText").as("log_level"),
+      col("severityNumber").as("chq_severity_number"),
+      col("body").as("log_message"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs")))
       .withColumn("metric_name", lit("log_events"))
   }
 
@@ -625,11 +623,13 @@ object OtelProto {
     * pass is a distinct-aggregate over key names only — bounded by distinct
     * key count, not data volume.
     */
-  private def widenAttrs(df: DataFrame): DataFrame = {
-    import df.sparkSession.implicits._
+  private def widenAttrs(df0: DataFrame): DataFrame = {
+    import df0.sparkSession.implicits._
     // the decoded points feed two jobs (key-union collect + the returned
-    // plan); persist so the gunzip+wire-decode pass runs once per file
-    df.persist()
+    // plan). localCheckpoint materializes the decode once; unlike persist(),
+    // the blocks are released by the ContextCleaner when the plan is GC'd,
+    // so repeated reads don't leak session-lifetime cache entries.
+    val df = df0.localCheckpoint()
     val keys = df.select(
       explode(concat(
         transform(map_keys(col("attrs")), k => concat(lit("attr_"), k)),

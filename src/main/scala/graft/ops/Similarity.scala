@@ -56,9 +56,13 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 281474976710656.0 - 0.5 // 2^48
   }
 
-  /** sign bit of v · plane_p (plane materialized as a literal array) */
+  /** sign bit of v · plane_p. The plane is ONE array Literal (not an
+    * `array(lit, lit, …)` constructor): 64 inline literal nodes per plane
+    * × planes × tables bloat the expression tree and the generated Java
+    * to the point where Janino compilation dominates the query.
+    */
   private def planeBit(emb: Column, p: Int, dims: Int): Column = {
-    val plane = array((0 until dims).map(i => lit(planeComponent(p, i))): _*)
+    val plane = lit((0 until dims).map(i => planeComponent(p, i)).toArray)
     val prods = zip_with(emb, plane, (x, w) => x.cast("double") * w)
     when(aggregate(prods, lit(0.0), (acc, v) => acc + v) >= 0, lit(1)).otherwise(lit(0))
   }
@@ -75,20 +79,53 @@ object Similarity {
   def lshBucket(emb: Column, nPlanes: Int = 8, dims: Int = 64): Column =
     lshBucketAt(emb, 0, nPlanes, dims)
 
+  /** Plane count for a corpus of `n` vectors targeting ~`occupancy`
+    * vectors per bucket: smallest p with 2^p ≥ n/occupancy, clamped to
+    * [minPlanes, maxPlanes]. Expected candidate volume is then
+    * O(n · occupancy · tables) — LINEAR in corpus size — where a fixed
+    * plane count degrades to O(n²/2^p). The cap bounds per-row signature
+    * cost at huge n; recover the recall lost to extra planes by raising
+    * `tables` (each table is an independent disjoint plane family).
+    * Integer bit-length arithmetic (not floating log2) so the DuckDB
+    * oracle's ceil(log2(...)) replay can't drift at power-of-two
+    * boundaries.
+    */
+  def planesFor(n: Long, occupancy: Long = 16L, minPlanes: Int = 4,
+      maxPlanes: Int = 18): Int = {
+    val buckets = math.max(1L, (n + occupancy - 1) / occupancy)
+    val np = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(maxPlanes, math.max(minPlanes, np))
+  }
+
+  /** [[nearDupPairs]] with the plane count derived from the corpus size —
+    * the one-count() here is a plan-time statistic (same spirit as AQE's
+    * runtime stats), paid once so candidate volume stays linear in n.
+    */
+  def nearDupPairsAuto(corpus: DataFrame, minSim: Double, tables: Int = 4,
+      dims: Int = 64, occupancy: Long = 16L): DataFrame =
+    nearDupPairs(corpus, minSim, planesFor(corpus.count(), occupancy), tables, dims)
+
   /** Embedding-cosine near-duplicate PAIRS — dedup over the embedding
     * space: candidate pairs share an LSH bucket in ≥1 table (bucket
     * equi-join, never all-pairs), exact cosine rerank keeps pairs ≥
     * minSim. Same 100 TB shape as the banded text dedups: shuffle keyed
     * by bucket, exact check only on co-bucketed candidates. Recall < 1 by
-    * design (LSH); raise `tables` for higher recall.
+    * design (LSH); raise `tables` for higher recall. Size `nPlanes` with
+    * [[planesFor]] (or call [[nearDupPairsAuto]]) — a constant plane
+    * count is a scale bug, not a tuning choice.
     */
   def nearDupPairs(corpus: DataFrame, minSim: Double, nPlanes: Int = 4,
-      tables: Int = 2, dims: Int = 64): DataFrame = {
+      tables: Int = 4, dims: Int = 64): DataFrame = {
+    // materialize the signature pass ONCE: the (vec_id, bucket) frame is
+    // tiny (n·tables rows) but the signature expression behind it is the
+    // expensive part (planes·dims multiply-adds per row), and a plain
+    // self-join would recompute it for each side
     val b = corpus.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t),
           lshBucketAt(col("embedding"), t * nPlanes, nPlanes, dims))): _*))
         .as("bucket"))
+      .localCheckpoint()
     val l = b.select(col("bucket"), col("vec_id").as("a"))
     val r = b.select(col("bucket"), col("vec_id").as("b"))
     // dedup candidate pairs on ids only — carrying the embedding arrays
@@ -97,11 +134,16 @@ object Similarity {
     // is small; at scale this is a key join, never a forced broadcast)
     val cands = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    // norms once per VECTOR (not per candidate pair): the rerank is the hot
+    // loop and the norm is two-thirds of a naive cosine's work
+    val vecs = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__nrm"))
     cands
-      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
-      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
-      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("__nrm").as("__na")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("__nrm").as("__nb")), Seq("b"))
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }

@@ -23,7 +23,8 @@ object Catalog {
     TelemetryQueries,
     PromQLQueries,
     LogQLQueries,
-    PipelineQueries
+    PipelineQueries,
+    ItQueries
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

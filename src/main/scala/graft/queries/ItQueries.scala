@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.StepPolicy
+import graft.ingest.{MetricsPreAgg, Segments}
+import graft.model.Tables
+import graft.promql.{Engine, MetricStore}
+
+/** Integration spine: end-to-end query-over-SEGMENTS rows. Every other
+  * PromQL/LogQL oracle evaluates the engine against an in-memory derivation
+  * of `events`; these rows exercise the storage contract itself — write
+  * real multi-tier partitioned segments (dateint=/freq= layout,
+  * [[Segments.writeMetricSegments]]), pick the tier with
+  * [[StepPolicy.paramsFor]]/[[StepPolicy.scanTier]] (partition pruning on
+  * both keys), answer through [[Engine.query]], and hash-match DuckDB
+  * reading THE SAME parquet files via read_parquet(hive_partitioning).
+  * Mirrors the reference lifecycle steps 4-5
+  * (queryapi/metrics_evaluator.go:414-536, queryapi/dates.go:23-42).
+  *
+  * The oracle SQL embeds the segment directory path; it is rendered when
+  * [[graft.Verify]] dumps oracle_sql.json — AFTER the queries ran — so the
+  * path always points at the directory the just-run queries wrote
+  * (per-scale-factor, keyed by the sf dir name).
+  */
+object ItQueries extends Catalog {
+  // 2024-01-01T00:00:00Z .. +14d (dense half of events)
+  private val Start = 1704067200000L
+  private val End = Start + 14L * 86400000L
+  private val H4 = 4L * 3600000L
+  private val HourMs = 3600000L
+
+  private def tmpRoot: String = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  private def tag(d: String): String = new java.io.File(d).getName
+  // defaults point at the official correctness SF so an out-of-order render
+  // (oracle before query) still names the right run
+  @volatile private var segRootCur: String = s"$tmpRoot/graft_it_segments_sf0.01"
+  @volatile private var unionRootCur: String = s"$tmpRoot/graft_it_union_sf0.01"
+
+  private val built = scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private def deleteDir(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** write the 10 s base tier + the 3600 s rollup tier once per session+sf */
+  private def ensureSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_segments_${tag(d)}"
+    segRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      val base = MetricsPreAgg.preAggregate(
+        Tables.events(s, d), col("ts_ms"), lit("events_value"), col("value"),
+        Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+        withSketch = false)
+      Segments.writeMetricSegments(base, dir)
+      Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), dir)
+      true
+    })
+    dir
+  }
+
+  /** two batches with DISJOINT attr_* column sets in one segment dir —
+    * the per-segment dynamic-schema-union case (reference
+    * writer_metrics_duckdb.go:262, logs_ingest_duckdb.go:265-325)
+    */
+  private def ensureUnionSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_union_${tag(d)}"
+    unionRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      val ev = Tables.events(s, d)
+      val a = MetricsPreAgg.preAggregate(
+        ev.filter(col("event_id") % 2 === 0), col("ts_ms"), lit("events_value"),
+        col("value"), Seq("attr_event_type" -> col("event_type")),
+        freqMs = 60000L, withSketch = false)
+      val b = MetricsPreAgg.preAggregate(
+        ev.filter(col("event_id") % 2 =!= 0), col("ts_ms"), lit("events_value"),
+        col("value"), Seq("attr_zone" -> concat(lit("z"), col("user_id") % 3)),
+        freqMs = 60000L, withSketch = false)
+      Segments.writeMetricSegments(a, dir)
+      Segments.writeMetricSegments(b, dir)
+      true
+    })
+    dir
+  }
+
+  /** segment scan → MetricStore: keep only the cooked-metrics contract
+    * columns (partition keys and chq_rollup_freq/avg would otherwise leak
+    * into the engine's label set)
+    */
+  private def storeFrom(scan: DataFrame): MetricStore = {
+    val sys = Seq("chq_timestamp", "metric_name", "chq_tid", "chq_rollup_sum",
+      "chq_rollup_count", "chq_rollup_min", "chq_rollup_max")
+    val labels = scan.schema.fieldNames.filter(_.startsWith("attr_")).toSeq
+    MetricStore(scan.select((sys ++ labels).map(col): _*))
+  }
+
+  /** exact integer-cents canonicalization (see PromQLQueries pq_rate) */
+  private def cents(value: Column, scale: Double): Column =
+    round(value * lit(scale), 0).cast("long") / lit(scale)
+
+  // ---- queries -------------------------------------------------------------
+
+  /** 14 d span → paramsFor picks the 1 h step → scanTier reads ONLY the
+    * freq=3600000 partition (hourly rollup tier), dateint-pruned to the
+    * effective range; sum-by-rate through the engine.
+    */
+  private def segRate(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    val p = StepPolicy.paramsFor(Start, End)
+    require(p.stepMs == HourMs, s"14d span must select the hourly step, got ${p.stepMs}")
+    val scan = StepPolicy.scanTier(s, dir, p.stepMs, p.startMs - H4, p.endMs)
+    Engine.query("sum by (attr_event_type) (rate(events_value[4h]))",
+      storeFrom(scan), p)
+      .filter(!isnan(col("value")))
+      .withColumn("value", cents(col("value"), H4 / 1000.0 * 100))
+  }
+
+  private def segRateSql(dir: String): String =
+    s"""WITH step AS (
+       SELECT chq_timestamp AS ts, attr_event_type,
+              sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= ${Start - H4} AND chq_timestamp < $End
+       GROUP BY 1, 2),
+     win AS (
+       SELECT ts, attr_event_type, sum(bsum) OVER w AS wsum,
+              min(ts) OVER w AS first_ts
+       FROM step
+       WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                    RANGE BETWEEN ${H4 - HourMs} PRECEDING AND CURRENT ROW))
+     SELECT ts, attr_event_type,
+            CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS value
+     FROM win
+     WHERE first_ts = ts - ${H4 - HourMs} AND ts >= $Start AND ts < $End"""
+
+  /** 1 h span → paramsFor picks the 10 s step → scanTier reads the
+    * freq=10000 base tier, dateint-pruned to ONE day.
+    */
+  private def segBucket10s(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    val qEnd = Start + HourMs
+    val p = StepPolicy.paramsFor(Start, qEnd)
+    require(p.stepMs == 10000L, s"1h span must select the 10s step, got ${p.stepMs}")
+    val scan = StepPolicy.scanTier(s, dir, p.stepMs, p.startMs, p.endMs)
+    Engine.query("sum by (attr_event_type) (events_value)", storeFrom(scan), p)
+  }
+
+  private def segBucket10sSql(dir: String): String =
+    s"""SELECT chq_timestamp AS ts, attr_event_type,
+            sum(chq_rollup_sum) AS value
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $Start AND chq_timestamp < ${Start + HourMs}
+       GROUP BY 1, 2"""
+
+  /** query across two segments with disjoint attr_* sets: mergeSchema
+    * union-by-name with NULL fill, matcher on a label only one batch
+    * carries (absent ≡ "" per PromQL), null-label group preserved.
+    */
+  private def schemaUnion(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureUnionSegments(s, d)
+    val p = StepPolicy.paramsFor(Start, End)
+    val scan = s.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("freq") === 60000L)
+    Engine.query("""sum by (attr_event_type) (events_value{attr_zone!="z1"})""",
+      storeFrom(scan), p)
+      .withColumn("value", cents(col("value"), 100))
+  }
+
+  private def schemaUnionSql(dir: String): String =
+    s"""WITH seg AS (
+       SELECT * FROM read_parquet('$dir/dateint=*/freq=60000/*.parquet',
+                                  hive_partitioning=1, union_by_name=true)),
+     step AS (
+       SELECT chq_timestamp - chq_timestamp % $HourMs AS ts,
+              attr_event_type, sum(chq_rollup_sum) AS bsum
+       FROM seg
+       WHERE coalesce(attr_zone, '') <> 'z1'
+         AND chq_timestamp >= $Start AND chq_timestamp < $End
+       GROUP BY 1, 2)
+     SELECT ts, attr_event_type,
+            CAST(round(bsum * 100, 0) AS BIGINT) / 100 AS value
+     FROM step WHERE ts >= $Start AND ts < $End"""
+
+  /** Structured-Streaming ingest end-to-end: events → parquet file source →
+    * segmentWriteStream (foreachBatch 10 s pre-agg + per-batch idempotent
+    * segment dirs + commit log) → read written segments → aggregate; the
+    * oracle recomputes the same totals straight from `events`.
+    */
+  private def streamIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+    val in = Files.createTempDirectory("graft_it_stream_in_").toString
+    ev.coalesce(4).write.mode("overwrite").parquet(in)
+    val segDir = Files.createTempDirectory("graft_it_stream_seg_").toString
+    val commitDir = Files.createTempDirectory("graft_it_stream_commit_").toString
+    val ckpt = Files.createTempDirectory("graft_it_stream_ckpt_").toString
+    val q = graft.streaming.StreamingIngest.segmentWriteStream(
+      s.readStream.schema(ev.schema).parquet(in),
+      b => MetricsPreAgg.preAggregate(b, col("ts_ms"), lit("events_value"),
+        col("value"), Seq("attr_event_type" -> col("event_type")),
+        freqMs = 10000L, withSketch = false),
+      segDir, commitDir, ckpt)
+    q.awaitTermination()
+    val commits = new java.io.File(commitDir).listFiles()
+    require(commits != null && commits.nonEmpty, "stream wrote no commit records")
+    s.read.parquet(segDir)
+      .groupBy(col("attr_event_type"))
+      .agg(sum(col("chq_rollup_count")).cast("long").as("n_events"),
+        cents(sum(col("chq_rollup_sum")), 100).as("sum_v"),
+        min(col("chq_timestamp")).as("min_bucket"),
+        countDistinct(col("chq_timestamp")).as("n_buckets"))
+  }
+
+  private val streamIngestSql =
+    """SELECT event_type AS attr_event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(round(sum("value") * 100, 0) AS BIGINT) / 100 AS sum_v,
+              min(epoch_ms(ts) - epoch_ms(ts) % 10000) AS min_bucket,
+              CAST(count(DISTINCT epoch_ms(ts) - epoch_ms(ts) % 10000) AS BIGINT)
+                AS n_buckets
+       FROM events GROUP BY 1"""
+
+  // `all` is a def and the oracle strings are rendered inside it: Verify
+  // dumps oracle_sql.json after running the queries, so the embedded
+  // segment paths are the ones this run wrote
+  override def all: Seq[Q] = Seq(
+    Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
+    Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
+    Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
+    Q("it_stream_ingest", streamIngest, Some(streamIngestSql))
+  )
+}

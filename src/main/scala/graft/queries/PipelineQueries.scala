@@ -244,18 +244,26 @@ object PipelineQueries extends Catalog {
   /** embedding-cosine near-dup pairs (dedup over the embedding space);
     * threshold 0.4 — the synthetic embeddings carry no true duplicates
     * (max pairwise cosine ≈ 0.51), so the row exercises the operator's
-    * full path on the most-similar tail
+    * full path on the most-similar tail. Plane count scales with the
+    * corpus (planesFor: ~16 vectors/bucket, 4 disjoint-family tables) so
+    * candidate volume stays linear in n — the oracle replays the same
+    * np = clamp(ceil(log2(ceil(n/16))), 4, 18) from count(*).
     */
   private def embNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(s, d), minSim = 0.4,
-      nPlanes = 4, tables = 2)
+    Similarity.nearDupPairsAuto(Tables.embeddings(s, d), minSim = 0.4,
+      tables = 4, occupancy = 16L)
 
   private val embNearDupSql = {
-    val planeW = "CAST(('0x' || substr(md5('plane' || CAST(t.t*4 + p.p AS VARCHAR)" +
+    val planeW = "CAST(('0x' || substr(md5('plane' || CAST(t.t*(SELECT np FROM params) + p.p AS VARCHAR)" +
       " || '|' || CAST(d.i AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 - 0.5"
-    s"""WITH pl AS (
+    s"""WITH params AS (
+       SELECT least(18, greatest(4,
+         CAST(ceil(log2(CAST(ceil(count(*) / 16.0) AS BIGINT))) AS BIGINT))) AS np
+       FROM embeddings),
+     pl AS (
        SELECT t.t AS tbl, p.p AS p, d.i AS i, $planeW AS w
-       FROM range(0, 2) t(t) CROSS JOIN range(0, 4) p(p)
+       FROM range(0, 4) t(t)
+       CROSS JOIN (SELECT unnest(range(0, (SELECT np FROM params))) AS p) p(p)
             CROSS JOIN range(0, 64) d(i)),
      ev AS (
        SELECT vec_id, d.i AS i,

@@ -76,7 +76,10 @@ object StreamingIngest {
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             fs.delete(p, true) // replay rewrites its own dir only
             writeSegments(cooked, batchDir)
-            val maxTs = cooked.agg(max(col("chq_timestamp"))).head().getLong(0)
+            // coalesce: an all-null chq_timestamp batch must not NPE after
+            // segments were written but before the commit record lands
+            val maxTs = cooked.agg(coalesce(max(col("chq_timestamp")), lit(-1L)))
+              .head().getLong(0)
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(commitDir, f"batch_$batchId%09d.json"),
               s"""{"batch_id":$batchId,"rows":$n,"max_ts":$maxTs}""")

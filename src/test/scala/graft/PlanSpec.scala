@@ -80,4 +80,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("pp_emb_neardup")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("segment tier scan prunes BOTH partition keys (freq + dateint)") {
+    // the end-to-end segments query must hit the parquet scan with partition
+    // filters on freq (tier selection) AND dateint (time pruning) — on a
+    // 100 TB store this decides whether a 1 h query reads one day's tier
+    // directory or the whole lake
+    val p = plan("it_seg_bucket10s")
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+      .takeWhile(_ != '\n')
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(scanSection.contains("freq") && scanSection.contains("dateint"),
+      s"partition filters incomplete: $scanSection")
+  }
+
+  test("hourly-tier rate query reads the rollup tier, not the 10s base tier") {
+    val p = plan("it_seg_rate")
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+      .takeWhile(_ != '\n')
+    assert(scanSection.contains("3600000"),
+      s"tier selection missing from partition filters: $scanSection")
+  }
 }
