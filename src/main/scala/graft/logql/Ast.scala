@@ -35,6 +35,16 @@ final case class LineFormatStage(template: Template) extends Stage
 /** `| keep a,b` / `| drop a,b` */
 final case class KeepStage(labels: List[String]) extends Stage
 final case class DropStage(labels: List[String]) extends Stage
+/** `| label_replace(dst, "repl", src, "regex")` — PromQL's label_replace
+  * accepted as a pipeline stage (the reference parser takes it as a stage
+  * keyword, logql/parser.go:677): when the regex FULL-matches src's value,
+  * dst becomes repl with $N group substitutions; otherwise dst is left
+  * unchanged.
+  */
+final case class LabelReplaceStage(dst: String, repl: String, src: String,
+    regex: String) extends Stage
+/** `| decolorize` — strip ANSI color escapes from the log line */
+case object DecolorizeStage extends Stage
 /** `| label op value` — string or numeric comparison */
 final case class LabelFilter(label: String, op: String, value: String,
     numeric: Boolean) extends Stage

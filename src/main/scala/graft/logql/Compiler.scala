@@ -206,6 +206,26 @@ object Compiler {
       case DropStage(ds) =>
         labels = labels.filterNot(ds.contains)
 
+      case LabelReplaceStage(dst, repl, src, regex) =>
+        // full-match semantics: dst changes only when the regex matches the
+        // ENTIRE src value; $N in repl substitutes capture groups (Java and
+        // PromQL share the $N syntax)
+        val srcCol =
+          if (df.schema.fieldNames.contains(src)) coalesce(df(src).cast("string"), lit(""))
+          else lit("")
+        val full = "^(?:" + regex + ")$"
+        val existing =
+          if (df.schema.fieldNames.contains(dst)) df(dst).cast("string")
+          else lit(null).cast("string")
+        df = df.withColumn(dst,
+          when(srcCol.rlike(full), regexp_replace(srcCol, full, repl))
+            .otherwise(existing))
+        labels = (labels :+ dst).distinct
+
+      case DecolorizeStage =>
+        df = df.withColumn("log_message",
+          regexp_replace(col("log_message"), "\u001b\\[[0-9;]*m", ""))
+
       case LabelFilter(label, op, value, numeric) =>
         val c =
           if (df.schema.fieldNames.contains(label)) df(label)
@@ -380,6 +400,7 @@ object Compiler {
     stages.flatMap {
       case LabelFilter(l, _, _, _) => Seq(l)
       case UnwrapStage(f, _) => Seq(f)
+      case LabelReplaceStage(_, _, src, _) => Seq(src)
       case LabelFormatStage(as) => as.flatMap(kv => templateFields(kv._2))
       case LineFormatStage(t) => templateFields(t)
       case KeepStage(ls) => ls

@@ -341,6 +341,25 @@ private final class LogParser(input: String) {
         LineFormatStage(Parser.parseTemplate(str()))
       case "keep" => KeepStage(identList())
       case "drop" => DropStage(identList())
+      case "label_replace" =>
+        // stage form of PromQL label_replace (reference logql/parser.go:677);
+        // dst/src accept bare idents or quoted names
+        expect('(')
+        val dst = identOrStr()
+        expect(','); val repl = str()
+        expect(','); val src = identOrStr()
+        expect(','); val regex = str()
+        expect(')')
+        LabelReplaceStage(dst, repl, src, regex)
+      // reference-compat stage keywords (parser.go:677): with a label list
+      // they behave as keep/drop; bare they parse as no-ops
+      case "keep_labels" =>
+        if (peek().isLetter || peek() == '_') KeepStage(identList())
+        else DropStage(Nil)
+      case "drop_labels" =>
+        if (peek().isLetter || peek() == '_') DropStage(identList())
+        else DropStage(Nil)
+      case "decolorize" => DecolorizeStage
       case "unwrap" =>
         skipWs()
         val w = ident()
@@ -376,6 +395,12 @@ private final class LogParser(input: String) {
           LabelFilter(label, op, input.substring(start, pos), numeric = true)
         }
     }
+  }
+
+  private def identOrStr(): String = {
+    skipWs()
+    if (pos < input.length && (input(pos) == '"' || input(pos) == '`')) str()
+    else ident()
   }
 
   private def parseMappings(): List[(String, String)] = {

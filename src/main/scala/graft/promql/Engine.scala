@@ -49,6 +49,15 @@ final case class SeriesFrame(df: DataFrame, labels: Seq[String])
   */
 object Engine {
 
+  /** salt width of the two-phase topk/bottomk partial rank */
+  val TopKSaltParts = 32
+
+  /** session conf key: "true" → irate uses true last-two-buckets semantics
+    * instead of the reference's rate-equivalent deferral
+    * (promql/sql_builder.go:51). Read at PLAN time.
+    */
+  val ExactIrateKey = "spark.graft.promql.exactIrate"
+
   def query(promql: String, store: MetricStore, p: QueryParams): DataFrame = {
     val expr = Parser.parse(promql).fold(e => throw new IllegalArgumentException(e), identity)
     eval(expr, store, p) match {
@@ -208,9 +217,24 @@ object Engine {
         min(col("chq_rollup_min")).as("bmin"),
         max(col("chq_rollup_max")).as("bmax"))
 
+    // exact irate (flag-gated): true last-two-buckets semantics — the last
+    // delta divided by the gap to the previous bucket, PromQL's irate over
+    // bucketized counter deltas — instead of the reference's rate-equivalent
+    // deferral (promql/sql_builder.go:51). Conf is read at plan time.
+    val exactIrate = fn == "irate" &&
+      df.sparkSession.conf.getOption(ExactIrateKey).contains("true")
+
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
     val out: DataFrame =
-      if (range > 0 && Ast.rangeFns.contains(fn)) {
+      if (range > 0 && exactIrate) {
+        val prevTs = lag(col("ts"), 1).over(w)
+        // the previous bucket must fall inside the (ts-range, ts] window;
+        // otherwise there is no sample pair and the point is undefined
+        val prevInWindow = prevTs.isNotNull && prevTs >= col("ts") - lit(range) + lit(step)
+        val gapSec = (col("ts") - prevTs) / lit(1000.0)
+        bucketed.withColumn("value",
+          when(prevInWindow, col("bsum") / gapSec).otherwise(lit(Double.NaN)))
+      } else if (range > 0 && Ast.rangeFns.contains(fn)) {
         val lower = math.min(0L, -(range - step))
         val rw = w.rangeBetween(lower, 0)
         // coverage: leftmost step bucket of the window must be present
@@ -342,9 +366,19 @@ object Engine {
         val ord =
           if (op == "topk") Seq(col("value").desc_nulls_last, key.asc)
           else Seq(col("value").asc_nulls_last, key.asc)
-        val w = Window.partitionBy(col("ts")).orderBy(ord: _*)
+        // two-phase rank: a single ts-partitioned window puts EVERY series
+        // of a bucket on one task — a straggler at 10⁷-series cardinality.
+        // Phase 1 ranks within (ts, salt) where salt spreads series across
+        // TopKSaltParts tasks and keeps only k per salt group (the top-k of
+        // a union is contained in the union of per-part top-ks); phase 2
+        // ranks the ≤ salt·k survivors per bucket — bounded input.
+        val salt = pmod(hash(key), lit(TopKSaltParts))
+        val w1 = Window.partitionBy(col("ts"), salt).orderBy(ord: _*)
+        val pruned = sf.df.withColumn("__rk", row_number().over(w1))
+          .filter(col("__rk") <= k).drop("__rk")
+        val w2 = Window.partitionBy(col("ts")).orderBy(ord: _*)
         SeriesFrame(
-          sf.df.withColumn("__rk", row_number().over(w))
+          pruned.withColumn("__rk", row_number().over(w2))
             .filter(col("__rk") <= k).drop("__rk"),
           sf.labels)
       case "quantile" =>

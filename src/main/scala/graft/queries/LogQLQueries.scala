@@ -128,6 +128,22 @@ object LogQLQueries extends Catalog {
                regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) AS evt
         FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
 
+    // label_replace as a pipeline stage (reference logql/parser.go:677):
+    // full-match group substitution creates svc_id from the service label,
+    // a later filter consumes the new label
+    Q("lq_label_replace",
+      raw("""{log_level="INFO"} | label_replace(svc_id, "id-$1", resource_service_name, "svc-(.*)") | svc_id != "id-0" """,
+        Seq("chq_timestamp", "resource_service_name", "svc_id")),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp, resource_service_name,
+               'id-' || regexp_extract(resource_service_name, '^svc-(.*)$$', 1)
+                 AS svc_id
+        FROM logs
+        WHERE log_level = 'INFO'
+          AND 'id-' || regexp_extract(resource_service_name, '^svc-(.*)$$', 1)
+              <> 'id-0'
+          AND $timeCond""")),
+
     // conditional templates + trim/len pipes (reference template compiler
     // logql/sql_builder.go:636-953)
     Q("lq_label_format_cond",

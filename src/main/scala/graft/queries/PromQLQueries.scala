@@ -282,6 +282,28 @@ object PromQLQueries extends Catalog {
                CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS value
         FROM win WHERE ${covered(H4)}""")),
 
+    // true last-two-buckets irate behind the session flag: last bucket delta
+    // over the gap to the previous bucket. A [2h] range at the 1h step pins
+    // the in-window gap to exactly 3600 s, so the integer-cents recovery
+    // divides by a constant on both sides (see pq_rate comment).
+    Q("pq_irate_exact",
+      { (s, d) =>
+        s.conf.set(graft.promql.Engine.ExactIrateKey, "true")
+        try
+          run("irate(events_value[2h])")(s, d).withColumn("value",
+            round(col("value") * lit(360000.0), 0).cast("long") / lit(360000.0))
+        finally s.conf.unset(graft.promql.Engine.ExactIrateKey)
+      },
+      Some(s"""WITH ${stepCte(2 * 3600000L)},
+        l AS (SELECT ts, attr_event_type, bsum,
+                lag(ts) OVER (PARTITION BY attr_event_type ORDER BY ts)
+                  AS prev_ts
+              FROM step)
+        SELECT ts, attr_event_type,
+               CAST(round(bsum * 100, 0) AS BIGINT) / 360000.0 AS value
+        FROM l
+        WHERE prev_ts = ts - $StepMs AND ts >= $Start AND ts < $End""")),
+
     // count-series specialization: grid × distinct groups, zero-filled —
     // every (bucket, matched group) combo appears even with no data
     Q("pq_count_series",

@@ -24,6 +24,23 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(Parser.parse("""{app=~"w.*"} |= "x"""").isLeft)
   }
 
+  test("label_replace stage parses with bare and quoted label args") {
+    val q = p("""{app="web"} | label_replace(dst, "x-$1", src, "s-(.*)")""")
+    assert(q.raw.get.stages.contains(
+      LabelReplaceStage("dst", "x-$1", "src", "s-(.*)")))
+    val q2 = p("""{app="web"} | label_replace("d", "$1", "s", "(.+)")""")
+    assert(q2.raw.get.stages.contains(LabelReplaceStage("d", "$1", "s", "(.+)")))
+  }
+
+  test("keep_labels/drop_labels/decolorize parse (reference stage keywords)") {
+    val q = p("""{app="web"} | logfmt | keep_labels evt | decolorize | drop_labels tmp""")
+    assert(q.raw.get.stages.contains(KeepStage(List("evt"))))
+    assert(q.raw.get.stages.contains(DropStage(List("tmp"))))
+    assert(q.raw.get.stages.contains(DecolorizeStage))
+    // bare forms are accepted as no-ops, as in the reference parser
+    assert(Parser.parse("""{app="web"} | keep_labels | drop_labels""").isRight)
+  }
+
   test("vector agg over range agg with by") {
     val q = p("""sum by (app) (rate({app="web"} |= "e" [5m]))""")
     assert(q.vectorOp.contains("sum") && q.by == List("app"))
@@ -85,6 +102,30 @@ class LogQLCompilerSpec extends AnyFunSuite {
     val n = df.count()
     assert(n > 0)
     assert(df.filter(col("evt") =!= "error").count() == 0)
+  }
+
+  test("label_replace: match substitutes groups, no-match leaves dst alone") {
+    val q = Parser.parse(
+      """{log_level="INFO"} | label_replace(svc_id, "id-$1", resource_service_name, "svc-(.*)") | label_replace(svc_id, "never", resource_service_name, "nomatch-(.*)") """).toOption.get
+    val df = Compiler.rawQuery(q.raw.get, store, p.startMs, p.endMs, 100000,
+      fields = Seq("resource_service_name", "svc_id"))
+    assert(df.count() > 0)
+    // first replace rewrote; second regex never matches so svc_id survives
+    assert(df.filter(!col("svc_id").rlike("^id-\\d$")).count() == 0)
+  }
+
+  test("decolorize strips ANSI color sequences from the line") {
+    import spark.implicits._
+    val colored = Seq(
+      (1L, 1000L, "\u001b[31mERROR\u001b[0m boom", "svc-1"),
+      (2L, 2000L, "plain [5m] text", "svc-1"))
+      .toDF("chq_timestamp", "chq_tsns", "log_message", "resource_service_name")
+    val q = Parser.parse("""{resource_service_name="svc-1"} | decolorize""").toOption.get
+    val (df, _) = Compiler.compilePipeline(q.raw.get, LogStore(colored))
+    val lines = df.select("log_message").collect().map(_.getString(0)).sorted
+    assert(lines.contains("ERROR boom"))
+    // bare "[5m]" without the escape byte must survive
+    assert(lines.contains("plain [5m] text"))
   }
 
   test("line_format rewrites the line for later filters") {

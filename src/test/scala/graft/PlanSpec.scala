@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("topk ranks in two phases — no single-task-per-bucket window") {
+    // phase 1 partitions by (ts, salt) and keeps k per salt group, phase 2
+    // ranks the bounded survivors per ts: two Window nodes in the plan, so
+    // no bucket ever funnels its full series set through one task
+    val p = plan("pq_topk")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows >= 2, s"expected two-phase rank, found $windows Window nodes")
+  }
+
   test("segment tier scan prunes BOTH partition keys (freq + dateint)") {
     // the end-to-end segments query must hit the parquet scan with partition
     // filters on freq (tier selection) AND dateint (time pruning) — on a
