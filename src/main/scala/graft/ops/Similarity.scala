@@ -148,6 +148,66 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Centroid count for an IVF index over `n` vectors: the classic √n
+    * sizing, rounded up to a power of two with integer bit-length math
+    * (clamped to [4, 4096]) so a SQL oracle can replay it via
+    * ceil(log2(ceil(sqrt(n)))) without float-boundary drift. List length
+    * is then ~√n, so probe cost per query is O(√n · nProbe).
+    */
+  def centroidsFor(n: Long): Int = {
+    val root = math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, root - 1))
+    math.min(4096, math.max(4, 1 << bits.toInt))
+  }
+
+  /** IVF(-flat) approximate nearest neighbors — the second scale path
+    * besides [[lshTopK]]: a deterministic coarse quantizer (the md5-ranked
+    * lowest-C corpus vectors serve as centroids — a reproducible pseudo-
+    * random sample, no RNG state), inverted lists keyed by each vector's
+    * nearest centroid, queries probe the `nProbe` nearest lists and rerank
+    * candidates by exact cosine. At scale: centroid assignment is one
+    * broadcast-C map pass over the corpus (linear, no shuffle of vectors),
+    * the probe is a centroid-id equi-join against lists of ~√n vectors, and
+    * recall rises with nProbe. centroids=0 sizes the quantizer from a
+    * corpus count (plan-time statistic, same spirit as AQE stats).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Int = 0, nProbe: Int = 4): DataFrame = {
+    val c = if (centroids > 0) centroids else centroidsFor(corpus.count())
+    val cents = broadcast(
+      corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("__r", md5(col("vec_id").cast("string")))
+        .orderBy(col("__r"), col("vec_id"))
+        .limit(c)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    // nearest `p` centroids of (id, emb): broadcast the tiny centroid set,
+    // rank per id by cosine (ties by centroid id — deterministic)
+    def assign(df: DataFrame, p: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("__csim", cosine(col("emb"), col("cemb")))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__csim").desc, col("cid").asc)
+      scored.withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= p)
+        .select(col("id"), col("emb"), col("cid"))
+    }
+    val lists = assign(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("id"), col("embedding").as("emb")), nProbe)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"), col("cid"))
+    // each corpus vector lives in exactly ONE list, so a (query, vec) pair
+    // can only arise once — no dedup needed on the probe join
+    val cands = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+    val scored = cands.withColumn("sim", cosine(col("q_emb"), col("emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ANN via random-hyperplane LSH: candidates share a bucket with the
     * query; rerank by exact cosine, top-k per query. Recall < 1 by design —
     * probe multiple hash tables for higher recall (tables parameter).

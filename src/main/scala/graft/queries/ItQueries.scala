@@ -52,8 +52,13 @@ object ItQueries extends Catalog {
     segRootCur = dir
     built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       deleteDir(s, dir)
+      // segments cover the queried period plus a day of margin — the
+      // engine-side reads are dateint-pruned to this window anyway, and the
+      // oracle reads the same written files, so both sides stay consistent
+      val ev = Tables.events(s, d)
+        .filter(col("ts_ms") >= Start - 86400000L && col("ts_ms") < End + 86400000L)
       val base = MetricsPreAgg.preAggregate(
-        Tables.events(s, d), col("ts_ms"), lit("events_value"), col("value"),
+        ev, col("ts_ms"), lit("events_value"), col("value"),
         Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
         withSketch = false)
       Segments.writeMetricSegments(base, dir)
@@ -73,6 +78,7 @@ object ItQueries extends Catalog {
     built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       deleteDir(s, dir)
       val ev = Tables.events(s, d)
+        .filter(col("ts_ms") >= Start - 86400000L && col("ts_ms") < End + 86400000L)
       val a = MetricsPreAgg.preAggregate(
         ev.filter(col("event_id") % 2 === 0), col("ts_ms"), lit("events_value"),
         col("value"), Seq("attr_event_type" -> col("event_type")),

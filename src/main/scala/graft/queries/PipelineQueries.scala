@@ -241,6 +241,59 @@ object PipelineQueries extends Catalog {
      SELECT query_id, vec_id, round(sim, 6) AS sim FROM rk WHERE rk <= 10"""
   }
 
+  /** IVF ANN (second scale path besides LSH): deterministic md5-ranked
+    * corpus sample as centroids (C = pow2(ceil(sqrt n)), replayed from
+    * count(*) in the oracle), nearest-centroid inverted lists, queries
+    * probe 4 lists, exact-cosine rerank.
+    */
+  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nProbe = 4)
+  }
+
+  private val ivfAnnSql = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH params AS (
+       SELECT least(4096, greatest(4,
+         CAST(pow(2, ceil(log2(CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT))) AS c
+       FROM embeddings),
+     cents AS (
+       SELECT vec_id AS cid, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= (SELECT c FROM params)),
+     assign_all AS (
+       SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cemb")} AS csim
+       FROM embeddings e CROSS JOIN cents c),
+     lists AS (
+       SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all) WHERE rk <= 1),
+     probes AS (
+       SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all WHERE vec_id < 5) WHERE rk <= 4),
+     cand AS (
+       SELECT p.query_id, l.vec_id
+       FROM lists l JOIN probes p ON l.cid = p.cid
+       WHERE l.vec_id <> p.query_id),
+     scored AS (
+       SELECT c.query_id, c.vec_id, ${cos("q.embedding", "v.embedding")} AS sim
+       FROM cand c
+       JOIN embeddings q ON q.vec_id = c.query_id
+       JOIN embeddings v ON v.vec_id = c.vec_id)
+     SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rk
+       FROM scored) WHERE rk <= 10"""
+  }
+
   /** embedding-cosine near-dup pairs (dedup over the embedding space);
     * threshold 0.4 — the synthetic embeddings carry no true duplicates
     * (max pairwise cosine ≈ 0.51), so the row exercises the operator's
@@ -375,6 +428,7 @@ object PipelineQueries extends Catalog {
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
+    Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
     Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))

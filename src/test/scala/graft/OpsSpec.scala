@@ -114,4 +114,17 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.2, s"recall=$recall") // random hyperplanes on random data
   }
+
+  test("IVF ANN recall against brute force is reasonable") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.ivfTopK(emb, queries, k = 5, nProbe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // probing 4 of ~32 lists; near-uniform random vectors are IVF's worst
+    // case, so the bar is a sanity floor, not a quality target
+    assert(recall >= 0.2, s"recall=$recall")
+  }
 }
