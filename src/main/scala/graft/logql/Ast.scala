@@ -74,10 +74,12 @@ final case class LitArg(value: String) extends TemplateArg
 final case class LogPipeline(matchers: List[Matcher], stages: List[Stage])
 
 /** count_over_time/rate/bytes_over_time/bytes_rate/{sum,avg,min,max,last,
-  * count}_over_time-with-unwrap over `pipeline [range]`
+  * count}_over_time-with-unwrap over `pipeline [range] offset?`
+  * (offset mirrors the reference's LogRange.Offset, logql/parser.go:113)
   */
 final case class LogRangeAgg(fn: String, pipeline: LogPipeline, rangeMs: Long,
-    param: Option[Double] = None) // quantile_over_time's q
+    param: Option[Double] = None, // quantile_over_time's q
+    offsetMs: Long = 0L)
 
 /** optional vector agg wrapper: sum/avg/min/max/count/topk/bottomk by/without */
 final case class LogQuery(

@@ -68,6 +68,9 @@ object Compiler {
 
     val bucket = col("chq_timestamp") - col("chq_timestamp") % lit(p.stepMs)
     val rangeStr = s"${ra.rangeMs}ms"
+    // offset rides through to the shared PromQL leaf, which shifts the
+    // scan window and the emitted bucket timestamps
+    val offsetStr = if (ra.offsetMs > 0) s" offset ${ra.offsetMs}ms" else ""
 
     // build (synthetic cooked metrics, inner PromQL) — quantile carries a
     // DDSketch column (engine sketch leaf) instead of sum/count rollups;
@@ -83,7 +86,7 @@ object Compiler {
           .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
           .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch"))
           .withColumn("metric_name", lit("__logql"))
-        (s, s"quantile_over_time($qv, __logql[$rangeStr])")
+        (s, s"quantile_over_time($qv, __logql[$rangeStr]$offsetStr)")
       } else {
         // derived per-line value + inner PromQL function
         val (valueCol, promFn) = ra.fn match {
@@ -111,7 +114,7 @@ object Compiler {
             min(col("__v")).as("chq_rollup_min"),
             max(col("__v")).as("chq_rollup_max"))
           .withColumn("metric_name", lit("__logql"))
-        (s, s"$promFn(__logql[$rangeStr])")
+        (s, s"$promFn(__logql[$rangeStr]$offsetStr)")
       }
     val promql = q.vectorOp match {
       case Some(op) =>

@@ -261,14 +261,21 @@ private final class LogParser(input: String) {
         Some(p)
       } else None
     val pipeline = parsePipeline()
-    // range attaches after the pipeline: {sel} ... [5m]
+    // range attaches after the pipeline: {sel} ... [5m] offset 1h?
     expect('[')
     val start = pos
     while (pos < input.length && input(pos) != ']') pos += 1
     val rangeMs = PParser.parseDurationMs(input.substring(start, pos))
     expect(']')
+    var offsetMs = 0L
+    if (eatWord("offset")) {
+      skipWs()
+      val oStart = pos
+      while (pos < input.length && (input(pos).isLetterOrDigit || input(pos) == '.')) pos += 1
+      offsetMs = PParser.parseDurationMs(input.substring(oStart, pos))
+    }
     expect(')')
-    LogRangeAgg(fn, pipeline, rangeMs, param)
+    LogRangeAgg(fn, pipeline, rangeMs, param, offsetMs)
   }
 
   // ---- pipeline ------------------------------------------------------------

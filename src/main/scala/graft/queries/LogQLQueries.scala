@@ -128,6 +128,28 @@ object LogQLQueries extends Catalog {
                regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) AS evt
         FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
 
+    // range offset (reference LogRange.Offset, logql/parser.go:113): the
+    // scan window shifts left by the offset and emitted buckets shift back
+    Q("lq_offset_count",
+      agg("""sum by (attr_event_type) (count_over_time({log_level="DEBUG"}[4h] offset 1d))"""),
+      Some(s"""WITH ${Cooked.logsCte},
+        stepl AS (
+          SELECT (chq_timestamp + 86400000) - (chq_timestamp + 86400000) % $StepMs AS ts,
+                 attr_event_type, CAST(count(*) AS DOUBLE) AS bsum
+          FROM logs
+          WHERE log_level = 'DEBUG'
+            AND chq_timestamp >= ${Start - H4 - 86400000L}
+            AND chq_timestamp < ${End - 86400000L}
+          GROUP BY 1, 2),
+        win AS (
+          SELECT ts, attr_event_type, sum(bsum) OVER w AS wsum,
+                 min(ts) OVER w AS first_ts
+          FROM stepl
+          WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                       RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, attr_event_type, wsum AS value
+        FROM win WHERE ${covered(H4)}""")),
+
     // label_replace as a pipeline stage (reference logql/parser.go:677):
     // full-match group substitution creates svc_id from the service label,
     // a later filter consumes the new label

@@ -47,6 +47,12 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(q.range.get.fn == "rate" && q.range.get.rangeMs == 300000L)
   }
 
+  test("range offset parses (reference LogRange.Offset)") {
+    val q = p("""sum by (app) (count_over_time({app="web"}[5m] offset 1h))""")
+    assert(q.range.get.rangeMs == 300000L && q.range.get.offsetMs == 3600000L)
+    assert(p("""rate({app="web"}[5m])""").range.get.offsetMs == 0L)
+  }
+
   test("topk with param and unwrap with conversion") {
     val q = p("""topk(3, sum_over_time({a="b"} | logfmt | unwrap duration(took) [1m]))""")
     assert(q.param.contains(3.0))
