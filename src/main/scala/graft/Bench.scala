@@ -58,7 +58,11 @@ object Bench {
       "sq_trace_summary" -> ("cold-codegen dominated: warm steady-state ~0.9s; " +
         "plan is one shuffle, codegen'd partial+final agg, unused md5 columns pruned"),
       "td_tag_names" -> "cold-codegen dominated: warm ~0.5s; fingerprint/chq_id pruned from plan",
-      "td_tag_values" -> "cold-codegen dominated: warm ~0.4s; fingerprint/chq_id pruned from plan")
+      "td_tag_values" -> "cold-codegen dominated: warm ~0.4s; fingerprint/chq_id pruned from plan",
+      "pp_langid" -> "cold-codegen dominated: warm ~0.9s; operator unchanged since r1",
+      "pq_topk" -> ("two-phase rank (partial top-k per salt, final over bounded survivors) " +
+        "adds one bounded shuffle vs r2 — deliberate: removes the single-task-per-bucket ceiling"),
+      "pq_bottomk" -> "same two-phase rank trade as pq_topk; warm ~0.7s")
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
 
