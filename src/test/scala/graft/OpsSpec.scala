@@ -115,6 +115,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // random hyperplanes on random data
   }
 
+  test("native DotProduct matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0)),
+      (Array(0.1f, 0.2f, 0.3f), Array(1.5, 2.5, -3.5))
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(Similarity.dot(col("a"), col("b")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    // unequal lengths and null elements → null, like zip_with padding
+    val edge = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Double](1.0, 2.0))
+    ).toDF("a", "b")
+    val out = edge.select(Similarity.dot(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("IVF ANN recall against brute force is reasonable") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
