@@ -91,6 +91,16 @@ final case class LogQuery(
     /** raw log query when range is None */
     raw: Option[LogPipeline] = None)
 
+/** Top-level LogQL expression (reference KindBinOp, logql/parser.go:45):
+  * a single query, a number literal, or a binop tree over aggregated
+  * queries — `sum by(s)(rate(a)) / sum by(s)(rate(b))`, `count_over_time
+  * (...) > 10`, `2 * rate(...)`.
+  */
+sealed trait LogExpr
+final case class LeafQuery(q: LogQuery) extends LogExpr
+final case class NumberLeaf(v: Double) extends LogExpr
+final case class LogBin(op: String, lhs: LogExpr, rhs: LogExpr) extends LogExpr
+
 object Ast {
   val rangeFns: Set[String] = Set(
     "count_over_time", "rate", "bytes_over_time", "bytes_rate",

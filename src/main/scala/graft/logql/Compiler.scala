@@ -51,6 +51,46 @@ object Compiler {
 
   /** Aggregated query via synthetic-metric rewrite + PromQL engine. */
   def aggQuery(q: LogQuery, store: LogStore, p: QueryParams): DataFrame = {
+    val (synth, promql) = synthFor(q, store, p, "__logql")
+    Engine.query(promql, MetricStore(synth), p)
+  }
+
+  /** Full LogQL expression (binops over aggregated queries, reference
+    * KindBinOp): each query leaf compiles to its own synthetic metric
+    * (`__logql_i`), the frames union by name, and the WHOLE expression is
+    * rendered as one PromQL string over the union store — vector matching,
+    * comparisons, and scalar broadcast ride the shared engine.
+    */
+  def exprQuery(e: LogExpr, store: LogStore, p: QueryParams): DataFrame = e match {
+    case LeafQuery(q) =>
+      q.raw match {
+        case Some(pipe) => rawQuery(pipe, store, p.startMs, p.endMs, limit = 1000)
+        case None => aggQuery(q, store, p)
+      }
+    case _ =>
+      var parts = List.empty[(DataFrame, String)]
+      var n = 0
+      def render(x: LogExpr): String = x match {
+        case NumberLeaf(v) => if (v == v.floor) v.toLong.toString else v.toString
+        case LogBin(op, l, r) => s"(${render(l)} $op ${render(r)})"
+        case LeafQuery(q) =>
+          require(q.raw.isEmpty, "raw pipeline queries cannot appear in binary expressions")
+          val (synth, promql) = synthFor(q, store, p, s"__logql_$n")
+          n += 1
+          parts = (synth, promql) :: parts
+          s"($promql)"
+      }
+      val promql = render(e)
+      val union = parts.map(_._1).reduceLeft((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      Engine.query(promql, MetricStore(union), p)
+  }
+
+  /** synthetic cooked-metrics frame + the PromQL string (vector-agg wrapper
+    * included) that evaluates `q` over it, under the given metric name
+    */
+  private def synthFor(q: LogQuery, store: LogStore, p: QueryParams,
+      metric: String): (DataFrame, String) = {
     val ra = q.range.getOrElse(
       throw new IllegalArgumentException("aggQuery requires a range aggregation"))
     val (df, labels) = compilePipeline(ra.pipeline, store)
@@ -85,8 +125,8 @@ object Compiler {
           .withColumn("chq_timestamp", bucket)
           .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
           .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch"))
-          .withColumn("metric_name", lit("__logql"))
-        (s, s"quantile_over_time($qv, __logql[$rangeStr]$offsetStr)")
+          .withColumn("metric_name", lit(metric))
+        (s, s"quantile_over_time($qv, $metric[$rangeStr]$offsetStr)")
       } else {
         // derived per-line value + inner PromQL function
         val (valueCol, promFn) = ra.fn match {
@@ -113,8 +153,8 @@ object Compiler {
             count(lit(1)).cast("double").as("chq_rollup_count"),
             min(col("__v")).as("chq_rollup_min"),
             max(col("__v")).as("chq_rollup_max"))
-          .withColumn("metric_name", lit("__logql"))
-        (s, s"$promFn(__logql[$rangeStr]$offsetStr)")
+          .withColumn("metric_name", lit(metric))
+        (s, s"$promFn($metric[$rangeStr]$offsetStr)")
       }
     val promql = q.vectorOp match {
       case Some(op) =>
@@ -127,16 +167,13 @@ object Compiler {
         s"$op$grouping($param$inner)"
       case None => inner
     }
-    Engine.query(promql, MetricStore(synth), p)
+    (synth, promql)
   }
 
-  /** Full LogQL string → DataFrame (aggregated queries). */
+  /** Full LogQL string → DataFrame (raw, aggregated, or binop expression). */
   def query(logql: String, store: LogStore, p: QueryParams): DataFrame = {
-    val q = Parser.parse(logql).fold(e => throw new IllegalArgumentException(e), identity)
-    q.raw match {
-      case Some(pipe) => rawQuery(pipe, store, p.startMs, p.endMs, limit = 1000)
-      case None => aggQuery(q, store, p)
-    }
+    val e = Parser.parseFull(logql).fold(err => throw new IllegalArgumentException(err), identity)
+    exprQuery(e, store, p)
   }
 
   // ---- pipeline fold -------------------------------------------------------

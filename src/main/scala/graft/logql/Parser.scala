@@ -15,6 +15,14 @@ object Parser {
     try Right(new LogParser(input).parseQuery())
     catch { case e: ParseError => Left(e.getMessage) }
 
+  /** full expression grammar: binops between aggregated queries and number
+    * literals (reference KindBinOp); raw pipeline queries parse as a plain
+    * [[LeafQuery]]
+    */
+  def parseFull(input: String): Either[String, LogExpr] =
+    try Right(new LogParser(input).parseExprTop())
+    catch { case e: ParseError => Left(e.getMessage) }
+
   // template tokens: literal runs and {{...}} action bodies
   private sealed trait Tok
   private final case class TLit(s: String) extends Tok
@@ -183,20 +191,98 @@ private final class LogParser(input: String) {
   // ---- entry ---------------------------------------------------------------
 
   def parseQuery(): LogQuery = {
-    skipWs()
-    val q =
-      if (peek() == '{') {
-        // raw pipeline query
-        LogQuery(None, raw = Some(parsePipeline()))
-      } else {
-        val word = ident()
-        if (Ast.vectorOps.contains(word)) parseVectorAgg(word)
-        else if (Ast.rangeFns.contains(word)) LogQuery(Some(parseRangeAgg(word)))
-        else fail(s"unsupported LogQL function: $word")
-      }
+    val q = parseOneQuery()
     skipWs()
     if (pos < input.length) fail(s"trailing input at $pos: '${input.substring(pos)}'")
     q
+  }
+
+  private def parseOneQuery(): LogQuery = {
+    skipWs()
+    if (peek() == '{') {
+      // raw pipeline query
+      LogQuery(None, raw = Some(parsePipeline()))
+    } else {
+      val word = ident()
+      if (Ast.vectorOps.contains(word)) parseVectorAgg(word)
+      else if (Ast.rangeFns.contains(word)) LogQuery(Some(parseRangeAgg(word)))
+      else fail(s"unsupported LogQL function: $word")
+    }
+  }
+
+  // ---- expression grammar (binops over sample expressions) -----------------
+
+  def parseExprTop(): LogExpr = {
+    skipWs()
+    // raw pipeline queries stand alone — they are streams, not samples
+    val e = if (peek() == '{') LeafQuery(parseOneQuery()) else parseCompare()
+    skipWs()
+    if (pos < input.length) fail(s"trailing input at $pos: '${input.substring(pos)}'")
+    e
+  }
+
+  private def parseCompare(): LogExpr = {
+    var l = parseAddSub()
+    var continue = true
+    while (continue) {
+      skipWs()
+      val op =
+        if (input.regionMatches(pos, "==", 0, 2)) "=="
+        else if (input.regionMatches(pos, "!=", 0, 2)) "!="
+        else if (input.regionMatches(pos, ">=", 0, 2)) ">="
+        else if (input.regionMatches(pos, "<=", 0, 2)) "<="
+        else if (pos < input.length && input(pos) == '>') ">"
+        else if (pos < input.length && input(pos) == '<') "<"
+        else ""
+      if (op.nonEmpty) { pos += op.length; l = LogBin(op, l, parseAddSub()) }
+      else continue = false
+    }
+    l
+  }
+
+  private def parseAddSub(): LogExpr = {
+    var l = parseMulDiv()
+    var continue = true
+    while (continue) {
+      skipWs()
+      if (pos < input.length && (input(pos) == '+' || input(pos) == '-')) {
+        val op = input(pos).toString; pos += 1
+        l = LogBin(op, l, parseMulDiv())
+      } else continue = false
+    }
+    l
+  }
+
+  private def parseMulDiv(): LogExpr = {
+    var l = parseExprOperand()
+    var continue = true
+    while (continue) {
+      skipWs()
+      if (pos < input.length &&
+        (input(pos) == '*' || input(pos) == '/' || input(pos) == '%')) {
+        val op = input(pos).toString; pos += 1
+        l = LogBin(op, l, parseExprOperand())
+      } else continue = false
+    }
+    l
+  }
+
+  private def parseExprOperand(): LogExpr = {
+    skipWs()
+    if (pos >= input.length) fail("unexpected end of input")
+    val c = input(pos)
+    if (c.isDigit || (c == '.' && pos + 1 < input.length && input(pos + 1).isDigit)) {
+      val start = pos
+      while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
+      NumberLeaf(input.substring(start, pos).toDouble)
+    } else if (c == '(') {
+      pos += 1
+      val e = parseCompare()
+      expect(')')
+      e
+    } else if (c == '{') {
+      fail("raw pipeline queries cannot appear in binary expressions")
+    } else LeafQuery(parseOneQuery())
   }
 
   private def eatWord(w: String): Boolean = {

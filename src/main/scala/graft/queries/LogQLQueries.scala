@@ -128,6 +128,35 @@ object LogQLQueries extends Catalog {
                regexp_extract(log_message, '(?:^|\\s)evt=([^\\s]+)', 1) AS evt
         FROM logs WHERE log_level = 'ERROR' AND $timeCond""")),
 
+    // binop between two aggregations (reference KindBinOp): per-service
+    // ERROR-line share per hourly bucket. range == step pins coverage, the
+    // inner join on (ts, service) mirrors full-tag vector matching, and the
+    // division takes two exact integer-valued doubles — bit-stable.
+    Q("lq_binop_ratio",
+      agg(s"""sum by (resource_service_name) (count_over_time({log_level="ERROR"}[${StepMs}ms]))"""
+        + s""" / sum by (resource_service_name) (count_over_time({metric_name="log_events"}[${StepMs}ms]))"""),
+      Some(s"""WITH ${Cooked.logsCte},
+        le AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 resource_service_name, CAST(count(*) AS DOUBLE) AS v
+          FROM logs WHERE log_level = 'ERROR' AND $timeCond GROUP BY 1, 2),
+        ra AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 resource_service_name, CAST(count(*) AS DOUBLE) AS v
+          FROM logs WHERE $timeCond GROUP BY 1, 2)
+        SELECT le.ts, le.resource_service_name, le.v / ra.v AS value
+        FROM le JOIN ra USING (ts, resource_service_name)
+        WHERE le.ts >= $Start AND le.ts < $End""")),
+
+    // binop vs scalar: comparison filter keeps buckets above a threshold
+    Q("lq_binop_threshold",
+      agg(s"""sum by (attr_event_type) (count_over_time({log_level="DEBUG"}[${StepMs}ms])) > 1"""),
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+               attr_event_type, CAST(count(*) AS DOUBLE) AS value
+        FROM logs WHERE log_level = 'DEBUG' AND $timeCond
+        GROUP BY 1, 2 HAVING count(*) > 1""")),
+
     // range offset (reference LogRange.Offset, logql/parser.go:113): the
     // scan window shifts left by the offset and emitted buckets shift back
     Q("lq_offset_count",

@@ -53,6 +53,25 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(p("""rate({app="web"}[5m])""").range.get.offsetMs == 0L)
   }
 
+  test("binop expressions parse with precedence (reference KindBinOp)") {
+    val e = Parser.parseFull(
+      """sum by (s)(rate({a="b"}[5m])) / sum by (s)(rate({a="c"}[5m])) > 0.5""")
+      .toOption.get
+    e match {
+      case LogBin(">", LogBin("/", LeafQuery(_), LeafQuery(_)), NumberLeaf(0.5)) => ()
+      case other => fail(s"unexpected shape: $other")
+    }
+    // mul binds tighter than add
+    val e2 = Parser.parseFull("""2 + 3 * rate({a="b"}[5m])""").toOption.get
+    e2 match {
+      case LogBin("+", NumberLeaf(2.0), LogBin("*", NumberLeaf(3.0), LeafQuery(_))) => ()
+      case other => fail(s"unexpected shape: $other")
+    }
+    // raw pipelines cannot be binop operands, but stand alone fine
+    assert(Parser.parseFull("""{a="b"} |= "x"""").isRight)
+    assert(Parser.parseFull("""rate({a="b"}[5m]) / ({a="b"} |= "x")""").isLeft)
+  }
+
   test("topk with param and unwrap with conversion") {
     val q = p("""topk(3, sum_over_time({a="b"} | logfmt | unwrap duration(took) [1m]))""")
     assert(q.param.contains(3.0))
