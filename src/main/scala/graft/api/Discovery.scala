@@ -33,4 +33,46 @@ object Discovery {
     counts.selectExpr(s"stack(${labels.size}, $stackExpr) AS (tag, n)")
       .filter(col("n") > 0)
   }
+
+  /** Distinct series (label combinations) in a time range, with per-series
+    * row counts, optionally scoped by selector matchers — the reference's
+    * Loki-compatible /api/v1/logs/series (queryapi/logs_series_handler.go:89-92).
+    */
+  def series(df: DataFrame, labels: Seq[String], startMs: Long, endMs: Long,
+      matchers: List[graft.promql.Matcher] = Nil, limit: Int = 10000): DataFrame = {
+    var timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
+    matchers.foreach { m =>
+      val c = if (timed.schema.fieldNames.contains(m.label))
+        coalesce(timed(m.label).cast("string"), lit("")) else lit("")
+      import graft.promql.MatchOp
+      timed = timed.filter(m.op match {
+        case MatchOp.Eq  => c === m.value
+        case MatchOp.Ne  => c =!= m.value
+        case MatchOp.Re  => c.rlike("^(?:" + m.value + ")$")
+        case MatchOp.Nre => !c.rlike("^(?:" + m.value + ")$")
+      })
+    }
+    timed.groupBy(labels.map(l => timed(l)): _*)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: labels.map(l => col(l).asc): _*)
+      .limit(limit)
+  }
+
+  /** Distinct metric names with their types and datapoint counts — the
+    * reference's /api/v1/metrics/metadata (promql_tags_handler.go:75).
+    */
+  def metricMetadata(df: DataFrame, startMs: Long, endMs: Long): DataFrame =
+    df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
+      .groupBy(col("metric_name"), col("chq_metric_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Query-string validation — the reference's /api/v1/promql/validate and
+    * /api/v1/logql/validate endpoints (queryapi/querier.go:772-773): parse
+    * acceptance without execution.
+    */
+  def validatePromQL(q: String): Either[String, Unit] =
+    graft.promql.Parser.parse(q).map(_ => ())
+
+  def validateLogQL(q: String): Either[String, Unit] =
+    graft.logql.Parser.parseFull(q).map(_ => ())
 }

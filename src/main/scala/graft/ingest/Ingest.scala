@@ -327,21 +327,44 @@ object Segments {
     * Returns the re-read compacted frame.
     */
   def compactMetricSegments(spark: SparkSession, dir: String,
-      maxRecordsPerFile: Long = 2000000L): DataFrame = {
+      maxRecordsPerFile: Long = 2000000L): DataFrame =
+    compactWithSwap(spark, dir) { df =>
+      // one task per (dateint, freq) group → one sorted file per partition
+      // dir unless maxRecordsPerFile splits it
+      df.repartition(col("dateint"), col("freq"))
+        .sortWithinPartitions(col("dateint"), col("freq"),
+          col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+        .write.mode("overwrite")
+        .partitionBy("dateint", "freq")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+    }
+
+  /** log-segment compaction (reference log_compaction_processor.go): same
+    * swap protocol, log sort order, dateint-only partitioning
+    */
+  def compactLogSegments(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 2000000L): DataFrame =
+    compactWithSwap(spark, dir) { df =>
+      df.repartition(col("dateint"))
+        .sortWithinPartitions(col("dateint"),
+          col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns"))
+        .write.mode("overwrite")
+        .partitionBy("dateint")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+    }
+
+  /** shared compaction skeleton: recover any interrupted swap, re-read with
+    * schema union, let the caller write the sorted rewrite to a temp dir,
+    * then double-rename with rollback
+    */
+  private def compactWithSwap(spark: SparkSession, dir: String)(
+      write: DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): DataFrame = {
     val tmp = dir.stripSuffix("/") + ".compact_tmp"
     val old = dir.stripSuffix("/") + ".compact_old"
     recoverStagedSwap(spark, dir)
-    spark.read.option("mergeSchema", "true").parquet(dir)
-      // one task per (dateint, freq) group → one sorted file per partition
-      // dir unless maxRecordsPerFile splits it
-      .repartition(col("dateint"), col("freq"))
-      .sortWithinPartitions(col("dateint"), col("freq"),
-        col("metric_name"), col("chq_tid"), col("chq_timestamp"))
-      .write.mode("overwrite")
-      .partitionBy("dateint", "freq")
-      .option("compression", "zstd")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(tmp)
+    write(spark.read.option("mergeSchema", "true").parquet(dir)).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(conf)

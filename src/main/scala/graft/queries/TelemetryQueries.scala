@@ -160,6 +160,36 @@ object TelemetryQueries extends Catalog {
        CAST(count(*) AS DOUBLE) AS n_events
        FROM events GROUP BY 1"""
 
+  /** log-segment write + compaction round-trip (reference
+    * log_compaction_processor.go): two interleaved small-file writes,
+    * compact to one sorted file per dateint, totals survive exactly
+    */
+  private def logSegmentRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_logseg_").toString
+    val logs = graft.model.Cooked.logs(s, d)
+    val half = expr("chq_timestamp % 2")
+    Segments.writeLogSegments(logs.filter(half === 0), dir, maxRecordsPerFile = 2000)
+    Segments.writeLogSegments(logs.filter(half =!= 0), dir, maxRecordsPerFile = 2000)
+    val before = Segments.countDataFiles(s, dir)
+    val compacted = Segments.compactLogSegments(s, dir)
+    val after = Segments.countDataFiles(s, dir)
+    require(after < before && after <= 35,
+      s"log compaction did not shrink the file set: $before -> $after")
+    compacted.groupBy(col("dateint"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("chq_fingerprint")).as("n_shapes"),
+        min(col("chq_tsns")).as("min_tsns"))
+  }
+
+  private val logSegmentRoundtripSql =
+    s"""WITH ${graft.model.Cooked.logsCte}
+     SELECT CAST(strftime(epoch_ms(chq_timestamp), '%Y%m%d') AS INT) AS dateint,
+            CAST(count(*) AS BIGINT) AS n_lines,
+            CAST(count(DISTINCT ${graft.ingest.LogFingerprint.fingerprintSql("log_message")})
+              AS BIGINT) AS n_shapes,
+            min(chq_tsns) AS min_tsns
+     FROM logs GROUP BY 1"""
+
   /** NDJSON.gz ingest round-trip: events → ndjson.gz on disk → readAny →
     * flatten → per-level counts equal a direct aggregation.
     */
@@ -542,6 +572,38 @@ object TelemetryQueries extends Catalog {
          WHERE attr_event_type IS NOT NULL AND attr_event_type <> '') u
      WHERE n > 0"""
 
+  /** Loki-compatible series listing with selector scoping (reference
+    * /api/v1/logs/series, logs_series_handler.go:89-92)
+    */
+  private def logSeries(s: SparkSession, d: String): DataFrame = {
+    import graft.promql.{MatchOp, Matcher}
+    graft.api.Discovery.series(graft.model.Cooked.logs(s, d),
+      Seq("resource_service_name", "log_level"), SpanStart, SpanEnd,
+      matchers = List(Matcher("log_level", MatchOp.Ne, "DEBUG")))
+  }
+
+  private val logSeriesSql =
+    s"""WITH ${graft.model.Cooked.logsCte}
+     SELECT resource_service_name, log_level, count(*) AS n
+     FROM logs
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd
+       AND log_level <> 'DEBUG'
+     GROUP BY 1, 2"""
+
+  /** metric names + types + datapoint counts (reference
+    * /api/v1/metrics/metadata, promql_tags_handler.go:75)
+    */
+  private def metricMetadata(s: SparkSession, d: String): DataFrame =
+    graft.api.Discovery.metricMetadata(graft.model.Cooked.metrics(s, d),
+      SpanStart, SpanEnd)
+
+  private val metricMetadataSql =
+    s"""WITH ${graft.model.Cooked.metricsCte}
+     SELECT 'events_value' AS metric_name, 'gauge' AS chq_metric_type,
+            count(*) AS n
+     FROM cooked
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd"""
+
   private val tagNamesSql =
     s"""WITH ${graft.model.Cooked.logsCte},
      t AS (SELECT * FROM logs
@@ -559,6 +621,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
     Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
+    Q("tq_log_roundtrip", logSegmentRoundtrip, Some(logSegmentRoundtripSql)),
     Q("tq_json_ingest", jsonIngest, Some(jsonIngestSql)),
     Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
     Q("tq_csv_log_translate", csvLogTranslate, Some(csvLogTranslateSql)),
@@ -573,6 +636,8 @@ object TelemetryQueries extends Catalog {
     Q("td_tag_values", tagValues, Some(tagValuesSql)),
     Q("td_tag_names", tagNames, Some(tagNamesSql)),
     Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
-    Q("td_metric_tag_names", metricTagNames, Some(metricTagNamesSql))
+    Q("td_metric_tag_names", metricTagNames, Some(metricTagNamesSql)),
+    Q("td_log_series", logSeries, Some(logSeriesSql)),
+    Q("td_metric_metadata", metricMetadata, Some(metricMetadataSql))
   )
 }

@@ -80,6 +80,16 @@ class LogQLParserSpec extends AnyFunSuite {
     })
   }
 
+  test("validate endpoints accept good queries and reject bad ones") {
+    import graft.api.Discovery
+    assert(Discovery.validatePromQL("sum by (a) (rate(m[5m]))").isRight)
+    assert(Discovery.validatePromQL("rate(m[5m").isLeft)
+    assert(Discovery.validateLogQL("""{a="b"} |= "x" | logfmt""").isRight)
+    assert(Discovery.validateLogQL(
+      """sum by (s)(rate({a="b"}[5m])) / sum by (s)(rate({a="c"}[5m]))""").isRight)
+    assert(Discovery.validateLogQL("""{a=~"b"} |= "x"""").isLeft) // no eq matcher
+  }
+
   test("templates parse refs and pipes") {
     val t = Parser.parseTemplate("x={{.a}}-{{.b | ToUpper}}!")
     assert(t.parts == List(Lit("x="), Ref("a"), Lit("-"), Ref("b", "upper"), Lit("!")))
