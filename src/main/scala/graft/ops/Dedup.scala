@@ -69,7 +69,10 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, k: Int = 16, bands: Int = 4,
       w: Int = 5, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sigs = minhash(df, textCol, k, w)
+    // materialize signatures once (one small row per doc): the shingle
+    // explode + k min-aggs behind them is the expensive pass, and the
+    // banded self-join below would recompute it for each side
+    val sigs = minhash(df, textCol, k, w).localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -104,7 +107,12 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String, w: Int = 5,
       threshold: Double = 0.5, maxDocsPerShingle: Int = 1000): DataFrame = {
+    // materialize the shingle stream once: the shingle construction (array
+    // HOFs per doc) is the expensive pass and BOTH consumers below — sizes
+    // and pair generation — read it. The checkpoint is the same data the
+    // shuffle would spill anyway (memory-and-disk, lineage truncated).
     val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation via per-shingle doc lists instead of a self-join:
     // singleton shingles (the vast majority) never reach the pair stage,
@@ -163,7 +171,9 @@ object Dedup {
     require(bits % bands == 0, "bands must evenly divide the signature width")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val s = simhash(df, textCol, bits)
+    // one row per doc — materialize so the token explode + bit votes run
+    // once instead of per self-join side
+    val s = simhash(df, textCol, bits).localCheckpoint()
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
