@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.DoubleType
+import graft.ops.DotProduct
+import graft.sketch.{DDSketch, DDSketchAgg, DDSketchMergeAgg, DDSketchQuantile, DDSketchStats}
+
+/** SparkSessionExtensions hook registering graft's native expressions in
+  * the SQL function registry, so `spark.sql` text can use the engine's
+  * sketch and vector primitives directly:
+  *
+  * {{{
+  *   SELECT ddsketch_quantile(ddsketch_agg(v), 0.9) FROM t GROUP BY k
+  *   SELECT graft_dot(embedding, embedding) FROM embeddings
+  * }}}
+  *
+  * Enabled by [[GraftSession]] via `spark.sql.extensions`; any external
+  * session can opt in with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("ddsketch_agg"),
+      info("ddsketch_agg", "ddsketch_agg(value[, alpha]) - DDSketch of a double column"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => DDSketchAgg(Cast(v, DoubleType), DDSketch.DefaultAlpha)
+        case Seq(v, a) => DDSketchAgg(Cast(v, DoubleType), litDouble(a, "alpha"))
+        case _ => throw new IllegalArgumentException("ddsketch_agg(value[, alpha])")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_merge_agg"),
+      info("ddsketch_merge_agg", "ddsketch_merge_agg(sketch) - merge DDSketch blobs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DDSketchMergeAgg(s)
+        case _ => throw new IllegalArgumentException("ddsketch_merge_agg(sketch)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_quantile"),
+      info("ddsketch_quantile", "ddsketch_quantile(sketch, q) - value at quantile"),
+      (args: Seq[Expression]) => args match {
+        // SQL numeric literals arrive as DECIMAL — cast to the double the
+        // expression evaluates
+        case Seq(s, q) => DDSketchQuantile(s, Cast(q, DoubleType))
+        case _ => throw new IllegalArgumentException("ddsketch_quantile(sketch, q)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_stats"),
+      info("ddsketch_stats", "ddsketch_stats(sketch) - count/sum/min/max/avg/p* struct"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DDSketchStats(s)
+        case _ => throw new IllegalArgumentException("ddsketch_stats(sketch)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("graft_dot(a, b)")
+      }))
+  }
+}

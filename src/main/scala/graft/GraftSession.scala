@@ -17,6 +17,8 @@ object GraftSession {
   def builder(master: String, cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // graft's native expressions (ddsketch_*, graft_dot) in SQL text
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

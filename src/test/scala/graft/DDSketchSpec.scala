@@ -81,4 +81,25 @@ class DDSketchSpec extends AnyFunSuite {
     val total = merged.map(_.getDouble(2)).sum
     assert(math.abs(total - (1 to 9000).map(_.toDouble).sum) < 1e-3)
   }
+
+  test("graft functions are registered in the SQL registry (extensions)") {
+    // GraftExtensions injects ddsketch_* and graft_dot, so plain SQL text
+    // can use the engine's native expressions
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    (1 to 1000).map(_.toDouble).toDF("v").createOrReplaceTempView("ext_vals")
+    val q = spark.sql(
+      "SELECT ddsketch_quantile(ddsketch_agg(v), 0.5) AS p50 FROM ext_vals")
+      .head().getDouble(0)
+    assert(math.abs(q - 500.0) / 500.0 < 0.03) // within the sketch alpha band
+    val st = spark.sql(
+      "SELECT ddsketch_stats(ddsketch_merge_agg(sk)).count AS c FROM " +
+        "(SELECT ddsketch_agg(v, 0.01D) AS sk FROM ext_vals GROUP BY v % 7)")
+      .head().getLong(0)
+    assert(st == 1000L)
+  }
 }
