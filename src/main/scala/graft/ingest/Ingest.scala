@@ -401,6 +401,26 @@ object Segments {
     }
   }
 
+  /** Retention expiry (the reference sweeper's role,
+    * cmd/sweeper/expiry.go: expire data older than an ingest cutoff):
+    * drop whole `dateint=` partition directories strictly older than the
+    * cutoff day. Partition-level deletes — no file rewrites, no scan; at
+    * 100 TB this is a handful of directory removals per day. Returns the
+    * number of dropped partitions.
+    */
+  def expireSegments(spark: SparkSession, dir: String, cutoffDateint: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val dropped = fs.listStatus(p).filter(_.isDirectory).filter { st =>
+      val name = st.getPath.getName
+      name.startsWith("dateint=") &&
+        name.stripPrefix("dateint=").toIntOption.exists(_ < cutoffDateint)
+    }
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.length
+  }
+
   /** parquet data-file count under a segment dir (compaction metric) */
   def countDataFiles(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)

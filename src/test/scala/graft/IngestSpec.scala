@@ -114,4 +114,26 @@ class IngestSpec extends AnyFunSuite {
     val names = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!names.exists(n => n.contains("compact_tmp") || n.contains("compact_old")))
   }
+
+  test("retention expiry drops whole dateint partitions before the cutoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expiry_").toString
+    val base = graft.ingest.MetricsPreAgg.preAggregate(
+      graft.model.Tables.events(spark, sf), col("ts_ms"), lit("events_value"),
+      col("value"), Seq("attr_event_type" -> col("event_type")),
+      freqMs = 3600000L, withSketch = false)
+    Segments.writeMetricSegments(base, dir)
+    val allDays = spark.read.parquet(dir).select("dateint").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(allDays.length > 2)
+    val cutoff = allDays(allDays.length / 2)
+    val expected = spark.read.parquet(dir)
+      .filter(col("dateint") >= cutoff).count()
+    val dropped = Segments.expireSegments(spark, dir, cutoff)
+    assert(dropped == allDays.count(_ < cutoff))
+    val back = spark.read.parquet(dir)
+    assert(back.select(min(col("dateint"))).head().getInt(0) >= cutoff)
+    assert(back.count() == expected)
+    // idempotent: nothing left to expire
+    assert(Segments.expireSegments(spark, dir, cutoff) == 0)
+  }
 }
