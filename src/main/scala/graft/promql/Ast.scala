@@ -50,6 +50,27 @@ final case class ScalarFn(arg: Expr) extends Expr
 /** histogram_quantile(q, v) */
 final case class HistogramQuantile(q: Double, arg: Expr) extends Expr
 
+/** label_replace(v, dst, repl, src, regex): when regex FULL-matches src's
+  * value, dst becomes repl with $N group substitutions; otherwise the
+  * series is unchanged (Prometheus semantics; beyond the reference's
+  * planner surface, which rejects unknown functions)
+  */
+final case class LabelReplace(arg: Expr, dst: String, repl: String,
+    src: String, regex: String) extends Expr
+
+/** label_join(v, dst, sep, src...): dst = src label values joined by sep */
+final case class LabelJoin(arg: Expr, dst: String, sep: String,
+    srcs: List[String]) extends Expr
+
+/** absent(v): 1 on every grid bucket where v has no samples */
+final case class Absent(arg: Expr) extends Expr
+
+/** round(v[, to]): nearest multiple of `to` (default 1), half away from
+  * zero via floor(v/to + 0.5)*to — the deterministic formula both engines
+  * replay
+  */
+final case class RoundFn(arg: Expr, to: Double) extends Expr
+
 /** sum/avg/min/max/count/topk/bottomk/quantile ... by/without (...) */
 final case class Agg(
     op: String,

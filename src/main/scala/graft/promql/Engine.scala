@@ -135,6 +135,48 @@ object Engine {
       // exec_planner.go:269-284)
       if (op == "count") Right(densifyCount(agged, store, p)) else Right(agged)
 
+    case LabelReplace(arg, dst, repl, src, regex) =>
+      val sf = vector(eval(arg, store, p))
+      val full = "^(?:" + regex + ")$"
+      val srcCol =
+        if (sf.labels.contains(src)) coalesce(sf.df(src), lit("")) else lit("")
+      val existing =
+        if (sf.labels.contains(dst)) sf.df(dst) else lit(null).cast("string")
+      Right(SeriesFrame(
+        sf.df.withColumn(dst,
+          when(srcCol.rlike(full), regexp_replace(srcCol, full, repl))
+            .otherwise(existing)),
+        (sf.labels :+ dst).distinct))
+
+    case LabelJoin(arg, dst, sep, srcs) =>
+      val sf = vector(eval(arg, store, p))
+      // absent src labels contribute "" but keep their separator slot
+      val parts = srcs.map(s =>
+        if (sf.labels.contains(s)) coalesce(sf.df(s), lit("")) else lit(""))
+      val joined = parts match {
+        case Nil => lit("")
+        case one :: Nil => one
+        case many => concat(many.flatMap(c => Seq(lit(sep), c)).drop(1): _*)
+      }
+      Right(SeriesFrame(sf.df.withColumn(dst, joined), (sf.labels :+ dst).distinct))
+
+    case Absent(arg) =>
+      val sf = vector(eval(arg, store, p))
+      val spark = store.df.sparkSession
+      val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("ts")
+      // 1 exactly where the vector has NO samples for the bucket; labels
+      // are dropped (Prometheus only carries matcher-equality labels here)
+      val present = sf.df.select(col("ts")).distinct()
+      Right(SeriesFrame(
+        grid.join(present, Seq("ts"), "left_anti").withColumn("value", lit(1.0)),
+        Nil))
+
+    case RoundFn(arg, to) => eval(arg, store, p) match {
+      case Left(d) => Left(math.floor(d / to + 0.5) * to)
+      case Right(sf) => Right(sf.copy(df = sf.df.withColumn("value",
+        floor(col("value") / lit(to) + lit(0.5)) * lit(to))))
+    }
+
     case QuantileOverTime(q, sel) => Right(sketchLeaf(sel, q, store, p))
     case HistogramQuantile(q, arg) => arg match {
       case sel: Selector => Right(sketchLeaf(sel, q, store, p))

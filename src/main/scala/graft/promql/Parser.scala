@@ -295,6 +295,31 @@ private final class Parser(input: String) {
         val arg = parseOr()
         expect(')')
         HistogramQuantile(q, arg)
+      case "label_replace" =>
+        val arg = parseOr()
+        expect(','); val dst = parseString()
+        expect(','); val repl = parseString()
+        expect(','); val src = parseString()
+        expect(','); val regex = parseString()
+        expect(')')
+        LabelReplace(arg, dst, repl, src, regex)
+      case "label_join" =>
+        val arg = parseOr()
+        expect(','); val dst = parseString()
+        expect(','); val sep = parseString()
+        val srcs = scala.collection.mutable.ListBuffer[String]()
+        while (eat(',')) srcs += parseString()
+        expect(')')
+        LabelJoin(arg, dst, sep, srcs.toList)
+      case "absent" =>
+        val arg = parseOr()
+        expect(')')
+        Absent(arg)
+      case "round" =>
+        val arg = parseOr()
+        val to = if (eat(',')) parseNumber() else 1.0
+        expect(')')
+        RoundFn(arg, to)
       case "quantile_over_time" =>
         val q = parseNumber()
         expect(',')

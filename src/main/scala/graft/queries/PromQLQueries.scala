@@ -363,6 +363,40 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, wmax AS value
         FROM win WHERE ${covered(H6)}""")),
 
+    // --- label manipulation + absent + round (beyond the reference's
+    //     planner, which rejects unknown functions; standard Prometheus) ---
+
+    Q("pq_label_replace",
+      run("""label_replace(events_value, "etype_id", "t-$1", "attr_event_type", "(e.*)")"""),
+      // regex full-matches only e* types; others keep dst absent (null)
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               CASE WHEN attr_event_type LIKE 'e%'
+                    THEN 't-' || attr_event_type ELSE NULL END AS etype_id,
+               bsum AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_label_join",
+      run("""label_join(events_value, "combo", "-", "attr_event_type", "attr_event_type")"""),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               attr_event_type || '-' || attr_event_type AS combo,
+               bsum AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_absent",
+      run("""absent(events_value{attr_event_type="no_such_type"})"""),
+      // nothing matches → 1 on every grid bucket
+      Some(s"""SELECT r.range AS ts, 1.0 AS value
+        FROM range($Start, $End, $StepMs) r""")),
+
+    Q("pq_round",
+      run("round(events_value / 7, 0.5)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               floor(bsum / 7 / 0.5 + 0.5) * 0.5 AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
     // --- DDSketch paths ----------------------------------------------------
 
     // exact stats extracted from merged sketches: hash-matches DuckDB's
