@@ -59,6 +59,16 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(p("histogram_quantile(0.9, m)").isInstanceOf[HistogramQuantile])
     assert(p("-m").isInstanceOf[BinOp])
   }
+
+  test("label manipulation / absent / round parse") {
+    assert(p("""label_replace(m, "d", "$1", "s", "(.*)")""") ==
+      LabelReplace(Selector("m", Nil), "d", "$1", "s", "(.*)"))
+    assert(p("""label_join(m, "d", "-", "a", "b")""") ==
+      LabelJoin(Selector("m", Nil), "d", "-", List("a", "b")))
+    assert(p("""absent(m{x="y"})""").isInstanceOf[Absent])
+    assert(p("round(m)") == RoundFn(Selector("m", Nil), 1.0))
+    assert(p("round(m, 0.5)") == RoundFn(Selector("m", Nil), 0.5))
+  }
 }
 
 class PromQLEngineSpec extends AnyFunSuite {
