@@ -390,11 +390,14 @@ object PromQLQueries extends Catalog {
       Some(s"""SELECT r.range AS ts, 1.0 AS value
         FROM range($Start, $End, $StepMs) r""")),
 
+    // round over COUNTS: integer-valued doubles are summation-order-exact
+    // on both engines, so floor never straddles a 1-ulp boundary (a sum of
+    // cents-quantized values can — it flipped 2 rows at sf0.1)
     Q("pq_round",
-      run("round(events_value / 7, 0.5)"),
-      Some(s"""WITH ${stepCte()}
+      run(s"round(count_over_time(events_value[${StepMs}ms]) / 7, 0.5)"),
+      Some(s"""WITH ${stepCte(StepMs)}
         SELECT ts, attr_event_type,
-               floor(bsum / 7 / 0.5 + 0.5) * 0.5 AS value
+               floor(bcnt / 7 / 0.5 + 0.5) * 0.5 AS value
         FROM step WHERE ts >= $Start AND ts < $End""")),
 
     // --- DDSketch paths ----------------------------------------------------
