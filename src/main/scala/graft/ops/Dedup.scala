@@ -137,6 +137,44 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup PAIRS — the transitive-closure
+    * step a dedup pipeline runs after candidate generation, so "A≈B, B≈C"
+    * collapses into one cluster with a canonical (min-id) representative.
+    *
+    * Iterative min-label propagation: each node starts labeled with its own
+    * id; every round each node takes the min label among itself and its
+    * neighbors; converges in O(component diameter) rounds. Per round: one
+    * equi-join + one groupBy over the EDGE set — no driver-side graph, so
+    * the same loop runs on 10¹⁰ edges; the driver only reads the converged
+    * flag. Near-dup graphs have tiny diameters (dups cluster tightly), so
+    * the default iteration cap is generous.
+    */
+  def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      changed = next.filter(col("comp2") < col("comp")).count()
+      labels = next.select(col("id"), col("comp2").as("comp")).localCheckpoint()
+      i += 1
+    }
+    require(changed == 0, s"components did not converge within $maxIter rounds")
+    labels
+  }
+
   /** SimHash signature (`bits`-wide, ≤ 48): per token-with-multiplicity,
     * ±1 vote per bit of the token hash; sign vector packed into a long.
     */

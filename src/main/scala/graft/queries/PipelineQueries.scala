@@ -120,6 +120,33 @@ object PipelineQueries extends Catalog {
      FROM pairs
      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5"""
 
+  /** transitive dup clusters: connected components over the MinHash-LSH
+    * candidate pairs, canonical member = min doc_id. The oracle replays
+    * the full chain — shingles → signatures → banded pairs → a recursive
+    * reachability closure — in SQL.
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.components(
+      Dedup.minhashLsh(docs(s, d), "text", k = 16, bands = 4, w = 5, threshold = 0.5))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+
+  private def dupClustersSql =
+    s"""WITH RECURSIVE pairs_q AS ($minhashLshSql),
+     edges AS (
+       SELECT a AS x, b AS y FROM pairs_q
+       UNION
+       SELECT b AS x, a AS y FROM pairs_q),
+     nodes AS (SELECT DISTINCT x AS id FROM edges),
+     walk(id, r) AS (
+       SELECT id, id FROM nodes
+       UNION
+       SELECT w.id, e.y FROM walk w JOIN edges e ON w.r = e.x),
+     comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id)
+     SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+            max(id) AS max_member
+     FROM comp GROUP BY 1"""
+
   private def simhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), "text", bits = 32)
 
@@ -424,6 +451,7 @@ object PipelineQueries extends Catalog {
     Q("pp_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),

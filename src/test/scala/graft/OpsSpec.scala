@@ -115,6 +115,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // random hyperplanes on random data
   }
 
+  test("components: transitive closure with canonical min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11; 3 never touches 1 directly
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L)).toDF("a", "b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("native DotProduct matches the HOF formulation bit-for-bit") {
     import spark.implicits._
     val df = Seq(
