@@ -71,6 +71,11 @@ final case class Absent(arg: Expr) extends Expr
   */
 final case class RoundFn(arg: Expr, to: Double) extends Expr
 
+/** time(): the evaluation timestamp in seconds, varying over the step
+  * grid — an empty-label vector, so binop broadcast rules apply
+  */
+case object TimeFn extends Expr
+
 /** sum/avg/min/max/count/topk/bottomk/quantile ... by/without (...) */
 final case class Agg(
     op: String,
@@ -95,7 +100,7 @@ object Ast {
   val rangeFns: Set[String] = Set(
     "rate", "irate", "increase", "sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time", "last_over_time",
-    "first_over_time")
+    "first_over_time", "delta")
   val unaryFns: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn")
   val aggOps: Set[String] = Set(

@@ -171,6 +171,13 @@ object Engine {
         grid.join(present, Seq("ts"), "left_anti").withColumn("value", lit(1.0)),
         Nil))
 
+    case TimeFn =>
+      val spark = store.df.sparkSession
+      Right(SeriesFrame(
+        spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("ts")
+          .withColumn("value", col("ts") / lit(1000.0)),
+        Nil))
+
     case RoundFn(arg, to) => eval(arg, store, p) match {
       case Left(d) => Left(math.floor(d / to + 0.5) * to)
       case Right(sf) => Right(sf.copy(df = sf.df.withColumn("value",
@@ -296,6 +303,12 @@ object Engine {
             last(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
           case "first_over_time" =>
             first(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
+          case "delta" =>
+            // gauge delta at worker granularity: last minus first bucket
+            // average in the window (Prometheus extrapolates between raw
+            // samples; bucketized stores see bucket means — documented)
+            val bavg = col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))
+            last(bavg).over(rw) - first(bavg).over(rw)
         }
         bucketed.withColumn("value",
           when(covered, value).otherwise(lit(Double.NaN)))
@@ -316,6 +329,7 @@ object Engine {
             when(col("bcnt") === 0, lit(Double.NaN)).otherwise(col("bsum") / col("bcnt"))
           case "min_over_time" => col("bmin")
           case "max_over_time" => col("bmax")
+          case "delta" => lit(0.0) // single-bucket window: last == first
         }
         bucketed.withColumn("value", value)
       } else {

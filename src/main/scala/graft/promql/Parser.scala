@@ -315,6 +315,9 @@ private final class Parser(input: String) {
         val arg = parseOr()
         expect(')')
         Absent(arg)
+      case "time" =>
+        expect(')')
+        TimeFn
       case "round" =>
         val arg = parseOr()
         val to = if (eat(',')) parseNumber() else 1.0

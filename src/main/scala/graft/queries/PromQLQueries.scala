@@ -400,6 +400,33 @@ object PromQLQueries extends Catalog {
                floor(bcnt / 7 / 0.5 + 0.5) * 0.5 AS value
         FROM step WHERE ts >= $Start AND ts < $End""")),
 
+    // gauge delta: last minus first bucket average across the window
+    Q("pq_delta",
+      run("delta(events_value[6h])"),
+      Some(s"""WITH ${stepCte(H6)},
+        winf AS (
+          SELECT ts, attr_event_type,
+                 first_value(bsum / CASE WHEN bcnt = 0 THEN 1 ELSE bcnt END)
+                   OVER w AS favg,
+                 min(ts) OVER w AS first_ts
+          FROM step
+          WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                       RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT w.ts, w.attr_event_type,
+               (s.bsum / CASE WHEN s.bcnt = 0 THEN 1 ELSE s.bcnt END) - w.favg
+                 AS value
+        FROM winf w
+        JOIN step s ON w.ts = s.ts AND w.attr_event_type = s.attr_event_type
+        WHERE w.first_ts = w.ts - ${H6 - StepMs}
+          AND w.ts >= $Start AND w.ts < $End""")),
+
+    // time(): grid-varying empty-label vector; binop broadcast over series
+    Q("pq_time_shift",
+      run("events_value - time()"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum - ts / 1000.0 AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
     // --- DDSketch paths ----------------------------------------------------
 
     // exact stats extracted from merged sketches: hash-matches DuckDB's
