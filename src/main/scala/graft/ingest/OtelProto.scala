@@ -61,6 +61,12 @@ object OtelProto {
       out
     }
 
+    /** zigzag-encoded sint32/sint64 (scale/offset fields) */
+    def readZigzag(): Long = {
+      val v = readVarint()
+      (v >>> 1) ^ -(v & 1L)
+    }
+
     def readFixed32(): Int = {
       bounds(4)
       var out = 0
@@ -317,6 +323,145 @@ object OtelProto {
       }
     }
     OtelHistogram(t, "", n, s, mn, mx, bc.toSeq, eb.toSeq, attrs, Map.empty, "")
+  }
+
+  /** ExponentialHistogramDataPoint (metrics.proto): attributes=1, time=3
+    * (fixed64), count=4 (fixed64), sum=5 (double), scale=6 (sint32 zigzag),
+    * zero_count=7 (fixed64), positive=8 / negative=9 (Buckets: offset=1
+    * sint32 zigzag, bucket_counts=2 packed varint), min=12, max=13.
+    * Base = 2^(2^-scale); positive bucket i covers
+    * (base^(offset+i), base^(offset+i+1)].
+    */
+  final case class OtelExpoHistogram(
+      timeUnixNano: Long,
+      metricName: String,
+      count: Long,
+      sum: Double,
+      min: Double,
+      max: Double,
+      scale: Int,
+      zeroCount: Long,
+      posOffset: Int,
+      posCounts: Seq[Long],
+      negOffset: Int,
+      negCounts: Seq[Long],
+      attrs: Map[String, String],
+      resourceAttrs: Map[String, String],
+      scopeName: String)
+
+  private def expoBucketsMsg(r: Reader): (Int, Seq[Long]) = {
+    var off = 0
+    val cs = scala.collection.mutable.ListBuffer[Long]()
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 1 => off = r.readZigzag().toInt
+        case 2 => // repeated uint64: packed (wire 2) or unpacked (wire 0)
+          if (w == 2) {
+            val p = r.readMessage()
+            while (p.hasNext) cs += p.readVarint()
+          } else cs += r.readVarint()
+        case _ => r.skip(w)
+      }
+    }
+    (off, cs.toSeq)
+  }
+
+  private def expoHistogramDataPoint(r: Reader): OtelExpoHistogram = {
+    var t = 0L; var n = 0L; var s = 0.0
+    var mn = Double.NaN; var mx = Double.NaN
+    var scale = 0; var zc = 0L
+    var po = 0; var pc: Seq[Long] = Nil
+    var no = 0; var nc: Seq[Long] = Nil
+    var attrs = Map.empty[String, String]
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 1 => attrs += keyValue(r.readMessage())
+        case 3 => t = r.readFixed64()
+        case 4 => n = r.readFixed64()
+        case 5 => s = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 6 => scale = r.readZigzag().toInt
+        case 7 => zc = r.readFixed64()
+        case 8 => val (o, c) = expoBucketsMsg(r.readMessage()); po = o; pc = c
+        case 9 => val (o, c) = expoBucketsMsg(r.readMessage()); no = o; nc = c
+        case 12 => mn = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 13 => mx = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case _ => r.skip(w)
+      }
+    }
+    OtelExpoHistogram(t, "", n, s, mn, mx, scale, zc, po, pc, no, nc,
+      attrs, Map.empty, "")
+  }
+
+  /** MetricsData → decoded exponential-histogram datapoints (Metric
+    * field 10); same resource/scope walk as [[parseHistograms]]
+    */
+  def parseExpoHistograms(data: Array[Byte]): Seq[OtelExpoHistogram] = {
+    val out = scala.collection.mutable.ListBuffer[OtelExpoHistogram]()
+    val root = new Reader(data, 0, data.length)
+    while (root.hasNext) {
+      val (f, w) = root.readTag()
+      if (f == 1 && w == 2) {
+        val rm = root.readMessage()
+        var resAttrs = Map.empty[String, String]
+        val scopeMetrics = scala.collection.mutable.ListBuffer[Reader]()
+        while (rm.hasNext) {
+          val (f2, w2) = rm.readTag()
+          f2 match {
+            case 1 =>
+              val res = rm.readMessage()
+              while (res.hasNext) {
+                val (f3, w3) = res.readTag()
+                if (f3 == 1 && w3 == 2) resAttrs += keyValue(res.readMessage())
+                else res.skip(w3)
+              }
+            case 2 => scopeMetrics += rm.readMessage()
+            case _ => rm.skip(w2)
+          }
+        }
+        scopeMetrics.foreach { sm =>
+          var scopeName = ""
+          while (sm.hasNext) {
+            val (f2, w2) = sm.readTag()
+            f2 match {
+              case 1 =>
+                val sc = sm.readMessage()
+                while (sc.hasNext) {
+                  val (f3, w3) = sc.readTag()
+                  if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else sc.skip(w3)
+                }
+              case 2 =>
+                val m = sm.readMessage()
+                var name = ""
+                val points = scala.collection.mutable.ListBuffer[OtelExpoHistogram]()
+                while (m.hasNext) {
+                  val (f3, w3) = m.readTag()
+                  f3 match {
+                    case 1 => name = m.readString()
+                    case 10 => // exponential_histogram { data_points=1 }
+                      val h = m.readMessage()
+                      while (h.hasNext) {
+                        val (f4, w4) = h.readTag()
+                        if (f4 == 1 && w4 == 2)
+                          points += expoHistogramDataPoint(h.readMessage())
+                        else h.skip(w4)
+                      }
+                    case _ => m.skip(w3)
+                  }
+                }
+                points.foreach { p =>
+                  out += p.copy(metricName = name, resourceAttrs = resAttrs,
+                    scopeName = scopeName)
+                }
+              case _ => sm.skip(w2)
+            }
+          }
+        }
+      } else root.skip(w)
+    }
+    out.toSeq
   }
 
   /** MetricsData → decoded histogram datapoints (Metric field 9); same
@@ -684,6 +829,35 @@ object OtelProto {
       col("attrs"), col("resourceAttrs")))
   }
 
+  /** `.binpb[.gz]` OTel exponential-histogram datapoints → decoded rows:
+    * count/sum/min/max onto the cooked chq_rollup_* columns; scale,
+    * zero_count, and the positive/negative (offset, counts) bucket arrays
+    * ride along. Base = 2^(2^-scale), so these buckets convert losslessly
+    * to log-bucket sketch bins.
+    */
+  def readExpoHistograms(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val points = files.flatMap { case (p, c) => parseExpoHistograms(maybeGunzip(p, c)) }
+    widenAttrs(points.toDF().select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
+      col("metricName").as("metric_name"),
+      lit("exponential_histogram").as("chq_metric_type"),
+      col("count").as("chq_rollup_count"),
+      col("sum").as("chq_rollup_sum"),
+      col("min").as("chq_rollup_min"),
+      col("max").as("chq_rollup_max"),
+      col("scale"),
+      col("zeroCount").as("zero_count"),
+      col("posOffset").as("pos_offset"),
+      col("posCounts").as("pos_counts"),
+      col("negOffset").as("neg_offset"),
+      col("negCounts").as("neg_counts"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs")))
+  }
+
   /** `.binpb[.gz]` OTel traces → cooked span columns
     * (docs/design/db-parquet/traces.md shapes): ids as lowercase hex,
     * kind/status as enum-name strings, span_duration in ms.
@@ -792,6 +966,26 @@ object OtelProto {
 
     def histogramMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
       str(1, name) ++ ld(9,
+        dps.flatMap(d => ld(1, d)).toArray ++ vint(2, 2)) // CUMULATIVE
+
+    private def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
+
+    /** ExponentialHistogramDataPoint.Buckets: offset (sint32) + packed counts */
+    def expoBuckets(offset: Int, counts: Seq[Long]): Array[Byte] =
+      vint(1, zigzag(offset)) ++ ld(2, counts.flatMap(varint).toArray)
+
+    def expoHistogramDp(timeNs: Long, count: Long, sum: Double,
+        min: Double, max: Double, scale: Int, zeroCount: Long,
+        posOffset: Int, posCounts: Seq[Long],
+        attrs: Seq[(String, String)]): Array[Byte] =
+      attrs.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray ++
+        fixed64(3, timeNs) ++ fixed64(4, count) ++ dbl(5, sum) ++
+        vint(6, zigzag(scale)) ++ fixed64(7, zeroCount) ++
+        ld(8, expoBuckets(posOffset, posCounts)) ++
+        dbl(12, min) ++ dbl(13, max)
+
+    def expoHistogramMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
+      str(1, name) ++ ld(10,
         dps.flatMap(d => ld(1, d)).toArray ++ vint(2, 2)) // CUMULATIVE
 
     def metricsData(resourceAttrs: Seq[(String, String)], scopeName: String,

@@ -400,6 +400,91 @@ object TelemetryQueries extends Catalog {
               '5.0,20.0,50.0,100.0,200.0' AS bounds_csv
        FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2"""
 
+  /** OTel EXPONENTIAL histogram round-trip: events bucketed into scale-0
+    * (base-2) datapoints per (hour, event_type) → encoded (zigzag scale/
+    * offset, packed varint counts) → wire decoder → every decoded field
+    * checked against a DuckDB replay. Bucket index k = smallest k ≥ -7
+    * with v ≤ 2^(k+1); both engines find it by COMPARING against exact
+    * power-of-two literals, so no log() boundary drift is possible.
+    * v < 2^-7 counts into the zero bucket.
+    */
+  private def binpbExpoHistogram(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val zeroThresh = 0.0078125 // 2^-7
+    def idx(v: Double): Int = {
+      var k = -7
+      while (v > math.pow(2.0, (k + 1).toDouble)) k += 1
+      k
+    }
+    val rows = raw(s, d).filter(col("event_id") % 4 === 1)
+      .select(expr("ts_ms - ts_ms % 3600000").as("h"), col("event_type"),
+        col("value"))
+      .collect()
+    val dps = rows.groupBy(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1).map { case ((h, et), rs) =>
+        val vs = rs.map(_.getDouble(2))
+        val (zeros, pos) = vs.partition(_ < zeroThresh)
+        val ks = pos.map(idx)
+        val (off, counts) =
+          if (ks.isEmpty) (0, Seq.empty[Long])
+          else {
+            val lo = ks.min; val hi = ks.max
+            (lo, (lo to hi).map(k => ks.count(_ == k).toLong).toSeq)
+          }
+        Encode.expoHistogramDp(h * 1000000L, vs.length.toLong, vs.sum,
+          vs.min, vs.max, scale = 0, zeroCount = zeros.length.toLong,
+          posOffset = off, posCounts = counts, Seq("event.type" -> et))
+      }
+    val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
+      "graft-test", Seq(Encode.expoHistogramMetric("events_value_expo", dps)))
+    OtelProto.readExpoHistograms(s,
+      gzWrite("graft_binpb_e_", "expo.binpb.gz", blob))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"), round(col("chq_rollup_sum"), 4).as("sum_v"),
+        col("chq_rollup_min").as("min_v"), col("chq_rollup_max").as("max_v"),
+        col("scale").cast("long").as("scale"), col("zero_count"),
+        col("pos_offset").cast("long").as("pos_offset"),
+        concat_ws(",", col("pos_counts")).as("counts_csv"))
+  }
+
+  private val binpbExpoHistogramSql = {
+    // k = smallest k in [-7, 17] with v <= 2^(k+1), by comparison ladder
+    val ladder = (-7 to 17)
+      .map(k => s"WHEN v <= ${math.pow(2.0, (k + 1).toDouble)} THEN $k")
+      .mkString(" ")
+    s"""WITH ev AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS h,
+              event_type AS et, "value" AS v,
+              "value" < 0.0078125 AS isz,
+              CASE $ladder END AS k
+       FROM events WHERE event_id % 4 = 1),
+     g AS (
+       SELECT h, et, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
+              min(v) AS mn, max(v) AS mx,
+              CAST(count(*) FILTER (WHERE isz) AS BIGINT) AS zc,
+              min(k) FILTER (WHERE NOT isz) AS ko,
+              max(k) FILTER (WHERE NOT isz) AS kx
+       FROM ev GROUP BY 1, 2),
+     kc AS (
+       SELECT h, et, k, CAST(count(*) AS BIGINT) AS c
+       FROM ev WHERE NOT isz GROUP BY 1, 2, 3),
+     dense AS (
+       SELECT g.h, g.et, unnest(range(g.ko, g.kx + 1)) AS k FROM g),
+     counts AS (
+       SELECT d.h, d.et,
+              array_to_string(list(coalesce(kc.c, 0) ORDER BY d.k), ',') AS csv
+       FROM dense d
+       LEFT JOIN kc ON kc.h = d.h AND kc.et = d.et AND kc.k = d.k
+       GROUP BY 1, 2)
+     SELECT g.h AS chq_timestamp, g.et AS attr_event_type,
+            g.n AS chq_rollup_count, round(g.sv, 4) AS sum_v,
+            g.mn AS min_v, g.mx AS max_v,
+            CAST(0 AS BIGINT) AS scale, g.zc AS zero_count,
+            CAST(coalesce(g.ko, 0) AS BIGINT) AS pos_offset,
+            coalesce(c.csv, '') AS counts_csv
+     FROM g LEFT JOIN counts c ON c.h = g.h AND c.et = g.et"""
+  }
+
   /** OTel TracesData round-trip: cooked spans (first 2 days) → encoded
     * ResourceSpans grouped by service → .binpb.gz → wire decoder →
     * aggregate; ids (hex bytes), kind/status enums, ns→ms duration and
@@ -630,6 +715,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),
+    Q("tq_binpb_expo", binpbExpoHistogram, Some(binpbExpoHistogramSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),

@@ -107,6 +107,25 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(h.resourceAttrs == Map("service_name" -> "svc-h"))
   }
 
+  test("expo histogram wire round-trip: zigzag scale/offset, packed counts") {
+    // negative scale and negative bucket offset exercise the zigzag path
+    val blob = Encode.metricsData(
+      Seq("service.name" -> "svc-e"), "graft-test",
+      Seq(Encode.expoHistogramMetric("latency_expo", Seq(
+        Encode.expoHistogramDp(1704067200000000000L, 12L, 55.25, 0.004, 30.0,
+          scale = -1, zeroCount = 2L, posOffset = -3,
+          posCounts = Seq(1L, 0L, 4L, 5L), Seq("route" -> "/api"))))))
+    val hs = OtelProto.parseExpoHistograms(blob)
+    assert(hs.size == 1)
+    val h = hs.head
+    assert(h.metricName == "latency_expo" && h.count == 12L && h.sum == 55.25)
+    assert(h.min == 0.004 && h.max == 30.0)
+    assert(h.scale == -1 && h.zeroCount == 2L)
+    assert(h.posOffset == -3 && h.posCounts == Seq(1L, 0L, 4L, 5L))
+    assert(h.attrs == Map("route" -> "/api"))
+    assert(h.resourceAttrs == Map("service_name" -> "svc-e"))
+  }
+
   test("spans wire round-trip: ids, kind/status enums, duration") {
     val tid = "0123456789abcdef0123456789abcdef"
     val sid = "fedcba9876543210"
