@@ -408,7 +408,10 @@ object TelemetryQueries extends Catalog {
     * power-of-two literals, so no log() boundary drift is possible.
     * v < 2^-7 counts into the zero bucket.
     */
-  private def binpbExpoHistogram(s: SparkSession, d: String): DataFrame = {
+  /** scale-0 expo-histogram fixture blob path for the events subset
+    * (shared by the decode round-trip and the sketch-quantile rows)
+    */
+  private def expoFixturePath(s: SparkSession, d: String): String = {
     import OtelProto.Encode
     val zeroThresh = 0.0078125 // 2^-7
     def idx(v: Double): Int = {
@@ -437,8 +440,11 @@ object TelemetryQueries extends Catalog {
       }
     val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
       "graft-test", Seq(Encode.expoHistogramMetric("events_value_expo", dps)))
-    OtelProto.readExpoHistograms(s,
-      gzWrite("graft_binpb_e_", "expo.binpb.gz", blob))
+    gzWrite("graft_binpb_e_", "expo.binpb.gz", blob)
+  }
+
+  private def binpbExpoHistogram(s: SparkSession, d: String): DataFrame = {
+    OtelProto.readExpoHistograms(s, expoFixturePath(s, d))
       .select(col("chq_timestamp"), col("attr_event_type"),
         col("chq_rollup_count"), round(col("chq_rollup_sum"), 4).as("sum_v"),
         col("chq_rollup_min").as("min_v"), col("chq_rollup_max").as("max_v"),
@@ -483,6 +489,51 @@ object TelemetryQueries extends Catalog {
             CAST(coalesce(g.ko, 0) AS BIGINT) AS pos_offset,
             coalesce(c.csv, '') AS counts_csv
      FROM g LEFT JOIN counts c ON c.h = g.h AND c.et = g.et"""
+  }
+
+  /** ingested expo histograms → DDSketch (gamma = base 2, exact bin map)
+    * → quantile read; the oracle replays the gamma-2 rank walk — midpoint
+    * 2·2^qi/3, zero bucket, [min,max] clamp — from the raw events.
+    */
+  private def expoQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{functions => gf}
+    OtelProto.readExpoHistogramSketches(s, expoFixturePath(s, d))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.9), 6).as("p90"))
+  }
+
+  private val expoQuantileSql = {
+    val ladder = (-7 to 17)
+      .map(k => s"WHEN v <= ${math.pow(2.0, (k + 1).toDouble)} THEN $k")
+      .mkString(" ")
+    s"""WITH ev AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS h,
+              event_type AS et, "value" AS v,
+              "value" < 0.0078125 AS isz,
+              CASE $ladder END AS k
+       FROM events WHERE event_id % 4 = 1),
+     stats AS (
+       SELECT h, et, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) FILTER (WHERE isz) AS BIGINT) AS zc,
+              min(v) AS mn, max(v) AS mx
+       FROM ev GROUP BY 1, 2),
+     idx AS (
+       SELECT h, et, k + 1 AS i, CAST(count(*) AS BIGINT) AS c
+       FROM ev WHERE NOT isz GROUP BY 1, 2, 3),
+     cum AS (
+       SELECT h, et, i, sum(c) OVER (PARTITION BY h, et ORDER BY i) AS cum
+       FROM idx),
+     sel AS (
+       SELECT c.h, c.et, min(c.i) AS qi
+       FROM cum c JOIN stats s ON s.h = c.h AND s.et = c.et
+       WHERE s.zc + c.cum >= CAST(floor(0.9 * (s.n - 1)) AS BIGINT) + 1
+       GROUP BY 1, 2)
+     SELECT s.h AS chq_timestamp, s.et AS attr_event_type,
+            round(CASE WHEN s.zc >= CAST(floor(0.9 * (s.n - 1)) AS BIGINT) + 1
+                       THEN 0.0
+                       ELSE least(greatest(2 * pow(2, sel.qi) / 3.0, s.mn),
+                                  s.mx) END, 6) AS p90
+     FROM stats s LEFT JOIN sel ON sel.h = s.h AND sel.et = s.et"""
   }
 
   /** OTel TracesData round-trip: cooked spans (first 2 days) → encoded
@@ -716,6 +767,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),
     Q("tq_binpb_expo", binpbExpoHistogram, Some(binpbExpoHistogramSql)),
+    Q("tq_expo_quantile", expoQuantile, Some(expoQuantileSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),

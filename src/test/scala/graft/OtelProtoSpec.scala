@@ -126,6 +126,28 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(h.resourceAttrs == Map("service_name" -> "svc-e"))
   }
 
+  test("ExpoBridge: exact bin mapping, exact stats, bounded quantiles") {
+    import graft.sketch.ExpoBridge
+    // gamma lands within an ulp of the base (no double alpha maps exactly
+    // for base 2); the ~1e-16 relative midpoint error is far inside the
+    // oracle's round-6 window
+    val g = (1.0 + ExpoBridge.alphaFor(2.0)) / (1.0 - ExpoBridge.alphaFor(2.0))
+    assert(math.abs(g - 2.0) <= 2 * math.ulp(2.0), s"gamma=$g")
+    // values 1.5 (bucket k=0), 3 (k=1), 3.5 (k=1), 12 (k=3): offset 0,
+    // counts [1,2,0,1]; plus two zeros
+    val sk = ExpoBridge.fromExpo(scale = 0, zeroCount = 2L,
+      posOffset = 0, posCounts = Seq(1L, 2L, 0L, 1L), 0, Nil,
+      count = 6L, sum = 20.0, min = 0.0, max = 12.0)
+    assert(sk.count == 6L && sk.sum == 20.0)
+    // rank(0.9) = floor(0.9*5)+1 = 5 → 2 zeros + 1 + 2 → qi=2 bin →
+    // midpoint 2*2^2/3 = 8/3, within [min,max]
+    assert(math.abs(sk.quantile(0.9) - 8.0 / 3.0) < 1e-12)
+    assert(sk.quantile(0.0) == 0.0 && sk.quantile(1.0) == 12.0)
+    // serialization round-trips the non-default gamma
+    val back = graft.sketch.DDSketch.deserialize(sk.serialize())
+    assert(back.quantile(0.9) == sk.quantile(0.9))
+  }
+
   test("spans wire round-trip: ids, kind/status enums, duration") {
     val tid = "0123456789abcdef0123456789abcdef"
     val sid = "fedcba9876543210"
