@@ -314,6 +314,77 @@ object CoreQueries extends Catalog {
          FROM events) t
        GROUP BY event_type, k_band"""
 
+  /** gap-based sessionization: per-user event stream splits into sessions
+    * at >30 min silences (lag + conditional cumulative sum — pure window
+    * algebra, partitioned by user, codegen'd end to end); per-session
+    * stats aggregated per user
+    */
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 1800000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .withColumn("__prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("ts_ms") - col("__prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rangeBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("dur_ms"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_seq")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("dur_ms")).as("max_session_ms"))
+  }
+
+  private val qSessionizeSql =
+    """WITH e AS (
+       SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+              lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ms(ts), event_id) AS prev
+       FROM events),
+     s AS (
+       SELECT user_id, ts_ms,
+              sum(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS session_seq
+       FROM e),
+     per AS (
+       SELECT user_id, session_seq, count(*) AS n_events,
+              max(ts_ms) - min(ts_ms) AS dur_ms
+       FROM s GROUP BY 1, 2)
+     SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+            CAST(sum(n_events) AS BIGINT) AS n_events,
+            max(dur_ms) AS max_session_ms
+     FROM per GROUP BY 1"""
+
+  /** deterministic train/val/test split — the hash-based assignment a
+    * training pipeline needs to be reproducible across engines and runs:
+    * md5(doc_id) mod 100 → 90/5/5
+    */
+  private def qDatasetSplit(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+  }
+
+  private val qDatasetSplitSql =
+    """WITH s AS (
+       SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                % 100 AS h
+       FROM documents)
+     SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                 ELSE 'test' END AS split,
+            count(*) AS n_docs, min(doc_id) AS first_doc
+     FROM s GROUP BY 1"""
+
   private def qEventsBucket(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("bucket_ts", col("ts_ms") - col("ts_ms") % lit(600000L))
@@ -367,6 +438,8 @@ object CoreQueries extends Catalog {
     Q("core_json_case", qJsonCase, Some(qJsonCaseSql)),
     Q("core_events_bucket", qEventsBucket, Some(qEventsBucketSql)),
     Q("core_events_daily", qEventsDaily, Some(qEventsDailySql)),
+    Q("core_sessionize", qSessionize, Some(qSessionizeSql)),
+    Q("pp_dataset_split", qDatasetSplit, Some(qDatasetSplitSql)),
     Q("core_cube_agg", qCubeAgg, Some(qCubeAggSql))
   )
 
