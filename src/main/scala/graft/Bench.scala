@@ -62,7 +62,10 @@ object Bench {
       "pp_langid" -> "cold-codegen dominated: warm ~0.9s; operator unchanged since r1",
       "pq_topk" -> ("two-phase rank (partial top-k per salt, final over bounded survivors) " +
         "adds one bounded shuffle vs r2 — deliberate: removes the single-task-per-bucket ceiling"),
-      "pq_bottomk" -> "same two-phase rank trade as pq_topk; warm ~0.7s")
+      "pq_bottomk" -> "same two-phase rank trade as pq_topk; warm ~0.7s",
+      "lq_topk" -> "same two-phase rank trade (shared engine path)",
+      "pp_dup_clusters" -> ("iterative component convergence: per-round join+agg over the " +
+        "edge set with one checkpoint per round — rounds scale with component diameter, not corpus"))
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
 

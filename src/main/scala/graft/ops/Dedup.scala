@@ -155,20 +155,21 @@ object Dedup {
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("x").as("id")).distinct()
+    var labels: DataFrame = edges.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("comp")).as("ncomp"))
+      // one materialization per round: the changed-count and the next
+      // round's labels both read the same checkpointed frame
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
         .localCheckpoint()
       changed = next.filter(col("comp2") < col("comp")).count()
-      labels = next.select(col("id"), col("comp2").as("comp")).localCheckpoint()
+      labels = next.select(col("id"), col("comp2").as("comp"))
       i += 1
     }
     require(changed == 0, s"components did not converge within $maxIter rounds")
