@@ -314,6 +314,70 @@ object CoreQueries extends Catalog {
          FROM events) t
        GROUP BY event_type, k_band"""
 
+  /** TPC-H q7 shape — volume shipping between nation pairs: two
+    * independent dimension chains (supplier→nation, order→customer→nation)
+    * meet on the fact table; both chains broadcast, the fact never
+    * shuffles for the dimension lookups
+    */
+  private def q7(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val supp = Tables.supplier(s, d)
+    val cust = Tables.customer(s, d)
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(n1), supp("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), cust("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE n1.n_name <> n2.n_name
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H q18 shape — large orders: a groupBy-having over the fact
+    * drives a semi-join back onto orders/customer
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty"))
+  }
+
+  private val q18Sql =
+    """SELECT c_name, o_orderkey, o_totalprice, total_qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) big
+       JOIN orders ON o_orderkey = big.l_orderkey
+       JOIN customer ON o_custkey = c_custkey"""
+
   /** gap-based sessionization: per-user event stream splits into sessions
     * at >30 min silences (lag + conditional cumulative sum — pure window
     * algebra, partitioned by user, codegen'd end to end); per-session
@@ -424,6 +488,8 @@ object CoreQueries extends Catalog {
     Q("core_q1_pricing_agg", q1, Some(q1Sql)),
     Q("core_q3_join_agg", q3, Some(q3Sql)),
     Q("core_q5_star_join", q5, Some(q5Sql)),
+    Q("core_q7_nation_volume", q7, Some(q7Sql)),
+    Q("core_q18_large_orders", q18, Some(q18Sql)),
     Q("core_semi_join", qSemi, Some(qSemiSql)),
     Q("core_anti_join", qAnti, Some(qAntiSql)),
     Q("core_window_topk", qTopkWindow, Some(qTopkWindowSql)),
