@@ -314,6 +314,31 @@ object CoreQueries extends Catalog {
          FROM events) t
        GROUP BY event_type, k_band"""
 
+  /** ntile quartiles over a deterministic total order (acctbal, key
+    * tie-break) with per-quartile stats — the bucketed-percentile window
+    * shape analytics dashboards lean on
+    */
+  private def qNtile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 4).as("min_bal"),
+        round(max(col("c_acctbal")), 4).as("max_bal"))
+  }
+
+  private val qNtileSql =
+    """SELECT quartile, count(*) AS n,
+       round(min(c_acctbal), 4) AS min_bal,
+       round(max(c_acctbal), 4) AS max_bal
+       FROM (SELECT c_acctbal,
+                    ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                      AS quartile
+             FROM customer)
+       GROUP BY 1"""
+
   /** TPC-H q7 shape — volume shipping between nation pairs: two
     * independent dimension chains (supplier→nation, order→customer→nation)
     * meet on the fact table; both chains broadcast, the fact never
@@ -489,6 +514,7 @@ object CoreQueries extends Catalog {
     Q("core_q3_join_agg", q3, Some(q3Sql)),
     Q("core_q5_star_join", q5, Some(q5Sql)),
     Q("core_q7_nation_volume", q7, Some(q7Sql)),
+    Q("core_ntile", qNtile, Some(qNtileSql)),
     Q("core_q18_large_orders", q18, Some(q18Sql)),
     Q("core_semi_join", qSemi, Some(qSemiSql)),
     Q("core_anti_join", qAnti, Some(qAntiSql)),

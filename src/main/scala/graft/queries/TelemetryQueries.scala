@@ -629,6 +629,36 @@ object TelemetryQueries extends Catalog {
      FROM win
      WHERE first_ts = ts - 10800000 AND ts >= $SpanStart AND ts < $SpanEnd"""
 
+  /** span parent→child self-join: per parent span, how many children and
+    * whether the children's summed duration stays inside the parent's —
+    * the structural traces query segment stores must answer
+    */
+  private def spanChildren(s: SparkSession, d: String): DataFrame = {
+    val sp = graft.model.Cooked.spans(s, d)
+    val parents = sp.select(col("span_id").as("p_id"),
+      col("span_name").as("parent_name"), col("span_duration").as("p_dur"))
+    val children = sp.filter(col("span_parent_span_id") =!= "")
+      .select(col("span_parent_span_id").as("p_id"),
+        col("span_duration").as("c_dur"))
+    parents.join(children, Seq("p_id"))
+      .groupBy(col("parent_name"))
+      .agg(count(lit(1)).as("n_children"),
+        sum(col("c_dur")).as("child_dur_sum"),
+        sum(when(col("c_dur") > col("p_dur"), 1).otherwise(0))
+          .as("n_child_longer"))
+  }
+
+  private val spanChildrenSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT p.span_name AS parent_name,
+            CAST(count(*) AS BIGINT) AS n_children,
+            CAST(sum(c.span_duration) AS BIGINT) AS child_dur_sum,
+            CAST(sum(CASE WHEN c.span_duration > p.span_duration
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_child_longer
+     FROM spans p
+     JOIN spans c ON c.span_parent_span_id = p.span_id
+     GROUP BY 1"""
+
   private def traceSummary(s: SparkSession, d: String): DataFrame =
     graft.model.Cooked.spans(s, d)
       .groupBy(col("span_trace_id"))
@@ -771,6 +801,7 @@ object TelemetryQueries extends Catalog {
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),
+    Q("sq_span_children", spanChildren, Some(spanChildrenSql)),
     Q("td_tag_values", tagValues, Some(tagValuesSql)),
     Q("td_tag_names", tagNames, Some(tagNamesSql)),
     Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
