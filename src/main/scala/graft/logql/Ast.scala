@@ -28,6 +28,11 @@ final case class JsonStage(mappings: List[(String, String)]) extends Stage
 final case class LogfmtStage(mappings: List[(String, String)]) extends Stage
 /** `| regexp "(?P<name>...)"` — named capture groups become labels */
 final case class RegexpStage(pattern: String) extends Stage
+/** `| pattern "<evt> did <act> in <_>"` — Loki's pattern parser: literal
+  * text with `<name>` captures (`<_>` skips); compiled to an anchored
+  * regex with non-greedy capture groups
+  */
+final case class PatternStage(pattern: String) extends Stage
 /** `| label_format out=src` or `out="{{.a}}-{{.b}}"` */
 final case class LabelFormatStage(assignments: List[(String, Template)]) extends Stage
 /** `| line_format "{{.a}} ..."` — rewrites the log line */

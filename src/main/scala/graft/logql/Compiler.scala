@@ -222,6 +222,13 @@ object Compiler {
           labels = (labels :+ l).distinct
         }
 
+      case PatternStage(pattern) =>
+        val (re, names) = patternToRegex(pattern)
+        names.zipWithIndex.foreach { case (name, i) =>
+          df = df.withColumn(name, regexp_extract(col("log_message"), re, i + 1))
+          labels = (labels :+ name).distinct
+        }
+
       case RegexpStage(pattern) =>
         val groups = namedGroups(pattern)
         groups.zipWithIndex.foreach { case (name, _) =>
@@ -446,6 +453,32 @@ object Compiler {
       case KeepStage(ls) => ls
       case _ => Nil
     }.distinct
+
+  /** Loki pattern → anchored regex + capture names: literals escaped
+    * per-metachar (RE2-compatible — no \Q\E, so the SAME regex string runs
+    * in Java and DuckDB), `<name>` → non-greedy capture, `<_>` → skip.
+    */
+  def patternToRegex(p: String): (String, Seq[String]) = {
+    val meta = "\\^$.|?*+()[]{}"
+    val sb = new StringBuilder("^")
+    val names = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < p.length) {
+      if (p(i) == '<') {
+        val end = p.indexOf('>', i)
+        require(end > i, s"unterminated <capture> in pattern '$p'")
+        val name = p.substring(i + 1, end)
+        if (name == "_") sb.append(".*?")
+        else { names += name; sb.append("(.*?)") }
+        i = end + 1
+      } else {
+        if (meta.indexOf(p(i).toInt) >= 0) sb.append('\\')
+        sb.append(p(i))
+        i += 1
+      }
+    }
+    (sb.append("$").toString, names.toSeq)
+  }
 
   /** `$.a.b` stays; bare `a` → `$.a` */
   private def jsonPath(p: String): String =

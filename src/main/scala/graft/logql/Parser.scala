@@ -416,6 +416,8 @@ private final class LogParser(input: String) {
         LogfmtStage(parseMappings())
       case "regexp" =>
         RegexpStage(str())
+      case "pattern" =>
+        PatternStage(str())
       case "label_format" =>
         val assigns = scala.collection.mutable.ListBuffer[(String, Template)]()
         var continue = true

@@ -120,6 +120,25 @@ object LogQLQueries extends Catalog {
 
     // keep/drop narrow the label set carried to the output (fields=Nil so
     // the default projection exposes exactly the surviving labels)
+    // Loki pattern parser: literal template with <name> captures; BOTH
+    // engines run the same compiled regex, so parity is structural
+    Q("lq_pattern_stage",
+      raw("""{log_level="INFO"} | pattern `evt=<evt> user=<uid> value=<val> props=<_>` | uid != "" """,
+        Seq("chq_timestamp", "evt", "uid", "val")),
+      Some {
+        val (re, _) = graft.logql.Compiler.patternToRegex(
+          "evt=<evt> user=<uid> value=<val> props=<_>")
+        s"""WITH ${Cooked.logsCte}
+          SELECT chq_timestamp,
+                 regexp_extract(log_message, '$re', 1) AS evt,
+                 regexp_extract(log_message, '$re', 2) AS uid,
+                 regexp_extract(log_message, '$re', 3) AS val
+          FROM logs
+          WHERE log_level = 'INFO'
+            AND regexp_extract(log_message, '$re', 2) <> ''
+            AND $timeCond"""
+      }),
+
     Q("lq_keep_drop",
       raw("""{log_level="ERROR"} | logfmt | keep evt, user | drop user """,
         Nil),

@@ -32,6 +32,14 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(q2.raw.get.stages.contains(LabelReplaceStage("d", "$1", "s", "(.+)")))
   }
 
+  test("pattern stage parses and compiles to an anchored regex") {
+    val q = p("""{app="web"} | pattern `<evt> took <ms> in <_>`""")
+    assert(q.raw.get.stages.contains(PatternStage("<evt> took <ms> in <_>")))
+    val (re, names) = Compiler.patternToRegex("<evt> took <ms>ms (in <_>)")
+    assert(names == Seq("evt", "ms"))
+    assert(re == "^(.*?) took (.*?)ms \\(in .*?\\)$")
+  }
+
   test("keep_labels/drop_labels/decolorize parse (reference stage keywords)") {
     val q = p("""{app="web"} | logfmt | keep_labels evt | decolorize | drop_labels tmp""")
     assert(q.raw.get.stages.contains(KeepStage(List("evt"))))
