@@ -22,15 +22,23 @@ object Discovery {
       .limit(limit)
 
   /** every label column with its non-null/non-empty row count — one
-    * aggregation pass, then a stack to (tag, n) rows
+    * aggregation pass, then an explode to (tag, n) rows. Built entirely with
+    * the Column API: label names come from user-controlled OTel attributes,
+    * so nothing here may round-trip through the SQL parser (a name holding a
+    * backtick or quote would break — or worse, rewrite — a `selectExpr`).
     */
   def tagNames(df: DataFrame, labels: Seq[String], startMs: Long, endMs: Long): DataFrame = {
     val timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
-    val counts = timed.agg(
-      count(lit(1)).as("__total"),
-      labels.map(l => count(when(col(l).isNotNull && col(l).cast("string") =!= "", 1)).as(l)): _*)
-    val stackExpr = labels.map(l => s"'$l', `$l`").mkString(", ")
-    counts.selectExpr(s"stack(${labels.size}, $stackExpr) AS (tag, n)")
+    // (tag, n) struct per label; the only name resolution is timed(...) with
+    // standard backtick doubling, never string-interpolated SQL
+    val entries = labels.zipWithIndex.map { case (l, i) =>
+      val c = timed(s"`${l.replace("`", "``")}`")
+      struct(lit(l).as("tag"),
+        count(when(c.isNotNull && c.cast("string") =!= "", 1)).as("n")).as(s"__e$i")
+    }
+    timed.agg(entries.head, entries.tail: _*)
+      .select(explode(array(labels.indices.map(i => col(s"__e$i")): _*)))
+      .select(col("col.tag").as("tag"), col("col.n").as("n"))
       .filter(col("n") > 0)
   }
 

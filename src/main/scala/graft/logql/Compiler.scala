@@ -60,11 +60,18 @@ object Compiler {
     * (`__logql_i`), the frames union by name, and the WHOLE expression is
     * rendered as one PromQL string over the union store — vector matching,
     * comparisons, and scalar broadcast ride the shared engine.
+    *
+    * A raw (non-aggregated) pipeline is only legal as the WHOLE expression —
+    * inside a binary op it is rejected, matching the reference's binop
+    * validation (logql/logql.go KindBinOp operand checks). The caller's
+    * limit/order/fields thread through to that top-level raw leaf exactly as
+    * they do in [[rawQuery]].
     */
-  def exprQuery(e: LogExpr, store: LogStore, p: QueryParams): DataFrame = e match {
+  def exprQuery(e: LogExpr, store: LogStore, p: QueryParams, limit: Int = 1000,
+      desc: Boolean = true, fields: Seq[String] = Nil): DataFrame = e match {
     case LeafQuery(q) =>
       q.raw match {
-        case Some(pipe) => rawQuery(pipe, store, p.startMs, p.endMs, limit = 1000)
+        case Some(pipe) => rawQuery(pipe, store, p.startMs, p.endMs, limit, desc, fields)
         case None => aggQuery(q, store, p)
       }
     case _ =>
@@ -170,10 +177,13 @@ object Compiler {
     (synth, promql)
   }
 
-  /** Full LogQL string → DataFrame (raw, aggregated, or binop expression). */
-  def query(logql: String, store: LogStore, p: QueryParams): DataFrame = {
+  /** Full LogQL string → DataFrame (raw, aggregated, or binop expression).
+    * limit/desc/fields apply when the expression is a raw pipeline.
+    */
+  def query(logql: String, store: LogStore, p: QueryParams, limit: Int = 1000,
+      desc: Boolean = true, fields: Seq[String] = Nil): DataFrame = {
     val e = Parser.parseFull(logql).fold(err => throw new IllegalArgumentException(err), identity)
-    exprQuery(e, store, p)
+    exprQuery(e, store, p, limit, desc, fields)
   }
 
   // ---- pipeline fold -------------------------------------------------------

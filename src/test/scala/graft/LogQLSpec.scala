@@ -147,6 +147,29 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(df.filter(col("evt") =!= "error").count() == 0)
   }
 
+  test("exprQuery threads limit/fields to a top-level raw leaf") {
+    val e = Parser.parseFull("""{log_level="ERROR"}""").toOption.get
+    val df = Compiler.exprQuery(e, store, p, limit = 7,
+      fields = Seq("chq_timestamp", "log_message"))
+    assert(df.columns.toSeq == Seq("chq_timestamp", "log_message"))
+    assert(df.count() == 7)
+  }
+
+  test("raw pipeline inside a binary expression is rejected (reference parity)") {
+    // the parser refuses it outright …
+    assert(Parser.parseFull(
+      """{log_level="ERROR"} + count_over_time({log_level="INFO"}[5m])""").isLeft)
+    // … and the compiler guards a hand-built AST the same way
+    val rawLeaf = LeafQuery(LogQuery(range = None,
+      raw = Some(LogPipeline(
+        List(graft.promql.Matcher("log_level", graft.promql.MatchOp.Eq, "ERROR")), Nil))))
+    val agg = Parser.parseFull("""count_over_time({log_level="INFO"}[5m])""").toOption.get
+    val ex = intercept[IllegalArgumentException] {
+      Compiler.exprQuery(LogBin("+", rawLeaf, agg), store, p)
+    }
+    assert(ex.getMessage.contains("raw pipeline"))
+  }
+
   test("label_replace: match substitutes groups, no-match leaves dst alone") {
     val q = Parser.parse(
       """{log_level="INFO"} | label_replace(svc_id, "id-$1", resource_service_name, "svc-(.*)") | label_replace(svc_id, "never", resource_service_name, "nomatch-(.*)") """).toOption.get
