@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Canonical SparkSession settings for the graft engine.
   *
@@ -36,5 +36,29 @@ object GraftSession {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Cut lineage and materialize an intermediate frame that later stages (or
+    * iterative rounds) will read more than once.
+    *
+    * Fault-tolerance contract: with `spark.graft.checkpointDir` UNSET this
+    * uses `localCheckpoint()` — blocks live on executors, non-replicated, so
+    * a lost executor (spot instance, dynamic deallocation) kills the query
+    * with no recompute path. Fine for single-JVM local[N]. A cluster
+    * deployment sets `spark.graft.checkpointDir` to a reliable FS
+    * (HDFS/S3) path and gets `checkpoint()` — blocks land on that FS and
+    * survive executor loss, at the cost of one write+read per call. The dir
+    * is set on the SparkContext on first use; per-app subdirs are Spark's
+    * own (UUID-named), cleaned by `spark.cleaner.referenceTracking.cleanCheckpoints`.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
   }
 }

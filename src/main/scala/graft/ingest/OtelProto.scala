@@ -771,10 +771,12 @@ object OtelProto {
   private def widenAttrs(df0: DataFrame): DataFrame = {
     import df0.sparkSession.implicits._
     // the decoded points feed two jobs (key-union collect + the returned
-    // plan). localCheckpoint materializes the decode once; unlike persist(),
-    // the blocks are released by the ContextCleaner when the plan is GC'd,
-    // so repeated reads don't leak session-lifetime cache entries.
-    val df = df0.localCheckpoint()
+    // plan). GraftSession.materialize runs the decode once; in the default
+    // localCheckpoint mode the blocks are released by the ContextCleaner
+    // when the plan is GC'd, so repeated reads don't leak session-lifetime
+    // cache entries; with spark.graft.checkpointDir set the blocks live on
+    // reliable storage and survive executor loss.
+    val df = graft.GraftSession.materialize(df0)
     val keys = df.select(
       explode(concat(
         transform(map_keys(col("attrs")), k => concat(lit("attr_"), k)),

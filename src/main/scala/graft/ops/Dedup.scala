@@ -72,7 +72,7 @@ object Dedup {
     // materialize signatures once (one small row per doc): the shingle
     // explode + k min-aggs behind them is the expensive pass, and the
     // banded self-join below would recompute it for each side
-    val sigs = minhash(df, textCol, k, w).localCheckpoint()
+    val sigs = graft.GraftSession.materialize(minhash(df, textCol, k, w))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -111,8 +111,8 @@ object Dedup {
     // HOFs per doc) is the expensive pass and BOTH consumers below — sizes
     // and pair generation — read it. The checkpoint is the same data the
     // shuffle would spill anyway (memory-and-disk, lineage truncated).
-    val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
-      .localCheckpoint()
+    val sh = graft.GraftSession.materialize(
+      df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation via per-shingle doc lists instead of a self-join:
     // singleton shingles (the vast majority) never reach the pair stage,
@@ -151,10 +151,13 @@ object Dedup {
     */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .distinct()
-      .localCheckpoint()
+    // the longest-lived materialization in the repo (read every round):
+    // set spark.graft.checkpointDir on a real cluster so a lost executor
+    // mid-convergence recovers from reliable storage (GraftSession.materialize)
+    val edges = graft.GraftSession.materialize(
+      pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+        .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+        .distinct())
     var labels: DataFrame = edges.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id"))
     var changed = 1L
@@ -164,10 +167,10 @@ object Dedup {
         .groupBy(col("x").as("id")).agg(min(col("comp")).as("ncomp"))
       // one materialization per round: the changed-count and the next
       // round's labels both read the same checkpointed frame
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
-        .localCheckpoint()
+      val next = graft.GraftSession.materialize(
+        labels.join(prop, Seq("id"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2")))
       changed = next.filter(col("comp2") < col("comp")).count()
       labels = next.select(col("id"), col("comp2").as("comp"))
       i += 1
@@ -212,7 +215,7 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     // one row per doc — materialize so the token explode + bit votes run
     // once instead of per self-join side
-    val s = simhash(df, textCol, bits).localCheckpoint()
+    val s = graft.GraftSession.materialize(simhash(df, textCol, bits))
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -121,12 +121,12 @@ object Similarity {
     // tiny (n·tables rows) but the signature expression behind it is the
     // expensive part (planes·dims multiply-adds per row), and a plain
     // self-join would recompute it for each side
-    val b = corpus.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        concat_ws(":", lit(t),
-          lshBucketAt(col("embedding"), t * nPlanes, nPlanes, dims))): _*))
-        .as("bucket"))
-      .localCheckpoint()
+    val b = graft.GraftSession.materialize(
+      corpus.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          concat_ws(":", lit(t),
+            lshBucketAt(col("embedding"), t * nPlanes, nPlanes, dims))): _*))
+          .as("bucket")))
     val l = b.select(col("bucket"), col("vec_id").as("a"))
     val r = b.select(col("bucket"), col("vec_id").as("b"))
     // dedup candidate pairs on ids only — carrying the embedding arrays

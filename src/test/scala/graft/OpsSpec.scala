@@ -69,6 +69,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) matches local mode") {
+    // same ops, blocks on a reliable FS instead of executor memory — the
+    // fault-tolerance posture a 100 TB cluster with spot executors needs
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val localPairs = Dedup.minhashLsh(corpus, "text", k = 16, bands = 4, w = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val localComps = Dedup.components(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliablePairs = Dedup.minhashLsh(corpus, "text", k = 16, bands = 4, w = 5, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reliableComps = Dedup.components(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliablePairs == localPairs && reliableComps == localComps)
+      // the checkpoint actually landed on the reliable dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("simhash: identical texts equal, near-dups close, distinct far") {
     val sig = Dedup.simhash(corpus, "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
