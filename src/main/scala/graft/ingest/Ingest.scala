@@ -282,7 +282,11 @@ object Segments {
   /** metrics: partition by (dateint, freq), sort within partitions by
     * (metric_name, chq_tid, chq_timestamp); ZSTD; size-split via
     * maxRecordsPerFile. On a cluster the same layout gives partition
-    * pruning on dateint/freq and row-group locality per series.
+    * pruning on dateint/freq and row-group locality per series. A parquet
+    * bloom filter on chq_tid serves point series lookups: chq_tid is the
+    * SECOND sort key, so min/max row-group stats are near-useless for it
+    * within a metric — the bloom is what lets a tid-equality scan skip
+    * row groups.
     */
   def writeMetricSegments(cooked: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 2000000L): Unit =
@@ -298,10 +302,15 @@ object Segments {
       .write.mode("append")
       .partitionBy("dateint", "freq")
       .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#chq_tid", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
 
-  /** logs: sort by (resource_service_name, chq_fingerprint, chq_tsns) */
+  /** logs: sort by (resource_service_name, chq_fingerprint, chq_tsns);
+    * bloom filter on chq_fingerprint for row-group skipping on
+    * fingerprint-equality scans (the file-level companion is
+    * [[FingerprintIndex]])
+    */
   def writeLogSegments(cooked: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 2000000L): Unit =
     cooked
@@ -312,6 +321,7 @@ object Segments {
       .write.mode("append")
       .partitionBy("dateint")
       .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#chq_fingerprint", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
 
@@ -337,23 +347,37 @@ object Segments {
         .write.mode("overwrite")
         .partitionBy("dateint", "freq")
         .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#chq_tid", "true")
         .option("maxRecordsPerFile", maxRecordsPerFile)
     }
 
   /** log-segment compaction (reference log_compaction_processor.go): same
-    * swap protocol, log sort order, dateint-only partitioning
+    * swap protocol, log sort order, dateint-only partitioning. An existing
+    * fingerprint index describes the PRE-compaction files — stale the
+    * moment the swap lands — so it is rebuilt over the new files, the same
+    * re-registration the reference does in PostgreSQL when compaction
+    * replaces segments. (A stale index is still lossless — rewritten files
+    * have new names, and unindexed files always scan — but prunes nothing.)
     */
   def compactLogSegments(spark: SparkSession, dir: String,
-      maxRecordsPerFile: Long = 2000000L): DataFrame =
-    compactWithSwap(spark, dir) { df =>
+      maxRecordsPerFile: Long = 2000000L): DataFrame = {
+    val hadIndex = {
+      val p = new org.apache.hadoop.fs.Path(FingerprintIndex.indexPath(dir))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val out = compactWithSwap(spark, dir) { df =>
       df.repartition(col("dateint"))
         .sortWithinPartitions(col("dateint"),
           col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns"))
         .write.mode("overwrite")
         .partitionBy("dateint")
         .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#chq_fingerprint", "true")
         .option("maxRecordsPerFile", maxRecordsPerFile)
     }
+    if (hadIndex) FingerprintIndex.buildLogIndex(spark, dir)
+    out
+  }
 
   /** shared compaction skeleton: recover any interrupted swap, re-read with
     * schema union, let the caller write the sorted rewrite to a temp dir,

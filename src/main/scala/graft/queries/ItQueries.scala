@@ -36,6 +36,7 @@ object ItQueries extends Catalog {
   // (oracle before query) still names the right run
   @volatile private var segRootCur: String = s"$tmpRoot/graft_it_segments_sf0.01"
   @volatile private var unionRootCur: String = s"$tmpRoot/graft_it_union_sf0.01"
+  @volatile private var logSegRootCur: String = s"$tmpRoot/graft_it_logseg_sf0.01"
 
   private val built = scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 
@@ -89,6 +90,35 @@ object ItQueries extends Catalog {
         freqMs = 60000L, withSketch = false)
       Segments.writeMetricSegments(a, dir)
       Segments.writeMetricSegments(b, dir)
+      true
+    })
+    dir
+  }
+
+  /** log segments with a day-localized needle + fingerprint skip-index:
+    * cooked logs over the window, every message on UTC day 2024-01-03
+    * tagged with a marker token, written as dateint-partitioned segments,
+    * then [[graft.ingest.FingerprintIndex.buildLogIndex]] — the ingest-side
+    * registration step of the reference's fingerprint index.
+    */
+  private def ensureLogSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_logseg_${tag(d)}"
+    logSegRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      deleteDir(s, graft.ingest.FingerprintIndex.indexPath(dir))
+      val day3 = Start + 2L * 86400000L
+      val logs = graft.model.Cooked.logs(s, d)
+        .filter(col("chq_timestamp") >= Start - 86400000L &&
+          col("chq_timestamp") < End + 86400000L)
+        .withColumn("log_message",
+          when(col("chq_timestamp") >= day3 && col("chq_timestamp") < day3 + 86400000L,
+            concat(col("log_message"), lit(" trace=deadbeefcafe")))
+            .otherwise(col("log_message")))
+        .withColumn("chq_fingerprint",
+          graft.ingest.LogFingerprint.fingerprint(col("log_message")))
+      Segments.writeLogSegments(logs, dir, maxRecordsPerFile = 2000)
+      graft.ingest.FingerprintIndex.buildLogIndex(s, dir)
       true
     })
     dir
@@ -194,6 +224,39 @@ object ItQueries extends Catalog {
             CAST(round(bsum * 100, 0) AS BIGINT) / 100 AS value
      FROM step WHERE ts >= $Start AND ts < $End"""
 
+  /** Needle query through the fingerprint skip-index: `|= "deadbeefcafe"`
+    * over 14 days of written log segments. The index prunes the scan to
+    * the one dateint that can contain the needle (gate: require() on file
+    * counts — the reference's segment-lookup behavior,
+    * queryapi/logs_evaluator.go:233-424); the oracle reads EVERY segment
+    * file and must agree, proving the pruning lossless.
+    */
+  private def logNeedle(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{FingerprintIndex => FI}
+    import graft.logql.{LineFilter, LineFilterOp, LogPipeline}
+    val dir = ensureLogSegments(s, d)
+    val pipe = LogPipeline(Nil, List(LineFilter(LineFilterOp.Contains, "deadbeefcafe")))
+    val scan = FI.scanLogs(s, dir, pipe)
+    val allFiles = s.read.parquet(dir).inputFiles.length
+    val readFiles = scan.inputFiles.length
+    require(readFiles < allFiles,
+      s"skip-index did not prune: reading $readFiles of $allFiles files")
+    scan.filter(col("chq_timestamp") >= Start && col("chq_timestamp") < End &&
+        col("log_message").contains("deadbeefcafe"))
+      .groupBy(col("resource_service_name"))
+      .agg(count(lit(1)).as("n"),
+        min(col("chq_timestamp")).as("first_ts"),
+        max(col("chq_timestamp")).as("last_ts"))
+  }
+
+  private def logNeedleSql(dir: String): String =
+    s"""SELECT resource_service_name, count(*) AS n,
+              min(chq_timestamp) AS first_ts, max(chq_timestamp) AS last_ts
+       FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE log_message LIKE '%deadbeefcafe%'
+         AND chq_timestamp >= $Start AND chq_timestamp < $End
+       GROUP BY 1"""
+
   /** Structured-Streaming ingest end-to-end: events → parquet file source →
     * segmentWriteStream (foreachBatch 10 s pre-agg + per-batch idempotent
     * segment dirs + commit log) → read written segments → aggregate; the
@@ -241,6 +304,7 @@ object ItQueries extends Catalog {
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
-    Q("it_stream_ingest", streamIngest, Some(streamIngestSql))
+    Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
+    Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur)))
   )
 }
