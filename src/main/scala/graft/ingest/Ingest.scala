@@ -120,12 +120,62 @@ object LogFingerprint {
   def fingerprint(msg: Column): Column =
     conv(substring(md5(template(msg)), 1, 12), 16, 10).cast("long")
 
+  /** DuckDB twin of [[template]] over a message SQL expression */
+  def templateSql(msgExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($msgExpr, '"[^"]*"', '<s>', 'g'),""" +
+      """ '\b[0-9a-f]{8,}\b', '<h>', 'g'), '-?[0-9]+(\.[0-9]+)?', '<n>', 'g')"""
+
   /** DuckDB twin of [[fingerprint]] over a message SQL expression */
   def fingerprintSql(msgExpr: String): String =
-    "CAST(('0x' || substr(md5(" +
-      s"""regexp_replace(regexp_replace(regexp_replace($msgExpr, '"[^"]*"', '<s>', 'g'),""" +
-      """ '\b[0-9a-f]{8,}\b', '<h>', 'g'), '-?[0-9]+(\.[0-9]+)?', '<n>', 'g')""" +
-      "), 1, 12)) AS BIGINT)"
+    s"CAST(('0x' || substr(md5(${templateSql(msgExpr)}), 1, 12)) AS BIGINT)"
+}
+
+/** Trie-style log-message clustering — the second, LEARNED pass the
+  * reference's TrieClusterManager adds on top of stateless templating
+  * (internal/oteltools/pkg/fingerprinter/trie_cluster_manager.go:206-263:
+  * token sequences route through a prefix trie and Jaccard-merge into
+  * clusters, so token positions that keep changing — request ids, entity
+  * names — end up wildcarded even when they don't LOOK like values).
+  *
+  * Distributed re-expression, deterministic instead of arrival-order
+  * stateful (divergence documented): within each (token-count, head-token)
+  * group — the trie's prefix routing — any token position whose DISTINCT
+  * literal count across the corpus exceeds `maxVariants` becomes a `<*>`
+  * wildcard, and messages re-cluster under the masked template. The
+  * learned pass runs over DISTINCT templates (position cardinality is a
+  * function of the template, not the message), so its cost scales with
+  * template diversity — thousands — while the message stream only pays
+  * one small dimension join; the same motion at 100 TB.
+  */
+object TrieFingerprint {
+
+  /** df + (trie_template, trie_fingerprint) columns. */
+  def withClusters(df: DataFrame, msgCol: String, maxVariants: Int = 4): DataFrame = {
+    val t = df.withColumn("__tpl", LogFingerprint.template(col(msgCol)))
+    val tpls = t.select(col("__tpl")).distinct()
+      .withColumn("__toks", split(col("__tpl"), " +"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__head", element_at(col("__toks"), 1))
+    val pos = tpls.select(col("__n"), col("__head"),
+      posexplode(col("__toks")).as(Seq("__p", "__t")))
+    // learned wildcard positions per trie group
+    val wild = pos.groupBy(col("__n"), col("__head"), col("__p"))
+      .agg(countDistinct(col("__t")).as("__nd"))
+      .filter(col("__nd") > maxVariants)
+      .groupBy(col("__n"), col("__head"))
+      .agg(collect_set(col("__p")).as("__wild"))
+    val masked = tpls.join(wild, Seq("__n", "__head"), "left")
+      .withColumn("__wildset", coalesce(col("__wild"), array().cast("array<int>")))
+      .withColumn("trie_template", array_join(
+        transform(col("__toks"), (tk, i) =>
+          when(array_contains(col("__wildset"), i), lit("<*>")).otherwise(tk)), " "))
+      .select(col("__tpl"),
+        col("trie_template"),
+        conv(substring(md5(col("trie_template")), 1, 12), 16, 10).cast("long")
+          .as("trie_fingerprint"))
+    // template dimension is small → AQE broadcasts this join
+    t.join(masked, Seq("__tpl")).drop("__tpl")
+  }
 }
 
 object Flatten {

@@ -283,6 +283,63 @@ object TelemetryQueries extends Catalog {
      FROM logs GROUP BY 1"""
   }
 
+  /** Trie-style learned clustering ([[graft.ingest.TrieFingerprint]],
+    * reference trie_cluster_manager.go): two message families — one whose
+    * mid-sentence literal (event_type, 5 variants) exceeds the wildcard
+    * threshold and MUST collapse to a single fingerprint (n_templates = 5
+    * pre-merge templates in one cluster), one whose 3-variant literal
+    * stays below it and must NOT merge. The oracle replays the whole
+    * normalize → position-cardinality → mask pipeline in SQL.
+    */
+  private def logFingerprintTrie(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{LogFingerprint, TrieFingerprint}
+    val variant = when(col("user_id") % 3 === 0, "alpha")
+      .when(col("user_id") % 3 === 1, "beta").otherwise("gamma")
+    val msg = when(col("event_id") % 2 === 0,
+      concat(lit("job "), col("user_id"), lit(" finished "), col("event_type"),
+        lit(" code "), floor(col("value") * 10).cast("long")))
+      .otherwise(concat(lit("worker "), col("user_id"), lit(" entered "), variant))
+    TrieFingerprint.withClusters(raw(s, d).select(msg.as("msg")), "msg", maxVariants = 4)
+      .groupBy(col("trie_fingerprint"), col("trie_template"))
+      .agg(count(lit(1)).as("n_messages"),
+        countDistinct(LogFingerprint.template(col("msg"))).as("n_templates"))
+  }
+
+  private val logFingerprintTrieSql = {
+    import graft.ingest.LogFingerprint
+    s"""WITH lines AS (
+       SELECT CASE WHEN event_id % 2 = 0
+         THEN 'job ' || CAST(user_id AS VARCHAR) || ' finished ' || event_type
+              || ' code ' || CAST(CAST(floor("value" * 10) AS BIGINT) AS VARCHAR)
+         ELSE 'worker ' || CAST(user_id AS VARCHAR) || ' entered ' ||
+              CASE user_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                   ELSE 'gamma' END
+       END AS msg FROM events),
+     tpl AS (SELECT msg, ${LogFingerprint.templateSql("msg")} AS tpl FROM lines),
+     dt AS (SELECT DISTINCT tpl FROM tpl),
+     pos AS (SELECT tpl, len(string_split(tpl, ' ')) AS n,
+                    string_split(tpl, ' ')[1] AS head,
+                    generate_subscripts(string_split(tpl, ' '), 1) - 1 AS p,
+                    unnest(string_split(tpl, ' ')) AS t
+             FROM dt),
+     wild AS (SELECT n, head, p FROM (
+                SELECT n, head, p, count(DISTINCT t) AS nd
+                FROM pos GROUP BY 1, 2, 3) WHERE nd > 4),
+     masked AS (SELECT pos.tpl,
+                  string_agg(CASE WHEN wild.p IS NOT NULL THEN '<*>'
+                             ELSE pos.t END, ' ' ORDER BY pos.p) AS trie_template
+                FROM pos LEFT JOIN wild
+                  ON pos.n = wild.n AND pos.head = wild.head AND pos.p = wild.p
+                GROUP BY pos.tpl)
+     SELECT CAST(('0x' || substr(md5(m.trie_template), 1, 12)) AS BIGINT)
+              AS trie_fingerprint,
+            m.trie_template,
+            CAST(count(*) AS BIGINT) AS n_messages,
+            CAST(count(DISTINCT tpl.tpl) AS BIGINT) AS n_templates
+     FROM tpl JOIN masked m USING (tpl)
+     GROUP BY 1, 2"""
+  }
+
   /** HLL cardinality (reference SketchHLL merge paths,
     * promql/eval_types.go:22-32): the estimate itself is engine-specific,
     * so the oracle-checkable contract is "estimate within the configured
@@ -792,6 +849,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_csv_ingest", csvIngest, Some(csvIngestSql)),
     Q("tq_csv_log_translate", csvLogTranslate, Some(csvLogTranslateSql)),
     Q("tq_log_fingerprint", logFingerprint, Some(logFingerprintSql)),
+    Q("tq_log_fingerprint_trie", logFingerprintTrie, Some(logFingerprintTrieSql)),
     Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),

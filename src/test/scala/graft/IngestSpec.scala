@@ -115,6 +115,23 @@ class IngestSpec extends AnyFunSuite {
     assert(!names.exists(n => n.contains("compact_tmp") || n.contains("compact_old")))
   }
 
+  test("trie clustering wildcards high-variety positions, keeps low-variety ones") {
+    import spark.implicits._
+    import graft.ingest.TrieFingerprint
+    // 6 distinct entity names at one position (> maxVariants=4) must merge;
+    // the 2-variant outcome position must survive
+    val lines = (0 until 60).map { i =>
+      val ent = ('a' + i % 6).toChar
+      val out = if (i % 2 == 0) "success" else "failure"
+      s"request for tenant$ent handled with $out"
+    }.toDF("msg")
+    val out = TrieFingerprint.withClusters(lines, "msg", maxVariants = 4)
+      .select("trie_template").distinct().as[String].collect().sorted
+    assert(out.toSeq == Seq(
+      "request for <*> handled with failure",
+      "request for <*> handled with success"))
+  }
+
   test("retention expiry drops whole dateint partitions before the cutoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_expiry_").toString
     val base = graft.ingest.MetricsPreAgg.preAggregate(
