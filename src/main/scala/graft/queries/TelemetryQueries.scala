@@ -772,6 +772,56 @@ object TelemetryQueries extends Catalog {
        AND span_name IS NOT NULL AND span_name <> ''
      GROUP BY 1"""
 
+  /** span tag NAMES — completes the names/values/series triple for the
+    * traces signal (reference /api/v1/spans/tags, queryapi/querier.go:768-770)
+    */
+  private def spanTagNames(s: SparkSession, d: String): DataFrame =
+    graft.api.Discovery.tagNames(graft.model.Cooked.spans(s, d),
+      Seq("span_name", "span_kind", "span_status_code", "resource_service_name",
+        "span_parent_span_id"),
+      SpanStart, SpanEnd)
+
+  private val spanTagNamesSql =
+    s"""WITH ${graft.model.Cooked.spansCte},
+     t AS (SELECT * FROM spans
+           WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd)
+     SELECT tag, CAST(n AS BIGINT) AS n FROM (
+       SELECT 'span_name' AS tag, count(*) AS n FROM t
+         WHERE span_name IS NOT NULL AND span_name <> ''
+       UNION ALL
+       SELECT 'span_kind', count(*) FROM t
+         WHERE span_kind IS NOT NULL AND span_kind <> ''
+       UNION ALL
+       SELECT 'span_status_code', count(*) FROM t
+         WHERE span_status_code IS NOT NULL AND span_status_code <> ''
+       UNION ALL
+       SELECT 'resource_service_name', count(*) FROM t
+         WHERE resource_service_name IS NOT NULL AND resource_service_name <> ''
+       UNION ALL
+       SELECT 'span_parent_span_id', count(*) FROM t
+         WHERE span_parent_span_id IS NOT NULL AND span_parent_span_id <> '') u
+     WHERE n > 0"""
+
+  /** span SERIES (label combinations with counts), selector-scoped to
+    * server spans — the traces analog of the Loki series route
+    * (reference /api/v1/spans/series)
+    */
+  private def spanSeries(s: SparkSession, d: String): DataFrame = {
+    import graft.promql.{MatchOp, Matcher}
+    graft.api.Discovery.series(graft.model.Cooked.spans(s, d),
+      Seq("resource_service_name", "span_name", "span_status_code"),
+      SpanStart, SpanEnd,
+      matchers = List(Matcher("span_kind", MatchOp.Eq, "SPAN_KIND_SERVER")))
+  }
+
+  private val spanSeriesSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT resource_service_name, span_name, span_status_code, count(*) AS n
+     FROM spans
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd
+       AND span_kind = 'SPAN_KIND_SERVER'
+     GROUP BY 1, 2, 3"""
+
   /** discovery over the metrics signal (reference /api/v1/metrics/tags) */
   private def metricTagNames(s: SparkSession, d: String): DataFrame =
     graft.api.Discovery.tagNames(graft.model.Cooked.metrics(s, d),
@@ -863,6 +913,8 @@ object TelemetryQueries extends Catalog {
     Q("td_tag_values", tagValues, Some(tagValuesSql)),
     Q("td_tag_names", tagNames, Some(tagNamesSql)),
     Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
+    Q("td_span_tag_names", spanTagNames, Some(spanTagNamesSql)),
+    Q("td_span_series", spanSeries, Some(spanSeriesSql)),
     Q("td_metric_tag_names", metricTagNames, Some(metricTagNamesSql)),
     Q("td_log_series", logSeries, Some(logSeriesSql)),
     Q("td_metric_metadata", metricMetadata, Some(metricMetadataSql))
