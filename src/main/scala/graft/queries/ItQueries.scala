@@ -107,6 +107,7 @@ object ItQueries extends Catalog {
     built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       deleteDir(s, dir)
       deleteDir(s, graft.ingest.FingerprintIndex.indexPath(dir))
+      deleteDir(s, dir + ".aggfiles")
       val day3 = Start + 2L * 86400000L
       val logs = graft.model.Cooked.logs(s, d)
         .filter(col("chq_timestamp") >= Start - 86400000L &&
@@ -257,6 +258,47 @@ object ItQueries extends Catalog {
          AND chq_timestamp >= $Start AND chq_timestamp < $End
        GROUP BY 1"""
 
+  /** Agg-file substitution (reference CanUseAggFile/BuildAggFileSQL,
+    * promql/sql_builder.go:374-470; flag-off by default like upstream):
+    * a count query whose grouping + matchers fit the materialized
+    * agg-field set answers from the 10s count rollup instead of raw
+    * segments. Gates inside the query: the rewrite must ENGAGE (canUse)
+    * and the materialized input must be strictly smaller than the raw
+    * segment dir; the oracle recomputes the counts from the raw parquet,
+    * so a hash match proves the substitution changes nothing.
+    */
+  private def aggSubstitution(s: SparkSession, d: String): DataFrame = {
+    import graft.api.AggFiles
+    import graft.promql.{MatchOp, Matcher}
+    val dir = ensureLogSegments(s, d)
+    val fields = Seq("log_level", "resource_service_name")
+    built.getOrElseUpdate((s.sparkContext.applicationId, AggFiles.aggDir(dir, fields)), {
+      AggFiles.writeLogAggFile(s, dir, fields)
+      true
+    })
+    val matchers = List(Matcher("log_level", MatchOp.Eq, "ERROR"))
+    val groupBy = Seq("resource_service_name")
+    s.conf.set(AggFiles.FlagKey, "true")
+    try {
+      require(AggFiles.canUse(s, fields, groupBy, matchers.map(_.label)),
+        "agg-file rewrite did not engage")
+      val aggBytes = AggFiles.dirBytes(s, AggFiles.aggDir(dir, fields))
+      val rawBytes = AggFiles.dirBytes(s, dir)
+      require(aggBytes > 0 && aggBytes < rawBytes,
+        s"agg file is not a smaller input: $aggBytes vs $rawBytes bytes")
+      AggFiles.countsFromAggFile(s, dir, fields, HourMs, Start, End, matchers, groupBy)
+    } finally s.conf.unset(AggFiles.FlagKey)
+  }
+
+  private def aggSubstitutionSql(dir: String): String =
+    s"""SELECT chq_timestamp - chq_timestamp % $HourMs AS ts,
+              resource_service_name,
+              CAST(count(*) AS DOUBLE) AS value
+       FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE log_level = 'ERROR'
+         AND chq_timestamp >= $Start AND chq_timestamp < $End
+       GROUP BY 1, 2"""
+
   /** Structured-Streaming ingest end-to-end: events → parquet file source →
     * segmentWriteStream (foreachBatch 10 s pre-agg + per-batch idempotent
     * segment dirs + commit log) → read written segments → aggregate; the
@@ -305,6 +347,7 @@ object ItQueries extends Catalog {
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
-    Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur)))
+    Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
+    Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur)))
   )
 }
