@@ -264,21 +264,27 @@ object FingerprintIndex {
     }.toSet
   }
 
-  /** Read the log segments with index-pruned file list (lossless: only
-    * provably-non-matching files are dropped; unindexed files always
-    * read). Falls back to the full scan when there is no index or no
-    * requirement.
+  /** Read the log segments minus an excluded-file set (lossless: callers
+    * only pass files provably non-matching; unindexed files are never in
+    * the set). Empty exclusions → plain full scan.
     */
-  def scanLogs(spark: SparkSession, segDir: String,
-      pipeline: graft.logql.LogPipeline): DataFrame = {
+  def prunedRead(spark: SparkSession, segDir: String,
+      excluded: Set[String]): DataFrame = {
     val full = spark.read.option("mergeSchema", "true").parquet(segDir)
-    val excluded = excludedFiles(spark, segDir, requirementsFor(pipeline))
     if (excluded.isEmpty) return full
     val keep = full.inputFiles.map(normPath).filterNot(excluded).toSeq
     if (keep.isEmpty) full.where(lit(false))
     else spark.read.option("mergeSchema", "true").option("basePath", segDir)
       .parquet(keep: _*)
   }
+
+  /** Read the log segments with index-pruned file list for one pipeline.
+    * Falls back to the full scan when there is no index or no requirement.
+    */
+  def scanLogs(spark: SparkSession, segDir: String,
+      pipeline: graft.logql.LogPipeline): DataFrame =
+    prunedRead(spark, segDir,
+      excludedFiles(spark, segDir, requirementsFor(pipeline)))
 
   /** `file:///a/b`, `file:/a/b`, `/a/b` → `/a/b` (input_file_name and
     * DataFrame.inputFiles render schemes differently)

@@ -100,6 +100,46 @@ class FingerprintIndexSpec extends AnyFunSuite {
     assert(FI.scanLogs(spark, dir, pipe).inputFiles.map(FI.normPath).toSet == files(dir))
   }
 
+  test("LogSegments front door: parse → prune → evaluate matches the full scan") {
+    import graft.api.LogSegments
+    import graft.promql.QueryParams
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "e"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    val p = QueryParams(Day0, Day0 + 4 * 86400000L, 3600000L)
+    // raw needle query prunes to the needle's day, same rows as full scan
+    val q = """{log_level="INFO"} |= "zebraquux""""
+    val e = graft.logql.Parser.parseFull(q).toOption.get
+    val scan = LogSegments.scanFor(spark, dir, e, p)
+    assert(scan.inputFiles.map(FI.normPath).toSet.size < files(dir).size)
+    val got = LogSegments.query(spark, dir, q, p, limit = 100000)
+    val full = spark.read.parquet(dir)
+      .filter(col("log_level") === "INFO" && col("log_message").contains("zebraquux") &&
+        col("chq_timestamp") >= p.startMs && col("chq_timestamp") < p.endMs)
+    assert(got.count() == full.count() && got.count() > 0)
+    // aggregated query rides the same pruned store and the PromQL engine
+    val agg = LogSegments.query(spark, dir,
+      s"""sum(count_over_time({log_level="INFO"} |= "zebraquux" [${p.stepMs}ms]))""", p)
+    val total = agg.agg(sum(col("value"))).head().getDouble(0)
+    assert(total == full.count().toDouble)
+  }
+
+  test("binop pruning is per-leaf: a file needed by any leaf is read") {
+    import graft.api.LogSegments
+    import graft.promql.QueryParams
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "f"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    val p = QueryParams(Day0, Day0 + 4 * 86400000L, 3600000L)
+    // leaf A (needle) would prune to one day, leaf B (no needle) needs all
+    // files → the expression scan must keep every file
+    val e = graft.logql.Parser.parseFull(
+      s"""sum(count_over_time({log_level="INFO"} |= "zebraquux" [1h])) /
+          sum(count_over_time({log_level="INFO"}[1h]))""").toOption.get
+    val scan = LogSegments.scanFor(spark, dir, e, p)
+    assert(scan.inputFiles.map(FI.normPath).toSet == files(dir))
+  }
+
   test("line filters after line_format contribute no requirement") {
     val pre = LineFilter(LineFilterOp.Contains, "before")
     val post = LineFilter(LineFilterOp.Contains, "after")
