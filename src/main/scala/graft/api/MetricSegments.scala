@@ -1,0 +1,58 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.promql._
+
+/** Segments-backed PromQL front door — the metrics twin of
+  * [[LogSegments]], covering the reference lifecycle steps the API
+  * server drives (queryapi/metrics_evaluator.go:414-536): the query span
+  * picks the step ([[StepPolicy.paramsFor]]), the step picks the rollup
+  * tier, the tier scan is dateint-pruned to the effective range (query
+  * window extended left by the largest range+offset lookback across the
+  * expression's selectors), and the shared engine evaluates the
+  * expression over the scan.
+  */
+object MetricSegments {
+
+  /** max (range+offset) lookback across every selector in the expression */
+  def maxLookbackMs(e: Expr): Long = e match {
+    case s: Selector => s.rangeMs + s.offsetMs
+    case x: RangeFn => maxLookbackMs(x.arg)
+    case x: QuantileOverTime => maxLookbackMs(x.arg)
+    case x: UnaryFn => maxLookbackMs(x.arg)
+    case x: Clamp => maxLookbackMs(x.arg)
+    case x: ScalarFn => maxLookbackMs(x.arg)
+    case x: HistogramQuantile => maxLookbackMs(x.arg)
+    case x: LabelReplace => maxLookbackMs(x.arg)
+    case x: LabelJoin => maxLookbackMs(x.arg)
+    case x: Absent => maxLookbackMs(x.arg)
+    case x: RoundFn => maxLookbackMs(x.arg)
+    case x: Agg => maxLookbackMs(x.arg)
+    case x: BinOp => math.max(maxLookbackMs(x.lhs), maxLookbackMs(x.rhs))
+    case _ => 0L
+  }
+
+  /** tier scan → cooked-metrics store: keep the contract columns plus
+    * attr_* labels; partition keys and rollup-freq metadata would
+    * otherwise leak into the engine's label set
+    */
+  def storeFrom(scan: DataFrame): MetricStore = {
+    val sys = Seq("chq_timestamp", "metric_name", "chq_tid", "chq_rollup_sum",
+      "chq_rollup_count", "chq_rollup_min", "chq_rollup_max", "chq_sketch")
+      .filter(scan.schema.fieldNames.contains)
+    val labels = scan.schema.fieldNames.filter(_.startsWith("attr_")).toSeq
+    MetricStore(scan.select((sys ++ labels).map(col): _*))
+  }
+
+  /** Full PromQL query over written metric segments. */
+  def query(spark: SparkSession, segDir: String, promql: String,
+      startMs: Long, endMs: Long): DataFrame = {
+    val e = Parser.parse(promql)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    val p = StepPolicy.paramsFor(startMs, endMs)
+    val scan = StepPolicy.scanTier(spark, segDir, p.stepMs,
+      p.startMs - maxLookbackMs(e), p.endMs)
+    Engine.query(promql, storeFrom(scan), p)
+  }
+}

@@ -30,6 +30,37 @@ class StepPolicySpec extends AnyFunSuite {
     assert(p.stepMs == 300000L && p.startMs % p.stepMs == 0)
   }
 
+  test("MetricSegments front door: span→step→tier→engine equals the manual path") {
+    import org.apache.spark.sql.functions._
+    import graft.api.{MetricSegments, StepPolicy}
+    val spark = TestSpark.spark
+    val ev = graft.model.Tables.events(spark, TestSpark.sf)
+    val base = graft.ingest.MetricsPreAgg.preAggregate(ev, col("ts_ms"), lit("m"),
+      col("value"), Seq("attr_event_type" -> col("event_type")),
+      freqMs = 10000L, withSketch = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_msegq_").toString
+    graft.ingest.Segments.writeMetricSegments(base, dir)
+    graft.ingest.Segments.writeMetricSegments(
+      graft.ingest.MetricsPreAgg.rollup(base, 3600000L), dir)
+    val start = 1704067200000L
+    val end = start + 14L * 86400000L
+    val q = "sum by (attr_event_type) (rate(m[4h]))"
+    // lookback extraction sees through agg + range fn
+    val ast = graft.promql.Parser.parse(q).toOption.get
+    assert(MetricSegments.maxLookbackMs(ast) == 4L * 3600000L)
+    // NaN rows (uncovered windows) dropped: NaN != NaN would break set equality
+    val got = MetricSegments.query(spark, dir, q, start, end)
+      .filter(!isnan(col("value")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val p = StepPolicy.paramsFor(start, end)
+    val manual = graft.promql.Engine.query(q,
+      MetricSegments.storeFrom(
+        StepPolicy.scanTier(spark, dir, p.stepMs, p.startMs - 4L * 3600000L, p.endMs)), p)
+      .filter(!isnan(col("value")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == manual)
+  }
+
   test("scanTier prunes to the freq partition of a segment dir") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
