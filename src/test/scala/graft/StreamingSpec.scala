@@ -32,6 +32,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("stateful streaming sessionization equals batch-closed sessions") {
+    import graft.streaming.{Session, SessionEvent, Sessionize}
+    import spark.implicits._
+    val gapMs = 1800000L
+    val ev = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") % 17 === 0) // small user slice keeps state tiny
+      .select(col("user_id"), col("ts_ms"))
+    val dir = Files.createTempDirectory("graft_sess_stream_").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val maxTs = ev.agg(max(col("ts_ms"))).head().getLong(0)
+
+    val src = spark.readStream.schema(ev.schema).parquet(dir).as[SessionEvent]
+    val q = Sessionize.sessions(src, gapMs).writeStream
+      .outputMode("append").format("memory").queryName("stream_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // watermark delay 0 → final watermark = max event ts: every session
+    // closed BEFORE it must have emitted (in-batch split or state timeout)
+    val expected = Sessionize.batchClosedSessions(ev, gapMs, maxTs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty)
+    assert(streamed == expected,
+      s"streamed=${streamed.size} expected=${expected.size}")
+  }
+
   test("foreachBatch segment sink: per-batch dirs, commit log, exactly-once replay") {
     val ev = graft.model.Tables.events(spark, sf)
       .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
