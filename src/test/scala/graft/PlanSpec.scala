@@ -110,4 +110,31 @@ class PlanSpec extends AnyFunSuite {
     assert(scanSection.contains("3600000"),
       s"tier selection missing from partition filters: $scanSection")
   }
+
+  test("trie clustering joins the template dimension without a cartesian") {
+    // the learned-wildcard pass is a distinct-template dimension joined
+    // back to the message stream — it must stay an equi-join (AQE
+    // broadcasts the small side); a cartesian here would be quadratic in
+    // messages at 100 TB
+    val p = plan("tq_log_fingerprint_trie")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("needle query over segments: pushed filter + pruned file list") {
+    // the fingerprint index prunes FILES before the scan; the contains
+    // filter must additionally reach the parquet reader for row-group
+    // skipping within the surviving files
+    val p = plan("it_log_needle")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("StringContains(log_message") || p.contains("log_message")),
+      p.take(2500))
+  }
+
+  test("agg-file substitution plans a plain scan-filter-agg over the rollup") {
+    // the rewrite's value is the small input; the plan over it must stay
+    // shuffle-light — one partial+final aggregate pair, no join
+    val p = plan("it_agg_substitution")
+    assert(p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
 }
