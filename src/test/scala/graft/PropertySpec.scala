@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+
+/** Property-based invariants for the pure kernels every query path leans
+  * on: fingerprint hashing, trigram extraction, template normalization,
+  * and parser totality (arbitrary garbage must yield Left, never throw).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def holds(p: Prop, n: Int = 200): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '=', '"', '.', '-', ':')))
+      .map(_.mkString)
+
+  test("hash48 is stable and 48-bit for arbitrary input") {
+    import graft.ingest.{FingerprintIndex => FI}
+    holds(forAll(asciiText) { s =>
+      val h = FI.hash48(s)
+      h == FI.hash48(s) && h >= 0L && h < (1L << 48)
+    })
+    // exists/exact/sentinel namespaces stay apart for the same name
+    assert(Set(FI.existsFp("log_level"), FI.fingerprint("log_level", "x"),
+      FI.sentinelFp("log_level")).size == 3)
+  }
+
+  test("trigrams: count, width, and containment invariants") {
+    import graft.ingest.{FingerprintIndex => FI}
+    holds(forAll(asciiText) { s =>
+      val t = FI.trigrams(s)
+      val expectedMax = math.max(0, s.length - 2)
+      t.size <= expectedMax &&
+        t.forall(_.length == 3) &&
+        t.forall(s.contains(_)) &&
+        (s.length < 3) == t.isEmpty
+    })
+  }
+
+  test("template normalization is idempotent") {
+    import graft.ingest.LogFingerprint
+    import spark_helpers._
+    // each sample evaluates the Column on a tiny local relation → keep the
+    // sample count modest
+    holds(forAll(asciiText.suchThat(_.length < 200)) { s =>
+      val once = templateOf(s)
+      templateOf(once) == once
+    }, n = 40)
+  }
+
+  test("LogQL parser is total: arbitrary input never throws") {
+    holds(forAll(Gen.asciiPrintableStr) { s =>
+      graft.logql.Parser.parseFull(s)
+      true // reaching here (Left or Right, no exception) is the property
+    })
+  }
+
+  test("PromQL parser is total: arbitrary input never throws") {
+    holds(forAll(Gen.asciiPrintableStr) { s =>
+      graft.promql.Parser.parse(s)
+      true
+    })
+  }
+
+  test("valid queries keep parsing after random whitespace padding") {
+    val qs = Seq(
+      """sum by (attr_event_type) (rate(events_value[4h]))""",
+      """topk(3, sum by (a) (m))""",
+      """{log_level="ERROR"} |= "x" | logfmt | dur > 250ms""")
+    holds(forAll(Gen.oneOf(qs), Gen.choose(0, 5), Gen.choose(0, 5)) { (q, l, r) =>
+      val padded = (" " * l) + q + (" " * r)
+      if (q.startsWith("{")) graft.logql.Parser.parseFull(padded).isRight
+      else graft.promql.Parser.parse(padded).isRight
+    })
+  }
+
+  /** template() is Column algebra; evaluate it driver-side through a tiny
+    * local relation once per sample batch (kept out of the hot property
+    * loop via a single-session eval helper)
+    */
+  private object spark_helpers {
+    import org.apache.spark.sql.functions._
+    private lazy val s = TestSpark.spark
+    def templateOf(x: String): String = {
+      import s.implicits._
+      Seq(x).toDF("m").select(graft.ingest.LogFingerprint.template(col("m")))
+        .head().getString(0)
+    }
+  }
+}
