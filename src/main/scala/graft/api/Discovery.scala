@@ -74,6 +74,18 @@ object Discovery {
       .groupBy(col("metric_name"), col("chq_metric_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Distinct service names in a time range — the reference's
+    * /api/v1/services (queryapi/querier.go:716-724, backed by
+    * lrdb_service_identifiers.sql ListServiceNames: DISTINCT + ORDER BY).
+    */
+  def services(df: DataFrame, startMs: Long, endMs: Long,
+      serviceCol: String = "resource_service_name"): DataFrame =
+    df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
+      .filter(col(serviceCol).isNotNull && col(serviceCol) =!= "")
+      .select(col(serviceCol).as("service_name"))
+      .distinct()
+      .orderBy(col("service_name"))
+
   /** Query-string validation — the reference's /api/v1/promql/validate and
     * /api/v1/logql/validate endpoints (queryapi/querier.go:772-773): parse
     * acceptance without execution.

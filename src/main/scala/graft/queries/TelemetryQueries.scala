@@ -822,6 +822,19 @@ object TelemetryQueries extends Catalog {
        AND span_kind = 'SPAN_KIND_SERVER'
      GROUP BY 1, 2, 3"""
 
+  /** distinct service names (reference /api/v1/services,
+    * queryapi/querier.go:716-724)
+    */
+  private def services(s: SparkSession, d: String): DataFrame =
+    graft.api.Discovery.services(graft.model.Cooked.logs(s, d), SpanStart, SpanEnd)
+
+  private val servicesSql =
+    s"""WITH ${graft.model.Cooked.logsCte}
+     SELECT DISTINCT resource_service_name AS service_name
+     FROM logs
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd
+       AND resource_service_name IS NOT NULL AND resource_service_name <> ''"""
+
   /** discovery over the metrics signal (reference /api/v1/metrics/tags) */
   private def metricTagNames(s: SparkSession, d: String): DataFrame =
     graft.api.Discovery.tagNames(graft.model.Cooked.metrics(s, d),
@@ -915,6 +928,7 @@ object TelemetryQueries extends Catalog {
     Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
     Q("td_span_tag_names", spanTagNames, Some(spanTagNamesSql)),
     Q("td_span_series", spanSeries, Some(spanSeriesSql)),
+    Q("td_services", services, Some(servicesSql)),
     Q("td_metric_tag_names", metricTagNames, Some(metricTagNamesSql)),
     Q("td_log_series", logSeries, Some(logSeriesSql)),
     Q("td_metric_metadata", metricMetadata, Some(metricMetadataSql))
