@@ -33,6 +33,43 @@ object MetricSegments {
     case _ => 0L
   }
 
+  /** every selector in the expression (the leaves whose metric names and
+    * matchers drive segment lookup in the reference)
+    */
+  def selectors(e: Expr): Seq[Selector] = e match {
+    case s: Selector => Seq(s)
+    case x: RangeFn => selectors(x.arg)
+    case x: QuantileOverTime => selectors(x.arg)
+    case x: UnaryFn => selectors(x.arg)
+    case x: Clamp => selectors(x.arg)
+    case x: ScalarFn => selectors(x.arg)
+    case x: HistogramQuantile => selectors(x.arg)
+    case x: LabelReplace => selectors(x.arg)
+    case x: LabelJoin => selectors(x.arg)
+    case x: Absent => selectors(x.arg)
+    case x: RoundFn => selectors(x.arg)
+    case x: Agg => selectors(x.arg)
+    case x: BinOp => selectors(x.lhs) ++ selectors(x.rhs)
+    case _ => Nil
+  }
+
+  /** per-selector fingerprint requirement: the metric name is an
+    * exact-indexed dimension (reference prunes metric segments on exactly
+    * this); conservative like the log side — a file is excluded only when
+    * EVERY selector excludes it
+    */
+  private def excludedForExpr(spark: SparkSession, segDir: String,
+      e: Expr): Set[String] = {
+    import graft.ingest.FingerprintIndex
+    val perSelector = selectors(e).map { s =>
+      val req = FingerprintIndex.Requirement("metric_name",
+        Seq(FingerprintIndex.existsFp("metric_name"),
+          FingerprintIndex.fingerprint("metric_name", s.metric)), guarded = false)
+      FingerprintIndex.excludedFiles(spark, segDir, Seq(req))
+    }
+    if (perSelector.isEmpty) Set.empty else perSelector.reduce(_ intersect _)
+  }
+
   /** tier scan → cooked-metrics store: keep the contract columns plus
     * attr_* labels; partition keys and rollup-freq metadata would
     * otherwise leak into the engine's label set
@@ -45,14 +82,23 @@ object MetricSegments {
     MetricStore(scan.select((sys ++ labels).map(col): _*))
   }
 
-  /** Full PromQL query over written metric segments. */
+  /** Full PromQL query over written metric segments. When a fingerprint
+    * index exists next to the dir ([[graft.ingest.FingerprintIndex
+    * .buildLogIndex]] works on metric segments too), files that can't
+    * contain any selected metric are pruned before the tier scan.
+    */
   def query(spark: SparkSession, segDir: String, promql: String,
       startMs: Long, endMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
     val p = StepPolicy.paramsFor(startMs, endMs)
-    val scan = StepPolicy.scanTier(spark, segDir, p.stepMs,
-      p.startMs - maxLookbackMs(e), p.endMs)
+    val effStart = p.startMs - maxLookbackMs(e)
+    val excluded = excludedForExpr(spark, segDir, e)
+    val scan = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
+      .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
+        col("dateint") >= StepPolicy.dateintOf(effStart) &&
+        col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
     Engine.query(promql, storeFrom(scan), p)
   }
 }

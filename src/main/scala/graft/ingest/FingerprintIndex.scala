@@ -123,10 +123,14 @@ object FingerprintIndex {
   def indexPath(segDir: String): String =
     segDir.stripSuffix("/") + ".fpindex"
 
-  /** Build (overwrite) the fingerprint index for a log-segment dir. Run
-    * after segment writes / compaction, like the reference's ingest-side
-    * fingerprint registration. One pass over the segments projecting only
-    * the indexed columns.
+  /** Build (overwrite) the fingerprint index for a segment dir — logs or
+    * metrics; the families index whichever of their fields the schema
+    * carries (for metrics that is chiefly metric_name exact fps, the same
+    * dimension the reference's metric segment lookup keys on,
+    * queryapi/metrics_evaluator.go:424-500). Run after segment writes /
+    * compaction, like the reference's ingest-side fingerprint
+    * registration. One pass over the segments projecting only the
+    * indexed columns.
     */
   def buildLogIndex(spark: SparkSession, segDir: String,
       maxTrigramsPerFile: Long = MaxTrigramsPerFile): Unit = {

@@ -61,6 +61,49 @@ class StepPolicySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == manual)
   }
 
+  test("metric-name fingerprint pruning skips files of other metrics") {
+    import org.apache.spark.sql.functions._
+    import graft.api.MetricSegments
+    import graft.ingest.{FingerprintIndex => FI}
+    val spark = TestSpark.spark
+    val ev = graft.model.Tables.events(spark, TestSpark.sf)
+    def cook(name: String) = graft.ingest.MetricsPreAgg.preAggregate(ev,
+      col("ts_ms"), lit(name), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 60000L,
+      withSketch = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_midx_").toString
+    // sorted by metric_name within partitions + small file splits → the two
+    // metrics land in disjoint files, exactly what the index can exploit;
+    // hourly rollup tier included so the 14 d span has its tier to read
+    // ~100 rows/day/tier at the test SF → 30/file forces metric-contiguous
+    // splits (the sort order leads with metric_name)
+    val both = cook("m_alpha").unionByName(cook("m_beta"))
+    graft.ingest.Segments.writeMetricSegments(both, dir, maxRecordsPerFile = 30)
+    graft.ingest.Segments.writeMetricSegments(
+      graft.ingest.MetricsPreAgg.rollup(both, 3600000L), dir, maxRecordsPerFile = 10)
+    FI.buildLogIndex(spark, dir)
+    val start = 1704067200000L
+    val end = start + 14L * 86400000L
+    val q = "sum by (attr_event_type) (rate(m_alpha[4h]))"
+    val got = MetricSegments.query(spark, dir, q, start, end)
+    val all = spark.read.parquet(dir).inputFiles.length
+    val p = graft.api.StepPolicy.paramsFor(start, end)
+    val prunedFiles = FI.prunedRead(spark, dir,
+      FI.excludedFiles(spark, dir, Seq(FI.Requirement("metric_name",
+        Seq(FI.existsFp("metric_name"), FI.fingerprint("metric_name", "m_alpha")),
+        guarded = false)))).inputFiles.length
+    assert(prunedFiles < all, s"no metric-name pruning: $prunedFiles/$all")
+    // results equal the unpruned manual path
+    val manual = graft.promql.Engine.query(q,
+      MetricSegments.storeFrom(graft.api.StepPolicy.scanTier(spark, dir,
+        p.stepMs, p.startMs - 4L * 3600000L, p.endMs)), p)
+      .filter(!isnan(col("value")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val gotSet = got.filter(!isnan(col("value")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotSet.nonEmpty && gotSet == manual)
+  }
+
   test("scanTier prunes to the freq partition of a segment dir") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
