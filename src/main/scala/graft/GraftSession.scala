@@ -38,6 +38,13 @@ object GraftSession {
     s
   }
 
+  /** Resolve a column whose NAME is data (user-controlled attribute names,
+    * caller-supplied label lists) — backtick-escaped so it can never
+    * round-trip through the SQL parser as syntax.
+    */
+  def safeCol(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df(s"`${name.replace("`", "``")}`")
+
   /** Cut lineage and materialize an intermediate frame that later stages (or
     * iterative rounds) will read more than once.
     *

@@ -76,7 +76,7 @@ object AggFiles {
     var df = spark.read.parquet(aggDir(segDir, aggFields))
       .filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
     matchers.foreach { m =>
-      val c = coalesce(df(m.label).cast("string"), lit(""))
+      val c = coalesce(graft.GraftSession.safeCol(df, m.label).cast("string"), lit(""))
       df = df.filter(m.op match {
         case MatchOp.Eq  => c === m.value
         case MatchOp.Ne  => c =!= m.value
@@ -99,7 +99,7 @@ object AggFiles {
     var df = spark.read.option("mergeSchema", "true").parquet(segDir)
       .filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
     matchers.foreach { m =>
-      val c = coalesce(df(m.label).cast("string"), lit(""))
+      val c = coalesce(graft.GraftSession.safeCol(df, m.label).cast("string"), lit(""))
       df = df.filter(m.op match {
         case MatchOp.Eq  => c === m.value
         case MatchOp.Ne  => c =!= m.value

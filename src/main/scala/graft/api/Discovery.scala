@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object Discovery {
 
+  /** tag/label names arrive from user-controlled data — resolve them
+    * escaped, never through the parser
+    */
+  private def qcol(df: DataFrame, name: String) = graft.GraftSession.safeCol(df, name)
+
   /** distinct values of one tag with row counts, time-bounded */
   def tagValues(df: DataFrame, tag: String, startMs: Long, endMs: Long,
-      limit: Int = 1000): DataFrame =
-    df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
-      .filter(col(tag).isNotNull && col(tag) =!= "")
-      .groupBy(df(tag).as("tag_value"))
+      limit: Int = 1000): DataFrame = {
+    val timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
+    timed.filter(qcol(timed, tag).isNotNull && qcol(timed, tag) =!= "")
+      .groupBy(qcol(timed, tag).as("tag_value"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tag_value").asc)
       .limit(limit)
+  }
 
   /** every label column with its non-null/non-empty row count — one
     * aggregation pass, then an explode to (tag, n) rows. Built entirely with
@@ -32,7 +38,7 @@ object Discovery {
     // (tag, n) struct per label; the only name resolution is timed(...) with
     // standard backtick doubling, never string-interpolated SQL
     val entries = labels.zipWithIndex.map { case (l, i) =>
-      val c = timed(s"`${l.replace("`", "``")}`")
+      val c = qcol(timed, l)
       struct(lit(l).as("tag"),
         count(when(c.isNotNull && c.cast("string") =!= "", 1)).as("n")).as(s"__e$i")
     }
@@ -51,7 +57,7 @@ object Discovery {
     var timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
     matchers.foreach { m =>
       val c = if (timed.schema.fieldNames.contains(m.label))
-        coalesce(timed(m.label).cast("string"), lit("")) else lit("")
+        coalesce(qcol(timed, m.label).cast("string"), lit("")) else lit("")
       import graft.promql.MatchOp
       timed = timed.filter(m.op match {
         case MatchOp.Eq  => c === m.value
@@ -60,9 +66,9 @@ object Discovery {
         case MatchOp.Nre => !c.rlike("^(?:" + m.value + ")$")
       })
     }
-    timed.groupBy(labels.map(l => timed(l)): _*)
+    timed.groupBy(labels.map(l => qcol(timed, l)): _*)
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc +: labels.map(l => col(l).asc): _*)
+      .orderBy(col("n").desc +: labels.map(l => qcol(timed, l).asc): _*)
       .limit(limit)
   }
 
@@ -79,12 +85,13 @@ object Discovery {
     * lrdb_service_identifiers.sql ListServiceNames: DISTINCT + ORDER BY).
     */
   def services(df: DataFrame, startMs: Long, endMs: Long,
-      serviceCol: String = "resource_service_name"): DataFrame =
-    df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
-      .filter(col(serviceCol).isNotNull && col(serviceCol) =!= "")
-      .select(col(serviceCol).as("service_name"))
+      serviceCol: String = "resource_service_name"): DataFrame = {
+    val timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
+    timed.filter(qcol(timed, serviceCol).isNotNull && qcol(timed, serviceCol) =!= "")
+      .select(qcol(timed, serviceCol).as("service_name"))
       .distinct()
       .orderBy(col("service_name"))
+  }
 
   /** Query-string validation — the reference's /api/v1/promql/validate and
     * /api/v1/logql/validate endpoints (queryapi/querier.go:772-773): parse

@@ -23,6 +23,22 @@ class DiscoverySpec extends AnyFunSuite {
     assert(out == Map("attr_plain" -> 3L, "attr_a`b" -> 2L, "attr_q'c\"d" -> 2L))
   }
 
+  test("tagValues and series survive hostile column names") {
+    import spark.implicits._
+    val df = Seq(
+      (1000L, "x", "A"),
+      (2000L, "x", "B"),
+      (3000L, "y", "A"))
+      .toDF("chq_timestamp", "attr_a`b", "attr_q'c")
+    val tv = Discovery.tagValues(df, "attr_a`b", 0L, 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tv == Map("x" -> 2L, "y" -> 1L))
+    val se = Discovery.series(df, Seq("attr_a`b", "attr_q'c"), 0L, 10000L,
+      matchers = List(graft.promql.Matcher("attr_q'c", graft.promql.MatchOp.Eq, "A")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(se == Set(("x", "A", 1L), ("y", "A", 1L)))
+  }
+
   test("tagNames drops all-empty labels and applies the time bound") {
     import spark.implicits._
     val df = Seq((1000L, "a", ""), (99999L, "b", "late"))
