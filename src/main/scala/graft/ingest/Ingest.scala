@@ -149,10 +149,12 @@ object LogFingerprint {
   */
 object TrieFingerprint {
 
-  /** df + (trie_template, trie_fingerprint) columns. */
-  def withClusters(df: DataFrame, msgCol: String, maxVariants: Int = 4): DataFrame = {
-    val t = df.withColumn("__tpl", LogFingerprint.template(col(msgCol)))
-    val tpls = t.select(col("__tpl")).distinct()
+  /** distinct-template dimension: (tplCol, trie_template, trie_fingerprint).
+    * Callers that already carry the stateless template column join this
+    * directly and avoid recomputing the normalization regexes per pass.
+    */
+  def maskedTemplates(tpls0: DataFrame, tplCol: String, maxVariants: Int = 4): DataFrame = {
+    val tpls = tpls0.withColumnRenamed(tplCol, "__tpl")
       .withColumn("__toks", split(col("__tpl"), " +"))
       .withColumn("__n", size(col("__toks")))
       .withColumn("__head", element_at(col("__toks"), 1))
@@ -164,15 +166,21 @@ object TrieFingerprint {
       .filter(col("__nd") > maxVariants)
       .groupBy(col("__n"), col("__head"))
       .agg(collect_set(col("__p")).as("__wild"))
-    val masked = tpls.join(wild, Seq("__n", "__head"), "left")
+    tpls.join(wild, Seq("__n", "__head"), "left")
       .withColumn("__wildset", coalesce(col("__wild"), array().cast("array<int>")))
       .withColumn("trie_template", array_join(
         transform(col("__toks"), (tk, i) =>
           when(array_contains(col("__wildset"), i), lit("<*>")).otherwise(tk)), " "))
-      .select(col("__tpl"),
+      .select(col("__tpl").as(tplCol),
         col("trie_template"),
         conv(substring(md5(col("trie_template")), 1, 12), 16, 10).cast("long")
           .as("trie_fingerprint"))
+  }
+
+  /** df + (trie_template, trie_fingerprint) columns. */
+  def withClusters(df: DataFrame, msgCol: String, maxVariants: Int = 4): DataFrame = {
+    val t = df.withColumn("__tpl", LogFingerprint.template(col(msgCol)))
+    val masked = maskedTemplates(t.select(col("__tpl")).distinct(), "__tpl", maxVariants)
     // template dimension is small → AQE broadcasts this join
     t.join(masked, Seq("__tpl")).drop("__tpl")
   }

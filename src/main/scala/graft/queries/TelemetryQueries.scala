@@ -299,10 +299,14 @@ object TelemetryQueries extends Catalog {
       concat(lit("job "), col("user_id"), lit(" finished "), col("event_type"),
         lit(" code "), floor(col("value") * 10).cast("long")))
       .otherwise(concat(lit("worker "), col("user_id"), lit(" entered "), variant))
-    TrieFingerprint.withClusters(raw(s, d).select(msg.as("msg")), "msg", maxVariants = 4)
+    // compute the stateless template ONCE; the masked dimension joins on it
+    // and n_templates counts it — no repeated normalization passes
+    val t = raw(s, d).select(LogFingerprint.template(msg).as("__tpl"))
+    val dim = TrieFingerprint.maskedTemplates(t.distinct(), "__tpl", maxVariants = 4)
+    t.join(dim, Seq("__tpl"))
       .groupBy(col("trie_fingerprint"), col("trie_template"))
       .agg(count(lit(1)).as("n_messages"),
-        countDistinct(LogFingerprint.template(col("msg"))).as("n_templates"))
+        countDistinct(col("__tpl")).as("n_templates"))
   }
 
   private val logFingerprintTrieSql = {
