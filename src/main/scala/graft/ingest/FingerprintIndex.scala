@@ -133,8 +133,47 @@ object FingerprintIndex {
     * indexed columns.
     */
   def buildLogIndex(spark: SparkSession, segDir: String,
-      maxTrigramsPerFile: Long = MaxTrigramsPerFile): Unit = {
-    val df = spark.read.option("mergeSchema", "true").parquet(segDir)
+      maxTrigramsPerFile: Long = MaxTrigramsPerFile): Unit =
+    indexRows(spark.read.option("mergeSchema", "true").parquet(segDir),
+      maxTrigramsPerFile)
+      // overwrite semantics: a full rebuild always describes the current
+      // dir contents
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#fingerprint", "true")
+      .parquet(indexPath(segDir))
+
+  /** Incremental indexing — the per-batch registration an ingest worker
+    * does (the reference inserts one segment row per written file; a full
+    * rebuild at 100 TB would re-read the lake). Indexes ONLY files not
+    * yet in the index and APPENDS their rows. Returns the number of newly
+    * indexed files. Stale rows for files removed by compaction are
+    * harmless (exclusions are intersected against the live file list) but
+    * compaction should still run [[buildLogIndex]] for a clean slate.
+    */
+  def indexNewFiles(spark: SparkSession, segDir: String,
+      maxTrigramsPerFile: Long = MaxTrigramsPerFile): Long = {
+    val idxP = new org.apache.hadoop.fs.Path(indexPath(segDir))
+    val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexed: Set[String] =
+      if (!fs.exists(idxP)) Set.empty
+      else spark.read.parquet(indexPath(segDir)).select(col("file"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val full = spark.read.option("mergeSchema", "true").parquet(segDir)
+    val newFiles = full.inputFiles.map(normPath).filterNot(indexed).toSeq
+    if (newFiles.isEmpty) return 0L
+    val df = spark.read.option("mergeSchema", "true")
+      .option("basePath", segDir).parquet(newFiles: _*)
+    indexRows(df, maxTrigramsPerFile)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#fingerprint", "true")
+      .parquet(indexPath(segDir))
+    newFiles.length.toLong
+  }
+
+  /** the (file, fingerprint) rows for one frame of segment data */
+  private def indexRows(df: DataFrame, maxTrigramsPerFile: Long): DataFrame = {
     val partitionCols = Set("dateint", "freq")
     val fields = df.schema.fieldNames.filterNot(partitionCols).toSeq
     val withFile = df.withColumn("__file", normPathCol(input_file_name()))
@@ -179,19 +218,13 @@ object FingerprintIndex {
       Seq(kept, sentinels)
     }
 
-    val all = (Seq(existsPairs, fileMarkers) ++ exactPairs ++ trigramPairs)
+    // sorted by fingerprint so the point-lookup read gets row-group stats
+    // + a bloom filter on the probe column
+    (Seq(existsPairs, fileMarkers) ++ exactPairs ++ trigramPairs)
       .reduce(_ union _)
       .distinct()
       .withColumnRenamed("__file", "file")
-
-    // overwrite semantics: the index always describes the current dir
-    // contents; sorted by fingerprint so the point-lookup read below gets
-    // row-group stats + a bloom filter on the probe column
-    all.sortWithinPartitions(col("fingerprint"))
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .option("parquet.bloom.filter.enabled#fingerprint", "true")
-      .parquet(indexPath(segDir))
+      .sortWithinPartitions(col("fingerprint"))
   }
 
   // ---- query side -----------------------------------------------------------

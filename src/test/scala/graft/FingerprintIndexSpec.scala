@@ -91,6 +91,28 @@ class FingerprintIndexSpec extends AnyFunSuite {
     assert(got == expect, "stale index dropped rows from unindexed files")
   }
 
+  test("incremental indexing covers only new files, then prunes with them") {
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(1500, "g"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    val firstWave = files(dir).size
+    // second wave lands on a new day; index it incrementally
+    import spark.implicits._
+    val late = Seq((Day0 + 6 * 86400000L, (Day0 + 6 * 86400000L) * 1000000L,
+      "evt=g late needle=quuxzebra", "svc-9", 0L, "INFO"))
+      .toDF("chq_timestamp", "chq_tsns", "log_message",
+        "resource_service_name", "chq_fingerprint", "log_level")
+    Segments.writeLogSegments(late, dir, maxRecordsPerFile = 400)
+    val indexedNow = FI.indexNewFiles(spark, dir)
+    assert(indexedNow == files(dir).size - firstWave && indexedNow > 0)
+    assert(FI.indexNewFiles(spark, dir) == 0L) // idempotent
+    // with the new files indexed, the late needle prunes to its one file
+    val pipe = LogPipeline(Nil, List(LineFilter(LineFilterOp.Contains, "quuxzebra")))
+    val read = FI.scanLogs(spark, dir, pipe).inputFiles.map(FI.normPath).toSet
+    assert(read.size < files(dir).size)
+    assert(read.forall(_.contains("dateint=20240107")))
+  }
+
   test("trigram cap drops the body family (no pruning) but stays correct") {
     val dir = freshDir()
     Segments.writeLogSegments(mkLogs(1500, "d"), dir, maxRecordsPerFile = 400)
