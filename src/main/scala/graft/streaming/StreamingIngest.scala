@@ -59,7 +59,8 @@ object StreamingIngest {
   def segmentWriteStream(rawStream: DataFrame, build: DataFrame => DataFrame,
       segDir: String, commitDir: String, checkpointDir: String,
       writeSegments: (DataFrame, String) => Unit =
-        (df, dir) => graft.ingest.Segments.writeMetricSegments(df, dir))
+        (df, dir) => graft.ingest.Segments.writeMetricSegments(df, dir),
+      indexAfterBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(commitDir))
     rawStream.writeStream
@@ -76,6 +77,11 @@ object StreamingIngest {
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             fs.delete(p, true) // replay rewrites its own dir only
             writeSegments(cooked, batchDir)
+            // the per-batch fingerprint registration of the reference's
+            // ingest workers: index ONLY this batch's new files (a replay
+            // re-registers its rewritten files; stale rows are lossless)
+            if (indexAfterBatch)
+              graft.ingest.FingerprintIndex.indexNewFiles(spark, segDir)
             // coalesce: an all-null chq_timestamp batch must not NPE after
             // segments were written but before the commit record lands
             val maxTs = cooked.agg(coalesce(max(col("chq_timestamp")), lit(-1L)))

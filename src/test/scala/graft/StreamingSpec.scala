@@ -106,10 +106,18 @@ class StreamingSpec extends AnyFunSuite {
     val src = spark.readStream.schema(logs.schema).parquet(in)
     val q = StreamingIngest.segmentWriteStream(src, identity,
       segDir, commitDir, ckpt,
-      writeSegments = (df, dir) => graft.ingest.Segments.writeLogSegments(df, dir))
+      writeSegments = (df, dir) => graft.ingest.Segments.writeLogSegments(df, dir),
+      indexAfterBatch = true)
     q.awaitTermination()
     val back = spark.read.parquet(segDir)
     assert(back.count() == logs.count())
     assert(back.columns.contains("chq_fingerprint") && back.columns.contains("dateint"))
+    // the per-batch registration kept the fingerprint index current: every
+    // written file is indexed, so a selective matcher can prune immediately
+    import graft.ingest.{FingerprintIndex => FI}
+    val indexedFiles = spark.read.parquet(FI.indexPath(segDir))
+      .select("file").distinct().count()
+    assert(indexedFiles == back.inputFiles.length)
+    assert(FI.indexNewFiles(spark, segDir) == 0L)
   }
 }
