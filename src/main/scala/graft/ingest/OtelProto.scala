@@ -179,7 +179,8 @@ object OtelProto {
       body: String,
       attrs: Map[String, String],
       resourceAttrs: Map[String, String],
-      scopeName: String)
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
 
   def parseLogs(data: Array[Byte]): Seq[OtelLog] = {
     val out = scala.collection.mutable.ListBuffer[OtelLog]()
@@ -206,6 +207,7 @@ object OtelProto {
         }
         scopeLogs.foreach { sl =>
           var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
           while (sl.hasNext) {
             val (f2, w2) = sl.readTag()
             f2 match {
@@ -214,6 +216,7 @@ object OtelProto {
                 while (sc.hasNext) {
                   val (f3, w3) = sc.readTag()
                   if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
                   else sc.skip(w3)
                 }
               case 2 => // log_records
@@ -231,7 +234,7 @@ object OtelProto {
                     case _ => lr.skip(w3)
                   }
                 }
-                out += OtelLog(t, sevN, sevT, body, attrs, resAttrs, scopeName)
+                out += OtelLog(t, sevN, sevT, body, attrs, resAttrs, scopeName, scopeAttrs)
               case _ => sl.skip(w2)
             }
           }
@@ -255,7 +258,8 @@ object OtelProto {
       value: Double,
       attrs: Map[String, String],
       resourceAttrs: Map[String, String],
-      scopeName: String)
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
 
   /** NumberDataPoint: start_time=2, time_unix_nano=3, as_double=4,
     * as_int=6 (sfixed64), attributes=7
@@ -288,7 +292,8 @@ object OtelProto {
       explicitBounds: Seq[Double],
       attrs: Map[String, String],
       resourceAttrs: Map[String, String],
-      scopeName: String)
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
 
   /** HistogramDataPoint: time=3, count=4 (fixed64), sum=5, bucket_counts=6
     * (packed fixed64), explicit_bounds=7 (packed double), attributes=9,
@@ -347,7 +352,8 @@ object OtelProto {
       negCounts: Seq[Long],
       attrs: Map[String, String],
       resourceAttrs: Map[String, String],
-      scopeName: String)
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
 
   private def expoBucketsMsg(r: Reader): (Int, Seq[Long]) = {
     var off = 0
@@ -422,6 +428,7 @@ object OtelProto {
         }
         scopeMetrics.foreach { sm =>
           var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
           while (sm.hasNext) {
             val (f2, w2) = sm.readTag()
             f2 match {
@@ -430,6 +437,7 @@ object OtelProto {
                 while (sc.hasNext) {
                   val (f3, w3) = sc.readTag()
                   if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
                   else sc.skip(w3)
                 }
               case 2 =>
@@ -453,7 +461,7 @@ object OtelProto {
                 }
                 points.foreach { p =>
                   out += p.copy(metricName = name, resourceAttrs = resAttrs,
-                    scopeName = scopeName)
+                    scopeName = scopeName, scopeAttrs = scopeAttrs)
                 }
               case _ => sm.skip(w2)
             }
@@ -493,6 +501,7 @@ object OtelProto {
         }
         scopeMetrics.foreach { sm =>
           var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
           while (sm.hasNext) {
             val (f2, w2) = sm.readTag()
             f2 match {
@@ -501,6 +510,7 @@ object OtelProto {
                 while (sc.hasNext) {
                   val (f3, w3) = sc.readTag()
                   if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
                   else sc.skip(w3)
                 }
               case 2 =>
@@ -524,7 +534,7 @@ object OtelProto {
                 }
                 points.foreach { p =>
                   out += p.copy(metricName = name, resourceAttrs = resAttrs,
-                    scopeName = scopeName)
+                    scopeName = scopeName, scopeAttrs = scopeAttrs)
                 }
               case _ => sm.skip(w2)
             }
@@ -564,6 +574,7 @@ object OtelProto {
         }
         scopeMetrics.foreach { sm =>
           var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
           while (sm.hasNext) {
             val (f2, w2) = sm.readTag()
             f2 match {
@@ -572,6 +583,7 @@ object OtelProto {
                 while (sc.hasNext) {
                   val (f3, w3) = sc.readTag()
                   if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
                   else sc.skip(w3)
                 }
               case 2 => // Metric { name=1, gauge=5, sum=7 { is_monotonic=3 } }
@@ -607,7 +619,7 @@ object OtelProto {
                   }
                 }
                 points.foreach { case (t, v, attrs) =>
-                  out += OtelMetric(t, name, mtype, v, attrs, resAttrs, scopeName)
+                  out += OtelMetric(t, name, mtype, v, attrs, resAttrs, scopeName, scopeAttrs)
                 }
               case _ => sm.skip(w2)
             }
@@ -632,7 +644,8 @@ object OtelProto {
       statusMessage: String,
       attrs: Map[String, String],
       resourceAttrs: Map[String, String],
-      scopeName: String)
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
 
   private def hex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
@@ -707,6 +720,7 @@ object OtelProto {
         }
         scopeSpans.foreach { ss =>
           var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
           while (ss.hasNext) {
             val (f2, w2) = ss.readTag()
             f2 match {
@@ -715,11 +729,12 @@ object OtelProto {
                 while (sc.hasNext) {
                   val (f3, w3) = sc.readTag()
                   if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
                   else sc.skip(w3)
                 }
               case 2 =>
                 out += span(ss.readMessage())
-                  .copy(resourceAttrs = resAttrs, scopeName = scopeName)
+                  .copy(resourceAttrs = resAttrs, scopeName = scopeName, scopeAttrs = scopeAttrs)
               case _ => ss.skip(w2)
             }
           }
@@ -759,7 +774,7 @@ object OtelProto {
       col("severityNumber").as("chq_severity_number"),
       col("body").as("log_message"),
       col("scopeName").as("scope_name"),
-      col("attrs"), col("resourceAttrs")))
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
       .withColumn("metric_name", lit("log_events"))
   }
 
@@ -780,13 +795,15 @@ object OtelProto {
     val keys = df.select(
       explode(concat(
         transform(map_keys(col("attrs")), k => concat(lit("attr_"), k)),
-        transform(map_keys(col("resourceAttrs")), k => concat(lit("resource_"), k)))))
+        transform(map_keys(col("resourceAttrs")), k => concat(lit("resource_"), k)),
+        transform(map_keys(col("scopeAttrs")), k => concat(lit("scope_"), k)))))
       .distinct().as[String].collect().sorted
     val withCols = keys.foldLeft(df) { (d, k) =>
       if (k.startsWith("attr_")) d.withColumn(k, col("attrs").getItem(k.stripPrefix("attr_")))
+      else if (k.startsWith("scope_")) d.withColumn(k, col("scopeAttrs").getItem(k.stripPrefix("scope_")))
       else d.withColumn(k, col("resourceAttrs").getItem(k.stripPrefix("resource_")))
     }
-    withCols.drop("attrs", "resourceAttrs")
+    withCols.drop("attrs", "resourceAttrs", "scopeAttrs")
   }
 
   /** `.binpb[.gz]` OTel metrics → raw metric points ready for
@@ -805,7 +822,7 @@ object OtelProto {
       col("metricType").as("chq_metric_type"),
       col("value"),
       col("scopeName").as("scope_name"),
-      col("attrs"), col("resourceAttrs")))
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
   /** `.binpb[.gz]` OTel metrics → decoded histogram rows: count/sum/min/max
@@ -828,7 +845,7 @@ object OtelProto {
       col("bucketCounts").as("bucket_counts"),
       col("explicitBounds").as("explicit_bounds"),
       col("scopeName").as("scope_name"),
-      col("attrs"), col("resourceAttrs")))
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
   /** `.binpb[.gz]` OTel exponential-histogram datapoints → decoded rows:
@@ -857,7 +874,7 @@ object OtelProto {
       col("negOffset").as("neg_offset"),
       col("negCounts").as("neg_counts"),
       col("scopeName").as("scope_name"),
-      col("attrs"), col("resourceAttrs")))
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
   /** [[readExpoHistograms]] with each datapoint's buckets converted to a
@@ -878,10 +895,10 @@ object OtelProto {
           h.posOffset, h.posCounts, h.negOffset, h.negCounts,
           h.count, h.sum, h.min, h.max)
         (h.timeUnixNano, h.metricName, h.count, h.sum, h.min, h.max,
-          sk.serialize(), h.attrs, h.resourceAttrs, h.scopeName)
+          sk.serialize(), h.attrs, h.resourceAttrs, h.scopeName, h.scopeAttrs)
       }
       .toDF("timeUnixNano", "metricName", "count", "sum", "min", "max",
-        "sketch", "attrs", "resourceAttrs", "scopeName")
+        "sketch", "attrs", "resourceAttrs", "scopeName", "scopeAttrs")
     widenAttrs(rows.select(
       expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
       col("metricName").as("metric_name"),
@@ -892,7 +909,7 @@ object OtelProto {
       col("max").as("chq_rollup_max"),
       col("sketch").as("chq_sketch"),
       col("scopeName").as("scope_name"),
-      col("attrs"), col("resourceAttrs")))
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
   /** `.binpb[.gz]` OTel traces → cooked span columns
@@ -923,7 +940,7 @@ object OtelProto {
       expr("(endUnixNano - startUnixNano) DIV 1000000").as("span_duration"),
       expr("endUnixNano DIV 1000000").as("span_end_timestamp"),
       col("scopeName").as("scope_name"),
-      col("attrs"), col("resourceAttrs")))
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
   // ---- tiny encoder (fixtures/tests; also documents the wire format) ---------
@@ -955,9 +972,11 @@ object OtelProto {
         attrs.flatMap { case (k, v) => ld(6, kv(k, v)) }
 
     def logsData(resourceAttrs: Seq[(String, String)], scopeName: String,
-        records: Seq[Array[Byte]]): Array[Byte] = {
+        records: Seq[Array[Byte]],
+        scopeAttrs: Seq[(String, String)] = Nil): Array[Byte] = {
       val resource = resourceAttrs.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray
-      val scope = str(1, scopeName)
+      val scope = str(1, scopeName) ++
+        scopeAttrs.flatMap { case (k, v) => ld(3, kv(k, v)) }.toArray
       val scopeLogs = ld(1, scope) ++ records.flatMap(r => ld(2, r))
       ld(1, ld(1, resource) ++ ld(2, scopeLogs))
     }

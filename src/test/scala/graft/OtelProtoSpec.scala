@@ -16,7 +16,8 @@ class OtelProtoSpec extends AnyFunSuite {
         Encode.logRecord(1704067200123000000L, 17, "ERROR",
           "payment failed", Seq("http.method" -> "POST", "retries" -> "3")),
         Encode.logRecord(1704067201456000000L, 9, "INFO",
-          "payment ok", Seq("http.method" -> "GET"))))
+          "payment ok", Seq("http.method" -> "GET"))),
+      scopeAttrs = Seq("library.version" -> "1.2.3"))
 
   test("wire round-trip: encode → parse") {
     val logs = OtelProto.parseLogs(sampleBytes)
@@ -29,6 +30,7 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(e.resourceAttrs == Map("service_name" -> "checkout",
       "k8s_namespace_name" -> "prod"))
     assert(e.scopeName == "graft-test")
+    assert(e.scopeAttrs == Map("library_version" -> "1.2.3"))
   }
 
   test("readLogs: binpb.gz file → cooked frame with flattened columns") {
@@ -47,6 +49,8 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(err.getAs[String]("log_message") == "payment failed")
     assert(err.getAs[String]("attr_retries") == "3")
     assert(err.getAs[String]("resource_k8s_namespace_name") == "prod")
+    // instrumentation-scope attributes widen under the scope_* namespace
+    assert(err.getAs[String]("scope_library_version") == "1.2.3")
     // second record has no `retries` attr → null (dynamic-schema union)
     val ok = df.filter(org.apache.spark.sql.functions.col("log_level") === "INFO").head()
     assert(ok.getAs[String]("attr_retries") == null)
