@@ -274,7 +274,8 @@ private final class LogParser(input: String) {
     if (c.isDigit || (c == '.' && pos + 1 < input.length && input(pos + 1).isDigit)) {
       val start = pos
       while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
-      NumberLeaf(input.substring(start, pos).toDouble)
+      val lit = input.substring(start, pos)
+      NumberLeaf(lit.toDoubleOption.getOrElse(fail(s"malformed number '$lit' at $start")))
     } else if (c == '(') {
       pos += 1
       val e = parseCompare()
@@ -309,7 +310,8 @@ private final class LogParser(input: String) {
         skipWs()
         val start = pos
         while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
-        val p = input.substring(start, pos).toDouble
+        val lit = input.substring(start, pos)
+        val p = lit.toDoubleOption.getOrElse(fail(s"malformed number '$lit' at $start"))
         expect(',')
         Some(p)
       } else None
@@ -342,7 +344,8 @@ private final class LogParser(input: String) {
         skipWs()
         val start = pos
         while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
-        val p = input.substring(start, pos).toDouble
+        val lit = input.substring(start, pos)
+        val p = lit.toDoubleOption.getOrElse(fail(s"malformed number '$lit' at $start"))
         expect(',')
         Some(p)
       } else None

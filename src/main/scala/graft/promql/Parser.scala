@@ -235,7 +235,10 @@ private final class Parser(input: String) {
         ((input(pos) == '-' || input(pos) == '+') && pos > start &&
           (input(pos - 1) == 'e' || input(pos - 1) == 'E')))) pos += 1
     if (pos == start) fail(s"expected number at $pos")
-    input.substring(start, pos).toDouble
+    val s = input.substring(start, pos)
+    // the scan is permissive ("8E", "1.2.3" shapes reach here) — a malformed
+    // literal must surface as a ParseError/Left, never an exception
+    s.toDoubleOption.getOrElse(fail(s"malformed number '$s' at $start"))
   }
 
   // ---- postfix / primary ---------------------------------------------------
