@@ -1045,9 +1045,12 @@ object OtelProto {
         dps.flatMap(d => ld(1, d)).toArray ++ vint(2, 2)) // CUMULATIVE
 
     def metricsData(resourceAttrs: Seq[(String, String)], scopeName: String,
-        metrics: Seq[Array[Byte]]): Array[Byte] = {
+        metrics: Seq[Array[Byte]],
+        scopeAttrs: Seq[(String, String)] = Nil): Array[Byte] = {
       val resource = resourceAttrs.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray
-      val scopeMetrics = ld(1, str(1, scopeName)) ++ metrics.flatMap(m => ld(2, m))
+      val scope = str(1, scopeName) ++
+        scopeAttrs.flatMap { case (k, v) => ld(3, kv(k, v)) }.toArray
+      val scopeMetrics = ld(1, scope) ++ metrics.flatMap(m => ld(2, m))
       ld(1, ld(1, resource) ++ ld(2, scopeMetrics))
     }
 
@@ -1069,10 +1072,13 @@ object OtelProto {
       * concatenation of blocks is a valid TracesData (repeated field 1)
       */
     def tracesData(
-        groups: Seq[(Seq[(String, String)], String, Seq[Array[Byte]])]): Array[Byte] =
+        groups: Seq[(Seq[(String, String)], String, Seq[Array[Byte]])],
+        scopeAttrs: Seq[(String, String)] = Nil): Array[Byte] =
       groups.flatMap { case (resourceAttrs, scopeName, spans) =>
         val resource = resourceAttrs.flatMap { case (k, v) => ld(1, kv(k, v)) }.toArray
-        val scopeSpans = ld(1, str(1, scopeName)) ++ spans.flatMap(sp => ld(2, sp))
+        val scope = str(1, scopeName) ++
+          scopeAttrs.flatMap { case (k, v) => ld(3, kv(k, v)) }.toArray
+        val scopeSpans = ld(1, scope) ++ spans.flatMap(sp => ld(2, sp))
         ld(1, ld(1, resource) ++ ld(2, scopeSpans))
       }.toArray
   }

@@ -83,7 +83,8 @@ class OtelProtoSpec extends AnyFunSuite {
           Encode.numberDp(1704067200000000000L, 42.5, Seq("core" -> "0")),
           Encode.numberDp(1704067210000000000L, 43.25, Seq("core" -> "1")))),
         Encode.sumMetric("requests_total", monotonic = true, Seq(
-          Encode.numberDp(1704067200000000000L, 100.0, Seq("code" -> "200"))))))
+          Encode.numberDp(1704067200000000000L, 100.0, Seq("code" -> "200"))))),
+      scopeAttrs = Seq("lib.ver" -> "9"))
     val ms = OtelProto.parseMetrics(blob)
     assert(ms.size == 3)
     val gauge = ms.filter(_.metricName == "cpu_temp")
@@ -93,6 +94,7 @@ class OtelProtoSpec extends AnyFunSuite {
     val ctr = ms.find(_.metricName == "requests_total").get
     assert(ctr.metricType == "count" && ctr.value == 100.0)
     assert(ctr.attrs == Map("code" -> "200"))
+    assert(ctr.scopeAttrs == Map("lib_ver" -> "9"))
   }
 
   test("histogram wire round-trip: packed buckets/bounds, count/sum/min/max") {
@@ -100,7 +102,8 @@ class OtelProtoSpec extends AnyFunSuite {
       Seq("service.name" -> "svc-h"), "graft-test",
       Seq(Encode.histogramMetric("latency", Seq(
         Encode.histogramDp(1704067200000000000L, 10L, 123.5, 0.5, 90.0,
-          Seq(2L, 5L, 3L), Seq(1.0, 10.0), Seq("route" -> "/api"))))))
+          Seq(2L, 5L, 3L), Seq(1.0, 10.0), Seq("route" -> "/api"))))),
+      scopeAttrs = Seq("lib.ver" -> "9"))
     val hs = OtelProto.parseHistograms(blob)
     assert(hs.size == 1)
     val h = hs.head
@@ -109,6 +112,7 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(h.bucketCounts == Seq(2L, 5L, 3L) && h.explicitBounds == Seq(1.0, 10.0))
     assert(h.attrs == Map("route" -> "/api"))
     assert(h.resourceAttrs == Map("service_name" -> "svc-h"))
+    assert(h.scopeAttrs == Map("lib_ver" -> "9"))
   }
 
   test("expo histogram wire round-trip: zigzag scale/offset, packed counts") {
@@ -118,7 +122,8 @@ class OtelProtoSpec extends AnyFunSuite {
       Seq(Encode.expoHistogramMetric("latency_expo", Seq(
         Encode.expoHistogramDp(1704067200000000000L, 12L, 55.25, 0.004, 30.0,
           scale = -1, zeroCount = 2L, posOffset = -3,
-          posCounts = Seq(1L, 0L, 4L, 5L), Seq("route" -> "/api"))))))
+          posCounts = Seq(1L, 0L, 4L, 5L), Seq("route" -> "/api"))))),
+      scopeAttrs = Seq("lib.ver" -> "9"))
     val hs = OtelProto.parseExpoHistograms(blob)
     assert(hs.size == 1)
     val h = hs.head
@@ -128,6 +133,7 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(h.posOffset == -3 && h.posCounts == Seq(1L, 0L, 4L, 5L))
     assert(h.attrs == Map("route" -> "/api"))
     assert(h.resourceAttrs == Map("service_name" -> "svc-e"))
+    assert(h.scopeAttrs == Map("lib_ver" -> "9"))
   }
 
   test("ExpoBridge: exact bin mapping, exact stats, bounded quantiles") {
@@ -162,13 +168,15 @@ class OtelProtoSpec extends AnyFunSuite {
           1704067200000000000L, 1704067200250000000L, 2, "boom",
           Seq("http.status" -> "500")),
         Encode.span(tid, "00000000000000aa", sid, "child", 3,
-          1704067200010000000L, 1704067200020000000L, 1, "", Nil)))))
+          1704067200010000000L, 1704067200020000000L, 1, "", Nil)))),
+      scopeAttrs = Seq("lib.ver" -> "9"))
     val sp = OtelProto.parseSpans(blob)
     assert(sp.size == 2)
     val root = sp.find(_.parentSpanId.isEmpty).get
     assert(root.traceId == tid && root.spanId == sid)
     assert(root.kind == 2 && root.statusCode == 2 && root.statusMessage == "boom")
     assert(root.attrs == Map("http_status" -> "500"))
+    assert(root.scopeAttrs == Map("lib_ver" -> "9"))
     val child = sp.find(_.parentSpanId.nonEmpty).get
     assert(child.parentSpanId == sid)
     assert((child.endUnixNano - child.startUnixNano) == 10000000L)
