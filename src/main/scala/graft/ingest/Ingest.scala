@@ -383,6 +383,40 @@ object Segments {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
 
+  /** spans: sort by (span_trace_id, chq_tsns) — the reference's trace
+    * segment order (trace_ingest_duckdb.go:451) — so one trace's spans
+    * are contiguous; bloom filter on span_trace_id serves the
+    * trace-by-id lookup (file-level companion: [[FingerprintIndex]],
+    * where span_trace_id is exact+trigram indexed)
+    */
+  def writeSpanSegments(cooked: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 2000000L): Unit =
+    cooked
+      .withColumn("dateint", dateint(col("chq_timestamp")))
+      .repartition(col("dateint"))
+      .sortWithinPartitions(col("dateint"),
+        col("span_trace_id"), col("chq_tsns"))
+      .write.mode("append")
+      .partitionBy("dateint")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#span_trace_id", "true")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outDir)
+
+  /** trace-segment compaction: same swap protocol, trace sort order */
+  def compactSpanSegments(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 2000000L): DataFrame =
+    compactWithSwap(spark, dir) { df =>
+      df.repartition(col("dateint"))
+        .sortWithinPartitions(col("dateint"),
+          col("span_trace_id"), col("chq_tsns"))
+        .write.mode("overwrite")
+        .partitionBy("dateint")
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#span_trace_id", "true")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+    }
+
   /** Compaction: re-read a segment dir (union-by-name across evolving
     * schemas), re-sort, and REWRITE it as fewer, larger, sorted files
     * (reference log_compaction_processor.go:100-339): write to a sibling

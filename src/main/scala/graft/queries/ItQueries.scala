@@ -258,6 +258,76 @@ object ItQueries extends Catalog {
          AND chq_timestamp >= $Start AND chq_timestamp < $End
        GROUP BY 1"""
 
+  /** span segments + fingerprint index once per session+sf */
+  @volatile private var spanSegRootCur: String = s"$tmpRoot/graft_it_spanseg_sf0.01"
+
+  private def ensureSpanSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_spanseg_${tag(d)}"
+    spanSegRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      deleteDir(s, graft.ingest.FingerprintIndex.indexPath(dir))
+      val spans = graft.model.Cooked.spans(s, d)
+        .filter(col("chq_timestamp") >= Start - 86400000L &&
+          col("chq_timestamp") < End + 86400000L)
+      Segments.writeSpanSegments(spans, dir, maxRecordsPerFile = 2000)
+      graft.ingest.FingerprintIndex.buildLogIndex(s, dir)
+      true
+    })
+    dir
+  }
+
+  /** Trace-by-id lookup through the exact fingerprint index — the
+    * reference's span_trace_id IndexTrigramExact dimension exists for
+    * precisely this (fingerprint.go:60-70): fetching one trace must not
+    * scan every trace segment in range. The target id is discovered like
+    * an API caller would supply it (first error trace in the window);
+    * the LOOKUP scan is require()-gated to read fewer files than the dir
+    * holds, and the oracle recomputes the same trace summary from a full
+    * read of every file.
+    */
+  private def traceLookup(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{FingerprintIndex => FI}
+    val dir = ensureSpanSegments(s, d)
+    val seg = s.read.parquet(dir)
+      .filter(col("chq_timestamp") >= Start && col("chq_timestamp") < End)
+    val target = seg.filter(col("span_status_code") === "STATUS_CODE_ERROR")
+      .agg(min(col("span_trace_id"))).head().getString(0)
+    val req = FI.Requirement("span_trace_id",
+      Seq(FI.existsFp("span_trace_id"), FI.fingerprint("span_trace_id", target)),
+      guarded = false)
+    val pruned = FI.prunedRead(s, dir, FI.excludedFiles(s, dir, Seq(req)))
+    val allFiles = seg.inputFiles.length
+    val readFiles = pruned.inputFiles.length
+    require(readFiles < allFiles,
+      s"trace lookup did not prune: reading $readFiles of $allFiles files")
+    pruned.filter(col("span_trace_id") === target &&
+        col("chq_timestamp") >= Start && col("chq_timestamp") < End)
+      .groupBy(col("span_trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_status_code") === "STATUS_CODE_ERROR", 1L)
+          .otherwise(0L)).as("n_errors"),
+        sum(col("span_duration")).as("total_duration"),
+        min(col("chq_timestamp")).as("start_ts"),
+        max(col("chq_timestamp")).as("end_ts"))
+  }
+
+  private def traceLookupSql(dir: String): String =
+    s"""WITH seg AS (
+       SELECT * FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE chq_timestamp >= $Start AND chq_timestamp < $End),
+     target AS (
+       SELECT min(span_trace_id) AS tid FROM seg
+       WHERE span_status_code = 'STATUS_CODE_ERROR')
+     SELECT s.span_trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN s.span_status_code = 'STATUS_CODE_ERROR'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+            CAST(sum(s.span_duration) AS BIGINT) AS total_duration,
+            min(s.chq_timestamp) AS start_ts,
+            max(s.chq_timestamp) AS end_ts
+     FROM seg s JOIN target t ON s.span_trace_id = t.tid
+     GROUP BY 1"""
+
   /** Agg-file substitution (reference CanUseAggFile/BuildAggFileSQL,
     * promql/sql_builder.go:374-470; flag-off by default like upstream):
     * a count query whose grouping + matchers fit the materialized
@@ -348,6 +418,7 @@ object ItQueries extends Catalog {
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
-    Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur)))
+    Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),
+    Q("it_trace_lookup", traceLookup, Some(traceLookupSql(spanSegRootCur)))
   )
 }
