@@ -115,6 +115,38 @@ class IngestSpec extends AnyFunSuite {
     assert(!names.exists(n => n.contains("compact_tmp") || n.contains("compact_old")))
   }
 
+  test("span segments: trace-contiguous sort survives write and compaction") {
+    val spans = graft.model.Cooked.spans(spark, sf)
+    val dir = Files.createTempDirectory("graft_spanseg_").toString
+    (0 until 2).foreach { i =>
+      Segments.writeSpanSegments(
+        spans.filter(org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.hash(col("span_id"))) % 2 === i),
+        dir, maxRecordsPerFile = 500)
+    }
+    val before = Segments.countDataFiles(spark, dir)
+    val nBefore = spark.read.parquet(dir).count()
+    val compacted = Segments.compactSpanSegments(spark, dir, maxRecordsPerFile = 5000)
+    assert(Segments.countDataFiles(spark, dir) < before)
+    assert(compacted.count() == nBefore)
+    // per-file sortedness by (span_trace_id, chq_tsns)
+    import spark.implicits._
+    val unsorted = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col("span_trace_id"), col("chq_tsns"))
+      .as[(String, String, Long)].mapPartitions { it =>
+        var bad = 0
+        var prev: (String, String, Long) = null
+        it.foreach { r =>
+          if (prev != null && prev._1 == r._1 &&
+            (prev._2 > r._2 || (prev._2 == r._2 && prev._3 > r._3))) bad += 1
+          prev = r
+        }
+        Iterator(bad)
+      }.collect().sum
+    assert(unsorted == 0, s"$unsorted out-of-order rows within files")
+  }
+
   test("trie clustering wildcards high-variety positions, keeps low-variety ones") {
     import spark.implicits._
     import graft.ingest.TrieFingerprint
