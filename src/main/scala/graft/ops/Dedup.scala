@@ -179,6 +179,16 @@ object Dedup {
     labels
   }
 
+  /** Apply dup clusters to the corpus: keep ONE document per cluster (the
+    * canonical min-id member [[components]] labels with itself) and drop
+    * the rest — the removal step a dedup pipeline runs after clustering.
+    * One anti-join against the (small) non-canonical member list.
+    */
+  def applyClusters(df: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    df.join(clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
   /** SimHash signature (`bits`-wide, ≤ 48): per token-with-multiplicity,
     * ±1 vote per bit of the token hash; sign vector packed into a long.
     */

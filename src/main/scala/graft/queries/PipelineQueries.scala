@@ -147,6 +147,67 @@ object PipelineQueries extends Catalog {
             max(id) AS max_member
      FROM comp GROUP BY 1"""
 
+  /** keep-one-per-cluster removal applied to the corpus ([[Dedup
+    * .applyClusters]]): survivors = docs minus non-canonical cluster
+    * members; the oracle replays the pair generation, the reachability
+    * closure, AND the anti-join
+    */
+  private def dedupApply(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val clusters = Dedup.components(
+      Dedup.minhashLsh(ds, "text", k = 16, bands = 4, w = 5, threshold = 0.5))
+    Dedup.applyClusters(ds, clusters)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(lit(ds.count()).as("n_docs"), col("n_survivors"), col("id_sum"))
+  }
+
+  private def dedupApplySql =
+    s"""WITH RECURSIVE pairs_q AS ($minhashLshSql),
+     edges AS (
+       SELECT a AS x, b AS y FROM pairs_q
+       UNION
+       SELECT b AS x, a AS y FROM pairs_q),
+     nodes AS (SELECT DISTINCT x AS id FROM edges),
+     walk(id, r) AS (
+       SELECT id, id FROM nodes
+       UNION
+       SELECT w.id, e.y FROM walk w JOIN edges e ON w.r = e.x),
+     comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+     removed AS (SELECT id FROM comp WHERE id <> comp)
+     SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_survivors,
+            CAST(sum(doc_id) AS BIGINT) AS id_sum
+     FROM documents WHERE doc_id NOT IN (SELECT id FROM removed)"""
+
+  /** deterministic per-language Bernoulli rates ([[graft.ops.Sampling]]):
+    * downsample dominant en, keep rare langs — binary-exact rates so the
+    * `< rate` comparison replays bit-identically in DuckDB
+    */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling
+    val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
+    val ds = docs(s, d)
+    ds.withColumn("__keep",
+        Sampling.keepFlag(col("lang"), col("doc_id"), rates, defaultRate = 0.25)
+          .cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__keep")).as("n_kept"))
+  }
+
+  private val stratifiedSampleSql =
+    """WITH u AS (
+       SELECT lang,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                / 281474976710656.0 AS unif,
+              CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
+                   WHEN 'fr' THEN 0.75 WHEN 'zh' THEN 1.0
+                   ELSE 0.25 END AS rate
+       FROM documents)
+     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN unif < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+     FROM u GROUP BY 1"""
+
   private def simhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), "text", bits = 32)
 
@@ -452,6 +513,8 @@ object PipelineQueries extends Catalog {
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
+    Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
+    Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),

@@ -69,6 +69,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("applyClusters keeps one canonical doc per cluster") {
+    // corpus: 1≈2 (near), 1==4 (exact) cluster under min-id 1; 3 and 5 alone
+    val clusters = Dedup.components(
+      Dedup.minhashLsh(corpus, "text", k = 16, bands = 4, w = 5, threshold = 0.5))
+    val survivors = Dedup.applyClusters(corpus, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L, 5L))
+  }
+
+  test("stratified sampling is deterministic and rate-shaped") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
+      .toDF("doc_id", "cls")
+    val rates = Map("rare" -> 1.0, "common" -> 0.5)
+    def run() = Sampling.stratified(df, "cls", "doc_id", rates)
+      .groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a == run()) // bit-identical resample
+    assert(a("rare") == 500L) // rate 1.0 keeps everything
+    assert(math.abs(a("common") - 750.0) < 75, a.toString) // ~half of 1500
+  }
+
   test("reliable-checkpoint mode (spark.graft.checkpointDir) matches local mode") {
     // same ops, blocks on a reliable FS instead of executor memory — the
     // fault-tolerance posture a 100 TB cluster with spot executors needs
