@@ -63,22 +63,23 @@ object Bench {
       System.err.println(f"[bench] REGRESSION $k: $b%.3fs -> $v%.3fs (${v / b}%.2fx)")
     }
 
-    // per-query explanations for flagged-but-diagnosed timings: these three
-    // were profiled warm-vs-cold and plan-audited (no md5/fingerprint leak
-    // into the plan, single shuffle, codegen'd partial+final agg) — the
-    // bench bills them Janino/codegen first-run cost, not engine work
+    // per-query explanations for intrinsically heavy rows (min-of-2 already
+    // removes cold-codegen noise, so remaining notes are design trades)
     val notes = Map(
-      "sq_trace_summary" -> ("cold-codegen dominated: warm steady-state ~0.9s; " +
-        "plan is one shuffle, codegen'd partial+final agg, unused md5 columns pruned"),
-      "td_tag_names" -> "cold-codegen dominated: warm ~0.5s; fingerprint/chq_id pruned from plan",
-      "td_tag_values" -> "cold-codegen dominated: warm ~0.4s; fingerprint/chq_id pruned from plan",
-      "pp_langid" -> "cold-codegen dominated: warm ~0.9s; operator unchanged since r1",
       "pq_topk" -> ("two-phase rank (partial top-k per salt, final over bounded survivors) " +
-        "adds one bounded shuffle vs r2 — deliberate: removes the single-task-per-bucket ceiling"),
-      "pq_bottomk" -> "same two-phase rank trade as pq_topk; warm ~0.7s",
+        "adds one bounded shuffle — deliberate: removes the single-task-per-bucket ceiling"),
+      "pq_bottomk" -> "same two-phase rank trade as pq_topk",
       "lq_topk" -> "same two-phase rank trade (shared engine path)",
       "pp_dup_clusters" -> ("iterative component convergence: per-round join+agg over the " +
-        "edge set with one checkpoint per round — rounds scale with component diameter, not corpus"))
+        "edge set with one checkpoint per round — rounds scale with component diameter, not corpus"),
+      "pp_dedup_apply" -> "full pipeline end-to-end: minhash-LSH pairs + component convergence + anti-join removal",
+      "tq_segment_roundtrip" -> "two write waves + real compaction rewrite + re-read: I/O-bound by design",
+      "tq_log_roundtrip" -> "same end-to-end write/compact/read spine for logs",
+      "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
+      "it_log_needle" -> "builds 16 days of log segments + fingerprint index once, then the pruned query",
+      "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
+      "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +
+        "(tiny shuffle) + one dimension join over the message stream"))
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
 
