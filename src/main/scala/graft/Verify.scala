@@ -18,6 +18,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE dump from a previous run in
+        // the same outDir — the compare would report the old (green) result
+        // instead of a missing one
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        ()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
