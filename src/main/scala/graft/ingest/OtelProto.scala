@@ -912,6 +912,39 @@ object OtelProto {
       col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
+  /** [[readHistograms]] with each datapoint's explicit buckets converted
+    * to a `chq_sketch` DDSketch blob (midpoint re-binning,
+    * [[graft.sketch.ExplicitBridge]]) — explicit-bounds histograms feed
+    * histogram_quantile / quantile_over_time through the same sketch path
+    * as pre-aggregated metrics and exponential histograms.
+    */
+  def readHistogramSketches(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val rows = files
+      .flatMap { case (p, c) => parseHistograms(maybeGunzip(p, c)) }
+      .map { h =>
+        val sk = graft.sketch.ExplicitBridge.fromExplicit(h.bucketCounts,
+          h.explicitBounds, h.count, h.sum, h.min, h.max)
+        (h.timeUnixNano, h.metricName, h.count, h.sum, h.min, h.max,
+          sk.serialize(), h.attrs, h.resourceAttrs, h.scopeName, h.scopeAttrs)
+      }
+      .toDF("timeUnixNano", "metricName", "count", "sum", "min", "max",
+        "sketch", "attrs", "resourceAttrs", "scopeName", "scopeAttrs")
+    widenAttrs(rows.select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
+      col("metricName").as("metric_name"),
+      lit("histogram").as("chq_metric_type"),
+      col("count").as("chq_rollup_count"),
+      col("sum").as("chq_rollup_sum"),
+      col("min").as("chq_rollup_min"),
+      col("max").as("chq_rollup_max"),
+      col("sketch").as("chq_sketch"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
+  }
+
   /** `.binpb[.gz]` OTel traces → cooked span columns
     * (docs/design/db-parquet/traces.md shapes): ids as lowercase hex,
     * kind/status as enum-name strings, span_duration in ms.

@@ -415,7 +415,10 @@ object TelemetryQueries extends Catalog {
     * packed bucket counts and bounds) checked against a DuckDB replay of
     * the same bucketing.
     */
-  private def binpbHistogram(s: SparkSession, d: String): DataFrame = {
+  /** explicit-bounds histogram fixture blob path (shared by the decode
+    * round-trip and the sketch-quantile rows)
+    */
+  private def histFixturePath(s: SparkSession, d: String): String = {
     import OtelProto.Encode
     val bounds = Seq(5.0, 20.0, 50.0, 100.0, 200.0)
     val rows = raw(s, d).filter(col("event_id") % 3 === 0)
@@ -437,8 +440,11 @@ object TelemetryQueries extends Catalog {
       }
     val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
       "graft-test", Seq(Encode.histogramMetric("events_value_hist", dps)))
-    OtelProto.readHistograms(s,
-      gzWrite("graft_binpb_h_", "hist.binpb.gz", blob))
+    gzWrite("graft_binpb_h_", "hist.binpb.gz", blob)
+  }
+
+  private def binpbHistogram(s: SparkSession, d: String): DataFrame = {
+    OtelProto.readHistograms(s, histFixturePath(s, d))
       .select(col("chq_timestamp"), col("attr_event_type"),
         col("chq_rollup_count"), round(col("chq_rollup_sum"), 4).as("sum_v"),
         col("chq_rollup_min").as("min_v"), col("chq_rollup_max").as("max_v"),
@@ -469,6 +475,58 @@ object TelemetryQueries extends Catalog {
     * power-of-two literals, so no log() boundary drift is possible.
     * v < 2^-7 counts into the zero bucket.
     */
+  /** explicit-bounds histograms → DDSketch via midpoint re-binning
+    * ([[graft.sketch.ExplicitBridge]]) → p90; the oracle replays the whole
+    * bridge in SQL: per-datapoint bucket counts → midpoint representatives
+    * (edge buckets use the datapoint's min/max) → default-gamma log bins →
+    * rank walk with [min,max] clamp.
+    */
+  private def histExplicitQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{functions => gf}
+    OtelProto.readHistogramSketches(s, histFixturePath(s, d))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.9), 6).as("p90"))
+  }
+
+  private val histExplicitQuantileSql = {
+    val gamma = "((1.0 + 0.01) / (1.0 - 0.01))"
+    s"""WITH ev AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS h,
+              event_type AS et, "value" AS v
+       FROM events WHERE event_id % 3 = 0),
+     stats AS (
+       SELECT h, et, CAST(count(*) AS BIGINT) AS n, min(v) AS mn, max(v) AS mx
+       FROM ev GROUP BY 1, 2),
+     bucket AS (
+       SELECT h, et,
+              CASE WHEN v <= 5 THEN 0 WHEN v <= 20 THEN 1 WHEN v <= 50 THEN 2
+                   WHEN v <= 100 THEN 3 WHEN v <= 200 THEN 4 ELSE 5 END AS bi,
+              CAST(count(*) AS BIGINT) AS c
+       FROM ev GROUP BY 1, 2, 3),
+     rep AS (
+       SELECT b.h, b.et, b.c,
+              CASE b.bi WHEN 0 THEN (s.mn + 5) / 2.0
+                        WHEN 1 THEN 12.5 WHEN 2 THEN 35.0 WHEN 3 THEN 75.0
+                        WHEN 4 THEN 150.0 ELSE (200 + s.mx) / 2.0 END AS r
+       FROM bucket b JOIN stats s ON s.h = b.h AND s.et = b.et),
+     bins AS (
+       SELECT h, et, CAST(ceil(ln(r) / ln($gamma)) AS BIGINT) AS i,
+              CAST(sum(c) AS BIGINT) AS c
+       FROM rep GROUP BY 1, 2, 3),
+     cum AS (
+       SELECT h, et, i, sum(c) OVER (PARTITION BY h, et ORDER BY i) AS cum
+       FROM bins),
+     sel AS (
+       SELECT c.h, c.et, min(c.i) AS qi
+       FROM cum c JOIN stats s ON s.h = c.h AND s.et = c.et
+       WHERE c.cum >= CAST(floor(0.9 * (s.n - 1)) AS BIGINT) + 1
+       GROUP BY 1, 2)
+     SELECT s.h AS chq_timestamp, s.et AS attr_event_type,
+            round(least(greatest(2 * pow($gamma, sel.qi) / ($gamma + 1.0), s.mn),
+                        s.mx), 6) AS p90
+     FROM stats s JOIN sel ON sel.h = s.h AND sel.et = s.et"""
+  }
+
   /** scale-0 expo-histogram fixture blob path for the events subset
     * (shared by the decode round-trip and the sketch-quantile rows)
     */
@@ -921,6 +979,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),
+    Q("tq_hist_explicit_quantile", histExplicitQuantile, Some(histExplicitQuantileSql)),
     Q("tq_binpb_expo", binpbExpoHistogram, Some(binpbExpoHistogramSql)),
     Q("tq_expo_quantile", expoQuantile, Some(expoQuantileSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),

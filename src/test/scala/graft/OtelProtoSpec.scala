@@ -158,6 +158,26 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(back.quantile(0.9) == sk.quantile(0.9))
   }
 
+  test("ExplicitBridge: midpoint re-binning, exact stats, bounded quantiles") {
+    import graft.sketch.ExplicitBridge
+    // buckets (-inf,10](10,100](100,inf) with counts 4/5/1, min 2, max 150:
+    // reps = (2+10)/2=6, (10+100)/2=55, (100+150)/2=125
+    assert(ExplicitBridge.representatives(Seq(10.0, 100.0), 2.0, 150.0) ==
+      Seq(6.0, 55.0, 125.0))
+    val sk = ExplicitBridge.fromExplicit(Seq(4L, 5L, 1L), Seq(10.0, 100.0),
+      count = 10L, sum = 400.0, min = 2.0, max = 150.0)
+    // datapoint stats are authoritative, not midpoint-derived
+    assert(sk.count == 10L && sk.sum == 400.0)
+    assert(sk.quantile(0.0) == 2.0 && sk.quantile(1.0) == 150.0)
+    // rank(0.5) = floor(0.5*9)+1 = 5 → falls in the 55-rep bucket; the
+    // sketch answer is 55 within alpha relative accuracy, clamped in range
+    val p50 = sk.quantile(0.5)
+    assert(math.abs(p50 - 55.0) / 55.0 < 0.02, s"p50=$p50")
+    // serialization round-trips the re-binned mass
+    val back = graft.sketch.DDSketch.deserialize(sk.serialize())
+    assert(back.quantile(0.5) == p50)
+  }
+
   test("spans wire round-trip: ids, kind/status enums, duration") {
     val tid = "0123456789abcdef0123456789abcdef"
     val sid = "fedcba9876543210"
