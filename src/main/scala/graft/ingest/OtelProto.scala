@@ -330,6 +330,123 @@ object OtelProto {
     OtelHistogram(t, "", n, s, mn, mx, bc.toSeq, eb.toSeq, attrs, Map.empty, "")
   }
 
+  /** one decoded Summary datapoint (client-computed quantiles; the
+    * reference types summaries as the histogram class,
+    * internal/oteltools/pkg/fingerprinter/tid.go:38-39)
+    */
+  final case class OtelSummary(
+      timeUnixNano: Long,
+      metricName: String,
+      count: Long,
+      sum: Double,
+      quantileValues: Seq[(Double, Double)],
+      attrs: Map[String, String],
+      resourceAttrs: Map[String, String],
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
+
+  /** SummaryDataPoint (metrics.proto): time=3 (fixed64), count=4
+    * (fixed64), sum=5 (double), quantile_values=6 (ValueAtQuantile
+    * {quantile=1, value=2} doubles), attributes=7
+    */
+  private def summaryDataPoint(r: Reader): OtelSummary = {
+    var t = 0L; var n = 0L; var s = 0.0
+    val qvs = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    var attrs = Map.empty[String, String]
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 3 => t = r.readFixed64()
+        case 4 => n = r.readFixed64()
+        case 5 => s = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 6 =>
+          val q = r.readMessage()
+          var qq = 0.0; var vv = 0.0
+          while (q.hasNext) {
+            val (f2, w2) = q.readTag()
+            f2 match {
+              case 1 => qq = java.lang.Double.longBitsToDouble(q.readFixed64())
+              case 2 => vv = java.lang.Double.longBitsToDouble(q.readFixed64())
+              case _ => q.skip(w2)
+            }
+          }
+          qvs += ((qq, vv))
+        case 7 => attrs += keyValue(r.readMessage())
+        case _ => r.skip(w)
+      }
+    }
+    OtelSummary(t, "", n, s, qvs.toSeq, attrs, Map.empty, "")
+  }
+
+  def parseSummaries(data: Array[Byte]): Seq[OtelSummary] = {
+    val out = scala.collection.mutable.ListBuffer[OtelSummary]()
+    val root = new Reader(data, 0, data.length)
+    while (root.hasNext) {
+      val (f, w) = root.readTag()
+      if (f == 1 && w == 2) {
+        val rm = root.readMessage()
+        var resAttrs = Map.empty[String, String]
+        val scopeMetrics = scala.collection.mutable.ListBuffer[Reader]()
+        while (rm.hasNext) {
+          val (f2, w2) = rm.readTag()
+          f2 match {
+            case 1 =>
+              val res = rm.readMessage()
+              while (res.hasNext) {
+                val (f3, w3) = res.readTag()
+                if (f3 == 1 && w3 == 2) resAttrs += keyValue(res.readMessage())
+                else res.skip(w3)
+              }
+            case 2 => scopeMetrics += rm.readMessage()
+            case _ => rm.skip(w2)
+          }
+        }
+        scopeMetrics.foreach { sm =>
+          var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
+          while (sm.hasNext) {
+            val (f2, w2) = sm.readTag()
+            f2 match {
+              case 1 =>
+                val sc = sm.readMessage()
+                while (sc.hasNext) {
+                  val (f3, w3) = sc.readTag()
+                  if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
+                  else sc.skip(w3)
+                }
+              case 2 =>
+                val m = sm.readMessage()
+                var name = ""
+                val points = scala.collection.mutable.ListBuffer[OtelSummary]()
+                while (m.hasNext) {
+                  val (f3, w3) = m.readTag()
+                  f3 match {
+                    case 1 => name = m.readString()
+                    case 11 => // summary { data_points=1 }
+                      val su = m.readMessage()
+                      while (su.hasNext) {
+                        val (f4, w4) = su.readTag()
+                        if (f4 == 1 && w4 == 2)
+                          points += summaryDataPoint(su.readMessage())
+                        else su.skip(w4)
+                      }
+                    case _ => m.skip(w3)
+                  }
+                }
+                points.foreach { p =>
+                  out += p.copy(metricName = name, resourceAttrs = resAttrs,
+                    scopeName = scopeName, scopeAttrs = scopeAttrs)
+                }
+              case _ => sm.skip(w2)
+            }
+          }
+        }
+      } else root.skip(w)
+    }
+    out.toSeq
+  }
+
   /** ExponentialHistogramDataPoint (metrics.proto): attributes=1, time=3
     * (fixed64), count=4 (fixed64), sum=5 (double), scale=6 (sint32 zigzag),
     * zero_count=7 (fixed64), positive=8 / negative=9 (Buckets: offset=1
@@ -945,6 +1062,41 @@ object OtelProto {
       col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
+  /** `.binpb[.gz]` OTel metrics (Summary datapoints) → cooked rows:
+    * client-computed quantiles land on the cooked percentile columns
+    * (chq_rollup_p50/p90/p95/p99 when present) next to exact count/sum —
+    * the cooked contract's percentile surface without a sketch
+    * (docs/design/db-parquet/metrics.md:85-115).
+    */
+  def readSummaries(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val rows = files
+      .flatMap { case (p, c) => parseSummaries(maybeGunzip(p, c)) }
+      .map { s =>
+        (s.timeUnixNano, s.metricName, s.count, s.sum, s.quantileValues.toMap,
+          s.attrs, s.resourceAttrs, s.scopeName, s.scopeAttrs)
+      }
+      .toDF("timeUnixNano", "metricName", "count", "sum", "qvs",
+        "attrs", "resourceAttrs", "scopeName", "scopeAttrs")
+    val base = widenAttrs(rows.select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
+      col("metricName").as("metric_name"),
+      lit("summary").as("chq_metric_type"),
+      col("count").as("chq_rollup_count"),
+      col("sum").as("chq_rollup_sum"),
+      col("qvs"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
+    Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+      0.9 -> "p90", 0.95 -> "p95", 0.99 -> "p99")
+      .foldLeft(base) { case (df, (q, nm)) =>
+        df.withColumn(s"chq_rollup_$nm", element_at(col("qvs"), lit(q)))
+      }
+      .drop("qvs")
+  }
+
   /** `.binpb[.gz]` OTel traces → cooked span columns
     * (docs/design/db-parquet/traces.md shapes): ids as lowercase hex,
     * kind/status as enum-name strings, span_duration in ms.
@@ -1052,6 +1204,16 @@ object OtelProto {
         attrs.flatMap { case (k, v) => ld(9, kv(k, v)) } ++
         dbl(11, min) ++ dbl(12, max)
     }
+
+    def summaryDp(timeNs: Long, count: Long, sum: Double,
+        quantileValues: Seq[(Double, Double)],
+        attrs: Seq[(String, String)]): Array[Byte] =
+      fixed64(3, timeNs) ++ fixed64(4, count) ++ dbl(5, sum) ++
+        quantileValues.flatMap { case (q, v) => ld(6, dbl(1, q) ++ dbl(2, v)) } ++
+        attrs.flatMap { case (k, v) => ld(7, kv(k, v)) }
+
+    def summaryMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
+      str(1, name) ++ ld(11, dps.flatMap(d => ld(1, d)).toArray)
 
     def histogramMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
       str(1, name) ++ ld(9,

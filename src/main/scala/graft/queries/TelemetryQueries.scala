@@ -475,6 +475,43 @@ object TelemetryQueries extends Catalog {
     * power-of-two literals, so no log() boundary drift is possible.
     * v < 2^-7 counts into the zero bucket.
     */
+  /** OTel Summary round-trip: per-(hour, event_type) summaries with
+    * client-computed lower-rank p50/p90 → encoded → wire decoder →
+    * quantiles land on the cooked percentile columns; oracle recomputes
+    * the same lower-rank quantiles from events.
+    */
+  private def binpbSummary(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val rows = raw(s, d).filter(col("event_id") % 7 === 2)
+      .select(expr("ts_ms - ts_ms % 3600000").as("h"), col("event_type"),
+        col("value"))
+      .collect()
+    val dps = rows.groupBy(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1).map { case ((h, et), rs) =>
+        val vs = rs.map(_.getDouble(2)).sorted
+        def lowerRank(q: Double) = vs(math.floor(q * (vs.length - 1)).toInt)
+        Encode.summaryDp(h * 1000000L, vs.length.toLong, vs.sum,
+          Seq(0.5 -> lowerRank(0.5), 0.9 -> lowerRank(0.9)),
+          Seq("event.type" -> et))
+      }
+    val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
+      "graft-test", Seq(Encode.summaryMetric("events_value_summary", dps)))
+    OtelProto.readSummaries(s,
+      gzWrite("graft_binpb_s_", "summary.binpb.gz", blob))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"), round(col("chq_rollup_sum"), 4).as("sum_v"),
+        col("chq_rollup_p50").as("p50"), col("chq_rollup_p90").as("p90"))
+  }
+
+  private val binpbSummarySql =
+    """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS chq_timestamp,
+              event_type AS attr_event_type,
+              CAST(count(*) AS BIGINT) AS chq_rollup_count,
+              round(sum("value"), 4) AS sum_v,
+              (list_sort(list("value")))[CAST(floor(0.5 * (count(*) - 1)) AS BIGINT) + 1] AS p50,
+              (list_sort(list("value")))[CAST(floor(0.9 * (count(*) - 1)) AS BIGINT) + 1] AS p90
+       FROM events WHERE event_id % 7 = 2 GROUP BY 1, 2"""
+
   /** explicit-bounds histograms → DDSketch via midpoint re-binning
     * ([[graft.sketch.ExplicitBridge]]) → p90; the oracle replays the whole
     * bridge in SQL: per-datapoint bucket counts → midpoint representatives
@@ -980,6 +1017,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),
     Q("tq_hist_explicit_quantile", histExplicitQuantile, Some(histExplicitQuantileSql)),
+    Q("tq_binpb_summary", binpbSummary, Some(binpbSummarySql)),
     Q("tq_binpb_expo", binpbExpoHistogram, Some(binpbExpoHistogramSql)),
     Q("tq_expo_quantile", expoQuantile, Some(expoQuantileSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),

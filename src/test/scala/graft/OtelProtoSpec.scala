@@ -158,6 +158,23 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(back.quantile(0.9) == sk.quantile(0.9))
   }
 
+  test("summary wire round-trip: count/sum and quantile values") {
+    val blob = Encode.metricsData(
+      Seq("service.name" -> "svc-s"), "graft-test",
+      Seq(Encode.summaryMetric("rpc_latency", Seq(
+        Encode.summaryDp(1704067200000000000L, 20L, 44.5,
+          Seq(0.5 -> 1.75, 0.99 -> 9.25), Seq("route" -> "/rpc"))))),
+      scopeAttrs = Seq("lib.ver" -> "9"))
+    val ss = OtelProto.parseSummaries(blob)
+    assert(ss.size == 1)
+    val s0 = ss.head
+    assert(s0.metricName == "rpc_latency" && s0.count == 20L && s0.sum == 44.5)
+    assert(s0.quantileValues == Seq(0.5 -> 1.75, 0.99 -> 9.25))
+    assert(s0.attrs == Map("route" -> "/rpc"))
+    assert(s0.resourceAttrs == Map("service_name" -> "svc-s"))
+    assert(s0.scopeAttrs == Map("lib_ver" -> "9"))
+  }
+
   test("ExplicitBridge: midpoint re-binning, exact stats, bounded quantiles") {
     import graft.sketch.ExplicitBridge
     // buckets (-inf,10](10,100](100,inf) with counts 4/5/1, min 2, max 150:
