@@ -68,6 +68,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("wire decoder is total on garbage: clean error or result, never a crash class") {
+    import graft.ingest.OtelProto
+    val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    holds(forAll(bytesGen) { bs =>
+      def ok(f: => Any): Boolean =
+        try { f; true }
+        catch { case _: IllegalArgumentException => true } // the designed failure mode
+      ok(OtelProto.parseLogs(bs)) && ok(OtelProto.parseMetrics(bs)) &&
+        ok(OtelProto.parseHistograms(bs)) && ok(OtelProto.parseExpoHistograms(bs)) &&
+        ok(OtelProto.parseSummaries(bs)) && ok(OtelProto.parseSpans(bs))
+    }, n = 300)
+    // mutated VALID messages (bit flips in real structure) must also fail cleanly
+    val valid = OtelProto.Encode.logsData(Seq("a" -> "b"), "s",
+      Seq(OtelProto.Encode.logRecord(1L, 9, "INFO", "hello world", Seq("k" -> "v"))))
+    holds(forAll(Gen.choose(0, valid.length - 1), Gen.choose(0, 7)) { (i, bit) =>
+      val m = valid.clone()
+      m(i) = (m(i) ^ (1 << bit)).toByte
+      try { OtelProto.parseLogs(m); true }
+      catch { case _: IllegalArgumentException => true }
+    }, n = 300)
+  }
+
   test("valid queries keep parsing after random whitespace padding") {
     val qs = Seq(
       """sum by (attr_event_type) (rate(events_value[4h]))""",
