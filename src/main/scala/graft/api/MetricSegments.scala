@@ -62,10 +62,17 @@ object MetricSegments {
       e: Expr): Set[String] = {
     import graft.ingest.FingerprintIndex
     val perSelector = selectors(e).map { s =>
-      val req = FingerprintIndex.Requirement("metric_name",
-        Seq(FingerprintIndex.existsFp("metric_name"),
-          FingerprintIndex.fingerprint("metric_name", s.metric)), guarded = false)
-      FingerprintIndex.excludedFiles(spark, segDir, Seq(req))
+      // a bare matcher set `{attr="v"}` parses with an EMPTY metric name:
+      // it selects across all metrics, so it must contribute no
+      // requirement (an exact fp of "" is never indexed and would exclude
+      // every indexed file)
+      if (s.metric.isEmpty) Set.empty[String]
+      else {
+        val req = FingerprintIndex.Requirement("metric_name",
+          Seq(FingerprintIndex.existsFp("metric_name"),
+            FingerprintIndex.fingerprint("metric_name", s.metric)), guarded = false)
+        FingerprintIndex.excludedFiles(spark, segDir, Seq(req))
+      }
     }
     if (perSelector.isEmpty) Set.empty else perSelector.reduce(_ intersect _)
   }

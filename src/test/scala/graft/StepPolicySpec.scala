@@ -104,6 +104,29 @@ class StepPolicySpec extends AnyFunSuite {
     assert(gotSet.nonEmpty && gotSet == manual)
   }
 
+  test("bare matcher sets (empty metric name) never prune metric files") {
+    import org.apache.spark.sql.functions._
+    import graft.api.MetricSegments
+    val spark = TestSpark.spark
+    val ev = graft.model.Tables.events(spark, TestSpark.sf)
+    // 10s tier: a 1h query span selects step=10s → tier=10000
+    val base = graft.ingest.MetricsPreAgg.preAggregate(ev, col("ts_ms"),
+      lit("m_only"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bare_").toString
+    graft.ingest.Segments.writeMetricSegments(base, dir, maxRecordsPerFile = 50)
+    graft.ingest.FingerprintIndex.buildLogIndex(spark, dir)
+    val start = 1704067200000L
+    // `{attr_event_type="purchase"}` selects across ALL metrics — with an
+    // index present this must still read every file, not exclude them all
+    val got = MetricSegments.query(spark, dir,
+      """sum by (attr_event_type) ({attr_event_type="purchase"})""",
+      start, start + 3600000L)
+    assert(got.filter(!isnan(col("value"))).count() > 0,
+      "bare matcher set returned nothing against an indexed segment dir")
+  }
+
   test("scanTier prunes to the freq partition of a segment dir") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
