@@ -20,22 +20,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JVM/codegen/FS-cache startup isn't billed to q1
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run contributes NO timing (a fast failure must never bench
+    // as a fast query — min-of-2 would otherwise PREFER the failure); the
+    // error message is carried in the JSON's `err` map instead.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case t: Throwable =>
+        Left(Option(t.getMessage).getOrElse(t.getClass.getName).linesIterator
+          .next().take(200))
+      }
     }
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(fn)
       val warm = timeOnce(fn)
-      (name, math.min(cold, warm), cold)
+      val ok = Seq(cold, warm).collect { case Right(v) => v }
+      val err = Seq(cold, warm).collect { case Left(m) => m }.headOption
+        .filter(_ => ok.isEmpty)
+      (name, ok.minOption, cold.toOption, err)
     }
-    val results = timings.map { case (n, v, _) => (n, v) }
+    val errs = timings.collect { case (n, _, _, Some(m)) => (n, m) }
+    errs.foreach { case (n, m) => System.err.println(s"[bench] ERROR $n: $m") }
+    val errJson = errs.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val results = timings.collect { case (n, Some(v), _, _) => (n, v) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val coldJson = timings.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
-      .mkString("{", ",", "}")
+    val coldJson = timings.collect { case (k, _, Some(c), _) =>
+      "\"" + k + "\":" + f"$c%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // prior-round per-query times (the baseline file may wrap the bench
@@ -84,7 +100,7 @@ object Bench {
       .mkString("{", ",", "}")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cold":$coldJson,"regressions":$regJson,"notes":$notesJson,"sf":"$sfDir"}""")
+      s""""cold":$coldJson,"err":$errJson,"regressions":$regJson,"notes":$notesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

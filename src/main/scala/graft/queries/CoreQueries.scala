@@ -316,13 +316,45 @@ object CoreQueries extends Catalog {
 
   /** ntile quartiles over a deterministic total order (acctbal, key
     * tie-break) with per-quartile stats — the bucketed-percentile window
-    * shape analytics dashboards lean on
+    * shape analytics dashboards lean on.
+    *
+    * A naive `ntile(4) OVER (ORDER BY ...)` is a GLOBAL window: Spark
+    * funnels the entire table through ONE task. Instead: range-partition
+    * on the sort keys (each partition sorts independently in parallel),
+    * row_number WITHIN each partition (partitioned window — no funnel),
+    * then add per-partition offsets (one tiny agg, ≤ #partitions rows on
+    * the driver) to recover the exact global rank, and assign ntile
+    * buckets arithmetically from the rank — bit-identical to the window
+    * ntile because the tie-broken order is total.
     */
   private def qNtile(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    Tables.customer(s, d)
-      .withColumn("quartile", ntile(4).over(w))
+    val keys = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val local = Tables.customer(s, d)
+      .select(col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(32, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(keys: _*)))
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = counts
+      .scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, c)) => (pid, acc, acc + c) }
+      .drop(1).map { case (pid, off, _) => pid -> off }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
+          Seq(lit(p), lit(o)) }: _*), col("__pid")), lit(0L))
+    // ntile(k) over n rows: first (n % k) buckets get (n/k + 1) rows
+    val (q, rem) = (n / 4, n % 4)
+    val boundary = rem * (q + 1)
+    val rn = offExpr + col("__lrn")
+    val quartile = when(rn <= boundary, floor((rn - 1) / (q + 1)))
+      .otherwise(lit(rem) + floor((rn - 1 - boundary) / math.max(q, 1).toDouble))
+      .cast("int") + 1
+    local.withColumn("quartile", quartile)
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("c_acctbal")), 4).as("min_bal"),
