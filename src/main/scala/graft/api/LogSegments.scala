@@ -33,27 +33,32 @@ object LogSegments {
   }
 
   /** The pruned cooked-logs frame a LogQL expression will scan (exposed
-    * for plan inspection/tests).
+    * for plan inspection/tests). All leaves share ONE index read — their
+    * requirement trees are batched through
+    * [[FingerprintIndex.excludedForTrees]], which intersects per-leaf
+    * exclusions (a file needed by any leaf must be read).
     */
   def scanFor(spark: SparkSession, segDir: String, e: LogExpr,
-      p: QueryParams): DataFrame = {
-    val excludedPerLeaf = leafPipelines(e).map(pl =>
-      FingerprintIndex.excludedFiles(spark, segDir, FingerprintIndex.requirementsFor(pl)))
-    val excluded =
-      if (excludedPerLeaf.isEmpty) Set.empty[String]
-      else excludedPerLeaf.reduce(_ intersect _)
+      p: QueryParams, org: Option[String] = None): DataFrame = {
+    val excluded = FingerprintIndex.excludedForTrees(spark, segDir,
+      leafPipelines(e).map(FingerprintIndex.requirementTreeFor))
     val effStart = p.startMs - maxLookbackMs(e)
-    FingerprintIndex.prunedRead(spark, segDir, excluded)
+    val scan0 = FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("dateint") >= StepPolicy.dateintOf(effStart) &&
         col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+    // tenant isolation: org leads the partition layout, so this equality
+    // prunes every other tenant's directories before dateint pruning
+    org.fold(scan0)(o => scan0.filter(col("org") === o).drop("org"))
       .drop("dateint") // partition key, not a log label
   }
 
   /** Full LogQL query over written log segments. */
   def query(spark: SparkSession, segDir: String, logql: String, p: QueryParams,
-      limit: Int = 1000, desc: Boolean = true, fields: Seq[String] = Nil): DataFrame = {
+      limit: Int = 1000, desc: Boolean = true, fields: Seq[String] = Nil,
+      org: Option[String] = None): DataFrame = {
     val e = Parser.parseFull(logql)
       .fold(err => throw new IllegalArgumentException(err), identity)
-    Compiler.exprQuery(e, LogStore(scanFor(spark, segDir, e, p)), p, limit, desc, fields)
+    Compiler.exprQuery(e, LogStore(scanFor(spark, segDir, e, p, org)), p,
+      limit, desc, fields)
   }
 }

@@ -61,20 +61,21 @@ object MetricSegments {
   private def excludedForExpr(spark: SparkSession, segDir: String,
       e: Expr): Set[String] = {
     import graft.ingest.FingerprintIndex
-    val perSelector = selectors(e).map { s =>
+    import graft.ingest.FingerprintIndex.{ReqAnd, ReqNode, Requirement}
+    // One requirement tree per selector; the whole expression costs ONE
+    // index read ([[FingerprintIndex.excludedForTrees]] unions the wanted
+    // fingerprints, reads once, intersects per-leaf exclusions).
+    val trees: Seq[ReqNode] = selectors(e).map { s =>
       // a bare matcher set `{attr="v"}` parses with an EMPTY metric name:
       // it selects across all metrics, so it must contribute no
       // requirement (an exact fp of "" is never indexed and would exclude
-      // every indexed file)
-      if (s.metric.isEmpty) Set.empty[String]
-      else {
-        val req = FingerprintIndex.Requirement("metric_name",
-          Seq(FingerprintIndex.existsFp("metric_name"),
-            FingerprintIndex.fingerprint("metric_name", s.metric)), guarded = false)
-        FingerprintIndex.excludedFiles(spark, segDir, Seq(req))
-      }
+      // every indexed file) — ReqAnd(Nil) short-circuits all pruning
+      if (s.metric.isEmpty) ReqAnd(Nil)
+      else Requirement("metric_name",
+        Seq(FingerprintIndex.existsFp("metric_name"),
+          FingerprintIndex.fingerprint("metric_name", s.metric)), guarded = false)
     }
-    if (perSelector.isEmpty) Set.empty else perSelector.reduce(_ intersect _)
+    FingerprintIndex.excludedForTrees(spark, segDir, trees)
   }
 
   /** tier scan → cooked-metrics store: keep the contract columns plus
@@ -95,17 +96,19 @@ object MetricSegments {
     * contain any selected metric are pruned before the tier scan.
     */
   def query(spark: SparkSession, segDir: String, promql: String,
-      startMs: Long, endMs: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
+      startMs: Long, endMs: Long, org: Option[String] = None): DataFrame = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
     val p = StepPolicy.paramsFor(startMs, endMs)
     val effStart = p.startMs - maxLookbackMs(e)
     val excluded = excludedForExpr(spark, segDir, e)
-    val scan = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
+    val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
         col("dateint") >= StepPolicy.dateintOf(effStart) &&
         col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+    // tenant isolation: org leads the partition layout, so this equality
+    // prunes every other tenant's directories (three-key pruning)
+    val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
     Engine.query(promql, storeFrom(scan), p)
   }
 }

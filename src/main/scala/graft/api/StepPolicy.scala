@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.promql.QueryParams
 
 /** Query step policy + rollup-tier selection.
@@ -64,4 +65,15 @@ object StepPolicy {
         col("dateint") >= dateintOf(effStartMs) &&
         col("dateint") <= dateintOf(effEndMs - 1))
   }
+
+  /** [[scanTier]] over a multi-tenant segment dir: the org key leads the
+    * partition layout (reference: every segment lookup keys on
+    * organization_id first, lrdb/queries/metric_seg.sql:113-125), so the
+    * org equality prunes every other tenant's directories before
+    * dateint/freq pruning starts — three-key partition pruning.
+    */
+  def scanTier(spark: SparkSession, segmentDir: String, stepMs: Long,
+      effStartMs: Long, effEndMs: Long, org: String): DataFrame =
+    scanTier(spark, segmentDir, stepMs, effStartMs, effEndMs)
+      .filter(col("org") === org)
 }

@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * needle/matcher fingerprints before any segment is read,
   * queryapi/logs_evaluator.go:233-424).
   *
-  * Spark shape: a small parquet side table `(dateint, file, fingerprint)`
-  * under `<segDir>/_fpindex` (underscore prefix → invisible to normal
-  * parquet reads), one exploded row per distinct fingerprint per data
-  * file. Three fingerprint families, mirroring the reference's
-  * IndexExact/IndexTrigramExact flags:
+  * Spark shape: a small parquet side table `(file, fingerprint)` in a
+  * SIBLING directory `<segDir>.fpindex` (see [[indexPath]] — segment
+  * readers never see it and no hidden-path special cases apply), one
+  * exploded row per distinct fingerprint per data file. Three fingerprint
+  * families, mirroring the reference's IndexExact/IndexTrigramExact flags:
   *
   *  - exists  — `fp(field, ".*")` for every column with ≥1 non-null value
   *    in the file (reference: every present row key gets an exists fp);
@@ -174,7 +174,7 @@ object FingerprintIndex {
 
   /** the (file, fingerprint) rows for one frame of segment data */
   private def indexRows(df: DataFrame, maxTrigramsPerFile: Long): DataFrame = {
-    val partitionCols = Set("dateint", "freq")
+    val partitionCols = Set("org", "dateint", "freq")
     val fields = df.schema.fieldNames.filterNot(partitionCols).toSeq
     val withFile = df.withColumn("__file", normPathCol(input_file_name()))
 
@@ -229,77 +229,346 @@ object FingerprintIndex {
 
   // ---- query side -----------------------------------------------------------
 
-  /** An AND-set of fingerprints a matching file MUST contain for `field`.
-    * `guarded`: the family may be cap-dropped per file, so exclusion also
-    * requires that file's completeness sentinel (trigram families).
+  /** And-or requirement tree over per-file fingerprint sets — the Spark
+    * re-expression of the reference's `TrigramQuery` tree
+    * (queryapi/logs_evaluator.go:208-231: QAnd/QOr nodes composed from
+    * matchers, regex alternates, and trigram extraction, evaluated by
+    * computeSegmentSet). A file is excluded from a scan only when the
+    * tree PROVES it cannot match.
+    */
+  sealed trait ReqNode
+
+  /** Leaf: an AND-set of fingerprints a matching file MUST contain for
+    * `field`. `guarded`: the family may be cap-dropped per file, so
+    * exclusion also requires that file's completeness sentinel (trigram
+    * families).
     */
   final case class Requirement(field: String, fps: Seq[Long], guarded: Boolean)
+    extends ReqNode
+  /** all children must be satisfiable; `ReqAnd(Nil)` = no requirement */
+  final case class ReqAnd(children: Seq[ReqNode]) extends ReqNode
+  /** at least one child satisfiable; `ReqOr(Nil)` = no requirement (never
+    * "exclude everything" — an empty OR only arises from degenerate input)
+    */
+  final case class ReqOr(children: Seq[ReqNode]) extends ReqNode
 
-  /** Conservative requirements from a LogQL pipeline — mirrors the
+  /** every fingerprint (incl. guard sentinels) the tree may test */
+  def wantedFps(n: ReqNode): Set[Long] = n match {
+    case Requirement(f, fps, guarded) =>
+      fps.toSet ++ (if (guarded) Set(sentinelFp(f)) else Set.empty)
+    case ReqAnd(cs) => cs.flatMap(wantedFps).toSet
+    case ReqOr(cs)  => cs.flatMap(wantedFps).toSet
+  }
+
+  /** can a file whose (wanted-filtered) fingerprint hit-set is `have`
+    * still match? Conservative: a guarded leaf whose family sentinel is
+    * absent answers yes (the family was cap-dropped — no evidence).
+    */
+  def canMatch(have: Set[Long], n: ReqNode): Boolean = n match {
+    case Requirement(f, fps, guarded) =>
+      (guarded && !have.contains(sentinelFp(f))) || fps.forall(have.contains)
+    case ReqAnd(cs) => cs.forall(canMatch(have, _))
+    case ReqOr(cs)  => cs.isEmpty || cs.exists(canMatch(have, _))
+  }
+
+  // ---- regex → requirements -------------------------------------------------
+
+  /** Alternate values of a simple alternation regex — the reference's
+    * tryExtractExactAlternates (queryapi/logs_evaluator.go:637-700):
+    * top-level `|` split, every part a pure literal (escaped
+    * metacharacters allowed). Matchers evaluate anchored (`^(?:pat)$`) so
+    * a bare `a|b` IS a full-value alternation; explicit `^(...)$`,
+    * `^(?:...)$`, `^...$` wrappings are accepted too. None when any part
+    * has live metacharacters or the nesting is malformed.
+    */
+  def exactAlternates(pattern: String): Option[Seq[String]] = {
+    val inner =
+      if (pattern.startsWith("^(?:") && pattern.endsWith(")$"))
+        pattern.substring(4, pattern.length - 2)
+      else if (pattern.startsWith("^(") && pattern.endsWith(")$"))
+        pattern.substring(2, pattern.length - 2)
+      else if (pattern.length >= 2 && pattern.startsWith("^") && pattern.endsWith("$"))
+        pattern.substring(1, pattern.length - 1)
+      else pattern
+    splitTopLevelPipe(inner).flatMap { parts =>
+      val lits = parts.map(simpleLiteral)
+      if (lits.forall(_.isDefined)) Some(lits.map(_.get)) else None
+    }
+  }
+
+  /** split on `|` at nesting depth 0 (escape-aware); None if unbalanced */
+  private def splitTopLevelPipe(s: String): Option[Seq[String]] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var esc = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (esc) { cur.append(c); esc = false }
+      else c match {
+        case '\\' => cur.append(c); esc = true
+        case '(' | '[' | '{' => depth += 1; cur.append(c)
+        case ')' | ']' | '}' =>
+          depth -= 1; cur.append(c); if (depth < 0) return None
+        case '|' if depth == 0 => parts += cur.toString; cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    if (depth != 0 || esc) None
+    else { parts += cur.toString; Some(parts.toSeq) }
+  }
+
+  /** unescaped value iff the part is a pure literal (only escaped
+    * punctuation; `\d`-style classes and backrefs disqualify)
+    */
+  private def simpleLiteral(part: String): Option[String] = {
+    val meta = ".+*?()[]{}|^$"
+    val out = new StringBuilder
+    var i = 0
+    while (i < part.length) {
+      val c = part.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= part.length) return None
+        val e = part.charAt(i + 1)
+        if (e.isLetterOrDigit) return None
+        out.append(e); i += 2
+      } else if (meta.indexOf(c.toInt) >= 0) return None
+      else { out.append(c); i += 1 }
+    }
+    Some(out.toString)
+  }
+
+  /** Literal character runs EVERY match of the pattern must contain — the
+    * conservative core of the reference's trigram extraction from regex
+    * literal runs (addAndNodeFromPattern → index.RegexpQuery,
+    * queryapi/logs_evaluator.go:540-577). The walk breaks a run at any
+    * construct whose contribution to the match is not guaranteed: groups,
+    * classes, and `.` claim nothing; `?`/`*`/`{` make the preceding char
+    * optional (dropped from the run); `+` keeps the char but breaks
+    * contiguity after it; a top-level `|` voids all claims (no single run
+    * is required by both branches). Runs shorter than a trigram are
+    * discarded. Malformed patterns claim nothing.
+    */
+  def literalRuns(pattern: String): Seq[String] = {
+    val runs = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    def dropLastAndFlush(): Unit = {
+      if (cur.nonEmpty) cur.setLength(cur.length - 1); flush()
+    }
+    var i = 0; val n = pattern.length; var ok = true
+    while (i < n && ok) {
+      pattern.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= n) { ok = false }
+          else {
+            val e = pattern.charAt(i + 1)
+            if (e.isLetterOrDigit) flush() // class / anchor escape / backref
+            else cur.append(e)             // escaped punctuation is literal
+            i += 2
+          }
+        case '|' => ok = false // top-level alternation: nothing required
+        case '(' =>
+          var depth = 1; var j = i + 1; var esc = false
+          while (j < n && depth > 0) {
+            val ch = pattern.charAt(j)
+            if (esc) esc = false
+            else if (ch == '\\') esc = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            j += 1
+          }
+          if (depth != 0) ok = false
+          flush(); i = j
+        case '[' =>
+          var j = i + 1; var esc = false; var closed = false
+          if (j < n && pattern.charAt(j) == '^') j += 1
+          if (j < n && pattern.charAt(j) == ']') j += 1 // leading ] is literal
+          while (j < n && !closed) {
+            val ch = pattern.charAt(j)
+            if (esc) esc = false
+            else if (ch == '\\') esc = true
+            else if (ch == ']') closed = true
+            j += 1
+          }
+          if (!closed) ok = false
+          flush(); i = j
+        case '.' => flush(); i += 1
+        case '*' | '?' => dropLastAndFlush(); i += 1
+        case '+' => flush(); i += 1 // char required ≥once; contiguity ends
+        case '{' =>
+          dropLastAndFlush()
+          while (i < n && pattern.charAt(i) != '}') i += 1
+          if (i < n) i += 1 else ok = false
+        case '^' | '$' => flush(); i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    if (!ok) Nil
+    else { flush(); runs.toSeq.filter(_.length >= 3) }
+  }
+
+  /** Requirement tree for a `=~` matcher / label filter — the reference's
+    * priority (queryapi/logs_evaluator.go:258-271): exact alternates on
+    * an exact-indexed field beat trigram extraction beat nothing. An
+    * empty alternate (pattern can match "", so the label may be absent)
+    * or a run-free pattern claims nothing — never over-prunes.
+    */
+  def regexRequirement(field: String, pattern: String): Option[ReqNode] =
+    exactAlternates(pattern) match {
+      case Some(vals) if vals.nonEmpty && vals.forall(_.nonEmpty)
+          && ExactFields.contains(field) =>
+        Some(ReqOr(vals.map(v => Requirement(field,
+          Seq(existsFp(field), fingerprint(field, v)), guarded = false))))
+      case _ if TrigramFields.contains(field) =>
+        val tris = literalRuns(pattern).flatMap(trigrams).distinct.sorted
+        if (tris.isEmpty) None
+        else Some(ReqAnd(Seq(
+          // a required literal run ⇒ the value is non-empty ⇒ the field
+          // must exist in a matching file (exists family is unguarded)
+          Requirement(field, Seq(existsFp(field)), guarded = false),
+          Requirement(field, tris.map(t => fingerprint(field, t)), guarded = true))))
+      case _ => None
+    }
+
+  /** Conservative requirement tree from a LogQL pipeline — mirrors the
     * reference's exact > trigram > exists priority
     * (queryapi/logs_evaluator.go:244-306) with the subset that can never
-    * over-prune: `=` matchers (non-empty value: empty means "label
-    * absent", which an exists fp would wrongly prune) and `|=` contains
-    * line filters BEFORE any line-rewriting stage (later filters see a
-    * line_format-rewritten line the index never saw). Regex/negation
-    * contribute nothing (the reference falls back to exists; we already
-    * require exists via the matcher's field).
+    * over-prune:
+    *
+    *  - `=` matchers (non-empty value: empty means "label absent", which
+    *    an exists fp would wrongly prune);
+    *  - `=~` matchers via [[regexRequirement]] (exact-alternate OR-sets,
+    *    literal-run trigram ANDs);
+    *  - pre-parser label filters — `=`/`=~` string filters BEFORE any
+    *    stage that can create or rewrite labels reference selector-level
+    *    (ingested) columns, the reference's ParserIdx==nil case
+    *    (queryapi/logs_evaluator.go:276-306);
+    *  - `|=` contains and `|~` regex line filters BEFORE any
+    *    line-rewriting stage (later filters see a line_format-rewritten
+    *    line the index never saw).
+    *
+    * Negation contributes nothing.
     */
-  def requirementsFor(pipeline: graft.logql.LogPipeline): Seq[Requirement] = {
+  def requirementTreeFor(pipeline: graft.logql.LogPipeline): ReqNode = {
     import graft.logql._
     import graft.promql.MatchOp
-    val fromMatchers = pipeline.matchers.flatMap { m =>
+    val fromMatchers: Seq[ReqNode] = pipeline.matchers.flatMap { m =>
       m.op match {
         case MatchOp.Eq if m.value.nonEmpty && ExactFields.contains(m.label) =>
           Some(Requirement(m.label,
             Seq(existsFp(m.label), fingerprint(m.label, m.value)), guarded = false))
         case MatchOp.Eq if m.value.nonEmpty =>
           Some(Requirement(m.label, Seq(existsFp(m.label)), guarded = false))
+        case MatchOp.Re => regexRequirement(m.label, m.value)
         case _ => None
       }
+    }
+    val preParser = pipeline.stages.takeWhile {
+      case _: JsonStage | _: LogfmtStage | _: RegexpStage | _: PatternStage
+         | _: LabelFormatStage | _: LabelReplaceStage => false
+      case _ => true
+    }
+    val fromLabelFilters: Seq[ReqNode] = preParser.flatMap {
+      case LabelFilter(label, "=" | "==", v, false) if v.nonEmpty =>
+        if (ExactFields.contains(label))
+          Some(Requirement(label,
+            Seq(existsFp(label), fingerprint(label, v)), guarded = false))
+        else Some(Requirement(label, Seq(existsFp(label)), guarded = false))
+      case LabelFilter(label, "=~", v, false) => regexRequirement(label, v)
+      case _ => None
     }
     val preRewrite = pipeline.stages.takeWhile {
       case _: LineFormatStage | DecolorizeStage => false
       case _ => true
     }
-    val fromLineFilters = preRewrite.collect {
+    val fromLineFilters: Seq[ReqNode] = preRewrite.flatMap {
       case LineFilter(LineFilterOp.Contains, needle) if trigrams(needle).nonEmpty =>
-        Requirement(BodyField,
+        Some(Requirement(BodyField,
           trigrams(needle).toSeq.sorted.map(t => fingerprint(BodyField, t)),
-          guarded = true)
+          guarded = true))
+      case LineFilter(LineFilterOp.Regex, pat) =>
+        val tris = literalRuns(pat).flatMap(trigrams).distinct.sorted
+        if (tris.isEmpty) None
+        else Some(Requirement(BodyField,
+          tris.map(t => fingerprint(BodyField, t)), guarded = true))
+      case _ => None
     }
-    fromMatchers ++ fromLineFilters
+    ReqAnd(fromMatchers ++ fromLabelFilters ++ fromLineFilters)
   }
 
-  /** Files under segDir that may be EXCLUDED from the scan: indexed files
-    * positively known to lack a required fingerprint. One filtered agg
-    * over the index; result size ≤ file count.
+  /** flat-AND compatibility shim over [[requirementTreeFor]] for callers
+    * that predate the tree (kept: the leaf list is also a convenient unit
+    * under test)
     */
-  def excludedFiles(spark: SparkSession, segDir: String,
-      reqs: Seq[Requirement]): Set[String] = {
-    if (reqs.isEmpty) return Set.empty
+  def requirementsFor(pipeline: graft.logql.LogPipeline): Seq[Requirement] =
+    requirementTreeFor(pipeline) match {
+      case ReqAnd(cs) => cs.collect { case r: Requirement => r }
+      case r: Requirement => Seq(r)
+      case _ => Nil
+    }
+
+  /** observability: index parquet reads performed (tests assert one read
+    * services a whole multi-leaf query)
+    */
+  val indexReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ONE filtered aggregation over the index: per indexed file, which of
+    * `wanted` it contains. None when no index exists (or it is
+    * unreadable — degrading to "no pruning" is always correct). Result
+    * size ≤ file count; the per-file hit set is bounded by |wanted|.
+    */
+  def fetchHits(spark: SparkSession, segDir: String,
+      wanted: Set[Long]): Option[Map[String, Set[Long]]] = {
+    if (wanted.isEmpty) return None
     val idxP = new org.apache.hadoop.fs.Path(indexPath(segDir))
     val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(idxP)) return Set.empty
-    val fileMarker = sentinelFp("__file")
-    val wanted = (fileMarker +: reqs.flatMap(r =>
-      (if (r.guarded) Seq(sentinelFp(r.field)) else Nil) ++ r.fps)).distinct
-    // any index read failure degrades to "no pruning", which is always correct
+    if (!fs.exists(idxP)) return None
     val idx = try spark.read.parquet(indexPath(segDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => return Set.empty }
-    val hits = idx
-      .filter(col("fingerprint").isin(wanted: _*))
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    indexReads.incrementAndGet()
+    Some(idx
+      .filter(col("fingerprint").isin(wanted.toSeq: _*))
       .groupBy(col("file"))
       .agg(collect_set(col("fingerprint")).as("fps"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
-    hits.collect { case (file, fps) if fps.contains(fileMarker) &&
-        reqs.exists { r =>
-          val familyComplete = !r.guarded || fps.contains(sentinelFp(r.field))
-          familyComplete && !r.fps.forall(fps.contains)
-        } => file
-    }.toSet
+      .toMap)
   }
+
+  /** Files under segDir that may be EXCLUDED from a scan serving ALL the
+    * given leaves (one tree per query leaf — binop sides, selectors): a
+    * file is skipped only when EVERY leaf proves it cannot match. The
+    * whole batch costs ONE index read regardless of leaf count (the
+    * reference likewise fetches the union of fingerprints in one lookup,
+    * then evaluates the tree against the result,
+    * queryapi/logs_evaluator.go:306-330).
+    */
+  def excludedForTrees(spark: SparkSession, segDir: String,
+      trees: Seq[ReqNode]): Set[String] = {
+    if (trees.isEmpty) return Set.empty
+    // a requirement-free leaf reads every file — the intersection is empty
+    if (trees.exists(t => wantedFps(t).isEmpty)) return Set.empty
+    val fileMarker = sentinelFp("__file")
+    val wanted = trees.flatMap(wantedFps).toSet + fileMarker
+    fetchHits(spark, segDir, wanted) match {
+      case None => Set.empty
+      case Some(hits) =>
+        trees.map { t =>
+          hits.collect { case (file, have)
+            if have.contains(fileMarker) && !canMatch(have, t) => file
+          }.toSet
+        }.reduce(_ intersect _)
+    }
+  }
+
+  /** Files under segDir that may be EXCLUDED from the scan: indexed files
+    * positively known to lack a required fingerprint (single flat-AND
+    * leaf).
+    */
+  def excludedFiles(spark: SparkSession, segDir: String,
+      reqs: Seq[Requirement]): Set[String] =
+    excludedForTrees(spark, segDir, Seq(ReqAnd(reqs)))
 
   /** Read the log segments minus an excluded-file set (lossless: callers
     * only pass files provably non-matching; unindexed files are never in
@@ -321,7 +590,7 @@ object FingerprintIndex {
   def scanLogs(spark: SparkSession, segDir: String,
       pipeline: graft.logql.LogPipeline): DataFrame =
     prunedRead(spark, segDir,
-      excludedFiles(spark, segDir, requirementsFor(pipeline)))
+      excludedForTrees(spark, segDir, Seq(requirementTreeFor(pipeline))))
 
   /** `file:///a/b`, `file:/a/b`, `/a/b` → `/a/b` (input_file_name and
     * DataFrame.inputFiles render schemes differently)

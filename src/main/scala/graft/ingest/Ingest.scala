@@ -337,6 +337,25 @@ object Segments {
   def dateint(tsMs: Column): Column =
     date_format(to_utc_timestamp(timestamp_millis(tsMs), "UTC"), "yyyyMMdd").cast("int")
 
+  /** Multi-tenant organization key — the reference keys every segment
+    * table and lookup on organization_id ahead of dateint/frequency
+    * (lrdb/queries/metric_seg.sql:3-22,113-125). Spark shape: `org` as
+    * the LEADING hive partition key (`org=<id>/dateint=<d>/...`), engaged
+    * when the writer is given an org (or the frame already carries an
+    * `org` column — a single batch may span tenants); a dir written
+    * without orgs is the single-tenant degenerate case and keeps the old
+    * layout. Queries filter `org = <id>` → Catalyst prunes every other
+    * tenant's directories before dateint/freq pruning even starts.
+    */
+  private def withOrg(cooked: DataFrame, org: Option[String]): DataFrame =
+    org.foldLeft(cooked)((df, o) => df.withColumn("org", lit(o)))
+
+  private def orgCols(df: DataFrame): Seq[Column] =
+    if (df.schema.fieldNames.contains("org")) Seq(col("org")) else Nil
+
+  private def orgNames(df: DataFrame): Seq[String] =
+    if (df.schema.fieldNames.contains("org")) Seq("org") else Nil
+
   /** metrics: partition by (dateint, freq), sort within partitions by
     * (metric_name, chq_tid, chq_timestamp); ZSTD; size-split via
     * maxRecordsPerFile. On a cluster the same layout gives partition
@@ -347,22 +366,24 @@ object Segments {
     * row groups.
     */
   def writeMetricSegments(cooked: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 2000000L): Unit =
-    cooked
+      maxRecordsPerFile: Long = 2000000L, org: Option[String] = None): Unit = {
+    val base = withOrg(cooked, org)
       .withColumn("dateint", dateint(col("chq_timestamp")))
       .withColumn("freq", col("chq_rollup_freq"))
+    base
       // sort MUST lead with the partition columns: the dynamic-partition
       // writer requires ordering by them and would otherwise inject its own
       // sort, discarding the series ordering
-      .repartition(col("dateint"), col("freq"))
-      .sortWithinPartitions(col("dateint"), col("freq"),
-        col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+      .repartition(orgCols(base) ++ Seq(col("dateint"), col("freq")): _*)
+      .sortWithinPartitions(orgCols(base) ++ Seq(col("dateint"), col("freq"),
+        col("metric_name"), col("chq_tid"), col("chq_timestamp")): _*)
       .write.mode("append")
-      .partitionBy("dateint", "freq")
+      .partitionBy(orgNames(base) ++ Seq("dateint", "freq"): _*)
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#chq_tid", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+  }
 
   /** logs: sort by (resource_service_name, chq_fingerprint, chq_tsns);
     * bloom filter on chq_fingerprint for row-group skipping on
@@ -370,18 +391,20 @@ object Segments {
     * [[FingerprintIndex]])
     */
   def writeLogSegments(cooked: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 2000000L): Unit =
-    cooked
+      maxRecordsPerFile: Long = 2000000L, org: Option[String] = None): Unit = {
+    val base = withOrg(cooked, org)
       .withColumn("dateint", dateint(col("chq_timestamp")))
-      .repartition(col("dateint"))
-      .sortWithinPartitions(col("dateint"),
-        col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns"))
+    base
+      .repartition(orgCols(base) ++ Seq(col("dateint")): _*)
+      .sortWithinPartitions(orgCols(base) ++ Seq(col("dateint"),
+        col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns")): _*)
       .write.mode("append")
-      .partitionBy("dateint")
+      .partitionBy(orgNames(base) ++ Seq("dateint"): _*)
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#chq_fingerprint", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+  }
 
   /** spans: sort by (span_trace_id, chq_tsns) — the reference's trace
     * segment order (trace_ingest_duckdb.go:451) — so one trace's spans
@@ -390,28 +413,30 @@ object Segments {
     * where span_trace_id is exact+trigram indexed)
     */
   def writeSpanSegments(cooked: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 2000000L): Unit =
-    cooked
+      maxRecordsPerFile: Long = 2000000L, org: Option[String] = None): Unit = {
+    val base = withOrg(cooked, org)
       .withColumn("dateint", dateint(col("chq_timestamp")))
-      .repartition(col("dateint"))
-      .sortWithinPartitions(col("dateint"),
-        col("span_trace_id"), col("chq_tsns"))
+    base
+      .repartition(orgCols(base) ++ Seq(col("dateint")): _*)
+      .sortWithinPartitions(orgCols(base) ++ Seq(col("dateint"),
+        col("span_trace_id"), col("chq_tsns")): _*)
       .write.mode("append")
-      .partitionBy("dateint")
+      .partitionBy(orgNames(base) ++ Seq("dateint"): _*)
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#span_trace_id", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+  }
 
   /** trace-segment compaction: same swap protocol, trace sort order */
   def compactSpanSegments(spark: SparkSession, dir: String,
       maxRecordsPerFile: Long = 2000000L): DataFrame =
     compactWithSwap(spark, dir) { df =>
-      df.repartition(col("dateint"))
-        .sortWithinPartitions(col("dateint"),
-          col("span_trace_id"), col("chq_tsns"))
+      df.repartition(orgCols(df) ++ Seq(col("dateint")): _*)
+        .sortWithinPartitions(orgCols(df) ++ Seq(col("dateint"),
+          col("span_trace_id"), col("chq_tsns")): _*)
         .write.mode("overwrite")
-        .partitionBy("dateint")
+        .partitionBy(orgNames(df) ++ Seq("dateint"): _*)
         .option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#span_trace_id", "true")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -431,13 +456,13 @@ object Segments {
   def compactMetricSegments(spark: SparkSession, dir: String,
       maxRecordsPerFile: Long = 2000000L): DataFrame =
     compactWithSwap(spark, dir) { df =>
-      // one task per (dateint, freq) group → one sorted file per partition
-      // dir unless maxRecordsPerFile splits it
-      df.repartition(col("dateint"), col("freq"))
-        .sortWithinPartitions(col("dateint"), col("freq"),
-          col("metric_name"), col("chq_tid"), col("chq_timestamp"))
+      // one task per (org, dateint, freq) group → one sorted file per
+      // partition dir unless maxRecordsPerFile splits it
+      df.repartition(orgCols(df) ++ Seq(col("dateint"), col("freq")): _*)
+        .sortWithinPartitions(orgCols(df) ++ Seq(col("dateint"), col("freq"),
+          col("metric_name"), col("chq_tid"), col("chq_timestamp")): _*)
         .write.mode("overwrite")
-        .partitionBy("dateint", "freq")
+        .partitionBy(orgNames(df) ++ Seq("dateint", "freq"): _*)
         .option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#chq_tid", "true")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -458,11 +483,11 @@ object Segments {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     val out = compactWithSwap(spark, dir) { df =>
-      df.repartition(col("dateint"))
-        .sortWithinPartitions(col("dateint"),
-          col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns"))
+      df.repartition(orgCols(df) ++ Seq(col("dateint")): _*)
+        .sortWithinPartitions(orgCols(df) ++ Seq(col("dateint"),
+          col("resource_service_name"), col("chq_fingerprint"), col("chq_tsns")): _*)
         .write.mode("overwrite")
-        .partitionBy("dateint")
+        .partitionBy(orgNames(df) ++ Seq("dateint"): _*)
         .option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#chq_fingerprint", "true")
         .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -258,6 +258,101 @@ object ItQueries extends Catalog {
          AND chq_timestamp >= $Start AND chq_timestamp < $End
        GROUP BY 1"""
 
+  /** two tenants' metric segments in ONE dir under the leading `org=`
+    * partition key — base 10 s tier + hourly rollup each, DIFFERENT row
+    * sets per org (user parity split) so any cross-tenant leak breaks
+    * the oracle hash
+    */
+  @volatile private var orgSegRootCur: String = s"$tmpRoot/graft_it_orgseg_sf0.01"
+
+  private def ensureOrgSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_orgseg_${tag(d)}"
+    orgSegRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      val ev = Tables.events(s, d)
+        .filter(col("ts_ms") >= Start - 86400000L && col("ts_ms") < End + 86400000L)
+      Seq("org_a" -> (ev.filter(col("user_id") % 2 === 0)),
+          "org_b" -> (ev.filter(col("user_id") % 2 =!= 0))).foreach { case (o, sub) =>
+        val base = MetricsPreAgg.preAggregate(
+          sub, col("ts_ms"), lit("events_value"), col("value"),
+          Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+          withSketch = false)
+        Segments.writeMetricSegments(base, dir, org = Some(o))
+        Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), dir,
+          org = Some(o))
+      }
+      true
+    })
+    dir
+  }
+
+  /** Multi-tenant isolation through the org-keyed front door: one segment
+    * dir holds TWO organizations (the reference keys every segment table
+    * and lookup on organization_id, lrdb/queries/metric_seg.sql:3-22,
+    * 113-125); querying org_a must read only org_a's partition
+    * directories (org leads dateint/freq — three-key pruning, gated in
+    * PlanSpec) and must reproduce exactly the oracle's read of the
+    * org=org_a path — org_b's rows never leak in.
+    */
+  private def multiOrg(s: SparkSession, d: String): DataFrame = {
+    import graft.api.MetricSegments
+    val dir = ensureOrgSegments(s, d)
+    val qEnd = Start + HourMs
+    val p = StepPolicy.paramsFor(Start, qEnd)
+    require(p.stepMs == 10000L, s"1h span must select the 10s step, got ${p.stepMs}")
+    MetricSegments.query(s, dir, "sum by (attr_event_type) (events_value)",
+      Start, qEnd, org = Some("org_a"))
+  }
+
+  private def multiOrgSql(dir: String): String =
+    s"""SELECT chq_timestamp AS ts, attr_event_type,
+            sum(chq_rollup_sum) AS value
+       FROM read_parquet('$dir/org=org_a/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $Start AND chq_timestamp < ${Start + HourMs}
+       GROUP BY 1, 2"""
+
+  /** Regex-needle query through the skip-index's regex compilation: an
+    * alternation matcher engages the exact-fingerprint OR-set path and a
+    * `|~` regex line filter engages literal-run trigram extraction
+    * (reference tryExtractExactAlternates / addAndNodeFromPattern,
+    * queryapi/logs_evaluator.go:208-306, 540-700). The pruned scan is
+    * require()-gated to read FEWER files than the dir holds; the oracle
+    * reads EVERY file under the same predicates, proving regex pruning
+    * lossless.
+    */
+  private def logRegexNeedle(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{FingerprintIndex => FI}
+    import graft.logql.{LineFilter, LineFilterOp, LogPipeline}
+    import graft.promql.{MatchOp, Matcher}
+    val dir = ensureLogSegments(s, d)
+    val pipe = LogPipeline(
+      List(Matcher("resource_service_name", MatchOp.Re, "svc-1|svc-3")),
+      List(LineFilter(LineFilterOp.Regex, "trace=dead[a-f]+cafe")))
+    val scan = FI.scanLogs(s, dir, pipe)
+    val allFiles = s.read.parquet(dir).inputFiles.length
+    val readFiles = scan.inputFiles.length
+    require(readFiles < allFiles,
+      s"regex requirements did not prune: reading $readFiles of $allFiles files")
+    scan.filter(col("chq_timestamp") >= Start && col("chq_timestamp") < End &&
+        col("resource_service_name").rlike("^(?:svc-1|svc-3)$") &&
+        col("log_message").rlike("trace=dead[a-f]+cafe"))
+      .groupBy(col("resource_service_name"))
+      .agg(count(lit(1)).as("n"),
+        min(col("chq_timestamp")).as("first_ts"),
+        max(col("chq_timestamp")).as("last_ts"))
+  }
+
+  private def logRegexNeedleSql(dir: String): String =
+    s"""SELECT resource_service_name, count(*) AS n,
+              min(chq_timestamp) AS first_ts, max(chq_timestamp) AS last_ts
+       FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE regexp_matches(resource_service_name, '^(?:svc-1|svc-3)$$')
+         AND regexp_matches(log_message, 'trace=dead[a-f]+cafe')
+         AND chq_timestamp >= $Start AND chq_timestamp < $End
+       GROUP BY 1"""
+
   /** span segments + fingerprint index once per session+sf */
   @volatile private var spanSegRootCur: String = s"$tmpRoot/graft_it_spanseg_sf0.01"
 
@@ -418,6 +513,8 @@ object ItQueries extends Catalog {
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
+    Q("it_log_regex_needle", logRegexNeedle, Some(logRegexNeedleSql(logSegRootCur))),
+    Q("it_multi_org", multiOrg, Some(multiOrgSql(orgSegRootCur))),
     Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),
     Q("it_trace_lookup", traceLookup, Some(traceLookupSql(spanSegRootCur)))
   )

@@ -67,9 +67,113 @@ class FingerprintIndexSpec extends AnyFunSuite {
     val all = files(dir)
     assert(prunedEq.nonEmpty && prunedEq.size < all.size)
     assert(prunedEq.forall(_.contains("dateint=20240103")))
-    // regex matchers contribute no requirement → full scan (conservative)
+    // regex with a literal run prunes through the trigram family
     val re = LogPipeline(List(Matcher("resource_service_name", MatchOp.Re, "rare-.*")), Nil)
-    assert(FI.scanLogs(spark, dir, re).inputFiles.map(FI.normPath).toSet == all)
+    val prunedRe = FI.scanLogs(spark, dir, re).inputFiles.map(FI.normPath).toSet
+    assert(prunedRe.nonEmpty && prunedRe.size < all.size)
+    assert(prunedRe.forall(_.contains("dateint=20240103")))
+    // run-free regex contributes no requirement → full scan (conservative)
+    val opaque = LogPipeline(List(Matcher("resource_service_name", MatchOp.Re, ".*")), Nil)
+    assert(FI.scanLogs(spark, dir, opaque).inputFiles.map(FI.normPath).toSet == all)
+  }
+
+  test("alternation matcher prunes via an OR-set of exact fingerprints") {
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "h"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    // one alternate present only on day 3, the other present nowhere: a
+    // file survives iff it can satisfy EITHER alternate
+    val alt = LogPipeline(List(
+      Matcher("resource_service_name", MatchOp.Re, "rare-svc|absent-svc")), Nil)
+    val pruned = FI.scanLogs(spark, dir, alt)
+    val read = pruned.inputFiles.map(FI.normPath).toSet
+    assert(read.nonEmpty && read.size < files(dir).size)
+    assert(read.forall(_.contains("dateint=20240103")))
+    // results equal the full scan under the same predicate
+    val expect = spark.read.parquet(dir)
+      .filter(col("resource_service_name").rlike("^(?:rare-svc|absent-svc)$")).count()
+    assert(pruned.filter(col("resource_service_name")
+      .rlike("^(?:rare-svc|absent-svc)$")).count() == expect && expect > 0)
+  }
+
+  test("regex line filter prunes through body literal runs") {
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "i"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    val pipe = LogPipeline(Nil,
+      List(LineFilter(LineFilterOp.Regex, "needle=zebra[a-z]+")))
+    val pruned = FI.scanLogs(spark, dir, pipe)
+    val read = pruned.inputFiles.map(FI.normPath).toSet
+    assert(read.nonEmpty && read.size < files(dir).size)
+    assert(read.forall(_.contains("dateint=20240102")))
+    val expect = spark.read.parquet(dir)
+      .filter(col("log_message").rlike("needle=zebra[a-z]+")).count()
+    assert(pruned.filter(col("log_message").rlike("needle=zebra[a-z]+"))
+      .count() == expect && expect > 0)
+  }
+
+  test("pre-parser label filters prune like matchers; post-parser ones never do") {
+    import graft.logql.{JsonStage, LabelFilter}
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "j"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    val pre = LogPipeline(Nil,
+      List(LabelFilter("resource_service_name", "=", "rare-svc", numeric = false)))
+    val read = FI.scanLogs(spark, dir, pre).inputFiles.map(FI.normPath).toSet
+    assert(read.nonEmpty && read.size < files(dir).size)
+    assert(read.forall(_.contains("dateint=20240103")))
+    // the same filter AFTER a parser stage references a parsed label the
+    // index never saw → no requirement from it
+    val post = LogPipeline(Nil, List(JsonStage(Nil),
+      LabelFilter("resource_service_name", "=", "rare-svc", numeric = false)))
+    assert(FI.wantedFps(FI.requirementTreeFor(post)).isEmpty)
+  }
+
+  test("exact alternates: literals in, metacharacters and empties out") {
+    assert(FI.exactAlternates("a|b|c").contains(Seq("a", "b", "c")))
+    assert(FI.exactAlternates("^(?:api|web)$").contains(Seq("api", "web")))
+    assert(FI.exactAlternates("^(api|web)$").contains(Seq("api", "web")))
+    assert(FI.exactAlternates("^api$").contains(Seq("api")))
+    assert(FI.exactAlternates("""a\.b|c""").contains(Seq("a.b", "c")))
+    assert(FI.exactAlternates("a|b.*").isEmpty)       // live metachar
+    assert(FI.exactAlternates("a|(b|c)").isEmpty)     // nested group
+    assert(FI.exactAlternates("""a|\db""").isEmpty)   // class escape
+    // empty alternate extracts but regexRequirement must refuse it (the
+    // pattern matches "", so the label may be ABSENT — any requirement
+    // would over-prune)
+    assert(FI.exactAlternates("a|").contains(Seq("a", "")))
+    assert(FI.regexRequirement("resource_service_name", "a|").isEmpty)
+  }
+
+  test("literal runs: optionality, classes, and alternation never over-claim") {
+    assert(FI.literalRuns("deadbeef") == Seq("deadbeef"))
+    assert(FI.literalRuns(".*deadbeef.*cafe[0-9]+x") == Seq("deadbeef", "cafe"))
+    assert(FI.literalRuns("dead?beef") == Seq("dea", "beef")) // 'd' optional
+    assert(FI.literalRuns("abc{2}def") == Seq("def"))         // 'c' count unknown
+    assert(FI.literalRuns("(abc)?required") == Seq("required"))
+    assert(FI.literalRuns("""\d+foobar""") == Seq("foobar"))
+    assert(FI.literalRuns("""foo\.bar""") == Seq("foo.bar"))
+    assert(FI.literalRuns("a|b") == Nil)                      // alternation voids all
+    assert(FI.literalRuns("abcdef|ghijkl") == Nil)
+    assert(FI.literalRuns(".*") == Nil)
+    assert(FI.literalRuns("ab+cde") == Seq("cde"))            // run ends at +
+    assert(FI.literalRuns("abc(") == Nil)                     // malformed: no claims
+  }
+
+  test("a multi-leaf expression costs exactly ONE index read") {
+    import graft.api.LogSegments
+    import graft.promql.QueryParams
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "k"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    val p = QueryParams(Day0, Day0 + 4 * 86400000L, 3600000L)
+    val e = graft.logql.Parser.parseFull(
+      s"""sum(count_over_time({log_level="ERROR"} |= "zebraquux" [1h])) /
+          sum(count_over_time({log_level="ERROR"} |= "needle" [1h]))""").toOption.get
+    val before = FI.indexReads.get()
+    LogSegments.scanFor(spark, dir, e, p)
+    assert(FI.indexReads.get() - before == 1,
+      s"expected 1 index read for a 2-leaf expression, got ${FI.indexReads.get() - before}")
   }
 
   test("files written after the index build always scan (lossless on staleness)") {

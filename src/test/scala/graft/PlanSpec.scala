@@ -111,6 +111,20 @@ class PlanSpec extends AnyFunSuite {
       s"tier selection missing from partition filters: $scanSection")
   }
 
+  test("multi-tenant query prunes ALL THREE partition keys (org + dateint + freq)") {
+    // one segment dir, two tenants: the org_a query's scan must carry
+    // partition filters on org (tenant isolation), dateint (time), and
+    // freq (tier) — on a shared 100 TB lake the org filter alone decides
+    // whether a tenant's 1 h query reads their directories or everyone's
+    val p = plan("it_multi_org")
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+      .takeWhile(_ != '\n')
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(scanSection.contains("org") && scanSection.contains("dateint") &&
+      scanSection.contains("freq"),
+      s"three-key partition pruning incomplete: $scanSection")
+  }
+
   test("trie clustering joins the template dimension without a cartesian") {
     // the learned-wildcard pass is a distinct-template dimension joined
     // back to the message stream — it must stay an equi-join (AQE
@@ -128,6 +142,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") &&
       (p.contains("StringContains(log_message") || p.contains("log_message")),
       p.take(2500))
+  }
+
+  test("no catalog query plans an unpartitioned global window") {
+    // Window.orderBy with no partitionBy funnels the ENTIRE input through
+    // ONE task — invisible at sf0.01, fatal at 100 TB. Sweep every query's
+    // pre-AQE physical plan (AQE never re-partitions a window, so the
+    // initial plan is authoritative for this property).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.sparkPlan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global single-task windows in: ${offenders.mkString(", ")}")
   }
 
   test("agg-file substitution plans a plain scan-filter-agg over the rollup") {

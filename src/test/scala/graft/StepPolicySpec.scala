@@ -104,6 +104,29 @@ class StepPolicySpec extends AnyFunSuite {
     assert(gotSet.nonEmpty && gotSet == manual)
   }
 
+  test("a multi-selector PromQL expression costs exactly ONE index read") {
+    import org.apache.spark.sql.functions._
+    import graft.api.MetricSegments
+    import graft.ingest.{FingerprintIndex => FI}
+    val spark = TestSpark.spark
+    val ev = graft.model.Tables.events(spark, TestSpark.sf)
+    def cook(name: String) = graft.ingest.MetricsPreAgg.preAggregate(ev,
+      col("ts_ms"), lit(name), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_1read_").toString
+    val both = cook("m_a").unionByName(cook("m_b"))
+    graft.ingest.Segments.writeMetricSegments(both, dir, maxRecordsPerFile = 50)
+    FI.buildLogIndex(spark, dir)
+    val start = 1704067200000L
+    val before = FI.indexReads.get()
+    val got = MetricSegments.query(spark, dir,
+      "sum(m_a) / sum(m_b)", start, start + 3600000L)
+    got.collect()
+    assert(FI.indexReads.get() - before == 1,
+      s"expected 1 index read for a 2-selector expression, got ${FI.indexReads.get() - before}")
+  }
+
   test("bare matcher sets (empty metric name) never prune metric files") {
     import org.apache.spark.sql.functions._
     import graft.api.MetricSegments
