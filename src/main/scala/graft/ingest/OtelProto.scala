@@ -107,7 +107,11 @@ object OtelProto {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => bounds(8); pos += 8
-      case 2 => pos += readLen()
+      case 2 =>
+        // NOT `pos += readLen()`: compound assignment reads the OLD pos
+        // before readLen() advances it past the length varint, silently
+        // dropping those bytes and desyncing the walk
+        val n = readLen(); pos += n
       case 5 => bounds(4); pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }
@@ -279,6 +283,66 @@ object OtelProto {
       }
     }
     (t, v, attrs)
+  }
+
+  /** One decoded metric exemplar — the measurement-level trace link OTel
+    * attaches to number/histogram/exponential-histogram datapoints (the
+    * reference's ingest readers process exemplars alongside datapoints,
+    * internal/filereader/ingest_proto_traces.go:86; its eval types carry
+    * timestamp+tags exemplars, promql/eval_types.go:60-64). `attrs` is
+    * the union of the datapoint attributes and the exemplar's
+    * filtered_attributes (the spec keeps them disjoint: filtered ones are
+    * exactly those dropped from the datapoint set).
+    */
+  final case class OtelExemplar(
+      timeUnixNano: Long,
+      metricName: String,
+      metricType: String,
+      value: Double,
+      traceId: String,
+      spanId: String,
+      attrs: Map[String, String],
+      resourceAttrs: Map[String, String],
+      scopeName: String,
+      scopeAttrs: Map[String, String] = Map.empty)
+
+  /** Exemplar (metrics.proto): time_unix_nano=2 (fixed64), as_double=3,
+    * span_id=4 (bytes), trace_id=5 (bytes), as_int=6 (sfixed64),
+    * filtered_attributes=7
+    */
+  private def exemplarMsg(r: Reader): (Long, Double, String, String, Map[String, String]) = {
+    var t = 0L; var v = 0.0; var sid = ""; var tid = ""
+    var fattrs = Map.empty[String, String]
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      f match {
+        case 2 => t = r.readFixed64()
+        case 3 => v = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case 4 => sid = hex(r.readBytes())
+        case 5 => tid = hex(r.readBytes())
+        case 6 => v = r.readFixed64().toDouble
+        case 7 => fattrs += keyValue(r.readMessage())
+        case _ => r.skip(w)
+      }
+    }
+    (t, v, tid, sid, fattrs)
+  }
+
+  /** scan ONE datapoint message for its attributes + exemplars (field
+    * numbers differ per datapoint kind; everything else skipped)
+    */
+  private def dpExemplars(r: Reader, attrsField: Int, exemplarsField: Int)
+      : (Map[String, String], Seq[(Long, Double, String, String, Map[String, String])]) = {
+    var attrs = Map.empty[String, String]
+    val exs =
+      scala.collection.mutable.ListBuffer[(Long, Double, String, String, Map[String, String])]()
+    while (r.hasNext) {
+      val (f, w) = r.readTag()
+      if (f == attrsField && w == 2) attrs += keyValue(r.readMessage())
+      else if (f == exemplarsField && w == 2) exs += exemplarMsg(r.readMessage())
+      else r.skip(w)
+    }
+    (attrs, exs.toSeq)
   }
 
   final case class OtelHistogram(
@@ -747,6 +811,91 @@ object OtelProto {
     out.toSeq
   }
 
+  /** MetricsData → every exemplar attached to any datapoint of any
+    * metric kind — gauge (Metric field 5) and sum (7) number datapoints
+    * (attributes=7, exemplars=5), classic histograms (9: attributes=9,
+    * exemplars=8), exponential histograms (10: attributes=1,
+    * exemplars=11). Same resource/scope walk as [[parseMetrics]].
+    */
+  def parseExemplars(data: Array[Byte]): Seq[OtelExemplar] = {
+    val out = scala.collection.mutable.ListBuffer[OtelExemplar]()
+    val root = new Reader(data, 0, data.length)
+    while (root.hasNext) {
+      val (f, w) = root.readTag()
+      if (f == 1 && w == 2) {
+        val rm = root.readMessage()
+        var resAttrs = Map.empty[String, String]
+        val scopeMetrics = scala.collection.mutable.ListBuffer[Reader]()
+        while (rm.hasNext) {
+          val (f2, w2) = rm.readTag()
+          f2 match {
+            case 1 =>
+              val res = rm.readMessage()
+              while (res.hasNext) {
+                val (f3, w3) = res.readTag()
+                if (f3 == 1 && w3 == 2) resAttrs += keyValue(res.readMessage())
+                else res.skip(w3)
+              }
+            case 2 => scopeMetrics += rm.readMessage()
+            case _ => rm.skip(w2)
+          }
+        }
+        scopeMetrics.foreach { sm =>
+          var scopeName = ""
+          var scopeAttrs = Map.empty[String, String]
+          while (sm.hasNext) {
+            val (f2, w2) = sm.readTag()
+            f2 match {
+              case 1 =>
+                val sc = sm.readMessage()
+                while (sc.hasNext) {
+                  val (f3, w3) = sc.readTag()
+                  if (f3 == 1 && w3 == 2) scopeName = sc.readString()
+                  else if (f3 == 3 && w3 == 2) scopeAttrs += keyValue(sc.readMessage())
+                  else sc.skip(w3)
+                }
+              case 2 =>
+                val m = sm.readMessage()
+                var name = ""
+                val points = scala.collection.mutable.ListBuffer[
+                  (String, Map[String, String],
+                    Seq[(Long, Double, String, String, Map[String, String])])]()
+                // (container field, cooked type, attrs field, exemplars field)
+                val kinds = Map(
+                  5 -> ("gauge", 7, 5), 7 -> ("sum", 7, 5),
+                  9 -> ("histogram", 9, 8), 10 -> ("exponential_histogram", 1, 11))
+                while (m.hasNext) {
+                  val (f3, w3) = m.readTag()
+                  f3 match {
+                    case 1 => name = m.readString()
+                    case k if kinds.contains(k) && w3 == 2 =>
+                      val (mtype, af, ef) = kinds(k)
+                      val c = m.readMessage()
+                      while (c.hasNext) {
+                        val (f4, w4) = c.readTag()
+                        if (f4 == 1 && w4 == 2) {
+                          val (attrs, exs) = dpExemplars(c.readMessage(), af, ef)
+                          if (exs.nonEmpty) points += ((mtype, attrs, exs))
+                        } else c.skip(w4)
+                      }
+                    case _ => m.skip(w3)
+                  }
+                }
+                points.foreach { case (mtype, dpAttrs, exs) =>
+                  exs.foreach { case (t, v, tid, sid, fattrs) =>
+                    out += OtelExemplar(t, name, mtype, v, tid, sid,
+                      dpAttrs ++ fattrs, resAttrs, scopeName, scopeAttrs)
+                  }
+                }
+              case _ => sm.skip(w2)
+            }
+          }
+        }
+      } else root.skip(w)
+    }
+    out.toSeq
+  }
+
   // ---- TracesData ------------------------------------------------------------
 
   final case class OtelSpan(
@@ -994,6 +1143,31 @@ object OtelProto {
       col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
   }
 
+  /** `.binpb[.gz]` OTel metrics → decoded EXEMPLAR rows (one per exemplar
+    * on any datapoint of any metric kind): chq_timestamp/tsns (the
+    * exemplar's own measurement time), metric_name, chq_metric_type,
+    * exemplar_value, exemplar_trace_id / exemplar_span_id (hex — join
+    * keys against span segments' span_trace_id), plus the widened
+    * attr_* / resource_* / scope_* context (datapoint attributes unioned
+    * with the exemplar's filtered_attributes).
+    */
+  def readExemplars(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    val points = files.flatMap { case (p, c) => parseExemplars(maybeGunzip(p, c)) }
+    widenAttrs(points.toDF().select(
+      expr("timeUnixNano DIV 1000000").as("chq_timestamp"),
+      col("timeUnixNano").as("chq_tsns"),
+      col("metricName").as("metric_name"),
+      col("metricType").as("chq_metric_type"),
+      col("value").as("exemplar_value"),
+      col("traceId").as("exemplar_trace_id"),
+      col("spanId").as("exemplar_span_id"),
+      col("scopeName").as("scope_name"),
+      col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
+  }
+
   /** [[readExpoHistograms]] with each datapoint's buckets converted to a
     * `chq_sketch` DDSketch blob (gamma = the histogram's own base — an
     * exact bin-to-bin mapping, [[graft.sketch.ExpoBridge]]), so ingested
@@ -1175,10 +1349,22 @@ object OtelProto {
     def anyArray(values: Seq[String]): Array[Byte] =
       ld(5, values.flatMap(v => ld(1, anyString(v))).toArray)
 
-    /** NumberDataPoint with as_double */
+    /** Exemplar: time_unix_nano=2, as_double=3, span_id=4, trace_id=5,
+      * filtered_attributes=7
+      */
+    def exemplar(timeNs: Long, value: Double, traceIdHex: String,
+        spanIdHex: String,
+        filteredAttrs: Seq[(String, String)] = Nil): Array[Byte] =
+      fixed64(2, timeNs) ++ dbl(3, value) ++
+        ld(4, hexBytes(spanIdHex)) ++ ld(5, hexBytes(traceIdHex)) ++
+        filteredAttrs.flatMap { case (k, v) => ld(7, kv(k, v)) }
+
+    /** NumberDataPoint with as_double (exemplars=5) */
     def numberDp(timeNs: Long, value: Double,
-        attrs: Seq[(String, String)]): Array[Byte] =
+        attrs: Seq[(String, String)],
+        exemplars: Seq[Array[Byte]] = Nil): Array[Byte] =
       fixed64(3, timeNs) ++ dbl(4, value) ++
+        exemplars.flatMap(e => ld(5, e)) ++
         attrs.flatMap { case (k, v) => ld(7, kv(k, v)) }
 
     def gaugeMetric(name: String, dps: Seq[Array[Byte]]): Array[Byte] =
@@ -1191,16 +1377,20 @@ object OtelProto {
           vint(2, 2) ++ // aggregation_temporality = CUMULATIVE
           vint(3, if (monotonic) 1L else 0L))
 
-    /** HistogramDataPoint with packed bucket_counts/explicit_bounds */
+    /** HistogramDataPoint with packed bucket_counts/explicit_bounds
+      * (exemplars=8)
+      */
     def histogramDp(timeNs: Long, count: Long, sum: Double,
         min: Double, max: Double, bucketCounts: Seq[Long],
         explicitBounds: Seq[Double],
-        attrs: Seq[(String, String)]): Array[Byte] = {
+        attrs: Seq[(String, String)],
+        exemplars: Seq[Array[Byte]] = Nil): Array[Byte] = {
       def f64(v: Long): Array[Byte] =
         (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
       fixed64(3, timeNs) ++ fixed64(4, count) ++ dbl(5, sum) ++
         ld(6, bucketCounts.flatMap(f64).toArray) ++
         ld(7, explicitBounds.flatMap(d => f64(java.lang.Double.doubleToLongBits(d))).toArray) ++
+        exemplars.flatMap(e => ld(8, e)) ++
         attrs.flatMap { case (k, v) => ld(9, kv(k, v)) } ++
         dbl(11, min) ++ dbl(12, max)
     }

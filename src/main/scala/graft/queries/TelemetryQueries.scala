@@ -1001,6 +1001,98 @@ object TelemetryQueries extends Catalog {
      SELECT 'attr_event_type', count(attr_event_type) FROM t
        WHERE attr_event_type <> ''"""
 
+  /** OTel exemplar round-trip (the reference's ingest readers process
+    * exemplars alongside datapoints, internal/filereader/
+    * ingest_proto_traces.go:86): gauge datapoints each carrying one
+    * exemplar (trace/span ids derived from the event id, user id as a
+    * filtered_attribute) and per-(hour, event_type) histogram datapoints
+    * carrying the exemplar of the group's SMALLEST event id (unique key →
+    * deterministic pick both sides) → encoded → wire decoder →
+    * [[OtelProto.readExemplars]] rows; the oracle replays both
+    * derivations straight from `events`, including the hex id
+    * formatting, the filtered-attribute flattening (attr_user_id), and
+    * the exemplar's own measurement timestamps.
+    */
+  private def binpbExemplars(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val rows = raw(s, d).filter(col("event_id") % 11 === 3)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"),
+        col("user_id"))
+      .collect() // fixture encoding is driver-side by design (test harness)
+    def tid(id: Long) = f"$id%032x"
+    def sid(id: Long) = f"$id%016x"
+    val gaugeDps = rows.toSeq.map { r =>
+      val (id, ts, et, v) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      Encode.numberDp(ts * 1000000L, v, Seq("event.type" -> et),
+        exemplars = Seq(Encode.exemplar(ts * 1000000L, v, tid(id), sid(id),
+          Seq("user.id" -> r.getLong(4).toString))))
+    }
+    val histDps = rows.toSeq
+      .groupBy(r => (r.getLong(1) - r.getLong(1) % 3600000L, r.getString(2)))
+      .toSeq.sortBy(_._1).map { case ((h, et), rs) =>
+        val vs = rs.map(_.getDouble(3))
+        val pick = rs.minBy(_.getLong(0))
+        Encode.histogramDp(h * 1000000L, vs.length.toLong, vs.sum,
+          vs.min, vs.max, Seq(vs.length.toLong), Nil,
+          Seq("event.type" -> et),
+          exemplars = Seq(Encode.exemplar(pick.getLong(1) * 1000000L,
+            pick.getDouble(3), tid(pick.getLong(0)), sid(pick.getLong(0)),
+            Seq("user.id" -> pick.getLong(4).toString))))
+      }
+    val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
+      "graft-test",
+      Seq(Encode.gaugeMetric("ex_gauge", gaugeDps),
+        Encode.histogramMetric("ex_hist", histDps)))
+    OtelProto.readExemplars(s,
+      gzWrite("graft_binpb_x_", "exemplars.binpb.gz", blob))
+      .groupBy(col("metric_name"), col("chq_metric_type"),
+        col("attr_event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("exemplar_value")), 4).as("sum_v"),
+        countDistinct(col("exemplar_trace_id")).as("n_traces"),
+        countDistinct(col("attr_user_id")).as("n_users"),
+        min(col("exemplar_trace_id")).as("min_trace"),
+        max(col("exemplar_span_id")).as("max_span"),
+        min(col("chq_timestamp")).as("min_ts"),
+        max(col("chq_timestamp")).as("max_ts"))
+  }
+
+  private val binpbExemplarsSql =
+    """WITH src AS (
+       SELECT event_id, epoch_ms(ts) AS tms, event_type, "value", user_id
+       FROM events WHERE event_id % 11 = 3),
+     g AS (
+       SELECT 'ex_gauge' AS metric_name, 'gauge' AS chq_metric_type,
+              event_type AS attr_event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum("value"), 4) AS sum_v,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS n_traces,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              printf('%032x', min(event_id)) AS min_trace,
+              printf('%016x', max(event_id)) AS max_span,
+              min(tms) AS min_ts, max(tms) AS max_ts
+       FROM src GROUP BY 3),
+     h0 AS (
+       SELECT tms - tms % 3600000 AS hh, event_type,
+              arg_min("value", event_id) AS ex_v,
+              arg_min(tms, event_id) AS ex_ts,
+              arg_min(user_id, event_id) AS ex_u,
+              min(event_id) AS ex_id
+       FROM src GROUP BY 1, 2),
+     h AS (
+       SELECT 'ex_hist' AS metric_name, 'histogram' AS chq_metric_type,
+              event_type AS attr_event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(ex_v), 4) AS sum_v,
+              CAST(count(DISTINCT ex_id) AS BIGINT) AS n_traces,
+              CAST(count(DISTINCT ex_u) AS BIGINT) AS n_users,
+              printf('%032x', min(ex_id)) AS min_trace,
+              printf('%016x', max(ex_id)) AS max_span,
+              min(ex_ts) AS min_ts, max(ex_ts) AS max_ts
+       FROM h0 GROUP BY 3)
+     SELECT * FROM g UNION ALL SELECT * FROM h"""
+
   override def all: Seq[Q] = Seq(
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
@@ -1019,6 +1111,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_hist_explicit_quantile", histExplicitQuantile, Some(histExplicitQuantileSql)),
     Q("tq_binpb_summary", binpbSummary, Some(binpbSummarySql)),
     Q("tq_binpb_expo", binpbExpoHistogram, Some(binpbExpoHistogramSql)),
+    Q("tq_binpb_exemplars", binpbExemplars, Some(binpbExemplarsSql)),
     Q("tq_expo_quantile", expoQuantile, Some(expoQuantileSql)),
     Q("sq_slow_error_spans", slowErrorSpans, Some(slowErrorSpansSql)),
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),

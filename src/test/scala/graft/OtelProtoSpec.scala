@@ -97,6 +97,45 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(ctr.scopeAttrs == Map("lib_ver" -> "9"))
   }
 
+  test("exemplar wire round-trip: every datapoint kind, ids, filtered attrs") {
+    val ex1 = Encode.exemplar(1704067205000000000L, 7.5,
+      "00000000000000000000000000000025", "0000000000000025",
+      Seq("user.id" -> "9"))
+    val ex2 = Encode.exemplar(1704067206000000000L, 2.25,
+      "000000000000000000000000000000ff", "00000000000000ff")
+    val blob = Encode.metricsData(
+      Seq("service.name" -> "svc-a"), "graft-test",
+      Seq(
+        Encode.gaugeMetric("g", Seq(
+          Encode.numberDp(1704067200000000000L, 42.5, Seq("core" -> "0"),
+            exemplars = Seq(ex1)))),
+        Encode.sumMetric("s", monotonic = true, Seq(
+          Encode.numberDp(1704067200000000000L, 100.0, Seq("code" -> "200"),
+            exemplars = Seq(ex2)))),
+        Encode.histogramMetric("h", Seq(
+          Encode.histogramDp(1704067200000000000L, 3L, 9.0, 1.0, 5.0,
+            Seq(3L), Nil, Seq("hx" -> "1"), exemplars = Seq(ex1, ex2))))))
+    val exs = OtelProto.parseExemplars(blob)
+    assert(exs.size == 4)
+    val g = exs.find(_.metricName == "g").get
+    assert(g.metricType == "gauge" && g.value == 7.5)
+    assert(g.traceId == "00000000000000000000000000000025")
+    assert(g.spanId == "0000000000000025")
+    assert(g.timeUnixNano == 1704067205000000000L)
+    // datapoint attrs union the exemplar's filtered attributes
+    assert(g.attrs == Map("core" -> "0", "user_id" -> "9"))
+    assert(exs.find(_.metricName == "s").get.metricType == "sum")
+    assert(exs.count(_.metricName == "h") == 2)
+    // the OTHER decoders must skip exemplars losslessly: this is the
+    // regression gate for the skip(length-delimited) compound-assignment
+    // bug (pos += readLen() read the pre-advance pos and desynced)
+    val ms = OtelProto.parseMetrics(blob)
+    assert(ms.map(m => (m.metricName, m.value)).toSet ==
+      Set(("g", 42.5), ("s", 100.0)))
+    val hs = OtelProto.parseHistograms(blob)
+    assert(hs.size == 1 && hs.head.count == 3L && hs.head.sum == 9.0)
+  }
+
   test("histogram wire round-trip: packed buckets/bounds, count/sum/min/max") {
     val blob = Encode.metricsData(
       Seq("service.name" -> "svc-h"), "graft-test",
