@@ -11,6 +11,13 @@ package graft
   * BENCH_r01.json), the line also carries a `regressions` map flagging
   * queries >1.5x slower than last round (ignoring sub-200 ms noise), and
   * the same list is echoed to stderr for humans.
+  *
+  * The stdout line is deliberately COMPACT (~1 KB): the harness keeps only
+  * the last ~2000 chars of output, and in rounds 1-5 the full 142-query
+  * line overflowed that window, so the driver never parsed a single bench
+  * ("parsed": null in every BENCH_r*.json). The line carries the headline
+  * queries plus distribution stats; the complete per-query map (warm +
+  * cold + notes) goes to BENCH_FULL.json next to the repo root.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,8 +106,35 @@ object Bench {
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cold":$coldJson,"err":$errJson,"regressions":$regJson,"notes":$notesJson,"sf":"$sfDir"}""")
+    // full artifact: every per-query warm/cold time, errors, regressions,
+    // notes — written as a file so nothing is lost to the tail window
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cold":$coldJson,"err":$errJson,"regressions":$regJson,"notes":$notesJson,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    java.nio.file.Files.write(fullPath, (full + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-query detail -> ${fullPath.toAbsolutePath}")
+
+    // compact stdout line: headline queries (one per family spine) +
+    // distribution stats over the whole catalog
+    val headline = Seq(
+      "core_q1_pricing_agg", "core_q3_join_agg", "core_q18_large_orders",
+      "pq_rate", "pq_sum_by", "pq_topk", "pq_hist_quantile",
+      "lq_rate", "lq_json_stage", "lq_raw_lines",
+      "tq_preagg_10s", "tq_rollup_chain", "tq_segment_roundtrip",
+      "it_log_needle", "it_stream_ingest",
+      "pp_minhash_lsh", "pp_cosine_topk", "pp_dedup_apply")
+    val resMap = results.toMap
+    val headJson = headline.flatMap(k => resMap.get(k).map(v =>
+      "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
+    val sorted = results.map(_._2).sorted
+    val mean = if (sorted.nonEmpty) total / sorted.size else 0.0
+    val p50 = if (sorted.nonEmpty) sorted(sorted.size / 2) else 0.0
+    val mx = sorted.lastOption.getOrElse(0.0)
+    val under1 = sorted.count(_ < 1.0)
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","sf":"$sfDir",""" +
+      s""""n":${sorted.size},"mean":${f"$mean%.3f"},"p50":${f"$p50%.3f"},"max":${f"$mx%.3f"},""" +
+      s""""under_1s":$under1,"n_err":${errs.size},"n_regressions":${regressions.size},""" +
+      s""""queries":$headJson,"detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -76,6 +76,22 @@ final case class RoundFn(arg: Expr, to: Double) extends Expr
   */
 case object TimeFn extends Expr
 
+/** timestamp(v): each sample's evaluation timestamp in seconds, keeping
+  * the argument's series labels (standard Prometheus; beyond the
+  * reference's planner surface)
+  */
+final case class TimestampFn(arg: Expr) extends Expr
+
+/** sort(v) / sort_desc(v): order the instant vector by value within each
+  * step bucket. Pure presentation — the sample set is unchanged.
+  */
+final case class SortFn(desc: Boolean, arg: Expr) extends Expr
+
+/** predict_linear(v[r], t): least-squares extrapolation t seconds past the
+  * evaluation timestamp, fit over the window's bucket gauge values
+  */
+final case class PredictLinear(arg: Selector, tSec: Double) extends Expr
+
 /** sum/avg/min/max/count/topk/bottomk/quantile ... by/without (...) */
 final case class Agg(
     op: String,
@@ -100,7 +116,12 @@ object Ast {
   val rangeFns: Set[String] = Set(
     "rate", "irate", "increase", "sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time", "last_over_time",
-    "first_over_time", "delta")
+    "first_over_time", "delta",
+    // gauge-analysis family over bucket gauge values (bucket averages, the
+    // same convention delta/last_over_time already use — documented
+    // divergence from raw-sample Prometheus on a bucketized store)
+    "deriv", "idelta", "changes", "resets",
+    "stddev_over_time", "stdvar_over_time", "present_over_time")
   val unaryFns: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn")
   val aggOps: Set[String] = Set(

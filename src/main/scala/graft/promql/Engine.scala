@@ -178,6 +178,20 @@ object Engine {
           .withColumn("value", col("ts") / lit(1000.0)),
         Nil))
 
+    case TimestampFn(arg) =>
+      val sf = vector(eval(arg, store, p))
+      Right(sf.copy(df = sf.df.withColumn("value", col("ts") / lit(1000.0))))
+
+    case SortFn(desc, arg) =>
+      // presentation order within each bucket; the sample set is unchanged.
+      // The sorted frame is the (small) post-aggregation instant vector, so
+      // the total order costs one exchange over result-sized data only.
+      val sf = vector(eval(arg, store, p))
+      val ord = if (desc) col("value").desc_nulls_last else col("value").asc_nulls_last
+      Right(sf.copy(df = sf.df.orderBy(col("ts").asc, ord)))
+
+    case PredictLinear(sel, t) => Right(leaf(sel, "predict_linear", store, p, t))
+
     case RoundFn(arg, to) => eval(arg, store, p) match {
       case Left(d) => Left(math.floor(d / to + 0.5) * to)
       case Right(sf) => Right(sf.copy(df = sf.df.withColumn("value",
@@ -239,7 +253,15 @@ object Engine {
     * fn == "" → bare selector (per-bucket SUM, reference
     * evalLeafValuePerBucket with empty FuncName).
     */
-  private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams): SeriesFrame = {
+  /** gauge-analysis range fns evaluated over bucket gauge values (bucket
+    * averages — the convention delta/last_over_time already use)
+    */
+  private val gaugeFns = Set(
+    "deriv", "predict_linear", "idelta", "changes", "resets",
+    "stddev_over_time", "stdvar_over_time", "present_over_time")
+
+  private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
+      predictT: Double = 0.0): SeriesFrame = {
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
     val off = sel.offsetMs
@@ -283,6 +305,68 @@ object Engine {
         val gapSec = (col("ts") - prevTs) / lit(1000.0)
         bucketed.withColumn("value",
           when(prevInWindow, col("bsum") / gapSec).otherwise(lit(Double.NaN)))
+      } else if (range > 0 && gaugeFns.contains(fn)) {
+        val lower = math.min(0L, -(range - step))
+        val rw = w.rangeBetween(lower, 0)
+        val firstTs = min(col("ts")).over(rw)
+        val covered = firstTs <= col("ts") - lit(range) + lit(step)
+        val bavg = col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))
+        fn match {
+          case "present_over_time" =>
+            // a bucket row is itself ≥1 sample in its window — no coverage
+            // gate (presence answers "was anything there", not "was the
+            // window fully covered")
+            bucketed.withColumn("value", lit(1.0))
+          case "idelta" =>
+            // last two gauge values' difference; needs the previous bucket
+            // inside the window (same pairing rule as exact irate)
+            val prevTs = lag(col("ts"), 1).over(w)
+            val prevAvg = lag(bavg, 1).over(w)
+            val prevInWindow = prevTs.isNotNull &&
+              prevTs >= col("ts") - lit(range) + lit(step)
+            bucketed.withColumn("value",
+              when(prevInWindow, bavg - prevAvg).otherwise(lit(Double.NaN)))
+          case "changes" | "resets" =>
+            // per-bucket transition indicator vs the immediately previous
+            // bucket; the leftmost in-window bucket's transition pairs with
+            // a bucket OUTSIDE the window, so subtract its indicator
+            val prevAvg = lag(bavg, 1).over(w)
+            val indCond = if (fn == "changes") bavg =!= prevAvg else bavg < prevAvg
+            val ind = when(prevAvg.isNotNull && indCond, lit(1.0)).otherwise(lit(0.0))
+            val v = sum(ind).over(rw) - first(ind).over(rw)
+            bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))
+          case "stddev_over_time" | "stdvar_over_time" =>
+            // population variance via the exact-sums form (n·Σv² − (Σv)²)/n²
+            // instead of built-in var_pop: Welford-style incremental updates
+            // are order-sensitive at the ulp level and Spark/DuckDB walk
+            // window frames in different orders — plain sums keep the oracle
+            // replayable (window n is small, conditioning is benign)
+            val n = count(lit(1)).over(rw).cast("double")
+            val sv = sum(bavg).over(rw)
+            val svv = sum(bavg * bavg).over(rw)
+            val varp = (n * svv - sv * sv) / (n * n)
+            val v = if (fn == "stddev_over_time") sqrt(varp) else varp
+            bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))
+          case "deriv" | "predict_linear" =>
+            // least-squares slope over (time, gauge) pairs in the window.
+            // x is anchored at the aligned query start so the step-aligned
+            // second offsets — and therefore Σx and Σx² — are exact doubles,
+            // keeping the n·Σxx − (Σx)² cancellation benign
+            val x = (col("ts") - lit(alignedStart(p))) / lit(1000.0)
+            val n = count(lit(1)).over(rw).cast("double")
+            val sx = sum(x).over(rw)
+            val sv = sum(bavg).over(rw)
+            val sxv = sum(x * bavg).over(rw)
+            val sxx = sum(x * x).over(rw)
+            val slope = (n * sxv - sx * sv) / (n * sxx - sx * sx)
+            val v =
+              if (fn == "deriv") slope
+              // value at (eval time + t): intercept-at-x̄ form v̄ + b·(x+t−x̄)
+              else sv / n + slope * (x + lit(predictT) - sx / n)
+            bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))
+        }
+      } else if (fn.nonEmpty && gaugeFns.contains(fn)) {
+        throw new IllegalArgumentException(s"$fn requires a range selector, e.g. $fn(m[5m])")
       } else if (range > 0 && Ast.rangeFns.contains(fn)) {
         val lower = math.min(0L, -(range - step))
         val rw = w.rangeBetween(lower, 0)

@@ -321,6 +321,23 @@ private final class Parser(input: String) {
       case "time" =>
         expect(')')
         TimeFn
+      case "timestamp" =>
+        val arg = parseOr()
+        expect(')')
+        TimestampFn(arg)
+      case "sort" | "sort_desc" =>
+        val arg = parseOr()
+        expect(')')
+        SortFn(fn == "sort_desc", arg)
+      case "predict_linear" =>
+        val arg = parseOr()
+        expect(',')
+        val t = parseNumber()
+        expect(')')
+        arg match {
+          case s: Selector if s.rangeMs > 0 => PredictLinear(s, t)
+          case _ => fail("predict_linear requires a range selector")
+        }
       case "round" =>
         val arg = parseOr()
         val to = if (eat(',')) parseNumber() else 1.0

@@ -472,8 +472,151 @@ object PromQLQueries extends Catalog {
           QueryParams(Start, End, StepMs)).filter(!isnan(col("value")))
           .withColumn("value", round(col("value"), 6))
       },
-      Some(ddsQuantileSql(0.95, H4)))
+      Some(ddsQuantileSql(0.95, H4))),
+
+    // --- gauge-analysis range family (deriv/idelta/changes/resets/stdvar/
+    //     stddev/present, predict_linear, timestamp, sort) — standard
+    //     Prometheus surface beyond the reference's planner, evaluated over
+    //     bucket gauge values (bucket averages, the delta/last_over_time
+    //     convention). Oracles replay the exact expression trees so the
+    //     doubles stay deterministic (see each formula comment). ---
+
+    Q("pq_present_over_time",
+      run("present_over_time(events_value[4h])"),
+      // 1 at every bucket the series has data in — no coverage gate
+      Some(s"""WITH ${stepCte(H4)}
+        SELECT ts, attr_event_type, 1.0 AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_idelta",
+      run("idelta(events_value[2h])"),
+      // [2h] at the 1h step pins the pair to (ts-1h, ts); both gauge values
+      // are single divisions of bitwise-replayable step sums, so the
+      // difference is deterministic on both engines
+      Some(s"""WITH ${gaugeCte(2 * 3600000L)},
+        l AS (SELECT ts, attr_event_type, v,
+                lag(ts) OVER w AS pts, lag(v) OVER w AS pv
+              FROM gauge
+              WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts))
+        SELECT ts, attr_event_type, v - pv AS value
+        FROM l WHERE pts = ts - $StepMs AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_changes",
+      run("changes(events_value[6h])"),
+      Some(changesResetsSql("<>"))),
+
+    Q("pq_resets",
+      run("resets(events_value[6h])"),
+      Some(changesResetsSql("<"))),
+
+    Q("pq_stddev_over_time",
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        val sv = Engine.query("stdvar_over_time(events_value[6h])", store, p)
+          .withColumnRenamed("value", "stdvar_v")
+        val sd = Engine.query("stddev_over_time(events_value[6h])", store, p)
+          .withColumnRenamed("value", "stddev_v")
+        sv.join(sd, Seq("ts", "attr_event_type"))
+          .filter(!isnan(col("stdvar_v")) && !isnan(col("stddev_v")))
+      },
+      // population variance via the exact-sums form the engine uses:
+      // (n·Σv² − (Σv)²)/n² — identical expression tree on both sides
+      Some(s"""WITH ${gaugeCte(H6)},
+        wnd AS (SELECT ts, attr_event_type,
+                  CAST(count(*) OVER w AS DOUBLE) AS n, sum(v) OVER w AS sv,
+                  sum(v * v) OVER w AS svv, min(ts) OVER w AS first_ts
+                FROM gauge
+                WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                             RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, attr_event_type,
+               (n * svv - sv * sv) / (n * n) AS stdvar_v,
+               sqrt((n * svv - sv * sv) / (n * n)) AS stddev_v
+        FROM wnd
+        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_deriv",
+      run("deriv(events_value[6h])"),
+      // least-squares slope; x anchored at the aligned query start keeps
+      // Σx and Σx² exact integers, so the denominator is bit-exact and the
+      // numerator's cancellation stays benign (see Engine.leaf)
+      Some(s"""WITH ${derivCte(H6)}
+        SELECT ts, attr_event_type,
+               (n * sxv - sx * sv) / (n * sxx - sx * sx) AS value
+        FROM wnd
+        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_predict_linear",
+      run("predict_linear(events_value[6h], 3600)"),
+      // v̄ + slope·(x + t − x̄), the engine's exact expression tree
+      Some(s"""WITH ${derivCte(H6)}
+        SELECT ts, attr_event_type,
+               sv / n + ((n * sxv - sx * sv) / (n * sxx - sx * sx))
+                 * ((ts - $Start) / 1000.0 + 3600.0 - sx / n) AS value
+        FROM wnd
+        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+
+    Q("pq_timestamp",
+      run("timestamp(events_value)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, ts / 1000.0 AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_sort",
+      run("sort_desc(events_value)"),
+      // presentation-only: same sample set as the bare selector (the
+      // verifier compares content, not order — the row proves parse+plan)
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End"""))
   )
+
+  /** gauge CTE: per-bucket gauge value (bucket average), the convention the
+    * gauge-analysis range fns evaluate over
+    */
+  private def gaugeCte(rangeMs: Long): String =
+    s"""${stepCte(rangeMs)},
+     gauge AS (
+       SELECT ts, attr_event_type,
+              bsum / CASE WHEN bcnt = 0 THEN 1 ELSE bcnt END AS v
+       FROM step)"""
+
+  /** changes/resets: per-bucket transition indicator vs the previous bucket,
+    * window sum minus the leftmost element's indicator (its pair sits
+    * outside the window) — the engine's exact construction
+    */
+  private def changesResetsSql(cmp: String): String =
+    s"""WITH ${gaugeCte(H6)},
+      l AS (SELECT ts, attr_event_type, v,
+              lag(v) OVER (PARTITION BY attr_event_type ORDER BY ts) AS pv
+            FROM gauge),
+      i AS (SELECT ts, attr_event_type,
+              CASE WHEN pv IS NOT NULL AND v $cmp pv THEN 1.0 ELSE 0.0 END AS ind
+            FROM l),
+      wnd AS (SELECT ts, attr_event_type,
+                sum(ind) OVER w - first_value(ind) OVER w AS value,
+                min(ts) OVER w AS first_ts
+              FROM i
+              WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                           RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW))
+      SELECT ts, attr_event_type, value FROM wnd
+      WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End"""
+
+  /** windowed regression sums for deriv/predict_linear: x = seconds since
+    * the aligned query start (exact at the step grid)
+    */
+  private def derivCte(rangeMs: Long): String =
+    s"""${gaugeCte(rangeMs)},
+     wnd AS (SELECT ts, attr_event_type,
+               CAST(count(*) OVER w AS DOUBLE) AS n,
+               sum((ts - $Start) / 1000.0) OVER w AS sx,
+               sum(v) OVER w AS sv,
+               sum(((ts - $Start) / 1000.0) * v) OVER w AS sxv,
+               sum(((ts - $Start) / 1000.0) * ((ts - $Start) / 1000.0)) OVER w AS sxx,
+               min(ts) OVER w AS first_ts
+             FROM gauge
+             WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                          RANGE BETWEEN ${rangeMs - StepMs} PRECEDING AND CURRENT ROW))"""
 
   /** DuckDB replay of the DDSketch quantile read (see pq_hist_quantile
     * comment): window expansion via a 0..range/step offset cross join,

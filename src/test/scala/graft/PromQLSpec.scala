@@ -60,6 +60,20 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(p("-m").isInstanceOf[BinOp])
   }
 
+  test("gauge-analysis family parses") {
+    assert(p("deriv(m[5m])") == RangeFn("deriv", Selector("m", Nil, 300000L)))
+    assert(p("changes(m[5m])") == RangeFn("changes", Selector("m", Nil, 300000L)))
+    assert(p("resets(m[5m])") == RangeFn("resets", Selector("m", Nil, 300000L)))
+    assert(p("idelta(m[5m])") == RangeFn("idelta", Selector("m", Nil, 300000L)))
+    assert(p("stddev_over_time(m[5m])").isInstanceOf[RangeFn])
+    assert(p("present_over_time(m[5m])").isInstanceOf[RangeFn])
+    assert(p("predict_linear(m[5m], 600)") ==
+      PredictLinear(Selector("m", Nil, 300000L), 600.0))
+    assert(Parser.parse("predict_linear(m, 600)").isLeft)
+    assert(p("timestamp(m)") == TimestampFn(Selector("m", Nil)))
+    assert(p("sort_desc(m)") == SortFn(true, Selector("m", Nil)))
+  }
+
   test("label manipulation / absent / round parse") {
     assert(p("""label_replace(m, "d", "$1", "s", "(.*)")""") ==
       LabelReplace(Selector("m", Nil), "d", "$1", "s", "(.*)"))
@@ -144,5 +158,61 @@ class PromQLEngineSpec extends AnyFunSuite {
   test("scalar literal expression yields grid") {
     val df = Engine.query("3 * 4", store, p)
     assert(df.select("value").distinct().head().getDouble(0) == 12.0)
+  }
+
+  test("deriv of a linear gauge recovers the slope; predict_linear extends it") {
+    // synthetic store: value = 2·t_sec + 5, exactly one sample per 10m
+    // bucket (bucket gauge == the sample, so the fit is exact)
+    import spark.implicits._
+    val rows = (0 until 12).map { i =>
+      (start + i * 600000L, "lin_gauge", 2.0 * (i * 600) + 5.0, 1.0)
+    }
+    val df = rows.toDF("chq_timestamp", "metric_name", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 7200000L, 600000L) // 10m step, 2h span
+    val d = Engine.query("deriv(lin_gauge[30m])", st, pp)
+      .filter(!isnan(col("value")))
+    assert(d.count() > 0)
+    assert(d.filter(abs(col("value") - 2.0) > 1e-9).count() == 0)
+    // predict 100s ahead of a line v(t)=2t+5 anchored at bucket start:
+    // value = 2·(t_now + 100) + 5 where t_now is the bucket's second offset
+    val pl = Engine.query("predict_linear(lin_gauge[30m], 100)", st, pp)
+      .filter(!isnan(col("value")))
+    val bad = pl.filter(
+      abs(col("value") - (lit(2.0) * ((col("ts") - lit(start)) / 1000.0 + 100.0) + 5.0)) > 1e-6)
+    assert(bad.count() == 0 && pl.count() > 0)
+  }
+
+  test("changes and resets count transitions over the window") {
+    import spark.implicits._
+    // one sample per 40s bucket, gauge cycle 1,1,2,1 → per-bucket transition
+    // indicators cycle [0,1,1,0] (changes) and [0,0,1,0] (resets)
+    val vals = Seq(1.0, 1.0, 2.0, 1.0)
+    val rows = (0 until 24).map { i =>
+      (start + i * 40000L, "saw", vals(i % 4), 1.0)
+    }
+    val df = rows.toDF("chq_timestamp", "metric_name", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 24 * 40000L, 40000L)
+    val ch = Engine.query("changes(saw[160s])", st, pp).filter(!isnan(col("value")))
+    val rs = Engine.query("resets(saw[160s])", st, pp).filter(!isnan(col("value")))
+    // a [160s] window = 4 buckets = 3 in-window transitions: consecutive
+    // triples of the indicator cycles sum to changes ∈ {1,2}, resets ∈ {0,1}
+    assert(ch.count() > 0 && rs.count() > 0)
+    assert(ch.filter(col("value") < 1.0 || col("value") > 2.0).count() == 0)
+    assert(rs.filter(col("value") < 0.0 || col("value") > 1.0).count() == 0)
+    // variance is never negative
+    val sv = Engine.query("stdvar_over_time(saw[160s])", st, pp)
+    assert(sv.filter(col("value") < -1e-12).count() == 0)
+  }
+
+  test("gauge fns without a range selector are rejected") {
+    intercept[IllegalArgumentException] {
+      Engine.query("deriv(events_value)", store, p).collect()
+    }
   }
 }
