@@ -84,6 +84,42 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * hash every k-gram of the normalized text, slide a window of w
+    * consecutive k-gram hashes, keep each window's minimum. Any substring
+    * match of length ≥ w+k−1 between two documents is guaranteed to share
+    * at least one selected fingerprint — the local-algorithm property that
+    * plain "0 mod p" sampling lacks. The rolling hash is md5-derived
+    * (48-bit prefix), deterministic across engines.
+    *
+    * Scale shape: one explode to |text| k-gram rows (same class as the
+    * MinHash shingle explode), one shuffle to co-locate a document's
+    * grams, a w-row sliding min, then a distinct per (doc, fp). No UDFs —
+    * the whole pipeline is codegen'd Column algebra.
+    *
+    * Returns (doc_id, fp) — the distinct selected fingerprints per doc.
+    */
+  def winnow(df: DataFrame, k: Int = 8, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(df(textCol))), "\\s+", " ")
+    val grams = df
+      .select(df(idCol).as("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(substr(col("t"), col("p"), lit(k))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("p") >= w) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

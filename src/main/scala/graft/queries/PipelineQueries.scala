@@ -504,8 +504,48 @@ object PipelineQueries extends Catalog {
                        AS BIGINT) / 4096.0, 6) AS feat_value
        FROM documents CROSS JOIN range(0, 8) b(feat_idx)"""
 
+  // ---- winnowing fingerprints ---------------------------------------------
+
+  /** per-doc summary of the winnowed fingerprint set: count, min, and a
+    * mod-checksum (sum of fp % 1000003 stays well under 2^53, so the sum
+    * is exact on both engines)
+    */
+  private def winnowSummary(s: SparkSession, d: String): DataFrame =
+    TextOps.winnow(docs(s, d), k = 8, w = 4)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        min(col("fp")).as("fp_min"),
+        sum(col("fp") % lit(1000003L)).as("fp_checksum"))
+
+  /** DuckDB replay of [[TextOps.winnow]]: same normalization, 48-bit
+    * md5-prefix k-gram hashes, w-row sliding min, distinct, summarized
+    */
+  private val winnowSql =
+    """WITH norm AS (
+         SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+         FROM documents),
+       pos AS (
+         SELECT doc_id, t, unnest(range(1, CAST(length(t) AS BIGINT) - 6)) AS p
+         FROM norm WHERE length(t) >= 8),
+       grams AS (
+         SELECT doc_id, p,
+                CAST(('0x' || substr(md5(substr(t, CAST(p AS INT), 8)), 1, 12))
+                     AS BIGINT) AS h
+         FROM pos),
+       wmin AS (
+         SELECT doc_id, p,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         FROM grams),
+       fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p >= 4)
+       SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min,
+              CAST(sum(fp % 1000003) AS BIGINT) AS fp_checksum
+       FROM fps GROUP BY doc_id"""
+
   override def all: Seq[Q] = Seq(
     Q("pp_text_stats", textStats, Some(textStatsSql)),
+    Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_langid",
       (s, d) => docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdSql)),

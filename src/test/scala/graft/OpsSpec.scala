@@ -33,6 +33,27 @@ class TextOpsSpec extends AnyFunSuite {
     val out = df.select(TextOps.tokenCount($"text")).collect().map(_.getLong(0))
     assert(out(0) == 3)
   }
+
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    // k=8, w=4 → any common substring of length ≥ w+k−1 = 11 guarantees a
+    // shared fingerprint (the winnowing local-algorithm property)
+    val common = "a distinctive shared passage of text"
+    val df = Seq(
+      (1L, s"first document preamble $common and its own tail"),
+      (2L, s"totally different opening here $common closing words"),
+      (3L, "nothing in common with the others at all zzz")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(df, k = 8, w = 4).cache()
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    // density: winnowing keeps ~2/(w+1) of gram positions; sets are small
+    assert(byDoc(1L).size < 40 && byDoc(3L).size < 40)
+    // identical text → identical fingerprint set regardless of position
+    val shifted = Seq((4L, s"xx $common"), (5L, s"yyyyy $common")).toDF("doc_id", "text")
+    val f2 = TextOps.winnow(shifted, k = 8, w = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((f2(4L) intersect f2(5L)).nonEmpty)
+    fps.unpersist()
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
