@@ -92,6 +92,17 @@ final case class SortFn(desc: Boolean, arg: Expr) extends Expr
   */
 final case class PredictLinear(arg: Selector, tSec: Double) extends Expr
 
+/** hour/minute/day_of_week/day_of_month/month/year/days_in_month(v):
+  * calendar components (UTC) of each sample's evaluation timestamp,
+  * keeping the argument's labels; a missing argument defaults to time()
+  */
+final case class TimeComponentFn(fn: String, arg: Expr) extends Expr
+
+/** absent_over_time(v[r]): 1 on every grid bucket whose lookback window
+  * contains NO sample of the selector; labels dropped (like absent)
+  */
+final case class AbsentOverTime(arg: Selector) extends Expr
+
 /** sum/avg/min/max/count/topk/bottomk/quantile ... by/without (...) */
 final case class Agg(
     op: String,
@@ -125,7 +136,11 @@ object Ast {
   val unaryFns: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn")
   val aggOps: Set[String] = Set(
-    "sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile")
+    "sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
+    "stddev", "stdvar", "group")
+  val timeComponentFns: Set[String] = Set(
+    "hour", "minute", "day_of_week", "day_of_month", "month", "year",
+    "days_in_month")
   val compOps: Set[String] = Set("==", "!=", ">", "<", ">=", "<=")
   val setOps: Set[String] = Set("and", "or", "unless")
 }

@@ -192,6 +192,48 @@ object Engine {
 
     case PredictLinear(sel, t) => Right(leaf(sel, "predict_linear", store, p, t))
 
+    case TimeComponentFn(fn, arg) =>
+      // calendar components of the evaluation timestamp (UTC session tz);
+      // hour/minute/day_of_week are pure epoch arithmetic, the calendar
+      // ones go through timestamp_millis (still codegen'd Column algebra)
+      val sf = vector(eval(arg, store, p))
+      val ts = col("ts")
+      val t = timestamp_millis(ts.cast("long"))
+      val v: Column = (fn match {
+        case "hour"          => floor(ts / lit(3600000.0)) % 24
+        case "minute"        => floor(ts / lit(60000.0)) % 60
+        // epoch day 0 (1970-01-01) was a Thursday; Prometheus counts 0=Sunday
+        case "day_of_week"   => (floor(ts / lit(86400000.0)) + 4) % 7
+        case "day_of_month"  => dayofmonth(t)
+        case "month"         => month(t)
+        case "year"          => year(t)
+        case "days_in_month" => dayofmonth(last_day(t))
+      }).cast("double")
+      Right(sf.copy(df = sf.df.withColumn("value", v)))
+
+    case AbsentOverTime(sel) =>
+      // 1 exactly on the grid buckets whose lookback window — the same
+      // bucket window the range fns use — holds no matching sample. The
+      // distinct present-bucket set is bounded by (span+range)/step, so it
+      // broadcasts; the anti range-join never touches data rows twice.
+      val step = p.stepMs
+      val range = sel.rangeMs
+      val off = sel.offsetMs
+      var df = store.df
+        .filter(col("chq_timestamp") >= alignedStart(p) - range - off &&
+          col("chq_timestamp") < p.endMs - off)
+      if (sel.metric.nonEmpty) df = df.filter(col("metric_name") === sel.metric)
+      sel.matchers.foreach { m => df = df.filter(matcherCond(df, m)) }
+      val b = ((col("chq_timestamp") + lit(off)) - (col("chq_timestamp") + lit(off)) % lit(step))
+      val present = df.select(b.as("b")).distinct()
+      val spark = store.df.sparkSession
+      val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("ts")
+      val out = grid.join(broadcast(present),
+          col("b") >= col("ts") - lit(range - step) && col("b") <= col("ts"),
+          "left_anti")
+        .withColumn("value", lit(1.0))
+      Right(SeriesFrame(out, Nil))
+
     case RoundFn(arg, to) => eval(arg, store, p) match {
       case Left(d) => Left(math.floor(d / to + 0.5) * to)
       case Right(sf) => Right(sf.copy(df = sf.df.withColumn("value",
@@ -526,6 +568,22 @@ object Engine {
         val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*)
           .agg(expr(s"percentile(value, $q)").as("value"))
         SeriesFrame(g, keep)
+      case "stddev" | "stdvar" =>
+        // cross-series population variance per bucket, exact-sums form
+        // (same rationale as stdvar_over_time: replayable, order-benign)
+        val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*)
+          .agg(count(lit(1)).cast("double").as("__n"),
+            sum(col("value")).as("__sv"),
+            sum(col("value") * col("value")).as("__svv"))
+        val varp = (col("__n") * col("__svv") - col("__sv") * col("__sv")) /
+          (col("__n") * col("__n"))
+        val v = if (op == "stddev") sqrt(varp) else varp
+        SeriesFrame(g.withColumn("value", v).drop("__n", "__sv", "__svv"), keep)
+      case "group" =>
+        // Prometheus group(): 1 for every populated group
+        val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*)
+          .agg(count(lit(1)).as("__n"))
+        SeriesFrame(g.withColumn("value", lit(1.0)).drop("__n"), keep)
       case _ =>
         val fn: Column = op match {
           case "sum"   => sum(col("value"))

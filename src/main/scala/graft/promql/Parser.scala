@@ -325,6 +325,18 @@ private final class Parser(input: String) {
         val arg = parseOr()
         expect(')')
         TimestampFn(arg)
+      case f if Ast.timeComponentFns.contains(f) =>
+        // Prometheus allows a missing argument: hour() ≡ hour(time())
+        val arg = if (peek() == ')') TimeFn else parseOr()
+        expect(')')
+        TimeComponentFn(f, arg)
+      case "absent_over_time" =>
+        val arg = parseOr()
+        expect(')')
+        arg match {
+          case s: Selector if s.rangeMs > 0 => AbsentOverTime(s)
+          case _ => fail("absent_over_time requires a range selector")
+        }
       case "sort" | "sort_desc" =>
         val arg = parseOr()
         expect(')')

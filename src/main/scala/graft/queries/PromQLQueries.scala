@@ -62,6 +62,11 @@ object PromQLQueries extends Catalog {
   private val H4 = 4L * 3600000L
   private val H6 = 6L * 3600000L
 
+  // absent_over_time window: spans the sparse tail AND past the end of the
+  // 30-day events table, so absent buckets exist at every sf
+  private val AbsStart = Start + 21L * 86400000L
+  private val AbsEnd = Start + 35L * 86400000L
+
   /** rate-style values are (exact integer cents)/range_sec: recover the
     * integer and divide identically on both engines so the doubles are
     * bit-identical regardless of summation order (see pq_rate comment)
@@ -568,7 +573,82 @@ object PromQLQueries extends Catalog {
       // verifier compares content, not order — the row proves parse+plan)
       Some(s"""WITH ${stepCte()}
         SELECT ts, attr_event_type, bsum AS value FROM step
-        WHERE ts >= $Start AND ts < $End"""))
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_agg_stddev",
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        val sv = Engine.query("stdvar(events_value)", store, p)
+          .withColumnRenamed("value", "stdvar_v")
+        val sd = Engine.query("stddev(events_value)", store, p)
+          .withColumnRenamed("value", "stddev_v")
+        sv.join(sd, Seq("ts"))
+      },
+      // cross-series population variance per bucket, exact-sums form —
+      // the engine's identical expression tree
+      Some(s"""WITH ${stepCte()},
+        g AS (SELECT ts, CAST(count(*) AS DOUBLE) AS n, sum(bsum) AS sv,
+                     sum(bsum * bsum) AS svv
+              FROM step WHERE ts >= $Start AND ts < $End GROUP BY ts)
+        SELECT ts, (n * svv - sv * sv) / (n * n) AS stdvar_v,
+               sqrt((n * svv - sv * sv) / (n * n)) AS stddev_v
+        FROM g""")),
+
+    Q("pq_agg_group",
+      run("group by (attr_event_type) (events_value)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT DISTINCT ts, attr_event_type, 1.0 AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_absent_over_time",
+      { (s, d) =>
+        // window [day 21, day 35): events end at day 30, so absence
+        // genuinely fires at EVERY sf (tail gaps at sf0.001, the beyond-
+        // data region everywhere) while presence still suppresses the grid
+        Engine.query(
+          """absent_over_time(events_value{attr_event_type="signup"}[4h])""",
+          MetricStore(Cooked.metrics(s, d)),
+          QueryParams(AbsStart, AbsEnd, StepMs))
+      },
+      // 1 on grid buckets whose [4h] bucket window has no signup sample
+      Some(s"""WITH ${Cooked.metricsCte},
+        step AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts, attr_event_type
+          FROM cooked
+          WHERE chq_timestamp >= ${AbsStart - H4} AND chq_timestamp < $AbsEnd
+          GROUP BY 1, 2)
+        SELECT r.range AS ts, 1.0 AS value
+        FROM range($AbsStart, $AbsEnd, $StepMs) r
+        WHERE NOT EXISTS (
+          SELECT 1 FROM step s WHERE s.attr_event_type = 'signup'
+            AND s.ts BETWEEN r.range - ${H4 - StepMs} AND r.range)""")),
+
+    Q("pq_time_components",
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        def q(e: String, n: String) =
+          Engine.query(e, store, p).withColumnRenamed("value", n)
+        val on = Seq("ts", "attr_event_type")
+        q("hour(events_value)", "hour_v")
+          .join(q("minute(events_value)", "minute_v"), on)
+          .join(q("day_of_week(events_value)", "dow_v"), on)
+          .join(q("day_of_month(events_value)", "dom_v"), on)
+          .join(q("month(events_value)", "month_v"), on)
+          .join(q("year(events_value)", "year_v"), on)
+      },
+      // hour/minute/dow are pure epoch arithmetic; the calendar components
+      // go through epoch-ms timestamps (UTC on both engines)
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               floor(ts / 3600000.0) % 24 AS hour_v,
+               floor(ts / 60000.0) % 60 AS minute_v,
+               (floor(ts / 86400000.0) + 4) % 7 AS dow_v,
+               CAST(day(epoch_ms(ts)) AS DOUBLE) AS dom_v,
+               CAST(month(epoch_ms(ts)) AS DOUBLE) AS month_v,
+               CAST(year(epoch_ms(ts)) AS DOUBLE) AS year_v
+        FROM step WHERE ts >= $Start AND ts < $End"""))
   )
 
   /** gauge CTE: per-bucket gauge value (bucket average), the convention the

@@ -72,6 +72,13 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(Parser.parse("predict_linear(m, 600)").isLeft)
     assert(p("timestamp(m)") == TimestampFn(Selector("m", Nil)))
     assert(p("sort_desc(m)") == SortFn(true, Selector("m", Nil)))
+    assert(p("hour(m)") == TimeComponentFn("hour", Selector("m", Nil)))
+    assert(p("hour()") == TimeComponentFn("hour", TimeFn))
+    assert(p("absent_over_time(m[5m])") ==
+      AbsentOverTime(Selector("m", Nil, 300000L)))
+    assert(Parser.parse("absent_over_time(m)").isLeft)
+    assert(p("stddev by (a) (m)") == Agg("stddev", Selector("m", Nil), List("a")))
+    assert(p("group(m)") == Agg("group", Selector("m", Nil)))
   }
 
   test("label manipulation / absent / round parse") {
@@ -214,5 +221,52 @@ class PromQLEngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Engine.query("deriv(events_value)", store, p).collect()
     }
+  }
+
+  test("absent_over_time complements windowed presence on the grid") {
+    val range = 12L * 3600000L
+    val absent = Engine.query(
+      """absent_over_time(events_value{attr_event_type="signup"}[12h])""",
+      store, p)
+    val present = Engine.query(
+      """present_over_time(events_value{attr_event_type="signup"}[12h])""",
+      store, p)
+    // absent buckets and buckets holding a sample never overlap, and absent
+    // only fires when the window truly has no sample
+    val overlap = absent.select("ts")
+      .join(present.select("ts"), "ts").count()
+    assert(overlap == 0)
+    val grid = (p.endMs - p.startMs) / p.stepMs
+    assert(absent.count() <= grid)
+  }
+
+  test("time components match known UTC calendar facts") {
+    // 2024-01-01T00:00:00Z is a Monday (dow 1), January, day 1
+    val df = Engine.query("hour(events_value)", store, p)
+      .filter(org.apache.spark.sql.functions.col("ts") === start)
+    assert(df.select("value").distinct().head().getDouble(0) == 0.0)
+    val dow = Engine.query("day_of_week(events_value)", store, p)
+      .filter(org.apache.spark.sql.functions.col("ts") === start)
+    assert(dow.select("value").distinct().head().getDouble(0) == 1.0)
+    val dim = Engine.query("days_in_month(events_value)", store, p)
+      .filter(org.apache.spark.sql.functions.col("ts") === start)
+    assert(dim.select("value").distinct().head().getDouble(0) == 31.0)
+  }
+
+  test("stddev agg: exact cross-series population variance") {
+    import spark.implicits._
+    // two series per bucket with values 1 and 3 → var_pop = 1, stddev = 1
+    val rows = Seq(
+      (start, "m", "a", 1.0, 1.0), (start, "m", "b", 3.0, 1.0),
+      (start + 600000L, "m", "a", 1.0, 1.0), (start + 600000L, "m", "b", 3.0, 1.0))
+    val df = rows.toDF("chq_timestamp", "metric_name", "attr_k", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 1200000L, 600000L)
+    val sv = Engine.query("stdvar(m)", st, pp)
+    assert(sv.select("value").collect().forall(_.getDouble(0) == 1.0))
+    val g = Engine.query("group by (attr_k) (m)", st, pp)
+    assert(g.count() == 4 && g.select("value").distinct().head().getDouble(0) == 1.0)
   }
 }
