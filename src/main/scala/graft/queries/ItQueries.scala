@@ -507,6 +507,95 @@ object ItQueries extends Catalog {
   // `all` is a def and the oracle strings are rendered inside it: Verify
   // dumps oracle_sql.json after running the queries, so the embedded
   // segment paths are the ones this run wrote
+  /** Exemplar → trace pivot, the observability motion the reference's
+    * exemplar processing + span_trace_id exact-index dimension exist for
+    * (internal/filereader/ingest_proto_traces.go:86,
+    * internal/fingerprint/fingerprint.go:60-70): decode OTel metric
+    * exemplars off the wire, take the distinct trace ids they reference
+    * in an alerting window (bounded — a caller's trace list), and fetch
+    * those traces from span segments through ONE OR-set index read
+    * instead of scanning every file in range. The fixture's exemplar
+    * trace ids use the SAME derivation as the cooked span segments, so
+    * the join is real; the oracle replays derivation + join from
+    * `events` and every segment file, and a require() gates that the
+    * pruned fetch read strictly fewer files.
+    */
+  private def exemplarTrace(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{OtelProto, FingerprintIndex => FI}
+    import OtelProto.Encode
+    val dir = ensureSpanSegments(s, d)
+    val rows = Tables.events(s, d)
+      .filter(col("event_id") % 29 === 5 &&
+        col("ts_ms") >= Start && col("ts_ms") < Start + 24 * HourMs)
+      .select(col("ts_ms"), col("value"), col("user_id"), col("event_type"))
+      .collect() // fixture encoding is driver-side by design (test harness)
+    require(rows.nonEmpty, "no exemplar fixture rows")
+    val dps = rows.toSeq.map { r =>
+      val (ts, v, u, et) = (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))
+      Encode.numberDp(ts * 1000000L, v, Seq("event.type" -> et),
+        exemplars = Seq(Encode.exemplar(ts * 1000000L, v,
+          md5hex(s"${ts / 600000L}|$u"), md5hex(u.toString).take(16), Nil)))
+    }
+    val blob = Encode.metricsData(Seq("service.name" -> "fixture-svc"),
+      "graft-test", Seq(Encode.gaugeMetric("latency_exemplars", dps)))
+    val ex = OtelProto.readExemplars(s,
+      gzTmp("graft_it_exemplar_", "exemplars.binpb.gz", blob))
+    // the caller-visible trace list: distinct ids in the window (bounded by
+    // exemplar count, the same driver-side candidate-list motion as the
+    // reference's API pivot)
+    val tids = ex.select(col("exemplar_trace_id")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(tids.nonEmpty, "exemplars carried no trace ids")
+    val req = FI.ReqOr(tids.map(t => FI.Requirement("span_trace_id",
+      Seq(FI.existsFp("span_trace_id"), FI.fingerprint("span_trace_id", t)),
+      guarded = false)))
+    val excluded = FI.excludedForTrees(s, dir, Seq(req))
+    val pruned = FI.prunedRead(s, dir, excluded)
+    val allFiles = s.read.parquet(dir).inputFiles.length
+    require(pruned.inputFiles.length < allFiles,
+      s"exemplar trace fetch did not prune: ${pruned.inputFiles.length} of $allFiles files")
+    pruned
+      .filter(col("span_trace_id").isin(tids: _*) &&
+        col("chq_timestamp") >= Start && col("chq_timestamp") < End)
+      .groupBy(col("span_trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_status_code") === "STATUS_CODE_ERROR", 1L)
+          .otherwise(0L)).as("n_errors"),
+        sum(col("span_duration")).as("total_duration"),
+        min(col("chq_timestamp")).as("start_ts"),
+        max(col("chq_timestamp")).as("end_ts"))
+  }
+
+  private def exemplarTraceSql(dir: String): String =
+    s"""WITH ex AS (
+       SELECT DISTINCT md5(CAST(epoch_ms(ts) // 600000 AS VARCHAR) || '|'
+                || CAST(user_id AS VARCHAR)) AS tid
+       FROM events
+       WHERE event_id % 29 = 5
+         AND epoch_ms(ts) >= $Start AND epoch_ms(ts) < ${Start + 24 * HourMs}),
+     seg AS (
+       SELECT * FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE chq_timestamp >= $Start AND chq_timestamp < $End)
+     SELECT s.span_trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN s.span_status_code = 'STATUS_CODE_ERROR'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+            CAST(sum(s.span_duration) AS BIGINT) AS total_duration,
+            min(s.chq_timestamp) AS start_ts,
+            max(s.chq_timestamp) AS end_ts
+     FROM seg s JOIN ex ON s.span_trace_id = ex.tid
+     GROUP BY 1"""
+
+  private def md5hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def gzTmp(prefix: String, name: String, blob: Array[Byte]): String = {
+    val f = java.nio.file.Files.createTempDirectory(prefix).resolve(name)
+    val os = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    os.write(blob); os.close()
+    f.toString
+  }
+
   override def all: Seq[Q] = Seq(
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
@@ -516,6 +605,7 @@ object ItQueries extends Catalog {
     Q("it_log_regex_needle", logRegexNeedle, Some(logRegexNeedleSql(logSegRootCur))),
     Q("it_multi_org", multiOrg, Some(multiOrgSql(orgSegRootCur))),
     Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),
-    Q("it_trace_lookup", traceLookup, Some(traceLookupSql(spanSegRootCur)))
+    Q("it_trace_lookup", traceLookup, Some(traceLookupSql(spanSegRootCur))),
+    Q("it_exemplar_trace", exemplarTrace, Some(exemplarTraceSql(spanSegRootCur)))
   )
 }
