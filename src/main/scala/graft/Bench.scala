@@ -40,7 +40,13 @@ object Bench {
           .next().take(200))
       }
     }
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev iteration: SPARK_GRAFT_BENCH_ONLY=prefix[,prefix…] restricts the
+    // run (the driver never sets it — full catalog in official runs)
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) => val l = ps.split(','); n => l.exists(n.startsWith)
+      case None => _ => true
+    }
+    val timings = SparkEntry.queries.filter(kv => only(kv._1)).toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(fn)
       val warm = timeOnce(fn)
       val ok = Seq(cold, warm).collect { case Right(v) => v }

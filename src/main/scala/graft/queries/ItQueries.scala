@@ -521,7 +521,7 @@ object ItQueries extends Catalog {
     * pruned fetch read strictly fewer files.
     */
   private def exemplarTrace(s: SparkSession, d: String): DataFrame = {
-    import graft.ingest.{OtelProto, FingerprintIndex => FI}
+    import graft.ingest.OtelProto
     import OtelProto.Encode
     val dir = ensureSpanSegments(s, d)
     val rows = Tables.events(s, d)
@@ -546,17 +546,12 @@ object ItQueries extends Catalog {
     val tids = ex.select(col("exemplar_trace_id")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(tids.nonEmpty, "exemplars carried no trace ids")
-    val req = FI.ReqOr(tids.map(t => FI.Requirement("span_trace_id",
-      Seq(FI.existsFp("span_trace_id"), FI.fingerprint("span_trace_id", t)),
-      guarded = false)))
-    val excluded = FI.excludedForTrees(s, dir, Seq(req))
-    val pruned = FI.prunedRead(s, dir, excluded)
+    val spans = graft.api.SpanSegments.tracesByIds(s, dir, tids,
+      graft.promql.QueryParams(Start, End, HourMs))
     val allFiles = s.read.parquet(dir).inputFiles.length
-    require(pruned.inputFiles.length < allFiles,
-      s"exemplar trace fetch did not prune: ${pruned.inputFiles.length} of $allFiles files")
-    pruned
-      .filter(col("span_trace_id").isin(tids: _*) &&
-        col("chq_timestamp") >= Start && col("chq_timestamp") < End)
+    require(spans.inputFiles.length < allFiles,
+      s"exemplar trace fetch did not prune: ${spans.inputFiles.length} of $allFiles files")
+    spans
       .groupBy(col("span_trace_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("span_status_code") === "STATUS_CODE_ERROR", 1L)
@@ -585,6 +580,27 @@ object ItQueries extends Catalog {
      FROM seg s JOIN ex ON s.span_trace_id = ex.tid
      GROUP BY 1"""
 
+  /** LogQL-over-spans through the segments front door — the reference's
+    * /api/v1/spans/query shape (SURVEY §3.3) running against REAL span
+    * segments: matcher + numeric span filter + field projection, oracle
+    * reading every segment file.
+    */
+  private def spanLogql(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSpanSegments(s, d)
+    graft.api.SpanSegments.query(s, dir,
+      """{span_status_code="STATUS_CODE_ERROR"} | span_duration > 1000""",
+      graft.promql.QueryParams(Start, End, HourMs),
+      limit = 10000000, desc = false,
+      fields = Seq("chq_timestamp", "span_trace_id", "span_id", "span_name",
+        "span_duration"))
+  }
+
+  private def spanLogqlSql(dir: String): String =
+    s"""SELECT chq_timestamp, span_trace_id, span_id, span_name, span_duration
+       FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE span_status_code = 'STATUS_CODE_ERROR' AND span_duration > 1000
+         AND chq_timestamp >= $Start AND chq_timestamp < $End"""
+
   private def md5hex(v: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
@@ -606,6 +622,7 @@ object ItQueries extends Catalog {
     Q("it_multi_org", multiOrg, Some(multiOrgSql(orgSegRootCur))),
     Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),
     Q("it_trace_lookup", traceLookup, Some(traceLookupSql(spanSegRootCur))),
-    Q("it_exemplar_trace", exemplarTrace, Some(exemplarTraceSql(spanSegRootCur)))
+    Q("it_exemplar_trace", exemplarTrace, Some(exemplarTraceSql(spanSegRootCur))),
+    Q("it_span_logql", spanLogql, Some(spanLogqlSql(spanSegRootCur)))
   )
 }
