@@ -330,12 +330,20 @@ object CoreQueries extends Catalog {
   private def qNtile(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = Seq(col("c_acctbal").desc, col("c_custkey").asc)
-    val local = Tables.customer(s, d)
-      .select(col("c_acctbal"), col("c_custkey"))
-      .repartitionByRange(32, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(keys: _*)))
+    // materialize BEFORE the two downstream jobs: repartitionByRange picks
+    // its boundaries by SAMPLING, so two separate executions of this plan
+    // (the counts collect below, then the final aggregate) can land rows in
+    // different partitions — the driver-side offsets would then describe a
+    // partitioning the second job doesn't have (observed as off-by-dozens
+    // quartile counts at sf0.1). The checkpoint pins one partitioning for
+    // both reads.
+    val local = graft.GraftSession.materialize(
+      Tables.customer(s, d)
+        .select(col("c_acctbal"), col("c_custkey"))
+        .repartitionByRange(32, keys: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__lrn", row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(keys: _*))))
     val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum

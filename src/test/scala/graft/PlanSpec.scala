@@ -160,6 +160,25 @@ class PlanSpec extends AnyFunSuite {
       s"global single-task windows in: ${offenders.mkString(", ")}")
   }
 
+  test("absent_over_time broadcasts the tiny present-bucket set") {
+    // the grid anti-join's build side is the distinct bucket list (bounded
+    // by (span+range)/step) — it must broadcast; shuffling the grid or
+    // falling to a cartesian would scale with data, not with the grid
+    val p = plan("pq_absent_over_time")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "present-set join did not broadcast:\n" + p.take(2000))
+  }
+
+  test("winnowing is explode → one per-doc window → aggregate, no joins") {
+    // the k-gram explode is a projection (no shuffle); the sliding min
+    // shuffles once on doc_id; dedup + summary aggregate with map-side
+    // partials. Any join or cartesian here means the shape regressed.
+    val p = plan("pp_winnow")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window") && p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("agg-file substitution plans a plain scan-filter-agg over the rollup") {
     // the rewrite's value is the small input; the plan over it must stay
     // shuffle-light — one partial+final aggregate pair, no join
