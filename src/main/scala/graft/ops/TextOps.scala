@@ -120,6 +120,32 @@ object TextOps {
       .distinct()
   }
 
+  /** Near-dup candidate pairs from shared winnowed fingerprints: pairs of
+    * docs sharing ≥ minShared selected fingerprints. Winnowing's guarantee
+    * makes this SUBSTRING-overlap detection — shared passages, quotes,
+    * boilerplate, plagiarism — a different signal from MinHash's
+    * bag-of-shingles similarity. Same scale shape as the other pair
+    * generators: per-fingerprint doc lists (no self-join — singleton
+    * fingerprints never reach the pair stage), hot fingerprints capped
+    * before the quadratic expansion.
+    */
+  def winnowPairs(df: DataFrame, k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 1000, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = winnow(df, k, w, textCol, idCol)
+    val ds = col("ds")
+    val combos = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocsPerFp)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

@@ -519,10 +519,10 @@ object PipelineQueries extends Catalog {
         sum(col("fp") % lit(1000003L)).as("fp_checksum"))
 
   /** DuckDB replay of [[TextOps.winnow]]: same normalization, 48-bit
-    * md5-prefix k-gram hashes, w-row sliding min, distinct, summarized
+    * md5-prefix k-gram hashes, w-row sliding min, distinct
     */
-  private val winnowSql =
-    """WITH norm AS (
+  private val winnowFpsCte =
+    """norm AS (
          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
          FROM documents),
        pos AS (
@@ -538,14 +538,34 @@ object PipelineQueries extends Catalog {
                 min(h) OVER (PARTITION BY doc_id ORDER BY p
                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
          FROM grams),
-       fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p >= 4)
+       fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE p >= 4)"""
+
+  private val winnowSql =
+    s"""WITH $winnowFpsCte
        SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min,
               CAST(sum(fp % 1000003) AS BIGINT) AS fp_checksum
        FROM fps GROUP BY doc_id"""
 
+  /** DuckDB replay of [[TextOps.winnowPairs]]: hot-fp cap, then pair
+    * counts over the shared-fingerprint lists
+    */
+  private val winnowPairsSql =
+    s"""WITH $winnowFpsCte,
+       ok AS (SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 1000),
+       pairs AS (
+         SELECT f1.doc_id AS a, f2.doc_id AS b
+         FROM fps f1 JOIN fps f2 USING (fp) JOIN ok USING (fp)
+         WHERE f1.doc_id < f2.doc_id)
+       SELECT a, b, CAST(count(*) AS BIGINT) AS shared
+       FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2"""
+
   override def all: Seq[Q] = Seq(
     Q("pp_text_stats", textStats, Some(textStatsSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
+    Q("pp_winnow_pairs",
+      (s, d) => TextOps.winnowPairs(docs(s, d), k = 8, w = 4, minShared = 2),
+      Some(winnowPairsSql)),
     Q("pp_langid",
       (s, d) => docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdSql)),

@@ -54,6 +54,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert((f2(4L) intersect f2(5L)).nonEmpty)
     fps.unpersist()
   }
+
+  test("winnowPairs surfaces the substring-sharing pair only") {
+    val common = "a distinctive shared passage of text appearing verbatim"
+    val df = Seq(
+      (1L, s"first document preamble $common and its own tail"),
+      (2L, s"totally different opening here $common closing words"),
+      (3L, "nothing in common with the others at all zzz qqq www")).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(df, k = 8, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing (1,2): $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false pair with 3: $pairs")
+  }
 }
 
 class DedupSpec extends AnyFunSuite {

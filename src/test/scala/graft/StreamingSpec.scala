@@ -32,6 +32,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("streaming exact dedup emits the batch-distinct fingerprint set") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    // duplicate-heavy doc stream: 60 docs over 12 distinct texts
+    val rows = (0 until 60).map { i =>
+      (i.toLong, s"document body number ${i % 12} with shared text",
+        new java.sql.Timestamp(1704067200000L + i * 1000L))
+    }
+    val docs = rows.toDF("doc_id", "text", "event_time")
+    val dir = Files.createTempDirectory("graft_dedup_stream_").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingDedup.dedupStream(src, "text", "event_time")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_dedup")
+      .select(StreamingDedup.contentFingerprint(col("text"))).distinct().count()
+    val streamedRows = spark.table("stream_dedup").count()
+    // every distinct text survives exactly once (all dups inside the window)
+    assert(streamed == 12, s"distinct fps: $streamed")
+    assert(streamedRows == 12, s"emitted rows: $streamedRows")
+  }
+
   test("stateful streaming sessionization equals batch-closed sessions") {
     import graft.streaming.{Session, SessionEvent, Sessionize}
     import spark.implicits._
