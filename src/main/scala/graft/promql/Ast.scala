@@ -44,6 +44,18 @@ final case class UnaryFn(fn: String, arg: Expr) extends Expr
 /** clamp_min(v, k) / clamp_max(v, k) */
 final case class Clamp(isMin: Boolean, arg: Expr, k: Double) extends Expr
 
+/** clamp(v, min, max): both bounds at once; min > max yields NaN on every
+  * sample (Prometheus semantics)
+  */
+final case class ClampRange(arg: Expr, min: Double, max: Double) extends Expr
+
+/** double_exponential_smoothing(v[r], sf, tf) — Prometheus's holt_winters
+  * (renamed in Prometheus 3; both spellings accepted). Level/trend
+  * smoothing folded left-to-right over the window's bucket gauge values.
+  */
+final case class DoubleExpSmoothing(arg: Selector, sf: Double,
+    tf: Double) extends Expr
+
 /** scalar(v) */
 final case class ScalarFn(arg: Expr) extends Expr
 
@@ -134,7 +146,11 @@ object Ast {
     "deriv", "idelta", "changes", "resets",
     "stddev_over_time", "stdvar_over_time", "present_over_time")
   val unaryFns: Set[String] = Set(
-    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn")
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+    // trigonometric family (standard Prometheus surface; radians in/out)
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg", "rad")
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
     "stddev", "stdvar", "group")

@@ -103,9 +103,37 @@ object Engine {
           case "log10" => log10(v)
           case "sqrt"  => sqrt(v)
           case "sgn"   => signum(v)
+          case "sin"   => sin(v)
+          case "cos"   => cos(v)
+          case "tan"   => tan(v)
+          case "asin"  => asin(v)
+          case "acos"  => acos(v)
+          case "atan"  => atan(v)
+          case "sinh"  => sinh(v)
+          case "cosh"  => cosh(v)
+          case "tanh"  => tanh(v)
+          case "asinh" => asinh(v)
+          case "acosh" => acosh(v)
+          case "atanh" => atanh(v)
+          case "deg"   => degrees(v)
+          case "rad"   => radians(v)
         }
         Right(sf.copy(df = sf.df.withColumn("value", c)))
     }
+
+    case ClampRange(arg, lo, hi) => eval(arg, store, p) match {
+      // min > max clamps every sample to NaN (Prometheus semantics)
+      case Left(d) =>
+        Left(if (lo > hi) Double.NaN else math.min(math.max(d, lo), hi))
+      case Right(sf) =>
+        val c =
+          if (lo > hi) lit(Double.NaN)
+          else least(greatest(col("value"), lit(lo)), lit(hi))
+        Right(sf.copy(df = sf.df.withColumn("value", c)))
+    }
+
+    case DoubleExpSmoothing(sel, sf, tf) =>
+      Right(leaf(sel, "double_exponential_smoothing", store, p, hwSf = sf, hwTf = tf))
 
     case Clamp(isMin, arg, k) => eval(arg, store, p) match {
       case Left(d) => Left(if (isMin) math.max(d, k) else math.min(d, k))
@@ -270,6 +298,21 @@ object Engine {
     case "log2"  => math.log(d) / math.log(2.0)
     case "log10" => math.log10(d)
     case "sqrt"  => math.sqrt(d)
+    case "sin"   => math.sin(d)
+    case "cos"   => math.cos(d)
+    case "tan"   => math.tan(d)
+    case "asin"  => math.asin(d)
+    case "acos"  => math.acos(d)
+    case "atan"  => math.atan(d)
+    case "sinh"  => math.sinh(d)
+    case "cosh"  => math.cosh(d)
+    case "tanh"  => math.tanh(d)
+    // JDK Math has no inverse hyperbolics — standard log identities
+    case "asinh" => math.log(d + math.sqrt(d * d + 1.0))
+    case "acosh" => math.log(d + math.sqrt(d * d - 1.0))
+    case "atanh" => 0.5 * math.log((1.0 + d) / (1.0 - d))
+    case "deg"   => math.toDegrees(d)
+    case "rad"   => math.toRadians(d)
     case "sgn"   => math.signum(d)
   }
 
@@ -300,10 +343,11 @@ object Engine {
     */
   private val gaugeFns = Set(
     "deriv", "predict_linear", "idelta", "changes", "resets",
-    "stddev_over_time", "stdvar_over_time", "present_over_time")
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
+    "double_exponential_smoothing")
 
   private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
-      predictT: Double = 0.0): SeriesFrame = {
+      predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
     val off = sel.offsetMs
@@ -406,6 +450,41 @@ object Engine {
               // value at (eval time + t): intercept-at-x̄ form v̄ + b·(x+t−x̄)
               else sv / n + slope * (x + lit(predictT) - sx / n)
             bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))
+          case "double_exponential_smoothing" =>
+            // Holt's linear (level s, trend b) folded left-to-right over the
+            // window's gauge values in ts order, exactly Prometheus's
+            // funcDoubleExponentialSmoothing recurrence: s₁=v₀, b=v₁−v₀;
+            // then for i≥1  b←tf·(s₁−s₀)+(1−tf)·b (unchanged at i=1),
+            // s₀←s₁, s₁←sf·vᵢ+(1−sf)·(s₀+b). collect_list over the range
+            // frame preserves the ORDER BY ts walk, and the sequential fold
+            // (a higher-order aggregate, codegen'd) replays bit-identically
+            // in the oracle's recursive CTE — same ops, same order. Needs
+            // ≥2 values; the window is ≤ range/step buckets, so the
+            // per-row list stays tiny.
+            val sfL = lit(hwSf)
+            val tfL = lit(hwTf)
+            val vs = collect_list(bavg).over(rw)
+            val init = struct(
+              lit(Double.NaN).as("s0"),
+              get(vs, lit(0)).as("s1"),
+              (get(vs, lit(1)) - get(vs, lit(0))).as("b"),
+              lit(1).as("i"))
+            val folded = aggregate(
+              slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+              init,
+              (acc, x) => {
+                val bNew = when(acc.getField("i") === 1, acc.getField("b"))
+                  .otherwise(tfL * (acc.getField("s1") - acc.getField("s0")) +
+                    (lit(1.0) - tfL) * acc.getField("b"))
+                struct(
+                  acc.getField("s1").as("s0"),
+                  (sfL * x + (lit(1.0) - sfL) * (acc.getField("s1") + bNew)).as("s1"),
+                  bNew.as("b"),
+                  (acc.getField("i") + 1).as("i"))
+              },
+              acc => acc.getField("s1"))
+            bucketed.withColumn("value",
+              when(covered && size(vs) >= 2, folded).otherwise(lit(Double.NaN)))
         }
       } else if (fn.nonEmpty && gaugeFns.contains(fn)) {
         throw new IllegalArgumentException(s"$fn requires a range selector, e.g. $fn(m[5m])")

@@ -284,6 +284,24 @@ private final class Parser(input: String) {
         val k = parseNumber()
         expect(')')
         Clamp(fn == "clamp_min", arg, k)
+      case "clamp" =>
+        val arg = parseOr()
+        expect(','); val lo = parseNumber()
+        expect(','); val hi = parseNumber()
+        expect(')')
+        ClampRange(arg, lo, hi)
+      case "pi" =>
+        expect(')')
+        NumberLit(math.Pi)
+      case "double_exponential_smoothing" | "holt_winters" =>
+        val arg = parseOr()
+        expect(','); val sf = parseNumber()
+        expect(','); val tf = parseNumber()
+        expect(')')
+        arg match {
+          case s: Selector if s.rangeMs > 0 => DoubleExpSmoothing(s, sf, tf)
+          case _ => fail(s"$fn requires a range selector")
+        }
       case "scalar" =>
         val arg = parseOr()
         expect(')')

@@ -575,6 +575,56 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, bsum AS value FROM step
         WHERE ts >= $Start AND ts < $End""")),
 
+    Q("pq_trig",
+      // trig surface over bounded arguments: asin∘sin and acos∘cos keep
+      // outputs in [−π, π], atan is bounded, deg∘rad round-trips the value
+      // — no tan-asymptote blowups where ulp noise could cross the round-6
+      // compare boundary (hyperbolics are engine-only: DuckDB 1.0 lacks
+      // sinh/cosh/tanh, so they're spec-gated instead of oracle-gated)
+      { (s, d) =>
+        run("asin(sin(events_value)) + acos(cos(events_value)) + atan(events_value) + deg(rad(events_value)) + pi()")(s, d)
+          .withColumn("value", round(col("value"), 6))
+      },
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               round(asin(sin(bsum)) + acos(cos(bsum)) + atan(bsum)
+                     + degrees(radians(bsum)) + pi(), 6) AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_clamp",
+      run("clamp(events_value, 2, 8)"),
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type,
+               least(greatest(bsum, 2), 8) AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_double_exp_smoothing",
+      run("double_exponential_smoothing(events_value[6h], 0.3, 0.6)"),
+      // the engine's fold replayed as a recursive CTE: identical recurrence,
+      // identical operation order over the identical ts-ordered value list,
+      // so every intermediate double is bit-equal
+      Some(s"""WITH RECURSIVE ${gaugeCte(H6)},
+        wnd AS (SELECT ts, attr_event_type,
+                  list(v) OVER w AS vs, min(ts) OVER w AS first_ts
+                FROM gauge
+                WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                             RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW)),
+        base AS (SELECT ts, attr_event_type, vs FROM wnd
+                 WHERE first_ts = ts - ${H6 - StepMs}
+                   AND ts >= $Start AND ts < $End AND len(vs) >= 2),
+        sm AS (
+          SELECT ts, attr_event_type, vs, 1 AS i,
+                 CAST('NaN' AS DOUBLE) AS s0, vs[1] AS s1, vs[2] - vs[1] AS b
+          FROM base
+          UNION ALL
+          SELECT ts, attr_event_type, vs, i + 1,
+                 s1,
+                 0.3 * vs[i + 1] + (1 - 0.3) * (s1 + CASE WHEN i = 1 THEN b
+                   ELSE 0.6 * (s1 - s0) + (1 - 0.6) * b END),
+                 CASE WHEN i = 1 THEN b ELSE 0.6 * (s1 - s0) + (1 - 0.6) * b END
+          FROM sm WHERE i < len(vs))
+        SELECT ts, attr_event_type, s1 AS value FROM sm WHERE i = len(vs)""")),
+
     Q("pq_agg_stddev",
       { (s, d) =>
         val store = MetricStore(Cooked.metrics(s, d))

@@ -269,4 +269,61 @@ class PromQLEngineSpec extends AnyFunSuite {
     val g = Engine.query("group by (attr_k) (m)", st, pp)
     assert(g.count() == 4 && g.select("value").distinct().head().getDouble(0) == 1.0)
   }
+
+  test("trig and hyperbolic functions match JDK math; inverses round-trip") {
+    def one(q: String): Double =
+      Engine.query(q, store, p).filter(col("ts") === start)
+        .select("value").head().getDouble(0)
+    val v = one("events_value")
+    assert(math.abs(one("sin(events_value)") - math.sin(v)) < 1e-12)
+    assert(math.abs(one("cosh(events_value)") - math.cosh(v)) < 1e-9 * math.cosh(v))
+    // inverse round-trips (tanh output ∈ (−1,1) is atanh's domain)
+    assert(math.abs(one("asinh(sinh(events_value))") - v) < 1e-6 * math.max(1.0, v))
+    assert(math.abs(one("atanh(tanh(events_value))") - v) < 1e-6 * math.max(1.0, v) ||
+      v > 19) // tanh saturates to 1.0 beyond ~19, atanh(1) = ∞
+    assert(math.abs(one("deg(rad(events_value))") - v) < 1e-9 * math.max(1.0, v))
+    assert(one("pi()") == math.Pi)
+  }
+
+  test("clamp bounds both sides; min > max yields NaN everywhere") {
+    val c = Engine.query("clamp(events_value, 2, 8)", store, p)
+    assert(c.filter(col("value") < 2.0 || col("value") > 8.0).count() == 0)
+    assert(c.count() > 0)
+    val n = Engine.query("clamp(events_value, 5, 1)", store, p)
+    assert(n.filter(!isnan(col("value"))).count() == 0 && n.count() > 0)
+  }
+
+  test("double_exponential_smoothing replays the Prometheus recurrence") {
+    import spark.implicits._
+    // one sample per 40s bucket → bucket gauge == the sample
+    val vals = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 16.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (start + i * 40000L, "g", v, 1.0)
+    }
+    val df = rows.toDF("chq_timestamp", "metric_name", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 6 * 40000L, 40000L)
+    def des(vs: Seq[Double], sf: Double, tf: Double): Double = {
+      var s0 = 0.0; var s1 = vs(0); var b = vs(1) - vs(0)
+      for (i <- 1 until vs.length) {
+        val bNew = if (i == 1) b else tf * (s1 - s0) + (1 - tf) * b
+        b = bNew
+        val x = sf * vs(i); val y = (1 - sf) * (s1 + b)
+        s0 = s1; s1 = x + y
+      }
+      s1
+    }
+    val out = Engine.query("double_exponential_smoothing(g[240s], 0.5, 0.5)", st, pp)
+      .filter(!isnan(col("value")))
+    // only the last bucket has full [240s] coverage: its window is all 6 values
+    val got = out.filter(col("ts") === start + 5 * 40000L)
+      .select("value").head().getDouble(0)
+    assert(math.abs(got - des(vals, 0.5, 0.5)) < 1e-12, s"got $got")
+    // holt_winters spells the same function
+    val alias = Engine.query("holt_winters(g[240s], 0.5, 0.5)", st, pp)
+      .filter(col("ts") === start + 5 * 40000L).select("value").head().getDouble(0)
+    assert(alias == got)
+  }
 }
