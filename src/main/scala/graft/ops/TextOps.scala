@@ -146,6 +146,149 @@ object TextOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** normalized text every n-gram metric operates on: lowercased, trimmed,
+    * runs of whitespace collapsed to one space
+    */
+  private def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** word n-grams as an array of space-joined strings; [] when the doc has
+    * fewer than n words (sequence() would otherwise count DOWN from 1)
+    */
+  private def wordNgrams(ws: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** per-distinct-element (count, element) structs — the shared shape both
+    * repetition metrics reduce over. O(|distinct|·|list|) per doc, fine for
+    * per-document lists.
+    */
+  private def eltCounts(xs: Column): Column =
+    transform(array_distinct(xs), g =>
+      struct(size(filter(xs, x => x === g)).as("c"), g.as("g")))
+
+  /** Gopher-style repetition statistics (Rae et al. 2021, appendix A1.1):
+    * how much of a document is consumed by repeated lines and repeated or
+    * dominant word n-grams. Exact formulas (each replayed verbatim by the
+    * DuckDB oracle):
+    *
+    *   - `dup_line_frac`       1 − distinct/total over non-empty trimmed
+    *                           lines (raw text split on `\n`)
+    *   - `dup_line_char_frac`  Σ chars of lines occurring >1 time (all
+    *                           occurrences) / Σ chars of all lines
+    *   - `top_bigram_frac`     count·strlen of the most frequent word
+    *                           bigram / strlen of the normalized text
+    *                           (ties broken by largest gram string — the
+    *                           same struct-max rule both engines share)
+    *   - `dup_trigram_frac`    Σ count·strlen over word trigrams occurring
+    *                           >1 time / strlen of the normalized text
+    *
+    * Pure Column algebra over per-document arrays — a plain projection, no
+    * explode, no shuffle: at 100 TB this runs entirely map-side.
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = normText(df(textCol))
+    val ws = split(t, " ")
+    val lines = filter(transform(split(df(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines)
+    val lineChars = aggregate(lines, lit(0), (a, l) => a + length(l))
+    val dupLineChars = aggregate(eltCounts(lines), lit(0), (a, s) =>
+      a + when(s.getField("c") > 1, s.getField("c") * length(s.getField("g")))
+        .otherwise(lit(0)))
+    val top2 = array_max(eltCounts(wordNgrams(ws, 2)))
+    val dup3Chars = aggregate(eltCounts(wordNgrams(ws, 3)), lit(0), (a, s) =>
+      a + when(s.getField("c") > 1, s.getField("c") * length(s.getField("g")))
+        .otherwise(lit(0)))
+    val tLen = length(t)
+    df.select(
+      df(idCol).as("doc_id"),
+      nl.cast("long").as("n_lines"),
+      when(nl > 1, lit(1.0) - size(array_distinct(lines)).cast("double") / nl)
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(lineChars > 0, dupLineChars.cast("double") / lineChars)
+        .otherwise(lit(0.0)).as("dup_line_char_frac"),
+      when(tLen > 0 && top2.isNotNull,
+        (top2.getField("c") * length(top2.getField("g"))).cast("double") / tLen)
+        .otherwise(lit(0.0)).as("top_bigram_frac"),
+      when(tLen > 0, dup3Chars.cast("double") / tLen)
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, appendix A1.1): the published
+    * document-level filters as explicit feature columns plus the combined
+    * keep flag. Thresholds are the paper's:
+    *
+    *   50 ≤ word count ≤ 100,000 ∧ 3 ≤ mean word length ≤ 10
+    *   ∧ symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    *   ∧ bullet-starting lines ≤ 90% ∧ ellipsis-ending lines ≤ 30%
+    *   ∧ ≥ 80% of words contain an alphabetic character
+    *   ∧ ≥ 2 of Gopher's stop set {the, be, to, of, and, that, have, with}
+    *
+    * Plain projection — no shuffle.
+    */
+  def gopherQuality(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val raw = df(textCol)
+    val t = normText(raw)
+    val ws = split(t, " ")
+    val nw = size(ws)
+    // non-overlapping left-to-right counts via replace-shrink (both engines
+    // replace identically)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+      (length(t) - length(regexp_replace(t, "…", "")))
+    val lines = filter(transform(split(raw, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      substring(l, 1, 1).isin("-", "*", "•")))
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopCnt = stopwordCountIn(raw, gopherStops)
+    val meanLen = when(nw > 0,
+      aggregate(ws, lit(0), (a, w) => a + length(w)).cast("double") / nw)
+      .otherwise(lit(0.0))
+    val symbolRatio = when(nw > 0, (hashes + ellipses).cast("double") / nw)
+      .otherwise(lit(0.0))
+    val bulletFrac = when(nl > 0, bulletLines.cast("double") / nl).otherwise(lit(0.0))
+    val ellipsisFrac = when(nl > 0, ellipsisLines.cast("double") / nl).otherwise(lit(0.0))
+    val alphaFrac = when(nw > 0, alphaWords.cast("double") / nw).otherwise(lit(0.0))
+    df.select(
+      df(idCol).as("doc_id"),
+      nw.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopCnt.as("stop_hits"),
+      (nw.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopCnt >= 2).as("keep"))
+  }
+
+  /** PII redaction for training-data curation: regex-replace emails, IPv4
+    * addresses, 13–19-digit account/card-like runs, and +-prefixed phone
+    * runs with typed placeholder tokens. Patterns are deliberately
+    * RE2-compatible (no backrefs/lookaround) so the DuckDB oracle replays
+    * them; order matters (emails first — they contain digits and dots) and
+    * is part of the contract. A plain projection — map-side at any scale.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    val num = regexp_replace(ip, "\\b\\d{13,19}\\b", "<NUMBER>")
+    regexp_replace(num, "\\+\\d{7,15}\\b", "<PHONE>")
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

@@ -560,8 +560,156 @@ object PipelineQueries extends Catalog {
        SELECT a, b, CAST(count(*) AS BIGINT) AS shared
        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** DuckDB replay of [[TextOps.repetitionStats]]: identical normalization,
+    * n-gram construction (1-based index lists), per-distinct-element count
+    * structs, struct-max tie-break, and guard expressions
+    */
+  private val repetitionSql =
+    """WITH base AS (
+       SELECT doc_id,
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+              list_filter(list_transform(string_split(text, chr(10)),
+                                         l -> trim(l)),
+                          l -> length(l) > 0) AS lines
+       FROM documents),
+     w AS (SELECT *, string_split(t, ' ') AS ws FROM base),
+     g AS (SELECT doc_id, t, lines,
+             CASE WHEN len(ws) >= 2 THEN
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE [] END AS bg,
+             CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [] END AS tg
+           FROM w),
+     c AS (SELECT doc_id, t, lines,
+             list_transform(list_distinct(lines), x ->
+               {'c': len(list_filter(lines, y -> y = x)), 'g': x}) AS lc,
+             list_aggregate(list_transform(list_distinct(bg), x ->
+               {'c': len(list_filter(bg, y -> y = x)), 'g': x}), 'max') AS top2,
+             list_transform(list_distinct(tg), x ->
+               {'c': len(list_filter(tg, y -> y = x)), 'g': x}) AS tc
+           FROM g)
+     SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CASE WHEN len(lines) > 1
+         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0
+         THEN CAST(list_sum(list_transform(lc, s ->
+                CASE WHEN struct_extract(s, 'c') > 1
+                  THEN struct_extract(s, 'c') * length(struct_extract(s, 'g'))
+                  ELSE 0 END)) AS DOUBLE)
+              / list_sum(list_transform(lines, l -> length(l)))
+         ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN length(t) > 0 AND top2 IS NOT NULL
+         THEN CAST(struct_extract(top2, 'c')
+                   * length(struct_extract(top2, 'g')) AS DOUBLE) / length(t)
+         ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN length(t) > 0
+         THEN CAST(coalesce(list_sum(list_transform(tc, s ->
+                CASE WHEN struct_extract(s, 'c') > 1
+                  THEN struct_extract(s, 'c') * length(struct_extract(s, 'g'))
+                  ELSE 0 END)), 0) AS DOUBLE) / length(t)
+         ELSE 0.0 END AS dup_trigram_frac
+     FROM c"""
+
+  /** DuckDB replay of [[TextOps.gopherQuality]] — the same features and
+    * thresholds, expression by expression
+    */
+  private val gopherQualitySql =
+    """WITH base AS (
+       SELECT doc_id, text,
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+              list_filter(list_transform(string_split(text, chr(10)),
+                                         l -> trim(l)),
+                          l -> length(l) > 0) AS lines,
+              string_split_regex(lower(text), ' +') AS rawws
+       FROM documents),
+     w AS (SELECT *, string_split(t, ' ') AS ws FROM base),
+     f AS (SELECT doc_id,
+             len(ws) AS nw,
+             CASE WHEN len(ws) > 0
+               THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                    / len(ws)
+               ELSE 0.0 END AS mean_word_len,
+             length(t) - length(replace(t, '#', '')) AS hashes,
+             (length(t) - length(replace(t, '...', ''))) / 3
+               + (length(t) - length(replace(t, '…', ''))) AS ellipses,
+             len(lines) AS nl,
+             len(list_filter(lines,
+               l -> list_contains(['-', '*', '•'], substring(l, 1, 1)))) AS bl,
+             len(list_filter(lines,
+               l -> ends_with(l, '...') OR ends_with(l, '…'))) AS el,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS aw,
+             len(list_filter(rawws, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x))) AS stop_hits
+           FROM w),
+     r AS (SELECT doc_id, nw, mean_word_len, stop_hits,
+             CASE WHEN nw > 0 THEN CAST(hashes + ellipses AS DOUBLE) / nw
+               ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN nl > 0 THEN CAST(bl AS DOUBLE) / nl ELSE 0.0 END AS bullet_frac,
+             CASE WHEN nl > 0 THEN CAST(el AS DOUBLE) / nl ELSE 0.0 END AS ellipsis_frac,
+             CASE WHEN nw > 0 THEN CAST(aw AS DOUBLE) / nw ELSE 0.0 END AS alpha_word_frac
+           FROM f)
+     SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+            bullet_frac, ellipsis_frac, alpha_word_frac,
+            CAST(stop_hits AS BIGINT) AS stop_hits,
+            (nw BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+             AND stop_hits >= 2) AS keep
+     FROM r"""
+
+  /** deterministic synthetic-PII injection (the corpus itself is clean) so
+    * the scrub row genuinely redacts something, then the regex chain of
+    * [[TextOps.scrubPii]] in the same order with the same RE2-safe patterns
+    */
+  private val piiScrubSql =
+    """WITH inj AS (
+       SELECT doc_id,
+              'contact user' || doc_id || '@example.com or 10.'
+                || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                || ' card 4111111111111111 tel +14155550100 ' || text AS t
+       FROM documents),
+     s AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{13,19}\b', '<NUMBER>', 'g'),
+               '\+\d{7,15}\b', '<PHONE>', 'g') AS t
+           FROM inj)
+     SELECT doc_id, md5(t) AS scrub_md5,
+       CAST((length(t) - length(replace(t, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
+       CAST((length(t) - length(replace(t, '<IP>', ''))) / 4 AS BIGINT) AS n_ip,
+       CAST((length(t) - length(replace(t, '<NUMBER>', ''))) / 8 AS BIGINT) AS n_number,
+       CAST((length(t) - length(replace(t, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone
+     FROM s"""
+
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    val injected = concat(
+      lit("contact user"), df("doc_id").cast("string"),
+      lit("@example.com or 10."), (df("doc_id") % 256).cast("string"),
+      lit(".0."), ((df("doc_id") * 7) % 256).cast("string"),
+      lit(" card 4111111111111111 tel +14155550100 "), df("text"))
+    val t = TextOps.scrubPii(injected)
+    def marks(tag: String) =
+      ((length(t) - length(regexp_replace(t, tag, ""))) / tag.length).cast("long")
+    df.select(df("doc_id"), md5(t).as("scrub_md5"),
+      marks("<EMAIL>").as("n_email"), marks("<IP>").as("n_ip"),
+      marks("<NUMBER>").as("n_number"), marks("<PHONE>").as("n_phone"))
+  }
+
   override def all: Seq[Q] = Seq(
     Q("pp_text_stats", textStats, Some(textStatsSql)),
+    Q("pp_repetition",
+      (s, d) => TextOps.repetitionStats(docs(s, d)),
+      Some(repetitionSql)),
+    Q("pp_quality_gopher",
+      (s, d) => TextOps.gopherQuality(docs(s, d)),
+      Some(gopherQualitySql)),
+    Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",
       (s, d) => TextOps.winnowPairs(docs(s, d), k = 8, w = 4, minShared = 2),

@@ -55,6 +55,58 @@ class TextOpsSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("repetitionStats: duplicate lines and repeated n-grams measured exactly") {
+    val doc =
+      "repeated line here\nunique line one\nrepeated line here\nspam spam spam spam"
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df).head()
+    assert(r.getAs[Long]("n_lines") == 4)
+    // 4 lines, 3 distinct → 1 - 3/4
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 0.25) < 1e-12)
+    // dup line "repeated line here" (18 ch) twice / total line chars 70
+    assert(math.abs(r.getAs[Double]("dup_line_char_frac") - 36.0 / 70.0) < 1e-12)
+    // "spam spam" occurs 3× (9 ch); normalized text is 73 chars
+    assert(math.abs(r.getAs[Double]("top_bigram_frac") - 27.0 / 73.0) < 1e-12)
+    // dup trigrams: "repeated line here" 2×(18 ch), "spam spam spam" 2×(14 ch)
+    assert(math.abs(r.getAs[Double]("dup_trigram_frac") - 64.0 / 73.0) < 1e-12)
+    // a clean doc scores zero everywhere
+    val clean = TextOps.repetitionStats(
+      Seq((2L, "all words completely distinct in this document")).toDF("doc_id", "text")).head()
+    assert(clean.getAs[Double]("dup_line_frac") == 0.0 &&
+      clean.getAs[Double]("top_bigram_frac") > 0.0 &&
+      clean.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("gopherQuality keeps prose and drops short/bullet-heavy docs") {
+    val prose = (("the quick brown fox jumps over and rests with " * 8) +
+      "one of that have be to and the with extra words here").trim
+    val short = "tiny doc"
+    val bullets = (1 to 10).map(i => s"- bullet item $i").mkString("\n") +
+      "\nthe of and that have be to with " * 6
+    val df = Seq((1L, prose), (2L, short), (3L, bullets)).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1L), "prose doc should pass")
+    assert(!out(2L), "short doc must fail the 50-word floor")
+    assert(!out(3L), "bullet-heavy doc must fail the 90% bullet cap")
+  }
+
+  test("scrubPii redacts emails, IPs, card numbers, phones; leaves prose alone") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@sub.example.org now"),
+      (2L, "server at 192.168.10.250 port open"),
+      (3L, "card 4111111111111111 charged"),
+      (4L, "call +14155550100 today"),
+      (5L, "perfectly clean sentence with words")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "server at <IP> port open")
+    assert(out(3L) == "card <NUMBER> charged")
+    assert(out(4L) == "call <PHONE> today")
+    assert(out(5L) == "perfectly clean sentence with words")
+  }
+
   test("winnowPairs surfaces the substring-sharing pair only") {
     val common = "a distinctive shared passage of text appearing verbatim"
     val df = Seq(

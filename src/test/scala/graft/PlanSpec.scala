@@ -186,4 +186,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
       !p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("repetition/quality/PII ops are shuffle-free projections") {
+    // per-document array algebra: no Exchange anywhere — at 100 TB these
+    // run entirely map-side, one pass over the scan
+    for (q <- Seq("pp_repetition", "pp_quality_gopher", "pp_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(2000)}")
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(2000)}")
+    }
+  }
 }
