@@ -21,14 +21,21 @@ object MatchOp {
 }
 final case class Matcher(label: String, op: MatchOp, value: String)
 
-/** `metric{a="b", c=~"d"}[5m] offset 1h` — rangeMs=0 → instant selector. */
+/** `metric{a="b", c=~"d"}[5m] offset 1h @ 1704067200` — rangeMs=0 → instant
+  * selector. atKind pins the evaluation timestamp (the PromQL `@` modifier,
+  * standard surface beyond the reference's planner): 0 = none, 1 = literal
+  * unix time (atMs), 2 = start(), 3 = end(); the pinned sample is emitted
+  * on every step of the query grid.
+  */
 final case class Selector(
     metric: String,
     matchers: List[Matcher],
     rangeMs: Long = 0L,
     offsetMs: Long = 0L,
     /** subquery step override `[5m:1m]`; 0 = none */
-    subStepMs: Long = 0L) extends Expr
+    subStepMs: Long = 0L,
+    atKind: Int = 0,
+    atMs: Long = 0L) extends Expr
 
 final case class NumberLit(value: Double) extends Expr
 
@@ -61,6 +68,13 @@ final case class ScalarFn(arg: Expr) extends Expr
 
 /** histogram_quantile(q, v) */
 final case class HistogramQuantile(q: Double, arg: Expr) extends Expr
+
+/** histogram_avg/sum/count(v) and histogram_fraction(lo, hi, v) — sketch
+  * read-outs over the merged DDSketch (avg/sum/count ride exactly in the
+  * sketch; fraction uses the deterministic bucket-midpoint membership rule)
+  */
+final case class SketchFn(fn: String, arg: Selector,
+    lo: Double = 0.0, hi: Double = 0.0) extends Expr
 
 /** label_replace(v, dst, repl, src, regex): when regex FULL-matches src's
   * value, dst becomes repl with $N group substitutions; otherwise the
@@ -124,8 +138,14 @@ final case class Agg(
     /** k for topk/bottomk; q for quantile */
     param: Option[Double] = None) extends Expr
 
-/** vector matching modifiers for binary ops */
-final case class VectorMatch(on: Boolean = false, labels: List[String] = Nil)
+/** vector matching modifiers for binary ops.
+  * card: 0 = 1:1; 1 = many-to-one (group_left); 2 = one-to-many
+  * (group_right) — a SUPERSET of the reference, whose parser rejects group
+  * modifiers outright (promql/parser.go:455-460). include = labels copied
+  * from the "one" side onto the result (the group modifier's arg list).
+  */
+final case class VectorMatch(on: Boolean = false, labels: List[String] = Nil,
+    card: Int = 0, include: List[String] = Nil)
 
 /** arithmetic / comparison / set binary op. `bool`=true → 0/1 instead of filter. */
 final case class BinOp(

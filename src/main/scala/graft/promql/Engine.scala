@@ -269,6 +269,16 @@ object Engine {
     }
 
     case QuantileOverTime(q, sel) => Right(sketchLeaf(sel, q, store, p))
+
+    case SketchFn(fn, sel, lo, hi) =>
+      import graft.sketch.{functions => gf}
+      val readOut: Column => Column = fn match {
+        case "histogram_avg"   => sk => gf.ddsketch_stats(sk).getField("avg")
+        case "histogram_sum"   => sk => gf.ddsketch_stats(sk).getField("sum")
+        case "histogram_count" => sk => gf.ddsketch_stats(sk).getField("count").cast("double")
+        case "histogram_fraction" => sk => gf.ddsketch_fraction(sk, lo, hi)
+      }
+      Right(sketchStatLeaf(sel, store, p)(readOut))
     case HistogramQuantile(q, arg) => arg match {
       case sel: Selector => Right(sketchLeaf(sel, q, store, p))
       case other => throw new UnsupportedOperationException(
@@ -348,6 +358,25 @@ object Engine {
 
   private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
       predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
+    // @ modifier: evaluate the leaf at ONE pinned step bucket, then emit
+    // that per-series value on every bucket of the query grid. Both sides
+    // of the cross join are post-aggregation result rows (grid ≤ span/step,
+    // pinned ≤ series count) — the pinned side broadcasts.
+    if (sel.atKind != 0) {
+      val te = sel.atKind match {
+        case 1 => sel.atMs
+        case 2 => p.startMs
+        case _ => p.endMs
+      }
+      val teA = te - te % p.stepMs
+      val pinned = leaf(sel.copy(atKind = 0), fn, store,
+        QueryParams(teA, teA + p.stepMs, p.stepMs), predictT, hwSf, hwTf)
+      val spark = store.df.sparkSession
+      val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("__gts")
+      val out = grid.crossJoin(broadcast(pinned.df.drop("ts")))
+        .withColumnRenamed("__gts", "ts")
+      return SeriesFrame(out, pinned.labels)
+    }
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
     val off = sel.offsetMs
@@ -556,6 +585,15 @@ object Engine {
   private def sketchLeaf(sel: Selector, q: Double, store: MetricStore,
       p: QueryParams): SeriesFrame = {
     import graft.sketch.{functions => gf}
+    sketchStatLeaf(sel, store, p)(sk => gf.ddsketch_quantile(sk, q))
+  }
+
+  /** merged-sketch leaf with a caller-chosen read-out (quantile, avg, sum,
+    * count, fraction) — the shared spine of every sketch-backed function
+    */
+  private def sketchStatLeaf(sel: Selector, store: MetricStore,
+      p: QueryParams)(readOut: Column => Column): SeriesFrame = {
+    import graft.sketch.{functions => gf}
     require(store.df.schema.fieldNames.contains("chq_sketch"),
       "quantile paths need a chq_sketch column in the metric store")
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
@@ -584,11 +622,11 @@ object Engine {
         bucketed
           .withColumn("__wsk", gf.ddsketch_merge_agg(col("__sk")).over(w))
           .withColumn("value",
-            when(covered, gf.ddsketch_quantile(col("__wsk"), q))
+            when(covered, readOut(col("__wsk")))
               .otherwise(lit(Double.NaN)))
           .drop("__wsk")
       } else {
-        bucketed.withColumn("value", gf.ddsketch_quantile(col("__sk"), q))
+        bucketed.withColumn("value", readOut(col("__sk")))
       }
 
     SeriesFrame(
@@ -748,8 +786,8 @@ object Engine {
     }
 
     val matchCols: Seq[String] = matching match {
-      case Some(VectorMatch(true, labels)) => labels
-      case Some(VectorMatch(false, ignore)) =>
+      case Some(VectorMatch(true, labels, _, _)) => labels
+      case Some(VectorMatch(false, ignore, _, _)) =>
         (l.labels.toSet ++ r.labels.toSet).filterNot(ignore.contains).toSeq.sorted
       case None => (l.labels.toSet ++ r.labels.toSet).toSeq.sorted
     }
@@ -759,6 +797,12 @@ object Engine {
       val labels = mergedLabels(l, r)
       return SeriesFrame(
         withAllLabels(SeriesFrame(l.df.limit(0), l.labels), labels), labels)
+    }
+
+    matching match {
+      case Some(m) if m.card != 0 =>
+        return groupedVectorVector(l, r, op, matchCols, m, boolMod)
+      case _ =>
     }
 
     val rExtra = r.labels.filterNot(c => matchCols.contains(c) || l.labels.contains(c))
@@ -788,11 +832,60 @@ object Engine {
     }
   }
 
+  /** many-to-one / one-to-many vector matching (group_left/group_right) —
+    * a superset of the reference, whose parser rejects group modifiers
+    * (promql/parser.go:455-460). The "many" side keeps every sample and its
+    * full label set; the "one" side must be unique per (ts, match key) —
+    * duplicates hard-error like Prometheus ("found duplicate series"),
+    * enforced by an assert_true INSIDE the joined plan so the check is
+    * distributed, not a driver-side pre-pass. `include` labels are copied
+    * from the one side, overwriting same-named many-side labels.
+    * Scale shape: one shuffle on (ts, key) for the one-side dedup-check,
+    * then a plain equi-join — the one side is post-aggregation and small,
+    * so AQE broadcasts it.
+    */
+  private def groupedVectorVector(l: SeriesFrame, r: SeriesFrame, op: String,
+      matchCols: Seq[String], m: VectorMatch, boolMod: Boolean): SeriesFrame = {
+    val manyIsLeft = m.card == 1 // group_left: lhs is the many side
+    val (many, one) = if (manyIsLeft) (l, r) else (r, l)
+    val include = m.include.filter(one.labels.contains)
+    val oneAggs = Seq(count(lit(1)).as("__on"), first(col("value")).as("__ov")) ++
+      include.map(c => first(col(c)).as(s"__inc_$c"))
+    val oneDf = one.df.groupBy(("ts" +: matchCols).map(col): _*)
+      .agg(oneAggs.head, oneAggs.tail: _*)
+    val guarded = oneDf.withColumn("__ov",
+      when(assert_true(col("__on") === 1, lit(
+        "group_" + (if (manyIsLeft) "left" else "right") +
+          ": found duplicate series on the 'one' side for a match group"))
+        .isNull, col("__ov")))
+      .drop("__on")
+    val j = many.df.withColumnRenamed("value", "__mv")
+      .join(guarded, "ts" +: matchCols, "inner")
+    val (a, b) = if (manyIsLeft) (col("__mv"), col("__ov")) else (col("__ov"), col("__mv"))
+    val withInc = include.foldLeft(j)((d, c) => d.withColumn(c, col(s"__inc_$c")))
+      .drop(include.map(c => s"__inc_$c"): _*)
+    val outLabels = (many.labels ++ include).distinct
+    op match {
+      case "+" | "-" | "*" | "/" | "%" | "^" =>
+        SeriesFrame(withInc.withColumn("value", arith(op, a, b))
+          .drop("__mv", "__ov"), outLabels)
+      case _ =>
+        val cond = compare(op, a, b)
+        if (boolMod)
+          SeriesFrame(withInc.withColumn("value", when(cond, 1.0).otherwise(0.0))
+            .drop("__mv", "__ov"), outLabels)
+        else
+          // comparison keeps the many-side sample (plus include labels)
+          SeriesFrame(withInc.filter(cond).withColumn("value", col("__mv"))
+            .drop("__mv", "__ov"), outLabels)
+    }
+  }
+
   private def setOp(l: SeriesFrame, r: SeriesFrame, op: String,
       matching: Option[VectorMatch]): SeriesFrame = {
     val keyCols: Seq[String] = matching match {
-      case Some(VectorMatch(true, labels)) => labels
-      case Some(VectorMatch(false, ignore)) =>
+      case Some(VectorMatch(true, labels, _, _)) => labels
+      case Some(VectorMatch(false, ignore, _, _)) =>
         (l.labels.toSet ++ r.labels.toSet).filterNot(ignore.contains).toSeq.sorted
       case None => (l.labels.toSet ++ r.labels.toSet).toSeq.sorted
     }

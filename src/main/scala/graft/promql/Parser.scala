@@ -171,15 +171,22 @@ private final class Parser(input: String) {
     } else parsePostfix()
   }
 
-  /** on(...)/ignoring(...) after a binary operator; group_left/right rejected. */
+  /** on(...)/ignoring(...) after a binary operator, optionally followed by
+    * group_left(...)/group_right(...) many-to-one matching (Prometheus
+    * requires an explicit on/ignoring before a group modifier)
+    */
   private def parseMatching(): Option[VectorMatch] = {
     val m =
       if (eatWord("on")) Some(VectorMatch(on = true, labels = parseLabelList()))
       else if (eatWord("ignoring")) Some(VectorMatch(on = false, labels = parseLabelList()))
       else None
-    if (peekWord() == "group_left" || peekWord() == "group_right")
-      fail("group_left/group_right not supported (1:1 matching only)")
-    m
+    val gl = eatWord("group_left")
+    val gr = !gl && eatWord("group_right")
+    if (gl || gr) {
+      if (m.isEmpty) fail("group_left/group_right requires on() or ignoring()")
+      val inc = { skipWs(); if (pos < input.length && input(pos) == '(') parseLabelList() else Nil }
+      Some(m.get.copy(card = if (gl) 1 else 2, include = inc))
+    } else m
   }
 
   private def parseLabelList(): List[String] = {
@@ -316,6 +323,24 @@ private final class Parser(input: String) {
         val arg = parseOr()
         expect(')')
         HistogramQuantile(q, arg)
+      case "histogram_avg" | "histogram_sum" | "histogram_count" =>
+        val arg = parseOr()
+        expect(')')
+        arg match {
+          case s: Selector => SketchFn(fn, s)
+          case other => fail(s"$fn requires a selector argument, got $other")
+        }
+      case "histogram_fraction" =>
+        val lo = parseNumber()
+        expect(',')
+        val hi = parseNumber()
+        expect(',')
+        val arg = parseOr()
+        expect(')')
+        arg match {
+          case s: Selector => SketchFn(fn, s, lo, hi)
+          case other => fail(s"$fn requires a selector argument, got $other")
+        }
       case "label_replace" =>
         val arg = parseOr()
         expect(','); val dst = parseString()
@@ -456,14 +481,28 @@ private final class Parser(input: String) {
       expect(']')
     }
     var offsetMs = 0L
-    if (eatWord("offset")) {
-      skipWs()
-      val start = pos
-      while (pos < input.length && !input(pos).isWhitespace && input(pos) != ')' &&
-        input(pos) != ',' && input(pos) != '}') pos += 1
-      offsetMs = Parser.parseDurationMs(input.substring(start, pos))
+    var atKind = 0
+    var atMs = 0L
+    var modifiers = true
+    while (modifiers) {
+      if (eatWord("offset")) {
+        skipWs()
+        val start = pos
+        while (pos < input.length && !input(pos).isWhitespace && input(pos) != ')' &&
+          input(pos) != ',' && input(pos) != '}') pos += 1
+        offsetMs = Parser.parseDurationMs(input.substring(start, pos))
+      } else {
+        skipWs()
+        if (pos < input.length && input(pos) == '@') {
+          pos += 1
+          skipWs()
+          if (eatWord("start")) { expect('('); expect(')'); atKind = 2 }
+          else if (eatWord("end")) { expect('('); expect(')'); atKind = 3 }
+          else { atKind = 1; atMs = math.round(parseNumber() * 1000.0) }
+        } else modifiers = false
+      }
     }
     if (metric.isEmpty && matchers.isEmpty) fail("empty selector")
-    Selector(metric, matchers.reverse, rangeMs, offsetMs, subStepMs)
+    Selector(metric, matchers.reverse, rangeMs, offsetMs, subStepMs, atKind, atMs)
   }
 }

@@ -470,6 +470,49 @@ object PromQLQueries extends Catalog {
       },
       Some(ddsQuantileSql(0.9, 0L))),
 
+    Q("pq_hist_avg",
+      // histogram_avg/sum/count read exactly out of the merged sketch —
+      // DuckDB aggregates the raw events directly (round-6 absorbs float
+      // summation order, the pq_sketch_stats precedent)
+      { (s, d) =>
+        Engine.query("histogram_avg(events_value)",
+          MetricStore(Cooked.metrics(s, d, withSketch = true)),
+          QueryParams(Start, End, StepMs))
+          .withColumn("value", round(col("value"), 6))
+      },
+      Some(s"""SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS ts,
+               event_type AS attr_event_type,
+               round(sum("value") / count(*), 6) AS value
+        FROM events
+        WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+        GROUP BY 1, 2""")),
+
+    Q("pq_hist_fraction",
+      // fraction of observations reading back in [1, 50]: the oracle
+      // replays the bucket-midpoint membership rule exactly (same
+      // ceil(ln(v)/ln(γ)) index and 2γ^i/(γ+1) midpoint as ddsQuantileSql)
+      { (s, d) =>
+        Engine.query("histogram_fraction(1, 50, events_value)",
+          MetricStore(Cooked.metrics(s, d, withSketch = true)),
+          QueryParams(Start, End, StepMs))
+          .withColumn("value", round(col("value"), 6))
+      },
+      Some {
+        val gamma = "((1.0 + 0.01) / (1.0 - 0.01))"
+        s"""WITH ev AS (
+          SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS ts,
+                 event_type AS attr_event_type,
+                 CASE WHEN "value" < 1e-9 THEN 0.0
+                      ELSE 2 * pow($gamma, ceil(ln("value") / ln($gamma)))
+                           / ($gamma + 1.0) END AS mv
+          FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End)
+        SELECT ts, attr_event_type,
+               round(CAST(count(*) FILTER (WHERE mv >= 1 AND mv <= 50) AS DOUBLE)
+                     / count(*), 6) AS value
+        FROM ev GROUP BY 1, 2"""
+      }),
+
     Q("pq_quantile_over_time",
       { (s, d) =>
         Engine.query("quantile_over_time(0.95, events_value[4h])",
@@ -624,6 +667,32 @@ object PromQLQueries extends Catalog {
                  CASE WHEN i = 1 THEN b ELSE 0.6 * (s1 - s0) + (1 - 0.6) * b END
           FROM sm WHERE i < len(vs))
         SELECT ts, attr_event_type, s1 AS value FROM sm WHERE i = len(vs)""")),
+
+    Q("pq_at_modifier",
+      // @ pins evaluation to one bucket (the first grid bucket — dense at
+      // every SF); the pinned per-series value is emitted on every step
+      run(s"events_value @ ${Start / 1000}"),
+      Some(s"""WITH ${stepCte()},
+        pinned AS (SELECT attr_event_type, bsum FROM step WHERE ts = $Start)
+        SELECT g.ts, p.attr_event_type, p.bsum AS value
+        FROM range($Start, $End, $StepMs) g(ts), pinned p""")),
+
+    Q("pq_group_left",
+      // many-to-one matching — a superset of the reference (its parser
+      // rejects group modifiers). label_replace buckets the five event
+      // types into hi/lo groups; each series is divided by its group's
+      // total, so the result keeps the many side's full label set
+      run("""label_replace(label_replace(events_value, "grp", "lo", "attr_event_type", ".*"), "grp", "hi", "attr_event_type", "error|signup")
+             / on(grp) group_left
+             sum by (grp) (label_replace(label_replace(events_value, "grp", "lo", "attr_event_type", ".*"), "grp", "hi", "attr_event_type", "error|signup"))"""),
+      Some(s"""WITH ${stepCte()},
+        s AS (SELECT ts, attr_event_type, bsum,
+                CASE WHEN attr_event_type = 'error' OR attr_event_type = 'signup'
+                  THEN 'hi' ELSE 'lo' END AS grp
+              FROM step WHERE ts >= $Start AND ts < $End),
+        g AS (SELECT ts, grp, sum(bsum) AS gsum FROM s GROUP BY 1, 2)
+        SELECT s.ts, s.attr_event_type, s.grp, s.bsum / g.gsum AS value
+        FROM s JOIN g ON s.ts = g.ts AND s.grp = g.grp""")),
 
     Q("pq_agg_stddev",
       { (s, d) =>

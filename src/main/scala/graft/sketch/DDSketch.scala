@@ -112,6 +112,26 @@ final class DDSketch(
 
   def avg: Double = if (count == 0) Double.NaN else sum / count
 
+  /** fraction of observations whose READ-BACK value lies in [lo, hi]:
+    * zero-bucket observations read back 0.0, bucket i reads back
+    * ±2γ^i/(γ+1) (the same midpoint convention quantile() walks) — a
+    * deterministic bucket-membership rule an external replay can follow
+    * exactly, unlike Prometheus's within-bucket interpolation
+    */
+  def fractionBetween(lo: Double, hi: Double): Double = {
+    if (count == 0) return Double.NaN
+    if (lo > hi) return 0.0
+    var matched = 0L
+    if (lo <= 0.0 && hi >= 0.0) matched += zeroCount
+    neg.foreach { case (i, c) =>
+      val v = -valueOf(i.toInt); if (v >= lo && v <= hi) matched += c
+    }
+    pos.foreach { case (i, c) =>
+      val v = valueOf(i.toInt); if (v >= lo && v <= hi) matched += c
+    }
+    matched.toDouble / count
+  }
+
   /** total live buckets across both stores (bin-budget observability) */
   def binCount: Int = pos.size + neg.size
 

@@ -109,6 +109,33 @@ case class DDSketchQuantile(sketch: Expression, q: Expression)
     copy(sketch = c(0), q = c(1))
 }
 
+/** `ddsketch_fraction(sketch, lo, hi)` — fraction of observations whose
+  * read-back value lies in [lo, hi] (see [[DDSketch.fractionBetween]]).
+  */
+case class DDSketchFraction(sketch: Expression, lo: Expression, hi: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(sketch, lo, hi)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ddsketch_fraction"
+
+  override def eval(input: InternalRow): Any = {
+    val b = sketch.eval(input)
+    val l = lo.eval(input)
+    val h = hi.eval(input)
+    if (b == null || l == null || h == null) null
+    else {
+      val sk = DDSketch.deserialize(b.asInstanceOf[Array[Byte]])
+      if (sk.isEmpty) null
+      else sk.fractionBetween(l.asInstanceOf[Double], h.asInstanceOf[Double])
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(sketch = c(0), lo = c(1), hi = c(2))
+}
+
 /** `ddsketch_stats(sketch)` — struct(count, sum, min, max, avg, p50, p90,
   * p95, p99): the reference extension's output shape.
   */
@@ -162,4 +189,7 @@ object functions {
 
   def ddsketch_stats(sketch: Column): Column =
     toCol(DDSketchStats(expr(sketch)))
+
+  def ddsketch_fraction(sketch: Column, lo: Double, hi: Double): Column =
+    toCol(DDSketchFraction(expr(sketch), expr(lit(lo)), expr(lit(hi))))
 }

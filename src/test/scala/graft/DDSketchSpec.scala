@@ -22,6 +22,22 @@ class DDSketchSpec extends AnyFunSuite {
     assert(sk.quantile(0.0) == sorted.head && sk.quantile(1.0) == sorted.last)
   }
 
+  test("fractionBetween counts bucket read-backs within the bounds") {
+    val sk = new DDSketch(0.01)
+    (1 to 10).foreach(v => sk.add(v.toDouble))
+    // read-backs are within 1% of the true values: [0, 5.4] captures 1..5
+    val f = sk.fractionBetween(0.0, 5.4)
+    assert(f == 0.5, s"got $f")
+    // zeros live in the zero bucket and read back 0.0
+    sk.add(0.0); sk.add(0.0)
+    assert(sk.fractionBetween(0.0, 0.0) == 2.0 / 12.0)
+    assert(sk.fractionBetween(100.0, 200.0) == 0.0)
+    assert(sk.fractionBetween(5.0, 1.0) == 0.0) // inverted bounds
+    // negatives read back from the negative store
+    sk.add(-3.0)
+    assert(sk.fractionBetween(-4.0, -2.0) == 1.0 / 13.0)
+  }
+
   test("merge equals bulk add; serde round-trips") {
     val a = new DDSketch(); val b = new DDSketch(); val all = new DDSketch()
     val rnd = new scala.util.Random(7)

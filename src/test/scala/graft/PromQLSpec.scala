@@ -46,10 +46,23 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(c.boolMod)
   }
 
-  test("on/ignoring accepted, group_left rejected") {
+  test("on/ignoring accepted; group modifiers parse with card and include") {
     val e = p("a / on(job) b").asInstanceOf[BinOp]
     assert(e.matching.contains(VectorMatch(on = true, List("job"))))
-    assert(Parser.parse("a / on(job) group_left b").isLeft)
+    val gl = p("a / on(job) group_left b").asInstanceOf[BinOp]
+    assert(gl.matching.contains(VectorMatch(on = true, List("job"), card = 1)))
+    val gr = p("a / ignoring(x) group_right(info, env) b").asInstanceOf[BinOp]
+    assert(gr.matching.contains(
+      VectorMatch(on = false, List("x"), card = 2, include = List("info", "env"))))
+    // group modifiers require an explicit on/ignoring
+    assert(Parser.parse("a / group_left b").isLeft)
+    // @ modifier forms
+    assert(p("m @ 1704067200") ==
+      Selector("m", Nil, atKind = 1, atMs = 1704067200000L))
+    assert(p("m offset 1h @ start()") ==
+      Selector("m", Nil, offsetMs = 3600000L, atKind = 2))
+    assert(p("m @ end() offset 1h") ==
+      Selector("m", Nil, offsetMs = 3600000L, atKind = 3))
   }
 
   test("functions") {
@@ -268,6 +281,60 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(sv.select("value").collect().forall(_.getDouble(0) == 1.0))
     val g = Engine.query("group by (attr_k) (m)", st, pp)
     assert(g.count() == 4 && g.select("value").distinct().head().getDouble(0) == 1.0)
+  }
+
+  test("@ modifier pins evaluation; start() and a literal agree") {
+    val lit = Engine.query(s"events_value @ ${start / 1000}", store, p)
+    val st = Engine.query("events_value @ start()", store, p)
+    assert(lit.exceptAll(st).count() == 0 && st.exceptAll(lit).count() == 0)
+    // pinned: per-series value set equals the bare selector's first bucket,
+    // repeated on every grid bucket
+    val bare = Engine.query("events_value", store, p)
+      .filter(col("ts") === start)
+      .select("attr_event_type", "value").collect().toSet
+    val grid = (p.endMs - start) / p.stepMs
+    assert(lit.count() == grid * bare.size)
+    val pinnedSet = lit.select("attr_event_type", "value").distinct().collect().toSet
+    assert(pinnedSet == bare)
+  }
+
+  test("group_left carries include labels; group_right mirrors; dup one side errors") {
+    import spark.implicits._
+    // m1: two series per attr_k (the many side); m2: one series per attr_k
+    // with an info label to copy
+    val rows = Seq(
+      (start, "m1", "k1", "x", null, 2.0), (start, "m1", "k1", "y", null, 3.0),
+      (start, "m1", "k2", "x", null, 5.0), (start, "m1", "k2", "y", null, 7.0),
+      (start, "m2", "k1", null, "alpha", 10.0), (start, "m2", "k2", null, "beta", 100.0))
+    val df = rows.toDF("chq_timestamp", "metric_name", "attr_k", "attr_b", "attr_info", "chq_rollup_sum")
+      .withColumn("chq_rollup_count", lit(1.0))
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 600000L, 600000L)
+    val gl = Engine.query("m1 * on(attr_k) group_left(attr_info) m2", st, pp)
+      .select("attr_k", "attr_b", "attr_info", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(gl == Set(
+      ("k1", "x", "alpha", 20.0), ("k1", "y", "alpha", 30.0),
+      ("k2", "x", "beta", 500.0), ("k2", "y", "beta", 700.0)), gl.toString)
+    // group_right: one side on the left, same result set
+    val gr = Engine.query("m2 * on(attr_k) group_right(attr_info) m1", st, pp)
+      .select("attr_k", "attr_b", "attr_info", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(gr == gl, gr.toString)
+    // a duplicate series on the one side is a hard error, like Prometheus
+    val dupRows = rows ++ Seq((start, "m2", "k1", "z", "gamma", 11.0))
+    val dupDf = dupRows.toDF("chq_timestamp", "metric_name", "attr_k", "attr_b", "attr_info", "chq_rollup_sum")
+      .withColumn("chq_rollup_count", lit(1.0))
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val ex = intercept[Exception] {
+      Engine.query("m1 * on(attr_k) group_left m2", MetricStore(dupDf), pp).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m => m != null && m.contains("duplicate series")), ex.getMessage)
   }
 
   test("trig and hyperbolic functions match JDK math; inverses round-trip") {
