@@ -148,6 +148,11 @@ object Compiler {
           case "last_over_time"  => (col("__unwrap_value"), "last_over_time")
           case "first_over_time" => (col("__unwrap_value"), "first_over_time")
           case "rate_counter"    => (col("__unwrap_value"), "rate")
+          // over bucket gauge values (the engine's gauge-fn convention —
+          // documented divergence from Loki's raw-sample windows, same as
+          // avg_over_time above)
+          case "stddev_over_time" => (col("__unwrap_value"), "stddev_over_time")
+          case "stdvar_over_time" => (col("__unwrap_value"), "stdvar_over_time")
           case other => throw new IllegalArgumentException(s"unsupported range fn: $other")
         }
         val s = df

@@ -332,6 +332,33 @@ object LogQLQueries extends Catalog {
                wsum / wcnt AS value
         FROM win WHERE ${covered(H4)} AND wcnt > 0""")),
 
+    Q("lq_stdvar_over_time",
+      agg("""stdvar_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
+      // population variance over the window's bucket gauge values (bucket
+      // averages), exact-sums form — the engine's identical expression tree
+      Some(s"""WITH ${Cooked.logsCte},
+        stepl AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 log_level, resource_service_name, attr_event_type,
+                 TRY_CAST(regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS DOUBLE) AS u
+          FROM logs
+          WHERE log_level = 'INFO' AND chq_timestamp >= ${Start - H4}
+            AND chq_timestamp < $End),
+        stepa AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type,
+                 sum(u) / CAST(count(u) AS DOUBLE) AS v
+          FROM stepl WHERE u IS NOT NULL GROUP BY 1, 2, 3, 4),
+        wnd AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type,
+                 CAST(count(*) OVER w AS DOUBLE) AS n, sum(v) OVER w AS sv,
+                 sum(v * v) OVER w AS svv, min(ts) OVER w AS first_ts
+          FROM stepa
+          WINDOW w AS (PARTITION BY log_level, resource_service_name, attr_event_type
+                       ORDER BY ts RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, log_level, resource_service_name, attr_event_type,
+               (n * svv - sv * sv) / (n * n) AS value
+        FROM wnd WHERE ${covered(H4)}""")),
+
     Q("lq_first_over_time",
       agg("""first_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
       // first = the window's earliest step bucket's avg unwrapped value

@@ -55,6 +55,13 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(q.range.get.fn == "rate" && q.range.get.rangeMs == 300000L)
   }
 
+  test("stddev/stdvar parse as range and vector aggregations") {
+    val r = p("""stdvar_over_time({app="web"} | logfmt | unwrap u [5m])""")
+    assert(r.range.get.fn == "stdvar_over_time")
+    val v = p("""stddev by (app) (count_over_time({app="web"} [5m]))""")
+    assert(v.vectorOp.contains("stddev") && v.by == List("app"))
+  }
+
   test("range offset parses (reference LogRange.Offset)") {
     val q = p("""sum by (app) (count_over_time({app="web"}[5m] offset 1h))""")
     assert(q.range.get.rangeMs == 300000L && q.range.get.offsetMs == 3600000L)
