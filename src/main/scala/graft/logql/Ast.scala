@@ -114,5 +114,5 @@ object Ast {
     "quantile_over_time", "stddev_over_time", "stdvar_over_time")
   val vectorOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk",
-    "stddev", "stdvar")
+    "stddev", "stdvar", "sort", "sort_desc")
 }

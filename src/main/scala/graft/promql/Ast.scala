@@ -129,6 +129,14 @@ final case class TimeComponentFn(fn: String, arg: Expr) extends Expr
   */
 final case class AbsentOverTime(arg: Selector) extends Expr
 
+/** count_values("label", v) ... by/without: per-bucket count of series
+  * sharing each distinct value; the value is materialized as a new label
+  * (integral values format as "42", others via Double.toString — a
+  * deterministic rule an external replay can follow)
+  */
+final case class CountValues(label: String, arg: Expr,
+    by: List[String] = Nil, without: List[String] = Nil) extends Expr
+
 /** sum/avg/min/max/count/topk/bottomk/quantile ... by/without (...) */
 final case class Agg(
     op: String,

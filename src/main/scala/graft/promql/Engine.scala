@@ -163,6 +163,24 @@ object Engine {
       // exec_planner.go:269-284)
       if (op == "count") Right(densifyCount(agged, store, p)) else Right(agged)
 
+    case CountValues(lbl, arg, by, without) =>
+      val sf = vector(eval(arg, store, p))
+      val keep: Seq[String] =
+        if (by.nonEmpty) sf.labels.filter(by.contains)
+        else if (without.nonEmpty) sf.labels.filterNot(without.contains)
+        else Nil
+      // integral values format as "42" (Prometheus-style), everything else
+      // via Double.toString — the overflow-safe integrality probe is the
+      // round-trip cast equality
+      val v = col("value")
+      val asLong = v.cast("long")
+      val fmt = when(asLong.cast("double") === v, asLong.cast("string"))
+        .otherwise(v.cast("string"))
+      val g = sf.df.withColumn(lbl, fmt)
+        .groupBy((col("ts") +: (keep :+ lbl).map(col)): _*)
+        .agg(count(lit(1)).cast("double").as("value"))
+      Right(SeriesFrame(g, (keep :+ lbl).distinct))
+
     case LabelReplace(arg, dst, repl, src, regex) =>
       val sf = vector(eval(arg, store, p))
       val full = "^(?:" + regex + ")$"

@@ -407,6 +407,13 @@ private final class Parser(input: String) {
           case s: Selector if s.rangeMs > 0 => QuantileOverTime(q, s)
           case _ => fail("quantile_over_time requires a range selector")
         }
+      case "count_values" =>
+        val lbl = parseString()
+        expect(',')
+        val arg = parseOr()
+        expect(')')
+        val (by, without) = parseGrouping()
+        CountValues(lbl, arg, by, without)
       case f if Ast.aggOps.contains(f) =>
         // form: agg(expr) or agg(param, expr); by/without may follow args
         val param =

@@ -668,6 +668,23 @@ object PromQLQueries extends Catalog {
           FROM sm WHERE i < len(vs))
         SELECT ts, attr_event_type, s1 AS value FROM sm WHERE i = len(vs)""")),
 
+    Q("pq_count_values",
+      // ×100 puts the bucket sum on the cents scale, where its true value
+      // is an exact integer: round() sits ~0.5 away from any boundary, so
+      // ulp-level summation-order noise can't flip it (the pq_rate lesson —
+      // round(bsum) directly DOES flip on x.50 sums). Integral → the
+      // "42"-style bare format path.
+      run("""count_values("val", round(events_value * 100))"""),
+      Some(s"""WITH ${stepCte()},
+        r AS (SELECT ts, floor(bsum * 100 / 1.0 + 0.5) * 1.0 AS rv FROM step
+              WHERE ts >= $Start AND ts < $End)
+        SELECT ts,
+               CASE WHEN rv = CAST(CAST(rv AS BIGINT) AS DOUBLE)
+                    THEN CAST(CAST(rv AS BIGINT) AS VARCHAR)
+                    ELSE CAST(rv AS VARCHAR) END AS val,
+               CAST(count(*) AS DOUBLE) AS value
+        FROM r GROUP BY 1, 2""")),
+
     Q("pq_at_modifier",
       // @ pins evaluation to one bucket (the first grid bucket — dense at
       // every SF); the pinned per-series value is emitted on every step

@@ -60,6 +60,8 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(r.range.get.fn == "stdvar_over_time")
     val v = p("""stddev by (app) (count_over_time({app="web"} [5m]))""")
     assert(v.vectorOp.contains("stddev") && v.by == List("app"))
+    val s = p("""sort_desc(count_over_time({app="web"} [5m]))""")
+    assert(s.vectorOp.contains("sort_desc"))
   }
 
   test("range offset parses (reference LogRange.Offset)") {

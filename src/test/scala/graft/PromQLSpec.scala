@@ -283,6 +283,20 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(g.count() == 4 && g.select("value").distinct().head().getDouble(0) == 1.0)
   }
 
+  test("count_values groups by formatted value; integral values format bare") {
+    import spark.implicits._
+    val rows = Seq(
+      (start, "m", "a", 7.0, 1.0), (start, "m", "b", 7.0, 1.0),
+      (start, "m", "c", 2.5, 1.0))
+    val df = rows.toDF("chq_timestamp", "metric_name", "attr_k", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val pp = QueryParams(start, start + 600000L, 600000L)
+    val out = Engine.query("""count_values("v", m)""", MetricStore(df), pp)
+      .select("v", "value").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set(("7", 2.0), ("2.5", 1.0)), out.toString)
+  }
+
   test("@ modifier pins evaluation; start() and a literal agree") {
     val lit = Engine.query(s"events_value @ ${start / 1000}", store, p)
     val st = Engine.query("events_value @ start()", store, p)
