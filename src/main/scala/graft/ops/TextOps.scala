@@ -128,9 +128,18 @@ object TextOps {
     * generators: per-fingerprint doc lists (no self-join — singleton
     * fingerprints never reach the pair stage), hot fingerprints capped
     * before the quadratic expansion.
+    *
+    * maxDocsPerFp is the load-bearing skew control, NOT a tunable to
+    * raise casually: per-fingerprint work is O(cap²) and a low-diversity
+    * corpus (crawl boilerplate, templated pages) pushes MANY fingerprints
+    * to the cap. A fingerprint shared by more than ~20 documents is
+    * boilerplate, not evidence of pairwise copying — the same rationale
+    * as dropping stop-shingles in [[graft.ops.Dedup]]'s Jaccard path
+    * (cap 1000 benched 20+ minutes on one task at sf0.1; cap 20 keeps
+    * the whole query sub-second with the pairs that matter intact).
     */
   def winnowPairs(df: DataFrame, k: Int = 8, w: Int = 4, minShared: Int = 2,
-      maxDocsPerFp: Int = 1000, textCol: String = "text",
+      maxDocsPerFp: Int = 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val fps = winnow(df, k, w, textCol, idCol)
     val ds = col("ds")
@@ -190,31 +199,44 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val t = normText(df(textCol))
-    val ws = split(t, " ")
-    val lines = filter(transform(split(df(textCol), "\n"), l => trim(l)),
-      l => length(l) > 0)
+    // Every intermediate array is materialized as a NAMED column before the
+    // expression that walks it. Inlining them instead (one nested Column
+    // tree) re-evaluates the n-gram construction — normalize, split,
+    // concat — once PER DISTINCT ELEMENT inside eltCounts' filter lambda:
+    // O(distinct·n) whole-document regex runs per row, which benched as a
+    // 600-second single query at sf0.1. As attributes they're computed
+    // once per row (CollapseProject keeps multiply-referenced non-cheap
+    // aliases in their own Project), and the whole thing stays a
+    // shuffle-free projection chain.
+    def dupChars(counts: Column): Column = aggregate(counts, lit(0), (a, s) =>
+      a + when(s.getField("c") > 1, s.getField("c") * length(s.getField("g")))
+        .otherwise(lit(0)))
+    val staged = df
+      .withColumn("__t", normText(df(textCol)))
+      .withColumn("__ws", split(col("__t"), " "))
+      .withColumn("__lines", filter(
+        transform(split(df(textCol), "\n"), l => trim(l)), l => length(l) > 0))
+      .withColumn("__bg", wordNgrams(col("__ws"), 2))
+      .withColumn("__tg", wordNgrams(col("__ws"), 3))
+      .withColumn("__lc", eltCounts(col("__lines")))
+      .withColumn("__top2", array_max(eltCounts(col("__bg"))))
+      .withColumn("__tc", eltCounts(col("__tg")))
+    val lines = col("__lines")
     val nl = size(lines)
     val lineChars = aggregate(lines, lit(0), (a, l) => a + length(l))
-    val dupLineChars = aggregate(eltCounts(lines), lit(0), (a, s) =>
-      a + when(s.getField("c") > 1, s.getField("c") * length(s.getField("g")))
-        .otherwise(lit(0)))
-    val top2 = array_max(eltCounts(wordNgrams(ws, 2)))
-    val dup3Chars = aggregate(eltCounts(wordNgrams(ws, 3)), lit(0), (a, s) =>
-      a + when(s.getField("c") > 1, s.getField("c") * length(s.getField("g")))
-        .otherwise(lit(0)))
-    val tLen = length(t)
-    df.select(
-      df(idCol).as("doc_id"),
+    val top2 = col("__top2")
+    val tLen = length(col("__t"))
+    staged.select(
+      staged(idCol).as("doc_id"),
       nl.cast("long").as("n_lines"),
       when(nl > 1, lit(1.0) - size(array_distinct(lines)).cast("double") / nl)
         .otherwise(lit(0.0)).as("dup_line_frac"),
-      when(lineChars > 0, dupLineChars.cast("double") / lineChars)
+      when(lineChars > 0, dupChars(col("__lc")).cast("double") / lineChars)
         .otherwise(lit(0.0)).as("dup_line_char_frac"),
       when(tLen > 0 && top2.isNotNull,
         (top2.getField("c") * length(top2.getField("g"))).cast("double") / tLen)
         .otherwise(lit(0.0)).as("top_bigram_frac"),
-      when(tLen > 0, dup3Chars.cast("double") / tLen)
+      when(tLen > 0, dupChars(col("__tc")).cast("double") / tLen)
         .otherwise(lit(0.0)).as("dup_trigram_frac"))
   }
 
@@ -230,11 +252,16 @@ object TextOps {
     *
     * Plain projection — no shuffle.
     */
-  def gopherQuality(df: DataFrame, textCol: String = "text",
+  def gopherQuality(df0: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // shared arrays materialized once per row (same rationale as
+    // repetitionStats — each feature column would otherwise re-derive them)
+    val df = df0
+      .withColumn("__t", normText(df0(textCol)))
+      .withColumn("__ws", split(col("__t"), " "))
     val raw = df(textCol)
-    val t = normText(raw)
-    val ws = split(t, " ")
+    val t = col("__t")
+    val ws = col("__ws")
     val nw = size(ws)
     // non-overlapping left-to-right counts via replace-shrink (both engines
     // replace identically)

@@ -552,7 +552,7 @@ object PipelineQueries extends Catalog {
   private val winnowPairsSql =
     s"""WITH $winnowFpsCte,
        ok AS (SELECT fp FROM fps GROUP BY fp
-              HAVING count(*) BETWEEN 2 AND 1000),
+              HAVING count(*) BETWEEN 2 AND 20),
        pairs AS (
          SELECT f1.doc_id AS a, f2.doc_id AS b
          FROM fps f1 JOIN fps f2 USING (fp) JOIN ok USING (fp)
