@@ -39,6 +39,15 @@ final case class Selector(
 
 final case class NumberLit(value: Double) extends Expr
 
+/** `<expr>[range:step]` — subquery over an ARBITRARY expression (selector
+  * subqueries ride Selector.subStepMs instead): the inner expression is
+  * evaluated on the step grid, and an enclosing *_over_time function
+  * windows over those evaluated points. stepMs 0 = default resolution
+  * (the outer query step).
+  */
+final case class Subquery(arg: Expr, rangeMs: Long, stepMs: Long = 0L,
+    offsetMs: Long = 0L) extends Expr
+
 /** rate, increase, irate, and the _over_time family — arg must be a Selector. */
 final case class RangeFn(fn: String, arg: Expr) extends Expr
 

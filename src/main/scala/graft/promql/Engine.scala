@@ -85,6 +85,7 @@ object Engine {
 
     case RangeFn(fn, arg) => arg match {
       case s: Selector => Right(leaf(s, fn, store, p))
+      case sq: Subquery => Right(subqueryWindow(fn, sq, store, p))
       case other => throw new IllegalArgumentException(
         s"$fn requires a selector argument, got $other")
     }
@@ -600,6 +601,53 @@ object Engine {
     * value-at-quantile. Mirrors the reference's buildDDS worker path + API
     * merge (promql/sql_builder.go:581-617, promql/quantile_node.go:28-118).
     */
+  /** `fn(<expr>[range:step])` — the inner expression evaluates on the
+    * subquery-step grid over a left-extended window, then fn windows over
+    * those evaluated points per output bucket. The window pairing is a
+    * range join of the (small, post-aggregation) inner point set against
+    * the broadcast output grid — the same bounded-grid shape as
+    * AbsentOverTime, so no per-bucket window touches raw data. Emits
+    * wherever ≥1 point falls in the window (no coverage gate: points are
+    * evaluation results, not raw samples).
+    */
+  private def subqueryWindow(fn: String, sq: Subquery, store: MetricStore,
+      p: QueryParams): SeriesFrame = {
+    val istep = if (sq.stepMs > 0) sq.stepMs else p.stepMs
+    val range = sq.rangeMs
+    val off = sq.offsetMs
+    val innerP = QueryParams(alignedStart(p) - range - off, p.endMs - off, istep)
+    val sf = vector(eval(sq.arg, store, innerP))
+    val pts = sf.df
+      .filter(!isnan(col("value")))
+      .withColumn("ts", col("ts") + lit(off))
+    val spark = store.df.sparkSession
+    val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("__gts")
+    val joined = pts.join(broadcast(grid),
+      col("ts") >= col("__gts") - lit(range - istep) && col("ts") <= col("__gts"),
+      "inner")
+    val v = col("value")
+    val aggCol: Column = fn match {
+      case "sum_over_time"   => sum(v)
+      case "avg_over_time"   => sum(v) / count(v)
+      case "min_over_time"   => min(v)
+      case "max_over_time"   => max(v)
+      case "count_over_time" => count(v).cast("double")
+      case "last_over_time"  => max_by(v, col("ts"))
+      case "first_over_time" => min_by(v, col("ts"))
+      case "stdvar_over_time" | "stddev_over_time" =>
+        val n = count(lit(1)).cast("double")
+        val varp = (n * sum(v * v) - sum(v) * sum(v)) / (n * n)
+        if (fn == "stddev_over_time") sqrt(varp) else varp
+      case other => throw new IllegalArgumentException(
+        s"$other over an expression subquery is not supported")
+    }
+    val out = joined
+      .groupBy((col("__gts") +: sf.labels.map(col)): _*)
+      .agg(aggCol.as("value"))
+      .withColumnRenamed("__gts", "ts")
+    SeriesFrame(out, sf.labels)
+  }
+
   private def sketchLeaf(sel: Selector, q: Double, store: MetricStore,
       p: QueryParams): SeriesFrame = {
     import graft.sketch.{functions => gf}

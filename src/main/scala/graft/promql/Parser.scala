@@ -250,7 +250,36 @@ private final class Parser(input: String) {
 
   // ---- postfix / primary ---------------------------------------------------
 
-  private def parsePostfix(): Expr = parsePrimary()
+  private def parsePostfix(): Expr = {
+    val e = parsePrimary()
+    skipWs()
+    // subquery over an expression: [range:step]. A Selector reaching here
+    // already consumed any directly-attached range inside parseSelectorTail,
+    // so a remaining '[' is a subquery (e.g. the `(m)[5m:1m]` form)
+    if (pos < input.length && input(pos) == '[') {
+      pos += 1
+      val start = pos
+      while (pos < input.length && input(pos) != ':' && input(pos) != ']') pos += 1
+      val range = Parser.parseDurationMs(input.substring(start, pos))
+      if (pos >= input.length || input(pos) != ':')
+        fail("expression range requires a subquery step: [range:step]")
+      pos += 1
+      val s2 = pos
+      while (pos < input.length && input(pos) != ']') pos += 1
+      val sub = input.substring(s2, pos).trim
+      val step = if (sub.isEmpty) 0L else Parser.parseDurationMs(sub)
+      expect(']')
+      var off = 0L
+      if (eatWord("offset")) {
+        skipWs()
+        val o0 = pos
+        while (pos < input.length && !input(pos).isWhitespace && input(pos) != ')' &&
+          input(pos) != ',' && input(pos) != '}') pos += 1
+        off = Parser.parseDurationMs(input.substring(o0, pos))
+      }
+      Subquery(e, range, step, off)
+    } else e
+  }
 
   private def parsePrimary(): Expr = {
     skipWs()

@@ -668,6 +668,30 @@ object PromQLQueries extends Catalog {
           FROM sm WHERE i < len(vs))
         SELECT ts, attr_event_type, s1 AS value FROM sm WHERE i = len(vs)""")),
 
+    Q("pq_subquery_expr",
+      // subquery over an ARBITRARY expression (not just a selector):
+      // rate at 4h resolution, then the daily running max of those rates.
+      // Inner rate at range==step is bsum/range per 4h bucket; the outer
+      // max windows over the evaluated points — max of bit-replayable
+      // divisions, so no float-sum ordering risk
+      run("max_over_time(rate(events_value[4h])[1d:4h])"),
+      Some {
+        val d1 = 86400000L
+        s"""WITH ${Cooked.metricsCte},
+        b4 AS (
+          SELECT chq_timestamp - chq_timestamp % $H4 AS ts4, attr_event_type,
+                 sum(chq_rollup_sum) AS bsum
+          FROM cooked
+          WHERE chq_timestamp >= ${Start - d1} AND chq_timestamp < $End
+          GROUP BY 1, 2),
+        r AS (SELECT ts4, attr_event_type, bsum / ${H4 / 1000.0} AS rate
+              FROM b4)
+        SELECT g.ts, r.attr_event_type, max(r.rate) AS value
+        FROM range($Start, $End, $StepMs) g(ts)
+        JOIN r ON r.ts4 >= g.ts - ${d1 - H4} AND r.ts4 <= g.ts
+        GROUP BY 1, 2"""
+      }),
+
     Q("pq_count_values",
       // ×100 puts the bucket sum on the cents scale, where its true value
       // is an exact integer: round() sits ~0.5 away from any boundary, so

@@ -283,6 +283,28 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(g.count() == 4 && g.select("value").distinct().head().getDouble(0) == 1.0)
   }
 
+  test("expression subqueries window over evaluated points") {
+    import spark.implicits._
+    // one sample per 40s bucket, values 1..6
+    val rows = (0 until 6).map(i => (start + i * 40000L, "g", (i + 1).toDouble, 1.0))
+    val df = rows.toDF("chq_timestamp", "metric_name", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 6 * 40000L, 40000L)
+    // sum_over_time of the last-3-buckets window over bare-selector points:
+    // at ts of bucket i (0-based, i≥2): v(i)+v(i-1)+v(i-2)
+    val out = Engine.query("sum_over_time((g)[120s:40s])", st, pp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert(out(start + 2 * 40000L) == 1.0 + 2.0 + 3.0, out.toString)
+    assert(out(start + 5 * 40000L) == 4.0 + 5.0 + 6.0, out.toString)
+    // windows with fewer points still emit (no coverage gate on subqueries)
+    assert(out(start) == 1.0)
+    // parses nested inside a range fn over a non-selector expression
+    val mx = Engine.query("max_over_time(rate(g[40s])[120s:40s])", st, pp)
+    assert(mx.count() > 0)
+  }
+
   test("count_values groups by formatted value; integral values format bare") {
     import spark.implicits._
     val rows = Seq(
