@@ -30,6 +30,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // default 300 s: a contended host (or a busy cluster) can stall a
+      // broadcast build past it and fail queries that pass in isolation —
+      // observed once under a concurrent bench + verify run
+      .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -173,29 +173,69 @@ object Similarity {
     * corpus count (plan-time statistic, same spirit as AQE stats).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Int = 0, nProbe: Int = 4): DataFrame = {
+      centroids: Int = 0, nProbe: Int = 4): DataFrame =
+    ivfCore(corpus, queries, k, sampledCentroids(corpus, centroids), nProbe)
+
+  /** IVF with Lloyd-refined centroids: the same deterministic sample seeds
+    * `iters` k-means iterations (assign → per-dimension mean), then the
+    * standard list/probe/rerank runs against the refined quantizer.
+    * Better-balanced lists ⇒ higher recall per probe than the raw sample.
+    * Each iteration costs one broadcast-assign map pass plus ONE shuffle of
+    * (dims · n) scalar rows for the means — linear, no pairwise work; the
+    * refined centroid set stays a broadcast. Spec-gated (recall vs brute
+    * force), not oracle-gated: float means are not bit-replayable across
+    * engines. Clusters that lose every member drop out (standard k-means
+    * behavior; the quantizer just gets smaller).
+    */
+  def ivfTopKLloyd(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Int = 0, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    var cents = sampledCentroids(corpus, centroids)
+    val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    for (_ <- 1 to iters) {
+      val assigned = assignNearest(vecs, cents, 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid")).agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")).as("cemb"))
+      cents = broadcast(means)
+    }
+    ivfCore(corpus, queries, k, cents, nProbe)
+  }
+
+  /** the md5-ranked lowest-C corpus vectors — a reproducible pseudo-random
+    * centroid sample, no RNG state
+    */
+  private def sampledCentroids(corpus: DataFrame, centroids: Int): DataFrame = {
     val c = if (centroids > 0) centroids else centroidsFor(corpus.count())
-    val cents = broadcast(
+    broadcast(
       corpus.select(col("vec_id"), col("embedding"))
         .withColumn("__r", md5(col("vec_id").cast("string")))
         .orderBy(col("__r"), col("vec_id"))
         .limit(c)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
-    // nearest `p` centroids of (id, emb): broadcast the tiny centroid set,
-    // rank per id by cosine (ties by centroid id — deterministic)
-    def assign(df: DataFrame, p: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("__csim", cosine(col("emb"), col("cemb")))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("__csim").desc, col("cid").asc)
-      scored.withColumn("__crk", row_number().over(w))
-        .filter(col("__crk") <= p)
-        .select(col("id"), col("emb"), col("cid"))
-    }
-    val lists = assign(
-      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), 1)
-    val probes = assign(
-      queries.select(col("vec_id").as("id"), col("embedding").as("emb")), nProbe)
+  }
+
+  /** nearest `p` centroids of each (id, emb): broadcast the tiny centroid
+    * set, rank per id by cosine (ties by centroid id — deterministic)
+    */
+  private def assignNearest(df: DataFrame, cents: DataFrame, p: Int): DataFrame = {
+    val scored = df.crossJoin(cents)
+      .withColumn("__csim", cosine(col("emb"), col("cemb")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__csim").desc, col("cid").asc)
+    scored.withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= p)
+      .select(col("id"), col("emb"), col("cid"))
+  }
+
+  private def ivfCore(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    val lists = assignNearest(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
+    val probes = assignNearest(
+      queries.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, nProbe)
       .select(col("id").as("query_id"), col("emb").as("q_emb"), col("cid"))
     // each corpus vector lives in exactly ONE list, so a (query, vec) pair
     // can only arise once — no dedup needed on the probe join

@@ -728,6 +728,12 @@ object PipelineQueries extends Catalog {
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
+    // Lloyd-refined IVF: float centroid means are not bit-replayable across
+    // engines, so this row is rows-only; recall is spec-gated vs brute force
+    Q("pp_ivf_ann_lloyd",
+      (s, d) => Similarity.ivfTopKLloyd(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, nProbe = 4)),
     Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))

@@ -287,5 +287,18 @@ class SimilaritySpec extends AnyFunSuite {
     // probing 4 of ~32 lists; near-uniform random vectors are IVF's worst
     // case, so the bar is a sanity floor, not a quality target
     assert(recall >= 0.2, s"recall=$recall")
+
+    // Lloyd-refined quantizer over a WIDER query set (recall on 25 pairs
+    // is ±3-pair noise): same probe budget, same sanity floor. On
+    // near-uniform vectors k-means clusters are weak structure, so the
+    // gate is the floor plus shape (k rows per query), not superiority.
+    val wq = emb.filter(col("vec_id") < 20)
+    val wExact = Similarity.bruteForceTopK(emb, wq, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lloyd = Similarity.ivfTopKLloyd(emb, wq, k = 5, nProbe = 4, iters = 2)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lloydRecall = (wExact & lloyd).size.toDouble / wExact.size
+    assert(lloydRecall >= 0.2, s"lloyd=$lloydRecall")
+    assert(lloyd.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
   }
 }
