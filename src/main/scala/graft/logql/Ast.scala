@@ -53,6 +53,16 @@ case object DecolorizeStage extends Stage
 /** `| label op value` — string or numeric comparison */
 final case class LabelFilter(label: String, op: String, value: String,
     numeric: Boolean) extends Stage
+/** `|= ip("pattern")` / `!= ip("pattern")` — line matches when it contains
+  * an IPv4 address inside the pattern (single IP, "a-b" range, or CIDR);
+  * Loki's ip() line-filter form (only |= and != compose with ip)
+  */
+final case class IpLineFilter(negated: Boolean, pattern: String) extends Stage
+/** `| label = ip("pattern")` / `!= ip(...)` — label value parses as an
+  * IPv4 inside the pattern (negated = complement, including unparseable)
+  */
+final case class IpLabelFilter(label: String, negated: Boolean,
+    pattern: String) extends Stage
 /** `| unwrap field` / `unwrap duration(field)` / `unwrap bytes(field)` */
 final case class UnwrapStage(field: String, conv: String) extends Stage // conv: "", "duration", "bytes"
 

@@ -294,6 +294,17 @@ object Compiler {
           else lit(null).cast("string")
         df = df.filter(labelFilterCond(c, op, value, numeric))
 
+      case IpLineFilter(neg, pat) =>
+        val cond = IpMatch.lineCond(col("log_message"), pat)
+        df = df.filter(if (neg) !cond else cond)
+
+      case IpLabelFilter(label, neg, pat) =>
+        val c =
+          if (df.schema.fieldNames.contains(label)) df(label)
+          else lit(null).cast("string")
+        val cond = IpMatch.labelCond(c, pat)
+        df = df.filter(if (neg) !cond else cond)
+
       case UnwrapStage(field, conv) =>
         val src = df(field)
         val v = conv match {
@@ -461,6 +472,7 @@ object Compiler {
   private def neededLabels(stages: List[Stage]): Seq[String] =
     stages.flatMap {
       case LabelFilter(l, _, _, _) => Seq(l)
+      case IpLabelFilter(l, _, _) => Seq(l)
       case UnwrapStage(f, _) => Seq(f)
       case LabelReplaceStage(_, _, src, _) => Seq(src)
       case LabelFormatStage(as) => as.flatMap(kv => templateFields(kv._2))

@@ -375,8 +375,20 @@ private final class LogParser(input: String) {
     var continue = true
     while (continue) {
       skipWs()
-      if (startsWith("|=")) { pos += 2; stages += LineFilter(LineFilterOp.Contains, str()) }
-      else if (startsWith("!=")) { pos += 2; stages += LineFilter(LineFilterOp.NotContains, str()) }
+      if (startsWith("|=")) {
+        pos += 2
+        stages += (ipPattern() match {
+          case Some(p) => IpLineFilter(negated = false, p)
+          case None => LineFilter(LineFilterOp.Contains, str())
+        })
+      }
+      else if (startsWith("!=")) {
+        pos += 2
+        stages += (ipPattern() match {
+          case Some(p) => IpLineFilter(negated = true, p)
+          case None => LineFilter(LineFilterOp.NotContains, str())
+        })
+      }
       else if (startsWith("|~")) { pos += 2; stages += LineFilter(LineFilterOp.Regex, str()) }
       else if (startsWith("!~")) { pos += 2; stages += LineFilter(LineFilterOp.NotRegex, str()) }
       else if (peek() == '|') { pos += 1; stages += parsePipeStage() }
@@ -482,7 +494,10 @@ private final class LogParser(input: String) {
           else if (startsWith("=")) { pos += 1; "=" }
           else fail(s"expected label-filter op at $pos")
         skipWs()
-        if (peek() == '"' || peek() == '`') {
+        val ipPat = if (op == "=" || op == "!=") ipPattern() else None
+        if (ipPat.isDefined) {
+          IpLabelFilter(label, negated = op == "!=", ipPat.get)
+        } else if (peek() == '"' || peek() == '`') {
           LabelFilter(label, op, str(), numeric = false)
         } else {
           // numeric literal, optionally with duration/bytes unit
@@ -493,6 +508,24 @@ private final class LogParser(input: String) {
           LabelFilter(label, op, input.substring(start, pos), numeric = true)
         }
     }
+  }
+
+  /** `ip("pattern")` at the current position → Some(pattern); the pattern
+    * is validated at parse time (a malformed IP/CIDR is a query error,
+    * like a bad regex). No backtracking needed: a bare `ip` never starts
+    * a filter value (values are quoted strings or numbers).
+    */
+  private def ipPattern(): Option[String] = {
+    skipWs()
+    if (startsWith("ip(")) {
+      pos += 3
+      val p = str()
+      expect(')')
+      // parse-time validation: a malformed IP/CIDR is a query syntax error
+      try IpMatch.rangeOf(p)
+      catch { case e: IllegalArgumentException => fail(s"bad ip() pattern: ${e.getMessage}") }
+      Some(p)
+    } else None
   }
 
   private def identOrStr(): String = {

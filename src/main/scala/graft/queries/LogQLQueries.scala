@@ -332,6 +332,34 @@ object LogQLQueries extends Catalog {
                wsum / wcnt AS value
         FROM win WHERE ${covered(H4)} AND wcnt > 0""")),
 
+    Q("lq_ip_filter",
+      // Loki's ip() filter, line AND label forms: a deterministic src IP is
+      // injected from chq_id hex octets (the corpus has no dotted quads, so
+      // the injected address is the only candidate), then the line filter
+      // CIDR-prunes to second-octet < 128 and the post-logfmt label filter
+      // narrows to < 64. The oracle replays the identical octet arithmetic.
+      { (s, d) =>
+        val inj = Cooked.logs(s, d).withColumn("log_message", concat(
+          col("log_message"), lit(" src=10."),
+          conv(substring(col("chq_id"), 1, 2), 16, 10), lit("."),
+          conv(substring(col("chq_id"), 3, 2), 16, 10), lit(".7")))
+        val q = LParser.parse(
+          """{log_level="INFO"} |= ip("10.0.0.0/9") | logfmt | src = ip("10.0.0.0/10")""")
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        Compiler.rawQuery(q.raw.get, LogStore(inj), Start, End, BigLimit,
+          desc = true, fields = Seq("chq_id", "src"))
+      },
+      Some(s"""WITH inj AS (
+        SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 20) AS chq_id,
+               CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS INT) AS BIGINT) AS o1,
+               CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 2) AS INT) AS BIGINT) AS o2
+        FROM events
+        WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          AND event_type IN ('purchase', 'signup'))
+        SELECT chq_id,
+               '10.' || CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.7' AS src
+        FROM inj WHERE o1 < 64""")),
+
     Q("lq_stdvar_over_time",
       agg("""stdvar_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
       // population variance over the window's bucket gauge values (bucket

@@ -146,6 +146,45 @@ class LogQLCompilerSpec extends AnyFunSuite {
   private val start = 1704067200000L
   private val p = QueryParams(start, start + 14L * 86400000L, 21600000L)
 
+  test("ip() line and label filters: single, range, and CIDR forms") {
+    import spark.implicits._
+    val rows = Seq(
+      (1704067200000L, "a", "conn from 10.1.2.3 established", "svc", "x"),
+      (1704067201000L, "a", "conn from 10.200.2.3 refused", "svc", "x"),
+      (1704067202000L, "a", "src=192.168.5.77 ok", "svc", "x"),
+      (1704067203000L, "a", "no address here 999.1.1.1 or 1.2.3", "svc", "x"))
+      .toDF("chq_timestamp", "log_level", "log_message",
+        "resource_service_name", "attr_event_type")
+      .withColumn("chq_tsns", col("chq_timestamp") * 1000000L)
+    val st = LogStore(rows)
+    val pp = QueryParams(1704067200000L, 1704067300000L, 3600000L)
+    def ids(q: String): Set[Long] = {
+      val parsed = Parser.parse(q).toOption.get
+      Compiler.rawQuery(parsed.raw.get, st, pp.startMs, pp.endMs, 1000,
+        fields = Seq("chq_timestamp")).collect().map(_.getLong(0)).toSet
+    }
+    // CIDR: 10.0.0.0/9 covers second octet 0..127 → first line only
+    assert(ids("""{attr_event_type="x"} |= ip("10.0.0.0/9")""") ==
+      Set(1704067200000L))
+    // range + negation
+    assert(ids("""{attr_event_type="x"} |= ip("10.1.2.1-10.200.2.3")""") ==
+      Set(1704067200000L, 1704067201000L))
+    assert(ids("""{attr_event_type="x"} != ip("10.0.0.0/8")""") ==
+      Set(1704067202000L, 1704067203000L))
+    // single IP; 999.x and 3-octet shapes never parse as addresses
+    assert(ids("""{attr_event_type="x"} |= ip("192.168.5.77")""") ==
+      Set(1704067202000L))
+    // label form after a pattern stage extracts then range-checks
+    assert(ids("""{attr_event_type="x"} | pattern "src=<addr> ok" | addr = ip("192.168.0.0/16")""") ==
+      Set(1704067202000L))
+    assert(ids("""{attr_event_type="x"} | pattern "conn from <addr> <st>" | addr != ip("10.0.0.0/9")""") ==
+      Set(1704067201000L, 1704067202000L, 1704067203000L))
+    // malformed patterns are parse-time errors
+    assert(Parser.parse("""{a="x"} |= ip("10.0.0/8")""").isLeft)
+    assert(Parser.parse("""{a="x"} |= ip("10.0.0.0/40")""").isLeft)
+    assert(Parser.parse("""{a="x"} |= ip("10.0.0.9-10.0.0.1")""").isLeft)
+  }
+
   test("raw query filters and extracts logfmt labels") {
     val q = Parser.parse("""{log_level="ERROR"} | logfmt | evt="error" """).toOption.get
     val df = Compiler.rawQuery(q.raw.get, store, p.startMs, p.endMs, 100000,
