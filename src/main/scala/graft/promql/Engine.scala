@@ -296,6 +296,8 @@ object Engine {
         case "histogram_sum"   => sk => gf.ddsketch_stats(sk).getField("sum")
         case "histogram_count" => sk => gf.ddsketch_stats(sk).getField("count").cast("double")
         case "histogram_fraction" => sk => gf.ddsketch_fraction(sk, lo, hi)
+        case "histogram_stddev" => sk => gf.ddsketch_stdvar(sk, isStdDev = true)
+        case "histogram_stdvar" => sk => gf.ddsketch_stdvar(sk)
       }
       Right(sketchStatLeaf(sel, store, p)(readOut))
     case HistogramQuantile(q, arg) => arg match {

@@ -352,7 +352,8 @@ private final class Parser(input: String) {
         val arg = parseOr()
         expect(')')
         HistogramQuantile(q, arg)
-      case "histogram_avg" | "histogram_sum" | "histogram_count" =>
+      case "histogram_avg" | "histogram_sum" | "histogram_count" |
+           "histogram_stddev" | "histogram_stdvar" =>
         val arg = parseOr()
         expect(')')
         arg match {

@@ -513,6 +513,39 @@ object PromQLQueries extends Catalog {
         FROM ev GROUP BY 1, 2"""
       }),
 
+    Q("pq_hist_stdvar",
+      // variance of the sketch's read-back values — both engines fold the
+      // per-bucket (count · midpoint) products in ASCENDING read-back
+      // order (Scala sorted-bucket loop ≡ DuckDB ordered list_reduce), so
+      // the float sums walk the identical sequence
+      { (s, d) =>
+        Engine.query("histogram_stdvar(events_value)",
+          MetricStore(Cooked.metrics(s, d, withSketch = true)),
+          QueryParams(Start, End, StepMs))
+          .withColumn("value", round(col("value"), 6))
+      },
+      Some {
+        val gamma = "((1.0 + 0.01) / (1.0 - 0.01))"
+        s"""WITH ev AS (
+          SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS ts,
+                 event_type AS attr_event_type,
+                 CASE WHEN "value" < 1e-9 THEN 0.0
+                      ELSE 2 * pow($gamma, ceil(ln("value") / ln($gamma)))
+                           / ($gamma + 1.0) END AS mv
+          FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+        bkt AS (SELECT ts, attr_event_type, mv, CAST(count(*) AS DOUBLE) AS c
+                FROM ev GROUP BY 1, 2, 3),
+        l AS (SELECT ts, attr_event_type,
+                list_sum(list(CAST(c AS BIGINT))) AS n,
+                list_reduce(list(c * mv ORDER BY mv), (a, b) -> a + b) AS sv,
+                list_reduce(list(c * mv * mv ORDER BY mv), (a, b) -> a + b) AS svv
+              FROM bkt GROUP BY 1, 2)
+        SELECT ts, attr_event_type,
+               round((n * svv - sv * sv) / (CAST(n AS DOUBLE) * n), 6) AS value
+        FROM l"""
+      }),
+
     Q("pq_quantile_over_time",
       { (s, d) =>
         Engine.query("quantile_over_time(0.95, events_value[4h])",

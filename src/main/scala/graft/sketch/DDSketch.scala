@@ -132,6 +132,25 @@ final class DDSketch(
     matched.toDouble / count
   }
 
+  /** population variance of the READ-BACK values (zero bucket → 0.0,
+    * bucket i → ±2γ^i/(γ+1)), exact-sums form folded in ASCENDING
+    * read-back-value order — a canonical order an external replay can walk
+    * identically (ordered list_reduce in SQL), so the float sums are
+    * bit-reproducible, unlike a hash-map iteration
+    */
+  def readbackVariance: Double = {
+    if (count == 0) return Double.NaN
+    val parts =
+      neg.toSeq.map { case (i, c) => (-valueOf(i.toInt), c) }.sortBy(_._1) ++
+        (if (zeroCount > 0) Seq((0.0, zeroCount)) else Nil) ++
+        pos.toSeq.map { case (i, c) => (valueOf(i.toInt), c) }.sortBy(_._1)
+    var sv = 0.0
+    var svv = 0.0
+    parts.foreach { case (v, c) => sv += c * v; svv += c * v * v }
+    val n = count.toDouble
+    (n * svv - sv * sv) / (n * n)
+  }
+
   /** total live buckets across both stores (bin-budget observability) */
   def binCount: Int = pos.size + neg.size
 

@@ -136,6 +136,35 @@ case class DDSketchFraction(sketch: Expression, lo: Expression, hi: Expression)
     copy(sketch = c(0), lo = c(1), hi = c(2))
 }
 
+/** `ddsketch_stdvar(sketch, isStdDev)` — population variance (or its
+  * square root) of the read-back values, via the canonical ascending-value
+  * fold (see [[DDSketch.readbackVariance]]).
+  */
+case class DDSketchStdVar(sketch: Expression, isStdDev: Boolean)
+  extends Expression with CodegenFallback with UnaryLike[Expression] {
+
+  override def child: Expression = sketch
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (isStdDev) "ddsketch_stddev" else "ddsketch_stdvar"
+
+  override def eval(input: InternalRow): Any = {
+    val b = sketch.eval(input)
+    if (b == null) null
+    else {
+      val sk = DDSketch.deserialize(b.asInstanceOf[Array[Byte]])
+      if (sk.isEmpty) null
+      else {
+        val v = sk.readbackVariance
+        if (isStdDev) math.sqrt(v) else v
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DDSketchStdVar =
+    copy(sketch = newChild)
+}
+
 /** `ddsketch_stats(sketch)` — struct(count, sum, min, max, avg, p50, p90,
   * p95, p99): the reference extension's output shape.
   */
@@ -192,4 +221,7 @@ object functions {
 
   def ddsketch_fraction(sketch: Column, lo: Double, hi: Double): Column =
     toCol(DDSketchFraction(expr(sketch), expr(lit(lo)), expr(lit(hi))))
+
+  def ddsketch_stdvar(sketch: Column, isStdDev: Boolean = false): Column =
+    toCol(DDSketchStdVar(expr(sketch), isStdDev))
 }

@@ -38,6 +38,18 @@ class DDSketchSpec extends AnyFunSuite {
     assert(sk.fractionBetween(-4.0, -2.0) == 1.0 / 13.0)
   }
 
+  test("readbackVariance tracks the exact variance within the alpha bound") {
+    val sk = new DDSketch(0.01)
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(20000)(math.abs(rnd.nextGaussian()) * 50 + 10)
+    xs.foreach(sk.add)
+    val mean = xs.sum / xs.length
+    val exact = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+    val est = sk.readbackVariance
+    // read-backs are within 1% of the true values → variance within ~2.5%
+    assert(math.abs(est - exact) / exact < 0.05, s"exact=$exact est=$est")
+  }
+
   test("merge equals bulk add; serde round-trips") {
     val a = new DDSketch(); val b = new DDSketch(); val all = new DDSketch()
     val rnd = new scala.util.Random(7)

@@ -187,6 +187,22 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("group_left broadcasts the dedup-checked one side") {
+    // the one side is post-aggregation (≤ group cardinality); AQE must
+    // broadcast it, not sort-merge the many side
+    val p = plan("pq_group_left")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("expression subquery pairs points against a broadcast grid") {
+    // the range join must be broadcast-nested-loop against the tiny grid,
+    // never a cartesian of data × data
+    val p = plan("pq_subquery_expr")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("repetition/quality/PII ops are shuffle-free projections") {
     // per-document array algebra: no Exchange anywhere — at 100 TB these
     // run entirely map-side, one pass over the scan
