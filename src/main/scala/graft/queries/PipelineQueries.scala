@@ -701,8 +701,54 @@ object PipelineQueries extends Catalog {
       marks("<NUMBER>").as("n_number"), marks("<PHONE>").as("n_phone"))
   }
 
+  /** the full curation chain as ONE query: Gopher quality gate → PII scrub
+    * → exact dedup (keep lowest doc_id per scrubbed fingerprint) →
+    * deterministic stratified sample. Shape at scale: two shuffles total
+    * (the dedup window on fp, the quality join groups map-side) — every
+    * other stage is a projection.
+    */
+  private def curationE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+    val kept = TextOps.gopherQuality(base).filter(col("keep")).select("doc_id")
+    val withFp = base.join(kept, "doc_id")
+      .withColumn("__fp", md5(TextOps.scrubPii(col("text"))))
+    val keeper = min(col("doc_id")).over(Window.partitionBy(col("__fp")))
+    val dd = withFp.withColumn("__keeper", keeper)
+      .filter(col("doc_id") === col("__keeper"))
+    graft.ops.Sampling.stratified(dd, "lang", "doc_id",
+      Map("en" -> 0.5, "es" -> 0.25), defaultRate = 1.0)
+      .select(col("doc_id"), col("lang"), col("__fp").as("fp"))
+  }
+
+  /** DuckDB replay of the whole chain (quality SQL nested as a subquery,
+    * the same scrub regex order, keep-min dedup, md5-uniform sampling)
+    */
+  private def curationE2eSql =
+    s"""WITH kept AS (
+       SELECT doc_id FROM ($gopherQualitySql) WHERE keep),
+     scrubbed AS (
+       SELECT d.doc_id, d.lang,
+              md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{13,19}\\b', '<NUMBER>', 'g'),
+                '\\+\\d{7,15}\\b', '<PHONE>', 'g')) AS fp
+       FROM documents d JOIN kept USING (doc_id)),
+     dd AS (
+       SELECT doc_id, lang, fp,
+              min(doc_id) OVER (PARTITION BY fp) AS keeper
+       FROM scrubbed)
+     SELECT doc_id, lang, fp
+     FROM dd
+     WHERE doc_id = keeper
+       AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+             / 281474976710656.0
+           < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 1.0 END"""
+
   override def all: Seq[Q] = Seq(
     Q("pp_text_stats", textStats, Some(textStatsSql)),
+    Q("pp_curation_e2e", curationE2e, Some(curationE2eSql)),
     Q("pp_repetition",
       (s, d) => TextOps.repetitionStats(docs(s, d)),
       Some(repetitionSql)),
