@@ -789,6 +789,43 @@ object TelemetryQueries extends Catalog {
     * whether the children's summed duration stays inside the parent's —
     * the structural traces query segment stores must answer
     */
+  /** Service dependency graph (the Grafana/Tempo service-graph analog):
+    * one edge per (client service → server service) parent-child span
+    * pair, with call counts, error counts, and duration totals. All-
+    * integer aggregates → bit-deterministic. At scale this is ONE
+    * shuffle-join on span id (AQE handles skew); streaming graph
+    * processors window the same join by time.
+    */
+  private def serviceGraph(s: SparkSession, d: String): DataFrame = {
+    val sp = graft.model.Cooked.spans(s, d)
+    val parents = sp.select(col("span_id").as("p_id"),
+      col("resource_service_name").as("client"))
+    val children = sp.filter(col("span_parent_span_id") =!= "")
+      .select(col("span_parent_span_id").as("p_id"),
+        col("resource_service_name").as("server"),
+        col("span_duration").as("c_dur"), col("span_status_code").as("c_status"))
+    parents.join(children, Seq("p_id"))
+      .groupBy(col("client"), col("server"))
+      .agg(count(lit(1)).as("calls"),
+        sum(when(col("c_status") === "STATUS_CODE_ERROR", 1L).otherwise(0L))
+          .as("error_calls"),
+        sum(col("c_dur")).as("total_dur_ms"),
+        max(col("c_dur")).as("max_dur_ms"))
+  }
+
+  private val serviceGraphSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT p.resource_service_name AS client,
+            c.resource_service_name AS server,
+            CAST(count(*) AS BIGINT) AS calls,
+            CAST(sum(CASE WHEN c.span_status_code = 'STATUS_CODE_ERROR'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS error_calls,
+            CAST(sum(c.span_duration) AS BIGINT) AS total_dur_ms,
+            CAST(max(c.span_duration) AS BIGINT) AS max_dur_ms
+     FROM spans p
+     JOIN spans c ON c.span_parent_span_id = p.span_id
+     GROUP BY 1, 2"""
+
   private def spanChildren(s: SparkSession, d: String): DataFrame = {
     val sp = graft.model.Cooked.spans(s, d)
     val parents = sp.select(col("span_id").as("p_id"),
@@ -1117,6 +1154,7 @@ object TelemetryQueries extends Catalog {
     Q("sq_span_rate_by_svc", spanRateBySvc, Some(spanRateBySvcSql)),
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),
     Q("sq_span_children", spanChildren, Some(spanChildrenSql)),
+    Q("sq_service_graph", serviceGraph, Some(serviceGraphSql)),
     Q("td_tag_values", tagValues, Some(tagValuesSql)),
     Q("td_tag_names", tagNames, Some(tagNamesSql)),
     Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
