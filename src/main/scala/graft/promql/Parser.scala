@@ -237,6 +237,18 @@ private final class Parser(input: String) {
     skipWs()
     val start = pos
     if (pos < input.length && (input(pos) == '-' || input(pos) == '+')) pos += 1
+    // PromQL special literals (case-insensitive): Inf / NaN
+    if (input.regionMatches(true, pos, "inf", 0, 3) &&
+      (pos + 3 >= input.length || !input(pos + 3).isLetterOrDigit)) {
+      val neg = input(start) == '-'
+      pos += 3
+      return if (neg) Double.NegativeInfinity else Double.PositiveInfinity
+    }
+    if (input.regionMatches(true, pos, "nan", 0, 3) &&
+      (pos + 3 >= input.length || !input(pos + 3).isLetterOrDigit)) {
+      pos += 3
+      return Double.NaN
+    }
     while (pos < input.length &&
       (input(pos).isDigit || input(pos) == '.' || input(pos) == 'e' || input(pos) == 'E' ||
         ((input(pos) == '-' || input(pos) == '+') && pos > start &&
@@ -299,6 +311,10 @@ private final class Parser(input: String) {
       val word = parseIdent()
       skipWs()
       if (pos < input.length && input(pos) == '(') parseCall(word)
+      // bare Inf/NaN in expression position are number literals, like the
+      // Prometheus lexer (a metric cannot be named inf/nan there either)
+      else if (word.equalsIgnoreCase("inf")) NumberLit(Double.PositiveInfinity)
+      else if (word.equalsIgnoreCase("nan")) NumberLit(Double.NaN)
       else parseSelectorTail(word)
     }
   }

@@ -46,6 +46,23 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(c.boolMod)
   }
 
+  test("Inf and NaN literals parse in number and expression positions") {
+    assert(p("clamp(m, -Inf, 3)") == ClampRange(Selector("m", Nil),
+      Double.NegativeInfinity, 3.0))
+    assert(p("clamp_min(m, inf)") == Clamp(true, Selector("m", Nil),
+      Double.PositiveInfinity))
+    p("m > Inf") match {
+      case BinOp(">", _, NumberLit(v), _, _) => assert(v.isPosInfinity)
+      case other => fail(other.toString)
+    }
+    p("NaN") match {
+      case NumberLit(v) => assert(v.isNaN)
+      case other => fail(other.toString)
+    }
+    // an identifier merely STARTING with inf is still a selector
+    assert(p("influx_rows") == Selector("influx_rows", Nil))
+  }
+
   test("on/ignoring accepted; group modifiers parse with card and include") {
     val e = p("a / on(job) b").asInstanceOf[BinOp]
     assert(e.matching.contains(VectorMatch(on = true, List("job"))))

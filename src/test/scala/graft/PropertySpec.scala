@@ -94,7 +94,16 @@ class PropertySpec extends AnyFunSuite {
     val qs = Seq(
       """sum by (attr_event_type) (rate(events_value[4h]))""",
       """topk(3, sum by (a) (m))""",
-      """{log_level="ERROR"} |= "x" | logfmt | dur > 250ms""")
+      """{log_level="ERROR"} |= "x" | logfmt | dur > 250ms""",
+      // round-6 surface: group modifiers, @, expression subqueries,
+      // count_values, Inf literals, ip()
+      """m1 * on(k) group_left(info) m2""",
+      """max_over_time(rate(m[4h])[1d:4h])""",
+      """count_values("v", round(m * 100)) by (a)""",
+      """clamp(m @ start(), -Inf, 3)""",
+      """double_exponential_smoothing(m[1h], 0.3, 0.6)""",
+      """histogram_fraction(1, 50, m)""",
+      """{log_level="INFO"} |= ip("10.0.0.0/9") | logfmt | src = ip("10.1.2.3-10.1.2.9")""")
     holds(forAll(Gen.oneOf(qs), Gen.choose(0, 5), Gen.choose(0, 5)) { (q, l, r) =>
       val padded = (" " * l) + q + (" " * r)
       if (q.startsWith("{")) graft.logql.Parser.parseFull(padded).isRight
