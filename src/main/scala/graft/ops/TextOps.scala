@@ -171,12 +171,56 @@ object TextOps {
   }
 
   /** per-distinct-element (count, element) structs — the shared shape both
-    * repetition metrics reduce over. O(|distinct|·|list|) per doc, fine for
-    * per-document lists.
+    * repetition metrics reduce over. O(|distinct|·|list|) per doc — used
+    * only for the small line lists; n-grams go through the sorted-runs
+    * fold below.
     */
   private def eltCounts(xs: Column): Column =
     transform(array_distinct(xs), g =>
       struct(size(filter(xs, x => x === g)).as("c"), g.as("g")))
+
+  /** (top-count, top-gram, chars-in-duplicated-grams) over a gram array in
+    * ONE pass: sort, then fold counting runs of equal neighbors —
+    * O(n log n) per document where the eltCounts shape is O(distinct·n)
+    * (a 100k-word web document has ~20k grams: ~10× fewer operations, and
+    * string equality against one neighbor instead of scanning the array
+    * per distinct gram). Tie-break matches eltCounts' struct-max: highest
+    * count, then lexicographically largest gram.
+    */
+  private def runStats(xs: Column): Column = {
+    val sorted = array_sort(xs)
+    // acc: (prev gram, current run length, dup chars so far, best count,
+    // best gram); finalize folds the trailing run in
+    val init = struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+      lit(0).as("dup"), lit(0).as("bestC"), lit(null).cast("string").as("bestG"))
+    def closeRun(acc: Column) = {
+      val dup2 = acc.getField("dup") +
+        when(acc.getField("run") > 1,
+          acc.getField("run") * length(acc.getField("prev"))).otherwise(lit(0))
+      val better = acc.getField("run") > acc.getField("bestC") ||
+        (acc.getField("run") === acc.getField("bestC") &&
+          (acc.getField("bestG").isNull || acc.getField("prev") > acc.getField("bestG")))
+      (dup2,
+        when(acc.getField("prev").isNotNull && better, acc.getField("run"))
+          .otherwise(acc.getField("bestC")),
+        when(acc.getField("prev").isNotNull && better, acc.getField("prev"))
+          .otherwise(acc.getField("bestG")))
+    }
+    aggregate(sorted, init,
+      (acc, x) => {
+        val (dup2, bc2, bg2) = closeRun(acc)
+        when(x <=> acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1).as("run"), acc.getField("dup").as("dup"),
+            acc.getField("bestC").as("bestC"), acc.getField("bestG").as("bestG")))
+          .otherwise(struct(x.as("prev"), lit(1).as("run"), dup2.as("dup"),
+            bc2.as("bestC"), bg2.as("bestG")))
+      },
+      acc => {
+        val (dup2, bc2, bg2) = closeRun(acc)
+        struct(bc2.as("c"), bg2.as("g"), dup2.as("dup"))
+      })
+  }
 
   /** Gopher-style repetition statistics (Rae et al. 2021, appendix A1.1):
     * how much of a document is consumed by repeated lines and repeated or
@@ -219,12 +263,12 @@ object TextOps {
       .withColumn("__bg", wordNgrams(col("__ws"), 2))
       .withColumn("__tg", wordNgrams(col("__ws"), 3))
       .withColumn("__lc", eltCounts(col("__lines")))
-      .withColumn("__top2", array_max(eltCounts(col("__bg"))))
-      .withColumn("__tc", eltCounts(col("__tg")))
+      .withColumn("__r2", runStats(col("__bg")))
+      .withColumn("__r3", runStats(col("__tg")))
     val lines = col("__lines")
     val nl = size(lines)
     val lineChars = aggregate(lines, lit(0), (a, l) => a + length(l))
-    val top2 = col("__top2")
+    val r2 = col("__r2")
     val tLen = length(col("__t"))
     staged.select(
       staged(idCol).as("doc_id"),
@@ -233,10 +277,10 @@ object TextOps {
         .otherwise(lit(0.0)).as("dup_line_frac"),
       when(lineChars > 0, dupChars(col("__lc")).cast("double") / lineChars)
         .otherwise(lit(0.0)).as("dup_line_char_frac"),
-      when(tLen > 0 && top2.isNotNull,
-        (top2.getField("c") * length(top2.getField("g"))).cast("double") / tLen)
+      when(tLen > 0 && r2.getField("g").isNotNull,
+        (r2.getField("c") * length(r2.getField("g"))).cast("double") / tLen)
         .otherwise(lit(0.0)).as("top_bigram_frac"),
-      when(tLen > 0, dupChars(col("__tc")).cast("double") / tLen)
+      when(tLen > 0, col("__r3").getField("dup").cast("double") / tLen)
         .otherwise(lit(0.0)).as("dup_trigram_frac"))
   }
 
