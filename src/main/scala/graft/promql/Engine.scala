@@ -354,6 +354,7 @@ object Engine {
     case "/" => a / b
     case "%" => a % b
     case "^" => math.pow(a, b)
+    case "atan2" => math.atan2(a, b)
     case "==" => if (a == b) 1 else 0
     case "!=" => if (a != b) 1 else 0
     case ">"  => if (a > b) 1 else 0
@@ -808,7 +809,7 @@ object Engine {
     val v = col("value")
     val (a, b) = if (scalarRight) (v, s) else (s, v)
     op match {
-      case "+" | "-" | "*" | "/" | "%" | "^" =>
+      case "+" | "-" | "*" | "/" | "%" | "^" | "atan2" =>
         sf.copy(df = sf.df.withColumn("value", arith(op, a, b)))
       case _ =>
         val cond = compare(op, a, b)
@@ -843,7 +844,7 @@ object Engine {
       val j = vec.df.join(scDf, Seq("ts"), "inner")
       val (a, b) = if (scalarRight) (col("value"), col("__sv")) else (col("__sv"), col("value"))
       val out = op match {
-        case "+" | "-" | "*" | "/" | "%" | "^" =>
+        case "+" | "-" | "*" | "/" | "%" | "^" | "atan2" =>
           j.withColumn("value", arith(op, a, b))
         case _ =>
           val cond = compare(op, a, b)
@@ -885,7 +886,7 @@ object Engine {
 
     val outLabels = (l.labels ++ rExtra).distinct
     op match {
-      case "+" | "-" | "*" | "/" | "%" | "^" =>
+      case "+" | "-" | "*" | "/" | "%" | "^" | "atan2" =>
         val out = j.withColumn("value", arith(op, col("__lv"), col("__rv")))
         SeriesFrame(out.drop("__lv", "__rv"), outLabels)
       case _ =>
@@ -934,7 +935,7 @@ object Engine {
       .drop(include.map(c => s"__inc_$c"): _*)
     val outLabels = (many.labels ++ include).distinct
     op match {
-      case "+" | "-" | "*" | "/" | "%" | "^" =>
+      case "+" | "-" | "*" | "/" | "%" | "^" | "atan2" =>
         SeriesFrame(withInc.withColumn("value", arith(op, a, b))
           .drop("__mv", "__ov"), outLabels)
       case _ =>
@@ -1000,6 +1001,7 @@ object Engine {
     case "/" => a / b
     case "%" => a % b
     case "^" => pow(a, b)
+    case "atan2" => atan2(a, b)
   }
 
   private def compare(op: String, a: Column, b: Column): Column = op match {

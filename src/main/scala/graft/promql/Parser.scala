@@ -147,6 +147,11 @@ private final class Parser(input: String) {
         val op = input(pos).toString; pos += 1
         val m = parseMatching()
         l = BinOp(op, l, parsePow(), m)
+      } else if (eatWord("atan2")) {
+        // Prometheus's one word-form arithmetic operator (2.31+), same
+        // precedence tier as * / %
+        val m = parseMatching()
+        l = BinOp("atan2", l, parsePow(), m)
       } else continue = false
     }
     l

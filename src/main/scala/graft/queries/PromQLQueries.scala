@@ -470,6 +470,37 @@ object PromQLQueries extends Catalog {
       },
       Some(ddsQuantileSql(0.9, 0L))),
 
+    Q("pq_atan2",
+      // Prometheus's word-form arithmetic operator (2.31+): lhs atan2 rhs
+      // = atan2(y=lhs, x=rhs), both engines' native convention; output is
+      // bounded in (0, π/2) here so round-6 absorbs libm ulp differences
+      { (s, d) =>
+        run("events_value atan2 (events_value + 1)")(s, d)
+          .withColumn("value", round(col("value"), 6))
+      },
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, round(atan2(bsum, bsum + 1), 6) AS value
+        FROM step WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_hist_sum_count",
+      // histogram_sum/count ride exactly in the merged sketch
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d, withSketch = true))
+        val pp = QueryParams(Start, End, StepMs)
+        val hs = Engine.query("histogram_sum(events_value)", store, pp)
+          .withColumn("sum_v", round(col("value"), 6)).drop("value")
+        val hc = Engine.query("histogram_count(events_value)", store, pp)
+          .withColumnRenamed("value", "count_v")
+        hs.join(hc, Seq("ts", "attr_event_type"))
+      },
+      Some(s"""SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS ts,
+               event_type AS attr_event_type,
+               round(sum("value"), 6) AS sum_v,
+               CAST(count(*) AS DOUBLE) AS count_v
+        FROM events
+        WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+        GROUP BY 1, 2""")),
+
     Q("pq_hist_avg",
       // histogram_avg/sum/count read exactly out of the merged sketch —
       // DuckDB aggregates the raw events directly (round-6 absorbs float

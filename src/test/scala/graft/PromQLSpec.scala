@@ -63,6 +63,17 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(p("influx_rows") == Selector("influx_rows", Nil))
   }
 
+  test("atan2 binds at the mul/div tier and accepts matching modifiers") {
+    p("a + b atan2 c") match {
+      case BinOp("+", _, BinOp("atan2", _, _, _, _), _, _) => ()
+      case other => fail(other.toString)
+    }
+    p("a atan2 on(k) b") match {
+      case BinOp("atan2", _, _, Some(m), _) => assert(m.on && m.labels == List("k"))
+      case other => fail(other.toString)
+    }
+  }
+
   test("on/ignoring accepted; group modifiers parse with card and include") {
     val e = p("a / on(job) b").asInstanceOf[BinOp]
     assert(e.matching.contains(VectorMatch(on = true, List("job"))))
