@@ -122,6 +122,13 @@ final case class TimestampFn(arg: Expr) extends Expr
   */
 final case class SortFn(desc: Boolean, arg: Expr) extends Expr
 
+/** sort_by_label(v, "l1", ...) / sort_by_label_desc: order the instant
+  * vector by label values within each step bucket (Prometheus experimental
+  * surface). Pure presentation — the sample set is unchanged.
+  */
+final case class SortByLabel(desc: Boolean, arg: Expr,
+    labels: List[String]) extends Expr
+
 /** predict_linear(v[r], t): least-squares extrapolation t seconds past the
   * evaluation timestamp, fit over the window's bucket gauge values
   */
@@ -181,7 +188,8 @@ object Ast {
     // same convention delta/last_over_time already use — documented
     // divergence from raw-sample Prometheus on a bucketized store)
     "deriv", "idelta", "changes", "resets",
-    "stddev_over_time", "stdvar_over_time", "present_over_time")
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
+    "mad_over_time")
   val unaryFns: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
     // trigonometric family (standard Prometheus surface; radians in/out)
@@ -190,7 +198,10 @@ object Ast {
     "deg", "rad")
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
-    "stddev", "stdvar", "group")
+    "stddev", "stdvar", "group", "limitk", "limit_ratio")
+  /** agg ops whose first argument is a scalar parameter */
+  val paramAggOps: Set[String] = Set(
+    "topk", "bottomk", "quantile", "limitk", "limit_ratio")
   val timeComponentFns: Set[String] = Set(
     "hour", "minute", "day_of_week", "day_of_month", "month", "year",
     "days_in_month")

@@ -237,6 +237,17 @@ object Engine {
       val ord = if (desc) col("value").desc_nulls_last else col("value").asc_nulls_last
       Right(sf.copy(df = sf.df.orderBy(col("ts").asc, ord)))
 
+    case SortByLabel(desc, arg, lbls) =>
+      // presentation order by label values within each bucket (experimental
+      // Prometheus surface); absent labels sort as empty strings. Same
+      // result-sized exchange as SortFn.
+      val sf = vector(eval(arg, store, p))
+      val ords = lbls.map { l =>
+        val c = if (sf.labels.contains(l)) coalesce(col(l), lit("")) else lit("")
+        if (desc) c.desc else c.asc
+      }
+      Right(sf.copy(df = sf.df.orderBy((col("ts").asc +: ords): _*)))
+
     case PredictLinear(sel, t) => Right(leaf(sel, "predict_linear", store, p, t))
 
     case TimeComponentFn(fn, arg) =>
@@ -376,7 +387,7 @@ object Engine {
   private val gaugeFns = Set(
     "deriv", "predict_linear", "idelta", "changes", "resets",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "double_exponential_smoothing")
+    "double_exponential_smoothing", "mad_over_time")
 
   private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
       predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
@@ -472,6 +483,27 @@ object Engine {
             val ind = when(prevAvg.isNotNull && indCond, lit(1.0)).otherwise(lit(0.0))
             val v = sum(ind).over(rw) - first(ind).over(rw)
             bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))
+          case "mad_over_time" =>
+            // median absolute deviation of the window's bucket gauge values:
+            // median(|v − median(v)|). Both medians use the explicit
+            // sorted-array formula — (a+b)/2 on even counts — so the oracle
+            // replays the SAME ops (DuckDB's quantile_cont interpolation
+            // lerps, which can differ at the ulp level). The window is
+            // ≤ range/step buckets, so the per-row list stays tiny.
+            def med(a: Column): Column = {
+              val s = sort_array(a)
+              val n = size(s)
+              when(n % 2 === 1, get(s, (n - 1) / 2))
+                .otherwise((get(s, n / 2 - 1) + get(s, n / 2)) / lit(2.0))
+            }
+            val dfv = bucketed
+              .withColumn("__vs", collect_list(bavg).over(rw))
+              .withColumn("__covered", covered)
+            val m = med(col("__vs"))
+            val v = med(transform(col("__vs"), x => abs(x - m)))
+            dfv.withColumn("value",
+                when(col("__covered"), v).otherwise(lit(Double.NaN)))
+              .drop("__vs", "__covered")
           case "stddev_over_time" | "stdvar_over_time" =>
             // population variance via the exact-sums form (n·Σv² − (Σv)²)/n²
             // instead of built-in var_pop: Welford-style incremental updates
@@ -749,6 +781,43 @@ object Engine {
           pruned.withColumn("__rk", row_number().over(w2))
             .filter(col("__rk") <= k).drop("__rk"),
           sf.labels)
+      case "limitk" | "limit_ratio" =>
+        // experimental Prometheus aggregations (promql-experimental-functions):
+        // hash-based DETERMINISTIC selection so the sample replays across
+        // engines and steps — the hash ignores ts, so the same series
+        // survive on every bucket where they are present.
+        val groupKeys: Seq[String] =
+          if (by.nonEmpty) sf.labels.filter(by.contains)
+          else if (without.nonEmpty) sf.labels.filterNot(without.contains)
+          else Nil
+        val key = concat_ws("\u0000", sf.labels.map(l => coalesce(col(l), lit(""))): _*)
+        if (op == "limitk") {
+          // k series with smallest md5(series-key) per group; two-phase
+          // salted rank like topk so no bucket lands on a single task
+          val k = param.getOrElse(1.0).toInt
+          val ord = Seq(md5(key).asc, key.asc)
+          val salt = pmod(hash(key), lit(TopKSaltParts))
+          val w1 = Window.partitionBy((col("ts") +: groupKeys.map(col)) :+ salt: _*)
+            .orderBy(ord: _*)
+          val pruned = sf.df.withColumn("__rk", row_number().over(w1))
+            .filter(col("__rk") <= k).drop("__rk")
+          val w2 = Window.partitionBy((col("ts") +: groupKeys.map(col)): _*)
+            .orderBy(ord: _*)
+          SeriesFrame(
+            pruned.withColumn("__rk", row_number().over(w2))
+              .filter(col("__rk") <= k).drop("__rk"),
+            sf.labels)
+        } else {
+          // keep series whose 48-bit md5-uniform < r; r < 0 keeps the exact
+          // complement (u >= 1+r) — Prometheus's complementary-pair contract
+          // (limit_ratio(r, v) ∪ limit_ratio(r-1, v) == v for r in (0,1)).
+          // Pure codegen'd filter, no shuffle at all.
+          val r = param.getOrElse(1.0)
+          val u = conv(substring(md5(key), 1, 12), 16, 10).cast("double") /
+            lit((1L << 48).toDouble)
+          val cond = if (r >= 0) u < lit(r) else u >= lit(1.0 + r)
+          SeriesFrame(sf.df.filter(cond), sf.labels)
+        }
       case "quantile" =>
         val q = param.getOrElse(0.5)
         val g = sf.df.groupBy((col("ts") +: keep.map(col)): _*)

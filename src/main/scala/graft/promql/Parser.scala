@@ -435,6 +435,13 @@ private final class Parser(input: String) {
         val arg = parseOr()
         expect(')')
         SortFn(fn == "sort_desc", arg)
+      case "sort_by_label" | "sort_by_label_desc" =>
+        val arg = parseOr()
+        val lbls = scala.collection.mutable.ListBuffer[String]()
+        while (eat(',')) lbls += parseString()
+        expect(')')
+        if (lbls.isEmpty) fail(s"$fn requires at least one label argument")
+        SortByLabel(fn == "sort_by_label_desc", arg, lbls.toList)
       case "predict_linear" =>
         val arg = parseOr()
         expect(',')
@@ -468,7 +475,7 @@ private final class Parser(input: String) {
       case f if Ast.aggOps.contains(f) =>
         // form: agg(expr) or agg(param, expr); by/without may follow args
         val param =
-          if (f == "topk" || f == "bottomk" || f == "quantile") {
+          if (Ast.paramAggOps.contains(f)) {
             val p = parseNumber(); expect(','); Some(p)
           } else None
         val arg = parseOr()
@@ -492,7 +499,7 @@ private final class Parser(input: String) {
       if (by.nonEmpty || without.nonEmpty || peek() == '(') {
         expect('(')
         val param =
-          if (metric == "topk" || metric == "bottomk" || metric == "quantile") {
+          if (Ast.paramAggOps.contains(metric)) {
             val p = parseNumber(); expect(','); Some(p)
           } else None
         val arg = parseOr()

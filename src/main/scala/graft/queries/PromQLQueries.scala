@@ -682,6 +682,79 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, bsum AS value FROM step
         WHERE ts >= $Start AND ts < $End""")),
 
+    Q("pq_sort_by_label",
+      run("""sort_by_label_desc(events_value, "attr_event_type")"""),
+      // presentation-only, like pq_sort: the row proves parse+plan of the
+      // experimental label-sort surface (verifier compares content)
+      Some(s"""WITH ${stepCte()}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
+    Q("pq_limitk",
+      run("limitk(3, events_value)"),
+      // deterministic hash selection: the 3 series with smallest md5(key)
+      // per bucket; with the single attr_event_type label the series key IS
+      // the label value, so DuckDB ranks the same md5 hex strings
+      Some(s"""WITH ${stepCte()},
+        r AS (SELECT ts, attr_event_type, bsum,
+                row_number() OVER (PARTITION BY ts
+                  ORDER BY md5(attr_event_type), attr_event_type) AS rk
+              FROM step WHERE ts >= $Start AND ts < $End)
+        SELECT ts, attr_event_type, bsum AS value FROM r WHERE rk <= 3""")),
+
+    Q("pq_limit_ratio",
+      // complementary-pair contract in one row: limit_ratio(0.4) tagged
+      // "keep" unioned with limit_ratio(-0.6) tagged "comp" must tile the
+      // bare selector exactly — the oracle splits on the same 48-bit
+      // md5-uniform (Sampling.uniform's replay pattern)
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        val a = Engine.query("limit_ratio(0.4, events_value)", store, p)
+          .withColumn("part", lit("keep"))
+        val b = Engine.query("limit_ratio(-0.6, events_value)", store, p)
+          .withColumn("part", lit("comp"))
+        a.unionByName(b)
+      },
+      Some(s"""WITH ${stepCte()},
+        u AS (SELECT ts, attr_event_type, bsum,
+                CAST(('0x' || substr(md5(attr_event_type), 1, 12)) AS BIGINT)
+                  / 281474976710656.0 AS unif
+              FROM step WHERE ts >= $Start AND ts < $End)
+        SELECT ts, attr_event_type, bsum AS value, 'keep' AS part
+        FROM u WHERE unif < 0.4
+        UNION ALL
+        SELECT ts, attr_event_type, bsum AS value, 'comp' AS part
+        FROM u WHERE unif >= 0.4""")),
+
+    Q("pq_mad_over_time",
+      run("mad_over_time(events_value[6h])"),
+      // median absolute deviation over the window's bucket gauge values;
+      // both engines use the explicit sorted-array median formula —
+      // (a+b)/2 on even counts — so the doubles replay bit-identically
+      // (DuckDB lists are 1-indexed, Spark arrays 0-indexed; the // and /
+      // integer divisions below address the same elements)
+      Some(s"""WITH ${gaugeCte(H6)},
+        l AS (SELECT ts, attr_event_type,
+                list(v) OVER w AS vs, min(ts) OVER w AS first_ts
+              FROM gauge
+              WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                           RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW)),
+        m AS (SELECT ts, attr_event_type, vs, first_ts,
+                list_sort(vs) AS s, len(vs) AS n FROM l),
+        md AS (SELECT ts, attr_event_type, vs, first_ts, n,
+                CASE WHEN n % 2 = 1 THEN s[(n + 1) // 2]
+                     ELSE (s[n // 2] + s[n // 2 + 1]) / 2.0 END AS med
+               FROM m),
+        dv AS (SELECT ts, attr_event_type, first_ts, n,
+                list_sort(list_transform(vs, x -> abs(x - med))) AS ds
+               FROM md)
+        SELECT ts, attr_event_type,
+               CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                    ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2.0 END AS value
+        FROM dv
+        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+
     Q("pq_trig",
       // trig surface over bounded arguments: asin∘sin and acos∘cos keep
       // outputs in [−π, π], atan is bounded, deg∘rad round-trips the value

@@ -122,6 +122,20 @@ class PromQLParserSpec extends AnyFunSuite {
     assert(p("group(m)") == Agg("group", Selector("m", Nil)))
   }
 
+  test("experimental functions parse: limitk, limit_ratio, sort_by_label, mad") {
+    assert(p("limitk(5, m)") == Agg("limitk", Selector("m", Nil), param = Some(5.0)))
+    assert(p("limit_ratio(0.1, m) by (job)") ==
+      Agg("limit_ratio", Selector("m", Nil), by = List("job"), param = Some(0.1)))
+    assert(p("mad_over_time(m[5m])") ==
+      RangeFn("mad_over_time", Selector("m", Nil, 300000L)))
+    // instant-form rejection is engine-level, like the other gauge fns
+    assert(p("""sort_by_label(m, "a", "b")""") ==
+      SortByLabel(false, Selector("m", Nil), List("a", "b")))
+    assert(p("""sort_by_label_desc(m, "a")""") ==
+      SortByLabel(true, Selector("m", Nil), List("a")))
+    assert(Parser.parse("sort_by_label(m)").isLeft) // needs ≥1 label
+  }
+
   test("label manipulation / absent / round parse") {
     assert(p("""label_replace(m, "d", "$1", "s", "(.*)")""") ==
       LabelReplace(Selector("m", Nil), "d", "$1", "s", "(.*)"))
@@ -456,5 +470,50 @@ class PromQLEngineSpec extends AnyFunSuite {
     val alias = Engine.query("holt_winters(g[240s], 0.5, 0.5)", st, pp)
       .filter(col("ts") === start + 5 * 40000L).select("value").head().getDouble(0)
     assert(alias == got)
+  }
+
+  test("limitk keeps k hash-chosen series; limit_ratio pairs tile the vector") {
+    val bare = Engine.query("events_value", store, p)
+    val lk = Engine.query("limitk(3, events_value)", store, p)
+    // survivors are a subset of the bare vector
+    assert(lk.join(bare, Seq("ts", "attr_event_type", "value"), "left_anti").count() == 0)
+    // per bucket exactly min(3, series present in that bucket) survive
+    val bareN = bare.groupBy("ts").agg(countDistinct(col("attr_event_type")).as("bn"))
+    val lkN = lk.groupBy("ts").agg(countDistinct(col("attr_event_type")).as("kn"))
+    val bad = lkN.join(bareN, "ts")
+      .filter(col("kn") =!= least(lit(3), col("bn"))).count()
+    assert(bad == 0)
+    // complementary pair tiles the bare vector exactly, no overlap
+    val a = Engine.query("limit_ratio(0.4, events_value)", store, p)
+    val b = Engine.query("limit_ratio(-0.6, events_value)", store, p)
+    assert(a.intersect(b).count() == 0)
+    assert(a.union(b).exceptAll(bare).count() == 0)
+    assert(bare.exceptAll(a.union(b)).count() == 0)
+  }
+
+  test("mad_over_time: constant series is 0; [1,2,4] window has MAD 1") {
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 4.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => (start + i * 40000L, "g", v, 1.0) }
+    val df = rows.toDF("chq_timestamp", "metric_name", "chq_rollup_sum", "chq_rollup_count")
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val pp = QueryParams(start, start + 3 * 40000L, 40000L)
+    // last bucket's [120s] window = all three values: median 2 → |dev| [1,0,2] → MAD 1
+    val got = Engine.query("mad_over_time(g[120s])", MetricStore(df), pp)
+      .filter(col("ts") === start + 2 * 40000L).select("value").head().getDouble(0)
+    assert(got == 1.0, s"got $got")
+    // a constant gauge deviates by 0 everywhere
+    val const = Engine.query("mad_over_time(g[120s])", MetricStore(
+      df.withColumn("chq_rollup_sum", lit(7.0))
+        .withColumn("chq_rollup_min", lit(7.0)).withColumn("chq_rollup_max", lit(7.0))), pp)
+      .filter(!isnan(col("value")))
+    assert(const.filter(col("value") =!= 0.0).count() == 0 && const.count() > 0)
+  }
+
+  test("sort_by_label parses and preserves the sample set") {
+    val sorted = Engine.query("""sort_by_label(events_value, "attr_event_type")""", store, p)
+    val bare = Engine.query("events_value", store, p)
+    assert(sorted.exceptAll(bare).count() == 0 && bare.exceptAll(sorted).count() == 0)
   }
 }
