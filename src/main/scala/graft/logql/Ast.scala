@@ -65,6 +65,16 @@ final case class IpLabelFilter(label: String, negated: Boolean,
     pattern: String) extends Stage
 /** `| unwrap field` / `unwrap duration(field)` / `unwrap bytes(field)` */
 final case class UnwrapStage(field: String, conv: String) extends Stage // conv: "", "duration", "bytes"
+/** `| unpack` — Loki's pack-format reader: the line is a JSON object whose
+  * `_entry` key carries the original log line (restored as the current
+  * line) and whose other keys become labels (need-key analysis decides
+  * which to materialize, like `| json`)
+  */
+case object UnpackStage extends Stage
+/** `| distinct a,b` — keep the FIRST line (by chq_tsns, line text as the
+  * deterministic tie-break) per distinct combination of label values
+  */
+final case class DistinctStage(labels: List[String]) extends Stage
 
 /** Go-template subset (reference template compiler,
   * logql/sql_builder.go:636-953): literal text, {{.field}} refs with

@@ -2,6 +2,7 @@ package graft.logql
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.promql.{Engine, MatchOp, Matcher, MetricStore, QueryParams}
 
 /** A cooked-logs table (reference docs/design/db-parquet/logs.md): system
@@ -37,9 +38,13 @@ object Compiler {
   /** Raw log query: filtered/enriched rows, ordered by chq_tsns, limited. */
   def rawQuery(pipeline: LogPipeline, store: LogStore, startMs: Long, endMs: Long,
       limit: Int, desc: Boolean = true, fields: Seq[String] = Nil): DataFrame = {
-    val (df, labels) = compilePipeline(pipeline, store, extraNeeded = fields)
-    val timed = df.filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
-    val ordered = timed.orderBy(if (desc) col("chq_tsns").desc else col("chq_tsns").asc)
+    // time predicate BEFORE the stage fold (the reference splices it into
+    // every leaf): row-local stages commute with it, but cross-row stages
+    // (distinct) must see only the queried window
+    val timed = LogStore(store.df.filter(
+      col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs))
+    val (df, labels) = compilePipeline(pipeline, timed, extraNeeded = fields)
+    val ordered = df.orderBy(if (desc) col("chq_tsns").desc else col("chq_tsns").asc)
       .limit(limit)
     val cols =
       if (fields.nonEmpty) fields
@@ -305,6 +310,31 @@ object Compiler {
         val cond = IpMatch.labelCond(c, pat)
         df = df.filter(if (neg) !cond else cond)
 
+      case UnpackStage =>
+        // pack-format reader: promote needed JSON keys to labels, then
+        // restore the original line from `_entry` (a non-pack line — no
+        // `_entry` key — passes through unchanged, Loki's behavior)
+        val line = col("log_message")
+        needed.filterNot(l => df.schema.fieldNames.contains(l)).foreach { l =>
+          df = df.withColumn(l, get_json_object(line, "$." + l))
+          labels = (labels :+ l).distinct
+        }
+        df = df.withColumn("log_message",
+          coalesce(get_json_object(line, "$._entry"), line))
+
+      case DistinctStage(ls) =>
+        // first line per distinct label combination. Window partitioned by
+        // the combo: output is 1 row per combo, so the shuffle is bounded
+        // by combo cardinality; (chq_tsns, line) ordering makes the pick
+        // deterministic — rows tying on both emit identical output columns
+        val parts = ls.map(l =>
+          if (df.schema.fieldNames.contains(l)) coalesce(df(l).cast("string"), lit(""))
+          else lit(""))
+        val w = Window.partitionBy(parts: _*)
+          .orderBy(col("chq_tsns").asc, col("log_message").asc)
+        df = df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+
       case UnwrapStage(field, conv) =>
         val src = df(field)
         val v = conv match {
@@ -478,6 +508,7 @@ object Compiler {
       case LabelFormatStage(as) => as.flatMap(kv => templateFields(kv._2))
       case LineFormatStage(t) => templateFields(t)
       case KeepStage(ls) => ls
+      case DistinctStage(ls) => ls
       case _ => Nil
     }.distinct
 

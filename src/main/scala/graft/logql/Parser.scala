@@ -470,6 +470,8 @@ private final class LogParser(input: String) {
         if (peek().isLetter || peek() == '_') DropStage(identList())
         else DropStage(Nil)
       case "decolorize" => DecolorizeStage
+      case "unpack" => UnpackStage
+      case "distinct" => DistinctStage(identList())
       case "unwrap" =>
         skipWs()
         val w = ident()

@@ -87,6 +87,16 @@ object Cooked {
   /** logs variant whose line IS the JSON props payload (for `| json`). */
   def logsJson(s: SparkSession, d: String): DataFrame = logsBase(s, d, jsonLine = true)
 
+  /** logs variant whose line is Loki pack-format JSON (for `| unpack`):
+    * `_entry` carries the original line, other keys are promoted labels.
+    */
+  def logsPacked(s: SparkSession, d: String): DataFrame =
+    logs(s, d).withColumn("log_message",
+      to_json(struct(
+        col("log_message").as("_entry"),
+        col("attr_event_type").as("evt"),
+        col("resource_service_name").as("svc"))))
+
   val logsJsonCte: String =
     """logsj AS (
        SELECT epoch_ms(ts) AS chq_timestamp,

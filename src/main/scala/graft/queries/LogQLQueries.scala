@@ -260,6 +260,35 @@ object LogQLQueries extends Catalog {
           AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
           AND $timeCond""")),
 
+    Q("lq_unpack",
+      { (s, d) =>
+        val q = LParser.parse("""{log_level="ERROR"} | unpack | svc = "svc-3" """)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        Compiler.rawQuery(q.raw.get, LogStore(Cooked.logsPacked(s, d)), Start, End,
+          BigLimit, desc = true, fields = Seq("chq_timestamp", "log_message", "svc"))
+      },
+      // unpack(pack(line)) is the identity on the line and the promoted svc
+      // label equals the field it was packed from — the oracle computes the
+      // expected output directly from the UNPACKED fields, so the whole
+      // Spark-side JSON round-trip (to_json → get_json_object) is under test
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp, log_message, resource_service_name AS svc
+        FROM logs
+        WHERE log_level = 'ERROR' AND resource_service_name = 'svc-3'
+          AND $timeCond""")),
+
+    Q("lq_distinct",
+      raw("""{log_level="INFO"} | distinct attr_event_type """,
+        Seq("chq_timestamp", "log_message", "attr_event_type")),
+      // first line per distinct label value inside the queried window;
+      // (chq_tsns, line) ordering replayed verbatim
+      Some(s"""WITH ${Cooked.logsCte},
+        r AS (SELECT chq_timestamp, log_message, attr_event_type,
+                row_number() OVER (PARTITION BY attr_event_type
+                  ORDER BY chq_tsns, log_message) AS rn
+              FROM logs WHERE log_level = 'INFO' AND $timeCond)
+        SELECT chq_timestamp, log_message, attr_event_type FROM r WHERE rn = 1""")),
+
     Q("lq_count_over_time",
       agg("""sum by (resource_service_name) (count_over_time({attr_event_type="click"}[4h]))"""),
       Some(s"""WITH ${logStep("attr_event_type = 'click'", "resource_service_name", "1.0", H4)},

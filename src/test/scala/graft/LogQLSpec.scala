@@ -302,4 +302,46 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(Compiler.groupIndex(pat, "y") == 3)
     assert(Compiler.namedGroups(pat) == Seq("x", "y"))
   }
+
+  test("unpack restores _entry as the line and promotes needed JSON keys") {
+    import spark.implicits._
+    val rows = Seq(
+      (1704067200000L, """{"_entry":"real line A","svc":"api","lvl":"info"}"""),
+      (1704067260000L, """{"_entry":"real line B","svc":"web","lvl":"warn"}"""),
+      (1704067320000L, "not packed at all"))
+    val df = rows.toDF("chq_timestamp", "log_message")
+      .withColumn("chq_tsns", col("chq_timestamp") * 1000000L)
+      .withColumn("env", lit("prod"))
+    val q = Parser.parse("""{env="prod"} | unpack | svc = "api" """)
+      .fold(e => fail(e), identity)
+    val out = Compiler.rawQuery(q.raw.get, LogStore(df),
+      1704067100000L, 1704068000000L, 100,
+      fields = Seq("log_message", "svc"))
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("real line A", "api")), got.toString)
+    // a non-pack line passes through unchanged when no label filter drops it
+    val q2 = Parser.parse("""{env="prod"} | unpack""").fold(e => fail(e), identity)
+    val lines = Compiler.rawQuery(q2.raw.get, LogStore(df),
+      1704067100000L, 1704068000000L, 100, fields = Seq("log_message"))
+      .collect().map(_.getString(0)).toSet
+    assert(lines.contains("not packed at all"))
+  }
+
+  test("distinct keeps the first line per label combination in the window") {
+    import spark.implicits._
+    val rows = Seq(
+      (1000L, "first a", "a"), (2000L, "second a", "a"),
+      (1500L, "first b", "b"), (3000L, "second b", "b"),
+      // outside the queried window: must not claim the 'c' slot
+      (10L, "too early c", "c"), (2500L, "in-window c", "c"))
+    val df = rows.toDF("chq_timestamp", "log_message", "attr_k")
+      .withColumn("chq_tsns", col("chq_timestamp") * 1000000L)
+      .withColumn("env", lit("prod"))
+    val q = Parser.parse("""{env="prod"} | distinct attr_k""").fold(e => fail(e), identity)
+    val out = Compiler.rawQuery(q.raw.get, LogStore(df), 500L, 5000L, 100,
+      fields = Seq("log_message", "attr_k"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("first a", "a"), ("first b", "b"), ("in-window c", "c")),
+      out.toString)
+  }
 }
