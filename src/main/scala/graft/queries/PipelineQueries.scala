@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
 
 /** Training-data pipeline operators over documents/embeddings — dedup
   * (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search, text
@@ -57,6 +57,69 @@ object PipelineQueries extends Catalog {
                   6) AS quality,
             fp
      FROM m"""
+
+  // ---- retrieval / contamination ------------------------------------------
+
+  /** every 20th doc plays the benchmark set; the rest are the corpus */
+  private def contamination(s: SparkSession, d: String): DataFrame =
+    Retrieval.contamination(
+      docs(s, d).filter(col("doc_id") % 20 =!= 0),
+      docs(s, d).filter(col("doc_id") % 20 === 0),
+      "text", w = 5)
+
+  private val contaminationSql =
+    """WITH csh AS (
+       SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(ws) - 3),
+                i -> array_to_string(ws[i:i+4], ' '))) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             WHERE doc_id % 20 <> 0)
+       WHERE len(ws) >= 5),
+     bsh AS (
+       SELECT DISTINCT
+              unnest(list_transform(range(1, len(ws) - 3),
+                i -> array_to_string(ws[i:i+4], ' '))) AS sh
+       FROM (SELECT string_split(text, ' ') AS ws FROM documents
+             WHERE doc_id % 20 = 0)
+       WHERE len(ws) >= 5)
+     SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN sh IN (SELECT sh FROM bsh) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated,
+            CAST(sum(CASE WHEN sh IN (SELECT sh FROM bsh) THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS contamination
+     FROM csh GROUP BY 1"""
+
+  private val Bm25Terms = Seq("spark", "merge", "window")
+
+  private def bm25(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25(docs(s, d), Bm25Terms)
+
+  private val bm25Sql =
+    """WITH t AS (
+       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       FROM documents),
+     tk AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0),
+     dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+     cs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) AS total_len FROM dl),
+     tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM tk WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+     dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY 1),
+     contrib AS (
+       SELECT f.doc_id, f.tok,
+              ln(1 + (cs.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                * f.tf * 2.2
+                / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / (cs.total_len / cs.n_docs)))
+                AS c
+       FROM tf f JOIN dfq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN cs),
+     per AS (
+       SELECT doc_id,
+              coalesce(sum(CASE WHEN tok = 'spark'  THEN c END), 0) AS c0,
+              coalesce(sum(CASE WHEN tok = 'merge'  THEN c END), 0) AS c1,
+              coalesce(sum(CASE WHEN tok = 'window' THEN c END), 0) AS c2
+       FROM contrib GROUP BY 1)
+     SELECT doc_id, round(c0 + c1 + c2, 6) AS bm25 FROM per"""
 
   // ---- dedup ---------------------------------------------------------------
 
@@ -782,6 +845,8 @@ object PipelineQueries extends Catalog {
         Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, nProbe = 4)),
     Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
-    Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql))
+    Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    Q("pp_contamination", contamination, Some(contaminationSql)),
+    Q("pp_bm25", bm25, Some(bm25Sql))
   )
 }

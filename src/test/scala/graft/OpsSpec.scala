@@ -301,4 +301,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lloydRecall >= 0.2, s"lloyd=$lloydRecall")
     assert(lloyd.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
   }
+
+  test("contamination: a benchmark copy scores 1.0, disjoint text 0.0") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // verbatim copy
+      (2L, "one two three four five six seven eight"), // disjoint
+      (3L, "prefix words alpha beta gamma delta epsilon more tail here"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.contamination(corpus, bench, "text", w = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) == 1.0, out.toString)
+    assert(out(2L) == 0.0)
+    assert(out(3L) > 0.0 && out(3L) < 1.0)
+  }
+
+  test("bm25: more query-term hits score higher at equal length") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val corpus = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(corpus, Seq("spark"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.contains(1L) && out.contains(2L) && !out.contains(3L))
+    assert(out(1L) > out(2L) && out(2L) > 0.0, out.toString)
+  }
 }
