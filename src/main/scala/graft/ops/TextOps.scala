@@ -84,6 +84,31 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
 
+  /** URL canonicalization for URL-level dedup (the CCNet/RefinedWeb-style
+    * pre-dedup step): lowercase, drop the fragment, scheme and `www.`,
+    * strip tracking query params (utm_*, gclid, fbclid, ref), repair the
+    * separator if the first param was stripped, and trim trailing `?`/`/`.
+    * Pure regexp_replace chain — codegen'd, and each regex is RE2-safe so
+    * an external engine replays the identical rewrites.
+    */
+  def normalizeUrl(url: Column): Column = {
+    var u = lower(trim(url))
+    u = regexp_replace(u, "#.*$", "")
+    u = regexp_replace(u, "^https?://", "")
+    u = regexp_replace(u, "^www\\.", "")
+    u = regexp_replace(u, "[?&](?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*", "")
+    u = regexp_replace(u, "^([^?]*)&", "$1?") // first surviving param after a strip
+    regexp_replace(u, "[?/]+$", "")
+  }
+
+  /** URL-level dedup: group by the canonical URL, keep the first doc id,
+    * count the variants. One shuffle on the canonical key.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, orderCol: String): DataFrame =
+    df.withColumn("canon_url", normalizeUrl(df(urlCol)))
+      .groupBy(col("canon_url"))
+      .agg(min(col(orderCol)).as(orderCol), count(lit(1)).as("n_variants"))
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * hash every k-gram of the normalized text, slide a window of w
     * consecutive k-gram hashes, keep each window's minimum. Any substring

@@ -90,6 +90,55 @@ object PipelineQueries extends Catalog {
               AS DOUBLE) / count(*) AS contamination
      FROM csh GROUP BY 1"""
 
+  /** deterministic URL per doc: scheme/www/tracking-param/fragment noise
+    * varies with doc_id residues, so many docs canonicalize to one URL —
+    * the construction both engines replay before normalize + group
+    */
+  private def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("http://")).otherwise(lit("https://")),
+      when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+      lit("site-"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/page/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"), col("doc_id").cast("string")))
+        .otherwise(when(col("doc_id") % 4 === 1, lit("?id=9&utm_medium=email"))
+          .otherwise(lit(""))),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    TextOps.urlDedup(df.withColumn("url", raw), "url", "doc_id")
+  }
+
+  private val urlDedupSql =
+    """WITH u AS (
+       SELECT doc_id,
+              (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+              || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+              || 'site-' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+              || (CASE WHEN doc_id % 4 = 0
+                    THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 4 = 1 THEN '?id=9&utm_medium=email'
+                    ELSE '' END)
+              || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+       FROM documents),
+     c AS (
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(lower(trim(url)), '#.*$', ''),
+                        '^https?://', ''),
+                      '^www\.', ''),
+                    '[?&](?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                  '^([^?]*)&', '\1?'),
+                '[?/]+$', '') AS canon_url
+       FROM u)
+     SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_variants
+     FROM c GROUP BY 1"""
+
   private val Bm25Terms = Seq("spark", "merge", "window")
 
   private def bm25(s: SparkSession, d: String): DataFrame =
@@ -847,6 +896,7 @@ object PipelineQueries extends Catalog {
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),
-    Q("pp_bm25", bm25, Some(bm25Sql))
+    Q("pp_bm25", bm25, Some(bm25Sql)),
+    Q("pp_url_dedup", urlDedup, Some(urlDedupSql))
   )
 }

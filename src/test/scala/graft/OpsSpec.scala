@@ -302,6 +302,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lloyd.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
   }
 
+  test("normalizeUrl canonicalizes scheme/www/tracking/fragment variants") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val cases = Seq(
+      ("http://www.Site.com/a/b?utm_source=x#frag", "site.com/a/b"),
+      ("https://site.com/a/b/", "site.com/a/b"),
+      ("https://site.com/a/b?utm_source=x&id=5", "site.com/a/b?id=5"),
+      ("https://site.com/a/b?id=5&fbclid=abc", "site.com/a/b?id=5"),
+      ("site.com/a/b?gclid=1&utm_medium=m", "site.com/a/b"),
+      ("HTTPS://WWW.SITE.COM", "site.com"))
+    val df = cases.toDF("url", "expected")
+    val bad = df.withColumn("got", TextOps.normalizeUrl(col("url")))
+      .filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.map(r => r.getString(0) + " -> " + r.getString(2)).mkString("; "))
+  }
+
   test("contamination: a benchmark copy scores 1.0, disjoint text 0.0") {
     import spark.implicits._
     import graft.ops.Retrieval
