@@ -312,9 +312,17 @@ object Engine {
       }
       Right(sketchStatLeaf(sel, store, p)(readOut))
     case HistogramQuantile(q, arg) => arg match {
-      case sel: Selector => Right(sketchLeaf(sel, q, store, p))
-      case other => throw new UnsupportedOperationException(
-        s"histogram_quantile over $other: only selector args supported")
+      // sketch-backed store → DDSketch read-out (the reference's path)
+      case sel: Selector if store.df.schema.fieldNames.contains("chq_sketch") =>
+        Right(sketchLeaf(sel, q, store, p))
+      // classic Prometheus path: the argument is ANY expression producing
+      // `le`-labeled cumulative bucket series (m_bucket selectors,
+      // rate(m_bucket[5m]), sum by (le, ...) (...))
+      case other =>
+        val sf = vector(eval(other, store, p))
+        require(sf.labels.contains("le"),
+          "histogram_quantile needs a chq_sketch column or le-labeled bucket series")
+        Right(classicHistogramQuantile(q, sf))
     }
 
     case BinOp(op, lhs, rhs, matching, boolMod) =>
@@ -329,6 +337,45 @@ object Engine {
   private def vector(v: V): SeriesFrame = v match {
     case Right(sf) => sf
     case Left(d) => throw new IllegalArgumentException(s"expected vector, got scalar $d")
+  }
+
+  /** Classic-histogram quantile over cumulative `le` bucket series —
+    * Prometheus's bucketQuantile (promql/quantile.go) as Column algebra:
+    * per (ts, series-minus-le) the buckets collect into one sorted array
+    * (bounded by the bucket-layout size, ~10-50 elements), then rank
+    * q·total locates the target bucket and linear interpolation inside it
+    * yields the value. Rank in the +Inf bucket returns the highest finite
+    * bound; <2 buckets or an empty histogram is NaN. The fold is
+    * deterministic (sorted array, fixed formula) so an external engine
+    * replays it with the same list ops.
+    */
+  private def classicHistogramQuantile(q: Double, sf: SeriesFrame): SeriesFrame = {
+    val keep = sf.labels.filterNot(_ == "le")
+    val leNum = when(col("le").isin("+Inf", "Inf", "inf"), lit(Double.PositiveInfinity))
+      .otherwise(when(col("le").rlike("^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"),
+        col("le").cast("double")))
+    val g = sf.df
+      .withColumn("__le", leNum)
+      .filter(col("__le").isNotNull && !isnan(col("value")))
+      .groupBy((col("ts") +: keep.map(col)): _*)
+      .agg(array_sort(collect_list(struct(col("__le").as("le"), col("value").as("v"))))
+        .as("__bs"))
+    val s = col("__bs")
+    val n = size(s)
+    val total = get(s, n - 1).getField("v")
+    val rank = lit(q) * total
+    val cur = get(filter(s, x => x.getField("v") >= rank), lit(0))
+    val below = filter(s, x => x.getField("v") < rank)
+    val prev = get(below, size(below) - 1) // null when rank falls in bucket 0
+    val prevLe = coalesce(prev.getField("le"), lit(0.0))
+    val prevV = coalesce(prev.getField("v"), lit(0.0))
+    val maxFinite = get(s, n - 2).getField("le")
+    val res =
+      when(n < 2 || total <= 0 || isnull(cur), lit(Double.NaN))
+        .when(cur.getField("le") === lit(Double.PositiveInfinity), maxFinite)
+        .otherwise(prevLe + (cur.getField("le") - prevLe) *
+          (rank - prevV) / (cur.getField("v") - prevV))
+    SeriesFrame(g.withColumn("value", res).drop("__bs"), keep)
   }
 
   private def unaryScalar(fn: String, d: Double): Double = fn match {

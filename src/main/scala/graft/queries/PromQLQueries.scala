@@ -755,6 +755,54 @@ object PromQLQueries extends Catalog {
         FROM dv
         WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
 
+    Q("pq_hist_quantile_classic",
+      { (s, d) =>
+        val store = MetricStore(classicHistStore(s, d))
+        Engine.query("histogram_quantile(0.5, events_hist)", store,
+          QueryParams(Start, End, StepMs))
+          .filter(!isnan(col("value")))
+      },
+      // classic le-bucket quantile: cumulative counts from integer events,
+      // rank q·total, linear interpolation inside the target bucket — the
+      // oracle replays the identical sorted-list fold (list ops, same
+      // formula, same operand order)
+      Some(s"""WITH hb AS (
+          SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS cts,
+                 event_type AS attr_event_type, le,
+                 CAST(count(*) AS DOUBLE) AS cnt
+          FROM events
+          CROSS JOIN (SELECT unnest(['10','25','50','100','+Inf']) AS le) b
+          WHERE le = '+Inf' OR "value" <= CAST(le AS DOUBLE)
+          GROUP BY 1, 2, 3),
+        stepb AS (
+          SELECT cts - cts % $StepMs AS ts, attr_event_type,
+                 CASE WHEN le = '+Inf' THEN CAST('inf' AS DOUBLE)
+                      ELSE CAST(le AS DOUBLE) END AS led,
+                 sum(cnt) AS v
+          FROM hb WHERE cts >= $Start AND cts < $End
+          GROUP BY 1, 2, 3),
+        g AS (
+          SELECT ts, attr_event_type,
+                 list(struct_pack(le := led, v := v) ORDER BY led) AS bs
+          FROM stepb GROUP BY 1, 2),
+        r AS (
+          SELECT ts, attr_event_type, bs, len(bs) AS n,
+                 0.5 * bs[len(bs)].v AS rk
+          FROM g),
+        f AS (
+          SELECT ts, attr_event_type, n, rk, bs,
+                 list_filter(bs, x -> x.v >= rk) AS hits,
+                 list_filter(bs, x -> x.v < rk) AS below
+          FROM r)
+        SELECT ts, attr_event_type,
+               CASE WHEN hits[1].le = CAST('inf' AS DOUBLE) THEN bs[n-1].le
+                    ELSE coalesce(below[len(below)].le, 0)
+                         + (hits[1].le - coalesce(below[len(below)].le, 0))
+                           * (rk - coalesce(below[len(below)].v, 0))
+                           / (hits[1].v - coalesce(below[len(below)].v, 0)) END AS value
+        FROM f
+        WHERE n >= 2 AND rk > 0 AND len(hits) > 0""")),
+
     Q("pq_trig",
       // trig surface over bounded arguments: asin∘sin and acos∘cos keep
       // outputs in [−π, π], atan is bounded, deg∘rad round-trips the value
@@ -951,6 +999,25 @@ object PromQLQueries extends Catalog {
   /** gauge CTE: per-bucket gauge value (bucket average), the convention the
     * gauge-analysis range fns evaluate over
     */
+  /** cooked classic-histogram store: cumulative `le` bucket counts of
+    * events.value per (60 s pre-agg bucket, event_type) — the engine's
+    * leaf re-buckets to the step grid by summing counts
+    */
+  private def classicHistStore(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.model.Tables.events(s, d)
+    val b = array(lit("10"), lit("25"), lit("50"), lit("100"), lit("+Inf"))
+    ev.select(col("ts_ms"), col("event_type"), col("value"))
+      .withColumn("le", explode(b))
+      .filter(col("le") === "+Inf" || col("value") <= col("le").cast("double"))
+      .groupBy((col("ts_ms") - col("ts_ms") % 60000).as("chq_timestamp"),
+        col("event_type").as("attr_event_type"), col("le"))
+      .agg(count(lit(1)).cast("double").as("chq_rollup_sum"))
+      .withColumn("chq_rollup_count", lit(1.0))
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+      .withColumn("metric_name", lit("events_hist"))
+  }
+
   private def gaugeCte(rangeMs: Long): String =
     s"""${stepCte(rangeMs)},
      gauge AS (

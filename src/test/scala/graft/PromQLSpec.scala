@@ -511,6 +511,30 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(const.filter(col("value") =!= 0.0).count() == 0 && const.count() > 0)
   }
 
+  test("classic histogram_quantile interpolates inside le buckets") {
+    import spark.implicits._
+    // cumulative buckets at one ts: le=1 → 1, le=2 → 3, +Inf → 4
+    val rows = Seq(
+      (start, "h", "1", 1.0), (start, "h", "2", 3.0), (start, "h", "+Inf", 4.0))
+    val df = rows.toDF("chq_timestamp", "metric_name", "le", "chq_rollup_sum")
+      .withColumn("chq_rollup_count", lit(1.0))
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(df)
+    val pp = QueryParams(start, start + 600000L, 600000L)
+    def hq(q: Double): Double =
+      Engine.query(s"histogram_quantile($q, h)", st, pp).select("value").head().getDouble(0)
+    // rank 2 lands in (1,2]: 1 + (2-1)·(2-1)/(3-1) = 1.5
+    assert(hq(0.5) == 1.5, s"got ${hq(0.5)}")
+    // rank 3.8 lands in +Inf → highest finite bound
+    assert(hq(0.95) == 2.0)
+    // rank 0.4 lands in the first bucket: interpolate from 0
+    assert(hq(0.1) == 0.4)
+    // labels minus le survive; le itself is consumed
+    val out = Engine.query("histogram_quantile(0.5, h)", st, pp)
+    assert(!out.columns.contains("le"))
+  }
+
   test("sort_by_label parses and preserves the sample set") {
     val sorted = Engine.query("""sort_by_label(events_value, "attr_event_type")""", store, p)
     val bare = Engine.query("events_value", store, p)
