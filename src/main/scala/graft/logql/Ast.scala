@@ -20,6 +20,11 @@ object LineFilterOp {
   case object NotContains extends LineFilterOp
   case object Regex extends LineFilterOp
   case object NotRegex extends LineFilterOp
+  /** `|>` / `!>` — Loki 3.x pattern line filters: whole-line match against
+    * a pattern whose only placeholders are `<_>` wildcards
+    */
+  case object Pattern extends LineFilterOp
+  case object NotPattern extends LineFilterOp
 }
 
 /** `| json` with optional explicit mappings label=jsonpath */

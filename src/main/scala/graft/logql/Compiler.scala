@@ -213,11 +213,19 @@ object Compiler {
     pipeline.stages.foreach {
       case LineFilter(op, needle) =>
         val line = col("log_message")
+        def patternCond: Column = {
+          val (re, names) = patternToRegex(needle)
+          require(names.isEmpty,
+            s"pattern line filters allow only <_> placeholders, got <${names.head}>")
+          line.rlike(re) // anchored ^...$ → whole-line match
+        }
         df = op match {
           case LineFilterOp.Contains    => df.filter(line.contains(needle))
           case LineFilterOp.NotContains => df.filter(!line.contains(needle))
           case LineFilterOp.Regex       => df.filter(line.rlike(needle))
           case LineFilterOp.NotRegex    => df.filter(!line.rlike(needle))
+          case LineFilterOp.Pattern     => df.filter(patternCond)
+          case LineFilterOp.NotPattern  => df.filter(!patternCond)
         }
 
       case JsonStage(mappings) =>

@@ -391,6 +391,10 @@ private final class LogParser(input: String) {
       }
       else if (startsWith("|~")) { pos += 2; stages += LineFilter(LineFilterOp.Regex, str()) }
       else if (startsWith("!~")) { pos += 2; stages += LineFilter(LineFilterOp.NotRegex, str()) }
+      // Loki 3.x pattern line filters: the WHOLE line matches the pattern
+      // (`<_>` wildcards only — named captures belong to `| pattern`)
+      else if (startsWith("|>")) { pos += 2; stages += LineFilter(LineFilterOp.Pattern, str()) }
+      else if (startsWith("!>")) { pos += 2; stages += LineFilter(LineFilterOp.NotPattern, str()) }
       else if (peek() == '|') { pos += 1; stages += parsePipeStage() }
       else continue = false
     }

@@ -260,6 +260,18 @@ object LogQLQueries extends Catalog {
           AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
           AND $timeCond""")),
 
+    Q("lq_pattern_filter",
+      raw("""{log_level="DEBUG"} |> "evt=click user=<_> value=1<_>" !> "evt=click user=1<_>" """,
+        Seq("chq_timestamp", "log_message")),
+      // whole-line pattern match: <_> → non-greedy wildcard, literals
+      // escaped, anchored both ends — the oracle runs the same regexes
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp, log_message FROM logs
+        WHERE log_level = 'DEBUG'
+          AND regexp_matches(log_message, '^evt=click user=.*? value=1.*?$$')
+          AND NOT regexp_matches(log_message, '^evt=click user=1.*?$$')
+          AND $timeCond""")),
+
     Q("lq_unpack",
       { (s, d) =>
         val q = LParser.parse("""{log_level="ERROR"} | unpack | svc = "svc-3" """)

@@ -303,6 +303,36 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(Compiler.namedGroups(pat) == Seq("x", "y"))
   }
 
+  test("pattern line filters match whole lines with <_> wildcards") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "GET /api/users took 15ms"),
+      (2L, "GET /api/orders took 7ms"),
+      (3L, "POST /api/users took 15ms"),
+      (4L, "GET /api/users took 15ms EXTRA"))
+    val df = rows.toDF("chq_tsns", "log_message")
+      .withColumn("chq_timestamp", col("chq_tsns"))
+      .withColumn("env", lit("prod"))
+    def run(q: String): Set[Long] = {
+      val e = Parser.parse(q).fold(e => fail(e), identity)
+      Compiler.rawQuery(e.raw.get, LogStore(df), 0L, 100L, 100,
+        fields = Seq("chq_tsns"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    // anchored: trailing EXTRA breaks the match unless a wildcard allows it
+    assert(run("""{env="prod"} |> "GET <_> took <_>ms" """) == Set(1L, 2L))
+    assert(run("""{env="prod"} |> "GET <_> took <_>" """) == Set(1L, 2L, 4L))
+    assert(run("""{env="prod"} !> "<_>users<_>" """) == Set(2L))
+    // named captures are the | pattern stage's job, not the filter's
+    val bad = Parser.parse("""{env="prod"} |> "GET <path> took <_>" """)
+      .fold(_ => None, q => Some(q))
+    assert(bad.isDefined) // parses…
+    intercept[IllegalArgumentException] { // …but compile rejects the capture
+      Compiler.rawQuery(bad.get.raw.get, LogStore(df), 0L, 100L, 100,
+        fields = Seq("chq_tsns"))
+    }
+  }
+
   test("unpack restores _entry as the line and promotes needed JSON keys") {
     import spark.implicits._
     val rows = Seq(
