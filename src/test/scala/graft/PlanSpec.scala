@@ -212,4 +212,19 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$q joins:\n${p.take(2000)}")
     }
   }
+
+  test("contamination joins the corpus stream against a BROADCAST bench set") {
+    // the benchmark shingle set is the small relation by construction; a
+    // shuffle join here would re-shuffle the full corpus shingle stream
+    val p = plan("pp_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), s"bench side degraded to SMJ:\n${p.take(2000)}")
+  }
+
+  test("bm25 corpus statistics broadcast; no cartesian beyond the 1-row stats") {
+    val p = plan("pp_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
