@@ -189,7 +189,7 @@ object Ast {
     // divergence from raw-sample Prometheus on a bucketized store)
     "deriv", "idelta", "changes", "resets",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "mad_over_time")
+    "mad_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
   val unaryFns: Set[String] = Set(
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
     // trigonometric family (standard Prometheus surface; radians in/out)

@@ -434,7 +434,8 @@ object Engine {
   private val gaugeFns = Set(
     "deriv", "predict_linear", "idelta", "changes", "resets",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "double_exponential_smoothing", "mad_over_time")
+    "double_exponential_smoothing", "mad_over_time",
+    "ts_of_max_over_time", "ts_of_min_over_time")
 
   private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
       predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
@@ -530,6 +531,20 @@ object Engine {
             val ind = when(prevAvg.isNotNull && indCond, lit(1.0)).otherwise(lit(0.0))
             val v = sum(ind).over(rw) - first(ind).over(rw)
             bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))
+          case "ts_of_max_over_time" | "ts_of_min_over_time" =>
+            // timestamp (seconds) of the window's extreme bucket gauge
+            // value, ties resolving to the LATEST bucket (Prometheus 3.5
+            // experimental surface; bucket timestamps stand in for raw
+            // sample timestamps on a bucketized store). min rides the max
+            // machinery on the negated value — sorting the (v, ts) struct
+            // array ascending puts "extreme value, latest ts" last, a
+            // deterministic pick any engine replays.
+            val v0 = if (fn == "ts_of_max_over_time") bavg else -bavg
+            val pairs = array_sort(
+              collect_list(struct(v0.as("v"), col("ts").as("t"))).over(rw))
+            val pick = get(pairs, size(pairs) - 1).getField("t") / lit(1000.0)
+            bucketed.withColumn("value",
+              when(covered, pick).otherwise(lit(Double.NaN)))
           case "mad_over_time" =>
             // median absolute deviation of the window's bucket gauge values:
             // median(|v − median(v)|). Both medians use the explicit

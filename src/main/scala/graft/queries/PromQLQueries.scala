@@ -755,6 +755,32 @@ object PromQLQueries extends Catalog {
         FROM dv
         WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
 
+    Q("pq_ts_of_extremes",
+      { (s, d) =>
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        val mx = Engine.query("ts_of_max_over_time(events_value[6h])", store, p)
+          .withColumnRenamed("value", "tsmax_v")
+        val mn = Engine.query("ts_of_min_over_time(events_value[6h])", store, p)
+          .withColumnRenamed("value", "tsmin_v")
+        mx.join(mn, Seq("ts", "attr_event_type"))
+          .filter(!isnan(col("tsmax_v")) && !isnan(col("tsmin_v")))
+      },
+      // sorted (v, t) struct list: last element = extreme value with the
+      // latest bucket on ties; min negates v and rides the same pick
+      Some(s"""WITH ${gaugeCte(H6)},
+        wnd AS (SELECT ts, attr_event_type, min(ts) OVER w AS first_ts,
+                  list(struct_pack(v := v, t := ts)) OVER w AS lx,
+                  list(struct_pack(v := -v, t := ts)) OVER w AS ln
+                FROM gauge
+                WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                             RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, attr_event_type,
+               list_sort(lx)[len(lx)].t / 1000.0 AS tsmax_v,
+               list_sort(ln)[len(ln)].t / 1000.0 AS tsmin_v
+        FROM wnd
+        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+
     Q("pq_hist_quantile_classic",
       { (s, d) =>
         val store = MetricStore(classicHistStore(s, d))

@@ -103,7 +103,17 @@ class PropertySpec extends AnyFunSuite {
       """clamp(m @ start(), -Inf, 3)""",
       """double_exponential_smoothing(m[1h], 0.3, 0.6)""",
       """histogram_fraction(1, 50, m)""",
-      """{log_level="INFO"} |= ip("10.0.0.0/9") | logfmt | src = ip("10.1.2.3-10.1.2.9")""")
+      """{log_level="INFO"} |= ip("10.0.0.0/9") | logfmt | src = ip("10.1.2.3-10.1.2.9")""",
+      // round-6 late surface: experimental aggs/fns, classic histograms,
+      // pattern line filters, unpack/distinct
+      """limitk(5, m) by (a)""",
+      """limit_ratio(-0.25, m)""",
+      """sort_by_label_desc(m, "a", "b")""",
+      """mad_over_time(m[30m])""",
+      """ts_of_max_over_time(m[1h]) - ts_of_min_over_time(m[1h])""",
+      """histogram_quantile(0.9, sum by (le) (rate(m_bucket[5m])))""",
+      """{log_level="DEBUG"} |> "GET <_> took <_>ms" !> "<_>error<_>" """,
+      """{log_level="INFO"} | unpack | svc = "api" | distinct svc""")
     holds(forAll(Gen.oneOf(qs), Gen.choose(0, 5), Gen.choose(0, 5)) { (q, l, r) =>
       val padded = (" " * l) + q + (" " * r)
       if (q.startsWith("{")) graft.logql.Parser.parseFull(padded).isRight
