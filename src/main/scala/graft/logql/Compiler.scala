@@ -229,9 +229,20 @@ object Compiler {
         }
 
       case JsonStage(mappings) =>
+        // Loki attaches __error__ on parse failures instead of dropping the
+        // line; graft materializes it only when the query REFERENCES it
+        // (the same need-key gating as label extraction — zero plan/schema
+        // impact on queries that never look). "" on parse success, Loki's
+        // error name otherwise.
+        if (needed.contains("__error__")) {
+          df = df.withColumn("__error__",
+            when(get_json_object(col("log_message"), "$").isNull,
+              lit("JSONParserErr")).otherwise(lit("")))
+          labels = (labels :+ "__error__").distinct
+        }
         val explicit = mappings.map { case (l, path) => l -> jsonPath(path) }
-        val auto = needed.filterNot(l => df.schema.fieldNames.contains(l) ||
-            explicit.exists(_._1 == l))
+        val auto = needed.filterNot(l => l == "__error__" ||
+            df.schema.fieldNames.contains(l) || explicit.exists(_._1 == l))
           .map(l => l -> s"$$.$l")
         (explicit ++ auto).foreach { case (l, path) =>
           df = df.withColumn(l, get_json_object(col("log_message"), path))
@@ -239,9 +250,20 @@ object Compiler {
         }
 
       case LogfmtStage(mappings) =>
+        // logfmt's dominant failure mode is an unterminated quoted value:
+        // an odd double-quote count marks the line LogfmtParserErr
+        // (documented approximation of Loki's scanner error; same
+        // need-key gating as the json stage)
+        if (needed.contains("__error__")) {
+          val quotes = length(col("log_message")) -
+            length(regexp_replace(col("log_message"), "\"", ""))
+          df = df.withColumn("__error__",
+            when(quotes % 2 === 1, lit("LogfmtParserErr")).otherwise(lit("")))
+          labels = (labels :+ "__error__").distinct
+        }
         val explicit = mappings
-        val auto = needed.filterNot(l => df.schema.fieldNames.contains(l) ||
-            explicit.exists(_._1 == l))
+        val auto = needed.filterNot(l => l == "__error__" ||
+            df.schema.fieldNames.contains(l) || explicit.exists(_._1 == l))
           .map(l => l -> l)
         (explicit ++ auto).foreach { case (l, key) =>
           // (?:^|\s)key=([^\s]+) — reference logql/worker_sql.go:599-703

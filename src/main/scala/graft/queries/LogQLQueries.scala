@@ -260,6 +260,41 @@ object LogQLQueries extends Catalog {
           AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
           AND $timeCond""")),
 
+    Q("lq_error_label",
+      { (s, d) =>
+        // mixed store: every 3rd user's line is logfmt (invalid JSON), the
+        // rest carry the JSON props payload — `| json` tags the failures
+        val ev = graft.model.Tables.events(s, d)
+        val mixed = ev.select(
+          col("ts_ms").as("chq_timestamp"),
+          (col("ts_ms") * lit(1000000L)).as("chq_tsns"),
+          when(col("event_type") === "error", "ERROR").otherwise("DEBUG")
+            .as("log_level"),
+          when(col("user_id") % 3 === 0,
+            concat(lit("evt="), col("event_type"),
+              lit(" user="), col("user_id").cast("string")))
+            .otherwise(col("props")).as("log_message"))
+        val q = LParser.parse("""{log_level="DEBUG"} | json | __error__ = "JSONParserErr" """)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        Compiler.rawQuery(q.raw.get, LogStore(mixed), Start, End, BigLimit,
+          desc = true, fields = Seq("chq_timestamp", "log_message", "__error__"))
+      },
+      // Loki parity: parse failures keep flowing with __error__ set (graft
+      // materializes it only when referenced — need-key gating); the oracle
+      // derives the same mixed lines and selects the invalid-JSON ones
+      Some(s"""WITH m AS (
+          SELECT epoch_ms(ts) AS chq_timestamp,
+                 CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'DEBUG' END
+                   AS log_level,
+                 CASE WHEN user_id % 3 = 0
+                      THEN 'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+                      ELSE props END AS log_message
+          FROM events)
+        SELECT chq_timestamp, log_message, 'JSONParserErr' AS "__error__"
+        FROM m
+        WHERE log_level = 'DEBUG' AND NOT json_valid(log_message)
+          AND $timeCond""")),
+
     Q("lq_pattern_filter",
       raw("""{log_level="DEBUG"} |> "evt=click user=<_> value=1<_>" !> "evt=click user=1<_>" """,
         Seq("chq_timestamp", "log_message")),

@@ -303,6 +303,33 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(Compiler.namedGroups(pat) == Seq("x", "y"))
   }
 
+  test("__error__ label tags parse failures without dropping lines") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"k":"v"}"""),
+      (2L, "not json"),
+      (3L, """key="unterminated"""),
+      (4L, """key="closed" other=1"""))
+    val df = rows.toDF("chq_tsns", "log_message")
+      .withColumn("chq_timestamp", col("chq_tsns"))
+      .withColumn("env", lit("prod"))
+    def run(q: String): Set[Long] = {
+      val e = Parser.parse(q).fold(e => fail(e), identity)
+      Compiler.rawQuery(e.raw.get, LogStore(df), 0L, 100L, 100,
+        fields = Seq("chq_tsns")).collect().map(_.getLong(0)).toSet
+    }
+    assert(run("""{env="prod"} | json | __error__ = ""  """) == Set(1L))
+    assert(run("""{env="prod"} | json | __error__ = "JSONParserErr" """) ==
+      Set(2L, 3L, 4L))
+    assert(run("""{env="prod"} | logfmt | __error__ = "LogfmtParserErr" """) ==
+      Set(3L))
+    // unreferenced → no __error__ column, all lines flow (Loki divergence
+    // documented: materialization is need-key gated)
+    val e2 = Parser.parse("""{env="prod"} | json""").fold(e => fail(e), identity)
+    val out = Compiler.rawQuery(e2.raw.get, LogStore(df), 0L, 100L, 100)
+    assert(!out.columns.contains("__error__") && out.count() == 4)
+  }
+
   test("pattern line filters match whole lines with <_> wildcards") {
     import spark.implicits._
     val rows = Seq(
