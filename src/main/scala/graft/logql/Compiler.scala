@@ -345,7 +345,14 @@ object Compiler {
         // restore the original line from `_entry` (a non-pack line — no
         // `_entry` key — passes through unchanged, Loki's behavior)
         val line = col("log_message")
-        needed.filterNot(l => df.schema.fieldNames.contains(l)).foreach { l =>
+        if (needed.contains("__error__")) {
+          df = df.withColumn("__error__",
+            when(get_json_object(line, "$").isNull, lit("JSONParserErr"))
+              .otherwise(lit("")))
+          labels = (labels :+ "__error__").distinct
+        }
+        needed.filterNot(l => l == "__error__" ||
+            df.schema.fieldNames.contains(l)).foreach { l =>
           df = df.withColumn(l, get_json_object(line, "$." + l))
           labels = (labels :+ l).distinct
         }
