@@ -756,6 +756,34 @@ object TelemetryQueries extends Catalog {
      WHERE span_status_code = 'STATUS_CODE_ERROR' AND span_duration > 1000
        AND chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd"""
 
+  /** RED-style duration distribution per service: exact p50/p95/p99 over
+    * span_duration (integer ms → Spark percentile and DuckDB quantile_cont
+    * interpolate identically, the pq_quantile_agg precedent) + span count.
+    * At scale the exact percentile is one shuffle on the service key; the
+    * sketch path (DDSketchAgg) is the streaming-friendly alternative
+    * already covered by the pq_sketch rows.
+    */
+  private def spanDurationQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.model.Cooked.spans(s, d)
+      .filter(col("chq_timestamp") >= SpanStart && col("chq_timestamp") < SpanEnd)
+      .groupBy(col("resource_service_name"))
+      .agg(
+        expr("percentile(span_duration, 0.5)").as("p50"),
+        expr("percentile(span_duration, 0.95)").as("p95"),
+        expr("percentile(span_duration, 0.99)").as("p99"),
+        count(lit(1)).as("n_spans"))
+
+  private val spanDurationQuantilesSql =
+    s"""WITH ${graft.model.Cooked.spansCte}
+     SELECT resource_service_name,
+            quantile_cont(span_duration, 0.5) AS p50,
+            quantile_cont(span_duration, 0.95) AS p95,
+            quantile_cont(span_duration, 0.99) AS p99,
+            count(*) AS n_spans
+     FROM spans
+     WHERE chq_timestamp >= $SpanStart AND chq_timestamp < $SpanEnd
+     GROUP BY 1"""
+
   private def spanRateBySvc(s: SparkSession, d: String): DataFrame = {
     import graft.logql.{Compiler, LogStore}
     import graft.promql.QueryParams
@@ -1155,6 +1183,8 @@ object TelemetryQueries extends Catalog {
     Q("sq_trace_summary", traceSummary, Some(traceSummarySql)),
     Q("sq_span_children", spanChildren, Some(spanChildrenSql)),
     Q("sq_service_graph", serviceGraph, Some(serviceGraphSql)),
+    Q("sq_span_duration_quantiles", spanDurationQuantiles,
+      Some(spanDurationQuantilesSql)),
     Q("td_tag_values", tagValues, Some(tagValuesSql)),
     Q("td_tag_names", tagNames, Some(tagNamesSql)),
     Q("td_span_tag_values", spanTagValues, Some(spanTagValuesSql)),
