@@ -21,7 +21,7 @@ object StreamingIngest {
     */
   def preAggStream(raw: DataFrame, tsMs: Column, name: Column, value: Column,
       labels: Seq[(String, Column)], freqMs: Long = 10000L,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", withSketch: Boolean = false): DataFrame = {
     val withTs = raw
       .withColumn("__event_time", timestamp_millis(tsMs))
       .withColumn("metric_name", name)
@@ -31,14 +31,22 @@ object StreamingIngest {
     }
     val groupCols = Seq(window(col("__event_time"), s"${freqMs / 1000} seconds").as("__w"),
       col("metric_name")) ++ labels.map { case (k, _) => col(k) }
+    // chq_sketch parity with the batch pre-agg (MetricsPreAgg): the
+    // DDSketch UDAF is a TypedImperativeAggregate, so the state store
+    // carries its serialized buffer per open window; bucket counts are
+    // merge-order-insensitive, so stream == batch read-outs exactly
+    val aggs = Seq(
+      sum(col("__v")).as("chq_rollup_sum"),
+      count(lit(1)).cast("double").as("chq_rollup_count"),
+      min(col("__v")).as("chq_rollup_min"),
+      max(col("__v")).as("chq_rollup_max")) ++
+      (if (withSketch)
+        Seq(graft.sketch.functions.ddsketch_agg(col("__v")).as("chq_sketch"))
+      else Nil)
     labeled
       .withWatermark("__event_time", watermark)
       .groupBy(groupCols: _*)
-      .agg(
-        sum(col("__v")).as("chq_rollup_sum"),
-        count(lit(1)).cast("double").as("chq_rollup_count"),
-        min(col("__v")).as("chq_rollup_min"),
-        max(col("__v")).as("chq_rollup_max"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("chq_timestamp", unix_millis(col("__w.start")))
       .drop("__w")
   }

@@ -32,6 +32,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("streaming sketch pre-agg: quantile read-outs equal the batch sketch") {
+    import graft.sketch.{functions => gf}
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+    val dir = Files.createTempDirectory("graft_stream_sk_").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val out = StreamingIngest.runFileStreamOnce(spark, dir, ev.schema,
+      src => StreamingIngest.preAggStream(src, col("ts_ms"), lit("events_value"),
+        col("value"), Seq("attr_event_type" -> col("event_type")),
+        withSketch = true),
+      queryName = "stream_preagg_sk")
+
+    val batch = ev
+      .groupBy((col("ts_ms") - col("ts_ms") % 10000L).as("chq_timestamp"),
+        col("event_type").as("attr_event_type"))
+      .agg(gf.ddsketch_agg(col("value")).as("bsk"))
+
+    // bucket counts are merge-order-insensitive → p50/p95 agree exactly
+    val j = out.join(batch, Seq("chq_timestamp", "attr_event_type"), "full")
+      .withColumn("sp50", gf.ddsketch_quantile(col("chq_sketch"), 0.5))
+      .withColumn("bp50", gf.ddsketch_quantile(col("bsk"), 0.5))
+      .withColumn("sp95", gf.ddsketch_quantile(col("chq_sketch"), 0.95))
+      .withColumn("bp95", gf.ddsketch_quantile(col("bsk"), 0.95))
+    val bad = j.filter(col("chq_sketch").isNull || col("bsk").isNull ||
+      col("sp50") =!= col("bp50") || col("sp95") =!= col("bp95")).count()
+    assert(bad == 0)
+    assert(j.count() > 0)
+  }
+
   test("streaming exact dedup emits the batch-distinct fingerprint set") {
     import graft.streaming.StreamingDedup
     import spark.implicits._
