@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Chunking and sequence packing — the last prep steps before training
+  * batches are cut from a curated corpus.
+  *
+  * Scale design: chunking is a pure per-row projection (explode of a
+  * bounded per-doc chunk list). Packing is a running token sum WITHIN a
+  * stratum (window partitioned by the stratum key — training pipelines
+  * pack within shards/sources anyway), so no global single-task window
+  * exists anywhere; parallelism = stratum count.
+  *
+  * Determinism: chunk boundaries are pure word-index arithmetic; pack
+  * bins come from an integer prefix sum over the (stratum, doc_id) order —
+  * both replay bit-for-bit in any engine.
+  */
+object Packing {
+
+  /** Split text into overlapping word-window chunks: windows of `maxWords`
+    * advancing by `maxWords - overlap`. Returns one row per chunk with
+    * `chunk_idx` (0-based) and `chunk_text`; a doc shorter than one window
+    * yields exactly its full text as chunk 0. The per-doc chunk list is
+    * bounded by words/(maxWords-overlap) — explode, not a join.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      maxWords: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap < maxWords, "overlap must be smaller than the window")
+    val stepW = maxWords - overlap
+    val words = split(df(textCol), " +")
+    val n = size(words)
+    // window starts: 1, 1+step, … while start ≤ n (1-based slice). A
+    // trailing window that only re-covers the previous one's overlap is
+    // dropped: keep s = 1 (always) or windows with ≥1 NEW word beyond the
+    // overlap (s + overlap ≤ n) — an index-free rule any engine replays.
+    val starts = filter(sequence(lit(1), greatest(n, lit(1)), lit(stepW)),
+      s => s === 1 || s + lit(overlap) <= n)
+    val chunks = transform(starts,
+      s => array_join(slice(words, s, lit(maxWords)), " "))
+    df.select(df(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+  }
+
+  /** Greedy in-order sequence packing within each stratum: docs (whole)
+    * are assigned to bins by the running token count — bin k covers the
+    * cumulative range [k·seqLen, (k+1)·seqLen). One shuffle on the stratum
+    * key; the window is partitioned, never global.
+    */
+  def packBins(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(df(stratumCol)).orderBy(df(idCol))
+    val running = sum(df(tokensCol)).over(w)
+    df.withColumn("pack_bin",
+      floor((running - df(tokensCol)) / lit(seqLen.toDouble)).cast("long"))
+  }
+
+  /** pack summary: docs and token totals per (stratum, bin) */
+  def packSummary(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, seqLen: Long): DataFrame =
+    packBins(df, stratumCol, idCol, tokensCol, seqLen)
+      .groupBy(col(stratumCol), col("pack_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+}

@@ -139,6 +139,43 @@ object PipelineQueries extends Catalog {
      SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_variants
      FROM c GROUP BY 1"""
 
+  private def chunkDocs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.chunk(docs(s, d), "doc_id", "text",
+      maxWords = 40, overlap = 8)
+
+  private val chunkDocsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+     s AS (SELECT doc_id, ws,
+             list_filter(range(1, greatest(len(ws), 1) + 1, 32),
+                         s -> s = 1 OR s + 8 <= len(ws)) AS starts
+           FROM t),
+     c AS (SELECT doc_id,
+             list_transform(starts, s -> array_to_string(ws[s:s+39], ' ')) AS chunks
+           FROM s),
+     e AS (SELECT doc_id,
+             unnest(list_transform(chunks,
+               (ch, i) -> struct_pack(ci := i - 1, ct := ch))) AS u
+           FROM c)
+     SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx, u.ct AS chunk_text FROM e"""
+
+  private def packSummary(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).withColumn("toks", TextOps.tokenCount(col("text")))
+    graft.ops.Packing.packSummary(df, "lang", "doc_id", "toks", seqLen = 512L)
+  }
+
+  private val packSummarySql =
+    """WITH t AS (
+       SELECT lang, doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+       FROM documents),
+     r AS (SELECT lang, doc_id, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           FROM t)
+     SELECT lang, CAST(floor((cum - toks) / 512.0) AS BIGINT) AS pack_bin,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS n_tokens
+     FROM r GROUP BY 1, 2"""
+
   private val Bm25Terms = Seq("spark", "merge", "window")
 
   private def bm25(s: SparkSession, d: String): DataFrame =
@@ -897,6 +934,8 @@ object PipelineQueries extends Catalog {
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),
     Q("pp_bm25", bm25, Some(bm25Sql)),
-    Q("pp_url_dedup", urlDedup, Some(urlDedupSql))
+    Q("pp_url_dedup", urlDedup, Some(urlDedupSql)),
+    Q("pp_chunk", chunkDocs, Some(chunkDocsSql)),
+    Q("pp_pack_bins", packSummary, Some(packSummarySql))
   )
 }

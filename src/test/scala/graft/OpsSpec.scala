@@ -318,6 +318,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.map(r => r.getString(0) + " -> " + r.getString(2)).mkString("; "))
   }
 
+  test("chunk: overlapping windows cover the text; short docs chunk whole") {
+    import spark.implicits._
+    import graft.ops.Packing
+    // 10 words, window 4, overlap 1 → starts 1,4,7,10; start 10 adds
+    // only 1 new word past the overlap boundary (10+1 > 10) → dropped
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunk(df, "doc_id", "text", maxWords = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(d1 == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"), d1.toString)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, "a b")))
+    // consecutive chunks share exactly `overlap` words
+    assert(d1(0).split(" ").last == d1(1).split(" ").head)
+  }
+
+  test("packBins: running token sum fills bins in id order per stratum") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val df = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 300L),
+      ("de", 1L, 600L), ("de", 2L, 100L))
+      .toDF("lang", "doc_id", "toks")
+    val out = Packing.packBins(df, "lang", "doc_id", "toks", seqLen = 512L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    // en: cum-starts 0,300,600 → bins 0,0,1 ; de: 0,600 → bins 0,1
+    assert(out == Map(("en", 1L) -> 0L, ("en", 2L) -> 0L, ("en", 3L) -> 1L,
+      ("de", 1L) -> 0L, ("de", 2L) -> 1L), out.toString)
+  }
+
   test("contamination: a benchmark copy scores 1.0, disjoint text 0.0") {
     import spark.implicits._
     import graft.ops.Retrieval
