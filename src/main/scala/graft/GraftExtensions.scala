@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.DoubleType
 import graft.ops.DotProduct
-import graft.sketch.{DDSketch, DDSketchAgg, DDSketchMergeAgg, DDSketchQuantile, DDSketchStats}
+import graft.sketch.{CountMinAgg, CountMinEstimate, CountMinMergeAgg, DDSketch,
+  DDSketchAgg, DDSketchMergeAgg, DDSketchQuantile, DDSketchStats}
 
 /** SparkSessionExtensions hook registering graft's native expressions in
   * the SQL function registry, so `spark.sql` text can use the engine's
@@ -72,6 +73,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException("graft_dot(a, b)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("cms_agg"),
+      info("cms_agg", "cms_agg(value[, depth, width]) - Count-Min frequency sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => CountMinAgg(v).toAggregateExpression()
+        case Seq(v, d, w) =>
+          CountMinAgg(v, litDouble(d, "depth").toInt, litDouble(w, "width").toInt)
+            .toAggregateExpression()
+        case _ => throw new IllegalArgumentException("cms_agg(value[, depth, width])")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("cms_merge_agg"),
+      info("cms_merge_agg", "cms_merge_agg(cms) - merge Count-Min sketch blobs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => CountMinMergeAgg(s).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("cms_merge_agg(cms)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("cms_est"),
+      info("cms_est", "cms_est(cms, value) - point frequency estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, v) => CountMinEstimate(s, v)
+        case _ => throw new IllegalArgumentException("cms_est(cms, value)")
       }))
   }
 }

@@ -363,6 +363,54 @@ object TelemetryQueries extends Catalog {
               CAST(1 AS BIGINT) AS hll_ok
        FROM events GROUP BY 1"""
 
+  /** Heavy hitters via Count-Min: one CMS over all user_ids (the custom
+    * TypedImperativeAggregate — commutative counter adds, md5-derived row
+    * hashes), estimates read for the exact top-10. The oracle recomputes
+    * every probed CELL from the exact value counts: est(v) = min over
+    * rows j of Σ counts(y) where hash_j(y) == hash_j(v) — the sketch's
+    * defining identity, bit-replayable because the hash is md5.
+    */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{functions => gf}
+    val ev = raw(s, d)
+    val cms = ev.agg(gf.cms_agg(col("user_id"), 4, 1024).as("__cms"))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+    top.crossJoin(broadcast(cms))
+      .select(col("user_id"), col("n_events"),
+        gf.cms_est(col("__cms"), col("user_id")).as("cms_est"))
+  }
+
+  private val heavyHittersSql =
+    """WITH counts AS (
+       SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS n
+       FROM events GROUP BY 1),
+     cells AS (
+       SELECT j,
+              CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || v), 1, 12))
+                AS BIGINT) % 1024 AS cell,
+              CAST(sum(n) AS BIGINT) AS cn
+       FROM counts CROSS JOIN range(0, 4) t(j)
+       GROUP BY 1, 2),
+     est AS (
+       SELECT c.v, min(cl.cn) AS est_n
+       FROM counts c
+       CROSS JOIN range(0, 4) t(j)
+       JOIN cells cl
+         ON cl.j = t.j
+        AND cl.cell = CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || c.v), 1, 12))
+              AS BIGINT) % 1024
+       GROUP BY 1),
+     top AS (
+       SELECT v, n FROM counts
+       ORDER BY n DESC, CAST(v AS BIGINT) ASC LIMIT 10)
+     SELECT CAST(top.v AS BIGINT) AS user_id,
+            CAST(top.n AS BIGINT) AS n_events,
+            est.est_n AS cms_est
+     FROM top JOIN est ON est.v = top.v"""
+
   // ---- OTel binpb round-trips ---------------------------------------------
 
   private def gzWrite(prefix: String, name: String, blob: Array[Byte]): String = {
@@ -1170,6 +1218,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_log_fingerprint", logFingerprint, Some(logFingerprintSql)),
     Q("tq_log_fingerprint_trie", logFingerprintTrie, Some(logFingerprintTrieSql)),
     Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
+    Q("tq_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),

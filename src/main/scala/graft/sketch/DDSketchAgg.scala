@@ -224,4 +224,14 @@ object functions {
 
   def ddsketch_stdvar(sketch: Column, isStdDev: Boolean = false): Column =
     toCol(DDSketchStdVar(expr(sketch), isStdDev))
+
+  def cms_agg(value: Column, depth: Int = CountMin.DefaultDepth,
+      width: Int = CountMin.DefaultWidth): Column =
+    toCol(CountMinAgg(expr(value.cast("string")), depth, width).toAggregateExpression())
+
+  def cms_merge_agg(sketch: Column): Column =
+    toCol(CountMinMergeAgg(expr(sketch)).toAggregateExpression())
+
+  def cms_est(sketch: Column, value: Column): Column =
+    toCol(CountMinEstimate(expr(sketch), expr(value.cast("string"))))
 }

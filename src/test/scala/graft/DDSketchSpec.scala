@@ -130,4 +130,36 @@ class DDSketchSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(st == 1000L)
   }
+
+  test("CountMin: overestimate-only, merge-order-insensitive, serde round-trip") {
+    import graft.sketch.CountMin
+    val vals = (0 until 5000).map(i => s"u${i % 137}")
+    val exact = vals.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // bulk add vs two-way merge in both orders: identical cells
+    val a = new CountMin(4, 256); vals.foreach(a.add(_))
+    val b1 = new CountMin(4, 256); val b2 = new CountMin(4, 256)
+    vals.zipWithIndex.foreach { case (v, i) => (if (i % 2 == 0) b1 else b2).add(v) }
+    val m12 = new CountMin(4, 256).merge(b1).merge(b2)
+    assert(java.util.Arrays.equals(a.serialize(), m12.serialize()))
+    // estimates never undercount; with 137 keys in 256 cells they stay sane
+    exact.foreach { case (k, n) =>
+      assert(a.estimate(k) >= n, s"$k under-counted")
+    }
+    // serde round-trip preserves estimates and total
+    val rt = CountMin.deserialize(a.serialize())
+    assert(rt.count == vals.size.toLong)
+    assert(exact.keys.forall(k => rt.estimate(k) == a.estimate(k)))
+  }
+
+  test("cms SQL registry: agg + merge + est compose in SQL text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 300).map(i => s"k${i % 7}").toDF("v").createOrReplaceTempView("cms_vals")
+    // every key appears >= 42 times; estimate can only overcount
+    val est = spark.sql(
+      "SELECT cms_est(cms_merge_agg(sk), 'k3') AS e FROM " +
+        "(SELECT cms_agg(v) AS sk FROM cms_vals GROUP BY substr(v, 2) % 2)")
+      .head().getLong(0)
+    assert(est >= 42L && est <= 300L, s"est $est")
+  }
 }
