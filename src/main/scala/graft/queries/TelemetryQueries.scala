@@ -363,6 +363,35 @@ object TelemetryQueries extends Catalog {
               CAST(1 AS BIGINT) AS hll_ok
        FROM events GROUP BY 1"""
 
+  /** Mergeable distinct-count sketches: per-group DataSketches HLL of
+    * user_id (Spark 4 built-ins), unioned ACROSS groups — the set-union
+    * cardinality approx_count_distinct cannot express (its partials never
+    * leave the one aggregation). The estimate gates against the exact
+    * distinct union with the same ±5% ok-flag contract as
+    * tq_hll_cardinality.
+    */
+  private def hllUnion(s: SparkSession, d: String): DataFrame = {
+    val perGroup = raw(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("n_group"))
+    perGroup.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_union"),
+      sum(col("n_group")).as("sum_groups"))
+      .crossJoin(raw(s, d).agg(countDistinct(col("user_id")).as("n_exact")))
+      .select(col("n_exact"),
+        when(abs(col("approx_union") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05, 1L).otherwise(0L).as("hll_ok"),
+        // the union must deduplicate: estimate ≤ the naive per-group sum
+        when(col("approx_union") <= col("sum_groups").cast("double"), 1L)
+          .otherwise(0L).as("dedup_ok"))
+  }
+
+  private val hllUnionSql =
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+              CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS dedup_ok
+       FROM events"""
+
   /** Heavy hitters via Count-Min: one CMS over all user_ids (the custom
     * TypedImperativeAggregate — commutative counter adds, md5-derived row
     * hashes), estimates read for the exact top-10. The oracle recomputes
@@ -1219,6 +1248,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_log_fingerprint_trie", logFingerprintTrie, Some(logFingerprintTrieSql)),
     Q("tq_hll_cardinality", hllCardinality, Some(hllCardinalitySql)),
     Q("tq_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("tq_hll_union", hllUnion, Some(hllUnionSql)),
     Q("tq_binpb_metrics", binpbMetrics, Some(binpbMetricsSql)),
     Q("tq_binpb_spans", binpbSpans, Some(binpbSpansSql)),
     Q("tq_binpb_histogram", binpbHistogram, Some(binpbHistogramSql)),
