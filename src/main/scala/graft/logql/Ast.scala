@@ -90,6 +90,12 @@ final case class Template(parts: List[TemplatePart])
 sealed trait TemplatePart
 final case class Lit(text: String) extends TemplatePart
 final case class Ref(field: String, fn: String = "") extends TemplatePart // fn: ""|"lower"|"upper"|"trim"|"len"
+/** `{{.field | fn arg… | fn …}}` — pipe CHAINS and arg-taking functions
+  * (trunc n, substr a b, replace old new, default d) applied left to
+  * right; the no-arg pipes (lower/upper/trim/len) compose too
+  */
+final case class PipedRef(field: String,
+    pipes: List[(String, List[String])]) extends TemplatePart
 final case class Cond(pred: Pred, thenT: Template, elseT: Template) extends TemplatePart
 
 /** predicate call `fn a b` (reference arg order: needle first, value second

@@ -488,6 +488,26 @@ object Compiler {
             coalesce(json_array_length(base), length(base)).cast("string")
           case _ => base
         }
+      case PipedRef(f, pipes) =>
+        // left-to-right pipe application; Go/sprig conventions: trunc n =
+        // first n chars, substr a b = [a, b) 0-based, replace = literal
+        // replace-all, default d = d when the value is empty
+        val base = coalesce(df(f).cast("string"), lit(""))
+        pipes.foldLeft(base) { case (c, (fn, args)) =>
+          fn match {
+            case "lower" => lower(c)
+            case "upper" => upper(c)
+            case "trim"  => trim(c)
+            case "len"   =>
+              coalesce(json_array_length(c), length(c)).cast("string")
+            case "trunc"   => substring(c, 1, args.head.toInt)
+            case "substr"  =>
+              val a = args(0).toInt; val b = args(1).toInt
+              substring(c, a + 1, math.max(b - a, 0))
+            case "replace" => replace(c, lit(args(0)), lit(args(1)))
+            case "default" => when(c === "", lit(args.head)).otherwise(c)
+          }
+        }
       case Cond(pred, thenT, elseT) =>
         when(predCol(df, pred), templateCol(df, thenT))
           .otherwise(templateCol(df, elseT))
@@ -529,6 +549,7 @@ object Compiler {
   private def templateFields(t: Template): Seq[String] =
     t.parts.flatMap {
       case Ref(f, _) => Seq(f)
+      case PipedRef(f, _) => Seq(f)
       case Cond(Pred(_, a, b), thenT, elseT) =>
         Seq(a, b).collect { case FieldArg(f) => f } ++
           templateFields(thenT) ++ templateFields(elseT)

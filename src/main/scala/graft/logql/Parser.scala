@@ -121,14 +121,48 @@ object Parser {
       LitArg(t.substring(1, t.length - 1))
     else throw new ParseError(s"template predicate arg must be .field or literal: $t")
 
-  /** `.field`, `.field | ToLower`, with lower/upper/trim/len pipes */
-  private def parseRef(body: String): Ref = {
-    val piped = body.split('|').map(_.trim)
-    if (piped.length == 2 && piped(0).startsWith(".")) {
-      Ref(piped(0).drop(1), templateFn(piped(1)))
-    } else if (body.startsWith(".")) Ref(body.drop(1))
-    else throw new ParseError(s"unsupported template expr: {{$body}}")
+  /** `.field`, `.field | ToLower`, `.field | trunc 4 | upper`, … — pipe
+    * chains with quoted args (the splitter is quote-aware, so
+    * `replace "a|b" "c"` keeps its pipe character)
+    */
+  private def parseRef(body: String): TemplatePart = {
+    val piped = splitPipes(body).map(_.trim)
+    if (!piped.head.startsWith("."))
+      throw new ParseError(s"unsupported template expr: {{$body}}")
+    val field = piped.head.drop(1)
+    piped.tail match {
+      case Nil => Ref(field)
+      case one :: Nil if predTokens(one).length == 1 =>
+        Ref(field, templateFn(one)) // single no-arg pipe keeps the slim node
+      case pipes =>
+        PipedRef(field, pipes.map { p =>
+          predTokens(p) match {
+            case fn :: args => templatePipe(fn, args.map(unquoteArg))
+            case Nil => throw new ParseError(s"empty template pipe in {{$body}}")
+          }
+        })
+    }
   }
+
+  /** split on `|` outside quotes/backticks */
+  private def splitPipes(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val sb = new StringBuilder
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { sb += c; if (c == quote) quote = 0 }
+      else if (c == '"' || c == '`') { sb += c; quote = c }
+      else if (c == '|') { out += sb.toString; sb.clear() }
+      else sb += c
+    }
+    out += sb.toString
+    out.toList
+  }
+
+  private def unquoteArg(t: String): String =
+    if (t.length >= 2 && (t.head == '"' || t.head == '`') && t.last == t.head)
+      t.substring(1, t.length - 1)
+    else t
 
   private def templateFn(name: String): String = name.toLowerCase match {
     case "tolower" | "lower" => "lower"
@@ -136,6 +170,35 @@ object Parser {
     case "trim"              => "trim"
     case "len"               => "len"
     case other => throw new ParseError(s"unsupported template function: $other")
+  }
+
+  /** validate an arg-taking (or chained no-arg) pipe */
+  private def templatePipe(fn: String, args: List[String]): (String, List[String]) = {
+    def intArg(a: String): String =
+      if (a.matches("-?\\d+")) a
+      else throw new ParseError(s"$fn needs integer args, got '$a'")
+    fn.toLowerCase match {
+      case f @ ("tolower" | "lower" | "toupper" | "upper" | "trim" | "len") =>
+        if (args.nonEmpty) throw new ParseError(s"$f takes no args")
+        (templateFn(f), Nil)
+      case "trunc" => args match {
+        case n :: Nil => ("trunc", List(intArg(n)))
+        case _ => throw new ParseError("trunc needs one integer arg")
+      }
+      case "substr" => args match {
+        case a :: b :: Nil => ("substr", List(intArg(a), intArg(b)))
+        case _ => throw new ParseError("substr needs two integer args")
+      }
+      case "replace" => args match {
+        case a :: b :: Nil => ("replace", List(a, b))
+        case _ => throw new ParseError("replace needs two args")
+      }
+      case "default" => args match {
+        case d :: Nil => ("default", List(d))
+        case _ => throw new ParseError("default needs one arg")
+      }
+      case other => throw new ParseError(s"unsupported template function: $other")
+    }
   }
 }
 

@@ -260,6 +260,28 @@ object LogQLQueries extends Catalog {
           AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
           AND $timeCond""")),
 
+    Q("lq_template_pipes",
+      raw("{log_level=\"INFO\"} | logfmt | label_format " +
+        "a=\"{{.resource_service_name | trunc 4}}\", " +
+        "b=`{{.attr_event_type | replace \"u\" \"U\"}}`, " +
+        "c=\"{{.resource_service_name | substr 4 5}}\", " +
+        "e=\"{{.attr_event_type | upper | trunc 3}}\", " +
+        "d=`{{.missing_key | default \"none\"}}`",
+        Seq("chq_timestamp", "a", "b", "c", "e", "d")),
+      // sprig-convention pipes: trunc = first n chars, substr = [a,b)
+      // 0-based, replace = literal replace-all, default fires on "", and
+      // chains apply left to right; missing_key is logfmt-extracted to ""
+      // (need-key analysis), so default engages on every line
+      Some(s"""WITH ${Cooked.logsCte}
+        SELECT chq_timestamp,
+               left(resource_service_name, 4) AS a,
+               replace(attr_event_type, 'u', 'U') AS b,
+               substr(resource_service_name, 5, 1) AS c,
+               left(upper(attr_event_type), 3) AS e,
+               'none' AS d
+        FROM logs
+        WHERE log_level = 'INFO' AND $timeCond""")),
+
     Q("lq_error_label",
       { (s, d) =>
         // mixed store: every 3rd user's line is logfmt (invalid JSON), the

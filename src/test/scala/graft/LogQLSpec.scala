@@ -303,6 +303,20 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(Compiler.namedGroups(pat) == Seq("x", "y"))
   }
 
+  test("template pipe chains: trunc/substr/replace/default, quote-aware split") {
+    import Parser.parseTemplate
+    // quoted pipe char survives the splitter
+    val t = parseTemplate("""{{.m | replace "a|b" "c" | upper}}""")
+    assert(t.parts == List(PipedRef("m",
+      List(("replace", List("a|b", "c")), ("upper", Nil)))), t.toString)
+    // single no-arg pipe keeps the slim Ref node (back-compat)
+    assert(parseTemplate("{{.m | lower}}").parts == List(Ref("m", "lower")))
+    // arity errors reject at parse time
+    assert(intercept[Exception](parseTemplate("{{.m | trunc}}")) != null)
+    assert(intercept[Exception](parseTemplate("{{.m | substr 1}}")) != null)
+    assert(intercept[Exception](parseTemplate("{{.m | trunc x}}")) != null)
+  }
+
   test("__error__ label tags parse failures without dropping lines") {
     import spark.implicits._
     val rows = Seq(
