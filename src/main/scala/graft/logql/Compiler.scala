@@ -473,11 +473,17 @@ object Compiler {
         .otherwise(lit(null).cast("double")))
   }
 
+  /** template field resolution: `__line__` is Loki's special variable for
+    * the current log line; everything else is a label column
+    */
+  private def templateField(df: DataFrame, f: String): Column =
+    if (f == "__line__") col("log_message") else df(f)
+
   private def templateCol(df: DataFrame, t: Template): Column = {
     val parts = t.parts.map {
       case Lit(s) => lit(s)
       case Ref(f, fn) =>
-        val base = coalesce(df(f).cast("string"), lit(""))
+        val base = coalesce(templateField(df, f).cast("string"), lit(""))
         fn match {
           case "lower" => lower(base)
           case "upper" => upper(base)
@@ -492,7 +498,7 @@ object Compiler {
         // left-to-right pipe application; Go/sprig conventions: trunc n =
         // first n chars, substr a b = [a, b) 0-based, replace = literal
         // replace-all, default d = d when the value is empty
-        val base = coalesce(df(f).cast("string"), lit(""))
+        val base = coalesce(templateField(df, f).cast("string"), lit(""))
         pipes.foldLeft(base) { case (c, (fn, args)) =>
           fn match {
             case "lower" => lower(c)
@@ -524,7 +530,7 @@ object Compiler {
     */
   private def predCol(df: DataFrame, p: Pred): Column = {
     def argCol(a: TemplateArg): Column = a match {
-      case FieldArg(f) => coalesce(df(f).cast("string"), lit(""))
+      case FieldArg(f) => coalesce(templateField(df, f).cast("string"), lit(""))
       case LitArg(v)   => lit(v)
     }
     val (a, b) = (argCol(p.a), argCol(p.b))
@@ -568,7 +574,7 @@ object Compiler {
       case KeepStage(ls) => ls
       case DistinctStage(ls) => ls
       case _ => Nil
-    }.distinct
+    }.distinct.filterNot(_ == "__line__") // special var, never an extracted label
 
   /** Loki pattern → anchored regex + capture names: literals escaped
     * per-metachar (RE2-compatible — no \Q\E, so the SAME regex string runs

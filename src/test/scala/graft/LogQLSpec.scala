@@ -317,6 +317,19 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(intercept[Exception](parseTemplate("{{.m | trunc x}}")) != null)
   }
 
+  test("__line__ template variable reads the current log line") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world")).toDF("chq_tsns", "log_message")
+      .withColumn("chq_timestamp", col("chq_tsns"))
+      .withColumn("env", lit("prod"))
+    val q = Parser.parse(
+      """{env="prod"} | label_format head=`{{.__line__ | trunc 5 | upper}}`""")
+      .fold(e => fail(e), identity)
+    val out = Compiler.rawQuery(q.raw.get, LogStore(df), 0L, 100L, 10,
+      fields = Seq("head")).head().getString(0)
+    assert(out == "HELLO", out)
+  }
+
   test("__error__ label tags parse failures without dropping lines") {
     import spark.implicits._
     val rows = Seq(
