@@ -113,7 +113,10 @@ class PropertySpec extends AnyFunSuite {
       """ts_of_max_over_time(m[1h]) - ts_of_min_over_time(m[1h])""",
       """histogram_quantile(0.9, sum by (le) (rate(m_bucket[5m])))""",
       """{log_level="DEBUG"} |> "GET <_> took <_>ms" !> "<_>error<_>" """,
-      """{log_level="INFO"} | unpack | svc = "api" | distinct svc""")
+      """{log_level="INFO"} | unpack | svc = "api" | distinct svc""",
+      """{log_level="INFO"} | json | __error__ = "" """,
+      "{log_level=\"INFO\"} | label_format x=`{{.__line__ | trunc 5 | upper}}`, " +
+        "y=`{{.svc | replace \"a|b\" \"c\" | default \"none\"}}`")
     holds(forAll(Gen.oneOf(qs), Gen.choose(0, 5), Gen.choose(0, 5)) { (q, l, r) =>
       val padded = (" " * l) + q + (" " * r)
       if (q.startsWith("{")) graft.logql.Parser.parseFull(padded).isRight
