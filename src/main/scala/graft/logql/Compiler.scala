@@ -74,6 +74,12 @@ object Compiler {
     */
   def exprQuery(e: LogExpr, store: LogStore, p: QueryParams, limit: Int = 1000,
       desc: Boolean = true, fields: Seq[String] = Nil): DataFrame = e match {
+    case NumberLeaf(v) =>
+      // standalone `vector(N)` / number: a constant over the step grid
+      // (the engine's scalar-expression shape)
+      val start = p.startMs - p.startMs % p.stepMs
+      store.df.sparkSession.range(start, p.endMs, p.stepMs).toDF("ts")
+        .withColumn("value", lit(v))
     case LeafQuery(q) =>
       q.raw match {
         case Some(pipe) => rawQuery(pipe, store, p.startMs, p.endMs, limit, desc, fields)

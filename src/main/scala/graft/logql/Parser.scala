@@ -339,6 +339,20 @@ private final class LogParser(input: String) {
       while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
       val lit = input.substring(start, pos)
       NumberLeaf(lit.toDoubleOption.getOrElse(fail(s"malformed number '$lit' at $start")))
+    } else if (input.regionMatches(pos, "vector", 0, 6)) {
+      // `vector(N)` — the reference's KindVector (a number literal vector,
+      // logql/parser.go VectorExpr); arithmetic-equivalent to the bare
+      // number in this engine's scalar-broadcast binop rules
+      pos += 6
+      expect('(')
+      skipWs()
+      val start = pos
+      if (pos < input.length && (input(pos) == '+' || input(pos) == '-')) pos += 1
+      while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1
+      val lit = input.substring(start, pos)
+      val v = lit.toDoubleOption.getOrElse(fail(s"malformed number in vector() at $start"))
+      expect(')')
+      NumberLeaf(v)
     } else if (c == '(') {
       pos += 1
       val e = parseCompare()

@@ -317,6 +317,25 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(intercept[Exception](parseTemplate("{{.m | trunc x}}")) != null)
   }
 
+  test("vector(N) parses as a number-literal vector (reference KindVector)") {
+    import spark.implicits._
+    val e = Parser.parseFull("""vector(2.5) * count_over_time({env="p"}[5m])""")
+      .fold(e => fail(e), identity)
+    e match {
+      case LogBin("*", NumberLeaf(v), _) => assert(v == 2.5)
+      case other => fail(other.toString)
+    }
+    // standalone vector(N): constant over the step grid
+    val df = Seq((1L, "x")).toDF("chq_tsns", "log_message")
+      .withColumn("chq_timestamp", col("chq_tsns"))
+    val p2 = graft.promql.QueryParams(0L, 3000L, 1000L)
+    val out = Compiler.exprQuery(
+      Parser.parseFull("vector(7)").fold(e => fail(e), identity),
+      LogStore(df), p2)
+    assert(out.count() == 3 &&
+      out.filter(col("value") =!= 7.0).count() == 0)
+  }
+
   test("__line__ template variable reads the current log line") {
     import spark.implicits._
     val df = Seq((1L, "hello world")).toDF("chq_tsns", "log_message")
