@@ -20,6 +20,57 @@ class PropertySpec extends AnyFunSuite {
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '=', '"', '.', '-', ':')))
       .map(_.mkString)
 
+  test("CountMin: estimate >= exact, merge commutes/associates, serde total") {
+    import graft.sketch.CountMin
+    val streamGen = Gen.listOf(Gen.chooseNum(0, 60).map(i => s"k$i"))
+    holds(forAll(streamGen) { vals =>
+      val a = new CountMin(3, 64)
+      vals.foreach(a.add(_))
+      val exact = vals.groupBy(identity).view.mapValues(_.size.toLong)
+      val over = exact.forall { case (k, n) => a.estimate(k) >= n }
+      // split anywhere: (x ++ y) == merge(x, y) == merge(y, x), cell-exact
+      val cut = vals.length / 2
+      val x = new CountMin(3, 64); vals.take(cut).foreach(x.add(_))
+      val y = new CountMin(3, 64); vals.drop(cut).foreach(y.add(_))
+      val xy = CountMin.deserialize(x.serialize()).merge(y)
+      val yx = CountMin.deserialize(y.serialize()).merge(x)
+      over &&
+        java.util.Arrays.equals(xy.serialize(), a.serialize()) &&
+        java.util.Arrays.equals(yx.serialize(), a.serialize())
+    }, n = 100)
+    // corrupted bytes reject cleanly (exception, not a JVM fault)
+    val good = { val s = new CountMin(2, 8); s.add("x"); s.serialize() }
+    for (i <- good.indices by 7) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      try { CountMin.deserialize(bad); () } catch { case _: Exception => () }
+    }
+  }
+
+  test("chunk: full word coverage and exact overlap between neighbors") {
+    import graft.ops.Packing
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      mw <- Gen.chooseNum(2, 12)
+      ov <- Gen.chooseNum(0, mw - 1)
+    } yield (n, mw, ov)
+    holds(forAll(gen) { case (n, mw, ov) =>
+      val words = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Packing.chunk(df, "doc_id", "text", mw, ov)
+        .orderBy("chunk_idx").collect().map(_.getString(2).split(" ").toSeq)
+      // every word appears in at least one chunk, in order
+      val covered = chunks.toSeq.flatten.distinct == words
+      // neighbors share exactly the overlap (unless the tail is shorter)
+      val overlapOk = chunks.toSeq.sliding(2).forall {
+        case Seq(a, b) => b.startsWith(a.takeRight(ov))
+        case _ => true
+      }
+      covered && overlapOk
+    }, n = 60)
+  }
+
   test("hash48 is stable and 48-bit for arbitrary input") {
     import graft.ingest.{FingerprintIndex => FI}
     holds(forAll(asciiText) { s =>
