@@ -142,7 +142,8 @@ object Ast {
     "count_over_time", "rate", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "first_over_time", "rate_counter",
-    "quantile_over_time", "stddev_over_time", "stdvar_over_time")
+    "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+    "absent_over_time")
   val vectorOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk",
     "stddev", "stdvar", "sort", "sort_desc")

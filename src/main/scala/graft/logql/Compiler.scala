@@ -149,6 +149,10 @@ object Compiler {
         // derived per-line value + inner PromQL function
         val (valueCol, promFn) = ra.fn match {
           case "count_over_time" => (lit(1.0), "sum_over_time")
+          // 1 on grid buckets whose lookback window holds NO matching line
+          // (Loki's log-absence probe); the synthetic per-bucket rows are
+          // the presence set the engine's anti range-join consumes
+          case "absent_over_time" => (lit(1.0), "absent_over_time")
           case "rate"            => (lit(1.0), "rate")
           case "bytes_over_time" => (octet_length(col("log_message")).cast("double"), "sum_over_time")
           case "bytes_rate"      => (octet_length(col("log_message")).cast("double"), "rate")

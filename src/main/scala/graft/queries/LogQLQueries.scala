@@ -62,6 +62,11 @@ object LogQLQueries extends Catalog {
 
   private val H4 = 4L * 3600000L
 
+  // absence window: spans the sparse tail AND past the end of the 30-day
+  // events table (the pq_absent_over_time convention)
+  private val AbsStart = Start + 21L * 86400000L
+  private val AbsEnd = Start + 35L * 86400000L
+
   override def all: Seq[Q] = Seq(
     Q("lq_raw_lines",
       raw("""{log_level="ERROR"} |= "evt=error" """,
@@ -259,6 +264,28 @@ object LogQLQueries extends Catalog {
         WHERE log_level = 'DEBUG'
           AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
           AND $timeCond""")),
+
+    Q("lq_absent_over_time",
+      { (s, d) =>
+        Compiler.query("""absent_over_time({attr_event_type="signup"}[4h])""",
+          LogStore(Cooked.logs(s, d)),
+          QueryParams(AbsStart, AbsEnd, StepMs))
+          .filter(!isnan(col("value")))
+      },
+      // 1 on grid buckets whose [4h] window contains no signup line — the
+      // log-absence alerting probe riding the PromQL engine's anti
+      // range-join against the broadcast presence set
+      Some(s"""WITH ${Cooked.logsCte},
+        pres AS (
+          SELECT DISTINCT chq_timestamp - chq_timestamp % $StepMs AS ts
+          FROM logs
+          WHERE attr_event_type = 'signup'
+            AND chq_timestamp >= ${AbsStart - H4} AND chq_timestamp < $AbsEnd)
+        SELECT r.range AS ts, 1.0 AS value
+        FROM range($AbsStart, $AbsEnd, $StepMs) r
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pres s
+          WHERE s.ts BETWEEN r.range - ${H4 - StepMs} AND r.range)""")),
 
     Q("lq_template_pipes",
       raw("{log_level=\"INFO\"} | logfmt | label_format " +
