@@ -146,5 +146,5 @@ object Ast {
     "absent_over_time")
   val vectorOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk",
-    "stddev", "stdvar", "sort", "sort_desc")
+    "stddev", "stdvar", "sort", "sort_desc", "approx_topk")
 }

@@ -383,7 +383,7 @@ private final class LogParser(input: String) {
     grouping()
     expect('(')
     val param =
-      if (op == "topk" || op == "bottomk") {
+      if (op == "topk" || op == "bottomk" || op == "approx_topk") {
         skipWs()
         val start = pos
         while (pos < input.length && (input(pos).isDigit || input(pos) == '.')) pos += 1

@@ -198,10 +198,10 @@ object Ast {
     "deg", "rad")
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
-    "stddev", "stdvar", "group", "limitk", "limit_ratio")
+    "stddev", "stdvar", "group", "limitk", "limit_ratio", "approx_topk")
   /** agg ops whose first argument is a scalar parameter */
   val paramAggOps: Set[String] = Set(
-    "topk", "bottomk", "quantile", "limitk", "limit_ratio")
+    "topk", "bottomk", "quantile", "limitk", "limit_ratio", "approx_topk")
   val timeComponentFns: Set[String] = Set(
     "hour", "minute", "day_of_week", "day_of_month", "month", "year",
     "days_in_month")

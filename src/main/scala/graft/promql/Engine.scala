@@ -817,17 +817,22 @@ object Engine {
     val keep: Seq[String] =
       if (by.nonEmpty) sf.labels.filter(by.contains)
       else if (without.nonEmpty) sf.labels.filterNot(without.contains)
-      else if (op == "topk" || op == "bottomk") sf.labels // rank keeps series
+      else if (op == "topk" || op == "bottomk" || op == "approx_topk")
+        sf.labels // rank keeps series
       else Nil
 
     op match {
-      case "topk" | "bottomk" =>
+      // Loki 3.1's approx_topk name accepted: its CMS+heap approximation
+      // exists to bound coordinator memory, but the two-phase salted rank
+      // below already bounds every task, so graft answers EXACTLY — a
+      // deterministic strict improvement (documented divergence)
+      case "topk" | "bottomk" | "approx_topk" =>
         val k = param.getOrElse(1.0).toInt
         // ties broken by series key, mirroring promql/top_k_node.go:25-89
         val key = concat_ws("\u0000", sf.labels.map(l => coalesce(col(l), lit(""))): _*)
         val ord =
-          if (op == "topk") Seq(col("value").desc_nulls_last, key.asc)
-          else Seq(col("value").asc_nulls_last, key.asc)
+          if (op == "bottomk") Seq(col("value").asc_nulls_last, key.asc)
+          else Seq(col("value").desc_nulls_last, key.asc)
         // two-phase rank: a single ts-partitioned window puts EVERY series
         // of a bucket on one task — a straggler at 10⁷-series cardinality.
         // Phase 1 ranks within (ts, salt) where salt spreads series across

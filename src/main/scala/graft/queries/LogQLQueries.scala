@@ -605,6 +605,27 @@ object LogQLQueries extends Catalog {
                    log_level || ' ' || resource_service_name || ' ' || attr_event_type ASC) AS rn
           FROM stepl)
         SELECT ts, log_level, resource_service_name, attr_event_type, v AS value
+        FROM rk WHERE rn <= 2""")),
+
+    Q("lq_approx_topk",
+      // Loki 3.1's experimental approx_topk name — graft answers it
+      // EXACTLY (the two-phase salted rank already bounds every task), so
+      // the oracle is the same exact rank the topk row replays
+      agg("""approx_topk(2, count_over_time({attr_event_type="purchase"}[1h]))"""),
+      Some(s"""WITH ${Cooked.logsCte},
+        stepl AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 log_level, resource_service_name, attr_event_type,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM logs
+          WHERE attr_event_type = 'purchase' AND $timeCond
+          GROUP BY 1, 2, 3, 4),
+        rk AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type, v,
+                 row_number() OVER (PARTITION BY ts ORDER BY v DESC,
+                   log_level || ' ' || resource_service_name || ' ' || attr_event_type ASC) AS rn
+          FROM stepl)
+        SELECT ts, log_level, resource_service_name, attr_event_type, v AS value
         FROM rk WHERE rn <= 2"""))
   )
 }
