@@ -157,6 +157,34 @@ object ItQueries extends Catalog {
       .withColumn("value", cents(col("value"), H4 / 1000.0 * 100))
   }
 
+  /** experimental-agg surface through the SAME segment spine: limitk's
+    * deterministic md5 series selection over the step-policy-chosen hourly
+    * tier — proves the round-6 function surface composes with tier
+    * selection and partition pruning, not just in-memory stores
+    */
+  private def segLimitk(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    val p = StepPolicy.paramsFor(Start, End)
+    val scan = StepPolicy.scanTier(s, dir, p.stepMs, p.startMs, p.endMs)
+    Engine.query("limitk(2, events_value)", storeFrom(scan), p)
+      .filter(!isnan(col("value")))
+  }
+
+  private def segLimitkSql(dir: String): String =
+    s"""WITH step AS (
+       SELECT chq_timestamp AS ts, attr_event_type,
+              sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $Start AND chq_timestamp < $End
+       GROUP BY 1, 2),
+     r AS (
+       SELECT ts, attr_event_type, bsum,
+              row_number() OVER (PARTITION BY ts
+                ORDER BY md5(attr_event_type), attr_event_type) AS rk
+       FROM step)
+     SELECT ts, attr_event_type, bsum AS value FROM r WHERE rk <= 2"""
+
   private def segRateSql(dir: String): String =
     s"""WITH step AS (
        SELECT chq_timestamp AS ts, attr_event_type,
@@ -614,6 +642,7 @@ object ItQueries extends Catalog {
 
   override def all: Seq[Q] = Seq(
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
+    Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
