@@ -572,8 +572,45 @@ object CoreQueries extends Catalog {
     Q("core_events_daily", qEventsDaily, Some(qEventsDailySql)),
     Q("core_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("pp_dataset_split", qDatasetSplit, Some(qDatasetSplitSql)),
-    Q("core_cube_agg", qCubeAgg, Some(qCubeAggSql))
+    Q("core_cube_agg", qCubeAgg, Some(qCubeAggSql)),
+    Q("core_unpivot", qUnpivot, Some(qUnpivotSql))
   )
+
+  /** wide→long UNPIVOT via stack() — the reference leans on DuckDB UNPIVOT
+    * for tag-name discovery (logql/sql_builder.go:172); here the same
+    * reshaping runs post-aggregation (min/max are order-insensitive, so
+    * the doubles replay exactly), one row per (returnflag, measure).
+    */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("q_min"), max(col("l_quantity")).as("q_max"),
+        min(col("l_extendedprice")).as("p_min"), max(col("l_extendedprice")).as("p_max"),
+        min(col("l_discount")).as("d_min"), max(col("l_discount")).as("d_max"),
+        min(col("l_tax")).as("t_min"), max(col("l_tax")).as("t_max"))
+      .select(col("l_returnflag"), expr(
+        """stack(4,
+           'quantity', q_min, q_max,
+           'extendedprice', p_min, p_max,
+           'discount', d_min, d_max,
+           'tax', t_min, t_max) AS (measure, min_v, max_v)"""))
+
+  private val qUnpivotSql =
+    """WITH a AS (
+       SELECT l_returnflag,
+              min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+              min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+              min(l_discount) AS d_min, max(l_discount) AS d_max,
+              min(l_tax) AS t_min, max(l_tax) AS t_max
+       FROM lineitem GROUP BY 1)
+     SELECT l_returnflag, 'quantity' AS measure, q_min AS min_v, q_max AS max_v FROM a
+     UNION ALL
+     SELECT l_returnflag, 'extendedprice', p_min, p_max FROM a
+     UNION ALL
+     SELECT l_returnflag, 'discount', d_min, d_max FROM a
+     UNION ALL
+     SELECT l_returnflag, 'tax', t_min, t_max FROM a"""
 
   /** grouping sets / CUBE — beyond the reference's own surface (SURVEY §2.4
     * notes the reference lacks it; Spark provides it natively): per
