@@ -42,9 +42,14 @@ final case class PatternStage(pattern: String) extends Stage
 final case class LabelFormatStage(assignments: List[(String, Template)]) extends Stage
 /** `| line_format "{{.a}} ..."` — rewrites the log line */
 final case class LineFormatStage(template: Template) extends Stage
-/** `| keep a,b` / `| drop a,b` */
-final case class KeepStage(labels: List[String]) extends Stage
-final case class DropStage(labels: List[String]) extends Stage
+/** `| keep a,b` / `| drop a,b` — entries may carry an optional VALUE
+  * condition (`drop level="debug"`, Loki semantics): a conditional entry
+  * nulls the label only on rows where its value matches, leaving the
+  * column in the label set; unconditional entries reshape the label set
+  * itself. Equality conditions only (regex matchers not supported here).
+  */
+final case class KeepStage(labels: List[(String, Option[String])]) extends Stage
+final case class DropStage(labels: List[(String, Option[String])]) extends Stage
 /** `| label_replace(dst, "repl", src, "regex")` — PromQL's label_replace
   * accepted as a pipeline stage (the reference parser takes it as a stage
   * keyword, logql/parser.go:677): when the regex FULL-matches src's value,

@@ -309,9 +309,25 @@ object Compiler {
         df = df.withColumn("log_message", templateCol(df, tmpl))
 
       case KeepStage(ks) =>
-        labels = labels.filter(ks.contains)
+        // conditional entries null the value on NON-matching rows; the
+        // label set shrinks to the listed names either way
+        ks.foreach {
+          case (l, Some(v)) if df.schema.fieldNames.contains(l) =>
+            df = df.withColumn(l,
+              when(df(l) === v, df(l)).otherwise(lit(null).cast("string")))
+          case _ => ()
+        }
+        labels = labels.filter(l => ks.exists(_._1 == l))
       case DropStage(ds) =>
-        labels = labels.filterNot(ds.contains)
+        // conditional entries null the value on MATCHING rows and keep the
+        // column; unconditional entries remove the label outright
+        ds.foreach {
+          case (l, Some(v)) if df.schema.fieldNames.contains(l) =>
+            df = df.withColumn(l,
+              when(df(l) === v, lit(null).cast("string")).otherwise(df(l)))
+          case _ => ()
+        }
+        labels = labels.filterNot(l => ds.exists(e => e._1 == l && e._2.isEmpty))
 
       case LabelReplaceStage(dst, repl, src, regex) =>
         // full-match semantics: dst changes only when the regex matches the
@@ -581,7 +597,8 @@ object Compiler {
       case LabelReplaceStage(_, _, src, _) => Seq(src)
       case LabelFormatStage(as) => as.flatMap(kv => templateFields(kv._2))
       case LineFormatStage(t) => templateFields(t)
-      case KeepStage(ls) => ls
+      case KeepStage(ls) => ls.map(_._1)
+      case DropStage(ls) => ls.collect { case (l, Some(_)) => l }
       case DistinctStage(ls) => ls
       case _ => Nil
     }.distinct.filterNot(_ == "__line__") // special var, never an extracted label

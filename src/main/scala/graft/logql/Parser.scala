@@ -530,8 +530,8 @@ private final class LogParser(input: String) {
         LabelFormatStage(assigns.toList)
       case "line_format" =>
         LineFormatStage(Parser.parseTemplate(str()))
-      case "keep" => KeepStage(identList())
-      case "drop" => DropStage(identList())
+      case "keep" => KeepStage(matcherList())
+      case "drop" => DropStage(matcherList())
       case "label_replace" =>
         // stage form of PromQL label_replace (reference logql/parser.go:677);
         // dst/src accept bare idents or quoted names
@@ -545,10 +545,10 @@ private final class LogParser(input: String) {
       // reference-compat stage keywords (parser.go:677): with a label list
       // they behave as keep/drop; bare they parse as no-ops
       case "keep_labels" =>
-        if (peek().isLetter || peek() == '_') KeepStage(identList())
+        if (peek().isLetter || peek() == '_') KeepStage(matcherList())
         else DropStage(Nil)
       case "drop_labels" =>
-        if (peek().isLetter || peek() == '_') DropStage(identList())
+        if (peek().isLetter || peek() == '_') DropStage(matcherList())
         else DropStage(Nil)
       case "decolorize" => DecolorizeStage
       case "unpack" => UnpackStage
@@ -639,6 +639,22 @@ private final class LogParser(input: String) {
     var continue = true
     while (continue) {
       out += ident()
+      if (!eat(',')) continue = false
+    }
+    out.toList
+  }
+
+  /** keep/drop entries: `label` or `label="value"` (equality only) */
+  private def matcherList(): List[(String, Option[String])] = {
+    val out = scala.collection.mutable.ListBuffer[(String, Option[String])]()
+    var continue = true
+    while (continue) {
+      val l = ident()
+      skipWs()
+      val v =
+        if (pos < input.length && input(pos) == '=') { pos += 1; Some(str()) }
+        else None
+      out += (l -> v)
       if (!eat(',')) continue = false
     }
     out.toList

@@ -265,6 +265,19 @@ object LogQLQueries extends Catalog {
           AND TRY_CAST(json_extract_string(log_message, '$$.k') AS DOUBLE) > 50
           AND $timeCond""")),
 
+    Q("lq_drop_conditional",
+      raw("""{log_level="DEBUG"} | logfmt | drop user="1" """,
+        Seq("chq_timestamp", "log_message", "user")),
+      // value-conditional drop: the user label is nulled ONLY on rows
+      // where it equals "1"; the line and the column itself survive
+      Some(s"""WITH ${Cooked.logsCte},
+        x AS (SELECT chq_timestamp, log_message,
+                regexp_extract(log_message, '(?:^|\\s)user=([^\\s]+)', 1) AS u
+              FROM logs WHERE log_level = 'DEBUG' AND $timeCond)
+        SELECT chq_timestamp, log_message,
+               CASE WHEN u = '1' THEN NULL ELSE u END AS "user"
+        FROM x""")),
+
     Q("lq_absent_over_time",
       { (s, d) =>
         Compiler.query("""absent_over_time({attr_event_type="signup"}[4h])""",

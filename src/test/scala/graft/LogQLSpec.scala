@@ -17,7 +17,7 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(pipe.stages.exists {
       case LabelFilter("latency", ">", "250ms", true) => true; case _ => false
     })
-    assert(pipe.stages.contains(DropStage(List("tmp"))))
+    assert(pipe.stages.contains(DropStage(List("tmp" -> None))))
   }
 
   test("selector requires an equality matcher") {
@@ -42,8 +42,8 @@ class LogQLParserSpec extends AnyFunSuite {
 
   test("keep_labels/drop_labels/decolorize parse (reference stage keywords)") {
     val q = p("""{app="web"} | logfmt | keep_labels evt | decolorize | drop_labels tmp""")
-    assert(q.raw.get.stages.contains(KeepStage(List("evt"))))
-    assert(q.raw.get.stages.contains(DropStage(List("tmp"))))
+    assert(q.raw.get.stages.contains(KeepStage(List("evt" -> None))))
+    assert(q.raw.get.stages.contains(DropStage(List("tmp" -> None))))
     assert(q.raw.get.stages.contains(DecolorizeStage))
     // bare forms are accepted as no-ops, as in the reference parser
     assert(Parser.parse("""{app="web"} | keep_labels | drop_labels""").isRight)
@@ -315,6 +315,30 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(intercept[Exception](parseTemplate("{{.m | trunc}}")) != null)
     assert(intercept[Exception](parseTemplate("{{.m | substr 1}}")) != null)
     assert(intercept[Exception](parseTemplate("{{.m | trunc x}}")) != null)
+  }
+
+  test("conditional keep/drop null the label per row; unconditional reshape the set") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "m1", "debug", "a"), (2L, "m2", "info", "b"), (3L, "m3", "debug", "c"))
+      .toDF("chq_tsns", "log_message", "level", "other")
+      .withColumn("chq_timestamp", col("chq_tsns"))
+      .withColumn("env", lit("prod"))
+    def run(q: String, fields: Seq[String]) = {
+      val e = Parser.parse(q).fold(e => fail(e), identity)
+      Compiler.rawQuery(e.raw.get, LogStore(rows), 0L, 100L, 100, fields = fields)
+    }
+    // drop level="debug": level nulled on matching rows only
+    val d = run("""{env="prod"} | drop level="debug" """, Seq("chq_tsns", "level"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(d == Map(1L -> None, 2L -> Some("info"), 3L -> None), d.toString)
+    // keep level="info": label set shrinks to level, non-matching rows null
+    val k = run("""{env="prod"} | keep level="info" """, Seq("chq_tsns", "level"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(k == Map(1L -> None, 2L -> Some("info"), 3L -> None), k.toString)
+    // unconditional drop still removes the label from the default output
+    val u = run("""{env="prod"} | drop other""", Seq("chq_tsns", "level"))
+    assert(u.count() == 3)
   }
 
   test("vector(N) parses as a number-literal vector (reference KindVector)") {
