@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.DoubleType
 import graft.ops.DotProduct
 import graft.sketch.{CountMinAgg, CountMinEstimate, CountMinMergeAgg, DDSketch,
-  DDSketchAgg, DDSketchMergeAgg, DDSketchQuantile, DDSketchStats}
+  DDSketchAgg, DDSketchFraction, DDSketchMergeAgg, DDSketchQuantile,
+  DDSketchStats, DDSketchStdVar}
 
 /** SparkSessionExtensions hook registering graft's native expressions in
   * the SQL function registry, so `spark.sql` text can use the engine's
@@ -66,6 +67,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(s) => DDSketchStats(s)
         case _ => throw new IllegalArgumentException("ddsketch_stats(sketch)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_fraction"),
+      info("ddsketch_fraction",
+        "ddsketch_fraction(sketch, lo, hi) - fraction of read-backs in [lo, hi]"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, lo, hi) =>
+          DDSketchFraction(s, Cast(lo, DoubleType), Cast(hi, DoubleType))
+        case _ => throw new IllegalArgumentException("ddsketch_fraction(sketch, lo, hi)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_stdvar"),
+      info("ddsketch_stdvar", "ddsketch_stdvar(sketch) - read-back population variance"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DDSketchStdVar(s, isStdDev = false)
+        case _ => throw new IllegalArgumentException("ddsketch_stdvar(sketch)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_stddev"),
+      info("ddsketch_stddev", "ddsketch_stddev(sketch) - read-back population stddev"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DDSketchStdVar(s, isStdDev = true)
+        case _ => throw new IllegalArgumentException("ddsketch_stddev(sketch)")
       }))
 
     ext.injectFunction((FunctionIdentifier("graft_dot"),

@@ -151,6 +151,20 @@ class DDSketchSpec extends AnyFunSuite {
     assert(exact.keys.forall(k => rt.estimate(k) == a.estimate(k)))
   }
 
+  test("fraction/stdvar/stddev are SQL-registered like their siblings") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("frac_vals")
+    val fr = spark.sql(
+      "SELECT ddsketch_fraction(ddsketch_agg(v), 0, 1e9) AS f FROM frac_vals")
+      .head().getDouble(0)
+    assert(fr == 1.0)
+    val sd = spark.sql(
+      "SELECT ddsketch_stddev(ddsketch_agg(v)) AS s, " +
+        "ddsketch_stdvar(ddsketch_agg(v)) AS v2 FROM frac_vals").head()
+    assert(math.abs(sd.getDouble(0) * sd.getDouble(0) - sd.getDouble(1)) < 1e-9)
+  }
+
   test("cms SQL registry: agg + merge + est compose in SQL text") {
     val spark = TestSpark.spark
     import spark.implicits._
