@@ -567,14 +567,26 @@ object Engine {
                 when(col("__covered"), v).otherwise(lit(Double.NaN)))
               .drop("__vs", "__covered")
           case "stddev_over_time" | "stdvar_over_time" =>
-            // population variance via the exact-sums form (n·Σv² − (Σv)²)/n²
-            // instead of built-in var_pop: Welford-style incremental updates
-            // are order-sensitive at the ulp level and Spark/DuckDB walk
-            // window frames in different orders — plain sums keep the oracle
-            // replayable (window n is small, conditioning is benign)
-            val n = count(lit(1)).over(rw).cast("double")
-            val sv = sum(bavg).over(rw)
-            val svv = sum(bavg * bavg).over(rw)
+            // population variance via the exact-sums form (n·Σv² − (Σv)²)/n².
+            // Σv and Σv² are built by a LEFT FOLD over the ts-ordered window
+            // value list (not window SUMs): window-frame accumulation order is
+            // engine-internal (DuckDB segment-trees, Spark streams the frame),
+            // and the n·Σv² − (Σv)² cancellation amplifies that ulp noise
+            // arbitrarily when the variance is small. A sequential fold is the
+            // same ops in the same order on both engines (the oracle replays
+            // it as a recursive CTE), so every intermediate double is
+            // bit-equal. The window is ≤ range/step buckets — the per-row
+            // list stays tiny.
+            val vs = collect_list(bavg).over(rw)
+            val n = size(vs).cast("double")
+            val acc = aggregate(
+              vs,
+              struct(lit(0.0).as("sv"), lit(0.0).as("svv")),
+              (a, x) => struct(
+                (a.getField("sv") + x).as("sv"),
+                (a.getField("svv") + x * x).as("svv")))
+            val sv = acc.getField("sv")
+            val svv = acc.getField("svv")
             val varp = (n * svv - sv * sv) / (n * n)
             val v = if (fn == "stddev_over_time") sqrt(varp) else varp
             bucketed.withColumn("value", when(covered, v).otherwise(lit(Double.NaN)))

@@ -632,20 +632,35 @@ object PromQLQueries extends Catalog {
         sv.join(sd, Seq("ts", "attr_event_type"))
           .filter(!isnan(col("stdvar_v")) && !isnan(col("stddev_v")))
       },
-      // population variance via the exact-sums form the engine uses:
-      // (n·Σv² − (Σv)²)/n² — identical expression tree on both sides
-      Some(s"""WITH ${gaugeCte(H6)},
+      // population variance via the engine's exact-sums form
+      // (n·Σv² − (Σv)²)/n², with Σv/Σv² replayed as the SAME left fold over
+      // the SAME ts-ordered window list (recursive CTE ≡ the engine's
+      // aggregate() fold) — window SUM frame-walk order is engine-internal
+      // and the cancellation amplifies its ulp noise, so ordered folds are
+      // the only bit-replayable construction
+      Some(s"""WITH RECURSIVE ${gaugeCte(H6)},
         wnd AS (SELECT ts, attr_event_type,
-                  CAST(count(*) OVER w AS DOUBLE) AS n, sum(v) OVER w AS sv,
-                  sum(v * v) OVER w AS svv, min(ts) OVER w AS first_ts
+                  list(v) OVER w AS vs, min(ts) OVER w AS first_ts
                 FROM gauge
                 WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
-                             RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW))
+                             RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW)),
+        base AS (SELECT ts, attr_event_type, vs FROM wnd
+                 WHERE first_ts = ts - ${H6 - StepMs}
+                   AND ts >= $Start AND ts < $End),
+        f AS (SELECT ts, attr_event_type, vs, 0 AS i,
+                     CAST(0 AS DOUBLE) AS sv, CAST(0 AS DOUBLE) AS svv
+              FROM base
+              UNION ALL
+              SELECT ts, attr_event_type, vs, i + 1,
+                     sv + vs[i + 1], svv + vs[i + 1] * vs[i + 1]
+              FROM f WHERE i < len(vs)),
+        d AS (SELECT ts, attr_event_type,
+                     CAST(len(vs) AS DOUBLE) AS n, sv, svv
+              FROM f WHERE i = len(vs))
         SELECT ts, attr_event_type,
                (n * svv - sv * sv) / (n * n) AS stdvar_v,
                sqrt((n * svv - sv * sv) / (n * n)) AS stddev_v
-        FROM wnd
-        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+        FROM d""")),
 
     Q("pq_deriv",
       run("deriv(events_value[6h])"),
@@ -882,10 +897,15 @@ object PromQLQueries extends Catalog {
     Q("pq_subquery_expr",
       // subquery over an ARBITRARY expression (not just a selector):
       // rate at 4h resolution, then the daily running max of those rates.
-      // Inner rate at range==step is bsum/range per 4h bucket; the outer
-      // max windows over the evaluated points — max of bit-replayable
-      // divisions, so no float-sum ordering risk
-      run("max_over_time(rate(events_value[4h])[1d:4h])"),
+      // The inner 4h bsum group-sums doubles in engine-dependent order, so
+      // each rate carries ulp noise. max() can't flip across DISTINCT cents
+      // values (adjacent cents differ by 1/1440000 ≫ ulp), so quantizing the
+      // picked max back to exact integer cents (pq_rate technique) makes the
+      // emitted double bit-identical on both engines.
+      { (s, d) =>
+        run("max_over_time(rate(events_value[4h])[1d:4h])")(s, d)
+          .withColumn("value", exactCents(col("value"), H4))
+      },
       Some {
         val d1 = 86400000L
         s"""WITH ${Cooked.metricsCte},
@@ -897,7 +917,9 @@ object PromQLQueries extends Catalog {
           GROUP BY 1, 2),
         r AS (SELECT ts4, attr_event_type, bsum / ${H4 / 1000.0} AS rate
               FROM b4)
-        SELECT g.ts, r.attr_event_type, max(r.rate) AS value
+        SELECT g.ts, r.attr_event_type,
+               CAST(round(max(r.rate) * ${H4 / 1000.0 * 100}, 0) AS BIGINT)
+                 / ${H4 / 1000.0 * 100} AS value
         FROM range($Start, $End, $StepMs) g(ts)
         JOIN r ON r.ts4 >= g.ts - ${d1 - H4} AND r.ts4 <= g.ts
         GROUP BY 1, 2"""
