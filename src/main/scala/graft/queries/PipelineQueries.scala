@@ -531,6 +531,79 @@ object PipelineQueries extends Catalog {
        FROM scored) WHERE rk <= 10"""
   }
 
+  /** DuckDB twin of [[Similarity.ivfTopKLloyd]] (iters = 2): the same
+    * md5-ranked seed sample, then two assign→mean k-means rounds. The
+    * per-dimension means are grid-rounded by the SAME float cast the engine
+    * applies (`.cast("float")` ≡ CAST(AS REAL), IEEE round-to-nearest-even
+    * on both JVMs/DuckDB), which collapses avg()'s summation-order ulp
+    * noise onto an identical 24-bit grid — that cast is what makes Lloyd
+    * replayable at all. Then the standard IVF list/probe/rerank from
+    * the refined centroids (k = 5, nProbe = 4, queries vec_id < 8).
+    */
+  private val ivfAnnLloydSql = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    // one assign→mean Lloyd round: nearest `from` centroid per vector, then
+    // per-(cid, dim) float-cast means re-assembled into centroid vectors
+    def lloydRound(from: String, to: String) =
+      s"""${to}_assign AS (
+       SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY ${cos("e.embedding", "c.cemb")} DESC,
+                                            c.cid ASC) AS rk
+         FROM embeddings e CROSS JOIN $from c) WHERE rk <= 1),
+     ${to}_means AS (
+       SELECT a.cid, d.i AS pos,
+              CAST(avg(CAST(e.embedding[CAST(d.i + 1 AS INT)] AS DOUBLE)) AS REAL) AS m
+       FROM ${to}_assign a
+       JOIN embeddings e ON e.vec_id = a.vec_id
+       CROSS JOIN range(0, 64) d(i)
+       GROUP BY 1, 2),
+     $to AS (
+       SELECT cid, list(m ORDER BY pos) AS cemb FROM ${to}_means GROUP BY cid)"""
+    s"""WITH params AS (
+       SELECT least(4096, greatest(4,
+         CAST(pow(2, ceil(log2(CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT))) AS c
+       FROM embeddings),
+     cents0 AS (
+       SELECT vec_id AS cid, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= (SELECT c FROM params)),
+     ${lloydRound("cents0", "cents1")},
+     ${lloydRound("cents1", "cents2")},
+     assign_all AS (
+       SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cemb")} AS csim
+       FROM embeddings e CROSS JOIN cents2 c),
+     lists AS (
+       SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all) WHERE rk <= 1),
+     probes AS (
+       SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all WHERE vec_id < 8) WHERE rk <= 4),
+     cand AS (
+       SELECT p.query_id, l.vec_id
+       FROM lists l JOIN probes p ON l.cid = p.cid
+       WHERE l.vec_id <> p.query_id),
+     scored AS (
+       SELECT c.query_id, c.vec_id, ${cos("q.embedding", "v.embedding")} AS sim
+       FROM cand c
+       JOIN embeddings q ON q.vec_id = c.query_id
+       JOIN embeddings v ON v.vec_id = c.vec_id)
+     SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rk
+       FROM scored) WHERE rk <= 5"""
+  }
+
   /** embedding-cosine near-dup pairs (dedup over the embedding space);
     * threshold 0.4 — the synthetic embeddings carry no true duplicates
     * (max pairwise cosine ≈ 0.51), so the row exercises the operator's
@@ -923,12 +996,13 @@ object PipelineQueries extends Catalog {
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
-    // Lloyd-refined IVF: float centroid means are not bit-replayable across
-    // engines, so this row is rows-only; recall is spec-gated vs brute force
+    // Lloyd-refined IVF: the engine's float cast on each centroid mean IS a
+    // replayable grid-round, so the whole k-means refinement oracles in SQL
     Q("pp_ivf_ann_lloyd",
       (s, d) => Similarity.ivfTopKLloyd(
         Tables.embeddings(s, d),
-        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, nProbe = 4)),
+        Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, nProbe = 4),
+      Some(ivfAnnLloydSql)),
     Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
