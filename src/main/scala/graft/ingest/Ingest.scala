@@ -27,6 +27,22 @@ object Readers {
       OtelProto.readLogs(spark, path)
     else throw new IllegalArgumentException(s"unsupported input: $path")
   }
+
+  /** same dispatch over an EXPLICIT file list (all one format). Prefer this
+    * over a glob when reading back files a job just wrote: globbing a
+    * fresh directory races the filesystem listing (a cold run can see an
+    * empty match and fail), while an enumerated list is deterministic.
+    */
+  def readAny(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readAny: empty file list")
+    val p = paths.head.toLowerCase
+    if (p.endsWith(".parquet")) spark.read.parquet(paths: _*)
+    else if (p.endsWith(".json") || p.endsWith(".json.gz"))
+      spark.read.json(paths: _*)
+    else if (p.endsWith(".csv") || p.endsWith(".csv.gz"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+    else throw new IllegalArgumentException(s"unsupported input list: ${paths.head}")
+  }
 }
 
 /** CSV → cooked-log schema translation (reference

@@ -190,6 +190,19 @@ object TelemetryQueries extends Catalog {
             min(chq_tsns) AS min_tsns
      FROM logs GROUP BY 1"""
 
+  /** enumerate the exact data files a just-finished write produced: a glob
+    * over a fresh temp dir races the filesystem listing (r6's one bench
+    * flake was exactly this), while the explicit list is deterministic —
+    * and an empty list fails loudly instead of benching an empty frame
+    */
+  private def writtenFiles(dir: String, suffix: String): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(suffix)).map(_.getAbsolutePath).sorted.toSeq
+    require(files.nonEmpty, s"no *$suffix files written under $dir")
+    files
+  }
+
   /** NDJSON.gz ingest round-trip: events → ndjson.gz on disk → readAny →
     * flatten → per-level counts equal a direct aggregation.
     */
@@ -201,7 +214,7 @@ object TelemetryQueries extends Catalog {
         .as("resource"),
       col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").option("compression", "gzip").json(dir)
-    val back = Readers.readAny(s, dir + "/*.json.gz")
+    val back = Readers.readAny(s, writtenFiles(dir, ".json.gz"))
     val cooked = Flatten.flattenToCooked(back,
       prefixes = Map("resource" -> "resource_"),
       keepTyped = Set("ts_ms", "value"))
@@ -228,7 +241,7 @@ object TelemetryQueries extends Catalog {
       col("value").as("Value%"))
       .write.mode("overwrite").option("header", "true").csv(dir)
     val cooked = graft.ingest.CsvLog.translate(
-      Readers.readAny(s, dir + "/*.csv"), "bench-bucket", "log.csv")
+      Readers.readAny(s, writtenFiles(dir, ".csv")), "bench-bucket", "log.csv")
     cooked.groupBy(col("log_event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("log_value")), 4).as("sum_v"),
         min(col("chq_timestamp")).as("min_ts"),
@@ -249,7 +262,7 @@ object TelemetryQueries extends Catalog {
     val dir = Files.createTempDirectory("graft_csv_").toString + "/events.csv"
     raw(s, d).select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
       .write.mode("overwrite").option("header", "true").csv(dir)
-    val back = Readers.readAny(s, dir + "/*.csv")
+    val back = Readers.readAny(s, writtenFiles(dir, ".csv"))
     back.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"),
         max(col("ts_ms")).cast("long").as("max_ts"))
