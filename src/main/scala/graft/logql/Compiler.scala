@@ -223,17 +223,31 @@ object Compiler {
     pipeline.stages.foreach {
       case LineFilter(op, needle) =>
         val line = col("log_message")
+        // literal prefilters ahead of rlike (mirrors the reference's staged
+        // filtering, logql/worker_sql.go:215-266): every regex match must
+        // contain its required literal segments, and contains() is a
+        // codegen'd indexOf — so non-matching lines (the common case) are
+        // rejected in O(n) instead of feeding Java's backtracking engine,
+        // whose multi-(.*?) worst case inflated these rows 80-150x under
+        // host contention in r6. Semantics are unchanged: rlike ⇒ contains.
         def patternCond: Column = {
           val (re, names) = patternToRegex(needle)
           require(names.isEmpty,
             s"pattern line filters allow only <_> placeholders, got <${names.head}>")
-          line.rlike(re) // anchored ^...$ → whole-line match
+          // pattern literals are known exactly — require ALL of them, so a
+          // line missing any later segment never reaches the regex
+          patternLiterals(needle).filter(_.nonEmpty)
+            .foldLeft(line.rlike(re)) { (c, l) => line.contains(l) && c }
+        }
+        def regexCond: Column = longestRegexLiteral(needle) match {
+          case Some(l) => line.contains(l) && line.rlike(needle)
+          case None => line.rlike(needle)
         }
         df = op match {
           case LineFilterOp.Contains    => df.filter(line.contains(needle))
           case LineFilterOp.NotContains => df.filter(!line.contains(needle))
-          case LineFilterOp.Regex       => df.filter(line.rlike(needle))
-          case LineFilterOp.NotRegex    => df.filter(!line.rlike(needle))
+          case LineFilterOp.Regex       => df.filter(regexCond)
+          case LineFilterOp.NotRegex    => df.filter(!regexCond)
           case LineFilterOp.Pattern     => df.filter(patternCond)
           case LineFilterOp.NotPattern  => df.filter(!patternCond)
         }
@@ -627,6 +641,52 @@ object Compiler {
       }
     }
     (sb.append("$").toString, names.toSeq)
+  }
+
+  /** the RAW literal segments of a Loki pattern (the text between
+    * placeholders): every whole-line match must contain each of them, so
+    * they are safe contains() prefilters ahead of the compiled regex
+    */
+  def patternLiterals(p: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      if (p(i) == '<') {
+        val end = p.indexOf('>', i)
+        require(end > i, s"unterminated <capture> in pattern '$p'")
+        if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+        i = end + 1
+      } else { cur.append(p(i)); i += 1 }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** longest PROVABLY-REQUIRED literal substring of a user regex, if one
+    * can be established cheaply. Only attempted when the pattern has no
+    * groups/classes/escapes/alternation/counted-repeats — then the regex is
+    * a linear walk and every literal run whose last char is not under a
+    * quantifier must appear in any match. Complex regexes return None and
+    * keep the plain rlike. Runs under 3 chars aren't selective enough to
+    * pay for the extra contains().
+    */
+  def longestRegexLiteral(re: String): Option[String] = {
+    if (re.exists(c => "([\\|{".indexOf(c.toInt) >= 0)) return None
+    val breakers = ".^$?*+)]}"
+    val runs = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < re.length) {
+      val c = re(i)
+      val nextQuant = i + 1 < re.length && "?*+".indexOf(re(i + 1).toInt) >= 0
+      if (breakers.indexOf(c.toInt) >= 0 || nextQuant) {
+        if (cur.nonEmpty) { runs += cur.toString; cur.clear() }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) runs += cur.toString
+    runs.maxByOption(_.length).filter(_.length >= 3)
   }
 
   /** `$.a.b` stays; bare `a` → `$.a` */

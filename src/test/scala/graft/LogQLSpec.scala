@@ -471,4 +471,51 @@ class LogQLCompilerSpec extends AnyFunSuite {
     assert(out == Set(("first a", "a"), ("first b", "b"), ("in-window c", "c")),
       out.toString)
   }
+
+  test("literal prefilter extraction: pattern segments and provable regex runs") {
+    assert(Compiler.patternLiterals("<_> ERROR <m> took <t>ms") ==
+      Seq(" ERROR ", " took ", "ms"))
+    assert(Compiler.patternLiterals("plain literal") == Seq("plain literal"))
+    assert(Compiler.patternLiterals("<a><b>") == Nil)
+    // linear regex: longest run wins, quantified trailing char excluded
+    assert(Compiler.longestRegexLiteral("error.*timeouts?") == Some("timeout"))
+    assert(Compiler.longestRegexLiteral("^checkout .* failed$") == Some("checkout "))
+    // unprovable shapes (alternation/groups/classes/escapes/repeats) bail
+    assert(Compiler.longestRegexLiteral("abc|def").isEmpty)
+    assert(Compiler.longestRegexLiteral("(abc)def").isEmpty)
+    assert(Compiler.longestRegexLiteral("[ab]cdef").isEmpty)
+    assert(Compiler.longestRegexLiteral("\\d+ errors").isEmpty)
+    assert(Compiler.longestRegexLiteral("ab{2}cd").isEmpty)
+    // too-short runs aren't worth the extra scan
+    assert(Compiler.longestRegexLiteral("a.b.c").isEmpty)
+  }
+
+  test("pattern/regex filters reject adversarial long lines in linear time") {
+    import spark.implicits._
+    // lines that START like a match (pass the anchor + first literal) but
+    // lack a later segment: exactly the shape where multi-(.*?) Java
+    // backtracking goes superlinear. The contains() prefilter on the later
+    // literals must reject them before the regex ever runs.
+    val junk = "x" * 8192
+    val rows = (1 to 2000).map(i =>
+      (1000L + i, s"req $i ERROR $junk", "prod")) :+
+      ((5000L, "req 0 ERROR boom took 17ms", "prod"))
+    val df = rows.toDF("chq_timestamp", "log_message", "env")
+      .withColumn("chq_tsns", col("chq_timestamp") * 1000000L)
+    val q = Parser.parse("""{env="prod"} |> "<_> ERROR <_> took <_>ms" """)
+      .fold(e => fail(e), identity)
+    val t0 = System.nanoTime()
+    val out = Compiler.rawQuery(q.raw.get, LogStore(df), 0L, 10000L, 10,
+      fields = Seq("log_message")).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.map(_.getString(0)).toSeq == Seq("req 0 ERROR boom took 17ms"))
+    // unprefiltered backtracking takes minutes on this input; the bound is
+    // deliberately loose so only the catastrophic path can trip it
+    assert(sec < 20.0, f"pattern filter took $sec%.1fs — prefilter missing?")
+    // the compiled plan carries the Contains guards ahead of the RLike
+    // (analyzed plan: the local-relation optimizer folds the executed one)
+    val plan = Compiler.rawQuery(q.raw.get, LogStore(df), 0L, 10000L, 10,
+      fields = Seq("log_message")).queryExecution.analyzed.toString
+    assert(plan.toLowerCase.contains("contains"), plan.take(800))
+  }
 }
