@@ -513,27 +513,51 @@ object FingerprintIndex {
     */
   val indexReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** ONE filtered aggregation over the index: per indexed file, which of
-    * `wanted` it contains. None when no index exists (or it is
-    * unreadable — degrading to "no pruning" is always correct). Result
-    * size ≤ file count; the per-file hit set is bounded by |wanted|.
+  /** Column twin of [[canMatch]]: the requirement tree evaluated over a
+    * per-file hit ARRAY, so tree evaluation runs inside the executors and
+    * only decided FILE PATHS ever reach the driver.
     */
-  def fetchHits(spark: SparkSession, segDir: String,
-      wanted: Set[Long]): Option[Map[String, Set[Long]]] = {
-    if (wanted.isEmpty) return None
+  private[graft] def canMatchCol(have: Column, n: ReqNode): Column = n match {
+    case Requirement(f, fps, guarded) =>
+      val all = fps.map(fp => array_contains(have, lit(fp)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      if (guarded) !array_contains(have, lit(sentinelFp(f))) || all else all
+    case ReqAnd(cs) =>
+      cs.map(canMatchCol(have, _)).reduceOption(_ && _).getOrElse(lit(true))
+    case ReqOr(cs) =>
+      if (cs.isEmpty) lit(true) else cs.map(canMatchCol(have, _)).reduce(_ || _)
+  }
+
+  /** The exclusion computation as a DataFrame — single column `file`, one
+    * row per provably non-matching indexed file. None when no index exists
+    * (or it is unreadable — degrading to "no pruning" is always correct).
+    * The whole tree batch is ONE filtered aggregation over the index
+    * (predicate on `fingerprint` pushes into the index's bloom filter) with
+    * the and-or tree evaluated as a Column over each file's hit array:
+    * nothing per-file ever materializes on the driver — at millions of
+    * segments (100 TB) the driver cost is bounded by the EXCLUDED-path
+    * list, which the caller needs anyway to build the pruned scan.
+    */
+  def exclusionFrame(spark: SparkSession, segDir: String,
+      trees: Seq[ReqNode]): Option[DataFrame] = {
+    if (trees.isEmpty || trees.exists(t => wantedFps(t).isEmpty)) return None
+    val fileMarker = sentinelFp("__file")
+    val wanted = trees.flatMap(wantedFps).toSet + fileMarker
     val idxP = new org.apache.hadoop.fs.Path(indexPath(segDir))
     val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idxP)) return None
     val idx = try spark.read.parquet(indexPath(segDir))
       catch { case _: org.apache.spark.sql.AnalysisException => return None }
     indexReads.incrementAndGet()
-    Some(idx
+    val hits = idx
       .filter(col("fingerprint").isin(wanted.toSeq: _*))
       .groupBy(col("file"))
       .agg(collect_set(col("fingerprint")).as("fps"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
-      .toMap)
+    // excluded ⇔ indexed (file marker present) ∧ NO leaf tree can match
+    val excluded = trees.map(t => !canMatchCol(col("fps"), t)).reduce(_ && _)
+    Some(hits
+      .filter(array_contains(col("fps"), lit(fileMarker)) && excluded)
+      .select(col("file")))
   }
 
   /** Files under segDir that may be EXCLUDED from a scan serving ALL the
@@ -542,25 +566,15 @@ object FingerprintIndex {
     * whole batch costs ONE index read regardless of leaf count (the
     * reference likewise fetches the union of fingerprints in one lookup,
     * then evaluates the tree against the result,
-    * queryapi/logs_evaluator.go:306-330).
+    * queryapi/logs_evaluator.go:306-330). Only file PATHS are collected —
+    * never per-file fingerprint sets (see [[exclusionFrame]]).
     */
   def excludedForTrees(spark: SparkSession, segDir: String,
-      trees: Seq[ReqNode]): Set[String] = {
-    if (trees.isEmpty) return Set.empty
-    // a requirement-free leaf reads every file — the intersection is empty
-    if (trees.exists(t => wantedFps(t).isEmpty)) return Set.empty
-    val fileMarker = sentinelFp("__file")
-    val wanted = trees.flatMap(wantedFps).toSet + fileMarker
-    fetchHits(spark, segDir, wanted) match {
+      trees: Seq[ReqNode]): Set[String] =
+    exclusionFrame(spark, segDir, trees) match {
       case None => Set.empty
-      case Some(hits) =>
-        trees.map { t =>
-          hits.collect { case (file, have)
-            if have.contains(fileMarker) && !canMatch(have, t) => file
-          }.toSet
-        }.reduce(_ intersect _)
+      case Some(df) => df.collect().map(_.getString(0)).toSet
     }
-  }
 
   /** Files under segDir that may be EXCLUDED from the scan: indexed files
     * positively known to lack a required fingerprint (single flat-AND

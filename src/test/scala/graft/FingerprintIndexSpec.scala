@@ -279,4 +279,52 @@ class FingerprintIndexSpec extends AnyFunSuite {
     val pipe = LogPipeline(List(Matcher("resource_service_name", MatchOp.Eq, "")), Nil)
     assert(FI.requirementsFor(pipe).isEmpty)
   }
+
+  test("exclusion crosses the driver boundary as file paths ONLY") {
+    // the 100 TB gate: tree evaluation happens in the executors over the
+    // per-file hit arrays; the driver sees a single-column `file` frame —
+    // never per-file fingerprint sets (r6 watch item)
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(600, "x"), dir, maxRecordsPerFile = 200)
+    FI.buildLogIndex(spark, dir)
+    val pipe = LogPipeline(
+      List(Matcher("log_level", MatchOp.Eq, "ERROR")),
+      List(LineFilter(LineFilterOp.Contains, "zebraquux")))
+    val frame = FI.exclusionFrame(spark, dir,
+      Seq(FI.requirementTreeFor(pipe)))
+    assert(frame.isDefined)
+    assert(frame.get.schema.fieldNames.toSeq == Seq("file"),
+      frame.get.schema.treeString)
+  }
+
+  test("Column tree evaluation is equivalent to the driver-side canMatch") {
+    import spark.implicits._
+    // random-ish trees + hit sets: the distributed evaluation must agree
+    // with the reference implementation on every (tree, have) combination
+    val fpsA = Seq(1L, 2L, 3L)
+    val trees: Seq[FI.ReqNode] = Seq(
+      FI.Requirement("f", fpsA, guarded = false),
+      FI.Requirement("f", fpsA, guarded = true),
+      FI.ReqAnd(Seq(
+        FI.Requirement("a", Seq(1L), guarded = false),
+        FI.ReqOr(Seq(
+          FI.Requirement("b", Seq(2L), guarded = true),
+          FI.Requirement("c", Seq(9L), guarded = false))))),
+      FI.ReqOr(Nil), FI.ReqAnd(Nil))
+    val universe = Seq(1L, 2L, 3L, 9L,
+      FI.sentinelFp("f"), FI.sentinelFp("b"), FI.sentinelFp("c"))
+    // all subsets of a 7-element universe = 128 hit sets
+    val haves = (0 until 128).map(m =>
+      universe.zipWithIndex.collect { case (v, i) if (m & (1 << i)) != 0 => v })
+    val df = haves.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "fps")
+    trees.foreach { t =>
+      val c = FI.canMatchCol(df("fps"), t)
+      val got = df.select(df("i"), c.as("m")).collect()
+        .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      haves.zipWithIndex.foreach { case (h, i) =>
+        assert(got(i) == FI.canMatch(h.toSet, t),
+          s"tree $t, have ${h.toSet}")
+      }
+    }
+  }
 }
