@@ -141,16 +141,28 @@ object Dedup {
     * step a dedup pipeline runs after candidate generation, so "A≈B, B≈C"
     * collapses into one cluster with a canonical (min-id) representative.
     *
-    * Iterative min-label propagation: each node starts labeled with its own
-    * id; every round each node takes the min label among itself and its
-    * neighbors; converges in O(component diameter) rounds. Per round: one
-    * equi-join + one groupBy over the EDGE set — no driver-side graph, so
-    * the same loop runs on 10¹⁰ edges; the driver only reads the converged
-    * flag. Near-dup graphs have tiny diameters (dups cluster tightly), so
-    * the default iteration cap is generous.
+    * Min-label propagation WITH pointer jumping: each node starts labeled
+    * with its own id; every round each node takes the min label among
+    * itself and its neighbors, then follows that label one hop through the
+    * label table (comp ← comp[comp]). The extra self-join makes the label
+    * stride double-and-one per round, so chain-shaped components converge
+    * in O(log diameter) rounds instead of O(diameter) — the same
+    * shortcutting idea as large-star/small-star, with labels instead of
+    * edge rewrites. Per round: one equi-join + one groupBy over the EDGE
+    * set plus one label self-join — no driver-side graph, so the same loop
+    * runs on 10¹⁰ edges; the driver reads only the converged flag, and
+    * that flag rides the round's ONE materialization as an observed
+    * metric (no separate count job per round).
     */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    componentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[components]] plus the number of rounds it took (round-count is a
+    * tested convergence bound — see OpsSpec's 64-chain fixture)
+    */
+  def componentsWithRounds(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 20): (DataFrame, Int) = {
     // the longest-lived materialization in the repo (read every round):
     // set spark.graft.checkpointDir on a real cluster so a lost executor
     // mid-convergence recovers from reliable storage (GraftSession.materialize)
@@ -165,18 +177,42 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("comp")).as("ncomp"))
-      // one materialization per round: the changed-count and the next
-      // round's labels both read the same checkpointed frame
+      val cand = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("cand"))
+      // pointer jump: labels are node ids, so the candidate label is
+      // itself a row in the label table — follow it one hop (its label is
+      // ≤ it by the invariant comp ≤ id, preserved inductively)
+      val jump = labels.select(col("id").as("cand"), col("comp").as("jcomp"))
+      val stepped = cand.join(jump, Seq("cand"), "left")
+        .select(col("id"), col("comp"),
+          least(col("cand"), coalesce(col("jcomp"), col("cand"))).as("comp2"))
+      // the changed-count rides the materialization's own action as an
+      // observed metric; the count() fallback only fires if the
+      // checkpoint path ever stops reporting observations
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$i")
       val next = graft.GraftSession.materialize(
-        labels.join(prop, Seq("id"), "left")
-          .select(col("id"), col("comp"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2")))
-      changed = next.filter(col("comp2") < col("comp")).count()
+        stepped.observe(obs,
+          coalesce(sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)),
+            lit(0L)).as("changed")))
+      // metric delivery is async relative to the (eager) checkpoint job:
+      // wait briefly for it, then fall back to a count over the cached
+      // frame if the checkpoint path ever stops reporting observations
+      val metric: Map[String, Any] = try {
+        import scala.concurrent.duration._
+        scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
+          5.seconds)
+      } catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+      changed = metric.get("changed") match {
+        case Some(v: Long) => v
+        case _ => next.filter(col("comp2") < col("comp")).count()
+      }
       labels = next.select(col("id"), col("comp2").as("comp"))
       i += 1
     }
     require(changed == 0, s"components did not converge within $maxIter rounds")
-    labels
+    (labels, i)
   }
 
   /** Apply dup clusters to the corpus: keep ONE document per cluster (the

@@ -252,6 +252,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components: a 64-deep chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst case for plain min-propagation (63 rounds); pointer jumping
+    // must land every node on label 0 within the log bound: the label
+    // stride follows s ← 2s+1, so stride ≥ 63 by round 6, plus one
+    // confirming round — well under the default maxIter=20
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.componentsWithRounds(chain)
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L), comp.toString)
+    assert(rounds <= 9, s"chain took $rounds rounds — pointer jump broken?")
+  }
+
   test("native DotProduct matches the HOF formulation bit-for-bit") {
     import spark.implicits._
     val df = Seq(
