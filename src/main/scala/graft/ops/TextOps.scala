@@ -96,9 +96,18 @@ object TextOps {
     u = regexp_replace(u, "#.*$", "")
     u = regexp_replace(u, "^https?://", "")
     u = regexp_replace(u, "^www\\.", "")
-    u = regexp_replace(u, "[?&](?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*", "")
-    u = regexp_replace(u, "^([^?]*)&", "$1?") // first surviving param after a strip
-    regexp_replace(u, "[?/]+$", "")
+    // stripped params leave a MARKER, so the separator repair can tell "a
+    // param was removed here" from a literal & in the path: a URL like
+    // example.com/a&b (no query at all) must never be rewritten to ?b
+    u = regexp_replace(u, "[?&](?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*", "\u0001")
+    // a surviving real ? means every marker sat between params → &;
+    // otherwise the FIRST marker was the ? itself and the rest were &
+    u = when(u.contains("?"), regexp_replace(u, "\u0001", "&"))
+      .otherwise(regexp_replace(
+        regexp_replace(u, "^([^\u0001]*)\u0001", "$1?"), "\u0001", "&"))
+    u = regexp_replace(u, "&{2,}", "&")
+    u = regexp_replace(u, "\\?&", "?")
+    regexp_replace(u, "[?&/]+$", "")
   }
 
   /** URL-level dedup: group by the canonical URL, keep the first doc id,

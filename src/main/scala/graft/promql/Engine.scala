@@ -177,10 +177,14 @@ object Engine {
       val asLong = v.cast("long")
       val fmt = when(asLong.cast("double") === v, asLong.cast("string"))
         .otherwise(v.cast("string"))
+      // the target label OVERWRITES an input label of the same name
+      // (Prometheus semantics) — it must appear once in the key list, not
+      // as a duplicate/ambiguous column
+      val keys = keep.filterNot(_ == lbl) :+ lbl
       val g = sf.df.withColumn(lbl, fmt)
-        .groupBy((col("ts") +: (keep :+ lbl).map(col)): _*)
+        .groupBy((col("ts") +: keys.map(col)): _*)
         .agg(count(lit(1)).cast("double").as("value"))
-      Right(SeriesFrame(g, (keep :+ lbl).distinct))
+      Right(SeriesFrame(g, keys))
 
     case LabelReplace(arg, dst, repl, src, regex) =>
       val sf = vector(eval(arg, store, p))
@@ -251,23 +255,35 @@ object Engine {
     case PredictLinear(sel, t) => Right(leaf(sel, "predict_linear", store, p, t))
 
     case TimeComponentFn(fn, arg) =>
-      // calendar components of the evaluation timestamp (UTC session tz);
-      // hour/minute/day_of_week are pure epoch arithmetic, the calendar
-      // ones go through timestamp_millis (still codegen'd Column algebra)
+      // calendar components of the argument's sample VALUES interpreted as
+      // epoch seconds (Prometheus funcHour et al. read el.F through
+      // time.Unix(int64(el.F), 0) — NOT the evaluation timestamp; they
+      // coincide only via the hour() ≡ hour(time()) default, where the
+      // value IS ts/1000). Truncation to whole seconds mirrors Go's
+      // int64(); UTC session tz; hour/minute/day_of_week stay pure integer
+      // arithmetic, the calendar ones go through timestamp_seconds (all
+      // codegen'd Column algebra).
       val sf = vector(eval(arg, store, p))
-      val ts = col("ts")
-      val t = timestamp_millis(ts.cast("long"))
+      val sec = col("value").cast("long")
+      val t = timestamp_seconds(sec)
       val v: Column = (fn match {
-        case "hour"          => floor(ts / lit(3600000.0)) % 24
-        case "minute"        => floor(ts / lit(60000.0)) % 60
+        // Column `/` is double division — floor() recovers the integer
+        // quotient (sec ≥ 0 on any real timestamp value)
+        case "hour"          => floor(sec / 3600) % 24
+        case "minute"        => floor(sec / 60) % 60
         // epoch day 0 (1970-01-01) was a Thursday; Prometheus counts 0=Sunday
-        case "day_of_week"   => (floor(ts / lit(86400000.0)) + 4) % 7
+        case "day_of_week"   => (floor(sec / 86400) + 4) % 7
         case "day_of_month"  => dayofmonth(t)
         case "month"         => month(t)
         case "year"          => year(t)
         case "days_in_month" => dayofmonth(last_day(t))
       }).cast("double")
       Right(sf.copy(df = sf.df.withColumn("value", v)))
+
+    case AbsentOverTime(sel) if sel.atKind != 0 =>
+      // @ pin: absence decided at the pinned bucket, emitted on the grid
+      Right(pinToGrid(store, p, sel.atKind, sel.atMs)(pp =>
+        vector(eval(AbsentOverTime(sel.copy(atKind = 0)), store, pp))))
 
     case AbsentOverTime(sel) =>
       // 1 exactly on the grid buckets whose lookback window — the same
@@ -360,7 +376,17 @@ object Engine {
       .groupBy((col("ts") +: keep.map(col)): _*)
       .agg(array_sort(collect_list(struct(col("__le").as("le"), col("value").as("v"))))
         .as("__bs"))
-    val s = col("__bs")
+    // monotonicity repair (Prometheus ensureMonotonic): cumulative counts
+    // built from rate() carry float error that can dip, which would pick a
+    // wrong bucket or interpolate with a negative denominator — running
+    // max over the le-sorted array restores non-decreasing counts (n is
+    // the bucket-layout size, so the quadratic slice walk is ~50² worst
+    // case per group, still one projection)
+    val raw = col("__bs")
+    val s = transform(raw, (x, i) => struct(
+      x.getField("le").as("le"),
+      aggregate(slice(raw, lit(1), i + lit(1)), lit(Double.NegativeInfinity),
+        (acc, y) => greatest(acc, y.getField("v"))).as("v")))
     val n = size(s)
     val total = get(s, n - 1).getField("v")
     val rank = lit(q) * total
@@ -370,8 +396,13 @@ object Engine {
     val prevLe = coalesce(prev.getField("le"), lit(0.0))
     val prevV = coalesce(prev.getField("v"), lit(0.0))
     val maxFinite = get(s, n - 2).getField("le")
+    // out-of-range q decided FIRST, before any bucket inspection
+    // (Prometheus bucketQuantile: NaN → NaN, q<0 → -Inf, q>1 → +Inf)
     val res =
-      when(n < 2 || total <= 0 || isnull(cur), lit(Double.NaN))
+      if (q.isNaN) lit(Double.NaN)
+      else if (q < 0) lit(Double.NegativeInfinity)
+      else if (q > 1) lit(Double.PositiveInfinity)
+      else when(n < 2 || total <= 0 || isnull(cur), lit(Double.NaN))
         .when(cur.getField("le") === lit(Double.PositiveInfinity), maxFinite)
         .otherwise(prevLe + (cur.getField("le") - prevLe) *
           (rank - prevV) / (cur.getField("v") - prevV))
@@ -437,26 +468,36 @@ object Engine {
     "double_exponential_smoothing", "mad_over_time",
     "ts_of_max_over_time", "ts_of_min_over_time")
 
+  /** @ modifier: evaluate at ONE pinned step bucket (via `evalAt` with a
+    * one-bucket QueryParams), then emit that per-series value on every
+    * bucket of the query grid. Both sides of the cross join are
+    * post-aggregation result rows (grid ≤ span/step, pinned ≤ series
+    * count) — the pinned side broadcasts. Shared by leaf(),
+    * sketchStatLeaf(), and absent_over_time so EVERY selector path the
+    * parser pins actually honors the pin.
+    */
+  private def pinToGrid(store: MetricStore, p: QueryParams, atKind: Int,
+      atMs: Long)(evalAt: QueryParams => SeriesFrame): SeriesFrame = {
+    val te = atKind match {
+      case 1 => atMs
+      case 2 => p.startMs
+      case _ => p.endMs
+    }
+    val teA = te - te % p.stepMs
+    val pinned = evalAt(QueryParams(teA, teA + p.stepMs, p.stepMs))
+    val spark = store.df.sparkSession
+    val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("__gts")
+    SeriesFrame(
+      grid.crossJoin(broadcast(pinned.df.drop("ts")))
+        .withColumnRenamed("__gts", "ts"),
+      pinned.labels)
+  }
+
   private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
       predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
-    // @ modifier: evaluate the leaf at ONE pinned step bucket, then emit
-    // that per-series value on every bucket of the query grid. Both sides
-    // of the cross join are post-aggregation result rows (grid ≤ span/step,
-    // pinned ≤ series count) — the pinned side broadcasts.
     if (sel.atKind != 0) {
-      val te = sel.atKind match {
-        case 1 => sel.atMs
-        case 2 => p.startMs
-        case _ => p.endMs
-      }
-      val teA = te - te % p.stepMs
-      val pinned = leaf(sel.copy(atKind = 0), fn, store,
-        QueryParams(teA, teA + p.stepMs, p.stepMs), predictT, hwSf, hwTf)
-      val spark = store.df.sparkSession
-      val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("__gts")
-      val out = grid.crossJoin(broadcast(pinned.df.drop("ts")))
-        .withColumnRenamed("__gts", "ts")
-      return SeriesFrame(out, pinned.labels)
+      return pinToGrid(store, p, sel.atKind, sel.atMs)(pp =>
+        leaf(sel.copy(atKind = 0), fn, store, pp, predictT, hwSf, hwTf))
     }
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
@@ -771,6 +812,10 @@ object Engine {
     import graft.sketch.{functions => gf}
     require(store.df.schema.fieldNames.contains("chq_sketch"),
       "quantile paths need a chq_sketch column in the metric store")
+    if (sel.atKind != 0) {
+      return pinToGrid(store, p, sel.atKind, sel.atMs)(pp =>
+        sketchStatLeaf(sel.copy(atKind = 0), store, pp)(readOut))
+    }
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
     val off = sel.offsetMs

@@ -122,20 +122,32 @@ object PipelineQueries extends Catalog {
                     ELSE '' END)
               || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
        FROM documents),
+     m AS (
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(lower(trim(url)), '#.*$', ''),
+                    '^https?://', ''),
+                  '^www\.', ''),
+                '[?&](?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*', chr(1), 'g')
+                AS v
+       FROM u),
      c AS (
        SELECT doc_id,
               regexp_replace(
                 regexp_replace(
                   regexp_replace(
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(lower(trim(url)), '#.*$', ''),
-                        '^https?://', ''),
-                      '^www\.', ''),
-                    '[?&](?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
-                  '^([^?]*)&', '\1?'),
-                '[?/]+$', '') AS canon_url
-       FROM u)
+                    CASE WHEN contains(v, '?')
+                         THEN regexp_replace(v, chr(1), '&', 'g')
+                         ELSE regexp_replace(
+                                regexp_replace(v,
+                                  '^([^' || chr(1) || ']*)' || chr(1), '\1?'),
+                                chr(1), '&', 'g') END,
+                    '&{2,}', '&', 'g'),
+                  '\?&', '?'),
+                '[?&/]+$', '') AS canon_url
+       FROM m)
      SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_variants
      FROM c GROUP BY 1"""
 

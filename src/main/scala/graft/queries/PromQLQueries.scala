@@ -1024,12 +1024,15 @@ object PromQLQueries extends Catalog {
         def q(e: String, n: String) =
           Engine.query(e, store, p).withColumnRenamed("value", n)
         val on = Seq("ts", "attr_event_type")
-        q("hour(events_value)", "hour_v")
-          .join(q("minute(events_value)", "minute_v"), on)
-          .join(q("day_of_week(events_value)", "dow_v"), on)
-          .join(q("day_of_month(events_value)", "dom_v"), on)
-          .join(q("month(events_value)", "month_v"), on)
-          .join(q("year(events_value)", "year_v"), on)
+        // timestamp() puts the evaluation time INTO the value, which the
+        // calendar fns then read (Prometheus semantics: components of the
+        // sample value as epoch seconds, not of the grid timestamp)
+        q("hour(timestamp(events_value))", "hour_v")
+          .join(q("minute(timestamp(events_value))", "minute_v"), on)
+          .join(q("day_of_week(timestamp(events_value))", "dow_v"), on)
+          .join(q("day_of_month(timestamp(events_value))", "dom_v"), on)
+          .join(q("month(timestamp(events_value))", "month_v"), on)
+          .join(q("year(timestamp(events_value))", "year_v"), on)
       },
       // hour/minute/dow are pure epoch arithmetic; the calendar components
       // go through epoch-ms timestamps (UTC on both engines)

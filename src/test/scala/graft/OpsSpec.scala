@@ -324,6 +324,11 @@ class SimilaritySpec extends AnyFunSuite {
       ("https://site.com/a/b?utm_source=x&id=5", "site.com/a/b?id=5"),
       ("https://site.com/a/b?id=5&fbclid=abc", "site.com/a/b?id=5"),
       ("site.com/a/b?gclid=1&utm_medium=m", "site.com/a/b"),
+      // literal & in the path with NO query: must NOT be rewritten to ?b
+      ("https://site.com/a&b", "site.com/a&b"),
+      ("https://site.com/a&b?utm_source=x", "site.com/a&b"),
+      // mid-stripped param rejoins cleanly on either side
+      ("site.com/p?utm_source=x&id=1&utm_medium=m&k=2", "site.com/p?id=1&k=2"),
       ("HTTPS://WWW.SITE.COM", "site.com"))
     val df = cases.toDF("url", "expected")
     val bad = df.withColumn("got", TextOps.normalizeUrl(col("url")))

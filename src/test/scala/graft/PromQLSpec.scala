@@ -295,17 +295,25 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(absent.count() <= grid)
   }
 
-  test("time components match known UTC calendar facts") {
+  test("time components read the sample VALUE as epoch seconds") {
+    // Prometheus semantics: hour(v) interprets v's samples as epoch
+    // seconds (funcHour uses el.F) — so hour over timestamp() yields the
+    // grid hour, while hour over a small gauge value is 1970-01-01-ish
+    // regardless of the evaluation time.
     // 2024-01-01T00:00:00Z is a Monday (dow 1), January, day 1
-    val df = Engine.query("hour(events_value)", store, p)
+    val df = Engine.query("hour(timestamp(events_value))", store, p)
       .filter(org.apache.spark.sql.functions.col("ts") === start)
     assert(df.select("value").distinct().head().getDouble(0) == 0.0)
-    val dow = Engine.query("day_of_week(events_value)", store, p)
+    val dow = Engine.query("day_of_week(timestamp(events_value))", store, p)
       .filter(org.apache.spark.sql.functions.col("ts") === start)
     assert(dow.select("value").distinct().head().getDouble(0) == 1.0)
-    val dim = Engine.query("days_in_month(events_value)", store, p)
+    val dim = Engine.query("days_in_month(timestamp(events_value))", store, p)
       .filter(org.apache.spark.sql.functions.col("ts") === start)
     assert(dim.select("value").distinct().head().getDouble(0) == 31.0)
+    // small gauge values land in 1970: year == 1970 everywhere
+    val yr = Engine.query("year(events_value)", store, p)
+    assert(yr.select("value").distinct().collect().map(_.getDouble(0)).toSet
+      == Set(1970.0))
   }
 
   test("stddev agg: exact cross-series population variance") {
