@@ -738,6 +738,43 @@ object PipelineQueries extends Catalog {
                        AS BIGINT) / 4096.0, 6) AS feat_value
        FROM documents CROSS JOIN range(0, 8) b(feat_idx)"""
 
+  /** REAL image decode end-to-end: per doc a two-tone PNG is ENCODED
+    * in-cluster (javax.imageio, lossless), then DECODED back to exact
+    * per-channel pixel means. The oracle predicts those means from the
+    * generating parameters alone — the construction makes real pixel math
+    * SQL-checkable: even height, top half one color, bottom half another ⇒
+    * each channel mean is exactly (top+bot)/2.
+    */
+  private def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") < 64)
+    val w = ((col("doc_id") % 5 + 2) * 2).cast("int")   // even, 4..12
+    val h = ((col("doc_id") % 4 + 1) * 2).cast("int")   // even, 2..8
+    val topR = (col("doc_id") * 41 % 256).cast("int")
+    val topG = (col("doc_id") * 59 % 256).cast("int")
+    val topB = (col("doc_id") * 83 % 256).cast("int")
+    val botR = (col("doc_id") * 97 % 256).cast("int")
+    val botG = (col("doc_id") * 113 % 256).cast("int")
+    val botB = (col("doc_id") * 131 % 256).cast("int")
+    val top = topR * 65536 + topG * 256 + topB
+    val bot = botR * 65536 + botG * 256 + botB
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.encodePng(w, h, top, bot))
+    df.select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.mean_r").as("mean_r"), col("s.mean_g").as("mean_g"),
+        col("s.mean_b").as("mean_b"))
+  }
+
+  private val mediaDecodeSql =
+    """SELECT doc_id,
+            CAST((doc_id % 5 + 2) * 2 AS INT) AS width,
+            CAST((doc_id % 4 + 1) * 2 AS INT) AS height,
+            (doc_id * 41 % 256 + doc_id * 97 % 256) / 2.0 AS mean_r,
+            (doc_id * 59 % 256 + doc_id * 113 % 256) / 2.0 AS mean_g,
+            (doc_id * 83 % 256 + doc_id * 131 % 256) / 2.0 AS mean_b
+       FROM documents WHERE doc_id < 64"""
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** per-doc summary of the winnowed fingerprint set: count, min, and a
@@ -1018,6 +1055,7 @@ object PipelineQueries extends Catalog {
     Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),
     Q("pp_bm25", bm25, Some(bm25Sql)),
     Q("pp_url_dedup", urlDedup, Some(urlDedupSql)),

@@ -398,3 +398,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1L) > out(2L) && out(2L) > 0.0, out.toString)
   }
 }
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.ops.Multimodal
+
+  test("PNG encode -> imageio decode recovers exact dimensions and means") {
+    import spark.implicits._
+    // two-tone 6x4 image: top half 0x204060, bottom 0x80A0C0 — channel
+    // means are exactly the midpoints (PNG is lossless)
+    val df = Seq((1L, 6, 4, 0x204060, 0x80A0C0)).toDF("id", "w", "h", "t", "b")
+      .withColumn("png", Multimodal.encodePng(col("w"), col("h"), col("t"), col("b")))
+      .withColumn("s", Multimodal.decodeImageStats(col("png")))
+    val r = df.select("s.width", "s.height", "s.mean_r", "s.mean_g", "s.mean_b")
+      .head()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 4)
+    assert(r.getDouble(2) == (0x20 + 0x80) / 2.0)
+    assert(r.getDouble(3) == (0x40 + 0xA0) / 2.0)
+    assert(r.getDouble(4) == (0x60 + 0xC0) / 2.0)
+    // the payload really is a PNG container, not a fake
+    val png = df.select("png").head().getAs[Array[Byte]](0)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("undecodable payloads yield null stats, not errors") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+      .withColumn("s", Multimodal.decodeImageStats(col("payload")))
+    assert(df.filter(col("s").isNotNull).count() == 0)
+  }
+}
