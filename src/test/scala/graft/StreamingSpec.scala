@@ -176,4 +176,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(indexedFiles == back.inputFiles.length)
     assert(FI.indexNewFiles(spark, segDir) == 0L)
   }
+
+  test("kafka-shaped fake source: offset-resume parity with a mid-run crash") {
+    import graft.streaming.{FileReplaySource, OffsetTracker, RecordConsumer}
+    // ndjson fixture: 3 files x 40 lines over 2 partitions
+    val dir = Files.createTempDirectory("graft_recsrc_").toString
+    (0 until 3).foreach { f =>
+      val lines = (0 until 40).map(i =>
+        s"""{"ts_ms":${1704067200000L + (f * 40 + i) * 250L},"event_type":"t${i % 3}","value":${i % 7}.25}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f"part$f%02d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val src = new FileReplaySource(dir, "graft-ingest", numPartitions = 2)
+    assert(src.endOffsets.values.sum == 120L)
+
+    def consumeAll(tracker: OffsetTracker, batchSize: Int,
+        failOnce: Boolean = false): Seq[(Int, Long, String)] = {
+      val seen = scala.collection.mutable.Buffer[(Int, Long, String)]()
+      var failed = failOnce
+      def handler(df: org.apache.spark.sql.DataFrame): Unit = {
+        val rows = df.select("partition", "offset", "value").collect()
+          .map(r => (r.getInt(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+        if (failed && rows.exists(_._1 == 1)) { failed = false; throw new RuntimeException("boom") }
+        seen ++= rows
+      }
+      try { RecordConsumer.consumeAvailable(spark, src, tracker, batchSize)(handler); () }
+      catch { case _: RuntimeException =>
+        RecordConsumer.consumeAvailable(spark, src, tracker, batchSize)(handler); ()
+      }
+      seen.toSeq
+    }
+
+    // one-shot reference run
+    val oneShot = consumeAll(new OffsetTracker(
+      Files.createTempDirectory("graft_offs_a_").toString), batchSize = 16)
+    // crash-and-resume run: partition-1's first batch throws once, stays
+    // uncommitted, and is re-delivered on resume (at-least-once); the
+    // DEDUPED record set must equal the one-shot run exactly
+    val resumed = consumeAll(new OffsetTracker(
+      Files.createTempDirectory("graft_offs_b_").toString), batchSize = 16,
+      failOnce = true)
+    assert(resumed.size >= oneShot.size) // replayed batch may duplicate
+    assert(resumed.distinct.sortBy(r => (r._1, r._2)) ==
+      oneShot.distinct.sortBy(r => (r._1, r._2)))
+    // a fresh consume over a fully-committed tracker delivers nothing
+    val tracker3 = new OffsetTracker(
+      Files.createTempDirectory("graft_offs_c_").toString)
+    consumeAll(tracker3, batchSize = 16)
+    var extra = 0
+    RecordConsumer.consumeAvailable(spark, src, tracker3)(df => extra += df.count().toInt)
+    assert(extra == 0)
+  }
+
+  test("kafka-shaped source feeds the SAME pre-agg as the file source") {
+    import graft.streaming.{FileReplaySource, OffsetTracker, RecordConsumer, StreamingIngest}
+    import spark.implicits._
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+      .limit(500)
+    val pqDir = Files.createTempDirectory("graft_par_src_").toString
+    ev.write.mode("overwrite").parquet(pqDir)
+    val jsonDir = Files.createTempDirectory("graft_json_src_").toString
+    ev.coalesce(2).write.mode("overwrite").json(jsonDir)
+
+    // file-source streaming path (the existing spine)
+    val streamed = StreamingIngest.runFileStreamOnce(spark,
+      pqDir, spark.read.parquet(pqDir).schema,
+      src => StreamingIngest.preAggStream(src, col("ts_ms"), lit("events_value"),
+        col("value"), Seq("attr_event_type" -> col("event_type"))),
+      queryName = "parity_file_src")
+      .select("chq_timestamp", "attr_event_type", "chq_rollup_sum", "chq_rollup_count")
+
+    // kafka-shaped path: consume records, parse the json values, same build
+    val recSrc = new FileReplaySource(jsonDir, "graft-parity", numPartitions = 3)
+    val tracker = new OffsetTracker(Files.createTempDirectory("graft_offs_p_").toString)
+    val batches = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    RecordConsumer.consumeAvailable(spark, recSrc, tracker) { df =>
+      batches += spark.read.json(
+        df.select(col("value").cast("string").as("line")).as[String])
+    }
+    val consumed = batches.reduce(_ unionByName _)
+    val cooked = consumed
+      .groupBy((col("ts_ms") - col("ts_ms") % 10000L).as("chq_timestamp"),
+        col("event_type").as("attr_event_type"))
+      .agg(sum(col("value")).as("k_sum"),
+        count(lit(1)).cast("double").as("k_count"))
+
+    val j = streamed.join(cooked, Seq("chq_timestamp", "attr_event_type"), "full")
+    val bad = j.filter(col("chq_rollup_sum").isNull || col("k_sum").isNull ||
+      abs(col("chq_rollup_sum") - col("k_sum")) > 1e-6 ||
+      col("chq_rollup_count") =!= col("k_count")).count()
+    assert(bad == 0 && streamed.count() > 0)
+  }
 }
