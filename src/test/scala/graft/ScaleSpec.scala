@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.{FingerprintIndex => FI, Segments}
+
+/** 100× rehearsal for the segment spine: the sf-test corpora exercise tens
+  * of files — this suite builds HUNDREDS of files (more files, not more
+  * rows per file: at 100 TB the failure mode is file-count-shaped — driver
+  * listings, per-file index rows, pruning selectivity) and gates the three
+  * spine motions on them:
+  *
+  *  - needle log query: files READ stays bounded by the needle's day, not
+  *    the corpus — and costs exactly ONE index read;
+  *  - trace-by-id: the OR-set index lookup reads a handful of files out of
+  *    hundreds;
+  *  - metric tier scan: dateint partition pruning bounds the scan by the
+  *    query's time range, not the retention window.
+  *
+  * Every gate is a require()-style assert on inputFiles / indexReads so a
+  * future regression that silently widens a scan fails here, at file-count
+  * scale, before it ships to a real cluster.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val Day0 = 1704067200000L // 2024-01-01 UTC
+  private val Days = 30
+
+  test("needle query over ~240 log files reads only the needle's day") {
+    val rows = (0 until Days * 2400).map { i =>
+      val day = i / 2400
+      val ts = Day0 + day * 86400000L + (i.toLong * 7919) % 86400000L
+      // the needle exists ONLY on day 17 (4 rows)
+      val msg =
+        if (day == 17 && i % 600 == 0) s"evt user=$i needle=qzx9marker"
+        else s"evt user=$i routine work item ${i % 97}"
+      (ts, ts * 1000000L, msg, s"svc-${i % 5}", 0L,
+        if (i % 4 == 0) "ERROR" else "INFO")
+    }.toDF("chq_timestamp", "chq_tsns", "log_message",
+      "resource_service_name", "chq_fingerprint", "log_level")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_logs_").toString
+    Segments.writeLogSegments(rows, dir, maxRecordsPerFile = 300)
+    FI.buildLogIndex(spark, dir)
+
+    val all = spark.read.parquet(dir).inputFiles.map(FI.normPath).toSet
+    assert(all.size >= 200, s"corpus too small for a scale gate: ${all.size} files")
+
+    val e = graft.logql.Parser.parseFull("""{log_level="INFO"} |= "qzx9marker" """)
+      .toOption.get
+    val p = graft.promql.QueryParams(Day0, Day0 + Days * 86400000L, 21600000L)
+    val before = FI.indexReads.get()
+    val scan = graft.api.LogSegments.scanFor(spark, dir, e, p)
+    val read = scan.inputFiles.map(FI.normPath).toSet
+    // ONE index read decided the whole file list
+    assert(FI.indexReads.get() - before == 1)
+    // the scan is bounded by the needle day's files, not the corpus
+    assert(read.nonEmpty && read.size <= all.size / 20,
+      s"pruning too weak at scale: ${read.size}/${all.size} files read")
+    assert(read.forall(_.contains("dateint=20240118")),
+      "scan kept a needle-free day")
+    // losslessness at scale: pruned result == full-scan result
+    val expect = spark.read.parquet(dir)
+      .filter(col("log_message").contains("qzx9marker")).count()
+    assert(expect > 0 &&
+      scan.filter(col("log_message").contains("qzx9marker")).count() == expect)
+  }
+
+  test("trace-by-id over ~240 span files reads a handful") {
+    val rows = (0 until Days * 2000).map { i =>
+      val day = i % Days
+      val ts = Day0 + day * 86400000L + (i.toLong * 6007) % 86400000L
+      (ts, ts * 1000000L, f"trace-${i % 7993}%05d", f"span-$i%06d",
+        s"svc-${i % 5}", (i % 900).toDouble)
+    }.toDF("chq_timestamp", "chq_tsns", "span_trace_id", "span_id",
+      "resource_service_name", "span_duration_ms")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_spans_").toString
+    Segments.writeSpanSegments(rows, dir, maxRecordsPerFile = 250)
+    FI.buildLogIndex(spark, dir)
+
+    val all = spark.read.parquet(dir).inputFiles.map(FI.normPath).toSet
+    assert(all.size >= 200, s"corpus too small: ${all.size} files")
+
+    val target = "trace-00042"
+    val p = graft.promql.QueryParams(Day0, Day0 + Days * 86400000L, 21600000L)
+    val before = FI.indexReads.get()
+    val spans = graft.api.SpanSegments.traceById(spark, dir, target, p)
+    val read = spans.inputFiles.map(FI.normPath).toSet
+    assert(FI.indexReads.get() - before == 1)
+    // a single trace's spans live in at most a few files per day it spans
+    assert(read.nonEmpty && read.size <= all.size / 10,
+      s"trace lookup read ${read.size}/${all.size} files")
+    val expect = spark.read.parquet(dir)
+      .filter(col("span_trace_id") === target).count()
+    assert(expect > 0 && spans.count() == expect)
+  }
+
+  test("metric tier scan over 30 days is bounded by the queried dateints") {
+    val freq = 1200000L // the tier a 2-day span selects (step 20 min)
+    val rows = (0 until Days * 72 * 2).map { i =>
+      val day = (i / 2) % Days
+      val slot = (i / 2) / Days
+      val name = if (i % 2 == 0) "m_scale_a" else "m_scale_b"
+      (Day0 + day * 86400000L + slot * freq, name, s"tid-${i % 13}",
+        (i % 50).toDouble, 1.0, 0.0, 50.0, freq)
+    }.toDF("chq_timestamp", "metric_name", "chq_tid", "chq_rollup_sum",
+      "chq_rollup_count", "chq_rollup_min", "chq_rollup_max", "chq_rollup_freq")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_metrics_").toString
+    Segments.writeMetricSegments(rows, dir, maxRecordsPerFile = 40)
+    FI.buildLogIndex(spark, dir)
+
+    val all = spark.read.parquet(dir).inputFiles.map(FI.normPath).toSet
+    assert(all.size >= 100, s"corpus too small: ${all.size} files")
+
+    // 2-day window late in the retention range; replicate the front door's
+    // scan shape to gate its file list
+    val start = Day0 + 20L * 86400000L
+    val end = start + 2L * 86400000L
+    val p = graft.api.StepPolicy.paramsFor(start, end)
+    assert(graft.api.StepPolicy.tierFor(p.stepMs) == freq)
+    val excluded = FI.excludedFiles(spark, dir, Seq(FI.Requirement("metric_name",
+      Seq(FI.existsFp("metric_name"), FI.fingerprint("metric_name", "m_scale_a")),
+      guarded = false)))
+    // metric-name contiguous file splits → the index positively excludes
+    // the other metric's files
+    assert(excluded.nonEmpty, "metric-name index excluded nothing at scale")
+    val scan = FI.prunedRead(spark, dir, excluded)
+      .filter(col("freq") === freq &&
+        col("dateint") >= graft.api.StepPolicy.dateintOf(p.startMs) &&
+        col("dateint") <= graft.api.StepPolicy.dateintOf(p.endMs - 1))
+    scan.collect()
+    // Catalyst pushes the dateint/freq equality into PARTITION filters
+    // (DataFrame.inputFiles reflects the relation, not partition pruning,
+    // so the physical gate is the plan + the set arithmetic below)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dateint"),
+      plan.take(800))
+    val dateRe = "dateint=(\\d{8})".r
+    val lo = graft.api.StepPolicy.dateintOf(p.startMs)
+    val hi = graft.api.StepPolicy.dateintOf(p.endMs - 1)
+    val effective = (all -- excluded).filter { f =>
+      f.contains(s"freq=$freq") && dateRe.findFirstMatchIn(f).exists { m =>
+        val d = m.group(1).toInt; d >= lo && d <= hi
+      }
+    }
+    // the time filter prunes 30 days to ≤3 dateint partitions AND the
+    // metric-name index halves what's left — both must compose
+    assert(effective.nonEmpty && effective.size <= all.size / 8,
+      s"tier scan covers ${effective.size}/${all.size} files")
+    // the index excluded m_scale_b-only files; scanned rows are all m_scale_a
+    // once filtered, and the full engine path returns them
+    val got = graft.api.MetricSegments.query(spark, dir,
+      "sum(m_scale_a)", start, end).filter(!isnan(col("value")))
+    assert(got.count() > 0)
+  }
+}
