@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.DoubleType
 import graft.ops.DotProduct
 import graft.sketch.{CountMinAgg, CountMinEstimate, CountMinMergeAgg, DDSketch,
-  DDSketchAgg, DDSketchFraction, DDSketchMergeAgg, DDSketchQuantile,
-  DDSketchStats, DDSketchStdVar}
+  DDSketchAgg, DDSketchFraction, DDSketchFromProto, DDSketchMergeAgg,
+  DDSketchQuantile, DDSketchStats, DDSketchStdVar}
 
 /** SparkSessionExtensions hook registering graft's native expressions in
   * the SQL function registry, so `spark.sql` text can use the engine's
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(s) => DDSketchStats(s)
         case _ => throw new IllegalArgumentException("ddsketch_stats(sketch)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_from_proto"),
+      info("ddsketch_from_proto",
+        "ddsketch_from_proto(bytes) - import a DataDog-proto DDSketch as graft sketch bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DDSketchFromProto(s)
+        case _ => throw new IllegalArgumentException("ddsketch_from_proto(bytes)")
       }))
 
     ext.injectFunction((FunctionIdentifier("ddsketch_fraction"),

@@ -225,6 +225,9 @@ object functions {
   def ddsketch_stdvar(sketch: Column, isStdDev: Boolean = false): Column =
     toCol(DDSketchStdVar(expr(sketch), isStdDev))
 
+  def ddsketch_from_proto(bytes: Column): Column =
+    toCol(DDSketchFromProto(expr(bytes)))
+
   def cms_agg(value: Column, depth: Int = CountMin.DefaultDepth,
       width: Int = CountMin.DefaultWidth): Column =
     toCol(CountMinAgg(expr(value.cast("string")), depth, width).toAggregateExpression())

@@ -176,4 +176,72 @@ class DDSketchSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(est >= 42L && est <= 300L, s"est $est")
   }
+
+  test("DataDog-proto interop: encode -> decode preserves quantiles and counts") {
+    import graft.sketch.DDSketchProto
+    val sk = new DDSketch()
+    val vals = (1 to 3000).map(i => (i % 997 + 1) * 0.37) ++
+      Seq(0.0, 0.0, -5.5, -120.25, 1e6)
+    vals.foreach(sk.add)
+    val back = DDSketchProto.decode(DDSketchProto.encode(sk))
+    assert(back.count == sk.count)
+    // bucket contents survive exactly, so quantiles agree within one
+    // midpoint re-derivation (same alpha, same indices -> identical walk)
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+      val a = sk.quantile(q); val b = back.quantile(q)
+      assert(math.abs(a - b) <= 2 * sk.alpha * math.abs(a) + 1e-9,
+        s"q=$q: $a vs $b")
+    }
+    // negatives import on the negative store, not as mangled positives
+    assert(back.quantile(0.0) < 0.0)
+  }
+
+  test("DataDog-proto interop: contiguous-bin stores and index offsets decode") {
+    import graft.sketch.DDSketchProto
+    // hand-build proto bytes: gamma for alpha=0.01, indexOffset=2,
+    // positive store with contiguousBinCounts [3,0,7] at offset 10 ->
+    // buckets {10:3, 12:7}, shifted by round(indexOffset)=2 -> {8, 10}
+    def vint(v0: Long): Array[Byte] = {
+      var v = v0; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while ((v & ~0x7fL) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      b += v.toByte; b.toArray
+    }
+    def dbl(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).map(i => ((bits >>> (8 * i)) & 0xff).toByte).toArray
+    }
+    val gamma = (1.0 + 0.01) / (1.0 - 0.01)
+    val mapping = Array[Byte]((1 << 3 | 1).toByte) ++ dbl(gamma) ++
+      Array[Byte]((2 << 3 | 1).toByte) ++ dbl(2.0)
+    val packed = dbl(3.0) ++ dbl(0.0) ++ dbl(7.0)
+    val store = Array[Byte]((2 << 3 | 2).toByte) ++ vint(packed.length.toLong) ++ packed ++
+      Array[Byte]((3 << 3 | 0).toByte) ++ vint((10L << 1) ^ 0L) // zigzag(10)
+    val msg = Array[Byte]((1 << 3 | 2).toByte) ++ vint(mapping.length.toLong) ++ mapping ++
+      Array[Byte]((2 << 3 | 2).toByte) ++ vint(store.length.toLong) ++ store
+    val sk = graft.sketch.DDSketchProto.decode(msg)
+    assert(sk.count == 10L)
+    // read-backs sit at the shifted midpoints 2*gamma^8/(gamma+1), ^10
+    def mid(i: Int) = 2.0 * math.pow(gamma, i) / (gamma + 1.0)
+    assert(math.abs(sk.quantile(0.0) - mid(8)) / mid(8) <= 2 * 0.01 + 1e-9)
+    assert(math.abs(sk.quantile(1.0) - mid(10)) / mid(10) <= 2 * 0.01 + 1e-9)
+  }
+
+  test("ddsketch_from_proto bridges proto bytes into every sketch function") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sketch.DDSketchProto
+    val sk = new DDSketch()
+    (1 to 500).foreach(i => sk.add(i.toDouble))
+    val df = Seq(Tuple1(DDSketchProto.encode(sk))).toDF("proto")
+      .withColumn("sk", gf.ddsketch_from_proto(col("proto")))
+    val p50 = df.select(gf.ddsketch_quantile(col("sk"), 0.5))
+      .head().getDouble(0)
+    assert(math.abs(p50 - 250.0) / 250.0 <= 2 * sk.alpha + 1e-9, p50.toString)
+    // SQL registry path
+    df.createOrReplaceTempView("proto_sketches")
+    val viaSql = spark.sql(
+      "SELECT ddsketch_quantile(ddsketch_from_proto(proto), 0.5) FROM proto_sketches")
+      .head().getDouble(0)
+    assert(viaSql == p50)
+  }
 }
