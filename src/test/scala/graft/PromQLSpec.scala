@@ -384,6 +384,46 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(pinnedSet == bare)
   }
 
+  test("@ pin threads through sketch leaves and absent_over_time") {
+    import spark.implicits._
+    import graft.sketch.{functions => gf}
+    // tiny sketch store: two series, values differ per bucket so a wrong
+    // pin is detectable
+    val raw = Seq(
+      (start, "a", 1.0), (start, "a", 3.0), (start, "b", 10.0),
+      (start + 600000L, "a", 100.0), (start + 600000L, "b", 200.0))
+      .toDF("chq_timestamp", "attr_k", "v")
+    val cooked = raw.groupBy(col("chq_timestamp"), col("attr_k"))
+      .agg(gf.ddsketch_agg(col("v")).as("chq_sketch"),
+        sum(col("v")).as("chq_rollup_sum"),
+        count(lit(1)).cast("double").as("chq_rollup_count"))
+      .withColumn("metric_name", lit("m"))
+      .withColumn("chq_rollup_min", col("chq_rollup_sum"))
+      .withColumn("chq_rollup_max", col("chq_rollup_sum"))
+    val st = MetricStore(cooked)
+    val pp = QueryParams(start, start + 3000000L, 600000L)
+    // quantile_over_time pinned at the FIRST bucket: every grid bucket
+    // carries the first bucket's per-series quantile (not the second's)
+    val pinned = Engine.query(
+      s"quantile_over_time(0.5, m[10m] @ ${start / 1000})", st, pp)
+    val unpinnedFirst = Engine.query("quantile_over_time(0.5, m[10m])", st,
+      QueryParams(start, start + 600000L, 600000L))
+      .select("attr_k", "value").collect().toSet
+    val grid = (pp.endMs - pp.startMs) / pp.stepMs
+    assert(pinned.count() == grid * unpinnedFirst.size)
+    assert(pinned.select("attr_k", "value").distinct().collect().toSet
+      == unpinnedFirst)
+    // absent_over_time pinned at a bucket WITH data → empty on every grid
+    // bucket; pinned past the data → present on every grid bucket
+    val absPinnedData = Engine.query(
+      s"absent_over_time(m[10m] @ ${start / 1000})", st, pp)
+    assert(absPinnedData.count() == 0)
+    val farMs = start + 86400000L
+    val absPinnedGap = Engine.query(
+      s"absent_over_time(m[10m] @ ${farMs / 1000})", st, pp)
+    assert(absPinnedGap.count() == grid)
+  }
+
   test("group_left carries include labels; group_right mirrors; dup one side errors") {
     import spark.implicits._
     // m1: two series per attr_k (the many side); m2: one series per attr_k
