@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DoubleType
 import graft.ops.DotProduct
 import graft.sketch.{CountMinAgg, CountMinEstimate, CountMinMergeAgg, DDSketch,
   DDSketchAgg, DDSketchFraction, DDSketchFromProto, DDSketchMergeAgg,
-  DDSketchQuantile, DDSketchStats, DDSketchStdVar}
+  DDSketchQuantile, DDSketchStats, DDSketchStdVar, DDSketchToProto}
 
 /** SparkSessionExtensions hook registering graft's native expressions in
   * the SQL function registry, so `spark.sql` text can use the engine's
@@ -75,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(s) => DDSketchFromProto(s)
         case _ => throw new IllegalArgumentException("ddsketch_from_proto(bytes)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("ddsketch_to_proto"),
+      info("ddsketch_to_proto",
+        "ddsketch_to_proto(sketch) - export a graft sketch as DataDog-proto bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => DDSketchToProto(s)
+        case _ => throw new IllegalArgumentException("ddsketch_to_proto(sketch)")
       }))
 
     ext.injectFunction((FunctionIdentifier("ddsketch_fraction"),

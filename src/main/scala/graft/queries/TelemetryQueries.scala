@@ -96,6 +96,68 @@ object TelemetryQueries extends Catalog {
      LEFT JOIN q95 USING (chq_timestamp, attr_event_type)"""
   }
 
+  /** DataDog-proto sketch interop end-to-end: every 10 s sketch exports to
+    * proto bytes (`ddsketch_to_proto`) and re-imports
+    * (`ddsketch_from_proto`) before the quantile read. Bucket contents
+    * survive the round trip exactly (midpoints re-index onto the same
+    * buckets), but min/max become bucket READ-BACKS — so the oracle is the
+    * percentile replay WITHOUT the exact-min/max clamp (which is a no-op
+    * on a round-tripped sketch: the chosen midpoint always lies within the
+    * read-back extremes).
+    */
+  private def protoSketchRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{functions => gf}
+    MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = true)
+      .withColumn("sk2",
+        gf.ddsketch_from_proto(gf.ddsketch_to_proto(col("chq_sketch"))))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"),
+        round(gf.ddsketch_quantile(col("sk2"), 0.5), 6).as("p50"),
+        round(gf.ddsketch_quantile(col("sk2"), 0.95), 6).as("p95"))
+  }
+
+  private val protoSketchRoundtripSql = {
+    val g = "((1.0 + 0.01) / (1.0 - 0.01))"
+    def sel(q: Double, nm: String) =
+      s"""$nm AS (
+         SELECT c.chq_timestamp, c.attr_event_type, min(c.i) AS qi
+         FROM cum c JOIN stats st USING (chq_timestamp, attr_event_type)
+         WHERE st.zc + c.cum >= CAST(floor($q * (st.n - 1)) AS BIGINT) + 1
+         GROUP BY 1, 2)"""
+    def out(q: Double, nm: String) =
+      s"""round(CASE WHEN st.zc >= CAST(floor($q * (st.n - 1)) AS BIGINT) + 1
+                THEN 0.0 ELSE 2 * pow($g, $nm.qi) / ($g + 1.0) END, 6)"""
+    s"""WITH ev AS (
+       SELECT epoch_ms(ts) - epoch_ms(ts) % 10000 AS chq_timestamp,
+              event_type AS attr_event_type, "value" AS v
+       FROM events),
+     stats AS (
+       SELECT chq_timestamp, attr_event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) FILTER (WHERE v < 1e-9) AS BIGINT) AS zc
+       FROM ev GROUP BY 1, 2),
+     idx AS (
+       SELECT chq_timestamp, attr_event_type,
+              CAST(ceil(ln(v) / ln($g)) AS BIGINT) AS i, count(*) AS c
+       FROM ev WHERE v >= 1e-9 GROUP BY 1, 2, 3),
+     cum AS (
+       SELECT chq_timestamp, attr_event_type, i,
+              sum(c) OVER (PARTITION BY chq_timestamp, attr_event_type
+                           ORDER BY i) AS cum
+       FROM idx),
+     ${sel(0.5, "q50")},
+     ${sel(0.95, "q95")}
+     SELECT st.chq_timestamp, st.attr_event_type,
+            CAST(st.n AS DOUBLE) AS chq_rollup_count,
+            ${out(0.5, "q50")} AS p50,
+            ${out(0.95, "q95")} AS p95
+     FROM stats st
+     LEFT JOIN q50 USING (chq_timestamp, attr_event_type)
+     LEFT JOIN q95 USING (chq_timestamp, attr_event_type)"""
+  }
+
   /** full rollup chain 10s→60s→300s→1200s→3600s; the hourly tier must
     * equal a direct hourly aggregation of the raw events (associativity
     * through four re-aggregations).
@@ -1251,6 +1313,8 @@ object TelemetryQueries extends Catalog {
   override def all: Seq[Q] = Seq(
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
+    Q("tq_proto_sketch_roundtrip", protoSketchRoundtrip,
+      Some(protoSketchRoundtripSql)),
     Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_log_roundtrip", logSegmentRoundtrip, Some(logSegmentRoundtripSql)),

@@ -228,6 +228,9 @@ object functions {
   def ddsketch_from_proto(bytes: Column): Column =
     toCol(DDSketchFromProto(expr(bytes)))
 
+  def ddsketch_to_proto(sketch: Column): Column =
+    toCol(DDSketchToProto(expr(sketch)))
+
   def cms_agg(value: Column, depth: Int = CountMin.DefaultDepth,
       width: Int = CountMin.DefaultWidth): Column =
     toCol(CountMinAgg(expr(value.cast("string")), depth, width).toAggregateExpression())

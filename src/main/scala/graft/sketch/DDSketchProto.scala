@@ -204,3 +204,24 @@ case class DDSketchFromProto(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): DDSketchFromProto =
     copy(child = newChild)
 }
+
+/** `ddsketch_to_proto(sketch)` → DataDog-proto bytes: the write-side
+  * bridge — segments exported with this column are readable by any
+  * sketches-go/sketches-java consumer (including the reference).
+  */
+case class DDSketchToProto(child: Expression)
+  extends Expression with CodegenFallback with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ddsketch_to_proto"
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input)
+    if (b == null) null
+    else DDSketchProto.encode(DDSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DDSketchToProto =
+    copy(child = newChild)
+}
