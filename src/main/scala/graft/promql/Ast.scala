@@ -203,8 +203,8 @@ object Ast {
   val paramAggOps: Set[String] = Set(
     "topk", "bottomk", "quantile", "limitk", "limit_ratio", "approx_topk")
   val timeComponentFns: Set[String] = Set(
-    "hour", "minute", "day_of_week", "day_of_month", "month", "year",
-    "days_in_month")
+    "hour", "minute", "day_of_week", "day_of_month", "day_of_year", "month",
+    "year", "days_in_month")
   val compOps: Set[String] = Set("==", "!=", ">", "<", ">=", "<=")
   val setOps: Set[String] = Set("and", "or", "unless")
 }

@@ -274,6 +274,7 @@ object Engine {
         // epoch day 0 (1970-01-01) was a Thursday; Prometheus counts 0=Sunday
         case "day_of_week"   => (floor(sec / 86400) + 4) % 7
         case "day_of_month"  => dayofmonth(t)
+        case "day_of_year"   => dayofyear(t)
         case "month"         => month(t)
         case "year"          => year(t)
         case "days_in_month" => dayofmonth(last_day(t))

@@ -1031,6 +1031,7 @@ object PromQLQueries extends Catalog {
           .join(q("minute(timestamp(events_value))", "minute_v"), on)
           .join(q("day_of_week(timestamp(events_value))", "dow_v"), on)
           .join(q("day_of_month(timestamp(events_value))", "dom_v"), on)
+          .join(q("day_of_year(timestamp(events_value))", "doy_v"), on)
           .join(q("month(timestamp(events_value))", "month_v"), on)
           .join(q("year(timestamp(events_value))", "year_v"), on)
       },
@@ -1042,6 +1043,7 @@ object PromQLQueries extends Catalog {
                floor(ts / 60000.0) % 60 AS minute_v,
                (floor(ts / 86400000.0) + 4) % 7 AS dow_v,
                CAST(day(epoch_ms(ts)) AS DOUBLE) AS dom_v,
+               CAST(dayofyear(epoch_ms(ts)) AS DOUBLE) AS doy_v,
                CAST(month(epoch_ms(ts)) AS DOUBLE) AS month_v,
                CAST(year(epoch_ms(ts)) AS DOUBLE) AS year_v
         FROM step WHERE ts >= $Start AND ts < $End"""))
