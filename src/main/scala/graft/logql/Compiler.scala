@@ -298,8 +298,19 @@ object Compiler {
 
       case PatternStage(pattern) =>
         val (re, names) = patternToRegex(pattern)
+        // literal guard ahead of each extraction (same rationale as the
+        // line-filter prefilters): regexp_extract yields "" on non-match,
+        // and a line missing any literal segment CANNOT match the anchored
+        // pattern — so gating the regex behind codegen'd contains() checks
+        // returns the identical "" without feeding the backtracking engine
+        val lits = patternLiterals(pattern).filter(_.nonEmpty)
+        val canMatch = lits.foldLeft(lit(true)) { (c, l) =>
+          c && col("log_message").contains(l)
+        }
         names.zipWithIndex.foreach { case (name, i) =>
-          df = df.withColumn(name, regexp_extract(col("log_message"), re, i + 1))
+          df = df.withColumn(name,
+            when(canMatch, regexp_extract(col("log_message"), re, i + 1))
+              .otherwise(lit("")))
           labels = (labels :+ name).distinct
         }
 
