@@ -501,8 +501,11 @@ object LogQLQueries extends Catalog {
     Q("lq_stdvar_over_time",
       agg("""stdvar_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
       // population variance over the window's bucket gauge values (bucket
-      // averages), exact-sums form — the engine's identical expression tree
-      Some(s"""WITH ${Cooked.logsCte},
+      // averages) via the engine's ORDERED FOLD for Σv/Σv² (see
+      // pq_stddev_over_time: window-SUM frame-walk order is engine-internal
+      // and the n·Σv²−(Σv)² cancellation amplifies its ulp noise) —
+      // replayed as a recursive CTE over the ts-ordered window list
+      Some(s"""WITH RECURSIVE ${Cooked.logsCte},
         stepl AS (
           SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
                  log_level, resource_service_name, attr_event_type,
@@ -516,14 +519,25 @@ object LogQLQueries extends Catalog {
           FROM stepl WHERE u IS NOT NULL GROUP BY 1, 2, 3, 4),
         wnd AS (
           SELECT ts, log_level, resource_service_name, attr_event_type,
-                 CAST(count(*) OVER w AS DOUBLE) AS n, sum(v) OVER w AS sv,
-                 sum(v * v) OVER w AS svv, min(ts) OVER w AS first_ts
+                 list(v) OVER w AS vs, min(ts) OVER w AS first_ts
           FROM stepa
           WINDOW w AS (PARTITION BY log_level, resource_service_name, attr_event_type
-                       ORDER BY ts RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW))
+                       ORDER BY ts RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW)),
+        base AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type, vs
+          FROM wnd WHERE ${covered(H4)}),
+        f AS (
+          SELECT ts, log_level, resource_service_name, attr_event_type, vs,
+                 0 AS i, CAST(0 AS DOUBLE) AS sv, CAST(0 AS DOUBLE) AS svv
+          FROM base
+          UNION ALL
+          SELECT ts, log_level, resource_service_name, attr_event_type, vs,
+                 i + 1, sv + vs[i + 1], svv + vs[i + 1] * vs[i + 1]
+          FROM f WHERE i < len(vs))
         SELECT ts, log_level, resource_service_name, attr_event_type,
-               (n * svv - sv * sv) / (n * n) AS value
-        FROM wnd WHERE ${covered(H4)}""")),
+               (CAST(len(vs) AS DOUBLE) * svv - sv * sv)
+                 / (CAST(len(vs) AS DOUBLE) * CAST(len(vs) AS DOUBLE)) AS value
+        FROM f WHERE i = len(vs)""")),
 
     Q("lq_first_over_time",
       agg("""first_over_time({log_level="INFO"} | logfmt | unwrap user [4h])"""),
