@@ -636,13 +636,28 @@ object Engine {
             // least-squares slope over (time, gauge) pairs in the window.
             // x is anchored at the aligned query start so the step-aligned
             // second offsets — and therefore Σx and Σx² — are exact doubles,
-            // keeping the n·Σxx − (Σx)² cancellation benign
+            // keeping the n·Σxx − (Σx)² denominator benign. The NUMERATOR
+            // sums (Σv, Σxv) are inexact and sit under the same
+            // cancellation that bit the stddev row, so all four sums come
+            // from one LEFT FOLD over the ts-ordered window pair list —
+            // identical op order on both engines (the oracle replays the
+            // fold as a recursive CTE), every intermediate double bit-equal.
             val x = (col("ts") - lit(alignedStart(p))) / lit(1000.0)
-            val n = count(lit(1)).over(rw).cast("double")
-            val sx = sum(x).over(rw)
-            val sv = sum(bavg).over(rw)
-            val sxv = sum(x * bavg).over(rw)
-            val sxx = sum(x * x).over(rw)
+            val ps = collect_list(struct(x.as("x"), bavg.as("v"))).over(rw)
+            val n = size(ps).cast("double")
+            val acc = aggregate(
+              ps,
+              struct(lit(0.0).as("sx"), lit(0.0).as("sv"),
+                lit(0.0).as("sxv"), lit(0.0).as("sxx")),
+              (a, e) => struct(
+                (a.getField("sx") + e.getField("x")).as("sx"),
+                (a.getField("sv") + e.getField("v")).as("sv"),
+                (a.getField("sxv") + e.getField("x") * e.getField("v")).as("sxv"),
+                (a.getField("sxx") + e.getField("x") * e.getField("x")).as("sxx")))
+            val sx = acc.getField("sx")
+            val sv = acc.getField("sv")
+            val sxv = acc.getField("sxv")
+            val sxx = acc.getField("sxx")
             val slope = (n * sxv - sx * sv) / (n * sxx - sx * sx)
             val v =
               if (fn == "deriv") slope

@@ -665,23 +665,25 @@ object PromQLQueries extends Catalog {
     Q("pq_deriv",
       run("deriv(events_value[6h])"),
       // least-squares slope; x anchored at the aligned query start keeps
-      // Σx and Σx² exact integers, so the denominator is bit-exact and the
-      // numerator's cancellation stays benign (see Engine.leaf)
-      Some(s"""WITH ${derivCte(H6)}
+      // Σx and Σx² exact; the Σv/Σxv numerator replays the engine's
+      // ordered fold (see derivCte)
+      Some(s"""WITH RECURSIVE ${derivCte(H6)}
         SELECT ts, attr_event_type,
-               (n * sxv - sx * sv) / (n * sxx - sx * sx) AS value
-        FROM wnd
-        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+               (CAST(len(vs) AS DOUBLE) * sxv - sx * sv)
+                 / (CAST(len(vs) AS DOUBLE) * sxx - sx * sx) AS value
+        FROM wnd WHERE i = len(vs)""")),
 
     Q("pq_predict_linear",
       run("predict_linear(events_value[6h], 3600)"),
       // v̄ + slope·(x + t − x̄), the engine's exact expression tree
-      Some(s"""WITH ${derivCte(H6)}
+      Some(s"""WITH RECURSIVE ${derivCte(H6)}
         SELECT ts, attr_event_type,
-               sv / n + ((n * sxv - sx * sv) / (n * sxx - sx * sx))
-                 * ((ts - $Start) / 1000.0 + 3600.0 - sx / n) AS value
-        FROM wnd
-        WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
+               sv / CAST(len(vs) AS DOUBLE)
+                 + ((CAST(len(vs) AS DOUBLE) * sxv - sx * sv)
+                    / (CAST(len(vs) AS DOUBLE) * sxx - sx * sx))
+                   * ((ts - $Start) / 1000.0 + 3600.0
+                      - sx / CAST(len(vs) AS DOUBLE)) AS value
+        FROM wnd WHERE i = len(vs)""")),
 
     Q("pq_timestamp",
       run("timestamp(events_value)"),
@@ -1100,20 +1102,34 @@ object PromQLQueries extends Catalog {
       WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End"""
 
   /** windowed regression sums for deriv/predict_linear: x = seconds since
-    * the aligned query start (exact at the step grid)
+    * the aligned query start (exact at the step grid). All four sums are
+    * the engine's LEFT FOLD over the ts-ordered (x, v) window list,
+    * replayed as a recursive CTE — the Σv/Σxv numerator sits under the
+    * same cancellation that made window-order SUMs bit-unstable for the
+    * stddev row. The caller's final SELECT filters `i = len(vs)` and
+    * reads n/sx/sv/sxv/sxx plus ts-derived x.
     */
   private def derivCte(rangeMs: Long): String =
     s"""${gaugeCte(rangeMs)},
-     wnd AS (SELECT ts, attr_event_type,
-               CAST(count(*) OVER w AS DOUBLE) AS n,
-               sum((ts - $Start) / 1000.0) OVER w AS sx,
-               sum(v) OVER w AS sv,
-               sum(((ts - $Start) / 1000.0) * v) OVER w AS sxv,
-               sum(((ts - $Start) / 1000.0) * ((ts - $Start) / 1000.0)) OVER w AS sxx,
-               min(ts) OVER w AS first_ts
-             FROM gauge
-             WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
-                          RANGE BETWEEN ${rangeMs - StepMs} PRECEDING AND CURRENT ROW))"""
+     wl AS (SELECT ts, attr_event_type,
+              list(struct_pack(x := (ts - $Start) / 1000.0, v := v)) OVER w AS vs,
+              min(ts) OVER w AS first_ts
+            FROM gauge
+            WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                         RANGE BETWEEN ${rangeMs - StepMs} PRECEDING AND CURRENT ROW)),
+     base AS (SELECT ts, attr_event_type, vs FROM wl
+              WHERE first_ts = ts - ${rangeMs - StepMs}
+                AND ts >= $Start AND ts < $End),
+     wnd AS (SELECT ts, attr_event_type, vs, 0 AS i,
+                    CAST(0 AS DOUBLE) AS sx, CAST(0 AS DOUBLE) AS sv,
+                    CAST(0 AS DOUBLE) AS sxv, CAST(0 AS DOUBLE) AS sxx
+             FROM base
+             UNION ALL
+             SELECT ts, attr_event_type, vs, i + 1,
+                    sx + vs[i + 1].x, sv + vs[i + 1].v,
+                    sxv + vs[i + 1].x * vs[i + 1].v,
+                    sxx + vs[i + 1].x * vs[i + 1].x
+             FROM wnd WHERE i < len(vs))"""
 
   /** DuckDB replay of the DDSketch quantile read (see pq_hist_quantile
     * comment): window expansion via a 0..range/step offset cross join,
