@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Kafka-SHAPED ingest source abstraction — the reference's entire ingest
   * trigger path is S3→Kafka→consumer (docs/design/OVERVIEW.md:38-55,
@@ -128,4 +129,31 @@ object RecordConsumer {
     }
     source.partitions.map(p => p -> tracker.committed(source.topic, p)).toMap
   }
+
+  /** Full ingest spine over a record source — the Kafka-shaped twin of
+    * [[StreamingIngest.segmentWriteStream]]'s foreachBatch contract:
+    * per batch, `build` turns the raw (topic, partition, offset, key,
+    * value) frame into cooked rows, which land under an idempotent
+    * per-(partition, first-offset) directory; the offset commits only
+    * AFTER the write. Batch boundaries are deterministic (poll from the
+    * committed offset with a fixed batchSize), so a crash-replay rewrites
+    * exactly its own directory — at-least-once delivery, exactly-once
+    * segment state.
+    */
+  def consumeToSegments(spark: SparkSession, source: RecordSource,
+      tracker: OffsetTracker, segDir: String,
+      build: DataFrame => DataFrame,
+      writeSegments: (DataFrame, String) => Unit =
+        (df, dir) => graft.ingest.Segments.writeMetricSegments(df, dir),
+      batchSize: Int = 10000): Map[Int, Long] =
+    consumeAvailable(spark, source, tracker, batchSize) { df =>
+      val id = df.select(
+        org.apache.spark.sql.functions.min(col("partition")),
+        org.apache.spark.sql.functions.min(col("offset"))).head()
+      val batchDir = s"$segDir/ingest_batch=p${id.getInt(0)}_o${id.getLong(1)}"
+      val p = new org.apache.hadoop.fs.Path(batchDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // replay rewrites its own dir only
+      writeSegments(build(df), batchDir)
+    }
 }

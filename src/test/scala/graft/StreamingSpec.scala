@@ -268,4 +268,52 @@ class StreamingSpec extends AnyFunSuite {
       col("chq_rollup_count") =!= col("k_count")).count()
     assert(bad == 0 && streamed.count() > 0)
   }
+
+  test("consumeToSegments: crash-replay leaves exactly-once segment state") {
+    import graft.streaming.{FileReplaySource, OffsetTracker, RecordConsumer}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_c2s_").toString
+    (0 until 2).foreach { f =>
+      val lines = (0 until 50).map(i =>
+        s"""{"ts_ms":${1704067200000L + (f * 50 + i) * 500L},"event_type":"t${i % 2}","value":${i}.5}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f"in$f%02d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val segDir = Files.createTempDirectory("graft_c2s_seg_").toString
+    def build(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val parsed = spark.read.json(
+        df.select(col("value").cast("string").as("line")).as[String])
+      graft.ingest.MetricsPreAgg.preAggregate(parsed, col("ts_ms"),
+        lit("rec_value"), col("value"),
+        Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+        withSketch = false)
+    }
+    // run 1: the SECOND batch write throws once (after the first batch of
+    // that partition committed) — segments for the failed batch may be
+    // partially written, then its replay REWRITES the same directory
+    val src = new FileReplaySource(dir, "graft-c2s", numPartitions = 2)
+    val tracker = new OffsetTracker(Files.createTempDirectory("graft_c2s_off_").toString)
+    var calls = 0
+    def flakyWrite(df: org.apache.spark.sql.DataFrame, d: String): Unit = {
+      calls += 1
+      graft.ingest.Segments.writeMetricSegments(df, d)
+      if (calls == 2) throw new RuntimeException("sink crash after write, before commit")
+    }
+    try {
+      RecordConsumer.consumeToSegments(spark, src, tracker, segDir, build,
+        flakyWrite, batchSize = 30)
+      ()
+    } catch { case _: RuntimeException =>
+      RecordConsumer.consumeToSegments(spark, src, tracker, segDir, build,
+        flakyWrite, batchSize = 30)
+      ()
+    }
+    // every record counted exactly once despite the replayed batch
+    val back = spark.read.parquet(segDir)
+    assert(back.agg(sum(col("chq_rollup_count"))).head().getDouble(0) == 100.0)
+    // nothing re-delivers on a fresh consume over the committed tracker
+    var extra = 0L
+    RecordConsumer.consumeAvailable(spark, src, tracker)(df => extra += df.count())
+    assert(extra == 0L)
+  }
 }
