@@ -215,12 +215,15 @@ object Engine {
       val sf = vector(eval(arg, store, p))
       val spark = store.df.sparkSession
       val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("ts")
-      // 1 exactly where the vector has NO samples for the bucket; labels
-      // are dropped (Prometheus only carries matcher-equality labels here)
+      // 1 exactly where the vector has NO samples for the bucket; when the
+      // argument is a plain selector, Prometheus carries its UNAMBIGUOUS
+      // equality-matcher labels onto the output series (createLabelsForAbsentFunction)
       val present = sf.df.select(col("ts")).distinct()
-      Right(SeriesFrame(
-        grid.join(present, Seq("ts"), "left_anti").withColumn("value", lit(1.0)),
-        Nil))
+      val lbls = absentLabels(arg)
+      val out0 = grid.join(present, Seq("ts"), "left_anti")
+        .withColumn("value", lit(1.0))
+      val out = lbls.foldLeft(out0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+      Right(SeriesFrame(out, lbls.map(_._1)))
 
     case TimeFn =>
       val spark = store.df.sparkSession
@@ -291,6 +294,8 @@ object Engine {
       // bucket window the range fns use — holds no matching sample. The
       // distinct present-bucket set is bounded by (span+range)/step, so it
       // broadcasts; the anti range-join never touches data rows twice.
+      // Output series carry the selector's unambiguous equality-matcher
+      // labels (Prometheus createLabelsForAbsentFunction).
       val step = p.stepMs
       val range = sel.rangeMs
       val off = sel.offsetMs
@@ -303,11 +308,13 @@ object Engine {
       val present = df.select(b.as("b")).distinct()
       val spark = store.df.sparkSession
       val grid = spark.range(alignedStart(p), p.endMs, p.stepMs).toDF("ts")
-      val out = grid.join(broadcast(present),
+      val out0 = grid.join(broadcast(present),
           col("b") >= col("ts") - lit(range - step) && col("b") <= col("ts"),
           "left_anti")
         .withColumn("value", lit(1.0))
-      Right(SeriesFrame(out, Nil))
+      val lbls = absentLabels(sel)
+      val out = lbls.foldLeft(out0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+      Right(SeriesFrame(out, lbls.map(_._1)))
 
     case RoundFn(arg, to) => eval(arg, store, p) match {
       case Left(d) => Left(math.floor(d / to + 0.5) * to)
@@ -354,6 +361,21 @@ object Engine {
   private def vector(v: V): SeriesFrame = v match {
     case Right(sf) => sf
     case Left(d) => throw new IllegalArgumentException(s"expected vector, got scalar $d")
+  }
+
+  /** labels absent()/absent_over_time() put on their output when the
+    * argument is a plain selector: non-empty EQUALITY matchers, dropping
+    * any label that appears in more than one matcher (ambiguous) —
+    * Prometheus's createLabelsForAbsentFunction. Non-selector arguments
+    * (absent over an expression) claim nothing.
+    */
+  private def absentLabels(arg: Expr): Seq[(String, String)] = arg match {
+    case sel: Selector =>
+      val eqs = sel.matchers.filter(m => m.op == MatchOp.Eq && m.value.nonEmpty)
+      val counts = sel.matchers.groupBy(_.label).view.mapValues(_.size)
+      eqs.filter(m => counts.getOrElse(m.label, 0) == 1)
+        .map(m => m.label -> m.value)
+    case _ => Nil
   }
 
   /** Classic-histogram quantile over cumulative `le` bucket series —

@@ -391,8 +391,10 @@ object PromQLQueries extends Catalog {
 
     Q("pq_absent",
       run("""absent(events_value{attr_event_type="no_such_type"})"""),
-      // nothing matches → 1 on every grid bucket
-      Some(s"""SELECT r.range AS ts, 1.0 AS value
+      // nothing matches → 1 on every grid bucket, carrying the selector's
+      // equality-matcher label (Prometheus absent() semantics)
+      Some(s"""SELECT r.range AS ts, 'no_such_type' AS attr_event_type,
+               1.0 AS value
         FROM range($Start, $End, $StepMs) r""")),
 
     // round over COUNTS: integer-valued doubles are summation-order-exact
@@ -1006,14 +1008,15 @@ object PromQLQueries extends Catalog {
           MetricStore(Cooked.metrics(s, d)),
           QueryParams(AbsStart, AbsEnd, StepMs))
       },
-      // 1 on grid buckets whose [4h] bucket window has no signup sample
+      // 1 on grid buckets whose [4h] bucket window has no signup sample;
+      // the output carries the selector's equality-matcher label
       Some(s"""WITH ${Cooked.metricsCte},
         step AS (
           SELECT chq_timestamp - chq_timestamp % $StepMs AS ts, attr_event_type
           FROM cooked
           WHERE chq_timestamp >= ${AbsStart - H4} AND chq_timestamp < $AbsEnd
           GROUP BY 1, 2)
-        SELECT r.range AS ts, 1.0 AS value
+        SELECT r.range AS ts, 'signup' AS attr_event_type, 1.0 AS value
         FROM range($AbsStart, $AbsEnd, $StepMs) r
         WHERE NOT EXISTS (
           SELECT 1 FROM step s WHERE s.attr_event_type = 'signup'
