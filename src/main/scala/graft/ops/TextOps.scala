@@ -135,22 +135,26 @@ object TextOps {
     */
   def winnow(df: DataFrame, k: Int = 8, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // whole selection is PER-ROW higher-order Column algebra: k-gram hash
+    // array → sliding-window minima → per-doc distinct — no exploded gram
+    // rows, no per-doc window shuffle (the earlier Window-function form
+    // shuffled one row per CHARACTER of the corpus, a text-length ×
+    // corpus-size exchange at 100 TB; this shape's only exchange is the
+    // final distinct over the selected fingerprints, ~2/(w+1) of grams)
     val norm = regexp_replace(lower(trim(df(textCol))), "\\s+", " ")
-    val grams = df
-      .select(df(idCol).as("doc_id"), norm.as("t"))
+    val t = col("t")
+    val hashes = transform(sequence(lit(1), length(t) - (k - 1)),
+      p => conv(substring(md5(substr(t, p, lit(k))), 1, 12), 16, 10).cast("long"))
+    // guard: sequence(a, b) DESCENDS when b < a, so short docs (fewer than
+    // w grams → no full window) must yield an empty array explicitly
+    val fps = when(size(col("hs")) >= w,
+      array_distinct(transform(sequence(lit(w), size(col("hs"))),
+        i => array_min(slice(col("hs"), i - lit(w) + 1, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(df(idCol).as("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= k)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("p"))
-      .select(col("doc_id"), col("p"),
-        conv(substring(md5(substr(col("t"), col("p"), lit(k))), 1, 12), 16, 10)
-          .cast("long").as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(-(w - 1), 0)
-    grams
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("p") >= w) // full windows only
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), explode(fps).as("fp"))
       .distinct()
   }
 
