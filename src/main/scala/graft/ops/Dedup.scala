@@ -50,20 +50,15 @@ object Dedup {
     * seed, still engine-neutral (plain integer ops in the oracle).
     */
   def minhash(df: DataFrame, textCol: String, k: Int = 16, w: Int = 5): DataFrame = {
-    // whole signature is PER-ROW Column algebra — shingle array → base
-    // hashes → k affine array-minima — with no exploded shingle frame and
-    // no per-doc shuffle (the earlier explode + groupBy form exchanged one
-    // row per shingle of the corpus; min over the same multiset is
-    // identical either way, so results and oracles are unchanged)
-    val h0s = transform(shingles(df(textCol), w),
-      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
-    val sig = array((0 until k).map { j =>
-      array_min(transform(col("__h0"),
-        h => (h * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)))
-    }: _*)
-    df.select(col("doc_id"), h0s.as("__h0"))
-      .filter(size(col("__h0")) > 0) // docs without shingles are dropped
-      .select(col("doc_id"), sig.as("sig"))
+    val base = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
+    val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
+      .select(col("doc_id"), base.as("h0"))
+    val mins = (0 until k).map { j =>
+      min((col("h0") * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)).as(s"h$j")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
