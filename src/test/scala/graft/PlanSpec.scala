@@ -170,13 +170,16 @@ class PlanSpec extends AnyFunSuite {
       "present-set join did not broadcast:\n" + p.take(2000))
   }
 
-  test("winnowing is explode → one per-doc window → aggregate, no joins") {
-    // the k-gram explode is a projection (no shuffle); the sliding min
-    // shuffles once on doc_id; dedup + summary aggregate with map-side
-    // partials. Any join or cartesian here means the shape regressed.
+  test("winnowing is per-row selection → aggregate: no window, no joins") {
+    // the whole fingerprint selection (k-gram hashes, sliding minima,
+    // per-doc dedup) is per-row higher-order Column algebra — a Window
+    // function here would mean the corpus × text-length per-gram shuffle
+    // came back (window minima cannot map-side combine); the only
+    // exchange is the distinct/summary aggregate with map-side partials.
     val p = plan("pp_winnow")
     assert(!p.contains("Join"), p.take(2000))
-    assert(p.contains("Window") && p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
   }
 
   test("agg-file substitution plans a plain scan-filter-agg over the rollup") {
