@@ -37,4 +37,43 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame =
     df.filter(keepFlag(graft.GraftSession.safeCol(df, stratumCol),
       graft.GraftSession.safeCol(df, idCol), rates, defaultRate))
+
+  /** α-weighted mixture sampling — the standard training-data source
+    * reweighting (GPT-3/Pile-style): source s with c_s documents gets
+    * mixture weight w_s = c_s^α / Σ_t c_t^α, flattening the natural
+    * distribution toward uniform as α → 0. Each document of source s
+    * keeps with probability min(1, targetN · w_s / c_s) — i.e. the sample
+    * aims at targetN docs distributed by the α-weights, never upsamples,
+    * and stays a deterministic per-row md5 draw.
+    *
+    * Scale shape: one tiny per-source count aggregate (source cardinality
+    * rows) broadcast back onto the corpus as a plan-time rate map — the
+    * corpus itself is touched by exactly one filter projection, no
+    * shuffle. The per-source keep rates ride the output (`keep_rate`) so
+    * an external engine can replay the exact draw.
+    */
+  def alphaMixture(df: DataFrame, srcCol: String, idCol: String,
+      alpha: Double, targetN: Long): DataFrame = {
+    val src = graft.GraftSession.safeCol(df, srcCol)
+    // per-source counts: a plan-time statistic (same spirit as AQE stats
+    // and Similarity.planesFor) — source cardinality rows, not corpus rows
+    val counts = df.groupBy(src.as("__s")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Σ over sources in sorted-name order (deterministic fold), and the
+    // final rate floor-quantized to a 2^-30 dyadic grid: pow() is not
+    // correctly-rounded across engines, so an external replay matches the
+    // grid value exactly instead of chasing ulps through the division
+    val totalW = counts.toSeq.sortBy(_._1)
+      .map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
+    val grid = (1L << 30).toDouble
+    val rates = counts.map { case (s, c) =>
+      val r = math.min(1.0, targetN * (math.pow(c.toDouble, alpha) / totalW) / c)
+      s -> math.floor(r * grid) / grid
+    }
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, r)) => when(src === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("keep_rate", rate)
+      .filter(uniform(graft.GraftSession.safeCol(df, idCol)) < col("keep_rate"))
+  }
 }

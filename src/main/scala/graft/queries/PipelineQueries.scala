@@ -356,6 +356,43 @@ object PipelineQueries extends Catalog {
       .agg(count(lit(1)).as("n_docs"), sum(col("__keep")).as("n_kept"))
   }
 
+  /** α-weighted mixture sampling over the documents' `source` dimension:
+    * targetN = half the corpus, α = 0.5 flattens the natural source
+    * distribution toward uniform (rare sources keep a larger share). The
+    * oracle replays count^α weights, the 2^-30 rate grid, and the md5
+    * draw; per-source kept counts + the exact keep rates are compared.
+    */
+  private def alphaMixSample(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling
+    val ds = docs(s, d)
+    val sampled = Sampling.alphaMixture(ds, "source", "doc_id",
+      alpha = 0.5, targetN = ds.count() / 2)
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(first(col("keep_rate")), 6).as("keep_rate"))
+  }
+
+  private val alphaMixSampleSql =
+    """WITH c AS (
+       SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+     tw AS (SELECT sum(pow(n, 0.5)) AS t FROM c),
+     r AS (
+       SELECT source, n,
+              floor(least(1.0,
+                ((SELECT count(*) // 2 FROM documents) * (pow(n, 0.5) / tw.t)) / n)
+                * 1073741824.0) / 1073741824.0 AS rate
+       FROM c, tw),
+     kept AS (
+       SELECT d.source,
+              CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                / 281474976710656.0 AS unif,
+              r.rate
+       FROM documents d JOIN r USING (source))
+     SELECT source, CAST(count(*) FILTER (WHERE unif < rate) AS BIGINT) AS n_kept,
+            round(rate, 6) AS keep_rate
+     FROM kept GROUP BY source, rate
+     HAVING count(*) FILTER (WHERE unif < rate) > 0"""
+
   private val stratifiedSampleSql =
     """WITH u AS (
        SELECT lang,
@@ -1040,6 +1077,7 @@ object PipelineQueries extends Catalog {
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),

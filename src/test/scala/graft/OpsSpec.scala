@@ -163,6 +163,33 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 3L, 5L))
   }
 
+  test("alpha mixture flattens source skew, never upsamples, deterministic") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // heavily skewed: 900 docs of 'big', 90 of 'mid', 10 of 'rare'
+    val rows = (0 until 1000).map { i =>
+      val src = if (i < 900) "big" else if (i < 990) "mid" else "rare"
+      (i.toLong, src)
+    }
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.alphaMixture(df, "source", "doc_id", alpha = 0.5, targetN = 300L)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = out.select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=0.5 weights ~ sqrt(n): rare keeps a LARGER fraction than big
+    // (rare's alpha-share exceeds its size -> clamped at 1.0, never above)
+    assert(rates("rare") == 1.0 && rates("mid") > rates("big"), rates.toString)
+    assert(rates("rare") > rates("mid"), rates.toString)
+    // never upsample: every rate <= 1, kept <= source size
+    assert(rates.values.forall(_ <= 1.0))
+    assert(kept.getOrElse("big", 0L) <= 900 && kept.getOrElse("rare", 0L) <= 10)
+    // deterministic: identical second run
+    val again = Sampling.alphaMixture(df, "source", "doc_id", 0.5, 300L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("stratified sampling is deterministic and rate-shaped") {
     import graft.ops.Sampling
     import spark.implicits._
