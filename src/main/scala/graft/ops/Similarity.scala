@@ -249,6 +249,24 @@ object Similarity {
       .select(col("query_id"), col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * vector-store/prep step: per-vector scale = max|x|/127, q_i =
+    * round(x_i/scale) ∈ [-127, 127]. Deterministic Column algebra (the
+    * float inputs, the max, and the division widen identically in any
+    * engine; round is half-away-from-zero on both). Zero vectors keep a
+    * null scale and an all-zero code array. Returns (input columns +
+    * q_scale + q_codes).
+    */
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol)
+    val scale = array_max(transform(emb, x => abs(x))) / lit(127.0)
+    df.withColumn("q_scale", when(scale > 0.0, scale))
+      .withColumn("q_codes",
+        when(col("q_scale").isNotNull,
+          transform(emb, x => round(x / col("q_scale"), 0).cast("int")))
+          .otherwise(transform(emb, _ => lit(0))))
+  }
+
   /** ANN via random-hyperplane LSH: candidates share a bucket with the
     * query; rerank by exact cosine, top-k per query. Recall < 1 by design —
     * probe multiple hash tables for higher recall (tables parameter).

@@ -653,6 +653,42 @@ object PipelineQueries extends Catalog {
        FROM scored) WHERE rk <= 5"""
   }
 
+  /** int8 quantization summary per vector: the code array is collapsed to
+    * exact-integer invariants (Σq, Σ|q|, position-weighted checksum — all
+    * well under 2^53) plus the round-6 scale, so the oracle replays the
+    * whole quantization without hashing a 64-wide array column.
+    */
+  private def embQuantize(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.quantizeInt8(Tables.embeddings(s, d))
+    q.select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+      aggregate(col("q_codes"), lit(0L), (a, x) => a + x).as("q_sum"),
+      aggregate(col("q_codes"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+      aggregate(zip_with(col("q_codes"),
+          sequence(lit(1), size(col("q_codes"))), (qc, i) => qc * i),
+        lit(0L), (a, x) => a + x).as("q_checksum"))
+  }
+
+  private val embQuantizeSql =
+    """WITH q AS (
+       SELECT vec_id,
+              list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS s0,
+              embedding
+       FROM embeddings),
+     c AS (
+       SELECT vec_id,
+              CASE WHEN s0 > 0 THEN s0 END AS q_scale,
+              CASE WHEN s0 > 0
+                   THEN list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) / s0, 0) AS INT))
+                   ELSE list_transform(embedding, x -> 0) END AS codes
+       FROM q)
+     SELECT vec_id, round(q_scale, 6) AS q_scale,
+            list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS q_sum,
+            list_sum(list_transform(codes, x -> CAST(abs(x) AS BIGINT))) AS q_l1,
+            list_sum(list_transform(list_zip(codes, range(1, len(codes) + 1)),
+              p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS q_checksum
+     FROM c"""
+
   /** embedding-cosine near-dup pairs (dedup over the embedding space);
     * threshold 0.4 — the synthetic embeddings carry no true duplicates
     * (max pairwise cosine ≈ 0.51), so the row exercises the operator's
@@ -1091,6 +1127,7 @@ object PipelineQueries extends Catalog {
         Tables.embeddings(s, d).filter(col("vec_id") < 8), k = 5, nProbe = 4),
       Some(ivfAnnLloydSql)),
     Q("pp_emb_neardup", embNearDup, Some(embNearDupSql)),
+    Q("pp_emb_quantize", embQuantize, Some(embQuantizeSql)),
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
