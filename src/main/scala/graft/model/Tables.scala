@@ -37,17 +37,34 @@ object Tables {
 
   /** events with an epoch-ms LongType `ts_ms` column added.
     *
-    * Spark 4.x rejects parquet TIMESTAMP(NANOS) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` is set (every graft session
-    * sets it — see [[graft.GraftSession]]), in which case `ts` arrives as
-    * LongType nanos. Integer `DIV` (not double division) — ns epochs
-    * (~1.7e18) exceed double's 2^53 exact-integer range.
+    * The driver has written `events.ts` as parquet TIMESTAMP(NANOS) in some
+    * rounds and TIMESTAMP_NTZ(µs) in others, so the loader is
+    * schema-tolerant by type (the reference's reader factory is equally
+    * tolerant by design — /root/reference/internal/filereader/
+    * reader_factory.go:56-91 dispatches any input shape):
+    *
+    *  - Spark 4.x rejects parquet TIMESTAMP(NANOS) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` is set (every graft
+    *    session sets it — see [[graft.GraftSession]]), in which case `ts`
+    *    arrives as LongType nanos. Integer `DIV` (not double division) —
+    *    ns epochs (~1.7e18) exceed double's 2^53 exact-integer range.
+    *  - TIMESTAMP_NTZ casts to TIMESTAMP interpreted in the session time
+    *    zone, which graft pins to UTC ([[graft.GraftSession]]) — the cast
+    *    is instant-preserving and matches DuckDB's `epoch_ms(ts)` on the
+    *    same naive value (the oracle side).
+    *  - Any new flavor fails loudly with a one-line message instead of
+    *    161 downstream analysis errors.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val tsMs = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
-      case _                                   => unix_millis(col("ts"))
+      case LongType         => expr("ts DIV 1000000")
+      case TimestampType    => unix_millis(col("ts"))
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other - expected INT64 ns (nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ; " +
+          "add an arm in graft.model.Tables.events")
     }
     df.withColumn("ts_ms", tsMs.cast("long"))
   }

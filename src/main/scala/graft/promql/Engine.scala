@@ -641,7 +641,24 @@ object Engine {
             // it as a recursive CTE), so every intermediate double is
             // bit-equal. The window is ≤ range/step buckets — the per-row
             // list stays tiny.
-            val vs = collect_list(bavg).over(rw)
+            //
+            // The fold's INPUTS get the same treatment: bavg = bsum/bcnt where
+            // bsum is an engine-order partial sum, so bavg itself carries ulp
+            // noise the cancellation amplifies. Quantizing each bucket average
+            // to a cents grid (a bounded ≤0.01 perturbation on a variance
+            // estimate) makes any engine fold bit-identical doubles — BUT the
+            // boundary must sit OFF the data grid: bucket averages are exact
+            // multiples of 1/(100·bcnt) (raw values are cents), so a
+            // half-cent rounding boundary is routinely HIT exactly, and each
+            // engine's ulp-noisy bavg falls on an arbitrary side. An
+            // irrational offset (1/π) keeps every boundary away from every
+            // rational data point, so ulp noise can never flip a bucket.
+            // floor/+/* are single-rounding IEEE ops — identical on any
+            // engine (unlike round(), which Spark routes through a decimal
+            // string and DuckDB applies to the binary value).
+            val quantOffset = 0.31830988618367446 // 1/π
+            val bavgCents = floor(bavg * lit(100.0) + lit(quantOffset)) / lit(100.0)
+            val vs = collect_list(bavgCents).over(rw)
             val n = size(vs).cast("double")
             val acc = aggregate(
               vs,

@@ -671,7 +671,8 @@ object PipelineQueries extends Catalog {
   private val embQuantizeSql =
     """WITH q AS (
        SELECT vec_id,
-              list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS s0,
+              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                / 127.0 AS s0,
               embedding
        FROM embeddings),
      c AS (

@@ -639,11 +639,18 @@ object PromQLQueries extends Catalog {
       // the SAME ts-ordered window list (recursive CTE ≡ the engine's
       // aggregate() fold) — window SUM frame-walk order is engine-internal
       // and the cancellation amplifies its ulp noise, so ordered folds are
-      // the only bit-replayable construction
+      // the only bit-replayable construction. The fold inputs are the
+      // engine's cents-quantized bucket averages (Engine stddev arm):
+      // floor(x·100 + 1/π)/100 — pure IEEE ops, and the irrational offset
+      // keeps the quantization boundary off the rational data grid so each
+      // engine's ulp-noisy bucket average lands in the same cell.
       Some(s"""WITH RECURSIVE ${gaugeCte(H6)},
+        gq AS (SELECT ts, attr_event_type,
+                 floor(v * 100 + CAST(0.31830988618367446 AS DOUBLE)) / 100.0 AS v
+               FROM gauge),
         wnd AS (SELECT ts, attr_event_type,
                   list(v) OVER w AS vs, min(ts) OVER w AS first_ts
-                FROM gauge
+                FROM gq
                 WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
                              RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW)),
         base AS (SELECT ts, attr_event_type, vs FROM wnd

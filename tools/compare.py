@@ -3,9 +3,14 @@
 against DuckDB oracles over the same parquet tables. Dev tool only (not part
 of the shipped Scala library).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--strict]
+
+--strict additionally counts BIT-different float64s per query (struct.pack
+'>d' byte comparison after round-6, the driver's hash input) and reports any
+query with a nonzero count — the driver hashes exactly, so a row that passes
+the tolerance check but differs in bits is a driver-red in waiting.
 """
-import sys, glob, os, math, json
+import sys, glob, os, math, json, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -31,8 +36,24 @@ def canon(rows, cols):
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return [sorted(cols)] + out
 
+def bitdiff(a, b):
+    """count of float64 cells whose round-6 values differ in IEEE bits"""
+    n = 0
+    for x, y in zip(a, b):
+        for u, v in zip(x, y):
+            if isinstance(u, float) and isinstance(v, float):
+                if math.isnan(u) and math.isnan(v):
+                    continue
+                if struct.pack('>d', u) != struct.pack('>d', v):
+                    n += 1
+            elif u != v:
+                n += 1
+    return n
+
 def main():
     sf, outdir = sys.argv[1], sys.argv[2]
+    strict = "--strict" in sys.argv[3:]
+    bits = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -86,9 +107,20 @@ def main():
             print(f"VALUES   {name}: {len(real)} differing rows; first: {real[0]}")
             n_bad += 1
         else:
-            print(f"OK       {name} ({len(a)-1} rows)")
+            if strict:
+                nb = bitdiff(a[1:], b[1:])
+                bits[name] = nb
+                tag = f"  [{nb} bit-diff float64s]" if nb else ""
+                print(f"OK       {name} ({len(a)-1} rows){tag}")
+            else:
+                print(f"OK       {name} ({len(a)-1} rows)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if strict:
+        hot = {k: v for k, v in bits.items() if v}
+        print(f"strict: {len(hot)} queries with bit-diffs "
+              f"({sum(hot.values())} cells): {hot or '{}'}")
+        json.dump(bits, open(f"{outdir}/bitdiffs.json", "w"), indent=1)
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
