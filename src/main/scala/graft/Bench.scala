@@ -193,11 +193,19 @@ object Bench {
     val under1 = sorted.count(_ < 1.0)
     val cpuSorted = cpuSecs.map(_._2).sorted
     val cpuP50 = if (cpuSorted.nonEmpty) cpuSorted(cpuSorted.size / 2) else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","sf":"$sfDir",""" +
+    val line = s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","sf":"$sfDir",""" +
       s""""n":${sorted.size},"mean":${f"$mean%.3f"},"p50":${f"$p50%.3f"},"max":${f"$mx%.3f"},""" +
       s""""cpu_total":${f"$cpuTotal%.1f"},"cpu_p50":${f"$cpuP50%.3f"},"n_retry":$nRetry,""" +
       s""""under_1s":$under1,"n_err":${errs.size},"n_regressions":${regressions.size},""" +
-      s""""queries":$headJson,"detail":"BENCH_FULL.json"}""")
+      s""""queries":$headJson,"detail":"BENCH_FULL.json"}"""
+    // stdout (the driver's contract) AND a fixed file: eight rounds of bench
+    // artifacts arrived with "parsed": null, consistent with the line being
+    // wrapped by an sbt/log4j prefix on the driver side — the file survives
+    // any stdout mangling
+    println(line)
+    System.out.flush()
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -49,6 +49,23 @@ object GraftSession {
   def safeCol(df: DataFrame, name: String): org.apache.spark.sql.Column =
     df(s"`${name.replace("`", "``")}`")
 
+  /** Parallelism floor for compute-dense projections (per-character hash
+    * chains, shingle explosion, signature folds): a small parquet file
+    * arrives as ONE scan partition, and Spark sizes scan parallelism by
+    * input BYTES — so a md5-per-kgram pipeline over a 1.5 MB corpus runs
+    * single-threaded (observed: pp_winnow wall ≈ task-CPU ≈ 6 s on 32
+    * cores). Repartitioning costs one exchange of the raw rows, worth it
+    * exactly when the scan's partitioning is narrower than the session's
+    * parallelism; at real scale (100 TB → thousands of scan partitions)
+    * the floor is already met and this is a NO-OP — no shuffle is added.
+    * Plan-time inspection only (rdd.getNumPartitions builds the physical
+    * plan; it runs no job).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Cut lineage and materialize an intermediate frame that later stages (or
     * iterative rounds) will read more than once.
     *

@@ -51,7 +51,11 @@ object Dedup {
     */
   def minhash(df: DataFrame, textCol: String, k: Int = 16, w: Int = 5): DataFrame = {
     val base = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
-    val sh = df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh"))
+    // spread: the shingle construction + per-shingle md5 is compute-dense
+    // relative to input bytes — see GraftSession.spread (no-op at scale)
+    val src = graft.GraftSession.spread(
+      df.select(col("doc_id"), df(textCol).as("__text")))
+    val sh = src.select(col("doc_id"), explode(shingles(col("__text"), w)).as("sh"))
       .select(col("doc_id"), base.as("h0"))
     val mins = (0 until k).map { j =>
       min((col("h0") * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)).as(s"h$j")
@@ -111,8 +115,11 @@ object Dedup {
     // HOFs per doc) is the expensive pass and BOTH consumers below — sizes
     // and pair generation — read it. The checkpoint is the same data the
     // shuffle would spill anyway (memory-and-disk, lineage truncated).
+    // spread first: the construction is compute-dense vs input bytes
+    // (GraftSession.spread — no-op at scale)
     val sh = graft.GraftSession.materialize(
-      df.select(col("doc_id"), explode(shingles(df(textCol), w)).as("sh")))
+      graft.GraftSession.spread(df.select(col("doc_id"), df(textCol).as("__text")))
+        .select(col("doc_id"), explode(shingles(col("__text"), w)).as("sh")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation via per-shingle doc lists instead of a self-join:
     // singleton shingles (the vast majority) never reach the pair stage,
@@ -230,8 +237,9 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String, bits: Int = 32): DataFrame = {
     require(bits <= 48, "hash48 provides 48 usable bits")
-    val tok = df.select(col("doc_id"),
-      explode(split(lower(df(textCol)), " +")).as("w"))
+    val tok = graft.GraftSession.spread(
+      df.select(col("doc_id"), df(textCol).as("__text")))
+      .select(col("doc_id"), explode(split(lower(col("__text")), " +")).as("w"))
       .withColumn("h", hash48(col("w"), 0))
     val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")

@@ -151,8 +151,12 @@ object TextOps {
       array_distinct(transform(sequence(lit(w), size(col("hs"))),
         i => array_min(slice(col("hs"), i - lit(w) + 1, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
-    df.select(df(idCol).as("doc_id"), norm.as("t"))
-      .filter(length(col("t")) >= k)
+    // spread: the per-character k-gram md5 chain is compute-dense vs input
+    // bytes — a small single-file corpus otherwise runs the whole chain in
+    // ONE task (GraftSession.spread — no-op at scale)
+    graft.GraftSession.spread(
+      df.select(df(idCol).as("doc_id"), norm.as("t"))
+        .filter(length(col("t")) >= k))
       .select(col("doc_id"), hashes.as("hs"))
       .select(col("doc_id"), explode(fps).as("fp"))
       .distinct()

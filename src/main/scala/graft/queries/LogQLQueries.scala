@@ -504,7 +504,9 @@ object LogQLQueries extends Catalog {
       // averages) via the engine's ORDERED FOLD for Σv/Σv² (see
       // pq_stddev_over_time: window-SUM frame-walk order is engine-internal
       // and the n·Σv²−(Σv)² cancellation amplifies its ulp noise) —
-      // replayed as a recursive CTE over the ts-ordered window list
+      // replayed as a recursive CTE over the ts-ordered window list. The
+      // fold inputs are the engine's cents-quantized bucket averages with
+      // the irrational-offset floor (see the Engine stddev arm).
       Some(s"""WITH RECURSIVE ${Cooked.logsCte},
         stepl AS (
           SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
@@ -515,7 +517,8 @@ object LogQLQueries extends Catalog {
             AND chq_timestamp < $End),
         stepa AS (
           SELECT ts, log_level, resource_service_name, attr_event_type,
-                 sum(u) / CAST(count(u) AS DOUBLE) AS v
+                 floor(sum(u) / CAST(count(u) AS DOUBLE) * 100
+                       + CAST(0.31830988618367446 AS DOUBLE)) / 100.0 AS v
           FROM stepl WHERE u IS NOT NULL GROUP BY 1, 2, 3, 4),
         wnd AS (
           SELECT ts, log_level, resource_service_name, attr_event_type,
