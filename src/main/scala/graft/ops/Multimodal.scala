@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * batch shapes, deterministic feature derivation. IMAGES decode for real:
   * the JDK ships `javax.imageio` (PNG/JPEG/BMP/GIF), so [[decodeImageStats]]
   * produces genuine per-pixel statistics with zero new dependencies, and
-  * [[encodePng]] generates real fixtures in-cluster. Audio/video codec work
-  * (resample, frame extraction) stays STUBBED behind deterministic
-  * byte-level fakes — this container has no media libraries beyond the JDK;
-  * swap `fakeDecode*` for a real decoder (e.g. a Pandas UDF via mapInPandas
-  * in PySpark, or a JNI codec) without touching the pipeline shape.
+  * [[encodePng]] generates real fixtures in-cluster. AUDIO decodes for real
+  * too: `javax.sound.sampled` reads WAV/PCM ([[decodeAudioStats]], fixtures
+  * from [[encodeWavSaw]]). VIDEO codec work (frame extraction) stays
+  * STUBBED behind deterministic byte-level fakes — the JDK has no video
+  * decoder; swap `fakeDecode*` for a real decoder (e.g. a Pandas UDF via
+  * mapInPandas in PySpark, or a JNI codec) without touching the pipeline
+  * shape.
   */
 object Multimodal {
 
@@ -74,6 +76,73 @@ object Multimodal {
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+
+  /** decoded per-clip audio statistics. `sum_sq` stays an EXACT Long so an
+    * external oracle replays RMS/energy bit-for-bit from integers (the
+    * decode loop's float order never enters the result).
+    */
+  final case class AudioStats(sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, sum_sq: Long, peak: Int)
+
+  /** REAL audio decode (javax.sound.sampled — pure JVM, WAV/PCM): format
+    * header + per-sample integer statistics over 16-bit PCM frames.
+    * Mirrors [[decodeImageStats]]: null for undecodable payloads, Scala
+    * UDF because the work is an imperative per-row loop over a blob.
+    * Multi-channel clips aggregate over interleaved samples.
+    */
+  val decodeAudioStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sumSq = 0L; var peak = 0; var i = 0
+          while (i < n) {
+            val v =
+              if (fmt.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            sumSq += v.toLong * v
+            val a = math.abs(v); if (a > peak) peak = a
+            i += 1
+          }
+          Some(AudioStats(fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, n.toLong, sumSq, peak))
+        }
+      } catch { case _: Exception => None }
+    })
+
+  /** REAL WAV encode (fixture generator, the audio twin of [[encodePng]]):
+    * 16-bit PCM mono whose samples follow the pure-INTEGER sawtooth
+    * `s_i = ((i·step) mod (2·amplitude+1)) − amplitude`. WAV is lossless
+    * PCM, so decode recovers exactly these integers — and because the
+    * waveform is integer arithmetic (no sin/float), a SQL oracle predicts
+    * every decoded statistic from (sampleRate, nSamples, amplitude, step)
+    * alone, exactly.
+    */
+  val encodeWavSaw: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sampleRate: Int, nSamples: Int, amplitude: Int, step: Int) => {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = ((i.toLong * step) % (2L * amplitude + 1) - amplitude).toInt
+        pcm(2 * i) = (v & 0xff).toByte // little-endian PCM16
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     })
 

@@ -849,6 +849,54 @@ object PipelineQueries extends Catalog {
             (doc_id * 83 % 256 + doc_id * 131 % 256) / 2.0 AS mean_b
        FROM documents WHERE doc_id < 64"""
 
+  /** REAL audio decode end-to-end (the WAV twin of [[mediaDecode]]): per doc
+    * a 16-bit PCM mono WAV is ENCODED in-cluster (javax.sound.sampled) from
+    * a pure-INTEGER sawtooth, then DECODED back to format fields and exact
+    * integer sample statistics. Integer waveform + lossless PCM ⇒ the
+    * oracle recomputes every decoded stat from the generating parameters:
+    * s_i = (i·step) mod (2A+1) − A, sum_sq = Σ s_i² (exact BIGINT), rms =
+    * sqrt(sum_sq/n) — one division + sqrt of exact integers, deterministic
+    * in any engine.
+    */
+  private def mediaAudio(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") % 3 === 1 && col("doc_id") < 200)
+    val sr = (lit(8000) + (col("doc_id") % 2) * 8000).cast("int")
+    val n = ((col("n_chars") % 50 + 10) * 40).cast("int")
+    val a = (col("doc_id") % 900 + 100).cast("int")
+    val st = (col("doc_id") % 37 + 3).cast("int")
+    val stats = Multimodal.decodeAudioStats(Multimodal.encodeWavSaw(sr, n, a, st))
+    df.select(col("doc_id").as("media_id"), stats.as("s"))
+      .select(col("media_id"),
+        col("s.sample_rate").as("sample_rate"),
+        col("s.channels").as("channels"),
+        col("s.n_samples").as("n_samples"),
+        col("s.sum_sq").as("sum_sq"),
+        col("s.peak").as("peak"),
+        round(sqrt(col("s.sum_sq").cast("double") /
+          col("s.n_samples").cast("double")), 6).as("rms"))
+  }
+
+  private val mediaAudioSql =
+    """WITH p AS (
+         SELECT doc_id,
+                CAST(8000 + (doc_id % 2) * 8000 AS INT) AS sample_rate,
+                n_chars % 50 * 40 + 400 AS n,
+                doc_id % 900 + 100 AS a,
+                doc_id % 37 + 3 AS st
+         FROM documents WHERE doc_id % 3 = 1 AND doc_id < 200),
+       s AS (
+         SELECT doc_id, sample_rate, n,
+                list_transform(range(0, n), i -> (i * st) % (2 * a + 1) - a) AS xs
+         FROM p)
+       SELECT doc_id AS media_id, sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(n AS BIGINT) AS n_samples,
+              CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
+              CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak,
+              round(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE)
+                         / CAST(n AS DOUBLE)), 6) AS rms
+       FROM s"""
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** per-doc summary of the winnowed fingerprint set: count, min, and a
@@ -1132,6 +1180,7 @@ object PipelineQueries extends Catalog {
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
+    Q("pp_media_audio", mediaAudio, Some(mediaAudioSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),
     Q("pp_bm25", bm25, Some(bm25Sql)),
     Q("pp_url_dedup", urlDedup, Some(urlDedupSql)),

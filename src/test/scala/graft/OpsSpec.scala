@@ -455,4 +455,31 @@ class MultimodalSpec extends AnyFunSuite {
       .withColumn("s", Multimodal.decodeImageStats(col("payload")))
     assert(df.filter(col("s").isNotNull).count() == 0)
   }
+
+  test("WAV encode -> sampled decode recovers exact integer statistics") {
+    import spark.implicits._
+    // sawtooth s_i = (i*step) mod (2A+1) - A with A=3, step=2, n=7:
+    // i*2 mod 7 = 0,2,4,6,1,3,5 → samples -3,-1,1,3,-2,0,2
+    val expected = Seq(-3, -1, 1, 3, -2, 0, 2)
+    val df = Seq((1L, 8000, 7, 3, 2)).toDF("id", "sr", "n", "a", "st")
+      .withColumn("wav", Multimodal.encodeWavSaw(col("sr"), col("n"), col("a"), col("st")))
+      .withColumn("s", Multimodal.decodeAudioStats(col("wav")))
+    val r = df.select("s.sample_rate", "s.channels", "s.bits",
+      "s.n_samples", "s.sum_sq", "s.peak").head()
+    assert(r.getInt(0) == 8000 && r.getInt(1) == 1 && r.getInt(2) == 16)
+    assert(r.getLong(3) == 7L)
+    assert(r.getLong(4) == expected.map(v => v.toLong * v).sum)
+    assert(r.getInt(5) == 3)
+    // the payload really is a RIFF/WAVE container, not a fake
+    val wav = df.select("wav").head().getAs[Array[Byte]](0)
+    assert(new String(wav.take(4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+  }
+
+  test("audio decode rejects junk bytes as null, not errors") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](9, 9, 9)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+      .withColumn("s", Multimodal.decodeAudioStats(col("payload")))
+    assert(df.filter(col("s").isNotNull).count() == 0)
+  }
 }
