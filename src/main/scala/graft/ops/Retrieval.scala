@@ -30,8 +30,11 @@ object Retrieval {
       .select(explode(Dedup.shingles(bench(textCol), w)).as("sh"))
       .distinct()
       .withColumn("__hit", lit(1L))
-    val docGrams = corpus.select(col("doc_id"),
-      explode(Dedup.shingles(corpus(textCol), w)).as("sh"))
+    // spread: shingle construction is compute-dense vs input bytes
+    // (GraftSession.spread — no-op at scale)
+    val docGrams = graft.GraftSession.spread(
+      corpus.select(col("doc_id"), corpus(textCol).as("__text")))
+      .select(col("doc_id"), explode(Dedup.shingles(col("__text"), w)).as("sh"))
     docGrams
       .join(broadcast(benchGrams), Seq("sh"), "left")
       .groupBy(col("doc_id"))
@@ -51,8 +54,9 @@ object Retrieval {
   def bm25(corpus: DataFrame, terms: Seq[String], textCol: String = "text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = corpus
-      .select(col("doc_id"), explode(TextOps.tokens(corpus(textCol))).as("tok"))
+    val toks = graft.GraftSession.spread(
+      corpus.select(col("doc_id"), corpus(textCol).as("__text")))
+      .select(col("doc_id"), explode(TextOps.tokens(col("__text"))).as("tok"))
       .filter(length(col("tok")) > 0)
     // per-doc length and the two corpus constants (one tiny row, broadcast)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
