@@ -182,6 +182,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("spread floors parallelism on narrow scans and is a NO-OP on wide ones") {
+    import spark.implicits._
+    // narrow input (1 partition, parallelism 4) → exactly one repartition
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .coalesce(1)
+    val sp = GraftSession.spread(narrow)
+    assert(sp.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "spread must raise a 1-partition frame to the session parallelism")
+    // wide input (already at/above parallelism) → the SAME plan, no exchange
+    val wide = Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism + 2)
+    val out = GraftSession.spread(wide)
+    assert(out eq wide, "spread must return the input untouched when the " +
+      "scan already provides enough partitions — no extra exchange at scale")
+  }
+
   test("agg-file substitution plans a plain scan-filter-agg over the rollup") {
     // the rewrite's value is the small input; the plan over it must stay
     // shuffle-light — one partial+final aggregate pair, no join
