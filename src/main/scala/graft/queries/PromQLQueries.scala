@@ -117,9 +117,12 @@ object PromQLQueries extends Catalog {
         FROM win WHERE ${covered(H4)}""")),
 
     Q("pq_avg_over_time",
-      run("avg_over_time(events_value[6h])"),
+      // q6: the window average is a float-sum quotient of decimal-cents
+      // data — raw round-6 flips at grid boundaries (see Catalog.q6)
+      { (s, d) => run("avg_over_time(events_value[6h])")(s, d)
+        .withColumn("value", q6(col("value"))) },
       Some(s"""WITH ${winCte(H6)}
-        SELECT ts, attr_event_type, wsum / wcnt AS value
+        SELECT ts, attr_event_type, ${q6Sql("wsum / wcnt")} AS value
         FROM win WHERE ${covered(H6)} AND wcnt > 0""")),
 
     Q("pq_minmax_over_time",
@@ -326,10 +329,12 @@ object PromQLQueries extends Catalog {
         LEFT JOIN cnt c ON g.ts = c.ts AND g.attr_event_type = c.attr_event_type""")),
 
     Q("pq_last_over_time",
-      run("last_over_time(events_value[6h])"),
-      // last bucket in the window is the current one → its bucket average
+      // last bucket in the window is the current one → its bucket average;
+      // q6 for the same float-sum-quotient reason as pq_avg_over_time
+      { (s, d) => run("last_over_time(events_value[6h])")(s, d)
+        .withColumn("value", q6(col("value"))) },
       Some(s"""WITH ${winCte(H6)}
-        SELECT w.ts, w.attr_event_type, s.bsum / s.bcnt AS value
+        SELECT w.ts, w.attr_event_type, ${q6Sql("s.bsum / s.bcnt")} AS value
         FROM win w JOIN step s ON w.ts = s.ts AND w.attr_event_type = s.attr_event_type
         WHERE w.first_ts = w.ts - ${H6 - StepMs} AND w.ts >= $Start AND w.ts < $End""")),
 
@@ -408,8 +413,10 @@ object PromQLQueries extends Catalog {
         FROM step WHERE ts >= $Start AND ts < $End""")),
 
     // gauge delta: last minus first bucket average across the window
+    // (q6: difference of two float-sum quotients)
     Q("pq_delta",
-      run("delta(events_value[6h])"),
+      { (s, d) => run("delta(events_value[6h])")(s, d)
+        .withColumn("value", q6(col("value"))) },
       Some(s"""WITH ${stepCte(H6)},
         winf AS (
           SELECT ts, attr_event_type,
@@ -420,7 +427,7 @@ object PromQLQueries extends Catalog {
           WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
                        RANGE BETWEEN ${H6 - StepMs} PRECEDING AND CURRENT ROW))
         SELECT w.ts, w.attr_event_type,
-               (s.bsum / CASE WHEN s.bcnt = 0 THEN 1 ELSE s.bcnt END) - w.favg
+               ${q6Sql("(s.bsum / CASE WHEN s.bcnt = 0 THEN 1 ELSE s.bcnt END) - w.favg")}
                  AS value
         FROM winf w
         JOIN step s ON w.ts = s.ts AND w.attr_event_type = s.attr_event_type
@@ -505,17 +512,18 @@ object PromQLQueries extends Catalog {
 
     Q("pq_hist_avg",
       // histogram_avg/sum/count read exactly out of the merged sketch —
-      // DuckDB aggregates the raw events directly (round-6 absorbs float
-      // summation order, the pq_sketch_stats precedent)
+      // DuckDB aggregates the raw events directly. q6 instead of round-6:
+      // the avg sits near round boundaries of the decimal data and flips
+      // under summation-order noise (see Catalog.q6)
       { (s, d) =>
         Engine.query("histogram_avg(events_value)",
           MetricStore(Cooked.metrics(s, d, withSketch = true)),
           QueryParams(Start, End, StepMs))
-          .withColumn("value", round(col("value"), 6))
+          .withColumn("value", q6(col("value")))
       },
       Some(s"""SELECT epoch_ms(ts) - epoch_ms(ts) % $StepMs AS ts,
                event_type AS attr_event_type,
-               round(sum("value") / count(*), 6) AS value
+               ${q6Sql("""sum("value") / count(*)""")} AS value
         FROM events
         WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
         GROUP BY 1, 2""")),
@@ -603,16 +611,17 @@ object PromQLQueries extends Catalog {
         WHERE ts >= $Start AND ts < $End""")),
 
     Q("pq_idelta",
-      run("idelta(events_value[2h])"),
-      // [2h] at the 1h step pins the pair to (ts-1h, ts); both gauge values
-      // are single divisions of bitwise-replayable step sums, so the
-      // difference is deterministic on both engines
+      // [2h] at the 1h step pins the pair to (ts-1h, ts); q6 because each
+      // gauge value is a float-sum quotient (the difference inherits and
+      // doubles the ulp noise)
+      { (s, d) => run("idelta(events_value[2h])")(s, d)
+        .withColumn("value", q6(col("value"))) },
       Some(s"""WITH ${gaugeCte(2 * 3600000L)},
         l AS (SELECT ts, attr_event_type, v,
                 lag(ts) OVER w AS pts, lag(v) OVER w AS pv
               FROM gauge
               WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts))
-        SELECT ts, attr_event_type, v - pv AS value
+        SELECT ts, attr_event_type, ${q6Sql("v - pv")} AS value
         FROM l WHERE pts = ts - $StepMs AND ts >= $Start AND ts < $End""")),
 
     Q("pq_changes",
@@ -754,12 +763,13 @@ object PromQLQueries extends Catalog {
         FROM u WHERE unif >= 0.4""")),
 
     Q("pq_mad_over_time",
-      run("mad_over_time(events_value[6h])"),
       // median absolute deviation over the window's bucket gauge values;
       // both engines use the explicit sorted-array median formula —
-      // (a+b)/2 on even counts — so the doubles replay bit-identically
-      // (DuckDB lists are 1-indexed, Spark arrays 0-indexed; the // and /
-      // integer divisions below address the same elements)
+      // (a+b)/2 on even counts — so the PICKS replay identically, but the
+      // picked values are float-sum quotients whose ulp noise survives to
+      // the output → q6 (see Catalog.q6)
+      { (s, d) => run("mad_over_time(events_value[6h])")(s, d)
+        .withColumn("value", q6(col("value"))) },
       Some(s"""WITH ${gaugeCte(H6)},
         l AS (SELECT ts, attr_event_type,
                 list(v) OVER w AS vs, min(ts) OVER w AS first_ts
@@ -776,8 +786,8 @@ object PromQLQueries extends Catalog {
                 list_sort(list_transform(vs, x -> abs(x - med))) AS ds
                FROM md)
         SELECT ts, attr_event_type,
-               CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
-                    ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2.0 END AS value
+               ${q6Sql("""CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                    ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2.0 END""")} AS value
         FROM dv
         WHERE first_ts = ts - ${H6 - StepMs} AND ts >= $Start AND ts < $End""")),
 

@@ -168,22 +168,29 @@ object TelemetryQueries extends Catalog {
       Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
       withSketch = false)
     val tiers = MetricsPreAgg.rollupChain(base)
+    // events.value is 2-decimal quantized, so the hourly sum's TRUE value
+    // is integer cents: recover it exactly on both engines (sum-order ulp
+    // noise ≪ the half-cent margin) instead of emitting the raw float sum,
+    // whose round-6 hash flips at scale — the pq_rate exactCents precedent.
+    // avg divides the recovered sum by the exact count: deterministic.
+    val exactSum = round(col("chq_rollup_sum") * 100, 0).cast("long") / lit(100.0)
     tiers(3600000L).select(
       col("chq_timestamp"), col("chq_tid"), col("attr_event_type"),
-      col("chq_rollup_sum"), col("chq_rollup_count"),
+      exactSum.as("chq_rollup_sum"), col("chq_rollup_count"),
       col("chq_rollup_min"), col("chq_rollup_max"),
-      round(col("chq_rollup_avg"), 6).as("chq_rollup_avg"))
+      (exactSum / col("chq_rollup_count")).as("chq_rollup_avg"))
   }
 
   private val rollupChainSql =
     s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS chq_timestamp,
        $tidSql AS chq_tid,
        event_type AS attr_event_type,
-       sum("value") AS chq_rollup_sum,
+       CAST(round(sum("value") * 100, 0) AS BIGINT) / 100.0 AS chq_rollup_sum,
        CAST(count(*) AS DOUBLE) AS chq_rollup_count,
        min("value") AS chq_rollup_min,
        max("value") AS chq_rollup_max,
-       round(sum("value") / count(*), 6) AS chq_rollup_avg
+       CAST(round(sum("value") * 100, 0) AS BIGINT) / 100.0 / count(*)
+         AS chq_rollup_avg
        FROM events GROUP BY 1, 2, 3"""
 
   /** write sorted/partitioned segments, compact, read back: per-dateint
