@@ -84,8 +84,11 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
     val baseline: Map[String, Double] =
       if (new java.io.File(baselinePath).exists()) {
+        // explicit UTF-8: a POSIX-locale JVM defaults to US-ASCII and a
+        // baseline whose notes contain multibyte chars (×, —) kills the
+        // whole bench run before any timing happens
         val txt = {
-          val src = scala.io.Source.fromFile(baselinePath)
+          val src = scala.io.Source.fromFile(baselinePath)(scala.io.Codec.UTF8)
           try src.mkString finally src.close()
         }
         val re = """\\?"([a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?)""".r
