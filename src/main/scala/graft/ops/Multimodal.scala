@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * produces genuine per-pixel statistics with zero new dependencies, and
   * [[encodePng]] generates real fixtures in-cluster. AUDIO decodes for real
   * too: `javax.sound.sampled` reads WAV/PCM ([[decodeAudioStats]], fixtures
-  * from [[encodeWavSaw]]). VIDEO codec work (frame extraction) stays
-  * STUBBED behind deterministic byte-level fakes — the JDK has no video
-  * decoder; swap `fakeDecode*` for a real decoder (e.g. a Pandas UDF via
-  * mapInPandas in PySpark, or a JNI codec) without touching the pipeline
-  * shape.
+  * from [[encodeWavSaw]]). VIDEO decodes for real for UNCOMPRESSED streams:
+  * [[decodeVideoStats]] is a hand-rolled RIFF/AVI chunk-tree parser over
+  * BI_RGB 24-bit DIB frames (the JDK has no video *codec*, but uncompressed
+  * AVI needs none). Compressed codecs (H.264 etc.) remain out of scope —
+  * payloads with `biCompression != 0` return null; swap in a JNI codec or a
+  * Pandas UDF via mapInPandas without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -143,6 +144,152 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    })
+
+  /** decoded per-clip video statistics. Channel sums stay EXACT Longs (the
+    * video twin of [[AudioStats]].sum_sq) so an external oracle replays
+    * per-frame/per-channel means bit-for-bit from integers.
+    */
+  final case class VideoStats(width: Int, height: Int, bit_count: Int,
+      n_frames: Int, us_per_frame: Int, frames_read: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video decode — a hand-rolled RIFF/AVI container parser for
+    * uncompressed DIB (BI_RGB 24-bit) frames, pure JVM. The JDK ships no
+    * video *codec*, but uncompressed AVI needs none: the container is a
+    * RIFF chunk tree (`RIFF('AVI ' LIST('hdrl' avih …) LIST('movi'
+    * '00db'…))`, per the public AVI RIFF spec) and each `00db` frame is a
+    * bottom-up BGR DIB with 4-byte-aligned rows. The parser walks the
+    * chunk tree generically (even-size padding, nested LISTs, `##db`/`##dc`
+    * frame chunks, top-down negative-height DIBs) and folds exact integer
+    * channel sums over every frame. Compressed streams (biCompression != 0)
+    * and non-24bpp return null — decode failures are data, not errors.
+    */
+  val decodeVideoStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null || bytes.length < 12) None
+      else try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(off: Int): String =
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+        else {
+          var width = 0; var height = 0; var bitCount = 0; var comp = -1
+          var nFrames = 0; var usPerFrame = 0; var framesRead = 0
+          var sr = 0L; var sg = 0L; var sb = 0L
+          // walk [from, until) as a sequence of RIFF chunks (8-byte header,
+          // even-size padding); LISTs recurse past their 4-byte list type
+          def walk(from: Int, until: Int): Unit = {
+            var off = from
+            while (off + 8 <= until) {
+              val id = fourcc(off)
+              val size = bb.getInt(off + 4)
+              if (size < 0 || off + 8 + size > until) return // truncated
+              val body = off + 8
+              if (id == "LIST" || id == "RIFF") walk(body + 4, body + size)
+              else if (id == "avih" && size >= 40) {
+                usPerFrame = bb.getInt(body)
+                nFrames = bb.getInt(body + 16)
+                width = bb.getInt(body + 32); height = bb.getInt(body + 36)
+              } else if (id == "strf" && size >= 40 && comp < 0) {
+                // BITMAPINFOHEADER of the first (video) stream
+                bitCount = bb.getShort(body + 14) & 0xffff
+                comp = bb.getInt(body + 16)
+                if (width == 0) width = bb.getInt(body + 4)
+                if (height == 0) height = math.abs(bb.getInt(body + 8))
+              } else if (id.length == 4 && id(2) == 'd' &&
+                  (id(3) == 'b' || id(3) == 'c') &&
+                  Character.isDigit(id(0)) && Character.isDigit(id(1))) {
+                // '##db'/'##dc' frame chunk: rows 4-byte aligned; bottom-up
+                // vs top-down DIB order is irrelevant to channel sums
+                val rowBytes = (width * 3 + 3) / 4 * 4
+                if (comp == 0 && bitCount == 24 && size >= rowBytes * height) {
+                  var y = 0
+                  while (y < height) {
+                    var x = 0
+                    val row = body + y * rowBytes
+                    while (x < width) {
+                      val p = row + x * 3 // DIB pixel order is B,G,R
+                      sb += bytes(p) & 0xff
+                      sg += bytes(p + 1) & 0xff
+                      sr += bytes(p + 2) & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  framesRead += 1
+                }
+              }
+              off = body + size + (size & 1) // chunks pad to even offsets
+            }
+          }
+          walk(12, math.min(bytes.length, 8 + bb.getInt(4)))
+          if (comp != 0 || bitCount != 24 || framesRead == 0) None
+          else Some(VideoStats(width, height, bitCount, nFrames, usPerFrame,
+            framesRead, sr, sg, sb))
+        }
+      } catch { case _: Exception => None }
+    })
+
+  /** REAL AVI encode (fixture generator, the video twin of [[encodePng]] /
+    * [[encodeWavSaw]]): an uncompressed 24-bit DIB AVI where frame f is the
+    * solid color `((r0+f·rs) mod 256, (g0+f·gs) mod 256, (b0+f·bs) mod
+    * 256)`. Uncompressed DIB is lossless, so decode recovers exactly these
+    * integers — and because the ramp is integer arithmetic, a SQL oracle
+    * predicts every decoded statistic (frame count, exact channel sums)
+    * from the generating parameters alone.
+    */
+  val encodeAviRamp: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+         r0: Int, rs: Int, g0: Int, gs: Int, b0: Int, bs: Int) => {
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val frameSize = rowBytes * h // multiple of 4, always even
+      val bos = new java.io.ByteArrayOutputStream()
+      def dw(v: Int): Unit = { // DWORD, little-endian
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      val strlSize = 4 + (8 + 56) + (8 + 40)          // 'strl' + strh + strf
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // 'hdrl' + avih + LIST strl
+      val moviSize = 4 + nFrames * (8 + frameSize)
+      cc("RIFF"); dw(4 + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+      cc("LIST"); dw(hdrlSize); cc("hdrl")
+      // MainAVIHeader: µs/frame, maxBytesPerSec, padding, flags, totalFrames,
+      // initialFrames, streams, suggestedBufSize, width, height, reserved[4]
+      cc("avih"); dw(56)
+      dw(usPerFrame); dw(0); dw(0); dw(0); dw(nFrames)
+      dw(0); dw(1); dw(frameSize); dw(w); dw(h); dw(0); dw(0); dw(0); dw(0)
+      cc("LIST"); dw(strlSize); cc("strl")
+      // AVIStreamHeader: 'vids'/'DIB ', flags, prio+lang, initialFrames,
+      // scale, rate, start, length, bufSize, quality, sampleSize, rcFrame
+      cc("strh"); dw(56)
+      cc("vids"); cc("DIB "); dw(0); dw(0); dw(0)
+      dw(usPerFrame); dw(1000000); dw(0); dw(nFrames)
+      dw(frameSize); dw(-1); dw(0); dw(0); dw(0)
+      // BITMAPINFOHEADER: size, w, h, planes+bpp, BI_RGB, sizeImage, rest 0
+      cc("strf"); dw(40)
+      dw(40); dw(w); dw(h); dw(1 | (24 << 16)); dw(0); dw(frameSize)
+      dw(0); dw(0); dw(0); dw(0)
+      cc("LIST"); dw(moviSize); cc("movi")
+      val row = new Array[Byte](rowBytes)
+      var f = 0
+      while (f < nFrames) {
+        cc("00db"); dw(frameSize)
+        val r = (r0 + f * rs) % 256; val g = (g0 + f * gs) % 256
+        val b = (b0 + f * bs) % 256
+        var x = 0
+        while (x < w) { // DIB pixel order B,G,R; pad bytes stay zero
+          row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte
+          row(x * 3 + 2) = r.toByte
+          x += 1
+        }
+        var y = 0
+        while (y < h) { bos.write(row); y += 1 }
+        f += 1
+      }
       bos.toByteArray
     })
 

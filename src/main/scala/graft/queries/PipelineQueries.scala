@@ -897,6 +897,65 @@ object PipelineQueries extends Catalog {
                          / CAST(n AS DOUBLE)), 6) AS rms
        FROM s"""
 
+  /** REAL video decode end-to-end (the AVI twin of [[mediaAudio]]): per doc
+    * an uncompressed 24-bit DIB AVI is ENCODED in-cluster (frame f a solid
+    * integer-ramp color), then DECODED back through the RIFF chunk-tree
+    * parser to header fields and exact per-channel integer sums. Lossless
+    * DIB + integer ramp ⇒ the oracle recomputes every decoded stat from the
+    * generating parameters: sum_r = w·h·Σ_f (r0+f·rs) mod 256 (exact
+    * BIGINT), mean·1000 via floor of the same IEEE double division on both
+    * engines.
+    */
+  private def mediaVideo(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") % 3 === 2 && col("doc_id") < 200)
+    val w = ((col("doc_id") % 6 + 2) * 2).cast("int")   // even, 4..14
+    val h = ((col("doc_id") % 5 + 1) * 2).cast("int")   // even, 2..12
+    val n = (col("doc_id") % 10 + 2).cast("int")        // 2..11 frames
+    val avi = Multimodal.encodeAviRamp(
+      w, h, n, lit(33333),
+      (col("doc_id") * 17 % 256).cast("int"), (col("doc_id") % 7 + 1).cast("int"),
+      (col("doc_id") * 29 % 256).cast("int"), (col("doc_id") % 5 + 1).cast("int"),
+      (col("doc_id") * 43 % 256).cast("int"), (col("doc_id") % 3 + 1).cast("int"))
+    val px = col("s.width").cast("long") * col("s.height") * col("s.n_frames")
+    df.select(col("doc_id").as("media_id"), Multimodal.decodeVideoStats(avi).as("s"))
+      .select(col("media_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.n_frames").as("n_frames"),
+        col("s.us_per_frame").as("us_per_frame"),
+        col("s.frames_read").as("frames_read"),
+        col("s.sum_r").as("sum_r"), col("s.sum_g").as("sum_g"),
+        col("s.sum_b").as("sum_b"),
+        floor(col("s.sum_r").cast("double") * 1000.0 / px.cast("double"))
+          .cast("long").as("mean_r_milli"))
+  }
+
+  private val mediaVideoSql =
+    """WITH p AS (
+         SELECT doc_id,
+                CAST((doc_id % 6 + 2) * 2 AS INT) AS w,
+                CAST((doc_id % 5 + 1) * 2 AS INT) AS h,
+                CAST(doc_id % 10 + 2 AS INT) AS n,
+                doc_id * 17 % 256 AS r0, doc_id % 7 + 1 AS rs,
+                doc_id * 29 % 256 AS g0, doc_id % 5 + 1 AS gs,
+                doc_id * 43 % 256 AS b0, doc_id % 3 + 1 AS bs
+         FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
+       s AS (
+         SELECT doc_id, w, h, n,
+                CAST(w * h * list_sum(list_transform(range(0, n),
+                     f -> (r0 + f * rs) % 256)) AS BIGINT) AS sum_r,
+                CAST(w * h * list_sum(list_transform(range(0, n),
+                     f -> (g0 + f * gs) % 256)) AS BIGINT) AS sum_g,
+                CAST(w * h * list_sum(list_transform(range(0, n),
+                     f -> (b0 + f * bs) % 256)) AS BIGINT) AS sum_b
+         FROM p)
+       SELECT doc_id AS media_id, w AS width, h AS height, n AS n_frames,
+              CAST(33333 AS INT) AS us_per_frame, n AS frames_read,
+              sum_r, sum_g, sum_b,
+              CAST(floor(CAST(sum_r AS DOUBLE) * 1000.0
+                         / CAST(CAST(w AS BIGINT) * h * n AS DOUBLE)) AS BIGINT)
+                AS mean_r_milli
+       FROM s"""
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** per-doc summary of the winnowed fingerprint set: count, min, and a
@@ -1181,6 +1240,7 @@ object PipelineQueries extends Catalog {
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
     Q("pp_media_audio", mediaAudio, Some(mediaAudioSql)),
+    Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),
     Q("pp_bm25", bm25, Some(bm25Sql)),
     Q("pp_url_dedup", urlDedup, Some(urlDedupSql)),

@@ -482,4 +482,36 @@ class MultimodalSpec extends AnyFunSuite {
       .withColumn("s", Multimodal.decodeAudioStats(col("payload")))
     assert(df.filter(col("s").isNotNull).count() == 0)
   }
+
+  test("AVI encode -> RIFF decode recovers exact header fields and channel sums") {
+    import spark.implicits._
+    // 3 frames of solid ramp color on a 5x4 canvas (odd width exercises the
+    // 4-byte DIB row padding): frame f is (10+7f, 20+11f, 30+13f)
+    val df = Seq((1L, 5, 4, 3, 40000, 10, 7, 20, 11, 30, 13))
+      .toDF("id", "w", "h", "n", "us", "r0", "rs", "g0", "gs", "b0", "bs")
+      .withColumn("avi", Multimodal.encodeAviRamp(col("w"), col("h"), col("n"),
+        col("us"), col("r0"), col("rs"), col("g0"), col("gs"), col("b0"), col("bs")))
+      .withColumn("s", Multimodal.decodeVideoStats(col("avi")))
+    val r = df.select("s.width", "s.height", "s.bit_count", "s.n_frames",
+      "s.us_per_frame", "s.frames_read", "s.sum_r", "s.sum_g", "s.sum_b").head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 4 && r.getInt(2) == 24)
+    assert(r.getInt(3) == 3 && r.getInt(4) == 40000 && r.getInt(5) == 3)
+    val px = 5L * 4
+    assert(r.getLong(6) == px * (10 + 17 + 24))
+    assert(r.getLong(7) == px * (20 + 31 + 42))
+    assert(r.getLong(8) == px * (30 + 43 + 56))
+    // the payload really is a RIFF/AVI container, not a fake
+    val avi = df.select("avi").head().getAs[Array[Byte]](0)
+    assert(new String(avi.take(4)) == "RIFF" && new String(avi.slice(8, 12)) == "AVI ")
+  }
+
+  test("video decode rejects junk bytes and truncated RIFF as null, not errors") {
+    import spark.implicits._
+    val junk = Array[Byte](9, 9, 9)
+    val truncated = "RIFF    AVI ".getBytes("US-ASCII")
+    val df = Seq((1L, junk), (2L, truncated), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+      .withColumn("s", Multimodal.decodeVideoStats(col("payload")))
+    assert(df.filter(col("s").isNotNull).count() == 0)
+  }
 }
