@@ -166,8 +166,7 @@ object Multimodal {
     * channel sums over every frame. Compressed streams (biCompression != 0)
     * and non-24bpp return null — decode failures are data, not errors.
     */
-  val decodeVideoStats: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((bytes: Array[Byte]) => {
+  def parseAvi(bytes: Array[Byte]): Option[VideoStats] = {
       if (bytes == null || bytes.length < 12) None
       else try {
         val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -180,15 +179,19 @@ object Multimodal {
           var nFrames = 0; var usPerFrame = 0; var framesRead = 0
           var sr = 0L; var sg = 0L; var sb = 0L
           // walk [from, until) as a sequence of RIFF chunks (8-byte header,
-          // even-size padding); LISTs recurse past their 4-byte list type
-          def walk(from: Int, until: Int): Unit = {
+          // even-size padding); LISTs recurse past their 4-byte list type.
+          // Depth is bounded: real AVI nests ~3 deep, and a crafted chain of
+          // LIST headers must not turn into a StackOverflowError (an Error,
+          // which the totality catch below would not absorb).
+          def walk(from: Int, until: Int, depth: Int): Unit = {
+            if (depth > 16) return
             var off = from
             while (off + 8 <= until) {
               val id = fourcc(off)
               val size = bb.getInt(off + 4)
               if (size < 0 || off + 8 + size > until) return // truncated
               val body = off + 8
-              if (id == "LIST" || id == "RIFF") walk(body + 4, body + size)
+              if (id == "LIST" || id == "RIFF") walk(body + 4, body + size, depth + 1)
               else if (id == "avih" && size >= 40) {
                 usPerFrame = bb.getInt(body)
                 nFrames = bb.getInt(body + 16)
@@ -225,13 +228,16 @@ object Multimodal {
               off = body + size + (size & 1) // chunks pad to even offsets
             }
           }
-          walk(12, math.min(bytes.length, 8 + bb.getInt(4)))
+          walk(12, math.min(bytes.length, 8 + bb.getInt(4)), 0)
           if (comp != 0 || bitCount != 24 || framesRead == 0) None
           else Some(VideoStats(width, height, bitCount, nFrames, usPerFrame,
             framesRead, sr, sg, sb))
         }
       } catch { case _: Exception => None }
-    })
+  }
+
+  val decodeVideoStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(parseAvi _)
 
   /** REAL AVI encode (fixture generator, the video twin of [[encodePng]] /
     * [[encodeWavSaw]]): an uncompressed 24-bit DIB AVI where frame f is the
@@ -241,9 +247,8 @@ object Multimodal {
     * predicts every decoded statistic (frame count, exact channel sums)
     * from the generating parameters alone.
     */
-  val encodeAviRamp: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((w: Int, h: Int, nFrames: Int, usPerFrame: Int,
-         r0: Int, rs: Int, g0: Int, gs: Int, b0: Int, bs: Int) => {
+  def aviRamp(w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+      r0: Int, rs: Int, g0: Int, gs: Int, b0: Int, bs: Int): Array[Byte] = {
       val rowBytes = (w * 3 + 3) / 4 * 4
       val frameSize = rowBytes * h // multiple of 4, always even
       val bos = new java.io.ByteArrayOutputStream()
@@ -291,7 +296,10 @@ object Multimodal {
         f += 1
       }
       bos.toByteArray
-    })
+  }
+
+  val encodeAviRamp: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(aviRamp _)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -175,6 +175,42 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("AVI codec: random ramp clips round-trip to exact predicted sums") {
+    import graft.ops.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 17) // odd widths exercise DIB row padding
+      h <- Gen.chooseNum(1, 13)
+      n <- Gen.chooseNum(1, 9)
+      r0 <- Gen.chooseNum(0, 255); rs <- Gen.chooseNum(0, 40)
+      g0 <- Gen.chooseNum(0, 255); gs <- Gen.chooseNum(0, 40)
+      b0 <- Gen.chooseNum(0, 255); bs <- Gen.chooseNum(0, 40)
+    } yield (w, h, n, r0, rs, g0, gs, b0, bs)
+    holds(forAll(gen) { case (w, h, n, r0, rs, g0, gs, b0, bs) =>
+      val bytes = Multimodal.aviRamp(w, h, n, 33333, r0, rs, g0, gs, b0, bs)
+      val px = w.toLong * h
+      def ramp(c0: Int, cs: Int) = px * (0 until n).map(f => (c0 + f * cs) % 256).sum
+      Multimodal.parseAvi(bytes).exists { s =>
+        s.width == w && s.height == h && s.bit_count == 24 &&
+          s.n_frames == n && s.frames_read == n && s.us_per_frame == 33333 &&
+          s.sum_r == ramp(r0, rs) && s.sum_g == ramp(g0, gs) &&
+          s.sum_b == ramp(b0, bs)
+      }
+    }, n = 100)
+  }
+
+  test("AVI parser is total on corrupted containers: None or Some, never a throw") {
+    import graft.ops.Multimodal
+    val valid = Multimodal.aviRamp(5, 4, 3, 40000, 10, 7, 20, 11, 30, 13)
+    holds(forAll(Gen.choose(0, valid.length - 1), Gen.choose(0, 7)) { (i, bit) =>
+      val bad = valid.clone(); bad(i) = (bad(i) ^ (1 << bit)).toByte
+      Multimodal.parseAvi(bad); true // totality: no exception escapes
+    }, n = 200)
+    // arbitrary garbage too, including headers that lie about sizes
+    holds(forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      Multimodal.parseAvi(bs.toArray); true
+    }, n = 100)
+  }
+
   /** template() is Column algebra; evaluate it driver-side through a tiny
     * local relation once per sample batch (kept out of the hot property
     * loop via a single-session eval helper)
