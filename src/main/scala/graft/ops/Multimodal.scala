@@ -163,9 +163,15 @@ object Multimodal {
     * bottom-up BGR DIB with 4-byte-aligned rows. The parser walks the
     * chunk tree generically (even-size padding, nested LISTs, `##db`/`##dc`
     * frame chunks, top-down negative-height DIBs) and folds exact integer
-    * channel sums over every frame. Compressed streams (biCompression != 0)
-    * and non-24bpp return null — decode failures are data, not errors.
+    * channel sums over every frame. Motion-JPEG streams (biCompression ==
+    * 'MJPG') decode too: each frame chunk is a standalone JPEG, which
+    * `javax.imageio` reads — the one compressed video codec the JDK can
+    * handle without native code. Other compressed codecs (H.264 etc.)
+    * return null — decode failures are data, not errors.
     */
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER.biCompression DWORD */
+  val MjpgFourcc: Int = 0x47504A4D
+
   def parseAvi(bytes: Array[Byte]): Option[VideoStats] = {
       if (bytes == null || bytes.length < 12) None
       else try {
@@ -223,13 +229,35 @@ object Multimodal {
                     y += 1
                   }
                   framesRead += 1
+                } else if (comp == MjpgFourcc && size > 0) {
+                  // MJPG frame = standalone JPEG (JFIF); each decodes
+                  // independently — no inter-frame state
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, body, size))
+                  if (img != null) {
+                    val fw = img.getWidth; val fh = img.getHeight
+                    var y = 0
+                    while (y < fh) {
+                      var x = 0
+                      while (x < fw) {
+                        val p = img.getRGB(x, y)
+                        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+                        sb += p & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    framesRead += 1
+                  }
                 }
               }
               off = body + size + (size & 1) // chunks pad to even offsets
             }
           }
           walk(12, math.min(bytes.length, 8 + bb.getInt(4)), 0)
-          if (comp != 0 || bitCount != 24 || framesRead == 0) None
+          // unsupported codecs / bpp never read a frame, so one test covers
+          // truncated containers and out-of-scope compression alike
+          if (framesRead == 0) None
           else Some(VideoStats(width, height, bitCount, nFrames, usPerFrame,
             framesRead, sr, sg, sb))
         }
@@ -300,6 +328,66 @@ object Multimodal {
 
   val encodeAviRamp: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(aviRamp _)
+
+  /** REAL Motion-JPEG AVI encode: same container as [[aviRamp]] but the
+    * stream is 'MJPG' and frame f is a solid-color JPEG (javax.imageio
+    * writer). JPEG is LOSSY — the decoded color differs from the encoded
+    * one by a few counts (RGB→YCbCr rounding + DCT quantization) — so
+    * unlike the DIB/PCM fixtures the oracle contract is structural fields
+    * exact + channel means within a small tolerance, asserted Spark-side
+    * as a boolean the oracle predicts (see pp_media_video_mjpg).
+    */
+  def aviMjpgRamp(w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+      r0: Int, rs: Int, g0: Int, gs: Int, b0: Int, bs: Int): Array[Byte] = {
+      val frames = Array.tabulate(nFrames) { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val c = (((r0 + f * rs) % 256) << 16) | (((g0 + f * gs) % 256) << 8) |
+          ((b0 + f * bs) % 256)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, c); x += 1 }
+          y += 1
+        }
+        val fb = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", fb)
+        fb.toByteArray
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      def dw(v: Int): Unit = {
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      val maxFrame = frames.map(_.length).max
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      cc("RIFF"); dw(4 + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+      cc("LIST"); dw(hdrlSize); cc("hdrl")
+      cc("avih"); dw(56)
+      dw(usPerFrame); dw(0); dw(0); dw(0); dw(nFrames)
+      dw(0); dw(1); dw(maxFrame); dw(w); dw(h); dw(0); dw(0); dw(0); dw(0)
+      cc("LIST"); dw(strlSize); cc("strl")
+      cc("strh"); dw(56)
+      cc("vids"); cc("MJPG"); dw(0); dw(0); dw(0)
+      dw(usPerFrame); dw(1000000); dw(0); dw(nFrames)
+      dw(maxFrame); dw(-1); dw(0); dw(0); dw(0)
+      cc("strf"); dw(40)
+      dw(40); dw(w); dw(h); dw(1 | (24 << 16)); dw(MjpgFourcc); dw(maxFrame)
+      dw(0); dw(0); dw(0); dw(0)
+      cc("LIST"); dw(moviSize); cc("movi")
+      frames.foreach { f =>
+        cc("00dc"); dw(f.length) // compressed frames are '##dc'
+        bos.write(f)
+        if ((f.length & 1) == 1) bos.write(0) // even-offset padding
+      }
+      bos.toByteArray
+  }
+
+  val encodeAviMjpgRamp: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(aviMjpgRamp _)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -956,6 +956,63 @@ object PipelineQueries extends Catalog {
                 AS mean_r_milli
        FROM s"""
 
+  /** REAL compressed-video decode end-to-end: per doc a Motion-JPEG AVI is
+    * ENCODED in-cluster (each frame a solid-color JPEG via javax.imageio),
+    * then DECODED back through the same RIFF parser — the MJPG branch reads
+    * every frame as a standalone JPEG. JPEG is LOSSY, so unlike the
+    * DIB/PCM/PNG rows the channel sums are not parameter-exact; the oracle
+    * contract is structural fields EXACT (dimensions, frame counts, timing
+    * — the container round-trip) plus a Spark-side boolean asserting every
+    * decoded channel mean lands within a small constant of the encoded ramp
+    * mean (|Δ| ≤ 6 of 255 absorbs RGB→YCbCr rounding + DCT quantization of
+    * a uniform block at ImageIO's default quality). The oracle predicts the
+    * boolean, so a decode drift beyond tolerance is a hash-red, not a
+    * silent pass.
+    */
+  private def mediaVideoMjpg(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") % 3 === 0 && col("doc_id") < 150)
+    val w = ((col("doc_id") % 4 + 2) * 8).cast("int")   // 16..40 (JPEG-friendly)
+    val h = ((col("doc_id") % 3 + 1) * 8).cast("int")   // 8..24
+    val n = (col("doc_id") % 6 + 2).cast("int")         // 2..7 frames
+    val r0 = (col("doc_id") * 23 % 200 + 20).cast("int") // keep off 0/255 clip
+    val g0 = (col("doc_id") * 37 % 200 + 20).cast("int")
+    val b0 = (col("doc_id") * 53 % 200 + 20).cast("int")
+    val rs = (col("doc_id") % 5 + 1).cast("int")
+    val gs = (col("doc_id") % 4 + 1).cast("int")
+    val bs = (col("doc_id") % 3 + 1).cast("int")
+    val avi = Multimodal.encodeAviMjpgRamp(
+      w, h, n, lit(40000), r0, rs, g0, gs, b0, bs)
+    // expected per-channel ramp sum over the clip: w·h·Σ_f (c0+f·cs) mod 256
+    // — (c0 + f·cs) stays < 256 for the parameter ranges above, so the sum
+    // is arithmetic, n·c0 + cs·n(n−1)/2, and the oracle states it closed-form
+    def expect(c0: org.apache.spark.sql.Column,
+        cs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (w.cast("long") * h * (n * c0 + cs * (n * (n - 1) / 2))).cast("double")
+    val px = col("s.width").cast("long") * col("s.height") * col("s.frames_read")
+    df.select(col("doc_id").as("media_id"),
+        Multimodal.decodeVideoStats(avi).as("s"),
+        expect(r0, rs).as("er"), expect(g0, gs).as("eg"), expect(b0, bs).as("eb"))
+      .select(col("media_id"),
+        col("s.width").as("width"), col("s.height").as("height"),
+        col("s.n_frames").as("n_frames"),
+        col("s.us_per_frame").as("us_per_frame"),
+        col("s.frames_read").as("frames_read"),
+        (greatest(
+          abs(col("s.sum_r") - col("er")), abs(col("s.sum_g") - col("eg")),
+          abs(col("s.sum_b") - col("eb"))) / px.cast("double") <= 6.0)
+          .cast("int").as("within_tol")) // int, not bool: driver hashes raw values
+  }
+
+  private val mediaVideoMjpgSql =
+    """SELECT doc_id AS media_id,
+              CAST((doc_id % 4 + 2) * 8 AS INT) AS width,
+              CAST((doc_id % 3 + 1) * 8 AS INT) AS height,
+              CAST(doc_id % 6 + 2 AS INT) AS n_frames,
+              CAST(40000 AS INT) AS us_per_frame,
+              CAST(doc_id % 6 + 2 AS INT) AS frames_read,
+              CAST(1 AS INT) AS within_tol
+       FROM documents WHERE doc_id % 3 = 0 AND doc_id < 150"""
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** per-doc summary of the winnowed fingerprint set: count, min, and a
@@ -1241,6 +1298,7 @@ object PipelineQueries extends Catalog {
     Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
     Q("pp_media_audio", mediaAudio, Some(mediaAudioSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
+    Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),
     Q("pp_bm25", bm25, Some(bm25Sql)),
     Q("pp_url_dedup", urlDedup, Some(urlDedupSql)),

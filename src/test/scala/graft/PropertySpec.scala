@@ -198,12 +198,45 @@ class PropertySpec extends AnyFunSuite {
     }, n = 100)
   }
 
+  test("MJPG AVI: random solid-ramp clips round-trip structurally exact, " +
+      "channel means within JPEG tolerance") {
+    import graft.ops.Multimodal
+    val gen = for {
+      w <- Gen.chooseNum(1, 5).map(_ * 8)  // 8..40
+      h <- Gen.chooseNum(1, 4).map(_ * 8)
+      n <- Gen.chooseNum(1, 7)
+      r0 <- Gen.chooseNum(20, 219); rs <- Gen.chooseNum(0, 5)
+      g0 <- Gen.chooseNum(20, 219); gs <- Gen.chooseNum(0, 5)
+      b0 <- Gen.chooseNum(20, 219); bs <- Gen.chooseNum(0, 5)
+    } yield (w, h, n, r0, rs, g0, gs, b0, bs)
+    holds(forAll(gen) { case (w, h, n, r0, rs, g0, gs, b0, bs) =>
+      val bytes = Multimodal.aviMjpgRamp(w, h, n, 40000, r0, rs, g0, gs, b0, bs)
+      val px = w.toLong * h
+      def ramp(c0: Int, cs: Int) = px * (0 until n).map(f => (c0 + f * cs) % 256).sum
+      Multimodal.parseAvi(bytes).exists { s =>
+        def near(sum: Long, want: Long) =
+          math.abs(sum - want).toDouble / (px * n) <= 6.0
+        s.width == w && s.height == h && s.n_frames == n &&
+          s.frames_read == n && s.us_per_frame == 40000 &&
+          near(s.sum_r, ramp(r0, rs)) && near(s.sum_g, ramp(g0, gs)) &&
+          near(s.sum_b, ramp(b0, bs))
+      }
+    }, n = 60)
+  }
+
   test("AVI parser is total on corrupted containers: None or Some, never a throw") {
     import graft.ops.Multimodal
     val valid = Multimodal.aviRamp(5, 4, 3, 40000, 10, 7, 20, 11, 30, 13)
     holds(forAll(Gen.choose(0, valid.length - 1), Gen.choose(0, 7)) { (i, bit) =>
       val bad = valid.clone(); bad(i) = (bad(i) ^ (1 << bit)).toByte
       Multimodal.parseAvi(bad); true // totality: no exception escapes
+    }, n = 200)
+    // the MJPG branch hands frame bytes to ImageIO — flips there must be
+    // absorbed the same way (a corrupt JPEG is data, not an error)
+    val mj = Multimodal.aviMjpgRamp(8, 8, 2, 40000, 30, 2, 40, 3, 50, 1)
+    holds(forAll(Gen.choose(0, mj.length - 1), Gen.choose(0, 7)) { (i, bit) =>
+      val bad = mj.clone(); bad(i) = (bad(i) ^ (1 << bit)).toByte
+      Multimodal.parseAvi(bad); true
     }, n = 200)
     // arbitrary garbage too, including headers that lie about sizes
     holds(forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
