@@ -106,10 +106,14 @@ object Bench {
       val cold = timeOnce(fn)
       val warm = timeOnce(fn)
       val two = Seq(cold, warm).collect { case Right(v) => v }
-      // contended-host guard: if both attempts are >3x the prior round, the
-      // machine (not the engine) is the likely cause — try once more
+      // contended-host guard, aligned with the 1.5x flag threshold: a
+      // regression flag may only fire after a THIRD attempt also exceeds
+      // it — host noise on sub-second rows routinely lands min-of-2 in the
+      // 1.5-3x band (11 such false flags in the r9 local run, a disjoint
+      // set from the previous run's), while a real engine regression
+      // survives any number of attempts
       val attempts = baseline.get(name) match {
-        case Some(b) if b >= 0.05 && two.nonEmpty && two.map(_._1).min > b * 3 =>
+        case Some(b) if b >= 0.05 && two.nonEmpty && two.map(_._1).min > b * 1.5 =>
           nRetry += 1
           two ++ timeOnce(fn).toSeq
         case _ => two

@@ -98,6 +98,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (cross-corpus) dedup: match INCOMING docs against an
+    * EXISTING corpus by MinHash-LSH — the daily-crawl-vs-training-set
+    * operation. Each side gets its own signature pass (same total work as
+    * one pass over the union — no recompute), and the band join is
+    * strictly existing×incoming: no incoming×incoming or existing×existing
+    * pairs are generated, so refresh cost scales with the small incoming
+    * batch, not the accumulated corpus. At 100 TB the existing side's
+    * signatures are one small row per doc and would be PERSISTED between
+    * refreshes; here they are recomputed because the catalog query is
+    * self-contained.
+    *
+    * Returns one row per matched incoming doc: `new_id`,
+    * `n_dup_candidates` (threshold-passing existing matches), `best_sim`,
+    * and `min_match` (lowest matching existing doc_id — a deterministic
+    * representative). Survivors = incoming anti-joined on `new_id`.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      textCol: String, k: Int = 16, bands: Int = 4, w: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    def banded(df: DataFrame, id: String, sig: String): DataFrame =
+      graft.GraftSession.materialize(minhash(df, textCol, k, w))
+        .select(col("doc_id"), col("sig"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              md5(array_join(slice(col("sig"), b * rows + 1, rows), ","))
+                .as("bucket"))
+          }: _*)).as("bb"))
+        .select(col("doc_id").as(id), col("sig").as(sig),
+          col("bb.band"), col("bb.bucket"))
+    val l = banded(existing, "old_id", "sig_a")
+    val r = banded(incoming, "new_id", "sig_b")
+    val eq = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+    l.join(r, Seq("band", "bucket"))
+      .select(col("old_id"), col("new_id"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_sim", eq.cast("double") / lit(k.toDouble))
+      .filter(col("est_sim") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dup_candidates"),
+        max(col("est_sim")).as("best_sim"),
+        min(col("old_id")).as("min_match"))
+  }
+
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle (the verify step
     * after LSH, or standalone at moderate scale).
     *

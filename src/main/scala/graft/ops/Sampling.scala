@@ -76,4 +76,58 @@ object Sampling {
     df.withColumn("keep_rate", rate)
       .filter(uniform(graft.GraftSession.safeCol(df, idCol)) < col("keep_rate"))
   }
+
+  /** Deterministic global shuffle — the training-order randomization pass:
+    * every row gets a contiguous position 0..n−1 in md5(seed|id) order,
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY …)` is an
+    * unpartitioned window — one task ranks the planet. Instead: (1)
+    * range-repartition + sort by the shuffle key (Spark's distributed
+    * sort, same machinery as orderBy); (2) count rows per partition — a
+    * driver-side statistic bounded by PARTITION COUNT, not rows (the
+    * zipWithIndex construction); (3) add each partition's prefix-sum
+    * offset to a per-partition rank, which IS partitionable. Rank
+    * correctness needs only the range property (partition i's keys all
+    * precede partition i+1's), not boundary placement, so RangePartitioner
+    * sampling can't perturb the result; the id tiebreak makes the order
+    * total even under an md5 collision.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Int): DataFrame = {
+    val id = graft.GraftSession.safeCol(df, idCol)
+    val key = md5(concat_ws("|", lit(seed.toString), id.cast("string")))
+    // ONE full-data shuffle (the distributed range sort), then only
+    // per-partition projections: a window `PARTITION BY __pid` here would
+    // re-shuffle the whole corpus a second time just to rank rows that are
+    // already sorted in place — monotonically_increasing_id after the
+    // in-partition sort is the shuffle-free local rank (its documented
+    // layout is partition_id << 33 | consecutive row index, normalized
+    // below against the per-partition min so only "consecutive within a
+    // partition, assigned in plan order" is relied on).
+    val sorted = graft.GraftSession.spread(df.withColumn("__k", key))
+      .repartitionByRange(col("__k"), id)
+      .sortWithinPartitions(col("__k"), id)
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.GraftSession.materialize(sorted)
+      .withColumn("__mid", monotonically_increasing_id())
+    // per-partition (count, min local id) → prefix-sum offsets: a
+    // driver-side statistic bounded by PARTITION COUNT, not rows
+    val counts = cached.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c, m) =>
+      val o = acc; acc += c; (p, o, m)
+    }
+    // offsets ride back as a BROADCAST join on __pid (a chained-when would
+    // be a partition-count-deep case expression — fine at 32, not at 10k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off", "__min"))
+    cached
+      .join(offDf, Seq("__pid"))
+      .withColumn("pos", col("__mid") - col("__min") + col("__off"))
+      .drop("__k", "__pid", "__mid", "__off", "__min")
+  }
 }

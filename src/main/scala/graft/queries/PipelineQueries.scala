@@ -281,6 +281,47 @@ object PipelineQueries extends Catalog {
      FROM pairs
      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5"""
 
+  /** incremental (cross-corpus) dedup: incoming batch (doc_id % 10 ∈ {8,9})
+    * matched against the existing corpus (doc_id % 10 < 8) by MinHash-LSH,
+    * existing×incoming bands only. The oracle replays the same chain with
+    * the same side split; est_sim values are exact multiples of 1/16, so
+    * max() is bit-deterministic.
+    */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incrementalDedup(
+      all.filter(col("doc_id") % 10 < 8),
+      all.filter(col("doc_id") % 10 >= 8),
+      "text", k = 16, bands = 4, w = 5, threshold = 0.5)
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH $shingleCte,
+     mh AS (
+       SELECT doc_id, j,
+              min((CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) * (2*j+1)
+                   + j * 2654435761) % 281474976710656) AS h
+       FROM sh CROSS JOIN range(0, 16) t(j)
+       GROUP BY 1, 2),
+     sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY 1),
+     banded AS (
+       SELECT doc_id, sig, b,
+              md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+       FROM sig CROSS JOIN range(0, 4) tb(b)),
+     pairs AS (
+       SELECT DISTINCT l.doc_id AS old_id, r.doc_id AS new_id,
+              l.sig AS sa, r.sig AS sb
+       FROM banded l
+       JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
+       WHERE l.doc_id % 10 < 8 AND r.doc_id % 10 >= 8),
+     simm AS (
+       SELECT old_id, new_id,
+              len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS est_sim
+       FROM pairs)
+     SELECT new_id, count(*) AS n_dup_candidates, max(est_sim) AS best_sim,
+            min(old_id) AS min_match
+     FROM simm WHERE est_sim >= 0.5 GROUP BY 1"""
+
   /** transitive dup clusters: connected components over the MinHash-LSH
     * candidate pairs, canonical member = min doc_id. The oracle replays
     * the full chain — shingles → signatures → banded pairs → a recursive
@@ -345,6 +386,21 @@ object PipelineQueries extends Catalog {
     * downsample dominant en, keep rare langs — binary-exact rates so the
     * `< rate` comparison replays bit-identically in DuckDB
     */
+  /** deterministic global training-order shuffle: every doc gets a
+    * contiguous position in md5(seed|id) order. The engine's distributed
+    * construction (range sort → per-partition offsets → shuffle-free local
+    * rank) must land exactly the single-window rank the oracle states.
+    */
+  private def globalShuffle(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.globalShuffle(
+      docs(s, d).select(col("doc_id"), col("lang")), "doc_id", seed = 7)
+
+  private val globalShuffleSql =
+    """SELECT doc_id, lang,
+            row_number() OVER (
+              ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+       FROM documents"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1275,9 +1331,11 @@ object PipelineQueries extends Catalog {
     Q("pp_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("pp_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

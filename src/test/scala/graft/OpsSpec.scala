@@ -163,6 +163,42 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 3L, 5L))
   }
 
+  test("incremental dedup matches incoming docs against the existing corpus only") {
+    val existing = corpus.filter($"doc_id" <= 3)
+    val incoming = corpus.filter($"doc_id" >= 4)
+    val out = Dedup.incrementalDedup(existing, incoming, "text",
+      k = 16, bands = 4, w = 5, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // 4 is an exact dup of existing 1 -> sim 1.0, representative 1
+    assert(out.get(4L).exists { case (_, sim, m) => sim == 1.0 && m == 1L })
+    // 5 is novel -> survives (absent from the match set)
+    assert(!out.contains(5L))
+    // output ids are incoming-side only: no existing x existing pairs leak
+    assert(out.keySet.forall(_ >= 4L))
+  }
+
+  test("global shuffle: contiguous 0..n-1 positions matching the windowed rank") {
+    import graft.ops.Sampling
+    val n = 1000
+    // several uneven input partitions so the prefix-sum offsets do real work
+    val df = spark.range(0, n).toDF("doc_id").repartition(7)
+    val out = Sampling.globalShuffle(df, "doc_id", seed = 7)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted == (0L until n).toSeq) // a permutation
+    // the distributed construction must equal the single-window rank
+    val want = df.select(col("doc_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat_ws("|", lit("7"), col("doc_id").cast("string"))),
+          col("doc_id"))) - 1).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // deterministic across runs
+    val again = Sampling.globalShuffle(df, "doc_id", seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("alpha mixture flattens source skew, never upsamples, deterministic") {
     import spark.implicits._
     import graft.ops.Sampling

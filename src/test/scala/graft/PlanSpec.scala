@@ -246,4 +246,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("global shuffle ranks without a window and broadcasts the offsets") {
+    // the whole point of the construction: rank every row globally with ONE
+    // full-data shuffle (the range sort) — no WindowExec (an unpartitioned
+    // window would single-task the corpus; a __pid-partitioned one would
+    // re-shuffle it), offsets ride a broadcast join
+    val p = plan("pp_global_shuffle")
+    assert(!p.contains("Window"), s"window crept in:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("incremental dedup: existing x incoming band join only, no cartesian") {
+    val p = plan("pp_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the band-bucket equi-join is the candidate generator; it must appear
+    // as a hash-key join (shuffled or broadcast), never a nested loop
+    assert(p.contains("Join"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
