@@ -322,6 +322,44 @@ object PipelineQueries extends Catalog {
             min(old_id) AS min_match
      FROM simm WHERE est_sim >= 0.5 GROUP BY 1"""
 
+  /** the streaming near-dup screen's exact computation, driven in batch
+    * mode (same function, same per-ROW shuffle-free signatures — the
+    * stream/batch parity is additionally spec-gated in StreamingSpec):
+    * one row per (incoming doc, reference doc, shared band)
+    */
+  private def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    graft.streaming.StreamingDedup.nearDupAgainst(
+      all.filter(col("doc_id") % 10 >= 8),
+      graft.streaming.StreamingDedup.bandedReference(
+        all.filter(col("doc_id") % 10 < 8), "text"),
+      "text")
+  }
+
+  private val streamNearDupSql =
+    s"""WITH $shingleCte,
+     mh AS (
+       SELECT doc_id, j,
+              min((CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) * (2*j+1)
+                   + j * 2654435761) % 281474976710656) AS h
+       FROM sh CROSS JOIN range(0, 16) t(j)
+       GROUP BY 1, 2),
+     sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY 1),
+     banded AS (
+       SELECT doc_id, sig, b,
+              md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+       FROM sig CROSS JOIN range(0, 4) tb(b)),
+     pairs AS (
+       SELECT r.doc_id AS new_id, l.doc_id AS ref_id, l.b AS band,
+              l.sig AS sa, r.sig AS sb
+       FROM banded l
+       JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
+       WHERE l.doc_id % 10 < 8 AND r.doc_id % 10 >= 8)
+     SELECT new_id, ref_id, CAST(band AS INT) AS band,
+            len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS est_sim
+     FROM pairs
+     WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5"""
+
   /** transitive dup clusters: connected components over the MinHash-LSH
     * candidate pairs, canonical member = min doc_id. The oracle replays
     * the full chain — shingles → signatures → banded pairs → a recursive
@@ -1409,6 +1447,7 @@ object PipelineQueries extends Catalog {
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -36,4 +36,77 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Per-ROW MinHash signature — no shuffle, no aggregation: shingle
+    * array → one md5 base hash per shingle → k affine min-folds, all
+    * inside a single projection. Semantically identical to
+    * [[graft.ops.Dedup.minhash]] (same base hash, same affine family,
+    * same mins); the batch path keeps the explode→groupBy form for
+    * map-side combine, the streaming path NEEDS the per-row form because
+    * a streaming groupBy is stateful. Docs with no shingles yield null.
+    */
+  def rowSignature(text: Column, k: Int = 16, w: Int = 5): Column = {
+    val base = transform(graft.ops.Dedup.shingles(text, w),
+      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+    when(size(base) >= 1,
+      array((0 until k).map { j =>
+        array_min(transform(base,
+          h => (h * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)))
+      }: _*))
+  }
+
+  /** banded signatures of the STATIC reference corpus — precompute once
+    * (or load from the signature store a batch job maintains) and hand to
+    * [[nearDupAgainst]]
+    */
+  def bandedReference(existing: DataFrame, textCol: String, k: Int = 16,
+      bands: Int = 4, w: Int = 5): DataFrame = {
+    val rows = k / bands
+    graft.ops.Dedup.minhash(existing, textCol, k, w)
+      .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(array_join(slice(col("sig"), b * rows + 1, rows), ","))
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("ref_id"), col("ref_sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Streaming near-dup screen against a static corpus — the streaming
+    * twin of [[graft.ops.Dedup.incrementalDedup]]: every micro-batch doc
+    * is signature-banded PER ROW (no shuffle, no state) and equi-joined
+    * against the banded reference — a stream-static join Structured
+    * Streaming executes incrementally. ZERO streaming state (unlike the
+    * watermark dedup): each decision is row-vs-reference, so arbitrarily
+    * long streams never grow memory; the reference refreshes by restarting
+    * the query against a new snapshot. Emits one row per (incoming doc,
+    * matching reference doc, SHARED BAND) with est_sim ≥ threshold — a
+    * pair matching in several bands appears once per band (bounded by
+    * `bands`), because collapsing them would be a streaming aggregation
+    * and thus state; the consumer's distinct/anti-join is a batch-side
+    * one-liner. The same function runs on a batch frame (a non-streaming
+    * `stream` input) — stream/batch parity is spec-gated on exactly that.
+    */
+  def nearDupAgainst(stream: DataFrame, reference: DataFrame, textCol: String,
+      k: Int = 16, bands: Int = 4, w: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = rowSignature(col(textCol), k, w)
+    val banded = stream
+      .withColumn("__sig", sig)
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id").as("new_id"), col("__sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(array_join(slice(col("__sig"), b * rows + 1, rows), ","))
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("new_id"), col("__sig"), col("bb.band"), col("bb.bucket"))
+    val eq = size(filter(zip_with(col("__sig"), col("ref_sig"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+    banded.join(reference, Seq("band", "bucket"))
+      .withColumn("est_sim", eq.cast("double") / lit(k.toDouble))
+      .filter(col("est_sim") >= threshold && col("new_id") =!= col("ref_id"))
+      .select(col("new_id"), col("ref_id"), col("band"), col("est_sim"))
+  }
 }

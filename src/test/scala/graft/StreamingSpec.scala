@@ -88,6 +88,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedRows == 12, s"emitted rows: $streamedRows")
   }
 
+  test("streaming near-dup screen: per-row sigs = batch minhash; stream = batch") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    import spark.implicits._
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different words about spark clusters and shuffle partitions here"),
+      (3L, "another unrelated document mentioning parquet files and columnar storage formats")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (12L, "a totally novel piece of writing on streaming joins and watermark state")
+    ).toDF("doc_id", "text")
+
+    // the per-row (shuffle-free, stream-safe) signature must equal the
+    // batch explode->groupBy signature element-for-element
+    val rowSigs = incoming.unionByName(reference)
+      .select(col("doc_id"), StreamingDedup.rowSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batchSigs = Dedup.minhash(incoming.unionByName(reference), "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowSigs == batchSigs)
+
+    val ref = StreamingDedup.bandedReference(reference, "text")
+    val dir = Files.createTempDirectory("graft_neardup_stream_").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(incoming.schema).parquet(dir)
+    val q = StreamingDedup.nearDupAgainst(src, ref, "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_neardup").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    // batch run of the SAME function on the same frames
+    val batch = StreamingDedup.nearDupAgainst(incoming, ref, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    // the exact dup matches with sim 1.0; the novel doc never matches
+    val pairs = streamed.map(t => (t._1, t._2))
+    assert(streamed.exists(t => t._1 == 10L && t._2 == 1L && t._4 == 1.0))
+    assert(pairs.contains((11L, 1L)))
+    assert(!pairs.exists(_._1 == 12L))
+  }
+
   test("stateful streaming sessionization equals batch-closed sessions") {
     import graft.streaming.{Session, SessionEvent, Sessionize}
     import spark.implicits._
