@@ -402,6 +402,34 @@ object TextOps {
     regexp_replace(num, "\\+\\d{7,15}\\b", "<PHONE>")
   }
 
+  /** Vocabulary statistics — the tokenizer-training input: per-word corpus
+    * counts with rank and cumulative coverage over the top-k. The
+    * corpus-sized work is ONE word-keyed count aggregate (map-side
+    * combined) and one TakeOrdered cut; rank and running coverage then
+    * touch only the k surviving rows via a broadcast k×k theta-join
+    * (rank(a) = |{b : b ≥ a in (n desc, word) order}|) — deliberately NOT
+    * a window, so the catalog-wide no-unpartitioned-window gate holds
+    * even though k is constant. All quantities are exact integers until
+    * the final coverage division, so the oracle replays bit-for-bit.
+    */
+  def vocab(df: DataFrame, textCol: String, topK: Int = 256): DataFrame = {
+    val words = df.select(explode(tokens(df(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val top = counts.orderBy(col("n").desc, col("word").asc).limit(topK)
+    val a = top.select(col("word"), col("n"))
+    val b = broadcast(top.select(col("word").as("bw"), col("n").as("bn")))
+    a.join(b, col("bn") > col("n") ||
+        (col("bn") === col("n") && col("bw") <= col("word")))
+      .groupBy(col("word"), col("n"))
+      .agg(count(lit(1)).as("rank"), sum(col("bn")).as("__run"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_frac",
+        round(col("__run").cast("double") / col("__t").cast("double"), 6))
+      .select(col("word"), col("n"), col("rank"), col("cum_frac"))
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

@@ -463,6 +463,26 @@ object PipelineQueries extends Catalog {
                 AS ids_digest
        FROM r GROUP BY 1"""
 
+  /** top-k vocabulary with rank + cumulative coverage; ranks replay as a
+    * window in the oracle, coverage is an exact-integer division
+    */
+  private def vocabStats(s: SparkSession, d: String): DataFrame =
+    TextOps.vocab(docs(s, d), "text", topK = 20)
+
+  private val vocabStatsSql =
+    """WITH w AS (
+         SELECT unnest(string_split_regex(lower(text), ' +')) AS word
+         FROM documents),
+       c AS (SELECT word, count(*) AS n FROM w WHERE len(word) > 0 GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+       top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 20)
+       SELECT word, n,
+              row_number() OVER (ORDER BY n DESC, word) AS rank,
+              round(CAST(sum(n) OVER (ORDER BY n DESC, word
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / (SELECT t FROM tot), 6) AS cum_frac
+       FROM top"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1453,6 +1473,7 @@ object PipelineQueries extends Catalog {
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("pp_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     Q("pp_shard_manifest", shardManifest, Some(shardManifestSql)),
+    Q("pp_vocab", vocabStats, Some(vocabStatsSql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

@@ -422,6 +422,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(est.forall(d => d >= 0.0 && java.lang.Double.isFinite(d)))
   }
 
+  test("vocab: counts, dense contiguous ranks, monotone coverage, binding cut") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "a a a b b c"), (2L, "a b d"), (3L, "e e e e")
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocab(df, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._3)
+    // counts: a=4, e=4, b=3, (c=1, d=1 cut); tie a/e broken by word asc
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 4L, 1L), ("e", 4L, 2L), ("b", 3L, 3L)))
+    // coverage over total=13 tokens, cumulative in rank order
+    assert(out.map(_._4).toSeq == Seq(
+      math.rint(4.0 / 13 * 1e6) / 1e6,
+      math.rint(8.0 / 13 * 1e6) / 1e6,
+      math.rint(11.0 / 13 * 1e6) / 1e6))
+  }
+
   test("normalizeUrl canonicalizes scheme/www/tracking/fragment variants") {
     import spark.implicits._
     import graft.ops.TextOps
