@@ -43,10 +43,17 @@ object Bench {
     // poll until the counter is quiet (attempts run sequentially — a simple
     // atomic suffices)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    // shuffle WRITE bytes: the quantified "is this op shuffle-light" signal
+    // (each exchange writes its input exactly once, so per-query deltas
+    // measure data moved, independent of host speed)
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
       }
     })
     def quietCpu(): Long = {
@@ -65,13 +72,14 @@ object Bench {
     // A failed run contributes NO timing (a fast failure must never bench
     // as a fast query — min-of-N would otherwise PREFER the failure); the
     // error message is carried in the JSON's `err` map instead.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Double)] = {
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Double, Long)] = {
       val c0 = quietCpu()
+      val s0 = shufBytes.get()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        Right((wall, (quietCpu() - c0) / 1e9))
+        Right((wall, (quietCpu() - c0) / 1e9, shufBytes.get() - s0))
       } catch { case t: Throwable =>
         Left(Option(t.getMessage).getOrElse(t.getClass.getName).linesIterator
           .next().take(200))
@@ -127,11 +135,16 @@ object Bench {
     val errJson = errs.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val results = timings.collect { case (n, Some((w, _)), _, _) => (n, w) }
-    val cpuSecs = timings.collect { case (n, Some((_, c)), _, _) => (n, c) }
+    val results = timings.collect { case (n, Some((w, _, _)), _, _) => (n, w) }
+    val cpuSecs = timings.collect { case (n, Some((_, c, _)), _, _) => (n, c) }
+    val shufMb = timings.collect { case (n, Some((_, _, s)), _, _) =>
+      (n, s / 1048576.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val cpuJson = cpuSecs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val shufJson = shufMb.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val coldJson = timings.collect { case (k, _, Some(c), _) =>
       "\"" + k + "\":" + f"$c%.3f"
@@ -175,8 +188,8 @@ object Bench {
     // full artifact: every per-query warm/cold/cpu time, errors, regressions,
     // notes — written as a file so nothing is lost to the tail window
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu":$cpuJson,"cold":$coldJson,"err":$errJson,"regressions":$regJson,""" +
-      s""""n_retry":$nRetry,"notes":$notesJson,"sf":"$sfDir"}"""
+      s""""cpu":$cpuJson,"shuffle_mb":$shufJson,"cold":$coldJson,"err":$errJson,""" +
+      s""""regressions":$regJson,"n_retry":$nRetry,"notes":$notesJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (full + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query detail -> ${fullPath.toAbsolutePath}")
@@ -200,9 +213,11 @@ object Bench {
     val under1 = sorted.count(_ < 1.0)
     val cpuSorted = cpuSecs.map(_._2).sorted
     val cpuP50 = if (cpuSorted.nonEmpty) cpuSorted(cpuSorted.size / 2) else 0.0
+    val shufTotal = shufMb.map(_._2).sum
     val line = s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","sf":"$sfDir",""" +
       s""""n":${sorted.size},"mean":${f"$mean%.3f"},"p50":${f"$p50%.3f"},"max":${f"$mx%.3f"},""" +
-      s""""cpu_total":${f"$cpuTotal%.1f"},"cpu_p50":${f"$cpuP50%.3f"},"n_retry":$nRetry,""" +
+      s""""cpu_total":${f"$cpuTotal%.1f"},"cpu_p50":${f"$cpuP50%.3f"},""" +
+      s""""shuffle_total_mb":${f"$shufTotal%.1f"},"n_retry":$nRetry,""" +
       s""""under_1s":$under1,"n_err":${errs.size},"n_regressions":${regressions.size},""" +
       s""""queries":$headJson,"detail":"BENCH_FULL.json"}"""
     // stdout (the driver's contract) AND a fixed file: eight rounds of bench

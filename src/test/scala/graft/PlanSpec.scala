@@ -267,4 +267,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("vocab: TakeOrdered cut, broadcast rank join, no unpartitioned window") {
+    val p = plan("pp_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the k-squared rank theta-join must broadcast the k survivors
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("shard manifest: one range exchange from globalShuffle, no window") {
+    val p = plan("pp_shard_manifest")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("PQ ANN: codes-only broadcast scan, codebook folded into literals") {
+    // the candidate scan is corpus codes x broadcast query LUTs: a
+    // BroadcastNestedLoopJoin over the COMPRESSED representation is the
+    // documented design (like the brute-force baseline but reading m ints
+    // per vector); a SortMergeJoin would mean the corpus was shuffled
+    val p = plan("pp_pq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("streaming near-dup screen (batch mode): band equi-join, no state ops") {
+    val p = plan("pp_stream_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
