@@ -270,6 +270,47 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ks: Int = 16, dims: Int = 64): DataFrame = {
+    val (codes, lut, est) = pqParts(corpus, queries, m, ks, dims)
+    val scored = codes.crossJoin(lut)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("est_d2", est)
+    pqRank(scored, k)
+  }
+
+  /** IVF-PQ (the FAISS-style production composition): IVF's coarse
+    * quantizer prunes the candidate set to the probed inverted lists,
+    * then PQ's ADC scores ONLY those candidates from their codes — the
+    * scan is ~nProbe/C of the corpus and each touched row costs m table
+    * lookups over m small ints. Same deterministic parts as [[ivfTopK]]
+    * and [[pqTopK]] (both individually oracle-replayed), composed by an
+    * equi-join on the probed centroid ids.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 4, m: Int = 8, ks: Int = 16, dims: Int = 64): DataFrame = {
+    val cents = sampledCentroids(corpus, 0)
+    val lists = assignNearest(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
+      .select(col("id").as("vec_id"), col("cid"))
+    val probes = assignNearest(
+      queries.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, nProbe)
+      .select(col("id").as("query_id"), col("cid"))
+    val (codes, lut, est) = pqParts(corpus, queries, m, ks, dims)
+    // vec lives in ONE list → a (query, vec) candidate arises at most once
+    val cands = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cands
+      .join(codes, Seq("vec_id"))
+      .join(lut, Seq("query_id"))
+      .withColumn("est_d2", est)
+    pqRank(scored, k)
+  }
+
+  /** shared PQ machinery: corpus code table, broadcast query LUTs, and the
+    * fixed-subspace-order ADC estimate over (codes, lut)
+    */
+  private def pqParts(corpus: DataFrame, queries: DataFrame,
+      m: Int, ks: Int, dims: Int): (DataFrame, DataFrame, Column) = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val sub = dims / m
     val sample: Array[Array[Float]] = corpus
@@ -300,9 +341,10 @@ object Similarity {
     val est = (0 until m).map(j =>
         element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * ks) + 1))
       .reduce(_ + _)
-    val scored = codes.crossJoin(lut)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("est_d2", est)
+    (codes, lut, est)
+  }
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("est_d2").asc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w))

@@ -771,6 +771,84 @@ object PipelineQueries extends Catalog {
        FROM est) WHERE rk <= 10"""
   }
 
+  /** IVF-PQ (the FAISS-style composition): IVF's probed lists prune the
+    * candidate set, PQ's ADC scores only those candidates from codes. The
+    * oracle composes the two individually-proven CTE chains (ivfAnnSql's
+    * lists/probes, pqAnnSql's codebook/codes/d2s) with the same equi-join.
+    */
+  private def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      nProbe = 4, m = 8, ks = 16, dims = 64)
+  }
+
+  private val ivfPqAnnSql = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    val sub = 8; val m = 8; val ks = 16
+    s"""WITH params AS (
+       SELECT least(4096, greatest(4,
+         CAST(pow(2, ceil(log2(CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT))) AS c
+       FROM embeddings),
+     cents AS (
+       SELECT vec_id AS cid, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= (SELECT c FROM params)),
+     assign_all AS (
+       SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cemb")} AS csim
+       FROM embeddings e CROSS JOIN cents c),
+     lists AS (
+       SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all) WHERE rk <= 1),
+     probes AS (
+       SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all WHERE vec_id < 5) WHERE rk <= 4),
+     cb AS (
+       SELECT rn - 1 AS c, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= $ks),
+     d2s AS (
+       SELECT e.vec_id, j.j, cb.c,
+              list_sum(list_transform(range(0, $sub), i ->
+                (CAST(e.embedding[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE)
+                 - CAST(cb.cemb[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE))
+                * (CAST(e.embedding[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE)
+                   - CAST(cb.cemb[CAST(j.j * $sub + i + 1 AS INT)] AS DOUBLE))))
+                AS d2
+       FROM embeddings e CROSS JOIN range(0, $m) j(j) CROSS JOIN cb),
+     codes AS (
+       SELECT vec_id, j, c AS code FROM (
+         SELECT vec_id, j, c,
+                row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d2 ASC, c ASC) AS rk
+         FROM d2s) WHERE rk <= 1),
+     cand AS (
+       SELECT p.query_id, l.vec_id
+       FROM lists l JOIN probes p ON l.cid = p.cid
+       WHERE l.vec_id <> p.query_id),
+     est AS (
+       SELECT ca.query_id, ca.vec_id,
+              list_sum(list(d.d2 ORDER BY d.j)) AS est_d2
+       FROM cand ca
+       JOIN codes cd ON cd.vec_id = ca.vec_id
+       JOIN d2s d ON d.vec_id = ca.query_id AND d.j = cd.j AND d.c = cd.code
+       GROUP BY 1, 2)
+     SELECT query_id, vec_id, round(est_d2, 6) AS est_d2 FROM (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY est_d2 ASC, vec_id ASC) AS rk
+       FROM est) WHERE rk <= 10"""
+  }
+
   /** DuckDB twin of [[Similarity.ivfTopKLloyd]] (iters = 2): the same
     * md5-ranked seed sample, then two assign→mean k-means rounds. The
     * per-dimension means are grid-rounded by the SAME float cast the engine
@@ -1481,6 +1559,7 @@ object PipelineQueries extends Catalog {
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
     Q("pp_pq_ann", pqAnn, Some(pqAnnSql)),
+    Q("pp_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     // Lloyd-refined IVF: the engine's float cast on each centroid mean IS a
     // replayable grid-round, so the whole k-means refinement oracles in SQL
     Q("pp_ivf_ann_lloyd",

@@ -46,13 +46,28 @@ object StreamingDedup {
     * a streaming groupBy is stateful. Docs with no shingles yield null.
     */
   def rowSignature(text: Column, k: Int = 16, w: Int = 5): Column = {
+    // ONE walk over the shingles: higher-order functions are
+    // CodegenFallback, so codegen-level common-subexpression elimination
+    // never applies here — k separate array_min(transform(base, …)) passes
+    // would re-evaluate the md5 base array k times (observed: 12.7 s
+    // task-CPU on the sf0.1 corpus vs ~1 s for batch minhash). Instead a
+    // single aggregate folds all k affine mins simultaneously: per shingle
+    // ONE md5 and k integer ops, the same work the batch explode→groupBy
+    // form does.
+    val sentinel = lit(1L << 48) // > any 48-bit affine value
     val base = transform(graft.ops.Dedup.shingles(text, w),
       s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
-    when(size(base) >= 1,
-      array((0 until k).map { j =>
-        array_min(transform(base,
-          h => (h * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)))
-      }: _*))
+    val sig = aggregate(base, array_repeat(sentinel, k), (acc, h) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          (h * (j.cast("long") * 2L + 1L) + j.cast("long") * lit(2654435761L))
+            % lit(1L << 48)),
+        (a, v) => least(a, v)))
+    // no shingles → mins still at the sentinel → null; the array(…)[1]
+    // wrapper binds sig ONCE (naming it in when(pred(sig), sig) would
+    // evaluate the whole fold twice — no CSE without codegen)
+    element_at(transform(array(sig),
+      s => when(element_at(s, 1) =!= sentinel, s)), 1)
   }
 
   /** banded signatures of the STATIC reference corpus — precompute once

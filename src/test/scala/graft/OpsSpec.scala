@@ -420,6 +420,20 @@ class SimilaritySpec extends AnyFunSuite {
     val est = Similarity.pqTopK(emb, queries, k = 5, m = 8, ks = 16, dims = 64)
       .select("est_d2").collect().map(_.getDouble(0))
     assert(est.forall(d => d >= 0.0 && java.lang.Double.isFinite(d)))
+
+    // IVF-PQ returns a SUBSET of PQ's ranking universe (candidates pruned
+    // to probed lists), scored with the identical ADC estimate: every
+    // (query, vec, est_d2) it emits must appear in the full-scan PQ scores
+    val full = Similarity.pqTopK(emb, queries, k = Int.MaxValue,
+        m = 8, ks = 16, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (key, d) =>
+      assert(full.get(key).contains(d), s"$key: $d not in full PQ scan")
+    }
+    assert(ivfpq.groupBy(_._1._1).forall(_._2.size <= 5))
   }
 
   test("vocab: counts, dense contiguous ranks, monotone coverage, binding cut") {

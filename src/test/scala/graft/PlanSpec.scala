@@ -293,6 +293,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("IVF-PQ: pruned candidates, no cartesian — the composed scale path") {
+    // candidates come from the centroid-id equi-join (probes broadcast);
+    // codes and LUTs join by key. NOTHING here may plan a cartesian or an
+    // all-pairs nested loop — that is pp_pq_ann's exhaustive-scan territory
+    val p = plan("pp_ivfpq_ann")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("streaming near-dup screen (batch mode): band equi-join, no state ops") {
     val p = plan("pp_stream_neardup")
     assert(!p.contains("CartesianProduct"), p.take(2000))
