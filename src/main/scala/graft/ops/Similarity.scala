@@ -353,6 +353,34 @@ object Similarity {
         round(col("est_d2"), 6).as("est_d2"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023 — public):
+    * embedding-space near-dups are removed CLUSTER-LOCALLY — vectors are
+    * assigned to their nearest coarse centroid (the same deterministic
+    * quantizer as [[ivfTopK]]), and pairwise cosine runs only WITHIN each
+    * cluster, so the all-pairs cost is Σ|cluster|² ≈ n·√n at √n balanced
+    * centroids instead of n² — the property that makes embedding dedup
+    * feasible at corpus scale. Drop rule (deterministic): doc b is a dup
+    * iff some lower-id doc a in the same cluster has cos(a,b) ≥ τ. Returns
+    * one row per DROPPED doc with its dominating neighbor stats; survivors
+    * = corpus anti-joined on `vec_id`.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      centroids: Int = 0): DataFrame = {
+    val cents = sampledCentroids(corpus, centroids)
+    val lists = assignNearest(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
+    val l = lists.select(col("cid"), col("id").as("a"), col("emb").as("emb_a"))
+    val r = lists.select(col("cid"), col("id").as("b"), col("emb").as("emb_b"))
+    l.join(r, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dominating"),
+        min(col("a")).as("min_neighbor"),
+        round(max(col("sim")), 6).as("max_sim"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store/prep step: per-vector scale = max|x|/127, q_i =
     * round(x_i/scale) ∈ [-127, 127]. Deterministic Column algebra (the

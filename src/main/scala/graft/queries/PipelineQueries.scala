@@ -849,6 +849,49 @@ object PipelineQueries extends Catalog {
        FROM est) WHERE rk <= 10"""
   }
 
+  /** SemDeDup: cluster-local embedding near-dup removal — the coarse
+    * quantizer bounds pairwise cosine to within-cluster pairs. Oracle
+    * replays quantizer, assignment, in-cluster pairs, and the
+    * drop-dominance aggregate.
+    */
+  private def semDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.3)
+
+  private val semDedupSql = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH params AS (
+       SELECT least(4096, greatest(4,
+         CAST(pow(2, ceil(log2(CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT))) AS c
+       FROM embeddings),
+     cents AS (
+       SELECT vec_id AS cid, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= (SELECT c FROM params)),
+     assign_all AS (
+       SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cemb")} AS csim
+       FROM embeddings e CROSS JOIN cents c),
+     lists AS (
+       SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all) WHERE rk <= 1),
+     pr AS (
+       SELECT lb.vec_id AS b, la.vec_id AS a,
+              ${cos("ea.embedding", "eb.embedding")} AS sim
+       FROM lists la
+       JOIN lists lb ON la.cid = lb.cid AND la.vec_id < lb.vec_id
+       JOIN embeddings ea ON ea.vec_id = la.vec_id
+       JOIN embeddings eb ON eb.vec_id = lb.vec_id)
+     SELECT b AS vec_id, count(*) AS n_dominating, min(a) AS min_neighbor,
+            round(max(sim), 6) AS max_sim
+     FROM pr WHERE sim >= 0.3 GROUP BY 1"""
+  }
+
   /** DuckDB twin of [[Similarity.ivfTopKLloyd]] (iters = 2): the same
     * md5-ranked seed sample, then two assign→mean k-means rounds. The
     * per-dimension means are grid-rounded by the SAME float cast the engine
@@ -1560,6 +1603,7 @@ object PipelineQueries extends Catalog {
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
     Q("pp_pq_ann", pqAnn, Some(pqAnnSql)),
     Q("pp_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
+    Q("pp_semantic_dedup", semDedup, Some(semDedupSql)),
     // Lloyd-refined IVF: the engine's float cast on each centroid mean IS a
     // replayable grid-round, so the whole k-means refinement oracles in SQL
     Q("pp_ivf_ann_lloyd",

@@ -455,6 +455,21 @@ class SimilaritySpec extends AnyFunSuite {
       math.rint(11.0 / 13 * 1e6) / 1e6))
   }
 
+  test("semantic dedup drops a planted exact twin; survivors keep lower ids") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    // plant an exact duplicate of vector 3 under a fresh high id: identical
+    // vectors share a nearest centroid, so the clone MUST be caught by the
+    // cluster-local pass
+    val dup = emb.filter(col("vec_id") === 3).withColumn("vec_id", lit(999999L))
+    val out = Similarity.semanticDedup(emb.unionByName(dup), threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.exists(t => t._1 == 999999L && t._2 == 3L && t._3 == 1.0),
+      out.mkString(","))
+    // the drop rule is lower-id-dominates: a dropped doc's neighbor id is
+    // always strictly below its own
+    assert(out.forall(t => t._2 < t._1))
+  }
+
   test("normalizeUrl canonicalizes scheme/www/tracking/fragment variants") {
     import spark.implicits._
     import graft.ops.TextOps

@@ -308,4 +308,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("semantic dedup: pairwise cosine stays within clusters, no cartesian") {
+    // the ONLY all-pairs surface is the in-cluster self-join on cid; the
+    // centroid assignment is a bounded broadcast nested loop (corpus x C)
+    val p = plan("pp_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
