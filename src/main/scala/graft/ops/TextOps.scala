@@ -430,6 +430,37 @@ object TextOps {
       .select(col("word"), col("n"), col("rank"), col("cum_frac"))
   }
 
+  /** Unigram-LM surprisal scoring — the perplexity-proxy quality filter
+    * (CCNet-style: docs whose tokens are improbable under a corpus LM are
+    * flagged): per-token surprisal −ln p(w) with p = corpus count /
+    * total, per-doc mean. Two corpus passes (token counts; the scoring
+    * join) — the count table is vocab-sized and the join is word-keyed,
+    * both standard shuffles. The per-doc sum folds over tokens IN
+    * POSITION ORDER (posexplode → re-collect sorted) because a groupBy
+    * sum of floats is partial-aggregation-order nondeterministic — the
+    * same ordered-fold discipline as the engine's stddev_over_time.
+    * collect_list is bounded by document length (chunk long docs first).
+    */
+  def surprisal(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df
+      .select(df("doc_id"), posexplode(tokens(df(textCol))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("__t"))
+    toks.join(counts, Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("sv", -log(col("c").cast("double") / col("__t")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+            s => s.getField("sv")),
+          lit(0.0), (acc, v) => acc + v).as("__sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__sum") / col("n_tokens").cast("double"), 6)
+          .as("mean_surprisal"))
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

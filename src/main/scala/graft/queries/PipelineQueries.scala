@@ -483,6 +483,31 @@ object PipelineQueries extends Catalog {
                     / (SELECT t FROM tot), 6) AS cum_frac
        FROM top"""
 
+  /** unigram surprisal quality scores; the oracle replays counts, the
+    * shared -ln(c/total) term, and the position-ordered per-doc fold
+    */
+  private def surprisalScore(s: SparkSession, d: String): DataFrame =
+    TextOps.surprisal(docs(s, d), "text")
+
+  private val surprisalScoreSql =
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(lower(text), ' +') AS ws
+         FROM documents),
+       w AS (
+         SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT)] AS word
+         FROM t, unnest(range(1, len(ws) + 1)) AS r(i)),
+       w2 AS (SELECT * FROM w WHERE len(word) > 0),
+       c AS (SELECT word, count(*) AS c FROM w2 GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM c),
+       s AS (
+         SELECT w2.doc_id, w2.pos,
+                -ln(CAST(c.c AS DOUBLE) / (SELECT t FROM tot)) AS sv
+         FROM w2 JOIN c USING (word))
+       SELECT doc_id, count(*) AS n_tokens,
+              round(list_sum(list(sv ORDER BY pos)) / count(*), 6)
+                AS mean_surprisal
+       FROM s GROUP BY 1"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1595,6 +1620,7 @@ object PipelineQueries extends Catalog {
     Q("pp_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     Q("pp_shard_manifest", shardManifest, Some(shardManifestSql)),
     Q("pp_vocab", vocabStats, Some(vocabStatsSql)),
+    Q("pp_surprisal", surprisalScore, Some(surprisalScoreSql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

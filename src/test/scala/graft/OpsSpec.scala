@@ -436,6 +436,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq.groupBy(_._1._1).forall(_._2.size <= 5))
   }
 
+  test("surprisal: hand-checked unigram LM means, token counts") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // counts: a=2, b=2, total=4 → every token has p=1/2, surprisal=ln 2
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextOps.surprisal(df, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(out(1L) == ((3L, ln2)) && out(2L) == ((1L, ln2)), out.toString)
+    // a rare token raises the doc's mean above a common-token doc's
+    val df2 = Seq((1L, "x x x x"), (2L, "x rare")).toDF("doc_id", "text")
+    val o2 = TextOps.surprisal(df2, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(o2(2L) > o2(1L))
+  }
+
   test("vocab: counts, dense contiguous ranks, monotone coverage, binding cut") {
     import spark.implicits._
     import graft.ops.TextOps
