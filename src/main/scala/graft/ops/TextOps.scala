@@ -461,6 +461,51 @@ object TextOps {
           .as("mean_surprisal"))
   }
 
+  /** One BPE merge pass over a token array: left fold that joins every
+    * adjacent (x, y) occurrence into xy. Column algebra (aggregate with an
+    * array accumulator), so it composes per row with no shuffle and no UDF.
+    */
+  def bpeMergePass(toks: Column, x: String, y: String): Column =
+    aggregate(toks, array().cast("array<string>"), (acc, t) =>
+      when(size(acc) > 0 && element_at(acc, -1) === x && t === y,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(concat(acc, array(t))))
+
+  /** BPE tokenization (apply a learned merge list): each word char-splits,
+    * then the merges fold in RANK ORDER — one left-to-right pass per rule.
+    * Rank-ordered sequential passes equal the iterative lowest-rank-first
+    * algorithm: a pair can only be learned after both symbols exist, so
+    * rank(x,y) > rank(x), rank(y), and no earlier pair ever re-forms from
+    * a later merge's output. Per-word work is bounded by word length ×
+    * |merges|; the whole tokenizer is a shuffle-free projection.
+    */
+  def bpeTokens(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = filter(split(word, ""), c => length(c) > 0)
+    merges.foldLeft(chars) { case (t, (x, y)) => bpeMergePass(t, x, y) }
+  }
+
+  /** Per-doc BPE application summary: word/char-token/bpe-token counts and
+    * an order-insensitive content checksum (Σ per-word md5-derived hash of
+    * the joined token sequence, mod a prime — integer-exact, so a single
+    * wrong merge anywhere in the corpus flips it). All outputs are
+    * integers; sums commute, so the aggregation needs no ordered fold.
+    */
+  def bpeApply(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ws = filter(tokens(df(textCol)), w => length(w) > 0)
+    val bpeSizes = transform(ws, w => size(bpeTokens(w, merges)).cast("long"))
+    val checksums = transform(ws, w =>
+      pmod(graft.ops.Dedup.hash48(array_join(bpeTokens(w, merges), " "), 0),
+        lit(1000003L)))
+    df.select(
+      df("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      aggregate(transform(ws, w => length(w).cast("long")), lit(0L),
+        (a, v) => a + v).as("n_char_tokens"),
+      aggregate(bpeSizes, lit(0L), (a, v) => a + v).as("n_bpe_tokens"),
+      aggregate(checksums, lit(0L), (a, v) => a + v).as("tok_checksum"))
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

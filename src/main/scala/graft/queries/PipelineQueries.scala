@@ -508,6 +508,51 @@ object PipelineQueries extends Catalog {
                 AS mean_surprisal
        FROM s GROUP BY 1"""
 
+  /** BPE merge list for the catalog row — chosen so the chained ranks
+    * fire on the synthetic vocabulary (join → j,o / jo,i / joi,n; scan →
+    * a,n; hash → h,a; filter/order/merge → e,r)
+    */
+  private val bpeMerges = Seq(
+    "a" -> "n", "h" -> "a", "e" -> "r", "j" -> "o", "jo" -> "i", "joi" -> "n")
+
+  private def bpeApplyQ(s: SparkSession, d: String): DataFrame =
+    TextOps.bpeApply(docs(s, d), "text", bpeMerges)
+
+  /** one DuckDB merge pass: fold over the token list with a list
+    * accumulator (list_reduce seeds from the FIRST element, so a [] seed
+    * is prepended and every token wrapped as a single-element list)
+    */
+  private def bpePassSql(toksExpr: String, x: String, y: String): String =
+    s"""list_reduce(
+        list_prepend(CAST([] AS VARCHAR[]),
+          list_transform($toksExpr, t -> [t])),
+        (acc, e) -> CASE
+          WHEN len(acc) > 0 AND acc[-1] = '$x' AND e[1] = '$y'
+          THEN list_append(acc[1:len(acc)-1], '$x$y')
+          ELSE list_append(acc, e[1]) END)"""
+
+  private val bpeApplySql = {
+    val chained = bpeMerges.foldLeft("toks0") { case (e, (x, y)) =>
+      bpePassSql(e, x, y)
+    }
+    s"""WITH w AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), ' +'), t -> len(t) > 0)) AS word
+         FROM documents),
+       ch AS (
+         SELECT doc_id, word,
+                list_filter(string_split(word, ''), c -> len(c) > 0) AS toks0
+         FROM w),
+       bp AS (SELECT doc_id, word, $chained AS toks FROM ch)
+       SELECT doc_id,
+              count(*) AS n_words,
+              CAST(sum(len(word)) AS BIGINT) AS n_char_tokens,
+              CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+              CAST(sum(CAST(('0x' || substr(md5('0|' || array_to_string(toks, ' ')), 1, 12)) AS BIGINT)
+                       % 1000003) AS BIGINT) AS tok_checksum
+       FROM bp GROUP BY 1"""
+  }
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1621,6 +1666,7 @@ object PipelineQueries extends Catalog {
     Q("pp_shard_manifest", shardManifest, Some(shardManifestSql)),
     Q("pp_vocab", vocabStats, Some(vocabStatsSql)),
     Q("pp_surprisal", surprisalScore, Some(surprisalScoreSql)),
+    Q("pp_bpe_apply", bpeApplyQ, Some(bpeApplySql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

@@ -436,6 +436,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpq.groupBy(_._1._1).forall(_._2.size <= 5))
   }
 
+  test("BPE apply: rank-ordered merges, chained ranks, adjacency only") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val merges = Seq("a" -> "n", "j" -> "o", "jo" -> "i", "joi" -> "n")
+    val df = Seq((1L, "join"), (2L, "scan"), (3L, "nan"), (4L, "xy")).toDF("id", "w")
+    val toks = df.select(col("id"), TextOps.bpeTokens(col("w"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // chained ranks: j,o -> jo ; jo,i -> joi ; joi,n -> join (one token)
+    assert(toks(1L) == List("join"), toks(1L).toString)
+    // single merge mid-word
+    assert(toks(2L) == List("s", "c", "an"))
+    // left-to-right: n,a,n -> n + an (the leading n never pairs)
+    assert(toks(3L) == List("n", "an"))
+    // no applicable merges -> chars
+    assert(toks(4L) == List("x", "y"))
+
+    val sum = TextOps.bpeApply(Seq((9L, "join scan")).toDF("doc_id", "text"),
+      "text", merges).collect().head
+    assert(sum.getLong(1) == 2 && sum.getLong(2) == 8 && sum.getLong(3) == 4)
+  }
+
   test("surprisal: hand-checked unigram LM means, token counts") {
     import spark.implicits._
     import graft.ops.TextOps
