@@ -484,6 +484,42 @@ object TextOps {
     merges.foldLeft(chars) { case (t, (x, y)) => bpeMergePass(t, x, y) }
   }
 
+  /** BPE TRAINING — learn `numMerges` merge rules from the corpus: the
+    * classic loop (count adjacent token pairs, adopt the most frequent,
+    * re-tokenize, repeat), with deterministic tie-break (count desc, then
+    * lexicographic) so any engine learns the identical table. Each
+    * iteration is one distributed pair-count aggregate + a ONE-ROW
+    * collect (the argmax pair — a plan-time statistic, same spirit as
+    * alphaMixture's source counts); tokenization re-derives from the
+    * merge list each round, costing O(k)-merges-so-far per word — fine
+    * for the dozens-of-merges regime; a production trainer for 50k
+    * merges would materialize the tokenized corpus between rounds
+    * instead. Returns (x, y, pair_count) in learned (rank) order.
+    */
+  def bpeTrain(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var merges = Seq.empty[(String, String)]
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (_ <- 1 to numMerges) {
+      val ws = filter(tokens(df(textCol)), w => length(w) > 0)
+      val toks = df.select(explode(transform(ws,
+        w => bpeTokens(w, merges))).as("t"))
+        .filter(size(col("t")) >= 2)
+      val top = toks.select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("pr"))
+        .groupBy(col("pr.x"), col("pr.y")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) return learned.toSeq
+      val r = top.head
+      merges = merges :+ (r.getString(0) -> r.getString(1))
+      learned += ((r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    learned.toSeq
+  }
+
   /** Per-doc BPE application summary: word/char-token/bpe-token counts and
     * an order-insensitive content checksum (Σ per-word md5-derived hash of
     * the joined token sequence, mod a prime — integer-exact, so a single

@@ -553,6 +553,56 @@ object PipelineQueries extends Catalog {
        FROM bp GROUP BY 1"""
   }
 
+  /** BPE training end-to-end: the engine's iterative count→argmax→merge
+    * loop must learn the IDENTICAL 6-rule table the oracle derives by
+    * replaying each round as an unrolled CTE stage (pair counts over the
+    * previous stage's tokenization, deterministic argmax, dynamic merge
+    * pass with the learned pair cross-joined into the fold lambda).
+    */
+  private def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
+    val learned = TextOps.bpeTrain(docs(s, d), "text", numMerges = 6)
+    import s.implicits._
+    learned.zipWithIndex.map { case ((x, y, c), i) => (i + 1L, x, y, c) }
+      .toDF("rank", "x", "y", "pair_count")
+  }
+
+  /** dynamic-pair DuckDB merge pass: like [[bpePassSql]] but (x, y) come
+    * from a cross-joined one-row stage result instead of literals
+    */
+  private def bpePassDynSql(toksExpr: String, pair: String): String =
+    s"""list_reduce(
+        list_prepend(CAST([] AS VARCHAR[]),
+          list_transform($toksExpr, t -> [t])),
+        (acc, e) -> CASE
+          WHEN len(acc) > 0 AND acc[-1] = $pair.x AND e[1] = $pair.y
+          THEN list_append(acc[1:len(acc)-1], $pair.x || $pair.y)
+          ELSE list_append(acc, e[1]) END)"""
+
+  private val bpeTrainSql = {
+    def stage(i: Int): String = {
+      val prev = if (i == 1) "ch" else s"t${i - 1}"
+      s"""p$i AS (
+         SELECT pr[1] AS x, pr[2] AS y, count(*) AS c
+         FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+               FROM $prev WHERE len(toks) >= 2)
+         GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 1),
+       t$i AS (
+         SELECT ${bpePassDynSql("toks", s"p$i")} AS toks
+         FROM $prev CROSS JOIN p$i)"""
+    }
+    s"""WITH w AS (
+         SELECT unnest(list_filter(
+           string_split_regex(lower(text), ' +'), t -> len(t) > 0)) AS word
+         FROM documents),
+       ch AS (
+         SELECT list_filter(string_split(word, ''), c -> len(c) > 0) AS toks
+         FROM w),
+       ${(1 to 6).map(stage).mkString(",\n       ")}
+       ${(1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, x, y, CAST(c AS BIGINT) AS pair_count FROM p$i")
+        .mkString("\n       UNION ALL ")}"""
+  }
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1667,6 +1717,7 @@ object PipelineQueries extends Catalog {
     Q("pp_vocab", vocabStats, Some(vocabStatsSql)),
     Q("pp_surprisal", surprisalScore, Some(surprisalScoreSql)),
     Q("pp_bpe_apply", bpeApplyQ, Some(bpeApplySql)),
+    Q("pp_bpe_train", bpeTrainQ, Some(bpeTrainSql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

@@ -457,6 +457,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sum.getLong(1) == 2 && sum.getLong(2) == 8 && sum.getLong(3) == 4)
   }
 
+  test("BPE train: frequency argmax, re-tokenize between rounds, early stop") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val df = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    // round 1: pairs (a,a)x2, (a,b)x1 -> learn (a,a); round 2 re-tokenizes
+    // to [aa],[a,b],[aa] so only (a,b) remains; round 3 has no pairs at all
+    // -> trainer stops early despite numMerges = 3
+    val learned = TextOps.bpeTrain(df, "text", numMerges = 3)
+    assert(learned == Seq(("a", "a", 2L), ("a", "b", 1L)), learned.toString)
+  }
+
   test("surprisal: hand-checked unigram LM means, token counts") {
     import spark.implicits._
     import graft.ops.TextOps
