@@ -181,7 +181,9 @@ object Bench {
       "it_log_needle" -> "builds 16 days of log segments + fingerprint index once, then the pruned query",
       "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
       "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +
-        "(tiny shuffle) + one dimension join over the message stream"))
+        "(tiny shuffle) + one dimension join over the message stream"),
+      "pp_bpe_train" -> ("iterative by design: 6 training rounds, each a full " +
+        "re-tokenization + pair-count aggregate + one-row argmax collect"))
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
 

@@ -461,27 +461,54 @@ object TextOps {
           .as("mean_surprisal"))
   }
 
-  /** One BPE merge pass over a token array: left fold that joins every
-    * adjacent (x, y) occurrence into xy. Column algebra (aggregate with an
-    * array accumulator), so it composes per row with no shuffle and no UDF.
+  /** token-boundary delimiter for the BPE string representation — a
+    * control char that never appears in text tokens (tokens come from
+    * space-splitting, and a word containing  would be corpus noise
+    * the parse treats as one opaque symbol)
     */
-  def bpeMergePass(toks: Column, x: String, y: String): Column =
-    aggregate(toks, array().cast("array<string>"), (acc, t) =>
-      when(size(acc) > 0 && element_at(acc, -1) === x && t === y,
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-        .otherwise(concat(acc, array(t))))
+  private val BpeD = ""
+
+  private def quoteRegex(s: String): String =
+    java.util.regex.Pattern.quote(s)
+  private def quoteRepl(s: String): String =
+    java.util.regex.Matcher.quoteReplacement(s)
+
+  /** One BPE merge pass: every adjacent (x, y) token pair becomes xy,
+    * scanning left-to-right without overlap. REPRESENTATION: tokens live
+    * in a delimiter-separated string `⟂t1⟂t2⟂…⟂` and the pass is ONE
+    * `regexp_replace` of `⟂x⟂y⟂` → `⟂xy⟂` — Java's regex scan resumes
+    * after each replacement, which IS the left fold (⟂a⟂a⟂a⟂ → ⟂aa⟂a⟂),
+    * and the quoted single-delimiter pattern can never match across a
+    * word boundary (≥2 consecutive delimiters) or inside a token. An
+    * equivalent fold with an array accumulator costs O(len²) interpreted
+    * list copies per word per rule (higher-order functions don't codegen:
+    * measured 14-25 s for the sf0.1 catalog rows); the string form is a
+    * codegen'd native scan.
+    */
+  def bpeMergePass(tokStr: Column, x: String, y: String): Column =
+    regexp_replace(tokStr,
+      lit(quoteRegex(BpeD + x + BpeD + y + BpeD)),
+      lit(quoteRepl(BpeD + x + y + BpeD)))
+
+  /** a word as its delimited char-token string: "join" → ⟂j⟂o⟂i⟂n⟂
+    * ($1 stays a live group reference; the delimiter needs no escaping)
+    */
+  def bpeCharStr(word: Column): Column =
+    concat(lit(BpeD), regexp_replace(word, "(.)", "$1" + BpeD))
 
   /** BPE tokenization (apply a learned merge list): each word char-splits,
-    * then the merges fold in RANK ORDER — one left-to-right pass per rule.
+    * then the merges run in RANK ORDER — one left-to-right pass per rule.
     * Rank-ordered sequential passes equal the iterative lowest-rank-first
     * algorithm: a pair can only be learned after both symbols exist, so
     * rank(x,y) > rank(x), rank(y), and no earlier pair ever re-forms from
-    * a later merge's output. Per-word work is bounded by word length ×
-    * |merges|; the whole tokenizer is a shuffle-free projection.
+    * a later merge's output. Per-word work is |merges| native scans; the
+    * whole tokenizer is a shuffle-free projection.
     */
   def bpeTokens(word: Column, merges: Seq[(String, String)]): Column = {
-    val chars = filter(split(word, ""), c => length(c) > 0)
-    merges.foldLeft(chars) { case (t, (x, y)) => bpeMergePass(t, x, y) }
+    val folded = merges.foldLeft(bpeCharStr(word)) {
+      case (s, (x, y)) => bpeMergePass(s, x, y)
+    }
+    filter(split(folded, quoteRegex(BpeD)), t => length(t) > 0)
   }
 
   /** BPE TRAINING — learn `numMerges` merge rules from the corpus: the
@@ -529,17 +556,24 @@ object TextOps {
   def bpeApply(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val ws = filter(tokens(df(textCol)), w => length(w) > 0)
-    val bpeSizes = transform(ws, w => size(bpeTokens(w, merges)).cast("long"))
-    val checksums = transform(ws, w =>
-      pmod(graft.ops.Dedup.hash48(array_join(bpeTokens(w, merges), " "), 0),
-        lit(1000003L)))
-    df.select(
-      df("doc_id"),
-      size(ws).cast("long").as("n_words"),
-      aggregate(transform(ws, w => length(w).cast("long")), lit(0L),
-        (a, v) => a + v).as("n_char_tokens"),
-      aggregate(bpeSizes, lit(0L), (a, v) => a + v).as("n_bpe_tokens"),
-      aggregate(checksums, lit(0L), (a, v) => a + v).as("tok_checksum"))
+    // ONE fold over the words, binding each word's joined token string
+    // exactly once via the array(…)[1] wrapper — naming it twice (size +
+    // checksum) would re-run the whole merge chain per reference, since
+    // higher-order functions get no codegen CSE
+    val zero = struct(lit(0L).as("nc"), lit(0L).as("nb"), lit(0L).as("ck"))
+    val summary = aggregate(ws, zero, (acc, w) =>
+      element_at(transform(array(array_join(bpeTokens(w, merges), " ")), s =>
+        struct(
+          (acc.getField("nc") + length(w)).as("nc"),
+          (acc.getField("nb") + size(split(s, " "))).as("nb"),
+          (acc.getField("ck") +
+            pmod(graft.ops.Dedup.hash48(s, 0), lit(1000003L))).as("ck"))), 1))
+    df.select(df("doc_id"), size(ws).cast("long").as("n_words"),
+        summary.as("__s"))
+      .select(col("doc_id"), col("n_words"),
+        col("__s.nc").as("n_char_tokens"),
+        col("__s.nb").as("n_bpe_tokens"),
+        col("__s.ck").as("tok_checksum"))
   }
 
   /** all-in-one profile projection over a documents frame */
