@@ -224,6 +224,41 @@ class PropertySpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("BPE string-scan passes equal the reference list fold, incl. regex " +
+      "metacharacters") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions._
+    // the plain-list fold the regexp_replace representation must match
+    def refBpe(word: String, merges: Seq[(String, String)]): List[String] =
+      merges.foldLeft(word.map(_.toString).toList) { case (toks, (x, y)) =>
+        toks.foldLeft(List.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == x && t == y) acc.init :+ (x + y)
+          else acc :+ t
+        }
+      }
+    // alphabet deliberately full of regex/replacement metacharacters —
+    // a quoting bug in the pattern or the "$1" replacement shows here
+    val alpha = "ab.$^*\\x"
+    val genWord = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val genPair = for {
+      a <- Gen.oneOf(alpha.toSeq); b <- Gen.oneOf(alpha.toSeq)
+      c <- Gen.oneOf(alpha.toSeq)
+      two <- Gen.oneOf(true, false)
+    } yield if (two) (a.toString + b, c.toString) else (a.toString, b.toString)
+    val genCase = for {
+      ws <- Gen.listOfN(8, genWord)
+      ms <- Gen.listOfN(4, genPair)
+    } yield (ws, ms)
+    holds(forAll(genCase) { case (ws, ms) =>
+      val df = spark_helpers.frame(ws)
+      val got = df.select(TextOps.bpeTokens(org.apache.spark.sql.functions
+          .col("w"), ms))
+        .collect().map(_.getSeq[String](0).toList)
+      got.sameElements(ws.map(w => refBpe(w, ms)))
+    }, n = 30)
+  }
+
   test("AVI parser is total on corrupted containers: None or Some, never a throw") {
     import graft.ops.Multimodal
     val valid = Multimodal.aviRamp(5, 4, 3, 40000, 10, 7, 20, 11, 30, 13)
@@ -255,6 +290,10 @@ class PropertySpec extends AnyFunSuite {
       import s.implicits._
       Seq(x).toDF("m").select(graft.ingest.LogFingerprint.template(col("m")))
         .head().getString(0)
+    }
+    def frame(words: Seq[String]): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      words.toDF("w")
     }
   }
 }
