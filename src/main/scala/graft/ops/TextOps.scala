@@ -476,19 +476,21 @@ object TextOps {
   /** One BPE merge pass: every adjacent (x, y) token pair becomes xy,
     * scanning left-to-right without overlap. REPRESENTATION: tokens live
     * in a delimiter-separated string `⟂t1⟂t2⟂…⟂` and the pass is ONE
-    * `regexp_replace` of `⟂x⟂y⟂` → `⟂xy⟂` — Java's regex scan resumes
-    * after each replacement, which IS the left fold (⟂a⟂a⟂a⟂ → ⟂aa⟂a⟂),
-    * and the quoted single-delimiter pattern can never match across a
-    * word boundary (≥2 consecutive delimiters) or inside a token. An
-    * equivalent fold with an array accumulator costs O(len²) interpreted
-    * list copies per word per rule (higher-order functions don't codegen:
-    * measured 14-25 s for the sf0.1 catalog rows); the string form is a
-    * codegen'd native scan.
+    * `regexp_replace` of `⟂x⟂y(?=⟂)` → `⟂xy` — the trailing delimiter is
+    * a LOOKAHEAD, not part of the match, so the scan resumes AT the
+    * shared delimiter and back-to-back occurrences both merge
+    * (⟂x⟂y⟂x⟂y⟂ → ⟂xy⟂xy⟂, ⟂a⟂a⟂a⟂ → ⟂aa⟂a⟂ — exactly the left fold;
+    * a consumed trailing delimiter would miss the second occurrence).
+    * The quoted single-delimiter pattern can never match inside a token.
+    * An equivalent fold with an array accumulator costs O(len²)
+    * interpreted list copies per word per rule (higher-order functions
+    * don't codegen: measured 14-25 s for the sf0.1 catalog rows); the
+    * string form is a codegen'd native scan.
     */
   def bpeMergePass(tokStr: Column, x: String, y: String): Column =
     regexp_replace(tokStr,
-      lit(quoteRegex(BpeD + x + BpeD + y + BpeD)),
-      lit(quoteRepl(BpeD + x + y + BpeD)))
+      lit(quoteRegex(BpeD + x + BpeD + y) + "(?=" + quoteRegex(BpeD) + ")"),
+      lit(quoteRepl(BpeD + x + y)))
 
   /** a word as its delimited char-token string: "join" → ⟂j⟂o⟂i⟂n⟂
     * ($1 stays a live group reference; the delimiter needs no escaping)
@@ -568,8 +570,11 @@ object TextOps {
           (acc.getField("nb") + size(split(s, " "))).as("nb"),
           (acc.getField("ck") +
             pmod(graft.ops.Dedup.hash48(s, 0), lit(1000003L))).as("ck"))), 1))
+    // zero-word docs (whitespace-only text) are dropped so the row set
+    // matches an unnest-then-group oracle, which never sees such doc_ids
     df.select(df("doc_id"), size(ws).cast("long").as("n_words"),
         summary.as("__s"))
+      .where(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"),
         col("__s.nc").as("n_char_tokens"),
         col("__s.nb").as("n_bpe_tokens"),

@@ -247,16 +247,39 @@ class PropertySpec extends AnyFunSuite {
       two <- Gen.oneOf(true, false)
     } yield if (two) (a.toString + b, c.toString) else (a.toString, b.toString)
     val genCase = for {
-      ws <- Gen.listOfN(8, genWord)
+      ws <- Gen.listOfN(24, genWord)
       ms <- Gen.listOfN(4, genPair)
     } yield (ws, ms)
-    holds(forAll(genCase) { case (ws, ms) =>
-      val df = spark_helpers.frame(ws)
-      val got = df.select(TextOps.bpeTokens(org.apache.spark.sql.functions
-          .col("w"), ms))
-        .collect().map(_.getSeq[String](0).toList)
-      got.sameElements(ws.map(w => refBpe(w, ms)))
-    }, n = 30)
+    def sparkBpe(ws: Seq[String], ms: Seq[(String, String)]): Seq[List[String]] =
+      spark_helpers.frame(ws)
+        .select(TextOps.bpeTokens(org.apache.spark.sql.functions.col("w"), ms))
+        .collect().map(_.getSeq[String](0).toList).toSeq
+    // deterministic regressions for the delimiter-consumption bug: a scan
+    // that eats the shared delimiter merges only the FIRST of back-to-back
+    // pair occurrences ([x,y,x,y] -> [xy,x,y] instead of [xy,xy])
+    val fixed: Seq[(String, Seq[(String, String)], List[String])] = Seq(
+      ("banana", Seq("a" -> "n"), List("b", "an", "an", "a")),
+      ("jojo", Seq("j" -> "o"), List("jo", "jo")),
+      ("xxx", Seq("x" -> "x"), List("xx", "x")),
+      ("xxxx", Seq("x" -> "x"), List("xx", "xx")),
+      ("xyxy", Seq("x" -> "y"), List("xy", "xy")),
+      ("xyxyxy", Seq("x" -> "y"), List("xy", "xy", "xy")),
+      ("ababab", Seq("a" -> "b", "ab" -> "ab"), List("abab", "ab")),
+      ("$^$^", Seq("$" -> "^"), List("$^", "$^")))
+    for ((w, ms, want) <- fixed) {
+      assert(refBpe(w, ms) == want, s"refBpe sanity on $w")
+      assert(sparkBpe(Seq(w), ms).head == want, s"spark BPE on $w with $ms")
+    }
+    val prop = forAll(genCase) { case (ws, ms) =>
+      sparkBpe(ws, ms).sameElements(ws.map(w => refBpe(w, ms)))
+    }
+    // >=1000 word-cases across independent seeds: 3 seeds x 15 samples x
+    // 24 words — each sample is one tiny local Spark job
+    for (seed <- Seq(11L, 4242L, 990017L)) {
+      val r = check(Parameters.default.withMinSuccessfulTests(15)
+        .withInitialSeed(org.scalacheck.rng.Seed(seed)), prop)
+      assert(r.passed, s"seed $seed: ${r.status}")
+    }
   }
 
   test("AVI parser is total on corrupted containers: None or Some, never a throw") {
