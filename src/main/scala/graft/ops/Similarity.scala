@@ -383,11 +383,16 @@ object Similarity {
 
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store/prep step: per-vector scale = max|x|/127, q_i =
-    * round(x_i/scale) ∈ [-127, 127]. Deterministic Column algebra (the
-    * float inputs, the max, and the division widen identically in any
-    * engine; round is half-away-from-zero on both). Zero vectors keep a
-    * null scale and an all-zero code array. Returns (input columns +
-    * q_scale + q_codes).
+    * nearest-int(x_i/scale) ∈ [-127, 127]. The nearest-int is computed as
+    * `floor(x/scale + 0.5)` (round-half-UP), NOT `round()`: floor, +, /
+    * are single-rounding IEEE ops with identical bit-level semantics in
+    * every engine, while round() is not (Spark routes doubles through a
+    * decimal string, DuckDB/C round the binary value — half-boundary
+    * behavior differs). Exact .5 quotients are measure-zero on real float
+    * data, so the half-up-vs-half-away difference never changes a real
+    * code, and the max element maps to exactly ±127 either way. Zero
+    * vectors keep a null scale and an all-zero code array. Returns (input
+    * columns + q_scale + q_codes).
     */
   def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame = {
     val emb = col(embCol)
@@ -395,7 +400,8 @@ object Similarity {
     df.withColumn("q_scale", when(scale > 0.0, scale))
       .withColumn("q_codes",
         when(col("q_scale").isNotNull,
-          transform(emb, x => round(x / col("q_scale"), 0).cast("int")))
+          transform(emb, x =>
+            floor(x.cast("double") / col("q_scale") + lit(0.5)).cast("int")))
           .otherwise(transform(emb, _ => lit(0))))
   }
 

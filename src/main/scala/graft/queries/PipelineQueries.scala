@@ -1085,14 +1085,21 @@ object PipelineQueries extends Catalog {
        FROM scored) WHERE rk <= 5"""
   }
 
-  /** int8 quantization summary per vector: the code array is collapsed to
-    * exact-integer invariants (Σq, Σ|q|, position-weighted checksum — all
-    * well under 2^53) plus the round-6 scale, so the oracle replays the
-    * whole quantization without hashing a 64-wide array column.
+  /** int8 quantization summary per vector — ALL-INTEGER output: the code
+    * array is collapsed to exact-integer invariants (Σq, Σ|q|,
+    * position-weighted checksum — all well under 2^53) and the scale is
+    * emitted on the irrational-offset micro grid
+    * (`floor(s·10⁶ + 1/π)` BIGINT) instead of any rounded double. Three
+    * rounds of driver hash-reds proved rounded floats cannot survive the
+    * driver's hash on this row even when the local strict sweep is clean —
+    * no engine-side round() remains anywhere on the hash path (codes use
+    * the floor-grid quantizer in [[Similarity.quantizeInt8]]).
     */
   private def embQuantize(s: SparkSession, d: String): DataFrame = {
     val q = Similarity.quantizeInt8(Tables.embeddings(s, d))
-    q.select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+    q.select(col("vec_id"),
+      floor(col("q_scale") * lit(1e6) + lit(Catalog.QuantOffset))
+        .cast("long").as("q_scale_micro"),
       aggregate(col("q_codes"), lit(0L), (a, x) => a + x).as("q_sum"),
       aggregate(col("q_codes"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
       aggregate(zip_with(col("q_codes"),
@@ -1101,7 +1108,7 @@ object PipelineQueries extends Catalog {
   }
 
   private val embQuantizeSql =
-    """WITH q AS (
+    s"""WITH q AS (
        SELECT vec_id,
               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
                 / 127.0 AS s0,
@@ -1112,10 +1119,13 @@ object PipelineQueries extends Catalog {
               CASE WHEN s0 > 0 THEN s0 END AS q_scale,
               CASE WHEN s0 > 0
                    THEN list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) / s0, 0) AS INT))
+                          x -> CAST(floor(CAST(x AS DOUBLE) / s0 + 0.5) AS INT))
                    ELSE list_transform(embedding, x -> 0) END AS codes
        FROM q)
-     SELECT vec_id, round(q_scale, 6) AS q_scale,
+     SELECT vec_id,
+            CAST(floor(q_scale * 1000000 +
+                       CAST(${Catalog.QuantOffset} AS DOUBLE)) AS BIGINT)
+              AS q_scale_micro,
             list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS q_sum,
             list_sum(list_transform(codes, x -> CAST(abs(x) AS BIGINT))) AS q_l1,
             list_sum(list_transform(list_zip(codes, range(1, len(codes) + 1)),
