@@ -315,4 +315,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("pp_semantic_dedup")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("ip() line filter: codegen'd RLIKE prefilter gates one fold per candidate") {
+    val p = plan("lq_ip_filter")
+    // the compiled-regex prefilter must be in the plan — lines without a
+    // dotted quad never reach the interpreted HOF
+    assert(p.contains("RLIKE"), s"rlike prefilter missing:\n${p.take(3000)}")
+    // per-candidate work is ONE aggregate fold: the old nested-exists /
+    // per-candidate-rlike storm (13.6 s at sf0.1 on a loaded host) must
+    // not come back — at most one exists() in the whole plan
+    val nExists = "\\bexists\\(".r.findAllIn(p).size
+    assert(nExists <= 1, s"$nExists exists() HOFs in plan:\n${p.take(3000)}")
+  }
 }

@@ -282,6 +282,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ip rangeRegex matches exactly the in-range dotted quads") {
+    import graft.logql.IpMatch
+    def quad(x: Long) = Seq(24, 16, 8, 0).map(sh => (x >> sh) & 255).mkString(".")
+    val genIp = Gen.chooseNum(0L, 0xffffffffL)
+    // mix wide random intervals with tight ones so boundary octet
+    // decomposition is exercised at every level
+    val gen = for {
+      a <- genIp
+      w <- Gen.oneOf(Gen.chooseNum(0L, 300L), genIp)
+      v <- genIp
+    } yield (a, math.min(0xffffffffL, a + w), v)
+    holds(forAll(gen) { case (lo, hi, v) =>
+      val re = ("^" + IpMatch.rangeRegex(lo, hi) + "$").r
+      // the random probe plus every boundary neighbor
+      Seq(v, lo, hi, lo - 1, hi + 1)
+        .filter(x => x >= 0 && x <= 0xffffffffL)
+        .forall(x => re.matches(quad(x)) == (x >= lo && x <= hi))
+    }, n = 300)
+    // leading-zero admission mirrors the \d{1,3} extraction shape
+    val (lo9, hi9) = IpMatch.rangeOf("10.0.0.0/9")
+    val re9 = ("^" + IpMatch.rangeRegex(lo9, hi9) + "$").r
+    assert(re9.matches("10.127.255.255") && re9.matches("010.000.0.00"))
+    assert(!re9.matches("10.128.0.0") && !re9.matches("9.255.255.255"))
+    assert(!re9.matches("0010.0.0.0") && !re9.matches("10.0.0"))
+  }
+
   test("AVI parser is total on corrupted containers: None or Some, never a throw") {
     import graft.ops.Multimodal
     val valid = Multimodal.aviRamp(5, 4, 3, 40000, 10, 7, 20, 11, 30, 13)
