@@ -258,20 +258,43 @@ object Compiler {
         // (the same need-key gating as label extraction — zero plan/schema
         // impact on queries that never look). "" on parse success, Loki's
         // error name otherwise.
-        if (needed.contains("__error__")) {
-          df = df.withColumn("__error__",
-            when(get_json_object(col("log_message"), "$").isNull,
-              lit("JSONParserErr")).otherwise(lit("")))
-          labels = (labels :+ "__error__").distinct
-        }
+        //
+        // ONE JSON parse per row: all needed top-level keys (which is what
+        // need-key analysis produces) ride a single from_json with an
+        // all-strings schema + a corrupt-record sentinel; k separate
+        // get_json_object calls would be k full parses of the same line.
+        // Only a genuinely nested explicit path ($.a.b) falls back to
+        // get_json_object.
         val explicit = mappings.map { case (l, path) => l -> jsonPath(path) }
         val auto = needed.filterNot(l => l == "__error__" ||
             df.schema.fieldNames.contains(l) || explicit.exists(_._1 == l))
           .map(l => l -> s"$$.$l")
-        (explicit ++ auto).foreach { case (l, path) =>
+        val wantErr = needed.contains("__error__")
+        val topRe = "^\\$\\.([A-Za-z_][A-Za-z0-9_]*)$".r
+        val (flat, nested) = (explicit ++ auto).partition {
+          case (_, p) => topRe.findFirstIn(p).isDefined
+        }
+        if (wantErr || flat.nonEmpty) {
+          df = df.withColumn("__graft_json", oneParse(col("log_message"),
+            flat.map(_._2.stripPrefix("$."))))
+        }
+        if (wantErr) {
+          df = df.withColumn("__error__",
+            when(col("log_message").isNull ||
+                col("__graft_json").getField(CorruptField).isNotNull,
+              lit("JSONParserErr")).otherwise(lit("")))
+          labels = (labels :+ "__error__").distinct
+        }
+        flat.foreach { case (l, p) =>
+          df = df.withColumn(l,
+            col("__graft_json").getField(p.stripPrefix("$.")))
+          labels = (labels :+ l).distinct
+        }
+        nested.foreach { case (l, path) =>
           df = df.withColumn(l, get_json_object(col("log_message"), path))
           labels = (labels :+ l).distinct
         }
+        if (wantErr || flat.nonEmpty) df = df.drop("__graft_json")
 
       case LogfmtStage(mappings) =>
         // logfmt's dominant failure mode is an unterminated quoted value:
@@ -394,21 +417,28 @@ object Compiler {
       case UnpackStage =>
         // pack-format reader: promote needed JSON keys to labels, then
         // restore the original line from `_entry` (a non-pack line — no
-        // `_entry` key — passes through unchanged, Loki's behavior)
+        // `_entry` key — passes through unchanged, Loki's behavior).
+        // Single from_json parse over needed keys + _entry + the corrupt
+        // sentinel — the old per-key get_json_object form re-parsed the
+        // line once per key plus once for _entry plus once for __error__.
         val line = col("log_message")
+        val keys = needed.filterNot(l => l == "__error__" ||
+          df.schema.fieldNames.contains(l))
+        df = df.withColumn("__graft_json", oneParse(line, keys :+ "_entry"))
         if (needed.contains("__error__")) {
           df = df.withColumn("__error__",
-            when(get_json_object(line, "$").isNull, lit("JSONParserErr"))
-              .otherwise(lit("")))
+            when(line.isNull ||
+                col("__graft_json").getField(CorruptField).isNotNull,
+              lit("JSONParserErr")).otherwise(lit("")))
           labels = (labels :+ "__error__").distinct
         }
-        needed.filterNot(l => l == "__error__" ||
-            df.schema.fieldNames.contains(l)).foreach { l =>
-          df = df.withColumn(l, get_json_object(line, "$." + l))
+        keys.foreach { l =>
+          df = df.withColumn(l, col("__graft_json").getField(l))
           labels = (labels :+ l).distinct
         }
         df = df.withColumn("log_message",
-          coalesce(get_json_object(line, "$._entry"), line))
+            coalesce(col("__graft_json").getField("_entry"), line))
+          .drop("__graft_json")
 
       case DistinctStage(ls) =>
         // first line per distinct label combination. Window partitioned by
@@ -703,6 +733,25 @@ object Compiler {
   /** `$.a.b` stays; bare `a` → `$.a` */
   private def jsonPath(p: String): String =
     if (p.startsWith("$")) p else "$." + p
+
+  /** corrupt-record sentinel for the single-parse json/unpack stages; the
+    * name can't collide with a label (label names never start with
+    * `__graft`)
+    */
+  private val CorruptField = "__graft_corrupt"
+
+  /** ONE from_json parse covering every needed top-level key (all-strings
+    * schema: scalars keep their raw token text, objects/arrays their JSON
+    * text — same surface as get_json_object) plus the corrupt-record
+    * field, non-null exactly when the line isn't parseable JSON.
+    */
+  private def oneParse(line: Column, keys: Seq[String]): Column = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(
+      keys.distinct.map(k => StructField(k, StringType)) :+
+        StructField(CorruptField, StringType))
+    from_json(line, schema, Map("columnNameOfCorruptRecord" -> CorruptField))
+  }
 
   private val namedGroupRe = "\\(\\?P?<([A-Za-z_][A-Za-z0-9_]*)>".r
 
