@@ -65,24 +65,48 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
   }
 
+  /** Cap a banded frame's per-(band, bucket) membership at
+    * `maxDocsPerBucket`: buckets above the cap are dropped entirely —
+    * the band-join analog of ngramJaccard's stop-shingle filter. A
+    * bucket shared by B docs emits B² candidate pairs from ONE reduce
+    * key; boilerplate-heavy corpora (exactly what dedup targets) create
+    * such buckets, and an uncapped join goes quadratic on them. Over-cap
+    * buckets carry no dedup signal — their members collide on
+    * boilerplate, not content. The size prefilter is one co-partitioned
+    * count + join (same key as the band join that follows), and
+    * `minMembers` = 2 also drops singleton buckets — the vast majority —
+    * before the join sees them.
+    */
+  private[graft] def capBuckets(banded: DataFrame, maxDocsPerBucket: Int,
+      minMembers: Int = 1): DataFrame = {
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+    banded.join(sizes, Seq("band", "bucket"))
+      .filter(col("__bsz").between(minMembers, maxDocsPerBucket))
+      .drop("__bsz")
+  }
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join on (band, md5(band-slice)), estimate similarity as the
     * fraction of equal signature positions. Returns doc pairs (a < b) with
-    * est_sim ≥ threshold.
+    * est_sim ≥ threshold. Buckets with more than `maxDocsPerBucket`
+    * members are dropped before the join ([[capBuckets]]).
     */
   def minhashLsh(df: DataFrame, textCol: String, k: Int = 16, bands: Int = 4,
-      w: Int = 5, threshold: Double = 0.5): DataFrame = {
+      w: Int = 5, threshold: Double = 0.5,
+      maxDocsPerBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     // materialize signatures once (one small row per doc): the shingle
     // explode + k min-aggs behind them is the expensive pass, and the
     // banded self-join below would recompute it for each side
     val sigs = graft.GraftSession.materialize(minhash(df, textCol, k, w))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = capBuckets(sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(array_join(slice(col("sig"), b * rows + 1, rows), ",")).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
+      maxDocsPerBucket, minMembers = 2)
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -116,18 +140,23 @@ object Dedup {
     */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
       textCol: String, k: Int = 16, bands: Int = 4, w: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDocsPerBucket: Int = 1000): DataFrame = {
     val rows = k / bands
+    // each SIDE's buckets are capped independently: per-bucket join
+    // expansion is |L|·|R| ≤ cap², the same bound the single-corpus cap
+    // gives, without a cross-frame count
     def banded(df: DataFrame, id: String, sig: String): DataFrame =
-      graft.GraftSession.materialize(minhash(df, textCol, k, w))
+      capBuckets(graft.GraftSession.materialize(minhash(df, textCol, k, w))
         .select(col("doc_id"), col("sig"),
           explode(array((0 until bands).map { b =>
             struct(lit(b).as("band"),
               md5(array_join(slice(col("sig"), b * rows + 1, rows), ","))
                 .as("bucket"))
           }: _*)).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
+        maxDocsPerBucket)
         .select(col("doc_id").as(id), col("sig").as(sig),
-          col("bb.band"), col("bb.bucket"))
+          col("band"), col("bucket"))
     val l = banded(existing, "old_id", "sig_a")
     val r = banded(incoming, "new_id", "sig_b")
     val eq = size(filter(zip_with(col("sig_a"), col("sig_b"),

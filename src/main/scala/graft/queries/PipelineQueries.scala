@@ -272,10 +272,15 @@ object PipelineQueries extends Catalog {
        SELECT doc_id, sig, b,
               md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
        FROM sig CROSS JOIN range(0, 4) tb(b)),
+     bucketsz AS (
+       SELECT b, bucket FROM banded GROUP BY 1, 2
+       HAVING count(*) BETWEEN 2 AND 1000),
+     bandedc AS (
+       SELECT banded.* FROM banded JOIN bucketsz USING (b, bucket)),
      pairs AS (
        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
-       FROM banded l
-       JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       FROM bandedc l
+       JOIN bandedc r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
      SELECT DISTINCT a, b,
             len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS est_sim
      FROM pairs
@@ -308,11 +313,19 @@ object PipelineQueries extends Catalog {
        SELECT doc_id, sig, b,
               md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
        FROM sig CROSS JOIN range(0, 4) tb(b)),
+     okl AS (
+       SELECT b, bucket FROM banded WHERE doc_id % 10 < 8
+       GROUP BY 1, 2 HAVING count(*) <= 1000),
+     okr AS (
+       SELECT b, bucket FROM banded WHERE doc_id % 10 >= 8
+       GROUP BY 1, 2 HAVING count(*) <= 1000),
      pairs AS (
        SELECT DISTINCT l.doc_id AS old_id, r.doc_id AS new_id,
               l.sig AS sa, r.sig AS sb
        FROM banded l
+       JOIN okl ON l.b = okl.b AND l.bucket = okl.bucket
        JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
+       JOIN okr ON r.b = okr.b AND r.bucket = okr.bucket
        WHERE l.doc_id % 10 < 8 AND r.doc_id % 10 >= 8),
      simm AS (
        SELECT old_id, new_id,
@@ -349,10 +362,14 @@ object PipelineQueries extends Catalog {
        SELECT doc_id, sig, b,
               md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
        FROM sig CROSS JOIN range(0, 4) tb(b)),
+     okref AS (
+       SELECT b, bucket FROM banded WHERE doc_id % 10 < 8
+       GROUP BY 1, 2 HAVING count(*) <= 1000),
      pairs AS (
        SELECT r.doc_id AS new_id, l.doc_id AS ref_id, l.b AS band,
               l.sig AS sa, r.sig AS sb
        FROM banded l
+       JOIN okref ON l.b = okref.b AND l.bucket = okref.bucket
        JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
        WHERE l.doc_id % 10 < 8 AND r.doc_id % 10 >= 8)
      SELECT new_id, ref_id, CAST(band AS INT) AS band,

@@ -72,19 +72,24 @@ object StreamingDedup {
 
   /** banded signatures of the STATIC reference corpus — precompute once
     * (or load from the signature store a batch job maintains) and hand to
-    * [[nearDupAgainst]]
+    * [[nearDupAgainst]]. Reference buckets above `maxDocsPerBucket` are
+    * dropped ([[graft.ops.Dedup.capBuckets]]): the stream side is per-row
+    * and can't be grouped without state, so bounding the REFERENCE side
+    * bounds the join's expansion per stream row at cap × bands.
     */
   def bandedReference(existing: DataFrame, textCol: String, k: Int = 16,
-      bands: Int = 4, w: Int = 5): DataFrame = {
+      bands: Int = 4, w: Int = 5, maxDocsPerBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    graft.ops.Dedup.minhash(existing, textCol, k, w)
-      .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(array_join(slice(col("sig"), b * rows + 1, rows), ","))
-              .as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("ref_id"), col("ref_sig"), col("bb.band"), col("bb.bucket"))
+    graft.ops.Dedup.capBuckets(
+      graft.ops.Dedup.minhash(existing, textCol, k, w)
+        .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              md5(array_join(slice(col("sig"), b * rows + 1, rows), ","))
+                .as("bucket"))
+          }: _*)).as("bb"))
+        .select(col("ref_id"), col("ref_sig"), col("bb.band"), col("bb.bucket")),
+      maxDocsPerBucket)
   }
 
   /** Streaming near-dup screen against a static corpus — the streaming

@@ -154,6 +154,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("hot-bucket cap bounds band-join expansion in all three LSH paths") {
+    // 12 identical docs: every band bucket holds all 12 members — the
+    // boilerplate-heavy shape that makes an uncapped band join quadratic
+    val boiler = "the same boilerplate footer text repeated on every page of the site"
+    val hot = spark.range(1, 13).select($"id".as("doc_id"), lit(boiler).as("text"))
+    val inc = spark.range(100, 103).select($"id".as("doc_id"), lit(boiler).as("text"))
+    // cap below the bucket size -> the hot bucket is dropped entirely
+    assert(Dedup.minhashLsh(hot, "text", 16, 4, 5, 0.5, maxDocsPerBucket = 8)
+      .count() == 0)
+    // cap above -> all 66 pairs surface (sim 1.0)
+    assert(Dedup.minhashLsh(hot, "text", 16, 4, 5, 0.5, maxDocsPerBucket = 20)
+      .count() == 66)
+    assert(Dedup.incrementalDedup(hot, inc, "text", 16, 4, 5, 0.5,
+      maxDocsPerBucket = 8).count() == 0)
+    assert(Dedup.incrementalDedup(hot, inc, "text", 16, 4, 5, 0.5,
+      maxDocsPerBucket = 20).count() == 3)
+    // streaming screen: the cap rides the REFERENCE banding (the stream
+    // side is per-row and stateless)
+    import graft.streaming.StreamingDedup
+    assert(StreamingDedup.nearDupAgainst(inc,
+      StreamingDedup.bandedReference(hot, "text", maxDocsPerBucket = 8),
+      "text").count() == 0)
+    assert(StreamingDedup.nearDupAgainst(inc,
+      StreamingDedup.bandedReference(hot, "text", maxDocsPerBucket = 20),
+      "text").count() == 3L * 12 * 4) // one row per (new, ref, shared band)
+  }
+
   test("applyClusters keeps one canonical doc per cluster") {
     // corpus: 1≈2 (near), 1==4 (exact) cluster under min-id 1; 3 and 5 alone
     val clusters = Dedup.components(
