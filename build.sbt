@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, no "[info] " logger prefix:
+// the bench contract is one bare JSON line on stdout, and nine rounds of
+// driver artifacts arrived "parsed": null with the line visibly wrapped
+// as "[info] {...}" in the driver's own tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -33,6 +33,35 @@ package graft
   * cold + cpu + notes) goes to BENCH_FULL.json next to the repo root.
   */
 object Bench {
+  /** Regression decision for one query. Returns the reference time the
+    * flag is measured against, or None when not flagged.
+    *  - baselined: flagged when >1.5× the prior round (ignoring sub-200 ms
+    *    noise);
+    *  - NO baseline entry (the query ERRORED last round — r8's 161 errors
+    *    made every one of them unflaggable in r9, which is how a 8.4×
+    *    regression escaped): flagged against the absolute threshold
+    *    `absSlow` instead, unless the row is a documented
+    *    intrinsically-heavy one (`noted`).
+    */
+  def regressionFlag(warm: Double, baseline: Option[Double],
+      noted: Boolean, absSlow: Double = 3.0): Option[Double] =
+    baseline match {
+      case Some(b) => if (b >= 0.2 && warm > b * 1.5) Some(b) else None
+      case None => if (!noted && warm > absSlow) Some(absSlow) else None
+    }
+
+  /** retry guard: one more attempt is warranted before a flag can fire
+    * (host noise routinely lands min-of-2 in the 1.5-3× band; a real
+    * regression survives any number of attempts). Slightly wider than the
+    * flag (baseline floor 0.05 s) so near-threshold rows also converge.
+    */
+  def wantsRetry(warm: Double, baseline: Option[Double], noted: Boolean,
+      absSlow: Double = 3.0): Boolean =
+    baseline match {
+      case Some(b) => b >= 0.05 && warm > b * 1.5
+      case None => !noted && warm > absSlow
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -88,20 +117,26 @@ object Bench {
 
     // prior-round per-query times: drives BOTH the regression flags and the
     // third-attempt guard, so parse before timing (the baseline file may
-    // wrap the bench line with escaped quotes — match both forms)
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+    // wrap the bench line with escaped quotes — match both forms).
+    // Comma-separated paths merge into ONE baseline, EARLIER paths winning:
+    // pass "BENCH_r09.json,BENCH_r07.json" and a query that errored in r9
+    // still gets its r7 time as reference instead of escaping flagging.
+    val baselinePaths = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+      .split(',').map(_.trim).filter(_.nonEmpty)
     val baseline: Map[String, Double] =
-      if (new java.io.File(baselinePath).exists()) {
-        // explicit UTF-8: a POSIX-locale JVM defaults to US-ASCII and a
-        // baseline whose notes contain multibyte chars (×, —) kills the
-        // whole bench run before any timing happens
-        val txt = {
-          val src = scala.io.Source.fromFile(baselinePath)(scala.io.Codec.UTF8)
-          try src.mkString finally src.close()
-        }
-        val re = """\\?"([a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } else Map.empty
+      baselinePaths.reverse.foldLeft(Map.empty[String, Double]) { (acc, p) =>
+        if (new java.io.File(p).exists()) {
+          // explicit UTF-8: a POSIX-locale JVM defaults to US-ASCII and a
+          // baseline whose notes contain multibyte chars (×, —) kills the
+          // whole bench run before any timing happens
+          val txt = {
+            val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+            try src.mkString finally src.close()
+          }
+          val re = """\\?"([a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?)""".r
+          acc ++ re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+        } else acc
+      }
 
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=prefix[,prefix…] restricts the
     // run (the driver never sets it — full catalog in official runs)
@@ -109,23 +144,45 @@ object Bench {
       case Some(ps) => val l = ps.split(','); n => l.exists(n.startsWith)
       case None => _ => true
     }
+    // per-query explanations for intrinsically heavy rows (min-of-N already
+    // removes cold-codegen noise, so remaining notes are design trades);
+    // noted rows are exempt from the no-baseline absolute-threshold flag
+    val notes = Map(
+      "pq_topk" -> ("two-phase rank (partial top-k per salt, final over bounded survivors) " +
+        "adds one bounded shuffle — deliberate: removes the single-task-per-bucket ceiling"),
+      "pq_bottomk" -> "same two-phase rank trade as pq_topk",
+      "lq_topk" -> "same two-phase rank trade (shared engine path)",
+      "pp_dup_clusters" -> ("iterative component convergence: per-round join+agg over the " +
+        "edge set with one checkpoint per round — rounds scale with component diameter, not corpus"),
+      "pp_dedup_apply" -> "full pipeline end-to-end: minhash-LSH pairs + component convergence + anti-join removal",
+      "tq_segment_roundtrip" -> "two write waves + real compaction rewrite + re-read: I/O-bound by design",
+      "tq_log_roundtrip" -> "same end-to-end write/compact/read spine for logs",
+      "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
+      "it_log_needle" -> "builds 16 days of log segments + fingerprint index once, then the pruned query",
+      "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
+      "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +
+        "(tiny shuffle) + one dimension join over the message stream"),
+      "pp_bpe_train" -> ("iterative by design: 6 training rounds, each a full " +
+        "re-tokenization + pair-count aggregate + one-row argmax collect"),
+      "pp_bpe_train_large" -> ("materialized-state trainer demo: per-round cost is one " +
+        "pair-count over the CURRENT tokenization + one re-tokenize pass, state checkpointed"))
     var nRetry = 0
     val timings = SparkEntry.queries.filter(kv => only(kv._1)).toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(fn)
       val warm = timeOnce(fn)
       val two = Seq(cold, warm).collect { case Right(v) => v }
-      // contended-host guard, aligned with the 1.5x flag threshold: a
+      // contended-host guard, aligned with the flag thresholds: a
       // regression flag may only fire after a THIRD attempt also exceeds
       // it — host noise on sub-second rows routinely lands min-of-2 in the
       // 1.5-3x band (11 such false flags in the r9 local run, a disjoint
       // set from the previous run's), while a real engine regression
       // survives any number of attempts
-      val attempts = baseline.get(name) match {
-        case Some(b) if b >= 0.05 && two.nonEmpty && two.map(_._1).min > b * 1.5 =>
+      val attempts =
+        if (two.nonEmpty && wantsRetry(two.map(_._1).min, baseline.get(name),
+            notes.contains(name))) {
           nRetry += 1
           two ++ timeOnce(fn).toSeq
-        case _ => two
-      }
+        } else two
       val err = Seq(cold, warm).collect { case Left(m) => m }.headOption
         .filter(_ => attempts.isEmpty)
       (name, attempts.minByOption(_._1), cold.toOption.map(_._1), err)
@@ -153,10 +210,7 @@ object Bench {
     val cpuTotal = cpuSecs.map(_._2).sum
 
     val regressions = results.flatMap { case (k, v) =>
-      baseline.get(k) match {
-        case Some(b) if b >= 0.2 && v > b * 1.5 => Some((k, b, v))
-        case _ => None
-      }
+      regressionFlag(v, baseline.get(k), notes.contains(k)).map(b => (k, b, v))
     }
     val regJson = regressions
       .map { case (k, b, v) => "\"" + k + "\":[" + f"$b%.3f,$v%.3f]" }
@@ -165,25 +219,6 @@ object Bench {
       System.err.println(f"[bench] REGRESSION $k: $b%.3fs -> $v%.3fs (${v / b}%.2fx)")
     }
 
-    // per-query explanations for intrinsically heavy rows (min-of-N already
-    // removes cold-codegen noise, so remaining notes are design trades)
-    val notes = Map(
-      "pq_topk" -> ("two-phase rank (partial top-k per salt, final over bounded survivors) " +
-        "adds one bounded shuffle — deliberate: removes the single-task-per-bucket ceiling"),
-      "pq_bottomk" -> "same two-phase rank trade as pq_topk",
-      "lq_topk" -> "same two-phase rank trade (shared engine path)",
-      "pp_dup_clusters" -> ("iterative component convergence: per-round join+agg over the " +
-        "edge set with one checkpoint per round — rounds scale with component diameter, not corpus"),
-      "pp_dedup_apply" -> "full pipeline end-to-end: minhash-LSH pairs + component convergence + anti-join removal",
-      "tq_segment_roundtrip" -> "two write waves + real compaction rewrite + re-read: I/O-bound by design",
-      "tq_log_roundtrip" -> "same end-to-end write/compact/read spine for logs",
-      "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
-      "it_log_needle" -> "builds 16 days of log segments + fingerprint index once, then the pruned query",
-      "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
-      "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +
-        "(tiny shuffle) + one dimension join over the message stream"),
-      "pp_bpe_train" -> ("iterative by design: 6 training rounds, each a full " +
-        "re-tokenization + pair-count aggregate + one-row argmax collect"))
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
 
