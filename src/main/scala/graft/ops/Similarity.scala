@@ -223,11 +223,23 @@ object Similarity {
   private def assignNearest(df: DataFrame, cents: DataFrame, p: Int): DataFrame = {
     val scored = df.crossJoin(cents)
       .withColumn("__csim", cosine(col("emb"), col("cemb")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__csim").desc, col("cid").asc)
-    scored.withColumn("__crk", row_number().over(w))
-      .filter(col("__crk") <= p)
-      .select(col("id"), col("emb"), col("cid"))
+    if (p == 1) {
+      // argmax needs no window: a partial-aggregated groupBy combines the
+      // id×C product map-side, so the shuffle carries ONE row per vector
+      // instead of the full C-wide cross product through a sort. Tie-break
+      // matches the window form exactly: highest sim, then lowest cid
+      // ((sim, -cid) max ≡ (sim desc, cid asc) rank 1).
+      scored.groupBy(col("id"))
+        .agg(max(struct(col("__csim"), (-col("cid")).as("__nc"),
+          col("cid"), col("emb"))).as("__top"))
+        .select(col("id"), col("__top.emb").as("emb"), col("__top.cid").as("cid"))
+    } else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__csim").desc, col("cid").asc)
+      scored.withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= p)
+        .select(col("id"), col("emb"), col("cid"))
+    }
   }
 
   private def ivfCore(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -327,13 +339,14 @@ object Similarity {
             (x.cast("double") - y.cast("double"))),
         org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v)
     }
-    // argmin over ks via array_position of the min (first hit = lowest c)
-    def codeOf(emb: Column, j: Int): Column = {
-      val scores = array((0 until ks).map(c => subD2(emb, j, c)): _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
+    // corpus-side encode is the hot path (one row per corpus vector):
+    // the native fused argmin loop ([[PqEncode]]) replaces m×ks
+    // interpreted aggregate(zip_with(slice)) folds per row — same
+    // dimension-order accumulation and first-index-on-ties argmin, so the
+    // DuckDB oracle replay is bit-identical
+    require(sample.length == ks, s"codebook sample ${sample.length} != ks=$ks")
     val codes = corpus.select(col("vec_id"),
-      array((0 until m).map(j => codeOf(col("embedding"), j)): _*).as("codes"))
+      PqEncode.encode(col("embedding"), sample, m, ks, sub).as("codes"))
     val lut = broadcast(queries.select(col("vec_id").as("query_id"),
       array((0 until m).flatMap(j => (0 until ks).map(c =>
         subD2(col("embedding"), j, c))): _*).as("lut")))

@@ -89,3 +89,129 @@ object DotProduct {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Native codegen'd product-quantization encoder: for each of `m`
+  * subspaces, the index of the codebook entry with the smallest sub-L2²
+  * (first index on ties) — the per-row hot loop of PQ/IVF-PQ indexing.
+  * Replaces the Column-algebra form (m × ks `aggregate(zip_with(slice))`
+  * folds per row, every one an interpreted CodegenFallback that re-slices
+  * the embedding) with ONE fused loop.
+  *
+  * Semantics are EXACTLY the HOF formulation's (and the DuckDB oracle
+  * replay's): elements and codebook values widen float→double, sub-L2²
+  * accumulates in dimension order, argmin = first index reaching the
+  * minimum (strict `<` on an ascending scan), a wrong-length or
+  * null-element embedding → null. `codebook` is flattened ks×(m·sub)
+  * row-major — entry c's sub-vector for subspace j starts at
+  * `c·m·sub + j·sub`.
+  */
+case class PqEncode(child: Expression, codebook: Array[Float],
+    m: Int, ks: Int, sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val dims = m * sub
+    if (x.numElements() != dims) return null
+    val et = elemType
+    val xs = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      if (x.isNullAt(i)) return null
+      xs(i) = et match {
+        case FloatType => x.getFloat(i).toDouble
+        case _         => x.getDouble(i)
+      }
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ks) {
+        var d2 = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = xs(j * sub + d) - codebook(c * dims + j * sub + d).toDouble
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    val dims = m * sub
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val xs = ctx.freshName("xs")
+      val codes = ctx.freshName("codes")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d2 = ctx.freshName("d2")
+      val diff = ctx.freshName("diff")
+      val getX = CodeGenerator.getValue(a, elemType, i)
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = new double[$dims];
+         |  for (int $i = 0; $i < $dims && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $xs[$i] = (double)($getX); }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int[] $codes = new int[$m];
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      int $best = 0;
+         |      double $bestD = Double.POSITIVE_INFINITY;
+         |      for (int $c = 0; $c < $ks; $c++) {
+         |        double $d2 = 0.0;
+         |        for (int $d = 0; $d < $sub; $d++) {
+         |          double $diff = $xs[$j * $sub + $d]
+         |            - (double) $cbRef[$c * $dims + $j * $sub + $d];
+         |          $d2 += $diff * $diff;
+         |        }
+         |        if ($d2 < $bestD) { $bestD = $d2; $best = $c; }
+         |      }
+         |      $codes[$j] = $best;
+         |    }
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Column-level PQ encode: `sample` is the ks codebook vectors (full
+    * dims each); flattened row-major for the expression
+    */
+  def encode(emb: Column, sample: Array[Array[Float]],
+      m: Int, ks: Int, sub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(emb),
+      sample.flatten, m, ks, sub))
+}
