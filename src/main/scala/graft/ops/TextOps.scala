@@ -549,6 +549,61 @@ object TextOps {
     learned.toSeq
   }
 
+  /** Large-scale BPE trainer — [[bpeTrain]]'s algorithm (identical counts,
+    * argmax tie-break, and therefore identical learned table) with the
+    * state shape a 50k-merge trainer needs:
+    *
+    *  - the corpus compresses ONCE to a distinct-word + multiplicity
+    *    table (the classic word-frequency trainer representation): all
+    *    counting and merging runs over unique words weighted by `cnt`,
+    *    so per-round work scales with vocabulary, not corpus;
+    *  - the tokenized state is CARRIED between rounds — each round
+    *    applies exactly ONE merge pass to the previous round's
+    *    tokenization instead of re-deriving from scratch (bpeTrain's
+    *    re-derive makes round r cost r merge passes, O(rounds²) total);
+    *  - the state re-materializes every `checkpointEvery` rounds
+    *    ([[graft.GraftSession.materialize]]) so plan depth and lineage
+    *    stay bounded no matter how many merges are learned.
+    *
+    * Per-round cost: one weighted pair-count aggregate + a one-row argmax
+    * collect (a plan-time statistic) + one narrow merge-pass projection —
+    * constant in the number of merges already learned.
+    */
+  def bpeTrainLarge(df: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 8): Seq[(String, String, Long)] = {
+    val words = df
+      .select(explode(filter(tokens(df(textCol)), w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(bpeCharStr(col("w")).as("ts"), col("cnt"))
+    var state = graft.GraftSession.materialize(words)
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      round += 1
+      val toks = filter(split(col("ts"), quoteRegex(BpeD)), t => length(t) > 0)
+      val top = state.select(toks.as("t"), col("cnt"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("pr"), col("cnt"))
+        .groupBy(col("pr.x"), col("pr.y")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        learned += ((r.getString(0), r.getString(1), r.getLong(2)))
+        state = state.withColumn("ts",
+          bpeMergePass(col("ts"), r.getString(0), r.getString(1)))
+        if (round % checkpointEvery == 0)
+          state = graft.GraftSession.materialize(state)
+      }
+    }
+    learned.toSeq
+  }
+
   /** Per-doc BPE application summary: word/char-token/bpe-token counts and
     * an order-insensitive content checksum (Σ per-word md5-derived hash of
     * the joined token sequence, mod a prime — integer-exact, so a single

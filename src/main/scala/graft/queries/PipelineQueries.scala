@@ -620,6 +620,51 @@ object PipelineQueries extends Catalog {
         .mkString("\n       UNION ALL ")}"""
   }
 
+  /** materialized-state BPE trainer at scale: 100 merges learned with the
+    * carried-tokenization trainer ([[TextOps.bpeTrainLarge]] — per-round
+    * cost constant in merges already learned, state checkpointed). The
+    * oracle is GENERATED: the same unrolled stage pattern as
+    * [[bpeTrainSql]], but over the distinct-word + multiplicity table the
+    * trainer uses (weighted pair counts are identical to per-instance
+    * counts), with every tokenization stage MATERIALIZED — each t_i is
+    * referenced twice, and an inlining CTE chain 100 deep would blow up
+    * exponentially.
+    */
+  private def bpeTrainLargeQ(s: SparkSession, d: String): DataFrame = {
+    val learned = TextOps.bpeTrainLarge(docs(s, d), "text", numMerges = 100)
+    import s.implicits._
+    learned.zipWithIndex.map { case ((x, y, c), i) => (i + 1L, x, y, c) }
+      .toDF("rank", "x", "y", "pair_count")
+  }
+
+  private val bpeTrainLargeSql = {
+    def stage(i: Int): String = {
+      val prev = if (i == 1) "ch" else s"t${i - 1}"
+      s"""p$i AS (
+         SELECT pr[1] AS x, pr[2] AS y, sum(cnt) AS c
+         FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr,
+                      cnt
+               FROM $prev WHERE len(toks) >= 2)
+         GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 1),
+       t$i AS MATERIALIZED (
+         SELECT cnt, ${bpePassDynSql("toks", s"p$i")} AS toks
+         FROM $prev CROSS JOIN p$i)"""
+    }
+    s"""WITH w AS (
+         SELECT unnest(list_filter(
+           string_split_regex(lower(text), ' +'), t -> len(t) > 0)) AS word
+         FROM documents),
+       wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+       ch AS (
+         SELECT cnt,
+                list_filter(string_split(word, ''), c -> len(c) > 0) AS toks
+         FROM wc),
+       ${(1 to 100).map(stage).mkString(",\n       ")}
+       ${(1 to 100).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, x, y, CAST(c AS BIGINT) AS pair_count FROM p$i")
+        .mkString("\n       UNION ALL ")}"""
+  }
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1745,6 +1790,7 @@ object PipelineQueries extends Catalog {
     Q("pp_surprisal", surprisalScore, Some(surprisalScoreSql)),
     Q("pp_bpe_apply", bpeApplyQ, Some(bpeApplySql)),
     Q("pp_bpe_train", bpeTrainQ, Some(bpeTrainSql)),
+    Q("pp_bpe_train_large", bpeTrainLargeQ, Some(bpeTrainLargeSql)),
     Q("pp_alpha_mixture", alphaMixSample, Some(alphaMixSampleSql)),
     Q("pp_simhash", simhashSig, Some(simhashSql)),
     Q("pp_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

@@ -495,6 +495,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(learned == Seq(("a", "a", 2L), ("a", "b", 1L)), learned.toString)
   }
 
+  test("BPE trainLarge: identical table to bpeTrain, early stop, deep runs") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // the materialized-state trainer must learn the IDENTICAL table the
+    // re-deriving trainer learns (same counts, same tie-break), including
+    // the early-stop case
+    val df = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainLarge(df, "text", numMerges = 3) ==
+      TextOps.bpeTrain(df, "text", numMerges = 3))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the jay pig fox zebra and my wolves quack"),
+      (4L, "the quick onyx goblin jumps over the lazy dwarf")).toDF("doc_id", "text")
+    val small = TextOps.bpeTrain(corpus, "text", numMerges = 8)
+    val large = TextOps.bpeTrainLarge(corpus, "text", numMerges = 8,
+      checkpointEvery = 3) // exercise a mid-run state checkpoint
+    assert(large == small, s"large=$large\nsmall=$small")
+    // a deep run crosses several checkpoints and keeps making progress
+    val deep = TextOps.bpeTrainLarge(corpus, "text", numMerges = 40,
+      checkpointEvery = 4)
+    assert(deep.take(8) == small && deep.length > 20, s"len=${deep.length}")
+  }
+
   test("surprisal: hand-checked unigram LM means, token counts") {
     import spark.implicits._
     import graft.ops.TextOps
