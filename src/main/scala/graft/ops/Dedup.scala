@@ -218,6 +218,60 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact substring duplicate spans — ExactSubstr of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * public), re-expressed as a distributed anchor-and-extend instead of
+    * a monolithic suffix array: every k-word gram is an anchor keyed by
+    * content (md5), docs sharing an anchor share an exact k-word
+    * substring, and MAXIMAL shared runs are recovered by merging
+    * consecutive shared anchors on the same alignment diagonal
+    * (pa − pb) — the gap-and-island trick, one fine-grained partitioned
+    * window. Anchor buckets above `maxDocsPerGram` occurrences are
+    * dropped before pair expansion (boilerplate grams — the same
+    * stop-shingle bound as [[ngramJaccard]]), so there is no all-pairs
+    * join anywhere and per-bucket expansion is capped.
+    *
+    * Returns cross-doc pairs (a < b) whose longest exactly-shared run is
+    * ≥ `minWords` words, with that length and the number of shared
+    * anchor positions.
+    */
+  def substrDup(df: DataFrame, textCol: String, k: Int = 8,
+      minWords: Int = 12, maxDocsPerGram: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.GraftSession.spread(
+      df.select(col("doc_id"), df(textCol).as("__t")))
+    val words = split(col("__t"), " +")
+    val grams = when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - lit(k - 1)),
+        i => struct((i - 1).cast("int").as("pos"),
+          md5(array_join(slice(words, i, lit(k)), " ")).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+    val occ = src.select(col("doc_id"), explode(grams).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    // per-gram occurrence lists, capped; pairs expand inside the bucket
+    val buckets = occ.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocsPerGram))
+    val ds = col("ds")
+    val combos = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)), y =>
+        struct(x.getField("doc_id").as("a"), x.getField("pos").as("pa"),
+          y.getField("doc_id").as("b"), y.getField("pos").as("pb")))))
+    val pairs = buckets.select(explode(combos).as("p")).select(col("p.*"))
+      .filter(col("a") < col("b"))
+    // islands of consecutive pa on one diagonal = one maximal shared run
+    val w = Window.partitionBy(col("a"), col("b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    val runs = pairs.withColumn("__rn", row_number().over(w))
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("__d"),
+        (col("pa") - col("__rn")).as("__isl"))
+      .agg(count(lit(1)).as("runlen"))
+    runs.groupBy(col("a"), col("b"))
+      .agg((max(col("runlen")) + lit(k - 1)).as("longest_words"),
+        sum(col("runlen")).as("n_anchors"))
+      .filter(col("longest_words") >= minWords)
+  }
+
   /** Connected components over near-dup PAIRS — the transitive-closure
     * step a dedup pipeline runs after candidate generation, so "A≈B, B≈C"
     * collapses into one cluster with a canonical (min-id) representative.

@@ -231,6 +231,40 @@ object PipelineQueries extends Catalog {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(docs(s, d), "text", w = 5, threshold = 0.3)
 
+  /** exact substring dedup (ExactSubstr): cross-doc pairs sharing an
+    * exact run of ≥12 words, with the maximal run recovered by merging
+    * consecutive 8-word anchors on one alignment diagonal; the oracle
+    * replays anchors, the 200-occurrence stop-gram cap, and the
+    * gap-and-island run merge
+    */
+  private def substrDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.substrDup(docs(s, d), "text", k = 8, minWords = 12,
+      maxDocsPerGram = 200)
+
+  private val substrDedupSql =
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents),
+       g AS (
+         SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                md5(array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+                  AS gmd
+         FROM t, unnest(range(1, len(ws) - 6)) r(i)
+         WHERE len(ws) >= 8),
+       ok AS (SELECT gmd FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 200),
+       p AS (
+         SELECT x.doc_id AS a, x.pos AS pa, y.doc_id AS b, y.pos AS pb
+         FROM g x JOIN g y ON x.gmd = y.gmd AND x.doc_id < y.doc_id
+         WHERE x.gmd IN (SELECT gmd FROM ok)),
+       r AS (
+         SELECT a, b, pa - pb AS d, pa,
+                row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS rn
+         FROM p),
+       runs AS (SELECT a, b, count(*) AS runlen FROM r GROUP BY a, b, d, pa - rn)
+       SELECT a, b, max(runlen) + 7 AS longest_words,
+              CAST(sum(runlen) AS BIGINT) AS n_anchors
+       FROM runs GROUP BY 1, 2
+       HAVING max(runlen) + 7 >= 12"""
+
   private val shingleCte =
     """sh AS (
        SELECT DISTINCT doc_id,
@@ -1780,6 +1814,7 @@ object PipelineQueries extends Catalog {
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),

@@ -181,6 +181,24 @@ class DedupSpec extends AnyFunSuite {
       "text").count() == 3L * 12 * 4) // one row per (new, ref, shared band)
   }
 
+  test("substrDup recovers the exact longest shared run; cap drops boilerplate") {
+    import spark.implicits._
+    val shared = "one two three four five six" // exactly-shared 6-word run
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "totally unrelated words here nothing common")).toDF("doc_id", "text")
+    val out = Dedup.substrDup(d, "text", k = 3, minWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 consecutive shared 3-grams on one diagonal -> run of 3 + 4 - 1 = 6
+    assert(out.toSeq == Seq((1L, 2L, 6L, 4L)), out.mkString(","))
+    // grams shared by more docs than the cap are boilerplate: dropped
+    val boiler = (1 to 10).map(i => (i.toLong, s"same same same footer end$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substrDup(boiler, "text", k = 3, minWords = 3,
+      maxDocsPerGram = 5).count() == 0)
+  }
+
   test("applyClusters keeps one canonical doc per cluster") {
     // corpus: 1≈2 (near), 1==4 (exact) cluster under min-id 1; 3 and 5 alone
     val clusters = Dedup.components(

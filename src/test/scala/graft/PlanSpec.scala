@@ -316,6 +316,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("substr dedup: anchor-keyed expansion, no all-pairs join, partitioned window") {
+    val p = plan("pp_substr_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the run-merge window must be partitioned (diagonal-keyed), never global
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"), p.take(2000))
+  }
+
   test("ip() line filter: codegen'd RLIKE prefilter gates one fold per candidate") {
     val p = plan("lq_ip_filter")
     // the compiled-regex prefilter must be in the plan — lines without a
