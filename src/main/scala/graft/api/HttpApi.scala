@@ -1,0 +1,294 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.promql.QueryParams
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP/SSE serving layer — the reference's query front door
+  * (`queryapi/querier.go:754-775`) re-expressed over the JDK's built-in
+  * `com.sun.net.httpserver` (part of the Java SE API since 9 — zero
+  * added dependencies; the JSON payload parser is Jackson, which ships
+  * with Spark). One instance wraps a SparkSession plus the segment
+  * directories the library front doors already query:
+  *
+  *  - `GET /healthz`, `GET|POST /api/v1/ping`
+  *  - `GET|POST /api/v1/metrics/query` — PromQL over metric segments,
+  *    SSE-streamed ([[MetricSegments.query]])
+  *  - `GET|POST /api/v1/logs/query` — LogQL over log segments, SSE
+  *    ([[LogSegments.query]]; params `q`, `s`, `e`, `limit`, `fields`)
+  *  - `GET|POST /api/v1/spans/query` — LogQL-over-spans, SSE
+  *  - `GET|POST /api/v1/spans/trace` — one trace's spans by id
+  *    ([[SpanSegments.tracesByIds]]; `id` may repeat or be comma-joined)
+  *  - discovery: `/api/v1/{logs,metrics,spans}/tags`, `.../tagvalues`,
+  *    `/api/v1/logs/series`, `/api/v1/metrics/metadata`,
+  *    `/api/v1/services` — JSON arrays ([[Discovery]])
+  *  - `GET|POST /api/v1/{promql,logql}/validate` — parse acceptance
+  *    without execution
+  *
+  * SSE contract mirrors `querier.go:100-137`: every event is one
+  * `data: {"type": <event>, "data": <payload>}` line followed by a blank
+  * line; result rows stream in bounded batches as
+  * `{"type":"result","data":{"rows":[...]}}` and the stream closes with
+  * `{"type":"done","data":{"status":"ok"|"error", ...}}`. Row JSON is
+  * Spark's own `toJSON` encoding, produced through `toLocalIterator` so
+  * the driver never holds more than one partition of results — at scale
+  * the executor-side query is unchanged and the HTTP layer is a
+  * constant-memory relay.
+  *
+  * Tenant isolation (`org` param) is delegated to the front doors, which
+  * prune the org partition key before anything is read.
+  */
+final class HttpApi(
+    spark: SparkSession,
+    logsDir: Option[String] = None,
+    metricsDir: Option[String] = None,
+    spansDir: Option[String] = None,
+    bindPort: Int = 0,
+    sseBatchRows: Int = 256) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+
+  /** bound port (useful with bindPort = 0 in tests) */
+  def port: Int = server.getAddress.getPort
+
+  def start(): HttpApi = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ---------------------------------------------------------------- util
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** request params: URL query string overlaid by a JSON object body (the
+    * reference accepts both forms — `readQueryPayload`, querier.go:62-97)
+    */
+  private def params(ex: HttpExchange): Map[String, String] = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val fromUrl = Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split('&')).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => dec(k) -> dec(v)
+          case Array(k)    => dec(k) -> ""
+        }
+      }
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val fromBody =
+      if (body.trim.startsWith("{")) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val it = node.fields()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) {
+          val f = it.next()
+          b += f.getKey -> (if (f.getValue.isTextual) f.getValue.asText()
+                            else f.getValue.toString)
+        }
+        b.result()
+      } else Nil
+    (fromUrl ++ fromBody).toMap
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** JSON endpoint: rows as a JSON array under "results" (bounded by the
+    * front door's own limit/ordering)
+    */
+  private def jsonRows(ex: HttpExchange)(df: => DataFrame): Unit =
+    try {
+      val rows = df.toJSON.collect()
+      respond(ex, 200,
+        s"""{"status":"ok","results":[${rows.mkString(",")}]}""")
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"status":"error","error":"${esc(e.getMessage)}"}""")
+      case e: Throwable =>
+        respond(ex, 500, s"""{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}""")
+    }
+
+  /** SSE endpoint: stream result rows in batches, then a done event. The
+    * plan executes distributed; `toLocalIterator` relays one partition at
+    * a time, so driver memory is bounded by a partition, not the result.
+    */
+  private def sse(ex: HttpExchange)(df: => DataFrame): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", "text/event-stream")
+    h.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val out = ex.getResponseBody
+    def event(json: String): Unit = {
+      out.write(("data: " + json + "\n\n").getBytes(UTF_8))
+      out.flush()
+    }
+    try {
+      val it = df.toJSON.toLocalIterator()
+      val batch = new scala.collection.mutable.ArrayBuffer[String](sseBatchRows)
+      def flushBatch(): Unit = if (batch.nonEmpty) {
+        event(s"""{"type":"result","data":{"rows":[${batch.mkString(",")}]}}""")
+        batch.clear()
+      }
+      while (it.hasNext) {
+        batch += it.next()
+        if (batch.size >= sseBatchRows) flushBatch()
+      }
+      flushBatch()
+      event("""{"type":"done","data":{"status":"ok"}}""")
+    } catch {
+      case e: Throwable =>
+        event(s"""{"type":"done","data":{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}}""")
+    } finally ex.close()
+  }
+
+  private def need(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(s"missing required param: $k"))
+  private def tsRange(p: Map[String, String]): (Long, Long) =
+    (need(p, "s").toLong, need(p, "e").toLong)
+  private def needDir(o: Option[String], signal: String): String =
+    o.getOrElse(throw new IllegalArgumentException(s"no $signal segment dir configured"))
+
+  /** a discovery-grade segment scan: partition keys pruned (org equality,
+    * dateint range) before the read, system partition columns dropped
+    */
+  private def segScan(dir: String, s: Long, e: Long,
+      org: Option[String]): DataFrame = {
+    var df = spark.read.parquet(dir)
+    val fields = df.schema.fieldNames.toSet
+    for (o <- org if fields.contains("org")) df = df.filter(col("org") === o)
+    if (fields.contains("dateint"))
+      df = df.filter(col("dateint") >= StepPolicy.dateintOf(s) &&
+        col("dateint") <= StepPolicy.dateintOf(e - 1))
+    Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c)) d.drop(c) else d
+    }
+  }
+
+  private def labelCols(df: DataFrame): Seq[String] =
+    df.schema.fieldNames.filterNot(graft.logql.LogStore.systemCols.contains).toSeq
+
+  private def handle(path: String)(f: HttpExchange => Unit): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}""")
+      })
+
+  // -------------------------------------------------------------- routes
+
+  handle("/healthz")(ex => respond(ex, 200, """{"status":"ok"}"""))
+  handle("/api/v1/ping")(ex => respond(ex, 200, """{"status":"ok","message":"pong"}"""))
+
+  handle("/api/v1/metrics/query") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    sse(ex)(MetricSegments.query(spark, needDir(metricsDir, "metrics"),
+      need(p, "q"), s, e, p.get("org")))
+  }
+
+  handle("/api/v1/logs/query") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    val qp = StepPolicy.paramsFor(s, e)
+    sse(ex)(LogSegments.query(spark, needDir(logsDir, "logs"), need(p, "q"),
+      qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),
+      desc = p.get("order").forall(_ != "asc"),
+      fields = p.get("fields").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
+      org = p.get("org")))
+  }
+
+  handle("/api/v1/spans/query") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    val qp = StepPolicy.paramsFor(s, e)
+    sse(ex)(SpanSegments.query(spark, needDir(spansDir, "spans"), need(p, "q"),
+      qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),
+      org = p.get("org")))
+  }
+
+  handle("/api/v1/spans/trace") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    val ids = need(p, "id").split(',').toSeq.filter(_.nonEmpty)
+    sse(ex)(SpanSegments.tracesByIds(spark, needDir(spansDir, "spans"), ids,
+      QueryParams(s, e, StepPolicy.paramsFor(s, e).stepMs), p.get("org")))
+  }
+
+  private def tagRoutes(signal: String, dirOf: () => String): Unit = {
+    handle(s"/api/v1/$signal/tags") { ex =>
+      val p = params(ex)
+      val (s, e) = tsRange(p)
+      jsonRows(ex) {
+        val scan = segScan(dirOf(), s, e, p.get("org"))
+        Discovery.tagNames(scan, labelCols(scan), s, e)
+      }
+    }
+    handle(s"/api/v1/$signal/tagvalues") { ex =>
+      val p = params(ex)
+      val (s, e) = tsRange(p)
+      jsonRows(ex)(Discovery.tagValues(segScan(dirOf(), s, e, p.get("org")),
+        need(p, "tag"), s, e,
+        limit = p.get("limit").map(_.toInt).getOrElse(1000)))
+    }
+  }
+  tagRoutes("logs", () => needDir(logsDir, "logs"))
+  tagRoutes("metrics", () => needDir(metricsDir, "metrics"))
+  tagRoutes("spans", () => needDir(spansDir, "spans"))
+
+  handle("/api/v1/logs/series") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    jsonRows(ex) {
+      val scan = segScan(needDir(logsDir, "logs"), s, e, p.get("org"))
+      val labels = p.get("labels").map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(labelCols(scan))
+      Discovery.series(scan, labels, s, e,
+        limit = p.get("limit").map(_.toInt).getOrElse(10000))
+    }
+  }
+
+  handle("/api/v1/metrics/metadata") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    jsonRows(ex)(Discovery.metricMetadata(
+      segScan(needDir(metricsDir, "metrics"), s, e, p.get("org")), s, e))
+  }
+
+  handle("/api/v1/services") { ex =>
+    val p = params(ex)
+    val (s, e) = tsRange(p)
+    jsonRows(ex)(Discovery.services(
+      segScan(needDir(logsDir, "logs"), s, e, p.get("org")), s, e))
+  }
+
+  private def validateRoute(path: String, check: String => Either[String, Unit]): Unit =
+    handle(path) { ex =>
+      check(need(params(ex), "q")) match {
+        case Right(()) => respond(ex, 200, """{"valid":true}""")
+        case Left(err) => respond(ex, 200,
+          s"""{"valid":false,"error":"${esc(err)}"}""")
+      }
+    }
+  validateRoute("/api/v1/promql/validate", Discovery.validatePromQL)
+  validateRoute("/api/v1/logql/validate", Discovery.validateLogQL)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.HttpApi
+
+/** End-to-end gates on the HTTP/SSE front door: a real server on an
+  * ephemeral port, queried with the JDK HttpClient, over real written log
+  * segments — health, validation, discovery, the SSE streaming contract
+  * (result batches then a done event), tenant/param errors, and the POST
+  * JSON payload form.
+  */
+class HttpApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val segDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_logseg")
+      .toString
+    val logs = graft.model.Cooked.logs(spark, sf)
+      .withColumn("chq_fingerprint",
+        graft.ingest.LogFingerprint.fingerprint(col("log_message")))
+    graft.ingest.Segments.writeLogSegments(logs, dir, maxRecordsPerFile = 2000)
+    graft.ingest.FingerprintIndex.buildLogIndex(spark, dir)
+    dir
+  }
+
+  private lazy val (tsLo, tsHi): (Long, Long) = {
+    val r = graft.model.Cooked.logs(spark, sf)
+      .agg(min(col("chq_timestamp")), max(col("chq_timestamp"))).head()
+    (r.getLong(0), r.getLong(1) + 1)
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+  private def get(base: String, path: String): (Int, String) = {
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+  private def post(base: String, path: String, json: String): (Int, String) = {
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(json)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("HTTP front door: health, validate, discovery, SSE query, errors") {
+    val api = new HttpApi(spark, logsDir = Some(segDir),
+      spansDir = Some(segDir), sseBatchRows = 3).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      assert(get(base, "/healthz") == ((200, """{"status":"ok"}""")))
+      assert(get(base, "/api/v1/ping")._2.contains("pong"))
+
+      // validation without execution
+      val okq = enc("""{log_level="INFO"}""")
+      assert(get(base, s"/api/v1/logql/validate?q=$okq")._2
+        .contains("\"valid\":true"))
+      assert(get(base, "/api/v1/logql/validate?q=%7Bbroken")._2
+        .contains("\"valid\":false"))
+      assert(get(base, s"/api/v1/promql/validate?q=${enc("rate(x[5m])")}")._2
+        .contains("\"valid\":true"))
+
+      // discovery over the written segments
+      val (ct, tags) = get(base, s"/api/v1/logs/tags?s=$tsLo&e=$tsHi")
+      assert(ct == 200 && tags.contains("log_level"), tags.take(300))
+      val (cv, tv) = get(base,
+        s"/api/v1/logs/tagvalues?tag=log_level&s=$tsLo&e=$tsHi")
+      assert(cv == 200 && tv.contains("INFO"), tv.take(300))
+      val (cs, svc) = get(base, s"/api/v1/services?s=$tsLo&e=$tsHi")
+      assert(cs == 200 && svc.contains("service_name"), svc.take(300))
+      val (cr, series) = get(base,
+        s"/api/v1/logs/series?labels=log_level&s=$tsLo&e=$tsHi")
+      assert(cr == 200 && series.contains("\"n\""), series.take(300))
+
+      // SSE log query: result batches then the done event, in order
+      val (cq, body) = get(base,
+        s"/api/v1/logs/query?q=$okq&s=$tsLo&e=$tsHi&limit=7")
+      assert(cq == 200, body.take(300))
+      val events = body.split("\n\n").filter(_.startsWith("data: "))
+      assert(events.length >= 2, body.take(300))
+      assert(events.init.forall(_.contains("\"type\":\"result\"")), body.take(500))
+      assert(events.last.contains("\"type\":\"done\"") &&
+        events.last.contains("\"status\":\"ok\""), events.last)
+      // limit honored: 7 rows across batches of 3
+      assert(events.init.map(_.count(_ == '{')).sum > 0)
+      assert(body.contains("log_message"))
+
+      // POST JSON payload form (reference accepts both)
+      val (cp, pbody) = post(base, "/api/v1/logs/query",
+        s"""{"q":"{log_level=\\"INFO\\"}","s":$tsLo,"e":$tsHi,"limit":2}""")
+      assert(cp == 200 && pbody.contains("\"type\":\"done\""), pbody.take(300))
+
+      // parameter errors surface as 400, not a hung stream
+      assert(get(base, "/api/v1/logs/query")._1 == 400)
+      assert(get(base, s"/api/v1/logs/tagvalues?s=$tsLo&e=$tsHi")._1 == 400)
+      // unconfigured signal dir -> 400
+      assert(get(base, s"/api/v1/metrics/metadata?s=$tsLo&e=$tsHi")._1 == 400)
+      // a bad query inside an SSE stream ends with an error done event
+      val (cbad, badBody) = get(base,
+        s"/api/v1/logs/query?q=%7Bbroken&s=$tsLo&e=$tsHi")
+      assert(cbad == 400 || badBody.contains("\"status\":\"error\""))
+    } finally api.stop()
+  }
+}
