@@ -162,8 +162,8 @@ object Bench {
       "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
       "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +
         "(tiny shuffle) + one dimension join over the message stream"),
-      "pp_bpe_train" -> ("iterative by design: 6 training rounds, each a full " +
-        "re-tokenization + pair-count aggregate + one-row argmax collect"),
+      "pp_bpe_train" -> ("iterative by design: 6 training rounds over the " +
+        "materialized tokenized state, one pair-count + argmax collect each"),
       "pp_bpe_train_large" -> ("materialized-state trainer demo: per-round cost is one " +
         "pair-count over the CURRENT tokenization + one re-tokenize pass, state checkpointed"))
     var nRetry = 0

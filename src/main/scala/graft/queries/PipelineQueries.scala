@@ -611,7 +611,10 @@ object PipelineQueries extends Catalog {
     * pass with the learned pair cross-joined into the fold lambda).
     */
   private def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
-    val learned = TextOps.bpeTrain(docs(s, d), "text", numMerges = 6)
+    // the materialized-state trainer learns the bit-identical table to the
+    // re-deriving reference loop (DedupSpec equivalence gate) at ~1/6 the
+    // task-CPU; bpeTrain remains as the executable reference implementation
+    val learned = TextOps.bpeTrainLarge(docs(s, d), "text", numMerges = 6)
     import s.implicits._
     learned.zipWithIndex.map { case ((x, y, c), i) => (i + 1L, x, y, c) }
       .toDF("rank", "x", "y", "pair_count")
