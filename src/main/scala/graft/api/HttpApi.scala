@@ -184,6 +184,13 @@ final class HttpApi(
   private def labelCols(df: DataFrame): Seq[String] =
     df.schema.fieldNames.filterNot(graft.logql.LogStore.systemCols.contains).toSeq
 
+  /** metric label columns are prefix-namespaced (cooked contract); the
+    * chq_* rollup/system columns are never tags
+    */
+  private def metricLabelCols(df: DataFrame): Seq[String] =
+    df.schema.fieldNames.filter(n => n.startsWith("attr_") ||
+      n.startsWith("resource_") || n.startsWith("scope_")).toSeq
+
   private def handle(path: String)(f: HttpExchange => Unit): Unit =
     server.createContext(path, (ex: HttpExchange) =>
       try f(ex)
@@ -234,13 +241,14 @@ final class HttpApi(
       QueryParams(s, e, StepPolicy.paramsFor(s, e).stepMs), p.get("org")))
   }
 
-  private def tagRoutes(signal: String, dirOf: () => String): Unit = {
+  private def tagRoutes(signal: String, dirOf: () => String,
+      labelsOf: DataFrame => Seq[String] = labelCols): Unit = {
     handle(s"/api/v1/$signal/tags") { ex =>
       val p = params(ex)
       val (s, e) = tsRange(p)
       jsonRows(ex) {
         val scan = segScan(dirOf(), s, e, p.get("org"))
-        Discovery.tagNames(scan, labelCols(scan), s, e)
+        Discovery.tagNames(scan, labelsOf(scan), s, e)
       }
     }
     handle(s"/api/v1/$signal/tagvalues") { ex =>
@@ -252,7 +260,7 @@ final class HttpApi(
     }
   }
   tagRoutes("logs", () => needDir(logsDir, "logs"))
-  tagRoutes("metrics", () => needDir(metricsDir, "metrics"))
+  tagRoutes("metrics", () => needDir(metricsDir, "metrics"), metricLabelCols)
   tagRoutes("spans", () => needDir(spansDir, "spans"))
 
   handle("/api/v1/logs/series") { ex =>
@@ -270,8 +278,15 @@ final class HttpApi(
   handle("/api/v1/metrics/metadata") { ex =>
     val p = params(ex)
     val (s, e) = tsRange(p)
-    jsonRows(ex)(Discovery.metricMetadata(
-      segScan(needDir(metricsDir, "metrics"), s, e, p.get("org")), s, e))
+    jsonRows(ex) {
+      var scan = segScan(needDir(metricsDir, "metrics"), s, e, p.get("org"))
+      // written segments carry no metric-type column (the cooked rollup
+      // contract); metadata still lists names + datapoint counts
+      if (!scan.schema.fieldNames.contains("chq_metric_type"))
+        scan = scan.withColumn("chq_metric_type",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+      Discovery.metricMetadata(scan, s, e)
+    }
   }
 
   handle("/api/v1/services") { ex =>

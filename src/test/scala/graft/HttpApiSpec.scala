@@ -50,6 +50,64 @@ class HttpApiSpec extends AnyFunSuite {
     (resp.statusCode(), resp.body())
   }
 
+  private lazy val metricDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_metricseg")
+      .toString
+    val ev = graft.model.Tables.events(spark, sf)
+    val base = graft.ingest.MetricsPreAgg.preAggregate(
+      ev, col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = false)
+    graft.ingest.Segments.writeMetricSegments(base, dir)
+    graft.ingest.Segments.writeMetricSegments(
+      graft.ingest.MetricsPreAgg.rollup(base, 3600000L), dir)
+    dir
+  }
+
+  private lazy val spanDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_spanseg")
+      .toString
+    val spans = graft.model.Cooked.spans(spark, sf)
+    graft.ingest.Segments.writeSpanSegments(spans, dir, maxRecordsPerFile = 2000)
+    graft.ingest.FingerprintIndex.buildLogIndex(spark, dir)
+    dir
+  }
+
+  test("HTTP front door: metrics SSE query + metadata + tags, spans trace") {
+    val api = new HttpApi(spark, metricsDir = Some(metricDir),
+      spansDir = Some(spanDir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val ev = graft.model.Tables.events(spark, sf)
+        .agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (s, e) = (ev.getLong(0), ev.getLong(1) + 1)
+
+      val (cm, mbody) = get(base,
+        s"/api/v1/metrics/query?q=${enc("sum(rate(events_value[1h]))")}&s=$s&e=$e")
+      assert(cm == 200 && mbody.contains("\"type\":\"result\"") &&
+        mbody.contains("\"status\":\"ok\""), mbody.take(400))
+
+      val (cmd, meta) = get(base, s"/api/v1/metrics/metadata?s=$s&e=$e")
+      assert(cmd == 200 && meta.contains("events_value"), meta.take(300))
+      val (cmt, mtags) = get(base, s"/api/v1/metrics/tags?s=$s&e=$e")
+      assert(cmt == 200 && mtags.contains("attr_event_type"), mtags.take(300))
+      val (cmv, mvals) = get(base,
+        s"/api/v1/metrics/tagvalues?tag=attr_event_type&s=$s&e=$e")
+      assert(cmv == 200 && mvals.contains("tag_value"), mvals.take(300))
+
+      // spans: trace fetch by id through the exact index path
+      val sp = spark.read.parquet(spanDir)
+      val sr = sp.agg(min(col("chq_timestamp")), max(col("chq_timestamp")),
+        min(col("span_trace_id"))).head()
+      val (ss, se, tid) = (sr.getLong(0), sr.getLong(1) + 1, sr.getString(2))
+      val (ctr, tbody) = get(base, s"/api/v1/spans/trace?id=$tid&s=$ss&e=$se")
+      assert(ctr == 200 && tbody.contains(tid) &&
+        tbody.contains("\"status\":\"ok\""), tbody.take(400))
+      val (cst, stags) = get(base, s"/api/v1/spans/tags?s=$ss&e=$se")
+      assert(cst == 200 && stags.contains("span_"), stags.take(300))
+    } finally api.stop()
+  }
+
   test("HTTP front door: health, validate, discovery, SSE query, errors") {
     val api = new HttpApi(spark, logsDir = Some(segDir),
       spansDir = Some(segDir), sseBatchRows = 3).start()
