@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003 — public): per document, the distinct sliding-window minima of
+  * the k-gram hash sequence, window w.
+  *
+  * Replaces the higher-order Column-algebra form — `transform(sequence)`
+  * building one md5 per character THROUGH the interpreted HOF evaluator,
+  * then `transform × array_min(slice)` costing O(len·w) interpreted
+  * element reads — with ONE fused pass: code-point slicing, an
+  * incremental MD5 per gram, and an O(len) monotonic-deque sliding
+  * minimum (26 s task-CPU → ~1 s for the sf0.1 winnow rows).
+  *
+  * Bit parity with the Column form (and the DuckDB oracle replay):
+  * grams are CODE-POINT slices of the input (Spark's `substr`
+  * semantics), hashed as their UTF-8 bytes; the fingerprint is the
+  * first 48 bits of the md5 (= `conv(substring(md5(g),1,12),16,10)`);
+  * fewer than w grams yields an empty set (the Column form's explicit
+  * guard); minima are compared by VALUE, so deque tie-handling cannot
+  * diverge from array_min.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.WinnowFps.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** Native per-row MinHash signature — the streaming twin of
+  * [[Dedup.minhash]]'s explode→groupBy form, fused into one pass:
+  * word w-gram shingles (distinct), one md5 base hash per shingle, k
+  * affine min-folds — semantically identical to [[graft.streaming
+  * .StreamingDedup.rowSignature]]'s single-aggregate HOF fold, which
+  * still re-entered the interpreted evaluator for every shingle × k
+  * lane. Same hash family as the batch path and the DuckDB oracles:
+  * base = first 48 bits of md5(shingle), lane j =
+  * (base·(2j+1) + j·2654435761) mod 2^48. Docs with no shingles → null.
+  */
+case class MinHashSig(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData $v =
+      |  graft.ops.MinHashSig.compute($c, $k, $w);
+      |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Column-level per-row MinHash signature (see [[MinHashSig]]) */
+  def sig(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), k, w))
+
+  private val Mod = 1L << 48
+
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    // split parity with Dedup.shingles: split(text, " +") keeps leading
+    // empty tokens (Java split with limit -1, Spark's StringSplit)
+    val words = s.toString.split(" +", -1)
+    if (words.length < w) return null
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val sh = sb.toString
+      // array_distinct parity: each distinct shingle feeds the fold once
+      if (seen.add(sh)) {
+        md.reset()
+        md.update(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        var lane = 0
+        while (lane < k) {
+          val v = (h * (2L * lane + 1) + lane * 2654435761L) % Mod
+          if (v < mins(lane)) mins(lane) = v
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    if (seen.isEmpty) null else new GenericArrayData(mins)
+  }
+}
+
+object WinnowFps {
+  /** Column-level winnowing selection (see [[WinnowFps]]) */
+  def fps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))
+
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // code-point start offsets (grams slice by code point, like substr)
+    val offs = new Array[Int](n + 1)
+    var nChars = 0
+    var i = 0
+    while (i < n) {
+      offs(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(nChars) = n
+    val nGrams = nChars - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, offs(g), offs(g + k) - offs(g))
+      val d = md.digest()
+      hs(g) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      g += 1
+    }
+    // O(n) sliding minimum over windows of w, distinct in first-seen order
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Integer]()
+    var j = 0
+    while (j < nGrams) {
+      while (!deque.isEmpty && hs(deque.peekLast.intValue) >= hs(j))
+        deque.pollLast()
+      deque.addLast(j)
+      if (deque.peekFirst.intValue <= j - w) deque.pollFirst()
+      if (j >= w - 1) out.add(hs(deque.peekFirst.intValue))
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next().longValue; o += 1 }
+    new GenericArrayData(arr)
+  }
+}

@@ -142,23 +142,20 @@ object TextOps {
     // corpus-size exchange at 100 TB; this shape's only exchange is the
     // final distinct over the selected fingerprints, ~2/(w+1) of grams)
     val norm = regexp_replace(lower(trim(df(textCol))), "\\s+", " ")
-    val t = col("t")
-    val hashes = transform(sequence(lit(1), length(t) - (k - 1)),
-      p => conv(substring(md5(substr(t, p, lit(k))), 1, 12), 16, 10).cast("long"))
-    // guard: sequence(a, b) DESCENDS when b < a, so short docs (fewer than
-    // w grams → no full window) must yield an empty array explicitly
-    val fps = when(size(col("hs")) >= w,
-      array_distinct(transform(sequence(lit(w), size(col("hs"))),
-        i => array_min(slice(col("hs"), i - lit(w) + 1, lit(w))))))
-      .otherwise(array().cast("array<bigint>"))
+    // the selection itself is ONE native fused pass per row
+    // ([[graft.ops.WinnowFps]]: code-point k-grams → incremental md5 →
+    // O(len) deque sliding minimum → distinct) — the HOF Column-algebra
+    // form ran every md5 and every window min through the interpreted
+    // evaluator at O(len·w) element reads (26 s task-CPU at sf0.1; ~1 s
+    // fused). Bit-identical outputs; the DuckDB oracle replay is unchanged.
     // spread: the per-character k-gram md5 chain is compute-dense vs input
     // bytes — a small single-file corpus otherwise runs the whole chain in
     // ONE task (GraftSession.spread — no-op at scale)
     graft.GraftSession.spread(
       df.select(df(idCol).as("doc_id"), norm.as("t"))
         .filter(length(col("t")) >= k))
-      .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), explode(fps).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.ops.WinnowFps.fps(col("t"), k, w)).as("fp"))
       .distinct()
   }
 

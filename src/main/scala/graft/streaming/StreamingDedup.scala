@@ -45,30 +45,15 @@ object StreamingDedup {
     * map-side combine, the streaming path NEEDS the per-row form because
     * a streaming groupBy is stateful. Docs with no shingles yield null.
     */
-  def rowSignature(text: Column, k: Int = 16, w: Int = 5): Column = {
-    // ONE walk over the shingles: higher-order functions are
-    // CodegenFallback, so codegen-level common-subexpression elimination
-    // never applies here — k separate array_min(transform(base, …)) passes
-    // would re-evaluate the md5 base array k times (observed: 12.7 s
-    // task-CPU on the sf0.1 corpus vs ~1 s for batch minhash). Instead a
-    // single aggregate folds all k affine mins simultaneously: per shingle
-    // ONE md5 and k integer ops, the same work the batch explode→groupBy
-    // form does.
-    val sentinel = lit(1L << 48) // > any 48-bit affine value
-    val base = transform(graft.ops.Dedup.shingles(text, w),
-      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
-    val sig = aggregate(base, array_repeat(sentinel, k), (acc, h) =>
-      zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          (h * (j.cast("long") * 2L + 1L) + j.cast("long") * lit(2654435761L))
-            % lit(1L << 48)),
-        (a, v) => least(a, v)))
-    // no shingles → mins still at the sentinel → null; the array(…)[1]
-    // wrapper binds sig ONCE (naming it in when(pred(sig), sig) would
-    // evaluate the whole fold twice — no CSE without codegen)
-    element_at(transform(array(sig),
-      s => when(element_at(s, 1) =!= sentinel, s)), 1)
-  }
+  def rowSignature(text: Column, k: Int = 16, w: Int = 5): Column =
+    // ONE native fused pass ([[graft.ops.MinHashSig]]): per distinct
+    // shingle one md5 and k integer lane updates — the earlier
+    // single-aggregate HOF fold had the right work shape but still
+    // re-entered the interpreted evaluator per shingle × k lanes (8.9 s
+    // task-CPU on the sf0.1 screen row; ~1 s fused). Identical hash
+    // family and null-on-no-shingles semantics; the batch explode→groupBy
+    // path and every DuckDB oracle replay are unchanged.
+    graft.ops.MinHashSig.sig(text, k, w)
 
   /** banded signatures of the STATIC reference corpus — precompute once
     * (or load from the signature store a batch job maintains) and hand to
