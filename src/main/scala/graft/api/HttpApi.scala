@@ -158,6 +158,45 @@ final class HttpApi(
     } finally ex.close()
   }
 
+  /** SSE with ONE event per row (the reference's summary mode shape:
+    * `{"type":"summary","data":<series summary>}` per series, then done)
+    */
+  private def sseEach(ex: HttpExchange, eventType: String)(df: => DataFrame): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", "text/event-stream")
+    h.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0L)
+    val out = ex.getResponseBody
+    def event(json: String): Unit = {
+      out.write(("data: " + json + "\n\n").getBytes(UTF_8))
+      out.flush()
+    }
+    try {
+      val it = df.toJSON.toLocalIterator()
+      while (it.hasNext)
+        event(s"""{"type":"$eventType","data":${it.next()}}""")
+      event("""{"type":"done","data":{"status":"ok"}}""")
+    } catch {
+      case e: Throwable =>
+        event(s"""{"type":"done","data":{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}}""")
+    } finally ex.close()
+  }
+
+  /** per-series aggregate stats over a (ts, value, labels…) result frame —
+    * the reference's summary mode (`handlePromQuerySummary`,
+    * `evaluateMetricsSummaryLegacy`: run the query, aggregate per series)
+    */
+  private def seriesSummary(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val labels = df.schema.fieldNames.filterNot(Set("ts", "value").contains).toSeq
+    val base = df.filter(!isnan(col("value")))
+    val aggs = Seq(min(col("value")).as("min"), max(col("value")).as("max"),
+      avg(col("value")).as("avg"), sum(col("value")).as("sum"),
+      count(col("value")).as("count"))
+    if (labels.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(labels.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def need(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(s"missing required param: $k"))
   private def tsRange(p: Map[String, String]): (Long, Long) =
@@ -209,8 +248,11 @@ final class HttpApi(
   handle("/api/v1/metrics/query") { ex =>
     val p = params(ex)
     val (s, e) = tsRange(p)
-    sse(ex)(MetricSegments.query(spark, needDir(metricsDir, "metrics"),
-      need(p, "q"), s, e, p.get("org")))
+    def run = MetricSegments.query(spark, needDir(metricsDir, "metrics"),
+      need(p, "q"), s, e, p.get("org"))
+    if (p.get("summary").contains("true"))
+      sseEach(ex, "summary")(seriesSummary(run))
+    else sse(ex)(run)
   }
 
   handle("/api/v1/logs/query") { ex =>

@@ -87,6 +87,13 @@ class HttpApiSpec extends AnyFunSuite {
       assert(cm == 200 && mbody.contains("\"type\":\"result\"") &&
         mbody.contains("\"status\":\"ok\""), mbody.take(400))
 
+      // summary mode: one summary event per series, then done
+      val (csm, sbody) = get(base,
+        s"/api/v1/metrics/query?q=${enc("sum(rate(events_value[1h]))")}&s=$s&e=$e&summary=true")
+      assert(csm == 200 && sbody.contains("\"type\":\"summary\"") &&
+        sbody.contains("\"count\"") && sbody.contains("\"status\":\"ok\""),
+        sbody.take(400))
+
       val (cmd, meta) = get(base, s"/api/v1/metrics/metadata?s=$s&e=$e")
       assert(cmd == 200 && meta.contains("events_value"), meta.take(300))
       val (cmt, mtags) = get(base, s"/api/v1/metrics/tags?s=$s&e=$e")
