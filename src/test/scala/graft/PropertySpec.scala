@@ -308,6 +308,104 @@ class PropertySpec extends AnyFunSuite {
     assert(!re9.matches("0010.0.0.0") && !re9.matches("10.0.0"))
   }
 
+  test("native WinnowFps equals the HOF Column-algebra formulation") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (k, w) = (8, 4)
+    // the ORIGINAL interpreted formulation, kept here as the executable
+    // reference the fused native expression must match bit-for-bit
+    def hofFps(t: org.apache.spark.sql.Column) = {
+      val hashes = transform(sequence(lit(1), length(t) - (k - 1)),
+        p => conv(substring(md5(substr(t, p, lit(k))), 1, 12), 16, 10).cast("long"))
+      val sel = when(size(col("hs")) >= w,
+        array_distinct(transform(sequence(lit(w), size(col("hs"))),
+          i => array_min(slice(col("hs"), i - lit(w) + 1, lit(w))))))
+        .otherwise(array().cast("array<bigint>"))
+      (hashes, sel)
+    }
+    // text mixing ascii, spaces, and MULTIBYTE code points (substr slices
+    // by code point, md5 hashes utf-8 bytes — the parity trap)
+    val genText = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', 'é', '中', '!', '.')))
+      .map(_.mkString))
+    holds(forAll(Gen.listOfN(12, genText)) { texts =>
+      val df = texts.toDF("t").filter(length($"t") >= k)
+      val (hashes, sel) = hofFps($"t")
+      val ref = df.select($"t", hashes.as("hs")).select($"t", sel.as("fps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      val got = df.select($"t", graft.ops.WinnowFps.fps($"t", k, w).as("fps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      ref == got
+    }, n = 25)
+  }
+
+  test("native MinHashSig equals the HOF aggregate-fold formulation") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (k, w) = (16, 5)
+    def hofSig(text: org.apache.spark.sql.Column) = {
+      val sentinel = lit(1L << 48)
+      val base = transform(graft.ops.Dedup.shingles(text, w),
+        s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+      val sig = aggregate(base, array_repeat(sentinel, k), (acc, h) =>
+        zip_with(acc,
+          transform(sequence(lit(0), lit(k - 1)), j =>
+            (h * (j.cast("long") * 2L + 1L) + j.cast("long") * lit(2654435761L))
+              % lit(1L << 48)),
+          (a, v) => least(a, v)))
+      element_at(transform(array(sig),
+        s => when(element_at(s, 1) =!= sentinel, s)), 1)
+    }
+    val genWord = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val genText = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    holds(forAll(Gen.listOfN(10, genText)) { texts =>
+      val df = texts.toDF("t")
+      def run(c: org.apache.spark.sql.Column) = df.select($"t", c.as("s"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.getSeq[Long](1)).map(_.toList)).toMap
+      run(hofSig($"t")) == run(graft.streaming.StreamingDedup.rowSignature($"t", k, w))
+    }, n = 25)
+  }
+
+  test("native PqEncode equals the subD2/argmin Column formulation") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (m, ks, sub) = (4, 5, 3)
+    val dims = m * sub
+    val genF = Gen.chooseNum(-1000, 1000).map(_ / 64.0f)
+    val genVec = Gen.listOfN(dims, genF).map(_.toArray)
+    val genCase = for {
+      cb <- Gen.listOfN(ks, genVec)
+      vs <- Gen.listOfN(8, genVec)
+    } yield (cb.toArray, vs)
+    def hofCodes(emb: org.apache.spark.sql.Column, sample: Array[Array[Float]]) = {
+      def subD2(j: Int, c: Int) = aggregate(
+        zip_with(slice(emb, j * sub + 1, sub),
+          typedLit(sample(c).slice(j * sub, (j + 1) * sub).toSeq),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      array((0 until m).map { j =>
+        val scores = array((0 until ks).map(c => subD2(j, c)): _*)
+        (array_position(scores, array_min(scores)) - 1).cast("int")
+      }: _*)
+    }
+    holds(forAll(genCase) { case (cb, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("id", "emb")
+        .select($"id", $"emb".cast("array<float>").as("emb"))
+      def run(c: org.apache.spark.sql.Column) = df.select($"id", c.as("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      run(hofCodes($"emb", cb)) ==
+        run(graft.ops.PqEncode.encode($"emb", cb, m, ks, sub))
+    }, n = 20)
+  }
+
   test("AVI parser is total on corrupted containers: None or Some, never a throw") {
     import graft.ops.Multimodal
     val valid = Multimodal.aviRamp(5, 4, 3, 40000, 10, 7, 20, 11, 30, 13)
