@@ -244,6 +244,15 @@ final class HttpApi(
 
   handle("/healthz")(ex => respond(ex, 200, """{"status":"ok"}"""))
   handle("/api/v1/ping")(ex => respond(ex, 200, """{"status":"ok","message":"pong"}"""))
+  handle("/api/v1/features") { ex =>
+    // feature discovery (reference handleFeatures): which signals this
+    // instance serves plus the always-on query capabilities
+    val signals = Seq("logs" -> logsDir, "metrics" -> metricsDir,
+      "spans" -> spansDir).collect { case (n, Some(_)) => "\"" + n + "\"" }
+    respond(ex, 200,
+      s"""{"signals":[${signals.mkString(",")}],""" +
+        """"promql":true,"logql":true,"sse":true,"summary":true}""")
+  }
 
   handle("/api/v1/metrics/query") { ex =>
     val p = params(ex)

@@ -162,6 +162,20 @@ class HttpApiSpec extends AnyFunSuite {
         s"""{"q":"{log_level=\\"INFO\\"}","s":$tsLo,"e":$tsHi,"limit":2}""")
       assert(cp == 200 && pbody.contains("\"type\":\"done\""), pbody.take(300))
 
+      // features reflects configured signals
+      val (cf, fbody) = get(base, "/api/v1/features")
+      assert(cf == 200 && fbody.contains("\"logs\"") &&
+        fbody.contains("\"spans\"") && !fbody.contains("\"metrics\""), fbody)
+
+      // concurrency: parallel SSE queries all complete with done:ok (the
+      // server's thread pool + Spark's scheduler serve them simultaneously)
+      val futs = (1 to 4).map { _ =>
+        java.util.concurrent.CompletableFuture.supplyAsync(() =>
+          get(base, s"/api/v1/logs/query?q=$okq&s=$tsLo&e=$tsHi&limit=5")._2)
+      }
+      futs.foreach(f => assert(f.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        .contains("\"status\":\"ok\"")))
+
       // parameter errors surface as 400, not a hung stream
       assert(get(base, "/api/v1/logs/query")._1 == 400)
       assert(get(base, s"/api/v1/logs/tagvalues?s=$tsLo&e=$tsHi")._1 == 400)
