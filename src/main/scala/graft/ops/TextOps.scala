@@ -633,6 +633,31 @@ object TextOps {
         col("__s.ck").as("tok_checksum"))
   }
 
+  /** C4-style page cleaning stats (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…" §2.2 — public): per doc, the line-
+    * and page-level signals of the C4 rules — lines kept iff they end in
+    * terminal punctuation AND have ≥3 words; sentences counted as
+    * terminal-punctuation marks in the kept text; the page keep flag =
+    * ≥5 sentences ∧ no "lorem ipsum" ∧ no '{'. A shuffle-free projection
+    * (per-row line fold only); all outputs integer, oracle-replayable.
+    */
+  def c4Stats(df: DataFrame, textCol: String): DataFrame = {
+    val t = df(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") && size(split(trim(l), " +")) >= 3)
+    val keptText = array_join(kept, "\n")
+    val nSent = length(keptText) - length(translate(keptText, ".!?", ""))
+    df.select(df("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.cast("long").as("n_sentences"),
+      contains(lower(t), lit("lorem ipsum")).cast("int").as("has_lorem"),
+      contains(t, lit("{")).cast("int").as("has_brace"),
+      (nSent >= 5 && !contains(lower(t), lit("lorem ipsum")) &&
+        !contains(t, lit("{"))).cast("int").as("keep"))
+  }
+
   /** all-in-one profile projection over a documents frame */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = df(textCol)

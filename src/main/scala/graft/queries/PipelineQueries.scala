@@ -702,6 +702,72 @@ object PipelineQueries extends Catalog {
         .mkString("\n       UNION ALL ")}"""
   }
 
+  /** C4 page-cleaning rules as per-doc integer stats. The corpus is
+    * single-line punctuation-free word soup, so a deterministic PAGE is
+    * derived per doc first (the same derived-fixture pattern as the ip()
+    * row): words chunk into 8-word lines, every line except
+    * (doc_id + i) % 3 = 0 gets terminal punctuation, doc_id % 17 docs
+    * get a "lorem ipsum" line, doc_id % 13 docs a '{' line — so lines
+    * drop, sentence counts vary, and both rejection rules fire. The
+    * oracle rebuilds the identical page and replays line filtering,
+    * sentence counting, and the keep flag.
+    */
+  private def c4Filter(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " +")
+    val lines = transform(sequence(lit(1), ((size(ws) + 7) / 8).cast("int")),
+      i => concat(array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " "),
+        when((col("doc_id") + i) % 3 === 0, "").otherwise(".")))
+    val page = concat(array_join(lines, "\n"),
+      when(col("doc_id") % 17 === 0, "\nsome lorem ipsum filler here.")
+        .otherwise(""),
+      when(col("doc_id") % 13 === 0, "\nvar x = { a: 1 };").otherwise(""))
+    TextOps.c4Stats(
+      docs(s, d).select(col("doc_id"), page.as("text")), "text")
+  }
+
+  private val c4FilterSql =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents),
+       pg AS (
+         SELECT doc_id,
+                array_to_string(list_transform(
+                    range(1, CAST((len(ws) + 7) // 8 AS BIGINT) + 1),
+                    i -> array_to_string(
+                           ws[CAST((i-1)*8+1 AS INT):CAST((i-1)*8+8 AS INT)], ' ')
+                         || CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END),
+                  chr(10))
+                || CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || 'some lorem ipsum filler here.'
+                        ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                        THEN chr(10) || 'var x = { a: 1 };' ELSE '' END AS text
+         FROM w),
+       k AS (
+         SELECT doc_id, text,
+                string_split(text, chr(10)) AS lines,
+                coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+                  l -> regexp_matches(trim(l), '[.!?"]$')
+                       AND len(string_split_regex(trim(l), ' +')) >= 3),
+                  chr(10)), '') AS kt
+         FROM pg),
+       st AS (
+         SELECT doc_id, text, lines,
+                length(kt) - length(translate(kt, '.!?', '')) AS n_sent,
+                len(list_filter(lines,
+                  l -> regexp_matches(trim(l), '[.!?"]$')
+                       AND len(string_split_regex(trim(l), ' +')) >= 3))
+                  AS n_kept
+         FROM k)
+       SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(n_kept AS BIGINT) AS n_kept_lines,
+              CAST(n_sent AS BIGINT) AS n_sentences,
+              CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+              CAST(contains(text, '{') AS INT) AS has_brace,
+              CAST((n_sent >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS INT) AS keep
+       FROM st"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1818,6 +1884,7 @@ object PipelineQueries extends Catalog {
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
+    Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
     Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),

@@ -28,6 +28,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0) > out(1))
   }
 
+  test("c4Stats: line filter, sentence count, and the page keep flag") {
+    import spark.implicits._
+    val goodPage = (1 to 5).map(i => s"this is sentence number $i.").mkString("\n")
+    val df = Seq(
+      (1L, goodPage),                               // 5 kept lines, 5 sentences
+      (2L, goodPage + "\nno terminal punct here"),  // junk line dropped
+      (3L, goodPage + "\nsome Lorem Ipsum filler."),// lorem -> rejected
+      (4L, goodPage.replace("number 5.", "number 5 {code}.")), // brace
+      (5L, "one line only."),                       // 1 sentence < 5
+      (6L, "ok.\nshort.\nx y z?")                   // <3 words lines dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Stats(df, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(out(1L) == ((5L, 5L, 5L, 0, 0, 1)), out(1L).toString)
+    assert(out(2L) == ((6L, 5L, 5L, 0, 0, 1)), out(2L).toString)
+    assert(out(3L)._4 == 1 && out(3L)._6 == 0)
+    assert(out(4L)._5 == 1 && out(4L)._6 == 0)
+    assert(out(5L)._6 == 0)
+    // "ok." and "short." have <3 words; "x y z?" kept -> 1 sentence
+    assert(out(6L) == ((3L, 1L, 1L, 0, 0, 0)), out(6L).toString)
+  }
+
   test("token counting") {
     val df = Seq("a b  c", "").toDF("text")
     val out = df.select(TextOps.tokenCount($"text")).collect().map(_.getLong(0))
