@@ -286,6 +286,57 @@ object ItQueries extends Catalog {
          AND chq_timestamp >= $Start AND chq_timestamp < $End
        GROUP BY 1"""
 
+  /** The HTTP/SSE serving layer under the correctness gate: a real
+    * [[graft.api.HttpApi]] on an ephemeral port over the written log
+    * segments, queried with the JDK HttpClient; the SSE stream's result
+    * batches parse back into a frame (explicit schema — no inference)
+    * and collapse to a deterministic (ts, line) multiset summary. The
+    * oracle reads THE SAME parquet files directly — everything between
+    * (LogQL parse, fingerprint pruning, compilation, JSON encoding, SSE
+    * framing, HTTP transport) must preserve the rows exactly.
+    */
+  private def httpLogs(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureLogSegments(s, d)
+    val api = new graft.api.HttpApi(s, logsDir = Some(dir))
+    api.start()
+    try {
+      val q = java.net.URLEncoder.encode("""{log_level="ERROR"}""", "UTF-8")
+      val url = s"http://127.0.0.1:${api.port}/api/v1/logs/query" +
+        s"?q=$q&s=$Start&e=$End&limit=1000000&fields=chq_timestamp,log_message"
+      val client = java.net.http.HttpClient.newHttpClient()
+      val body = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val events = body.split("\n\n").toSeq
+        .filter(_.startsWith("data: ")).map(_.substring(6))
+      require(events.lastOption.exists(e => e.contains("\"type\":\"done\"") &&
+        e.contains("\"status\":\"ok\"")),
+        s"SSE stream did not finish ok: ${events.lastOption}")
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("type", StringType),
+        StructField("data", StructType(Seq(
+          StructField("rows", ArrayType(StructType(Seq(
+            StructField("chq_timestamp", LongType),
+            StructField("log_message", StringType))))))))))
+      s.read.schema(schema).json(events.toDS())
+        .filter(col("type") === "result")
+        .select(explode(col("data.rows")).as("r"))
+        .groupBy(col("r.chq_timestamp").as("chq_timestamp"),
+          col("r.log_message").as("log_message"))
+        .agg(count(lit(1)).as("n"))
+    } finally api.stop()
+  }
+
+  private def httpLogsSql(dir: String): String =
+    s"""SELECT chq_timestamp, log_message, count(*) AS n
+       FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE log_level = 'ERROR'
+         AND chq_timestamp >= $Start AND chq_timestamp < $End
+       GROUP BY 1, 2"""
+
   /** two tenants' metric segments in ONE dir under the leading `org=`
     * partition key — base 10 s tier + hourly rollup each, DIFFERENT row
     * sets per org (user parity split) so any cross-tenant leak breaks
@@ -647,6 +698,7 @@ object ItQueries extends Catalog {
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
+    Q("it_http_logs", httpLogs, Some(httpLogsSql(logSegRootCur))),
     Q("it_log_regex_needle", logRegexNeedle, Some(logRegexNeedleSql(logSegRootCur))),
     Q("it_multi_org", multiOrg, Some(multiOrgSql(orgSegRootCur))),
     Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),
