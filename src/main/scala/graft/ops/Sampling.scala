@@ -130,4 +130,52 @@ object Sampling {
       .withColumn("pos", col("__mid") - col("__min") + col("__off"))
       .drop("__k", "__pid", "__mid", "__off", "__min")
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): documents are
+    * scored by how much their hashed-n-gram feature distribution looks
+    * like a TARGET corpus versus the RAW pool. Word bigrams hash into
+    * `buckets` buckets (md5-derived — oracle-replayable); per bucket the
+    * Laplace-smoothed log-ratio `ln((tgt_b+1)/(tgtN+B)) −
+    * ln((raw_b+1)/(rawN+B))` is the importance weight; a doc's score is
+    * the POSITION-ORDERED sum of its bigrams' weights divided by the
+    * bigram count (the same ordered-fold float discipline as
+    * [[TextOps.surprisal]] — map-side float reduction order would
+    * otherwise be nondeterministic). Selection = keep the top-scoring
+    * docs (or gumbel-resample on score — composition left to the
+    * caller). One shuffle for bucket stats (B-bounded), one
+    * bigram→bucket join, one per-doc aggregate.
+    */
+  def dsirScore(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val ws = filter(TextOps.tokens(df(textCol)), w => length(w) > 0)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val toks = df
+      .select(df("doc_id"), isTarget.cast("int").as("__t"),
+        posexplode(bigrams).as(Seq("pos", "bg")))
+      .withColumn("__b", Dedup.hash48(col("bg"), 0) % buckets)
+    val stats = toks.groupBy(col("__b"))
+      .agg(sum(col("__t")).as("tb"),
+        sum(lit(1) - col("__t")).as("rb"))
+    val totals = stats.agg(sum(col("tb")).as("__tn"), sum(col("rb")).as("__rn"))
+    val weighted = stats.crossJoin(broadcast(totals))
+      .withColumn("wt",
+        log((col("tb") + 1).cast("double") /
+            (col("__tn") + buckets).cast("double")) -
+        log((col("rb") + 1).cast("double") /
+            (col("__rn") + buckets).cast("double")))
+      .select(col("__b"), col("wt"))
+    toks.join(weighted, Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("wt")))),
+            s => s.getField("wt")),
+          lit(0.0), (acc, v) => acc + v).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sum") / col("n_bigrams").cast("double")).as("dsir_score"))
+  }
 }

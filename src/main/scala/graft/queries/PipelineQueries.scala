@@ -768,6 +768,47 @@ object PipelineQueries extends Catalog {
                     AND NOT contains(text, '{')) AS INT) AS keep
        FROM st"""
 
+  /** DSIR importance scores with target = English docs; the oracle
+    * replays hashed-bigram bucket stats, Laplace log-ratios, and the
+    * position-ordered per-doc fold (surprisal's float discipline), with
+    * the q6 grid on the emitted mean
+    */
+  private def dsirScoreQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.dsirScore(docs(s, d), "text", col("lang") === "en")
+      .withColumn("dsir_score", q6(col("dsir_score")))
+
+  private val dsirScoreSql =
+    s"""WITH t AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(lower(text), ' +'),
+                  w -> len(w) > 0) AS ws
+         FROM documents),
+       bg AS (
+         SELECT doc_id, CAST(lang = 'en' AS INT) AS tt,
+                CAST(i - 1 AS INT) AS pos,
+                ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS b
+         FROM t, unnest(range(1, len(ws))) r(i)
+         WHERE len(ws) >= 2),
+       bk AS (
+         SELECT doc_id, tt, pos,
+                CAST(('0x' || substr(md5('0|' || b), 1, 12)) AS BIGINT) % 4096
+                  AS bu
+         FROM bg),
+       st AS (
+         SELECT bu, sum(tt) AS tb, sum(1 - tt) AS rb FROM bk GROUP BY 1),
+       tot AS (SELECT sum(tb) AS tn, sum(rb) AS rn FROM st),
+       wt AS (
+         SELECT bu,
+                ln(CAST(tb + 1 AS DOUBLE) / CAST(tot.tn + 4096 AS DOUBLE))
+                - ln(CAST(rb + 1 AS DOUBLE) / CAST(tot.rn + 4096 AS DOUBLE))
+                  AS wt
+         FROM st, tot)
+       SELECT doc_id, count(*) AS n_bigrams,
+              ${q6Sql("list_sum(list(wt ORDER BY pos)) / count(*)")}
+                AS dsir_score
+       FROM bk JOIN wt USING (bu)
+       GROUP BY 1"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1885,6 +1926,7 @@ object PipelineQueries extends Catalog {
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
+    Q("pp_dsir_score", dsirScoreQ, Some(dsirScoreSql)),
     Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),

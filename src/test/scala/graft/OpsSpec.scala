@@ -28,6 +28,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0) > out(1))
   }
 
+  test("dsirScore: target-distribution docs outscore raw-pool docs") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // target bigrams ("the cat sat...") vs disjoint raw bigrams; a held-out
+    // doc drawn from the target distribution must outscore a raw-like one
+    val tgt = (1 to 6).map(i => (i.toLong, "the cat sat on the mat again", true))
+    val raw = (7 to 12).map(i => (i.toLong, "wire spool metal crate heavy load", false))
+    val probe = Seq((20L, "the cat sat on the mat", false),
+      (21L, "metal crate heavy load wire", false))
+    val df = (tgt ++ raw ++ probe).toDF("doc_id", "text", "is_t")
+    val out = Sampling.dsirScore(df, "text", $"is_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(20L) > out(21L), s"target-like ${out(20L)} <= raw-like ${out(21L)}")
+    assert(out(1L) > 0 && out(7L) < out(1L))
+  }
+
   test("c4Stats: line filter, sentence count, and the page keep flag") {
     import spark.implicits._
     val goodPage = (1 to 5).map(i => s"this is sentence number $i.").mkString("\n")
