@@ -178,4 +178,22 @@ object Sampling {
       .select(col("doc_id"), col("n_bigrams"),
         (col("__sum") / col("n_bigrams").cast("double")).as("dsir_score"))
   }
+
+  /** Importance RESAMPLING via the Gumbel-max trick (the selection step
+    * DSIR pairs with its scores): drawing n docs without replacement with
+    * probability ∝ exp(score/τ) is exactly "take the top n by
+    * score/τ + Gumbel noise", and the noise is DETERMINISTIC here —
+    * g = −ln(−ln(u)) with u the md5-uniform of the doc id ([[uniform]]),
+    * so any engine (and any rerun) selects the identical sample. The cut
+    * is orderBy+limit → TakeOrderedAndProject: per-partition partial
+    * top-n, no global sort.
+    */
+  def importanceResample(scored: DataFrame, scoreCol: String, idCol: String,
+      n: Int, temperature: Double = 1.0): DataFrame = {
+    val g = -log(-log(uniform(col(idCol))))
+    scored
+      .withColumn("gumbel_key", col(scoreCol) / temperature + g)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(n)
+  }
 }

@@ -777,8 +777,11 @@ object PipelineQueries extends Catalog {
     graft.ops.Sampling.dsirScore(docs(s, d), "text", col("lang") === "en")
       .withColumn("dsir_score", q6(col("dsir_score")))
 
-  private val dsirScoreSql =
-    s"""WITH t AS (
+  /** shared DSIR CTE chain ending in `sc(doc_id, n_bigrams, sc)` — the
+    * raw (un-quantized) per-doc mean importance weight
+    */
+  private val dsirChainCte =
+    """t AS (
          SELECT doc_id, lang,
                 list_filter(string_split_regex(lower(text), ' +'),
                   w -> len(w) > 0) AS ws
@@ -802,12 +805,41 @@ object PipelineQueries extends Catalog {
                 ln(CAST(tb + 1 AS DOUBLE) / CAST(tot.tn + 4096 AS DOUBLE))
                 - ln(CAST(rb + 1 AS DOUBLE) / CAST(tot.rn + 4096 AS DOUBLE))
                   AS wt
-         FROM st, tot)
-       SELECT doc_id, count(*) AS n_bigrams,
-              ${q6Sql("list_sum(list(wt ORDER BY pos)) / count(*)")}
-                AS dsir_score
-       FROM bk JOIN wt USING (bu)
-       GROUP BY 1"""
+         FROM st, tot),
+       sc AS (
+         SELECT doc_id, count(*) AS n_bigrams,
+                list_sum(list(wt ORDER BY pos)) / count(*) AS sc
+         FROM bk JOIN wt USING (bu)
+         GROUP BY 1)"""
+
+  private val dsirScoreSql =
+    s"""WITH $dsirChainCte
+       SELECT doc_id, n_bigrams, ${q6Sql("sc")} AS dsir_score FROM sc"""
+
+  /** Gumbel-max importance resample of the DSIR scores: top-100 by
+    * score + deterministic Gumbel noise from the md5-uniform of doc_id —
+    * both engines compute bit-identical keys, so the 100-doc SAMPLE is
+    * identical, not just the score surface
+    */
+  private def dsirResample(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.ops.Sampling.dsirScore(docs(s, d), "text",
+      col("lang") === "en")
+    graft.ops.Sampling.importanceResample(scored, "dsir_score", "doc_id",
+      n = 100)
+      .select(col("doc_id"), col("n_bigrams"),
+        q6(col("gumbel_key")).as("gumbel_key"))
+  }
+
+  private val dsirResampleSql =
+    s"""WITH $dsirChainCte,
+       k AS (
+         SELECT doc_id, n_bigrams,
+                sc / 1.0 + (-ln(-ln(
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) / 281474976710656.0))) AS gk
+         FROM sc)
+       SELECT doc_id, n_bigrams, ${q6Sql("gk")} AS gumbel_key
+       FROM k ORDER BY gk DESC, doc_id LIMIT 100"""
 
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
@@ -1927,6 +1959,7 @@ object PipelineQueries extends Catalog {
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
     Q("pp_dsir_score", dsirScoreQ, Some(dsirScoreSql)),
+    Q("pp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
