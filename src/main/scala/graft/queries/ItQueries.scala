@@ -330,6 +330,52 @@ object ItQueries extends Catalog {
     } finally api.stop()
   }
 
+  /** the metrics SSE route under the gate: the same PromQL + segments as
+    * it_seg_rate, but through a live HttpApi — tier selection, the engine,
+    * JSON encoding, SSE framing, and transport must reproduce it_seg_rate's
+    * oracle exactly (the oracle IS segRateSql; NaN doubles round-trip
+    * Jackson's non-numeric tokens, and the cents grid applies after
+    * re-parse, exactly where it_seg_rate applies it)
+    */
+  private def httpMetrics(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    val api = new graft.api.HttpApi(s, metricsDir = Some(dir))
+    api.start()
+    try {
+      val q = java.net.URLEncoder.encode(
+        "sum by (attr_event_type) (rate(events_value[4h]))", "UTF-8")
+      val url = s"http://127.0.0.1:${api.port}/api/v1/metrics/query" +
+        s"?q=$q&s=$Start&e=$End"
+      val client = java.net.http.HttpClient.newHttpClient()
+      val body = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val events = body.split("\n\n").toSeq
+        .filter(_.startsWith("data: ")).map(_.substring(6))
+      require(events.lastOption.exists(e => e.contains("\"type\":\"done\"") &&
+        e.contains("\"status\":\"ok\"")),
+        s"SSE stream did not finish ok: ${events.lastOption}")
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("type", StringType),
+        StructField("data", StructType(Seq(
+          StructField("rows", ArrayType(StructType(Seq(
+            StructField("ts", LongType),
+            StructField("attr_event_type", StringType),
+            StructField("value", DoubleType))))))))))
+      s.read.schema(schema).json(events.toDS())
+        .filter(col("type") === "result")
+        .select(explode(col("data.rows")).as("r"))
+        .select(col("r.ts").as("ts"),
+          col("r.attr_event_type").as("attr_event_type"),
+          col("r.value").as("value"))
+        .filter(!isnan(col("value")))
+        .withColumn("value", cents(col("value"), H4 / 1000.0 * 100))
+    } finally api.stop()
+  }
+
   private def httpLogsSql(dir: String): String =
     s"""SELECT chq_timestamp, log_message, count(*) AS n
        FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
@@ -699,6 +745,7 @@ object ItQueries extends Catalog {
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
     Q("it_http_logs", httpLogs, Some(httpLogsSql(logSegRootCur))),
+    Q("it_http_metrics", httpMetrics, Some(segRateSql(segRootCur))),
     Q("it_log_regex_needle", logRegexNeedle, Some(logRegexNeedleSql(logSegRootCur))),
     Q("it_multi_org", multiOrg, Some(multiOrgSql(orgSegRootCur))),
     Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),

@@ -324,6 +324,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window [") || !p.contains("partitionBy=[]"), p.take(2000))
   }
 
+  test("c4 filter is a shuffle-free projection") {
+    val p = plan("pp_c4_filter")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("DSIR: bucket stats broadcast-sized, resample is TakeOrdered not global sort") {
+    val p = plan("pp_dsir_score")
+    // the only joins are the B-bounded bucket-weight join and the 1-row
+    // totals broadcast — never an all-pairs shape
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val pr = plan("pp_dsir_resample")
+    assert(pr.contains("TakeOrderedAndProject"),
+      s"top-n resample fell back to a global sort:\n${pr.take(2000)}")
+  }
+
   test("ip() line filter: codegen'd RLIKE prefilter gates one fold per candidate") {
     val p = plan("lq_ip_filter")
     // the compiled-regex prefilter must be in the plan — lines without a
