@@ -52,13 +52,14 @@ final class HttpApi(
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
 
   /** bound port (useful with bindPort = 0 in tests) */
   def port: Int = server.getAddress.getPort
 
   def start(): HttpApi = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---------------------------------------------------------------- util
 

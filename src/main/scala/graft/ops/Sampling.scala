@@ -179,6 +179,70 @@ object Sampling {
         (col("__sum") / col("n_bigrams").cast("double")).as("dsir_score"))
   }
 
+  /** The learned DSIR bucket-weight table as a plan-time constant:
+    * index b holds the Laplace-smoothed log-ratio for bucket b (the same
+    * values [[dsirScore]] derives distributed). Collecting B doubles is
+    * a bounded plan-time statistic — the same pattern as the PQ codebook
+    * — enabling the ZERO-STATE streaming scorer below.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 4096): Array[Double] = {
+    val ws = filter(TextOps.tokens(df(textCol)), w => length(w) > 0)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val toks = df.select(isTarget.cast("int").as("__t"),
+        explode(bigrams).as("bg"))
+      .withColumn("__b", Dedup.hash48(col("bg"), 0) % buckets)
+    val stats = toks.groupBy(col("__b"))
+      .agg(sum(col("__t")).as("tb"), sum(lit(1) - col("__t")).as("rb"))
+    val (tn, rn) = {
+      val r = stats.agg(sum(col("tb")), sum(col("rb"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val out = new Array[Double](buckets)
+    // empty buckets get the smoothing-only ratio, same as the formula
+    val base = math.log(1.0 / (tn + buckets).toDouble) -
+      math.log(1.0 / (rn + buckets).toDouble)
+    java.util.Arrays.fill(out, base)
+    stats.collect().foreach { r =>
+      out(r.getLong(0).toInt) =
+        math.log((r.getLong(1) + 1).toDouble / (tn + buckets).toDouble) -
+          math.log((r.getLong(2) + 1).toDouble / (rn + buckets).toDouble)
+    }
+    out
+  }
+
+  /** ZERO-STATE streaming DSIR scorer — the importance-scoring twin of
+    * [[graft.streaming.StreamingDedup.nearDupAgainst]]: each incoming doc
+    * scores in ONE per-row projection (bigram → bucket → literal weight
+    * lookup, summed in position order — the identical fold order and
+    * weight values as the batch [[dsirScore]], so the two agree
+    * bit-for-bit), with the weight table inlined as a plan-time literal.
+    * No join, no shuffle, no streaming state: works unchanged on a
+    * streaming frame; refresh weights by restarting against a new
+    * snapshot.
+    */
+  def dsirScoreAgainst(stream: DataFrame, textCol: String,
+      weights: Array[Double], buckets: Int = 4096): DataFrame = {
+    require(weights.length == buckets, s"${weights.length} weights != $buckets")
+    val ws = filter(TextOps.tokens(col(textCol)), w => length(w) > 0)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val wlit = typedLit(weights.toSeq)
+    val sum = aggregate(col("__bgs"), lit(0.0), (acc, b) =>
+      acc + element_at(wlit,
+        (Dedup.hash48(b, 0) % buckets).cast("int") + 1))
+    stream
+      .withColumn("__bgs", bigrams)
+      .filter(size(col("__bgs")) > 0)
+      .select(col("doc_id"), size(col("__bgs")).cast("long").as("n_bigrams"),
+        (sum / size(col("__bgs")).cast("double")).as("dsir_score"))
+  }
+
   /** Importance RESAMPLING via the Gumbel-max trick (the selection step
     * DSIR pairs with its scores): drawing n docs without replacement with
     * probability ∝ exp(score/τ) is exactly "take the top n by

@@ -841,6 +841,24 @@ object PipelineQueries extends Catalog {
        SELECT doc_id, n_bigrams, ${q6Sql("gk")} AS gumbel_key
        FROM k ORDER BY gk DESC, doc_id LIMIT 100"""
 
+  /** zero-state streaming DSIR screen in batch mode: weights learned from
+    * the FULL corpus collapse to a plan-time literal table; the incoming
+    * 20% score per-row with the identical fold order, so the oracle is
+    * just the batch chain restricted to the incoming docs
+    */
+  private def streamDsir(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val w = graft.ops.Sampling.dsirWeights(all, "text", col("lang") === "en")
+    graft.ops.Sampling.dsirScoreAgainst(
+      all.filter(col("doc_id") % 10 >= 8), "text", w)
+      .withColumn("dsir_score", q6(col("dsir_score")))
+  }
+
+  private def streamDsirSql =
+    s"""WITH $dsirChainCte
+       SELECT doc_id, n_bigrams, ${q6Sql("sc")} AS dsir_score
+       FROM sc WHERE doc_id % 10 >= 8"""
+
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Sampling
     val rates = Map("en" -> 0.5, "zh" -> 1.0, "de" -> 1.0, "fr" -> 0.75)
@@ -1960,6 +1978,7 @@ object PipelineQueries extends Catalog {
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
     Q("pp_dsir_score", dsirScoreQ, Some(dsirScoreSql)),
     Q("pp_dsir_resample", dsirResample, Some(dsirResampleSql)),
+    Q("pp_stream_dsir", streamDsir, Some(streamDsirSql)),
     Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
