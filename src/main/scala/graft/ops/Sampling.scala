@@ -131,6 +131,23 @@ object Sampling {
       .drop("__k", "__pid", "__mid", "__off", "__min")
   }
 
+  /** Adjacent word bigrams ("w1 w2") of the lowercased, whitespace-split,
+    * empty-filtered token stream — with the token array bound exactly ONCE
+    * via the array(x)[1] wrapper: interpreted higher-order functions get
+    * no common-subexpression elimination, so naming `ws` inside the
+    * per-element lambda (the element_at(ws, i) form) re-ran the whole
+    * tokenize+filter once per ELEMENT access — O(len²) per doc, ~40 µs per
+    * bigram observed. The zip_with over two slices of the bound array is
+    * O(len).
+    */
+  private def wordBigrams(text: Column): Column =
+    element_at(transform(array(filter(TextOps.tokens(text),
+        w => length(w) > 0)), w =>
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))), 1)
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public): documents are
     * scored by how much their hashed-n-gram feature distribution looks
@@ -148,15 +165,19 @@ object Sampling {
     */
   def dsirScore(df: DataFrame, textCol: String, isTarget: Column,
       buckets: Int = 4096): DataFrame = {
-    val ws = filter(TextOps.tokens(df(textCol)), w => length(w) > 0)
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val toks = df
-      .select(df("doc_id"), isTarget.cast("int").as("__t"),
+    // spread: interpreted per-bigram construction is compute-dense vs
+    // input bytes (single-file corpora otherwise run it in ONE task);
+    // materialize: the bigram explode + md5 bucketing is the expensive
+    // pass and BOTH consumers (bucket stats, per-doc join-back) read it
+    val src = graft.GraftSession.spread(
+      df.select(df("doc_id"), isTarget.cast("int").as("__t"),
+        df(textCol).as("__text")))
+    val bigrams = wordBigrams(col("__text"))
+    val toks = graft.GraftSession.materialize(src
+      .select(col("doc_id"), col("__t"),
         posexplode(bigrams).as(Seq("pos", "bg")))
       .withColumn("__b", Dedup.hash48(col("bg"), 0) % buckets)
+      .drop("bg"))
     val stats = toks.groupBy(col("__b"))
       .agg(sum(col("__t")).as("tb"),
         sum(lit(1) - col("__t")).as("rb"))
@@ -187,16 +208,16 @@ object Sampling {
     */
   def dsirWeights(df: DataFrame, textCol: String, isTarget: Column,
       buckets: Int = 4096): Array[Double] = {
-    val ws = filter(TextOps.tokens(df(textCol)), w => length(w) > 0)
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val toks = df.select(isTarget.cast("int").as("__t"),
-        explode(bigrams).as("bg"))
+    // spread: the bigram construction is compute-dense vs input bytes
+    // (single-file corpora otherwise run it in ONE task); materialize the
+    // ≤B-row stats — totals and the collect below both read them
+    val src = graft.GraftSession.spread(
+      df.select(isTarget.cast("int").as("__t"), df(textCol).as("__text")))
+    val bigrams = wordBigrams(col("__text"))
+    val toks = src.select(col("__t"), explode(bigrams).as("bg"))
       .withColumn("__b", Dedup.hash48(col("bg"), 0) % buckets)
-    val stats = toks.groupBy(col("__b"))
-      .agg(sum(col("__t")).as("tb"), sum(lit(1) - col("__t")).as("rb"))
+    val stats = graft.GraftSession.materialize(toks.groupBy(col("__b"))
+      .agg(sum(col("__t")).as("tb"), sum(lit(1) - col("__t")).as("rb")))
     val (tn, rn) = {
       val r = stats.agg(sum(col("tb")), sum(col("rb"))).head()
       (r.getLong(0), r.getLong(1))
@@ -227,20 +248,11 @@ object Sampling {
   def dsirScoreAgainst(stream: DataFrame, textCol: String,
       weights: Array[Double], buckets: Int = 4096): DataFrame = {
     require(weights.length == buckets, s"${weights.length} weights != $buckets")
-    val ws = filter(TextOps.tokens(col(textCol)), w => length(w) > 0)
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val wlit = typedLit(weights.toSeq)
-    val sum = aggregate(col("__bgs"), lit(0.0), (acc, b) =>
-      acc + element_at(wlit,
-        (Dedup.hash48(b, 0) % buckets).cast("int") + 1))
     stream
-      .withColumn("__bgs", bigrams)
-      .filter(size(col("__bgs")) > 0)
-      .select(col("doc_id"), size(col("__bgs")).cast("long").as("n_bigrams"),
-        (sum / size(col("__bgs")).cast("double")).as("dsir_score"))
+      .withColumn("__s", DsirRowScore.score(col(textCol), weights, buckets))
+      .filter(col("__s").isNotNull)
+      .select(col("doc_id"), col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.dsir_score").as("dsir_score"))
   }
 
   /** Importance RESAMPLING via the Gumbel-max trick (the selection step

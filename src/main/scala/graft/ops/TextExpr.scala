@@ -125,6 +125,72 @@ object MinHashSig {
   }
 }
 
+/** Native per-row DSIR scorer — the streaming scoring twin of
+  * [[Sampling.dsirScore]], fused into one pass per document: lowercase,
+  * whitespace-split, word bigrams, one md5 bucket hash each, literal
+  * weight lookup accumulated in POSITION ORDER (the identical fold order
+  * and weight doubles as the batch join-and-fold, so the two agree
+  * bit-for-bit). The Column-algebra form ran the md5 inside an
+  * interpreted `aggregate` lambda — the rowSignature lesson (17 s
+  * task-CPU at sf0.1; ~1 s fused). Returns struct(n_bigrams, score) or
+  * null when the doc has no bigrams.
+  */
+case class DsirRowScore(child: Expression, weights: Array[Double],
+    buckets: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dsir_score", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dsir_row_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DsirRowScore.compute(input.asInstanceOf[UTF8String], weights, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("dsirWeights", weights, "double[]")
+    val v = ctx.freshName("sc")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |InternalRow $v = graft.ops.DsirRowScore.compute($c, $wRef, $buckets);
+      |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirRowScore =
+    copy(child = newChild)
+}
+
+object DsirRowScore {
+  /** Column-level per-row DSIR score (see [[DsirRowScore]]) */
+  def score(text: Column, weights: Array[Double], buckets: Int): Column =
+    ColumnBridge.column(DsirRowScore(ColumnBridge.expression(text),
+      weights, buckets))
+
+  def compute(s: UTF8String, weights: Array[Double],
+      buckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    // tokens() parity: split(lower(text), " +") then drop empty tokens —
+    // lowercase via UTF8String (the lower() expression's own path)
+    val words = s.toLowerCase.toString.split(" +", -1).filter(_.nonEmpty)
+    val n = words.length - 1
+    if (n < 1) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val bg = "0|" + words(i) + " " + words(i + 1)
+      md.reset()
+      md.update(bg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      acc += weights((h % buckets).toInt)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, acc / n.toDouble)
+  }
+}
+
 object WinnowFps {
   /** Column-level winnowing selection (see [[WinnowFps]]) */
   def fps(text: Column, k: Int, w: Int): Column =
