@@ -306,9 +306,15 @@ final class HttpApi(
     handle(s"/api/v1/$signal/tagvalues") { ex =>
       val p = params(ex)
       val (s, e) = tsRange(p)
-      jsonRows(ex)(Discovery.tagValues(segScan(dirOf(), s, e, p.get("org")),
-        need(p, "tag"), s, e,
-        limit = p.get("limit").map(_.toInt).getOrElse(1000)))
+      jsonRows(ex) {
+        var scan = segScan(dirOf(), s, e, p.get("org"))
+        // metric scoping (the reference's per-metric tag values form)
+        for (m <- p.get("metric")
+             if scan.schema.fieldNames.contains("metric_name"))
+          scan = scan.filter(col("metric_name") === m)
+        Discovery.tagValues(scan, need(p, "tag"), s, e,
+          limit = p.get("limit").map(_.toInt).getOrElse(1000))
+      }
     }
   }
   tagRoutes("logs", () => needDir(logsDir, "logs"))
