@@ -129,8 +129,13 @@ final class HttpApi(
   /** SSE endpoint: stream result rows in batches, then a done event. The
     * plan executes distributed; `toLocalIterator` relays one partition at
     * a time, so driver memory is bounded by a partition, not the result.
+    * The frame is PLANNED before any header goes out, so a parse/compile
+    * error is an ordinary 400 (the reference 400s invalid expressions
+    * before opening the stream); only runtime failures stream as a
+    * done-error event.
     */
-  private def sse(ex: HttpExchange)(df: => DataFrame): Unit = {
+  private def sse(ex: HttpExchange)(dfArg: => DataFrame): Unit = {
+    val df = dfArg // force query build; handle() maps throw -> 400
     val h = ex.getResponseHeaders
     h.set("Content-Type", "text/event-stream")
     h.set("Cache-Control", "no-cache")
@@ -162,7 +167,8 @@ final class HttpApi(
   /** SSE with ONE event per row (the reference's summary mode shape:
     * `{"type":"summary","data":<series summary>}` per series, then done)
     */
-  private def sseEach(ex: HttpExchange, eventType: String)(df: => DataFrame): Unit = {
+  private def sseEach(ex: HttpExchange, eventType: String)(dfArg: => DataFrame): Unit = {
+    val df = dfArg // plan before headers: parse errors 400, like sse()
     val h = ex.getResponseHeaders
     h.set("Content-Type", "text/event-stream")
     h.set("Cache-Control", "no-cache")

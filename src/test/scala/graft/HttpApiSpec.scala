@@ -181,10 +181,11 @@ class HttpApiSpec extends AnyFunSuite {
       assert(get(base, s"/api/v1/logs/tagvalues?s=$tsLo&e=$tsHi")._1 == 400)
       // unconfigured signal dir -> 400
       assert(get(base, s"/api/v1/metrics/metadata?s=$tsLo&e=$tsHi")._1 == 400)
-      // a bad query inside an SSE stream ends with an error done event
+      // a bad query 400s BEFORE the stream opens (plan-before-headers)
       val (cbad, badBody) = get(base,
         s"/api/v1/logs/query?q=%7Bbroken&s=$tsLo&e=$tsHi")
-      assert(cbad == 400 || badBody.contains("\"status\":\"error\""))
+      assert(cbad == 400 && badBody.contains("\"status\":\"error\""),
+        s"$cbad ${badBody.take(200)}")
     } finally api.stop()
   }
 }
