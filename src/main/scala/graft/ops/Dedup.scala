@@ -218,6 +218,43 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus LINE deduplication (the CCNet / RefinedWeb cleaning
+    * practice — public): a line occurring in more than `maxDocsPerLine`
+    * DISTINCT documents is boilerplate (navigation, footers, cookie
+    * banners, legal blurbs) and is dropped from EVERY document; each doc
+    * reassembles from its surviving lines in original order. A different
+    * granularity from all the doc-level dedups: the unit removed is the
+    * repeated line, not the duplicate document.
+    *
+    * Returns one row per doc that keeps ≥1 line: input line count, kept
+    * count, and an exact md5-derived integer checksum of the reassembled
+    * text (a single wrong or misordered surviving line flips it). Scale
+    * shape: one line-keyed count aggregate, one anti-join on the (small)
+    * boilerplate line set, one per-doc aggregate — the same
+    * explode→shuffle-on-key→aggregate shape as the other dedups, no
+    * driver-side state.
+    */
+  def lineDedup(df: DataFrame, textCol: String,
+      maxDocsPerLine: Int = 10): DataFrame = {
+    val lines = graft.GraftSession.materialize(df.select(col("doc_id"),
+      posexplode(split(df(textCol), "\n")).as(Seq("pos", "line"))))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") > maxDocsPerLine)
+      .select(col("line"))
+    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        pmod(hash48(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n"), 0), lit(1000003L))
+          .as("text_checksum"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("text_checksum"))
+  }
+
   /** Exact substring duplicate spans — ExactSubstr of Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better",
     * public), re-expressed as a distributed anchor-and-extend instead of

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
@@ -712,21 +712,29 @@ object PipelineQueries extends Catalog {
     * oracle rebuilds the identical page and replays line filtering,
     * sentence counting, and the keep flag.
     */
-  private def c4Filter(s: SparkSession, d: String): DataFrame = {
+  /** the deterministic page used by the line-structured rows (c4, line
+    * dedup): words chunk into 8-word lines, (doc_id+i)%3 lines lose their
+    * terminal punctuation, doc_id%17 docs gain a lorem line and
+    * doc_id%13 a brace line — both SHARED verbatim across those docs
+    */
+  private def derivedPage: Column = {
     val ws = split(col("text"), " +")
     val lines = transform(sequence(lit(1), ((size(ws) + 7) / 8).cast("int")),
       i => concat(array_join(slice(ws, (i - 1) * 8 + 1, lit(8)), " "),
         when((col("doc_id") + i) % 3 === 0, "").otherwise(".")))
-    val page = concat(array_join(lines, "\n"),
+    concat(array_join(lines, "\n"),
       when(col("doc_id") % 17 === 0, "\nsome lorem ipsum filler here.")
         .otherwise(""),
       when(col("doc_id") % 13 === 0, "\nvar x = { a: 1 };").otherwise(""))
-    TextOps.c4Stats(
-      docs(s, d).select(col("doc_id"), page.as("text")), "text")
   }
 
-  private val c4FilterSql =
-    """WITH w AS (
+  private def c4Filter(s: SparkSession, d: String): DataFrame =
+    TextOps.c4Stats(
+      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text")
+
+  /** DuckDB twin of [[derivedPage]] — ends in `pg(doc_id, text)` */
+  private val derivedPageCte =
+    """w AS (
          SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents),
        pg AS (
          SELECT doc_id,
@@ -741,8 +749,12 @@ object PipelineQueries extends Catalog {
                         ELSE '' END
                 || CASE WHEN doc_id % 13 = 0
                         THEN chr(10) || 'var x = { a: 1 };' ELSE '' END AS text
-         FROM w),
-       k AS (
+         FROM w)"""
+
+  // NOT one interpolated literal: the line-filter regex ends in a bare $
+  private val c4FilterSql =
+    s"WITH $derivedPageCte,\n" +
+    """k AS (
          SELECT doc_id, text,
                 string_split(text, chr(10)) AS lines,
                 coalesce(array_to_string(list_filter(string_split(text, chr(10)),
@@ -767,6 +779,34 @@ object PipelineQueries extends Catalog {
               CAST((n_sent >= 5 AND NOT contains(lower(text), 'lorem ipsum')
                     AND NOT contains(text, '{')) AS INT) AS keep
        FROM st"""
+
+  /** line-level boilerplate dedup over the derived pages: the injected
+    * lorem (≈30 docs) and brace (≈39 docs) lines exceed the 10-doc cap
+    * and vanish from every page; the checksum pins the exact surviving
+    * reassembly
+    */
+  private def lineDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.lineDedup(
+      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
+      maxDocsPerLine = 10)
+
+  private val lineDedupSql =
+    s"""WITH $derivedPageCte,
+       lt AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pg),
+       ln AS (
+         SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[CAST(i AS INT)] AS line
+         FROM lt, unnest(range(1, len(ls) + 1)) r(i)),
+       boiler AS (
+         SELECT line FROM ln GROUP BY 1 HAVING count(DISTINCT doc_id) > 10),
+       kept AS (
+         SELECT * FROM ln WHERE line NOT IN (SELECT line FROM boiler)),
+       tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1)
+       SELECT k.doc_id, t.n_lines, count(*) AS n_kept,
+              CAST(('0x' || substr(md5('0|' ||
+                  string_agg(k.line, chr(10) ORDER BY k.pos)), 1, 12))
+                AS BIGINT) % 1000003 AS text_checksum
+       FROM kept k JOIN tot t USING (doc_id)
+       GROUP BY 1, 2"""
 
   /** DSIR importance scores with target = English docs; the oracle
     * replays hashed-bigram bucket stats, Laplace log-ratios, and the
@@ -1976,6 +2016,7 @@ object PipelineQueries extends Catalog {
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
+    Q("pp_line_dedup", lineDedupQ, Some(lineDedupSql)),
     Q("pp_dsir_score", dsirScoreQ, Some(dsirScoreSql)),
     Q("pp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     Q("pp_stream_dsir", streamDsir, Some(streamDsirSql)),

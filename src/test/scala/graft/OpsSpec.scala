@@ -235,6 +235,27 @@ class DedupSpec extends AnyFunSuite {
       "text").count() == 3L * 12 * 4) // one row per (new, ref, shared band)
   }
 
+  test("lineDedup drops cross-corpus boilerplate lines, keeps order") {
+    import spark.implicits._
+    // 12 docs share a footer line; cap 10 -> dropped everywhere; unique
+    // body lines survive in original order
+    val docs = (1 to 12).map(i =>
+      (i.toLong, s"body line $i one\nshared footer line\nbody line $i two"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", maxDocsPerLine = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 12 && out.values.forall(_ == ((3L, 2L))), out.toString)
+    // under the cap nothing is dropped
+    val out2 = Dedup.lineDedup(docs, "text", maxDocsPerLine = 12)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(out2.forall(_ == 3L))
+    // a doc of pure boilerplate vanishes from the output entirely
+    val withPure = docs.union(Seq((99L, "shared footer line"))
+      .toDF("doc_id", "text"))
+    val out3 = Dedup.lineDedup(withPure, "text", maxDocsPerLine = 10)
+    assert(!out3.collect().map(_.getLong(0)).contains(99L))
+  }
+
   test("substrDup recovers the exact longest shared run; cap drops boilerplate") {
     import spark.implicits._
     val shared = "one two three four five six" // exactly-shared 6-word run
