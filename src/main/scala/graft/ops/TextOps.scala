@@ -458,6 +458,51 @@ object TextOps {
           .as("mean_surprisal"))
   }
 
+  /** Bigram language-model surprisal — the in-engine analog of CCNet's
+    * perplexity quality filter (Wenzek et al. 2020 filter with a KenLM;
+    * here a Laplace-smoothed bigram LM learned from the corpus itself):
+    * per doc, the mean over positions of −ln P(wᵢ | wᵢ₋₁) with
+    * P = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V), V the unigram vocabulary size (a
+    * plan-time scalar). High scores = improbable word sequences (noise,
+    * gibberish, wrong-language text). Same ordered-fold float discipline
+    * as [[surprisal]]; counts are exact integers so both engines feed ln
+    * identical doubles.
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String): DataFrame = {
+    val src = graft.GraftSession.spread(
+      df.select(df("doc_id"), df(textCol).as("__text")))
+    val ws = filter(tokens(col("__text")), w => length(w) > 0)
+    // (doc_id, pos, w1, w2) with the token array bound once (no per-
+    // element re-tokenize — interpreted HOFs get no CSE)
+    val bigramPairs = element_at(transform(array(ws), w =>
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+    val pairs = graft.GraftSession.materialize(
+      src.select(col("doc_id"), posexplode(bigramPairs).as(Seq("pos", "pr")))
+        .select(col("doc_id"), col("pos"),
+          col("pr.w1").as("w1"), col("pr.w2").as("w2")))
+    val uni = graft.GraftSession.materialize(
+      src.select(explode(ws).as("w")).groupBy(col("w"))
+        .agg(count(lit(1)).as("c1")))
+    val vocab = uni.count() // plan-time scalar, like alphaMixture's counts
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    pairs.join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .withColumn("sv", -log((col("c2") + 1).cast("double") /
+        (col("c1") + vocab).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+            s => s.getField("sv")),
+          lit(0.0), (acc, v) => acc + v).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__s") / col("n_bigrams").cast("double"))
+          .as("mean_bigram_surprisal"))
+  }
+
   /** token-boundary delimiter for the BPE string representation — a
     * control char that never appears in text tokens (tokens come from
     * space-splitting, and a word containing  would be corpus noise

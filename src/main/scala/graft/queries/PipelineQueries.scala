@@ -559,6 +559,42 @@ object PipelineQueries extends Catalog {
                 AS mean_surprisal
        FROM s GROUP BY 1"""
 
+  /** bigram-LM surprisal quality scores; the oracle replays unigram +
+    * bigram counts, the vocabulary scalar, the Laplace ratio, and the
+    * position-ordered fold
+    */
+  private def bigramLm(s: SparkSession, d: String): DataFrame =
+    TextOps.bigramSurprisal(docs(s, d), "text")
+      .withColumn("mean_bigram_surprisal", q6(col("mean_bigram_surprisal")))
+
+  private val bigramLmSql =
+    s"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), ' +'),
+                  w -> len(w) > 0) AS ws
+         FROM documents),
+       uni AS (
+         SELECT word, count(*) AS c1
+         FROM (SELECT unnest(ws) AS word FROM t) GROUP BY 1),
+       v AS (SELECT count(*) AS vn FROM uni),
+       bg AS (
+         SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+         FROM t, unnest(range(1, len(ws))) r(i)
+         WHERE len(ws) >= 2),
+       b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       sv AS (
+         SELECT bg.doc_id, bg.pos,
+                -ln(CAST(c2 + 1 AS DOUBLE) /
+                    CAST(c1 + (SELECT vn FROM v) AS DOUBLE)) AS sv
+         FROM bg
+         JOIN b2 USING (w1, w2)
+         JOIN uni ON uni.word = bg.w1)
+       SELECT doc_id, count(*) AS n_bigrams,
+              ${q6Sql("list_sum(list(sv ORDER BY pos)) / count(*)")}
+                AS mean_bigram_surprisal
+       FROM sv GROUP BY 1"""
+
   /** BPE merge list for the catalog row — chosen so the chained ranks
     * fire on the synthetic vocabulary (join → j,o / jo,i / joi,n; scan →
     * a,n; hash → h,a; filter/order/merge → e,r)
@@ -2017,6 +2053,7 @@ object PipelineQueries extends Catalog {
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
     Q("pp_line_dedup", lineDedupQ, Some(lineDedupSql)),
+    Q("pp_bigram_lm", bigramLm, Some(bigramLmSql)),
     Q("pp_dsir_score", dsirScoreQ, Some(dsirScoreSql)),
     Q("pp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     Q("pp_stream_dsir", streamDsir, Some(streamDsirSql)),

@@ -28,6 +28,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0) > out(1))
   }
 
+  test("bigramSurprisal: improbable word sequences outscore formulaic ones") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // doc 1/2 repeat the same bigrams (high P, low surprisal); doc 3
+    // strings together bigrams seen nowhere else
+    val df = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat the cat sat"),
+      (3L, "sat the zebra quantum cat")).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) > out(1L) && out(3L) > out(2L), out.toString)
+    // hand-check one cell: doc with a single repeated bigram
+    val one = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(one, "text").head()
+    // c(a,a)=2, c1(a)=3, V=1 -> sv = -ln(3/4) for both positions
+    assert(got.getLong(1) == 2 &&
+      math.abs(got.getDouble(2) - -math.log(3.0 / 4.0)) < 1e-12)
+  }
+
   test("dsirScore: target-distribution docs outscore raw-pool docs") {
     import spark.implicits._
     import graft.ops.Sampling
