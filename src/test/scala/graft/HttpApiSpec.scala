@@ -73,6 +73,42 @@ class HttpApiSpec extends AnyFunSuite {
     dir
   }
 
+  test("HTTP front door: org param enforces tenant isolation end-to-end") {
+    // two tenants in ONE segment dir under the leading org= partition key,
+    // with DIFFERENT row sets (event-type split) so any leak is visible
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_orgseg")
+      .toString
+    val logs = graft.model.Cooked.logs(spark, sf)
+      .withColumn("chq_fingerprint",
+        graft.ingest.LogFingerprint.fingerprint(col("log_message")))
+    graft.ingest.Segments.writeLogSegments(
+      logs.filter(col("attr_event_type") === "click"), dir, 2000,
+      org = Some("acme"))
+    graft.ingest.Segments.writeLogSegments(
+      logs.filter(col("attr_event_type") =!= "click"), dir, 2000,
+      org = Some("globex"))
+    val api = new HttpApi(spark, logsDir = Some(dir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      // DEBUG covers click (acme's whole tenant) AND view (globex-only)
+      val q = enc("""{log_level="DEBUG"}""")
+      def rows(org: String): String =
+        get(base, s"/api/v1/logs/query?q=$q&s=$tsLo&e=$tsHi&limit=100000" +
+          s"&fields=chq_timestamp,attr_event_type&org=$org")._2
+      val acme = rows("acme")
+      assert(acme.contains("\"status\":\"ok\""), acme.take(200))
+      assert(acme.contains("\"attr_event_type\":\"click\"") &&
+        !acme.contains("\"attr_event_type\":\"view\""), acme.take(400))
+      val globex = rows("globex")
+      assert(globex.contains("\"attr_event_type\":\"view\"") &&
+        !globex.contains("\"attr_event_type\":\"click\""), globex.take(400))
+      // discovery is tenant-scoped the same way
+      val tv = get(base, s"/api/v1/logs/tagvalues?tag=attr_event_type" +
+        s"&s=$tsLo&e=$tsHi&org=acme")._2
+      assert(tv.contains("click") && !tv.contains("view"), tv.take(300))
+    } finally api.stop()
+  }
+
   test("HTTP front door: metrics SSE query + metadata + tags, spans trace") {
     val api = new HttpApi(spark, metricsDir = Some(metricDir),
       spansDir = Some(spanDir)).start()
