@@ -155,6 +155,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("hot-bucket caps keep dedup linear on a 100k-doc boilerplate-heavy corpus") {
+    // 60k docs share ONE template (the uncapped band join would expand
+    // that bucket to 3.6e9 pairs); 40k docs are unique. The caps must
+    // keep candidate volume bounded by the unique near-dup structure and
+    // the whole pass must complete in suite time.
+    val boiler = "the same cookie banner and footer text repeated on every single page of the site"
+    val docs = spark.range(0, 100000L).toDF("doc_id")
+      .withColumn("text",
+        when(col("doc_id") < 60000L, lit(boiler))
+          .otherwise(concat(lit("unique document body number "),
+            col("doc_id").cast("string"),
+            lit(" with its own words and content entirely"))))
+    val t0 = System.nanoTime()
+    val nPairs = graft.ops.Dedup.minhashLsh(docs, "text",
+      k = 16, bands = 4, w = 5, threshold = 0.5, maxDocsPerBucket = 100)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the 60k-doc bucket is dropped (far over cap); the unique docs share
+    // no shingles, so NO pair survives — and nothing went quadratic
+    assert(nPairs == 0, s"$nPairs pairs from capped buckets")
+    assert(secs < 120, f"capped LSH took $secs%.1f s on 100k docs")
+    // ExactSubstr: the shared template is boilerplate (over the gram cap)
+    // -> zero pairs, bounded time
+    val t1 = System.nanoTime()
+    val nRuns = graft.ops.Dedup.substrDup(docs, "text", k = 8,
+      minWords = 10, maxDocsPerGram = 100).count()
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    assert(nRuns == 0, s"$nRuns substring pairs from capped grams")
+    assert(secs2 < 120, f"capped substrDup took $secs2%.1f s on 100k docs")
+  }
+
   test("global shuffle at 200k rows / 64 partitions: exact permutation, " +
       "offsets correct across every partition boundary") {
     // the sf-corpus catalog row exercises ~5k rows in a handful of
