@@ -80,6 +80,74 @@ object Multimodal {
       bos.toByteArray
     })
 
+  /** REAL PNG encode (fixture generator) of a COLUMN-GRADIENT image:
+    * every pixel of column x carries gray `(seed·(x+1)) mod 256` in all
+    * three channels. Per-column variation is exactly what a difference
+    * hash reads, and the lossless round-trip lets a SQL oracle predict
+    * the perceptual hash from (w, seed) alone.
+    */
+  val encodePngColGrad: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: Int, h: Int, seed: Int) => {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        val g = (seed.toLong * (x + 1) % 256).toInt
+        val c = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { img.setRGB(x, y, c); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+
+  /** Perceptual difference hash — dHash (classic public technique: resize
+    * to 9×8 grayscale, hash the horizontal brightness differences). The
+    * downsample is a DETERMINISTIC nearest-neighbor grid (`src = i·dim/9`
+    * integer arithmetic — never the platform's Image scaler, whose
+    * filtering is implementation-defined), luma is integer per-mille
+    * (299/587/114), and the 64 bits emit as 16 hex chars (row-major;
+    * bit x of row y = lum(x+1, y) > lum(x, y), LSB-first per row byte) —
+    * every step replayable by an external engine. Identical-looking
+    * images collide regardless of their byte encoding; null for
+    * undecodable payloads.
+    */
+  val dHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          def lum(px: Int): Int = {
+            val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff
+            val b = px & 0xff
+            (r * 299 + g * 587 + b * 114) / 1000
+          }
+          val sb = new java.lang.StringBuilder(16)
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var bv = 0
+            var x = 0
+            while (x < 8) {
+              val a = lum(img.getRGB(x * w / 9, sy))
+              val b = lum(img.getRGB((x + 1) * w / 9, sy))
+              if (b > a) bv |= (1 << x)
+              x += 1
+            }
+            sb.append(f"$bv%02x")
+            y += 1
+          }
+          Some(sb.toString)
+        }
+      } catch { case _: Exception => None }
+    })
+
   /** decoded per-clip audio statistics. `sum_sq` stays an EXACT Long so an
     * external oracle replays RMS/energy bit-for-bit from integers (the
     * decode loop's float order never enters the result).

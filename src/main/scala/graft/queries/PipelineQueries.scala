@@ -1614,6 +1614,45 @@ object PipelineQueries extends Catalog {
         col("s.mean_b").as("mean_b"))
   }
 
+  /** perceptual image dedup: 200 REAL PNGs (encoded in-cluster, decoded
+    * with ImageIO) in 50 perceptual groups of 4 — all generation params
+    * derive from doc_id % 50, so group members are pixel-identical; the
+    * dHash groups them and the oracle PREDICTS every hash from the
+    * generating parameters (column gray = (seed·(x+1)) mod 256, the
+    * nearest-neighbor 9×8 grid, per-mille luma of gray = gray exactly,
+    * rows identical ⇒ the row byte repeats 8×)
+    */
+  private def imageDedup(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") < 200)
+    val grp = col("doc_id") % 50
+    val w = (grp % 3 * 8 + 16).cast("int")
+    val h = (grp % 4 + 8).cast("int")
+    val seed = (grp + 7).cast("int")
+    df.select(col("doc_id"),
+        Multimodal.dHash64(Multimodal.encodePngColGrad(w, h, seed))
+          .as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+  }
+
+  private val imageDedupSql =
+    """WITH q AS (
+         SELECT doc_id,
+                CAST(doc_id % 50 % 3 * 8 + 16 AS BIGINT) AS w,
+                CAST(doc_id % 50 + 7 AS BIGINT) AS sd
+         FROM documents WHERE doc_id < 200),
+       hx AS (
+         SELECT doc_id,
+                printf('%02x', CAST(list_sum(list_transform(range(0, 8), x ->
+                  CASE WHEN (sd * (((x+1) * w // 9) + 1)) % 256 >
+                            (sd * ((x * w // 9) + 1)) % 256
+                       THEN CAST(power(2, x) AS BIGINT) ELSE 0 END))
+                  AS BIGINT)) AS hb
+         FROM q)
+       SELECT repeat(hb, 8) AS phash, count(*) AS n_images,
+              min(doc_id) AS min_doc
+       FROM hx GROUP BY 1"""
+
   private val mediaDecodeSql =
     """SELECT doc_id,
             CAST((doc_id % 5 + 2) * 2 AS INT) AS width,
@@ -2089,6 +2128,7 @@ object PipelineQueries extends Catalog {
     Q("pp_token_est", tokenEst, Some(tokenEstSql)),
     Q("pp_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
+    Q("pp_image_dedup", imageDedup, Some(imageDedupSql)),
     Q("pp_media_audio", mediaAudio, Some(mediaAudioSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),

@@ -276,6 +276,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!out3.collect().map(_.getLong(0)).contains(99L))
   }
 
+  test("image dHash: perceptual duplicates collide, distinct patterns differ") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val df = Seq(
+      (1L, 16, 8, 11), (2L, 16, 10, 11), // same pattern, different HEIGHT
+      (3L, 16, 8, 12),                   // different gradient
+      (4L, 16, 8, 11)                    // exact dup of 1
+    ).toDF("id", "w", "h", "sd")
+    val out = df.select($"id", Multimodal.dHash64(
+        Multimodal.encodePngColGrad($"w", $"h", $"sd")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the hash reads column structure only: height never changes it
+    assert(out(1L) == out(4L) && out(1L) == out(2L), out.toString)
+    assert(out(1L) != out(3L), out.toString)
+    assert(out(1L).length == 16 && out(1L).matches("[0-9a-f]{16}"))
+    // corruption -> null, not a throw
+    val corrupt = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
+      .select(Multimodal.dHash64($"b")).head()
+    assert(corrupt.isNullAt(0))
+  }
+
   test("substrDup recovers the exact longest shared run; cap drops boilerplate") {
     import spark.implicits._
     val shared = "one two three four five six" // exactly-shared 6-word run
