@@ -1627,7 +1627,7 @@ object PipelineQueries extends Catalog {
     val grp = col("doc_id") % 50
     val w = (grp % 3 * 8 + 16).cast("int")
     val h = (grp % 4 + 8).cast("int")
-    val seed = (grp + 7).cast("int")
+    val seed = (grp * 37 + 19).cast("int") // wraps mod 256: varied, non-monotone
     df.select(col("doc_id"),
         Multimodal.dHash64(Multimodal.encodePngColGrad(w, h, seed))
           .as("phash"))
@@ -1639,7 +1639,7 @@ object PipelineQueries extends Catalog {
     """WITH q AS (
          SELECT doc_id,
                 CAST(doc_id % 50 % 3 * 8 + 16 AS BIGINT) AS w,
-                CAST(doc_id % 50 + 7 AS BIGINT) AS sd
+                CAST(doc_id % 50 * 37 + 19 AS BIGINT) AS sd
          FROM documents WHERE doc_id < 200),
        hx AS (
          SELECT doc_id,

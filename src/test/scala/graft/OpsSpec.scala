@@ -280,9 +280,9 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.ops.Multimodal
     val df = Seq(
-      (1L, 16, 8, 11), (2L, 16, 10, 11), // same pattern, different HEIGHT
-      (3L, 16, 8, 12),                   // different gradient
-      (4L, 16, 8, 11)                    // exact dup of 1
+      (1L, 16, 8, 73), (2L, 16, 10, 73), // same pattern, different HEIGHT
+      (3L, 16, 8, 91),                   // different (wrapping) gradient
+      (4L, 16, 8, 73)                    // exact dup of 1
     ).toDF("id", "w", "h", "sd")
     val out = df.select($"id", Multimodal.dHash64(
         Multimodal.encodePngColGrad($"w", $"h", $"sd")).as("ph"))
