@@ -646,6 +646,121 @@ object TextOps {
     learned.toSeq
   }
 
+  /** UTF-8 binary (code-point) string comparison — the order Spark's
+    * UTF8String sort gives the [[bpeTrainLarge]] argmax tie-break.
+    * Scala's default String ordering compares UTF-16 units, which
+    * disagrees with code-point order for supplementary characters.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Fast exact BPE trainer — learns the BIT-IDENTICAL merge table to
+    * [[bpeTrainLarge]] (same counts, same left-to-right merge pass, same
+    * count-desc/lex tie-break; DedupSpec + PropertySpec equivalence
+    * gates) with the architecture production tokenizer trainers use at
+    * corpus scale: ONE distributed job builds the distinct-word
+    * histogram (the only statistic BPE training ever reads — vocabulary-
+    * bounded by Heaps' law, millions of rows at 100 TB, NOT corpus-
+    * sized), and the greedy loop runs driver-side over that histogram
+    * with incrementally-maintained pair counts and an ordered set for
+    * the argmax. Per merge the work is O(affected words × word length +
+    * log P) instead of a full distributed corpus pass, so 50k merges are
+    * ~50k cheap in-memory rounds after a single Spark aggregate — vs
+    * [[bpeTrainLarge]]'s one shuffle per merge, which is the right shape
+    * only when the vocabulary itself cannot fit on the driver.
+    */
+  def bpeTrainFast(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val hist = df
+      .select(explode(filter(tokens(df(textCol)), w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    // char-split exactly as bpeCharStr + split do (the "(.)" regex skips
+    // line terminators, leaving them glued to the following char — words
+    // come from space-splitting so this is corpus-noise-only behavior,
+    // but the two trainers must agree on it)
+    def charToks(w: String): Array[String] =
+      (BpeD + w.replaceAll("(.)", "$1" + BpeD))
+        .split(quoteRegex(BpeD)).filter(_.nonEmpty)
+    val words = mutable.ArrayBuffer[Array[String]]()
+    val wcnt = mutable.ArrayBuffer[Long]()
+    hist.foreach { r => words += charToks(r.getString(0)); wcnt += r.getLong(1) }
+    // adjacent-pair multiset of one word (overlapping occurrences count,
+    // matching the zip_with slices both engines aggregate)
+    def occ(t: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1)); m.update(p, m.getOrElse(p, 0L) + 1L); j += 1
+      }
+      m
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+          else {
+            val cx = utf8Cmp(a._2, b._2)
+            if (cx != 0) cx else utf8Cmp(a._3, b._3)
+          }
+        }
+      }
+    val heap = mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long): Unit = if (delta != 0) {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0) heap.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0) { counts(p) = nw; heap.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    for (i <- words.indices)
+      occ(words(i)).foreach { case (p, k) =>
+        bump(p, k * wcnt(i))
+        where.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    // one left-to-right non-overlapping merge pass — [a,a,a] -> [aa,a],
+    // [x,y,x,y] -> [xy,xy], exactly bpeMergePass's lookahead scan
+    def mergeScan(t: Array[String], x: String, y: String): Array[String] = {
+      val out = mutable.ArrayBuffer[String]()
+      var j = 0
+      while (j < t.length) {
+        if (j < t.length - 1 && t(j) == x && t(j + 1) == y) {
+          out += (x + y); j += 2
+        } else { out += t(j); j += 1 }
+      }
+      out.toArray
+    }
+    val learned = mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 0
+    while (r < numMerges && heap.nonEmpty) {
+      r += 1
+      val (c, x, y) = heap.head
+      learned += ((x, y, c))
+      val affected = where.getOrElse((x, y), mutable.Set.empty).toArray
+      affected.foreach { i =>
+        val old = words(i); val nw = mergeScan(old, x, y)
+        words(i) = nw
+        val om = occ(old); val nm = occ(nw)
+        (om.keySet ++ nm.keySet).foreach { p =>
+          bump(p, (nm.getOrElse(p, 0L) - om.getOrElse(p, 0L)) * wcnt(i))
+          if (nm.getOrElse(p, 0L) == 0L) where.get(p).foreach(_ -= i)
+          else where.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+      }
+    }
+    learned.toSeq
+  }
+
   /** Per-doc BPE application summary: word/char-token/bpe-token counts and
     * an order-insensitive content checksum (Σ per-word md5-derived hash of
     * the joined token sequence, mod a prime — integer-exact, so a single

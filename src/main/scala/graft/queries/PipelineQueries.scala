@@ -647,10 +647,11 @@ object PipelineQueries extends Catalog {
     * pass with the learned pair cross-joined into the fold lambda).
     */
   private def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
-    // the materialized-state trainer learns the bit-identical table to the
-    // re-deriving reference loop (DedupSpec equivalence gate) at ~1/6 the
-    // task-CPU; bpeTrain remains as the executable reference implementation
-    val learned = TextOps.bpeTrainLarge(docs(s, d), "text", numMerges = 6)
+    // the histogram+driver-greedy trainer learns the bit-identical table
+    // to the re-deriving reference loop (DedupSpec equivalence gate) in
+    // ONE distributed aggregate; bpeTrain / bpeTrainLarge remain as the
+    // executable reference implementations
+    val learned = TextOps.bpeTrainFast(docs(s, d), "text", numMerges = 6)
     import s.implicits._
     learned.zipWithIndex.map { case ((x, y, c), i) => (i + 1L, x, y, c) }
       .toDF("rank", "x", "y", "pair_count")
@@ -693,9 +694,10 @@ object PipelineQueries extends Catalog {
         .mkString("\n       UNION ALL ")}"""
   }
 
-  /** materialized-state BPE trainer at scale: 100 merges learned with the
-    * carried-tokenization trainer ([[TextOps.bpeTrainLarge]] — per-round
-    * cost constant in merges already learned, state checkpointed). The
+  /** BPE trainer at scale: 100 merges learned with the histogram +
+    * driver-greedy trainer ([[TextOps.bpeTrainFast]] — ONE distributed
+    * word-count aggregate, then incremental in-memory rounds; bit-equal
+    * to the carried-tokenization [[TextOps.bpeTrainLarge]]). The
     * oracle is GENERATED: the same unrolled stage pattern as
     * [[bpeTrainSql]], but over the distinct-word + multiplicity table the
     * trainer uses (weighted pair counts are identical to per-instance
@@ -704,7 +706,7 @@ object PipelineQueries extends Catalog {
     * exponentially.
     */
   private def bpeTrainLargeQ(s: SparkSession, d: String): DataFrame = {
-    val learned = TextOps.bpeTrainLarge(docs(s, d), "text", numMerges = 100)
+    val learned = TextOps.bpeTrainFast(docs(s, d), "text", numMerges = 100)
     import s.implicits._
     learned.zipWithIndex.map { case ((x, y, c), i) => (i + 1L, x, y, c) }
       .toDF("rank", "x", "y", "pair_count")
@@ -1458,10 +1460,13 @@ object PipelineQueries extends Catalog {
             CAST(floor(q_scale * 1000000 +
                        CAST(${Catalog.QuantOffset} AS DOUBLE)) AS BIGINT)
               AS q_scale_micro,
-            list_sum(list_transform(codes, x -> CAST(x AS BIGINT))) AS q_sum,
-            list_sum(list_transform(codes, x -> CAST(abs(x) AS BIGINT))) AS q_l1,
-            list_sum(list_transform(list_zip(codes, range(1, len(codes) + 1)),
-              p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS q_checksum
+            CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT)))
+              AS BIGINT) AS q_sum,
+            CAST(list_sum(list_transform(codes, x -> CAST(abs(x) AS BIGINT)))
+              AS BIGINT) AS q_l1,
+            CAST(list_sum(list_transform(list_zip(codes, range(1, len(codes) + 1)),
+              p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+              AS BIGINT) AS q_checksum
      FROM c"""
 
   /** embedding-cosine near-dup pairs (dedup over the embedding space);

@@ -653,6 +653,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(deep.take(8) == small && deep.length > 20, s"len=${deep.length}")
   }
 
+  test("BPE trainFast: identical table to the distributed trainers") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // the histogram + driver-greedy trainer must learn the IDENTICAL
+    // table (counts, tie-breaks, early stop) the distributed trainers
+    // learn — it replaces them in the catalog rows
+    val df = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainFast(df, "text", numMerges = 3) ==
+      TextOps.bpeTrain(df, "text", numMerges = 3))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the jay pig fox zebra and my wolves quack"),
+      (4L, "the quick onyx goblin jumps over the lazy dwarf")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainFast(corpus, "text", numMerges = 8) ==
+      TextOps.bpeTrain(corpus, "text", numMerges = 8))
+    // deep run: 40 merges, vs the carried-state trainer across checkpoints
+    assert(TextOps.bpeTrainFast(corpus, "text", numMerges = 40) ==
+      TextOps.bpeTrainLarge(corpus, "text", numMerges = 40, checkpointEvery = 4))
+    // repeated-token runs stress the non-overlap scan + incremental deltas
+    val runs = Seq((1L, "aaaa aaa baba abab"), (2L, "abababab aab"))
+      .toDF("doc_id", "text")
+    assert(TextOps.bpeTrainFast(runs, "text", numMerges = 10) ==
+      TextOps.bpeTrainLarge(runs, "text", numMerges = 10, checkpointEvery = 3))
+  }
+
   test("surprisal: hand-checked unigram LM means, token counts") {
     import spark.implicits._
     import graft.ops.TextOps

@@ -282,6 +282,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE trainFast equals an independent naive trainer on random corpora") {
+    import graft.ops.TextOps
+    // adversarial cross-check: a from-scratch reimplementation of the BPE
+    // greedy loop (full pair recount + full merge pass every round — no
+    // incremental state, no heap) must agree with bpeTrainFast's
+    // incrementally-maintained counts on random corpora. The tiny
+    // alphabet forces heavy pair interaction (runs, overlaps, re-formed
+    // pairs from merged tokens) — exactly where incremental deltas break.
+    def naive(wordHist: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var words = wordHist.toSeq.map { case (w, c) =>
+        (w.map(_.toString).toArray, c)
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var r = 0
+      var go = true
+      while (r < k && go) {
+        r += 1
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((t, c) <- words; j <- 0 until t.length - 1)
+          counts.update((t(j), t(j + 1)),
+            counts.getOrElse((t(j), t(j + 1)), 0L) + c)
+        if (counts.isEmpty) go = false
+        else {
+          val ((x, y), c) = counts.toSeq.minBy { case ((x, y), c) =>
+            (-c, x, y)
+          }
+          out += ((x, y, c))
+          words = words.map { case (t, cn) =>
+            val b = scala.collection.mutable.ArrayBuffer[String]()
+            var j = 0
+            while (j < t.length) {
+              if (j < t.length - 1 && t(j) == x && t(j + 1) == y) {
+                b += (x + y); j += 2
+              } else { b += t(j); j += 1 }
+            }
+            (b.toArray, cn)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val genWord = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCorpus = Gen.chooseNum(3, 30).flatMap(n => Gen.listOfN(n, genWord))
+    val prop = forAll(genCorpus, Gen.chooseNum(1, 12)) { (ws, k) =>
+      val df = spark_helpers.frame(ws.map(_ + " " + ws.headOption.getOrElse("")))
+        .toDF("text")
+      val hist = ws.flatMap(w => Seq(w, ws.head))
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      TextOps.bpeTrainFast(df, "text", k) == naive(hist, k)
+    }
+    for (seed <- Seq(7L, 31337L)) {
+      val r = check(Parameters.default.withMinSuccessfulTests(25)
+        .withInitialSeed(org.scalacheck.rng.Seed(seed)), prop)
+      assert(r.passed, s"seed $seed: ${r.status}")
+    }
+  }
+
   test("ip rangeRegex matches exactly the in-range dotted quads") {
     import graft.logql.IpMatch
     def quad(x: Long) = Seq(24, 16, 8, 0).map(sh => (x >> sh) & 255).mkString(".")
