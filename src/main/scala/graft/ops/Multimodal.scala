@@ -187,6 +187,51 @@ object Multimodal {
       } catch { case _: Exception => None }
     })
 
+  /** [[decodeAudioFingerprint]]'s window count */
+  val AudioFpWindows = 8
+
+  final case class AudioFp(n_samples: Long, peak: Int, windows: Seq[Long])
+
+  /** Audio fingerprint for dedup: the clip's 16-bit PCM samples split
+    * into [[AudioFpWindows]] equal windows (floor boundaries — window w
+    * covers sample indexes [w·n/W, (w+1)·n/W)) and each window's Σ|s_i|
+    * taken as an exact Long. This is the integer-exact analog of the
+    * per-band energy contour production audio fingerprints use —
+    * time-domain energies instead of spectral bands, so a SQL oracle can
+    * replay every value from the fixture's generating integers (lossless
+    * PCM decode recovers the exact samples). Identical waveforms map to
+    * identical fingerprints; null for undecodable / non-16-bit payloads.
+    */
+  val decodeAudioFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val w = new Array[Long](AudioFpWindows)
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val v =
+              if (fmt.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            // floor-boundary window index: i in [w·n/W, (w+1)·n/W) ⇔
+            // w = floor(i·W/n)
+            w((i.toLong * AudioFpWindows / n).toInt) += a
+            i += 1
+          }
+          Some(AudioFp(n.toLong, peak, w.toSeq))
+        }
+      } catch { case _: Exception => None }
+    })
+
   /** REAL WAV encode (fixture generator, the audio twin of [[encodePng]]):
     * 16-bit PCM mono whose samples follow the pure-INTEGER sawtooth
     * `s_i = ((i·step) mod (2·amplitude+1)) − amplitude`. WAV is lossless

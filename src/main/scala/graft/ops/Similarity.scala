@@ -182,15 +182,29 @@ object Similarity {
     * Better-balanced lists ⇒ higher recall per probe than the raw sample.
     * Each iteration costs one broadcast-assign map pass plus ONE shuffle of
     * (dims · n) scalar rows for the means — linear, no pairwise work; the
-    * refined centroid set stays a broadcast. Spec-gated (recall vs brute
-    * force), not oracle-gated: float means are not bit-replayable across
-    * engines. Clusters that lose every member drop out (standard k-means
+    * refined centroid set stays a broadcast. Oracle-gated since the means
+    * collapse to FLOAT (see [[lloydCentroids]]) — the 24-bit grid absorbs
+    * summation-order ulp noise, so DuckDB replays the refined centroids
+    * bit-exactly. Clusters that lose every member drop out (standard k-means
     * behavior; the quantizer just gets smaller).
     */
   def ivfTopKLloyd(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: Int = 0, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    var cents = sampledCentroids(corpus, centroids)
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cents = lloydCentroids(vecs, sampledCentroids(corpus, centroids), iters)
+    ivfCore(corpus, queries, k, cents, nProbe)
+  }
+
+  /** `iters` Lloyd rounds (assign → per-dimension mean) from a given
+    * centroid seed set. Each round is one broadcast-assign map pass plus
+    * one shuffle of (dims · n) scalar rows for the means; the means are
+    * collapsed to FLOAT (IEEE round-to-nearest-even) so avg()'s
+    * summation-order ulp noise lands on a 24-bit grid any engine
+    * reproduces — the cast is what makes Lloyd oracle-replayable.
+    */
+  private def lloydCentroids(vecs: DataFrame, seed: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = seed
     for (_ <- 1 to iters) {
       val assigned = assignNearest(vecs, cents, 1)
       val means = assigned
@@ -201,7 +215,37 @@ object Similarity {
             s => s.getField("m").cast("float")).as("cemb"))
       cents = broadcast(means)
     }
-    ivfCore(corpus, queries, k, cents, nProbe)
+    cents
+  }
+
+  /** K-means clustering as a first-class curation operator (the cluster
+    * stage SemDeDup / DSIR-style pipelines start from): md5-ranked seed
+    * sample, `iters` Lloyd rounds ([[lloydCentroids]]), final nearest-
+    * centroid assignment, then per-cluster stats. Scale shape: every
+    * assign pass is a broadcast-centroid map over the corpus whose
+    * id×C product is combined MAP-SIDE by the partial-aggregated argmax
+    * (one row per vector reaches the shuffle); the mean step shuffles
+    * (dims · n) scalars. No pairwise work anywhere, so the operator is
+    * linear in corpus size at fixed C — the 1000-executor path is the
+    * same plan with more partitions. The per-cluster mean cosine runs as
+    * an ORDERED fold over (vec_id, sim) so the float sum is bit-stable
+    * across engines ([[graft.promql]]'s stddev_over_time lesson).
+    */
+  def kmeansStats(corpus: DataFrame, centroids: Int = 0,
+      iters: Int = 2): DataFrame = {
+    val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cents = lloydCentroids(vecs, sampledCentroids(corpus, centroids), iters)
+    val assigned = assignNearest(vecs, cents, 1)
+    val withSim = assigned.join(broadcast(cents), "cid")
+      .withColumn("__sim", cosine(col("emb"), col("cemb")))
+    withSim.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("id"), col("__sim")))),
+            s => s.getField("__sim")),
+          lit(0.0), (a, v) => a + v).as("__s"))
+      .select(col("cid"), col("n_members"), col("min_member"),
+        round(col("__s") / col("n_members").cast("double"), 6).as("mean_csim"))
   }
 
   /** the md5-ranked lowest-C corpus vectors — a reproducible pseudo-random

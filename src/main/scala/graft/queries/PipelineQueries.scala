@@ -1667,6 +1667,63 @@ object PipelineQueries extends Catalog {
             (doc_id * 83 % 256 + doc_id * 131 % 256) / 2.0 AS mean_b
        FROM documents WHERE doc_id < 64"""
 
+  /** K-means clustering over the embedding corpus as a first-class
+    * curation operator ([[Similarity.kmeansStats]]): md5-ranked seeds,
+    * two Lloyd rounds, final assignment, per-cluster (size, min member,
+    * mean cosine-to-centroid). The oracle replays the identical seed
+    * sample and float-cast Lloyd means as [[ivfAnnLloydSql]], then folds
+    * each cluster's member similarities in vec_id order so the float sum
+    * is bit-stable in both engines.
+    */
+  private def kmeansQ(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansStats(Tables.embeddings(s, d))
+
+  private val kmeansSql = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    def lloydRound(from: String, to: String) =
+      s"""${to}_assign AS (
+       SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY ${cos("e.embedding", "c.cemb")} DESC,
+                                            c.cid ASC) AS rk
+         FROM embeddings e CROSS JOIN $from c) WHERE rk <= 1),
+     ${to}_means AS (
+       SELECT a.cid, d.i AS pos,
+              CAST(avg(CAST(e.embedding[CAST(d.i + 1 AS INT)] AS DOUBLE)) AS REAL) AS m
+       FROM ${to}_assign a
+       JOIN embeddings e ON e.vec_id = a.vec_id
+       CROSS JOIN range(0, 64) d(i)
+       GROUP BY 1, 2),
+     $to AS (
+       SELECT cid, list(m ORDER BY pos) AS cemb FROM ${to}_means GROUP BY cid)"""
+    s"""WITH params AS (
+       SELECT least(4096, greatest(4,
+         CAST(pow(2, ceil(log2(CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT))) AS c
+       FROM embeddings),
+     cents0 AS (
+       SELECT vec_id AS cid, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= (SELECT c FROM params)),
+     ${lloydRound("cents0", "cents1")},
+     ${lloydRound("cents1", "cents2")},
+     assign AS (
+       SELECT vec_id, cid, csim FROM (
+         SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cemb")} AS csim,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY ${cos("e.embedding", "c.cemb")} DESC,
+                                            c.cid ASC) AS rk
+         FROM embeddings e CROSS JOIN cents2 c) WHERE rk <= 1)
+     SELECT cid, count(*) AS n_members, min(vec_id) AS min_member,
+            round(list_sum(list(csim ORDER BY vec_id)) / count(*), 6) AS mean_csim
+     FROM assign GROUP BY 1"""
+  }
+
   /** REAL audio decode end-to-end (the WAV twin of [[mediaDecode]]): per doc
     * a 16-bit PCM mono WAV is ENCODED in-cluster (javax.sound.sampled) from
     * a pure-INTEGER sawtooth, then DECODED back to format fields and exact
@@ -1714,6 +1771,62 @@ object PipelineQueries extends Catalog {
               round(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE)
                          / CAST(n AS DOUBLE)), 6) AS rms
        FROM s"""
+
+  /** Audio fingerprint dedup (the audio leg of the multimodal dedup trio
+    * — exact text hashing / image dHash / this): per doc a WAV clip is
+    * ENCODED from integer sawtooth params, DECODED back
+    * ([[Multimodal.decodeAudioFingerprint]] — real javax.sound PCM
+    * decode), fingerprinted as an 8-window |sample|-energy contour of
+    * exact Longs, and clips groupBy the fingerprint — params are derived
+    * mod (4,7,5) so doc_id and doc_id+140 generate byte-identical
+    * waveforms and every dup group is predictable. The oracle replays
+    * the sawtooth integers and the ceil-boundary window slices (window w
+    * = sample indexes [ceil(w·n/8), ceil((w+1)·n/8)), the slice form of
+    * the decoder's per-sample floor(i·8/n) assignment). Scale: encode +
+    * decode + fingerprint is a shuffle-free per-row projection; the
+    * dedup is one hash groupBy on the fingerprint string — the same
+    * linear shape as exact text dedup.
+    */
+  private def audioDedup(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") < 240)
+    val n = ((col("doc_id") % 4 + 2) * 500).cast("int")
+    val a = ((col("doc_id") % 7) * 100 + 100).cast("int")
+    val st = (col("doc_id") % 5 + 3).cast("int")
+    val fp = Multimodal.decodeAudioFingerprint(
+      Multimodal.encodeWavSaw(lit(8000), n, a, st))
+    df.select(col("doc_id").as("media_id"), fp.as("f"))
+      .select(col("media_id"), col("f.n_samples").as("n_samples"),
+        col("f.peak").as("peak"),
+        array_join(transform(col("f.windows"), w => w.cast("string")), ":")
+          .as("fingerprint"))
+      .groupBy(col("fingerprint"), col("n_samples"), col("peak"))
+      .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("keep_id"))
+  }
+
+  private val audioDedupSql =
+    """WITH p AS (
+         SELECT doc_id,
+                (doc_id % 4 + 2) * 500 AS n,
+                (doc_id % 7) * 100 + 100 AS a,
+                doc_id % 5 + 3 AS st
+         FROM documents WHERE doc_id < 240),
+       s AS (
+         SELECT doc_id, n,
+                list_transform(range(0, n),
+                  i -> abs((i * st) % (2 * a + 1) - a)) AS xs
+         FROM p),
+       f AS (
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                CAST(list_max(xs) AS INT) AS peak,
+                array_to_string(list_transform(range(0, 8), w ->
+                  CAST(list_sum(xs[CAST((w*n+7)//8+1 AS INT)
+                                   :CAST(((w+1)*n+7)//8 AS INT)]) AS BIGINT)),
+                  ':') AS fingerprint
+         FROM s)
+       SELECT fingerprint, n_samples, peak,
+              CAST(count(*) AS BIGINT) AS n_clips,
+              min(doc_id) AS keep_id
+       FROM f GROUP BY 1, 2, 3"""
 
   /** REAL video decode end-to-end (the AVI twin of [[mediaAudio]]): per doc
     * an uncompressed 24-bit DIB AVI is ENCODED in-cluster (frame f a solid
@@ -2135,6 +2248,8 @@ object PipelineQueries extends Catalog {
     Q("pp_media_decode", mediaDecode, Some(mediaDecodeSql)),
     Q("pp_image_dedup", imageDedup, Some(imageDedupSql)),
     Q("pp_media_audio", mediaAudio, Some(mediaAudioSql)),
+    Q("pp_audio_dedup", audioDedup, Some(audioDedupSql)),
+    Q("pp_kmeans", kmeansQ, Some(kmeansSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),

@@ -729,6 +729,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(t => t._2 < t._1))
   }
 
+  test("kmeans: partition of the corpus, planted twin lands with its original") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val out = Similarity.kmeansStats(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // clusters partition the corpus: sizes sum to n, no empty clusters,
+    // at most centroidsFor(n) of them, min_member sane, mean sim in range
+    assert(out.map(_._2).sum == n)
+    assert(out.forall(_._2 >= 1) && out.length <= Similarity.centroidsFor(n))
+    assert(out.forall(t => t._4 >= -1.000001 && t._4 <= 1.000001))
+    // an exact twin of vector 3 gets the identical assignment vector 3
+    // gets (same sims, same deterministic tie-break), so it can never end
+    // up a singleton cluster of its own — min_member 999999 must not occur
+    val dup = emb.filter(col("vec_id") === 3).withColumn("vec_id", lit(999999L))
+    val out2 = Similarity.kmeansStats(emb.unionByName(dup)).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out2.map(_._1).sum == n + 1)
+    assert(!out2.exists(_._2 == 999999L), out2.mkString(","))
+  }
+
   test("normalizeUrl canonicalizes scheme/www/tracking/fragment variants") {
     import spark.implicits._
     import graft.ops.TextOps
@@ -860,6 +880,32 @@ class MultimodalSpec extends AnyFunSuite {
     // the payload really is a RIFF/WAVE container, not a fake
     val wav = df.select("wav").head().getAs[Array[Byte]](0)
     assert(new String(wav.take(4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+  }
+
+  test("audio fingerprint: exact window energies, dup detection, null safety") {
+    import spark.implicits._
+    // n=16 divisible by 8: window w = samples [2w, 2w+2); sawtooth A=3,
+    // step=2 → samples cycle -3,-1,1,3,-2,0,2 (period 7)
+    val expected = (0 until 16).map(i => ((i * 2) % 7) - 3)
+    val df = Seq((1L, 8000, 16, 3, 2), (2L, 8000, 16, 3, 2),
+        (3L, 8000, 16, 3, 5))
+      .toDF("id", "sr", "n", "a", "st")
+      .withColumn("wav", Multimodal.encodeWavSaw(col("sr"), col("n"), col("a"), col("st")))
+      .withColumn("f", Multimodal.decodeAudioFingerprint(col("wav")))
+    val rows = df.select(col("id"), col("f.n_samples"), col("f.peak"),
+      col("f.windows")).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(2), r.getSeq[Long](3))).toMap
+    val wantW = (0 until 8).map(w =>
+      expected.slice(2 * w, 2 * w + 2).map(v => math.abs(v).toLong).sum)
+    assert(byId(1L) == ((16L, 3, wantW)), byId(1L).toString)
+    // identical params ⇒ identical fingerprint; different step ⇒ different
+    assert(byId(1L) == byId(2L) && byId(1L) != byId(3L))
+    // junk and null payloads fingerprint to null, not errors
+    val junk = Seq((1L, Array[Byte](9, 9, 9)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+      .withColumn("f", Multimodal.decodeAudioFingerprint(col("payload")))
+    assert(junk.filter(col("f").isNotNull).count() == 0)
   }
 
   test("audio decode rejects junk bytes as null, not errors") {
