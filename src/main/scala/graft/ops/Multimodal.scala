@@ -268,6 +268,13 @@ object Multimodal {
       n_frames: Int, us_per_frame: Int, frames_read: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
 
+  /** per-frame decode: exact (Σr, Σg, Σb) of EACH frame in stream order —
+    * the data a frame-level fingerprint needs; [[VideoStats]] is its fold
+    */
+  final case class VideoFrames(width: Int, height: Int, bit_count: Int,
+      n_frames: Int, us_per_frame: Int,
+      frame_r: Seq[Long], frame_g: Seq[Long], frame_b: Seq[Long])
+
   /** REAL video decode — a hand-rolled RIFF/AVI container parser for
     * uncompressed DIB (BI_RGB 24-bit) frames, pure JVM. The JDK ships no
     * video *codec*, but uncompressed AVI needs none: the container is a
@@ -285,7 +292,7 @@ object Multimodal {
   /** 'MJPG' as the little-endian BITMAPINFOHEADER.biCompression DWORD */
   val MjpgFourcc: Int = 0x47504A4D
 
-  def parseAvi(bytes: Array[Byte]): Option[VideoStats] = {
+  def parseAviFrames(bytes: Array[Byte]): Option[VideoFrames] = {
       if (bytes == null || bytes.length < 12) None
       else try {
         val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -295,8 +302,8 @@ object Multimodal {
         if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
         else {
           var width = 0; var height = 0; var bitCount = 0; var comp = -1
-          var nFrames = 0; var usPerFrame = 0; var framesRead = 0
-          var sr = 0L; var sg = 0L; var sb = 0L
+          var nFrames = 0; var usPerFrame = 0
+          val fr = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
           // walk [from, until) as a sequence of RIFF chunks (8-byte header,
           // even-size padding); LISTs recurse past their 4-byte list type.
           // Depth is bounded: real AVI nests ~3 deep, and a crafted chain of
@@ -328,6 +335,7 @@ object Multimodal {
                 // vs top-down DIB order is irrelevant to channel sums
                 val rowBytes = (width * 3 + 3) / 4 * 4
                 if (comp == 0 && bitCount == 24 && size >= rowBytes * height) {
+                  var sr = 0L; var sg = 0L; var sb = 0L
                   var y = 0
                   while (y < height) {
                     var x = 0
@@ -341,13 +349,14 @@ object Multimodal {
                     }
                     y += 1
                   }
-                  framesRead += 1
+                  fr += ((sr, sg, sb))
                 } else if (comp == MjpgFourcc && size > 0) {
                   // MJPG frame = standalone JPEG (JFIF); each decodes
                   // independently — no inter-frame state
                   val img = javax.imageio.ImageIO.read(
                     new java.io.ByteArrayInputStream(bytes, body, size))
                   if (img != null) {
+                    var sr = 0L; var sg = 0L; var sb = 0L
                     val fw = img.getWidth; val fh = img.getHeight
                     var y = 0
                     while (y < fh) {
@@ -360,7 +369,7 @@ object Multimodal {
                       }
                       y += 1
                     }
-                    framesRead += 1
+                    fr += ((sr, sg, sb))
                   }
                 }
               }
@@ -370,15 +379,27 @@ object Multimodal {
           walk(12, math.min(bytes.length, 8 + bb.getInt(4)), 0)
           // unsupported codecs / bpp never read a frame, so one test covers
           // truncated containers and out-of-scope compression alike
-          if (framesRead == 0) None
-          else Some(VideoStats(width, height, bitCount, nFrames, usPerFrame,
-            framesRead, sr, sg, sb))
+          if (fr.isEmpty) None
+          else Some(VideoFrames(width, height, bitCount, nFrames, usPerFrame,
+            fr.map(_._1).toSeq, fr.map(_._2).toSeq, fr.map(_._3).toSeq))
         }
       } catch { case _: Exception => None }
   }
 
+  def parseAvi(bytes: Array[Byte]): Option[VideoStats] =
+    parseAviFrames(bytes).map { v =>
+      VideoStats(v.width, v.height, v.bit_count, v.n_frames, v.us_per_frame,
+        v.frame_r.length, v.frame_r.sum, v.frame_g.sum, v.frame_b.sum)
+    }
+
   val decodeVideoStats: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(parseAvi _)
+
+  /** per-frame decode as a column ([[parseAviFrames]]) — feeds the
+    * frame-contour video fingerprint in [[graft.queries.PipelineQueries]]
+    */
+  val decodeVideoFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(parseAviFrames _)
 
   /** REAL AVI encode (fixture generator, the video twin of [[encodePng]] /
     * [[encodeWavSaw]]): an uncompressed 24-bit DIB AVI where frame f is the

@@ -1828,6 +1828,66 @@ object PipelineQueries extends Catalog {
               min(doc_id) AS keep_id
        FROM f GROUP BY 1, 2, 3"""
 
+  /** Video fingerprint dedup (the video leg of the multimodal dedup
+    * family — with exact text hashing, image dHash, and
+    * [[audioDedup]]'s energy contour, dedup now spans all four
+    * modalities): per doc an uncompressed AVI encodes from mod-(2,3,5)
+    * derived ramp params (docs 30 apart produce byte-identical clips),
+    * decodes per-frame ([[Multimodal.decodeVideoFrames]] — the real
+    * RIFF walker), and fingerprints as the exact per-frame channel-sum
+    * contour; dedup is one hash groupBy on the contour string. Solid
+    * ramp frames make each frame's channel sum exactly w·h·color, so
+    * the oracle replays every fingerprint from the generating integers.
+    */
+  private def videoDedup(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).filter(col("doc_id") < 180)
+    val w = ((col("doc_id") % 2 + 2) * 2).cast("int")
+    val n = (col("doc_id") % 3 + 2).cast("int")
+    val r0 = ((col("doc_id") % 5) * 20).cast("int")
+    val g0 = ((col("doc_id") % 5) * 10 + 3).cast("int")
+    val b0 = ((col("doc_id") % 5) * 5 + 1).cast("int")
+    val fp = Multimodal.decodeVideoFrames(Multimodal.encodeAviRamp(
+      w, lit(4), n, lit(40000), r0, lit(7), g0, lit(11), b0, lit(13)))
+    df.select(col("doc_id").as("media_id"), fp.as("f"))
+      .select(col("media_id"),
+        concat_ws("x", col("f.width").cast("string"),
+          col("f.height").cast("string")).as("dims"),
+        size(col("f.frame_r")).as("n_frames"),
+        array_join(transform(
+          arrays_zip(col("f.frame_r").as("r"), col("f.frame_g").as("g"),
+            col("f.frame_b").as("b")),
+          t => concat_ws(",", t.getField("r").cast("string"),
+            t.getField("g").cast("string"), t.getField("b").cast("string"))),
+          "|").as("fingerprint"))
+      .groupBy(col("fingerprint"), col("dims"), col("n_frames"))
+      .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("keep_id"))
+  }
+
+  private val videoDedupSql =
+    """WITH p AS (
+         SELECT doc_id,
+                (doc_id % 2 + 2) * 2 AS w,
+                4 AS h,
+                doc_id % 3 + 2 AS n,
+                (doc_id % 5) * 20 AS r0,
+                (doc_id % 5) * 10 + 3 AS g0,
+                (doc_id % 5) * 5 + 1 AS b0
+         FROM documents WHERE doc_id < 180),
+       f AS (
+         SELECT doc_id,
+                CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) AS dims,
+                CAST(n AS INT) AS n_frames,
+                array_to_string(list_transform(range(0, n), fi ->
+                  CAST(w * h * ((r0 + fi * 7) % 256) AS VARCHAR) || ',' ||
+                  CAST(w * h * ((g0 + fi * 11) % 256) AS VARCHAR) || ',' ||
+                  CAST(w * h * ((b0 + fi * 13) % 256) AS VARCHAR)), '|')
+                  AS fingerprint
+         FROM p)
+       SELECT fingerprint, dims, n_frames,
+              CAST(count(*) AS BIGINT) AS n_clips,
+              min(doc_id) AS keep_id
+       FROM f GROUP BY 1, 2, 3"""
+
   /** REAL video decode end-to-end (the AVI twin of [[mediaAudio]]): per doc
     * an uncompressed 24-bit DIB AVI is ENCODED in-cluster (frame f a solid
     * integer-ramp color), then DECODED back through the RIFF chunk-tree
@@ -2249,6 +2309,7 @@ object PipelineQueries extends Catalog {
     Q("pp_image_dedup", imageDedup, Some(imageDedupSql)),
     Q("pp_media_audio", mediaAudio, Some(mediaAudioSql)),
     Q("pp_audio_dedup", audioDedup, Some(audioDedupSql)),
+    Q("pp_video_dedup", videoDedup, Some(videoDedupSql)),
     Q("pp_kmeans", kmeansQ, Some(kmeansSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),

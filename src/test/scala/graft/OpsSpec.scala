@@ -916,6 +916,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("s").isNotNull).count() == 0)
   }
 
+  test("per-frame AVI decode: exact per-frame channel sums in stream order") {
+    import spark.implicits._
+    val df = Seq((1L, 5, 4, 3, 40000, 10, 7, 20, 11, 30, 13))
+      .toDF("id", "w", "h", "n", "us", "r0", "rs", "g0", "gs", "b0", "bs")
+      .withColumn("avi", Multimodal.encodeAviRamp(col("w"), col("h"), col("n"),
+        col("us"), col("r0"), col("rs"), col("g0"), col("gs"), col("b0"), col("bs")))
+      .withColumn("f", Multimodal.decodeVideoFrames(col("avi")))
+    val r = df.select(col("f.width"), col("f.height"), col("f.frame_r"),
+      col("f.frame_g"), col("f.frame_b")).head()
+    val px = 5L * 4
+    assert(r.getInt(0) == 5 && r.getInt(1) == 4)
+    // frame f is solid (10+7f, 20+11f, 30+13f): per-frame sum = px·color
+    assert(r.getSeq[Long](2) == Seq(10L, 17L, 24L).map(_ * px))
+    assert(r.getSeq[Long](3) == Seq(20L, 31L, 42L).map(_ * px))
+    assert(r.getSeq[Long](4) == Seq(30L, 43L, 56L).map(_ * px))
+  }
+
   test("AVI encode -> RIFF decode recovers exact header fields and channel sums") {
     import spark.implicits._
     // 3 frames of solid ramp color on a 5x4 canvas (odd width exercises the
