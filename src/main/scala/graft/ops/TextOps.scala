@@ -66,6 +66,39 @@ object TextOps {
     round((lenScore + stopScore + punctScore + mtlScore) / lit(4.0), 6)
   }
 
+  /** Model-based quality filter — the trained-classifier pattern
+    * (FineWeb-Edu-style): a LINEAR model over interpretable text
+    * features scored corpus-wide; the weights are fixed constants
+    * standing in for offline-trained parameters, because scoring is the
+    * at-scale Spark work (training happens elsewhere). Features: log
+    * char length, stopword ratio, mean token length, type-token ratio,
+    * digit ratio. The logit is one codegen'd expression tree per row —
+    * shuffle-free projection, same 100 TB shape as the other quality
+    * scores. keep = logit > 0 (the decision threshold). The weighted
+    * sum is written LEFT-ASSOCIATIVE so an external engine replays the
+    * identical float operation order.
+    */
+  def qualityLr(df: DataFrame, textCol: String): DataFrame = {
+    val t = df(textCol)
+    val toks = tokens(t)
+    val words = filter(toks, w => length(w) > 0)
+    val nW = size(words)
+    val fLen = log(lit(1.0) + length(t).cast("double"))
+    val fStop = stopwordRatio(t)
+    val fMtl = meanTokenLen(t)
+    val fTtr = when(nW > 0,
+      size(array_distinct(words)).cast("double") / nW.cast("double"))
+      .otherwise(lit(0.0))
+    val fDigit = when(length(t) > 0,
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") /
+        length(t).cast("double")).otherwise(lit(0.0))
+    val logit = lit(-2.0) + lit(0.35) * fLen + lit(3.0) * fStop +
+      lit(0.15) * fMtl + lit(1.2) * fTtr - lit(2.5) * fDigit
+    df.select(df("doc_id"), nW.cast("long").as("n_words"),
+      round(logit, 6).as("lr_logit"),
+      (logit > 0.0).cast("int").as("keep"))
+  }
+
   /** n-gram-heuristic language ID: argmax of per-language stopword hit
     * counts; ties (incl. all-zero) → "und" (undetermined).
     */

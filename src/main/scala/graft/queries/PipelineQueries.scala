@@ -58,6 +58,43 @@ object PipelineQueries extends Catalog {
             fp
      FROM m"""
 
+  /** model-based quality filtering ([[TextOps.qualityLr]]): fixed-weight
+    * linear classifier logits + keep decisions over the corpus; the
+    * oracle replays features and the left-associative weighted sum.
+    */
+  private def qualityLrQ(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityLr(docs(s, d), "text")
+
+  private val qualityLrSql =
+    """WITH t AS (
+       SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+              CAST(length(text) AS DOUBLE) AS n_chars
+       FROM documents),
+     m AS (
+       SELECT doc_id,
+              CAST(len(list_filter(ws, w -> len(w) > 0)) AS BIGINT) AS n_words,
+              ln(1.0 + n_chars) AS f_len,
+              CAST(len(list_filter(ws, w -> list_contains(
+                ['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+                / len(ws) AS f_stop,
+              CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS f_mtl,
+              CASE WHEN len(list_filter(ws, w -> len(w) > 0)) > 0
+                   THEN CAST(len(list_distinct(list_filter(ws, w -> len(w) > 0)))
+                             AS DOUBLE)
+                        / len(list_filter(ws, w -> len(w) > 0))
+                   ELSE 0.0 END AS f_ttr,
+              CASE WHEN n_chars > 0
+                   THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / n_chars
+                   ELSE 0.0 END AS f_digit
+       FROM t)
+     SELECT doc_id, n_words,
+            round(-2.0 + 0.35 * f_len + 3.0 * f_stop + 0.15 * f_mtl
+                  + 1.2 * f_ttr - 2.5 * f_digit, 6) AS lr_logit,
+            CAST(-2.0 + 0.35 * f_len + 3.0 * f_stop + 0.15 * f_mtl
+                 + 1.2 * f_ttr - 2.5 * f_digit > 0.0 AS INT) AS keep
+     FROM m"""
+
   // ---- retrieval / contamination ------------------------------------------
 
   /** every 20th doc plays the benchmark set; the rest are the corpus */
@@ -2255,6 +2292,7 @@ object PipelineQueries extends Catalog {
     Q("pp_quality_gopher",
       (s, d) => TextOps.gopherQuality(docs(s, d)),
       Some(gopherQualitySql)),
+    Q("pp_quality_lr", qualityLrQ, Some(qualityLrSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",

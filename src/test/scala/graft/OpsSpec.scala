@@ -28,6 +28,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0) > out(1))
   }
 
+  test("qualityLr: hand-computed logit, keep threshold, digit penalty") {
+    val df = Seq((1L, "the the zebra 42"), (2L, "000 111 222 333"))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityLr(df, "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    // doc 1: ws=[the,the,zebra,42] -> f_len=ln 17, f_stop=2/4, f_mtl=13/4,
+    // f_ttr=3/4, f_digit=2/16 (same left-associative sum as the engine)
+    val want = -2.0 + 0.35 * math.log(17.0) + 3.0 * 0.5 + 0.15 * (13.0 / 4) +
+      1.2 * 0.75 - 2.5 * 0.125
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 == math.rint(want * 1e6) / 1e6, out(1L).toString)
+    assert(out(1L)._3 == 1)
+    // all-digit doc: no stopwords, heavy digit penalty -> rejected
+    assert(out(2L)._3 == 0, out(2L).toString)
+  }
+
   test("bigramSurprisal: improbable word sequences outscore formulaic ones") {
     import spark.implicits._
     import graft.ops.TextOps
