@@ -40,7 +40,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   * constant-memory relay.
   *
   * Tenant isolation (`org` param) is delegated to the front doors, which
-  * prune the org partition key before anything is read.
+  * prune the org partition key before anything is read. When `apiKeys`
+  * is non-empty, the reference's API-key middleware applies
+  * (`queryapi/middleware.go:49-110`): every `/api/v1/...` request must
+  * present a known key via the `x-cardinalhq-api-key` header, the
+  * legacy `Api-Key` header, or the `api_key` cookie — checked in that
+  * order — and the key's org REPLACES any client-supplied `org` param,
+  * so a tenant cannot query another tenant's partitions by editing a
+  * query string. Unknown or missing keys get 401; `/healthz` stays
+  * open (reference registers it outside the middleware). The
+  * reference's JWT-cookie leg needs its control-plane token service
+  * and is out of scope (documented divergence).
   */
 final class HttpApi(
     spark: SparkSession,
@@ -48,7 +58,8 @@ final class HttpApi(
     metricsDir: Option[String] = None,
     spansDir: Option[String] = None,
     bindPort: Int = 0,
-    sseBatchRows: Int = 256) {
+    sseBatchRows: Int = 256,
+    apiKeys: Map[String, String] = Map.empty) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -99,7 +110,11 @@ final class HttpApi(
         }
         b.result()
       } else Nil
-    (fromUrl ++ fromBody).toMap
+    val authed = Option(ex.getAttribute("graft.org")) match {
+      case Some(o: String) => Seq("org" -> o) // middleware wins over client
+      case _               => Nil
+    }
+    (fromUrl ++ fromBody ++ authed).toMap
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
@@ -237,9 +252,49 @@ final class HttpApi(
     df.schema.fieldNames.filter(n => n.startsWith("attr_") ||
       n.startsWith("resource_") || n.startsWith("scope_")).toSeq
 
+  /** reference extractAPIKey order: primary header, legacy header,
+    * api_key cookie */
+  private def extractApiKey(ex: HttpExchange): Option[String] = {
+    val h = ex.getRequestHeaders
+    Option(h.getFirst("x-cardinalhq-api-key")).filter(_.nonEmpty)
+      .orElse(Option(h.getFirst("Api-Key")).filter(_.nonEmpty))
+      .orElse {
+        import scala.jdk.CollectionConverters._
+        Option(h.get("Cookie")).toSeq.flatMap(_.asScala)
+          .flatMap(_.split(';')).map(_.trim)
+          .collectFirst { case c if c.startsWith("api_key=") =>
+            c.stripPrefix("api_key=") }
+          .filter(_.nonEmpty)
+      }
+  }
+
+  /** resolve the tenant for this request, or respond 401 and return None.
+    * Open instances (no keys configured) pass through untouched.
+    */
+  private def authOrg(ex: HttpExchange): Option[Option[String]] =
+    if (apiKeys.isEmpty) Some(None)
+    else extractApiKey(ex) match {
+      case None =>
+        respond(ex, 401,
+          """{"status":"error","error":"authentication required (provide API key)"}""")
+        None
+      case Some(k) => apiKeys.get(k) match {
+        case None =>
+          respond(ex, 401, """{"status":"error","error":"invalid API key"}""")
+          None
+        case Some(org) => Some(Some(org))
+      }
+    }
+
   private def handle(path: String)(f: HttpExchange => Unit): Unit =
     server.createContext(path, (ex: HttpExchange) =>
-      try f(ex)
+      try {
+        if (path == "/healthz") f(ex)
+        else authOrg(ex).foreach { org =>
+          org.foreach(o => ex.setAttribute("graft.org", o))
+          f(ex)
+        }
+      }
       catch {
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}""")

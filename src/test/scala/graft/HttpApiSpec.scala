@@ -109,6 +109,59 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("HTTP front door: API-key middleware resolves the tenant, 401s strangers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_keyseg")
+      .toString
+    val logs = graft.model.Cooked.logs(spark, sf)
+      .withColumn("chq_fingerprint",
+        graft.ingest.LogFingerprint.fingerprint(col("log_message")))
+    graft.ingest.Segments.writeLogSegments(
+      logs.filter(col("attr_event_type") === "click"), dir, 2000,
+      org = Some("acme"))
+    graft.ingest.Segments.writeLogSegments(
+      logs.filter(col("attr_event_type") =!= "click"), dir, 2000,
+      org = Some("globex"))
+    val api = new HttpApi(spark, logsDir = Some(dir),
+      apiKeys = Map("k-acme" -> "acme", "k-globex" -> "globex")).start()
+    def getH(base: String, path: String, hs: (String, String)*): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(base + path)).GET()
+      hs.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val q = enc("""{log_level="DEBUG"}""")
+      val path = s"/api/v1/logs/query?q=$q&s=$tsLo&e=$tsHi&limit=100000" +
+        "&fields=chq_timestamp,attr_event_type"
+      // no key / unknown key -> 401 before any query planning
+      assert(getH(base, path)._1 == 401)
+      assert(getH(base, path, "x-cardinalhq-api-key" -> "nope")._1 == 401)
+      // healthz stays open (registered outside the middleware, like the ref)
+      assert(getH(base, "/healthz")._1 == 200)
+      // a valid key scopes the query to ITS org — even when the client
+      // tries to read another tenant via the org param
+      val (c1, acme) = getH(base, path + "&org=globex",
+        "x-cardinalhq-api-key" -> "k-acme")
+      assert(c1 == 200)
+      assert(acme.contains("\"attr_event_type\":\"click\"") &&
+        !acme.contains("\"attr_event_type\":\"view\""), acme.take(400))
+      // legacy header and cookie forms resolve the same way
+      val globex = getH(base, path, "Api-Key" -> "k-globex")._2
+      assert(globex.contains("\"attr_event_type\":\"view\"") &&
+        !globex.contains("\"attr_event_type\":\"click\""), globex.take(400))
+      val cookie = getH(base, path, "Cookie" -> "other=1; api_key=k-acme")._2
+      assert(cookie.contains("\"attr_event_type\":\"click\"") &&
+        !cookie.contains("\"attr_event_type\":\"view\""), cookie.take(400))
+      // discovery honors the key's org too
+      val tv = getH(base, s"/api/v1/logs/tagvalues?tag=attr_event_type" +
+        s"&s=$tsLo&e=$tsHi", "x-cardinalhq-api-key" -> "k-globex")._2
+      assert(tv.contains("view") && !tv.contains("click"), tv.take(300))
+    } finally api.stop()
+  }
+
   test("HTTP front door: metrics SSE query + metadata + tags, spans trace") {
     val api = new HttpApi(spark, metricsDir = Some(metricDir),
       spansDir = Some(spanDir)).start()
