@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-series) join — attach to every left row the most recent
+  * right row at-or-before its timestamp on the same series key,
+  * optionally within a tolerance. The telemetry workhorse join
+  * (exemplar → nearest sample, log line → active deploy, span → most
+  * recent config) that neither Spark nor the reference's SQL templates
+  * ship as a primitive.
+  *
+  * Spark-first shape: NOT a range join — `l.ts >= r.ts` as a join
+  * condition degenerates to a per-key cross product that no amount of
+  * pruning saves at 100 TB. Instead the classic UNION + ordered-window
+  * form: tag both sides, union them, and take per key the running
+  * `last` right-payload over rows ordered by (ts, side) — right rows
+  * sort before left rows at an equal timestamp, so "at-or-before"
+  * includes exact-tie matches. Cost: ONE shuffle of |L|+|R| rows on the
+  * series key + one sort within partitions, zero row expansion; the
+  * plan a 1000-executor cluster runs unchanged (per-series skew is the
+  * usual salting caveat). Determinism: right-side ties on (key, ts)
+  * are collapsed BEFORE the union (greatest `tieBreak` wins), so any
+  * engine replays the identical match — DuckDB's native ASOF JOIN
+  * serves as the independent oracle in the catalog row.
+  */
+object AsofJoin {
+
+  /** backward as-of join: greatest right.ts <= left.ts per key.
+    *
+    * @param payloadCols  right columns carried onto matches, emitted as
+    *                     `asof_<name>` (plus `asof_ts`, the matched ts)
+    * @param tieBreak     right column deciding ties on (key, ts)
+    * @param toleranceMs  matches older than this are nulled out
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      tieBreak: String, toleranceMs: Long = Long.MaxValue): DataFrame = {
+    // collapse right-side (key, ts) ties deterministically: greatest
+    // tie-break column wins — one partial-aggregated groupBy, no window
+    val rv = struct(col(rightTs).cast("long").as("__rts") +:
+      payloadCols.map(col): _*)
+    val r2 = right
+      .groupBy(col(keyCol).as("__k"), col(rightTs).cast("long").as("__ts"))
+      .agg(max_by(rv, col(tieBreak)).as("__rv"))
+      .select(col("__k"), col("__ts"), lit(0).as("__side"), col("__rv"))
+    val rvType = r2.schema("__rv").dataType
+    val l2 = left.select(
+      struct(left.columns.map(col): _*).as("__lrow"),
+      col(keyCol).as("__k"), col(leftTs).cast("long").as("__ts"),
+      lit(1).as("__side"), lit(null).cast(rvType).as("__rv"))
+    val u = r2.select(lit(null).cast(l2.schema("__lrow").dataType).as("__lrow"),
+      col("__k"), col("__ts"), col("__side"), col("__rv"))
+      .unionByName(l2)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withMatch = u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // tolerance gate: a too-old match degrades to no-match (null payload)
+    val ok = when(col("__ts") - col("__m").getField("__rts") <= toleranceMs,
+      col("__m"))
+    withMatch.select(
+      col("__lrow.*") +:
+        ok.getField("__rts").as("asof_ts") +:
+        payloadCols.map(c => ok.getField(c).as("asof_" + c)): _*)
+  }
+}

@@ -1317,7 +1317,48 @@ object TelemetryQueries extends Catalog {
        FROM h0 GROUP BY 3)
      SELECT * FROM g UNION ALL SELECT * FROM h"""
 
+  /** as-of join ([[graft.ops.AsofJoin]]): every probe event (event_id %
+    * 7 == 0) picks up the most recent sample event at-or-before its
+    * timestamp on the same user_id%10 series, within a 1 h tolerance —
+    * the exemplar→nearest-sample / log→active-deploy join shape. The
+    * oracle is DuckDB's NATIVE ASOF LEFT JOIN over the identically
+    * tie-collapsed sample side — a fully independent implementation of
+    * the same semantics, not a replay of the union+window plan.
+    */
+  private def asofJoinQ(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d)
+    val samples = ev.filter(col("event_id") % 7 =!= 0)
+      .withColumn("k", col("user_id") % 10)
+    val probes = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("k", col("user_id") % 10)
+      .select("event_id", "k", "ts_ms")
+    graft.ops.AsofJoin.backward(probes, samples, "k", "ts_ms", "ts_ms",
+      payloadCols = Seq("value"), tieBreak = "event_id",
+      toleranceMs = 3600000L)
+  }
+
+  private val asofJoinSql =
+    """WITH r0 AS (
+         SELECT user_id % 10 AS k, epoch_ms(ts) AS ts_ms, value, event_id
+         FROM events WHERE event_id % 7 <> 0),
+       r AS (
+         SELECT k, ts_ms, value FROM (
+           SELECT k, ts_ms, value,
+                  row_number() OVER (PARTITION BY k, ts_ms
+                                     ORDER BY event_id DESC) AS rn
+           FROM r0) WHERE rn = 1),
+       l AS (
+         SELECT event_id, user_id % 10 AS k, epoch_ms(ts) AS ts_ms
+         FROM events WHERE event_id % 7 = 0)
+       SELECT l.event_id, l.k, l.ts_ms,
+              CASE WHEN l.ts_ms - r.ts_ms <= 3600000
+                   THEN r.ts_ms END AS asof_ts,
+              CASE WHEN l.ts_ms - r.ts_ms <= 3600000
+                   THEN r.value END AS asof_value
+       FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts_ms >= r.ts_ms"""
+
   override def all: Seq[Q] = Seq(
+    Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
     Q("tq_proto_sketch_roundtrip", protoSketchRoundtrip,

@@ -982,3 +982,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("s").isNotNull).count() == 0)
   }
 }
+
+class AsofJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.ops.AsofJoin
+
+  test("backward as-of: exact ties match, tolerance nulls, tie-break dedup") {
+    // series 1: samples at 90, 200, and DUPLICATE ts 200 (ids 10 < 11 —
+    // greatest id wins); series 2: one sample far in the past
+    val right = Seq(
+      (1L, 90L, 1.5, 9L), (1L, 200L, 2.5, 10L), (1L, 200L, 9.9, 11L),
+      (2L, 60L, 3.5, 12L)).toDF("k", "ts", "v", "id")
+    val left = Seq(
+      (101L, 1L, 100L),  // after 90            -> 90/1.5
+      (102L, 1L, 200L),  // EXACT tie           -> 200, dup resolved to 9.9
+      (103L, 1L, 250L),  // after both          -> 200/9.9
+      (104L, 2L, 50L),   // before every sample -> null
+      (105L, 2L, 5000L)  // match exists but exceeds tolerance -> null
+    ).toDF("event_id", "k", "ts")
+    val out = AsofJoin.backward(left, right, "k", "ts", "ts",
+        payloadCols = Seq("v"), tieBreak = "id", toleranceMs = 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out(101L) == ((Some(90L), Some(1.5))))
+    assert(out(102L) == ((Some(200L), Some(9.9))))
+    assert(out(103L) == ((Some(200L), Some(9.9))))
+    assert(out(104L) == ((None, None)))
+    assert(out(105L) == ((None, None)))
+    // left schema passes through unchanged ahead of the asof_ columns
+    val cols = AsofJoin.backward(left, right, "k", "ts", "ts",
+      Seq("v"), "id").columns.toSeq
+    assert(cols == Seq("event_id", "k", "ts", "asof_ts", "asof_v"))
+  }
+}
