@@ -1357,8 +1357,46 @@ object TelemetryQueries extends Catalog {
                    THEN r.value END AS asof_value
        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts_ms >= r.ts_ms"""
 
+  /** range join ([[graft.ops.RangeJoin]]): every interval event
+    * (event_id % 7 == 0, open for 1-40 min) collects the points that
+    * fall inside it on the same user_id%10 series — bucketized
+    * equi-join (10-min buckets, fanout <= 5 per interval), never a
+    * nested loop. The oracle runs the containment as a plain
+    * inequality join, independent of the bucket trick.
+    */
+  private def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d).withColumn("k", col("user_id") % 10)
+    val intervals = ev.filter(col("event_id") % 7 === 0)
+      .select(col("k"), col("ts_ms").as("iv_s"),
+        (col("ts_ms") + (col("event_id") % 40 + 1) * 60000L).as("iv_e"),
+        col("event_id").as("id"))
+    val points = ev.filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id"), col("k"), col("ts_ms"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals, "k", "ts_ms",
+        "iv_s", "iv_e", payloadCols = Seq("id"), bucketMs = 600000L)
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"))
+  }
+
+  private val rangeJoinSql =
+    """WITH e AS (
+         SELECT event_id, user_id % 10 AS k, epoch_ms(ts) AS ts_ms
+         FROM events),
+       iv AS (
+         SELECT k, ts_ms AS s,
+                ts_ms + (event_id % 40 + 1) * 60000 AS e,
+                event_id AS iv_id
+         FROM e WHERE event_id % 7 = 0),
+       p AS (SELECT event_id, k, ts_ms FROM e WHERE event_id % 7 <> 0)
+       SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS n_points,
+              min(p.ts_ms) AS first_ts, max(p.ts_ms) AS last_ts
+       FROM p JOIN iv ON p.k = iv.k AND p.ts_ms >= iv.s AND p.ts_ms < iv.e
+       GROUP BY 1"""
+
   override def all: Seq[Q] = Seq(
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
+    Q("tq_range_join", rangeJoinQ, Some(rangeJoinSql)),
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
     Q("tq_proto_sketch_roundtrip", protoSketchRoundtrip,

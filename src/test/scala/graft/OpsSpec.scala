@@ -1017,3 +1017,35 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(cols == Seq("event_id", "k", "ts", "asof_ts", "asof_v"))
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.ops.RangeJoin
+
+  test("point-in-interval: half-open bounds, bucket crossing, key isolation") {
+    // bucket = 100ms; interval A spans 3 buckets (50, 320), B is tiny,
+    // C sits on another key
+    val iv = Seq(
+      (1L, 50L, 320L, "A"), (1L, 200L, 210L, "B"), (2L, 0L, 1000L, "C"))
+      .toDF("k", "s", "e", "name")
+    val pts = Seq(
+      (1L, 1L, 50L),   // == start -> inside A
+      (2L, 1L, 205L),  // inside A and B (two output rows)
+      (3L, 1L, 319L),  // last ms of A, crossed 2 bucket boundaries
+      (4L, 1L, 320L),  // == end -> OUTSIDE (half-open)
+      (5L, 2L, 205L),  // other key -> only C
+      (6L, 1L, 999L)   // no interval on key 1 covers it
+    ).toDF("pid", "k", "ts")
+    val out = RangeJoin.pointInInterval(pts, iv, "k", "ts", "s", "e",
+        payloadCols = Seq("name"), bucketMs = 100L)
+      .select(col("pid"), col("iv_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "A"), (5L, "C")),
+      out.toString)
+    // zero/negative-length intervals never match
+    val deg = Seq((1L, 100L, 100L, "Z")).toDF("k", "s", "e", "name")
+    assert(RangeJoin.pointInInterval(pts, deg, "k", "ts", "s", "e",
+      Seq("name"), 100L).count() == 0)
+  }
+}
