@@ -36,19 +36,41 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String],
-      tieBreak: String, toleranceMs: Long = Long.MaxValue): DataFrame = {
+      tieBreak: String, toleranceMs: Long = Long.MaxValue): DataFrame =
+    join0(left, right, keyCol, leftTs, rightTs, payloadCols, tieBreak,
+      toleranceMs, dir = 1L)
+
+  /** forward as-of join: smallest right.ts >= left.ts per key — the
+    * time-mirror of [[backward]] (sort on negated timestamps), same
+    * single-shuffle plan and determinism rules.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      tieBreak: String, toleranceMs: Long = Long.MaxValue): DataFrame =
+    join0(left, right, keyCol, leftTs, rightTs, payloadCols, tieBreak,
+      toleranceMs, dir = -1L)
+
+  /** shared core; `dir` = +1 scans time forward (backward join), -1
+    * scans time mirrored (forward join). Sort key is dir·ts; the match
+    * distance dir·(left.ts − right.ts) is ≥ 0 by construction and the
+    * tolerance gates its magnitude.
+    */
+  private def join0(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      tieBreak: String, toleranceMs: Long, dir: Long): DataFrame = {
     // collapse right-side (key, ts) ties deterministically: greatest
     // tie-break column wins — one partial-aggregated groupBy, no window
     val rv = struct(col(rightTs).cast("long").as("__rts") +:
       payloadCols.map(col): _*)
     val r2 = right
-      .groupBy(col(keyCol).as("__k"), col(rightTs).cast("long").as("__ts"))
+      .groupBy(col(keyCol).as("__k"), col(rightTs).cast("long").as("__rt"))
       .agg(max_by(rv, col(tieBreak)).as("__rv"))
-      .select(col("__k"), col("__ts"), lit(0).as("__side"), col("__rv"))
+      .select(col("__k"), (col("__rt") * dir).as("__ts"),
+        lit(0).as("__side"), col("__rv"))
     val rvType = r2.schema("__rv").dataType
     val l2 = left.select(
       struct(left.columns.map(col): _*).as("__lrow"),
-      col(keyCol).as("__k"), col(leftTs).cast("long").as("__ts"),
+      col(keyCol).as("__k"), (col(leftTs).cast("long") * dir).as("__ts"),
       lit(1).as("__side"), lit(null).cast(rvType).as("__rv"))
     val u = r2.select(lit(null).cast(l2.schema("__lrow").dataType).as("__lrow"),
       col("__k"), col("__ts"), col("__side"), col("__rv"))
@@ -58,8 +80,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withMatch = u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    // tolerance gate: a too-old match degrades to no-match (null payload)
-    val ok = when(col("__ts") - col("__m").getField("__rts") <= toleranceMs,
+    // tolerance gate: a too-distant match degrades to no-match (null
+    // payload); __ts is already dir·left.ts, so the distance is
+    // __ts − dir·matched.ts regardless of direction
+    val ok = when(
+      col("__ts") - lit(dir) * col("__m").getField("__rts") <= toleranceMs,
       col("__m"))
     withMatch.select(
       col("__lrow.*") +:

@@ -1357,6 +1357,40 @@ object TelemetryQueries extends Catalog {
                    THEN r.value END AS asof_value
        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts_ms >= r.ts_ms"""
 
+  /** forward leg of [[asofJoinQ]]: the NEXT sample at-or-after each
+    * probe (DuckDB replays with the <= ASOF comparator) */
+  private def asofForwardQ(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d)
+    val samples = ev.filter(col("event_id") % 7 =!= 0)
+      .withColumn("k", col("user_id") % 10)
+    val probes = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("k", col("user_id") % 10)
+      .select("event_id", "k", "ts_ms")
+    graft.ops.AsofJoin.forward(probes, samples, "k", "ts_ms", "ts_ms",
+      payloadCols = Seq("value"), tieBreak = "event_id",
+      toleranceMs = 3600000L)
+  }
+
+  private val asofForwardSql =
+    """WITH r0 AS (
+         SELECT user_id % 10 AS k, epoch_ms(ts) AS ts_ms, value, event_id
+         FROM events WHERE event_id % 7 <> 0),
+       r AS (
+         SELECT k, ts_ms, value FROM (
+           SELECT k, ts_ms, value,
+                  row_number() OVER (PARTITION BY k, ts_ms
+                                     ORDER BY event_id DESC) AS rn
+           FROM r0) WHERE rn = 1),
+       l AS (
+         SELECT event_id, user_id % 10 AS k, epoch_ms(ts) AS ts_ms
+         FROM events WHERE event_id % 7 = 0)
+       SELECT l.event_id, l.k, l.ts_ms,
+              CASE WHEN r.ts_ms - l.ts_ms <= 3600000
+                   THEN r.ts_ms END AS asof_ts,
+              CASE WHEN r.ts_ms - l.ts_ms <= 3600000
+                   THEN r.value END AS asof_value
+       FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts_ms <= r.ts_ms"""
+
   /** range join ([[graft.ops.RangeJoin]]): every interval event
     * (event_id % 7 == 0, open for 1-40 min) collects the points that
     * fall inside it on the same user_id%10 series — bucketized
@@ -1396,6 +1430,7 @@ object TelemetryQueries extends Catalog {
 
   override def all: Seq[Q] = Seq(
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
+    Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
     Q("tq_range_join", rangeJoinQ, Some(rangeJoinSql)),
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),

@@ -1016,6 +1016,34 @@ class AsofJoinSpec extends AnyFunSuite {
       Seq("v"), "id").columns.toSeq
     assert(cols == Seq("event_id", "k", "ts", "asof_ts", "asof_v"))
   }
+
+  test("forward as-of mirrors backward: next sample at-or-after, tolerance") {
+    val right = Seq(
+      (1L, 90L, 1.5, 9L), (1L, 200L, 2.5, 10L), (1L, 200L, 9.9, 11L),
+      (2L, 60L, 3.5, 12L)).toDF("k", "ts", "v", "id")
+    val left = Seq(
+      (101L, 1L, 100L),  // next is 200 -> dup resolved to 9.9
+      (102L, 1L, 200L),  // EXACT tie matches forward too
+      (103L, 1L, 250L),  // nothing after -> null
+      (104L, 2L, 50L),   // next is 60   -> 3.5
+      (105L, 2L, 1L)     // 60 exists but 59ms exceeds tolerance 50
+    ).toDF("event_id", "k", "ts")
+    val out = AsofJoin.forward(left, right, "k", "ts", "ts",
+        payloadCols = Seq("v"), tieBreak = "id", toleranceMs = 50L)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out(101L) == ((None, None))) // 200-100=100 > tol 50
+    assert(out(102L) == ((Some(200L), Some(9.9))))
+    assert(out(103L) == ((None, None)))
+    assert(out(104L) == ((Some(60L), Some(3.5))))
+    assert(out(105L) == ((None, None)))
+    // with a loose tolerance 101 gets its next sample
+    val loose = AsofJoin.forward(left, right, "k", "ts", "ts",
+        Seq("v"), "id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(loose(101L) == Some(200L))
+  }
 }
 
 class RangeJoinSpec extends AnyFunSuite {
