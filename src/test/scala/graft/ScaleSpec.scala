@@ -186,6 +186,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs2 < 120, f"capped substrDup took $secs2%.1f s on 100k docs")
   }
 
+  test("as-of + range join at 500k probes / 1000 series: closed-form " +
+      "ground truth, no quadratic blowup") {
+    import graft.ops.{AsofJoin, RangeJoin}
+    val keys = 1000
+    // right: every series has the full 100ms grid 0..19900 — so the true
+    // backward match of ANY probe ts is exactly ts - ts%100, closed form,
+    // checkable on all 500k rows without an oracle or a collect
+    val right = spark.range(0, 200000L)
+      .select((col("id") % keys).as("k"),
+        ((col("id") / keys).cast("long") * 100).as("ts"))
+      .withColumn("v", col("ts") + col("k"))
+      .withColumn("tie", col("ts") * keys + col("k"))
+    val left = spark.range(0, 500000L)
+      .select(col("id").as("pid"), (col("id") % keys).as("k"),
+        pmod(col("id") * 7919, lit(20000L)).as("ts"))
+    val t0 = System.nanoTime()
+    val out = AsofJoin.backward(left, right, "k", "ts", "ts", Seq("v"), "tie")
+    val wantTs = (col("ts") / 100).cast("long") * 100
+    val bad = out.filter(col("asof_ts").isNull ||
+      col("asof_ts") =!= wantTs ||
+      col("asof_v") =!= col("asof_ts") + col("k")).count()
+    val n = out.count()
+    val asofSecs = (System.nanoTime() - t0) / 1e9
+    assert(bad == 0 && n == 500000L, s"bad=$bad n=$n")
+    assert(asofSecs < 120, f"as-of took $asofSecs%.1f s at 500k/200k")
+    // intervals: per series [g·1000, g·1000+500) — a probe matches iff
+    // ts%1000 < 500, and then exactly its own grid interval
+    val iv = spark.range(0, 20000L)
+      .select((col("id") % keys).as("k"),
+        ((col("id") / keys).cast("long") * 1000).as("s"))
+      .withColumn("e", col("s") + 500)
+      .withColumn("ivid", col("s") * keys + col("k"))
+    val t1 = System.nanoTime()
+    val rj = RangeJoin.pointInInterval(left, iv, "k", "ts", "s", "e",
+      Seq("ivid"), bucketMs = 1000L)
+    val badr = rj.filter(col("ts") % 1000 >= 500 ||
+      col("iv_ivid") =!=
+        (col("ts") / 1000).cast("long") * 1000 * keys + col("k")).count()
+    val nr = rj.count()
+    val rjSecs = (System.nanoTime() - t1) / 1e9
+    val expected = left.filter(col("ts") % 1000 < 500).count()
+    assert(badr == 0 && nr == expected, s"badr=$badr nr=$nr want=$expected")
+    assert(rjSecs < 120, f"range join took $rjSecs%.1f s at 500k/20k")
+  }
+
   test("global shuffle at 200k rows / 64 partitions: exact permutation, " +
       "offsets correct across every partition boundary") {
     // the sf-corpus catalog row exercises ~5k rows in a handful of
