@@ -259,8 +259,13 @@ object Dedup {
     * ("Deduplicating Training Data Makes Language Models Better",
     * public), re-expressed as a distributed anchor-and-extend instead of
     * a monolithic suffix array: every k-word gram is an anchor keyed by
-    * content (md5), docs sharing an anchor share an exact k-word
-    * substring, and MAXIMAL shared runs are recovered by merging
+    * a content hash (xxhash64 — codegen'd, and an 8-byte join key where
+    * md5 would shuffle 32-char strings; the hash is only an equality
+    * proxy, so the oracle's md5 buckets are identical absent collisions,
+    * and a 64-bit collision could at worst plant one isolated false
+    * anchor that the ≥minWords run filter discards), docs sharing an
+    * anchor share an exact k-word substring, and MAXIMAL shared runs are
+    * recovered by merging
     * consecutive shared anchors on the same alignment diagonal
     * (pa − pb) — the gap-and-island trick, one fine-grained partitioned
     * window. Anchor buckets above `maxDocsPerGram` occurrences are
@@ -281,7 +286,7 @@ object Dedup {
     val grams = when(size(words) >= k,
       transform(sequence(lit(1), size(words) - lit(k - 1)),
         i => struct((i - 1).cast("int").as("pos"),
-          md5(array_join(slice(words, i, lit(k)), " ")).as("g"))))
+          xxhash64(array_join(slice(words, i, lit(k)), " ")).as("g"))))
       .otherwise(array().cast("array<struct<pos:int,g:string>>"))
     val occ = src.select(col("doc_id"), explode(grams).as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
