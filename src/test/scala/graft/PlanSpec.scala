@@ -81,6 +81,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("as-of join: one key-partitioned window, no join operator at all") {
+    // the union+window form must not contain ANY join node (a range-join
+    // formulation would show a nested loop here) and its window must be
+    // partitioned on the series key — never Window over one partition
+    val p = plan("tq_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin") || p.contains("Window"),
+      p.take(2000))
+    assert(p.contains("windowspecdefinition(__k"),
+      "missing key-partitioned window:\n" + p.take(2000))
+  }
+
+  test("range join is a bucket equi-join, never a nested loop") {
+    val p = plan("tq_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a nested loop:\n" + p.take(2000))
+  }
+
   test("topk ranks in two phases — no single-task-per-bucket window") {
     // phase 1 partitions by (ts, salt) and keeps k per salt group, phase 2
     // ranks the bounded survivors per ts: two Window nodes in the plan, so
