@@ -406,22 +406,26 @@ object Engine {
     // the bucket-layout size, so the quadratic slice walk is ~50² worst
     // case per group, still one projection)
     val raw = col("__bs")
-    val s = transform(raw, (x, i) => struct(
+    val repaired = transform(raw, (x, i) => struct(
       x.getField("le").as("le"),
       aggregate(slice(raw, lit(1), i + lit(1)), lit(Double.NegativeInfinity),
         (acc, y) => greatest(acc, y.getField("v"))).as("v")))
-    val n = size(s)
-    val total = get(s, n - 1).getField("v")
-    val rank = lit(q) * total
-    val cur = get(filter(s, x => x.getField("v") >= rank), lit(0))
-    val below = filter(s, x => x.getField("v") < rank)
-    val prev = get(below, size(below) - 1) // null when rank falls in bucket 0
-    val prevLe = coalesce(prev.getField("le"), lit(0.0))
-    val prevV = coalesce(prev.getField("v"), lit(0.0))
-    val maxFinite = get(s, n - 2).getField("le")
-    // out-of-range q decided FIRST, before any bucket inspection
-    // (Prometheus bucketQuantile: NaN → NaN, q<0 → -Inf, q>1 → +Inf)
-    val res =
+    // bind the repaired array ONCE via the array(x)[1] trick: interpreted
+    // HOFs get no CSE, so the six downstream references (size, total,
+    // cur, below, prev, maxFinite) would each re-run the O(n²) repair
+    // per output row — binding it to a lambda variable evaluates it once
+    val res = element_at(transform(array(repaired), bs => {
+      val n = size(bs)
+      val total = get(bs, n - 1).getField("v")
+      val rank = lit(q) * total
+      val cur = get(filter(bs, x => x.getField("v") >= rank), lit(0))
+      val below = filter(bs, x => x.getField("v") < rank)
+      val prev = get(below, size(below) - 1) // null when rank is in bucket 0
+      val prevLe = coalesce(prev.getField("le"), lit(0.0))
+      val prevV = coalesce(prev.getField("v"), lit(0.0))
+      val maxFinite = get(bs, n - 2).getField("le")
+      // out-of-range q decided FIRST, before any bucket inspection
+      // (Prometheus bucketQuantile: NaN → NaN, q<0 → -Inf, q>1 → +Inf)
       if (q.isNaN) lit(Double.NaN)
       else if (q < 0) lit(Double.NegativeInfinity)
       else if (q > 1) lit(Double.PositiveInfinity)
@@ -429,6 +433,7 @@ object Engine {
         .when(cur.getField("le") === lit(Double.PositiveInfinity), maxFinite)
         .otherwise(prevLe + (cur.getField("le") - prevLe) *
           (rank - prevV) / (cur.getField("v") - prevV))
+    }), 1)
     SeriesFrame(g.withColumn("value", res).drop("__bs"), keep)
   }
 
