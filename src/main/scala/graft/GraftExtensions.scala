@@ -115,6 +115,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_dot(a, b)")
       }))
 
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      info("winnow_fps",
+        "winnow_fps(text, k, w) - winnowed k-gram fingerprint set (48-bit longs)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, k, w) =>
+          graft.ops.WinnowFps(t, litDouble(k, "k").toInt, litDouble(w, "w").toInt)
+        case _ => throw new IllegalArgumentException("winnow_fps(text, k, w)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(text, k, w) - k-lane MinHash signature over word w-gram shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, k, w) =>
+          graft.ops.MinHashSig(t, litDouble(k, "k").toInt, litDouble(w, "w").toInt)
+        case _ => throw new IllegalArgumentException("minhash_sig(text, k, w)")
+      }))
+
     ext.injectFunction((FunctionIdentifier("cms_agg"),
       info("cms_agg", "cms_agg(value[, depth, width]) - Count-Min frequency sketch"),
       (args: Seq[Expression]) => args match {

@@ -129,6 +129,16 @@ class DDSketchSpec extends AnyFunSuite {
         "(SELECT ddsketch_agg(v, 0.01D) AS sk FROM ext_vals GROUP BY v % 7)")
       .head().getLong(0)
     assert(st == 1000L)
+    // text dedup primitives: SQL form must agree with the Column form
+    val txt = "one two three four five six seven eight nine ten"
+    val wf = spark.sql(s"SELECT winnow_fps('$txt', 8, 4) AS f").head()
+      .getSeq[Long](0).toSet
+    val wfCol = Seq((1L, txt)).toDF("doc_id", "text")
+    assert(graft.ops.TextOps.winnow(wfCol, k = 8, w = 4).collect()
+      .map(_.getLong(1)).toSet == wf)
+    val ms = spark.sql(s"SELECT minhash_sig('$txt', 16, 5) AS s").head()
+      .getSeq[Long](0)
+    assert(ms.length == 16 && ms.forall(v => v >= 0 && v < (1L << 48)))
   }
 
   test("CountMin: overestimate-only, merge-order-insensitive, serde round-trip") {
