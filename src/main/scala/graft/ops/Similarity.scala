@@ -58,6 +58,38 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 281474976710656.0 - 0.5 // 2^48
   }
 
+  /** deterministic (j, i) projection weight — the same md5-uniform
+    * family as [[planeComponent]] under a distinct name space, so the
+    * projection matrix is independent of the LSH planes */
+  private def projComponent(j: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"proj$j|$i".getBytes("UTF-8"))
+    val hex = digest.take(6).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 281474976710656.0 - 0.5
+  }
+
+  /** Johnson–Lindenstrauss random projection — the dimensionality
+    * reduction that keeps ANN / SemDeDup affordable when raw dims are
+    * large: distances survive within 1±ε for outDims = O(log n / ε²)
+    * whatever the input dimensionality (JL lemma; Achlioptas 2003 shows
+    * simple sub-Gaussian entries suffice — public results). The matrix
+    * is md5-seeded uniform(−0.5, 0.5) (variance 1/12), scaled by
+    * √(12/outDims) so expected squared norms are preserved, and every
+    * output coordinate is ONE native codegen'd dot against a plan-time
+    * literal row — outDims dots per vector, shuffle-free, and the whole
+    * projection replays bit-for-bit in an external engine (ordered
+    * folds, deterministic weights). Adds a `proj` array<double> column.
+    */
+  def randomProject(df: DataFrame, outDims: Int,
+      embCol: String = "embedding", dims: Int = 64): DataFrame = {
+    val scale = math.sqrt(12.0 / outDims)
+    val coords = (0 until outDims).map { j =>
+      val row = lit((0 until dims).map(i => projComponent(j, i)).toArray)
+      dot(col(embCol), row) * scale
+    }
+    df.withColumn("proj", array(coords: _*))
+  }
+
   /** sign bit of v · plane_p. The plane is ONE array Literal (not an
     * `array(lit, lit, …)` constructor): 64 inline literal nodes per plane
     * × planes × tables bloat the expression tree and the generated Java

@@ -58,6 +58,49 @@ object PipelineQueries extends Catalog {
             fp
      FROM m"""
 
+  /** Johnson–Lindenstrauss projection ([[Similarity.randomProject]]):
+    * 64-d embeddings project to 16-d through the md5-seeded matrix;
+    * per vector the row emits the first projected coordinate and the
+    * squared-norm preservation ratio — the quantity the JL lemma bounds.
+    * The oracle replays weights (same md5→uniform formula as the LSH
+    * plane oracles), the i-ordered inner folds, and the j-ordered norm
+    * fold.
+    */
+  private def jlProject(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.randomProject(Tables.embeddings(s, d), outDims = 16)
+    p.select(col("vec_id"),
+      round(element_at(col("proj"), 1), 6).as("proj0"),
+      when(Similarity.dot(col("embedding"), col("embedding")) > 0.0,
+        round(Similarity.dot(col("proj"), col("proj")) /
+          Similarity.dot(col("embedding"), col("embedding")), 6))
+        .as("norm_ratio"))
+  }
+
+  private val jlProjectSql = {
+    s"""WITH pr AS (
+       SELECT e.vec_id, j.j,
+              list_sum(list_transform(range(0, 64), i ->
+                CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+                (CAST(('0x' || substr(md5('proj' || CAST(j.j AS VARCHAR) || '|'
+                       || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT)
+                 / 281474976710656.0 - 0.5)))
+              * sqrt(12.0 / 16) AS p
+       FROM embeddings e CROSS JOIN range(0, 16) j(j)),
+     ps AS (
+       SELECT vec_id, list(p ORDER BY j) AS ps FROM pr GROUP BY 1),
+     nx AS (
+       SELECT vec_id,
+              list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       FROM embeddings)
+     SELECT ps.vec_id,
+            round(ps.ps[1], 6) AS proj0,
+            CASE WHEN nx.n2 > 0 THEN
+              round(list_sum(list_transform(ps.ps, p -> p * p)) / nx.n2, 6)
+            END AS norm_ratio
+     FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
+  }
+
   /** model-based quality filtering ([[TextOps.qualityLr]]): fixed-weight
     * linear classifier logits + keep decisions over the corpus; the
     * oracle replays features and the left-associative weighted sum.
@@ -2293,6 +2336,7 @@ object PipelineQueries extends Catalog {
       (s, d) => TextOps.gopherQuality(docs(s, d)),
       Some(gopherQualitySql)),
     Q("pp_quality_lr", qualityLrQ, Some(qualityLrSql)),
+    Q("pp_jl_project", jlProject, Some(jlProjectSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",

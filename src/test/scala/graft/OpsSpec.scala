@@ -746,6 +746,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(t => t._2 < t._1))
   }
 
+  test("JL projection: norms concentrate around 1 on real embeddings") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val p = Similarity.randomProject(emb, outDims = 16)
+    val ratios = p.select((Similarity.dot(col("proj"), col("proj")) /
+        Similarity.dot(col("embedding"), col("embedding"))).as("r"))
+      .collect().map(_.getDouble(0))
+    // E[ratio] = 1 exactly; per-vector relative std ≈ sqrt(2/16) ≈ 0.35,
+    // so the corpus mean is tight and individuals stay in a loose band.
+    // Distances inherit the property by linearity (a difference vector
+    // is itself projected by the same matrix).
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.1, s"mean ratio $mean")
+    assert(ratios.count(r => r > 0.2 && r < 3.0) >= ratios.length * 0.95,
+      s"heavy tails: ${ratios.count(r => r <= 0.2 || r >= 3.0)} outliers")
+    // determinism: the same matrix projects the same vector identically
+    // across separate plans
+    val again = Similarity.randomProject(emb, outDims = 16)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = p.select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first)
+  }
+
   test("kmeans: partition of the corpus, planted twin lands with its original") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val n = emb.count()
