@@ -90,6 +90,38 @@ object Similarity {
     df.withColumn("proj", array(coords: _*))
   }
 
+  /** Two-stage ANN through the JL projection ([[randomProject]]): score
+    * the corpus in `outDims`-d projected space (cheap — 16-d dots
+    * instead of raw-d), keep a `shortlist` per query, then rerank ONLY
+    * the shortlist by exact cosine in the original space. The standard
+    * reduce-then-rerank shape: at scale the projected pass is the
+    * linear scan (outDims/dims of the FLOP cost) and exact work is
+    * bounded by shortlist × queries. Deterministic end-to-end (both
+    * ranks tie-break on vec_id; the projection is md5-seeded), so an
+    * external engine replays the exact candidate sets.
+    */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 20, outDims: Int = 16): DataFrame = {
+    val c = randomProject(corpus, outDims)
+      .select(col("vec_id"), col("embedding"), col("proj"))
+    val q = broadcast(randomProject(queries, outDims)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("proj").as("q_proj")))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("psim", cosine(col("q_proj"), col("proj")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("vec_id").asc)
+    val short = scored.withColumn("prk", row_number().over(w1))
+      .filter(col("prk") <= shortlist)
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** sign bit of v · plane_p. The plane is ONE array Literal (not an
     * `array(lit, lit, …)` constructor): 64 inline literal nodes per plane
     * × planes × tables bloat the expression tree and the generated Java

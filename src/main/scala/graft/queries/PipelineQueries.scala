@@ -101,6 +101,54 @@ object PipelineQueries extends Catalog {
      FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
   }
 
+  /** two-stage ANN over the JL projection ([[Similarity.jlTopK]]):
+    * shortlist 20 per query by 16-d projected cosine, exact-rerank to
+    * top-5 — the reduce-then-rerank scale shape. Oracle replays the
+    * projection, both ranked stages, and the exact rerank.
+    */
+  private def jlAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.jlTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+  }
+
+  private val jlAnnSql = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH pr AS (
+       SELECT e.vec_id, j.j,
+              list_sum(list_transform(range(0, 64), i ->
+                CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+                (CAST(('0x' || substr(md5('proj' || CAST(j.j AS VARCHAR) || '|'
+                       || CAST(i AS VARCHAR)), 1, 12)) AS BIGINT)
+                 / 281474976710656.0 - 0.5)))
+              * sqrt(12.0 / 16) AS p
+       FROM embeddings e CROSS JOIN range(0, 16) j(j)),
+     ps AS (
+       SELECT vec_id, list(p ORDER BY j) AS ps FROM pr GROUP BY 1),
+     cand AS (
+       SELECT qp.vec_id AS query_id, cp.vec_id AS vec_id,
+              ${cos("cp.ps", "qp.ps")} AS psim
+       FROM ps cp CROSS JOIN ps qp
+       WHERE qp.vec_id < 8 AND cp.vec_id <> qp.vec_id),
+     short AS (
+       SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY psim DESC, vec_id ASC) AS prk
+         FROM cand) WHERE prk <= 20),
+     scored AS (
+       SELECT s.query_id, s.vec_id, ${cos("q.embedding", "v.embedding")} AS sim
+       FROM short s
+       JOIN embeddings q ON q.vec_id = s.query_id
+       JOIN embeddings v ON v.vec_id = s.vec_id)
+     SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rk
+       FROM scored) WHERE rk <= 5"""
+  }
+
   /** model-based quality filtering ([[TextOps.qualityLr]]): fixed-weight
     * linear classifier logits + keep decisions over the corpus; the
     * oracle replays features and the left-associative weighted sum.
@@ -2337,6 +2385,7 @@ object PipelineQueries extends Catalog {
       Some(gopherQualitySql)),
     Q("pp_quality_lr", qualityLrQ, Some(qualityLrSql)),
     Q("pp_jl_project", jlProject, Some(jlProjectSql)),
+    Q("pp_jl_ann", jlAnn, Some(jlAnnSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",
