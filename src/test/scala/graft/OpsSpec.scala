@@ -508,6 +508,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // random hyperplanes on random data
   }
 
+  test("JL two-stage ANN recall against brute force") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.jlTopK(emb, queries, k = 5, shortlist = 20)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // a 16-d projection with a 4x shortlist recovers most of the exact
+    // top-5 (JL distance preservation) — far above the LSH band
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("components: transitive closure with canonical min-id labels") {
     import spark.implicits._
     // chain 1-2-3 plus isolated pair 10-11; 3 never touches 1 directly
