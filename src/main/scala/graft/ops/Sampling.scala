@@ -96,17 +96,41 @@ object Sampling {
   def globalShuffle(df: DataFrame, idCol: String, seed: Int): DataFrame = {
     val id = graft.GraftSession.safeCol(df, idCol)
     val key = md5(concat_ws("|", lit(seed.toString), id.cast("string")))
-    // ONE full-data shuffle (the distributed range sort), then only
-    // per-partition projections: a window `PARTITION BY __pid` here would
-    // re-shuffle the whole corpus a second time just to rank rows that are
-    // already sorted in place — monotonically_increasing_id after the
-    // in-partition sort is the shuffle-free local rank (its documented
-    // layout is partition_id << 33 | consecutive row index, normalized
-    // below against the per-partition min so only "consecutive within a
-    // partition, assigned in plan order" is relied on).
-    val sorted = graft.GraftSession.spread(df.withColumn("__k", key))
-      .repartitionByRange(col("__k"), id)
-      .sortWithinPartitions(col("__k"), id)
+    rankedPos(df.withColumn("__k", key), Seq(col("__k"), id)).drop("__k")
+  }
+
+  /** Deterministic curriculum order — easy-first training order with
+    * within-band randomization: rows rank by (difficulty band asc,
+    * md5(seed|id), id). The band is any caller-derived deterministic
+    * integer (a quality-score bucket, a length bucket); the md5 key
+    * shuffles inside each band so the model never sees a
+    * quality-correlated sub-order. Same single-range-sort machinery as
+    * [[globalShuffle]] — no global window anywhere.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, bandCol: String,
+      seed: Int): DataFrame = {
+    val id = graft.GraftSession.safeCol(df, idCol)
+    val key = md5(concat_ws("|", lit(seed.toString), id.cast("string")))
+    rankedPos(df.withColumn("__k", key),
+      Seq(graft.GraftSession.safeCol(df, bandCol), col("__k"), id))
+      .drop("__k")
+  }
+
+  /** contiguous position 0..n−1 in `sortCols` order with ONE range sort:
+    * (1) range-repartition + sort (Spark's distributed sort machinery);
+    * (2) per-partition counts — a driver-side statistic bounded by
+    * PARTITION COUNT; (3) prefix-sum offsets broadcast back. A window
+    * `PARTITION BY __pid` would re-shuffle the corpus a second time just
+    * to rank rows already sorted in place — monotonically_increasing_id
+    * after the in-partition sort is the shuffle-free local rank (its
+    * documented layout is partition_id << 33 | consecutive row index,
+    * normalized against the per-partition min so only "consecutive
+    * within a partition, assigned in plan order" is relied on).
+    */
+  private def rankedPos(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val sorted = graft.GraftSession.spread(df)
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val cached = graft.GraftSession.materialize(sorted)
       .withColumn("__mid", monotonically_increasing_id())
@@ -128,7 +152,7 @@ object Sampling {
     cached
       .join(offDf, Seq("__pid"))
       .withColumn("pos", col("__mid") - col("__min") + col("__off"))
-      .drop("__k", "__pid", "__mid", "__off", "__min")
+      .drop("__pid", "__mid", "__off", "__min")
   }
 
   /** Adjacent word bigrams ("w1 w2") of the lowercased, whitespace-split,

@@ -101,6 +101,34 @@ object PipelineQueries extends Catalog {
      FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
   }
 
+  /** deterministic curriculum order ([[Sampling.curriculumOrder]]):
+    * docs band by their [[TextOps.qualityLr]] logit (floor(logit·4)) and
+    * rank (band asc, md5-shuffle within band) — easy-first training
+    * order, one range sort, no global window. The oracle rebuilds the
+    * logit (the [[qualityLrSql]] replay) and ranks with the identical
+    * composite key.
+    */
+  private def curriculumQ(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.qualityLr(docs(s, d), "text")
+      .withColumn("band", floor(col("lr_logit") * 4).cast("int"))
+      .select(col("doc_id"), col("band"))
+    graft.ops.Sampling.curriculumOrder(q, "doc_id", "band", seed = 7)
+      .select(col("doc_id"), col("band"), col("pos"))
+  }
+
+  // def, not val: interpolates qualityLrSql, which is declared later in
+  // the file (object vals initialize in declaration order)
+  private def curriculumSql =
+    s"""WITH q AS ($qualityLrSql),
+       b AS (
+         SELECT doc_id, CAST(floor(lr_logit * 4) AS INT) AS band,
+                md5('7' || '|' || CAST(doc_id AS VARCHAR)) AS k
+         FROM q)
+       SELECT doc_id, band,
+              CAST(row_number() OVER (ORDER BY band, k, doc_id) - 1 AS BIGINT)
+                AS pos
+       FROM b"""
+
   /** two-stage ANN over the JL projection ([[Similarity.jlTopK]]):
     * shortlist 20 per query by 16-d projected cosine, exact-rerank to
     * top-5 — the reduce-then-rerank scale shape. Oracle replays the
@@ -2386,6 +2414,7 @@ object PipelineQueries extends Catalog {
     Q("pp_quality_lr", qualityLrQ, Some(qualityLrSql)),
     Q("pp_jl_project", jlProject, Some(jlProjectSql)),
     Q("pp_jl_ann", jlAnn, Some(jlAnnSql)),
+    Q("pp_curriculum", curriculumQ, Some(curriculumSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",

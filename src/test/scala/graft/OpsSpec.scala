@@ -377,6 +377,30 @@ class DedupSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("curriculum order: bands ascend along pos, shuffled within band") {
+    import graft.ops.Sampling
+    val n = 900
+    val df = spark.range(0, n).toDF("doc_id")
+      .withColumn("band", (col("doc_id") % 3).cast("int")).repartition(5)
+    val out = Sampling.curriculumOrder(df, "doc_id", "band", seed = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq == (0L until n).toSeq) // permutation
+    // positions partition by band: all of band 0 precede all of band 1...
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(_._2).toSeq == byPos.map(_._2).toSeq.sorted)
+    // within a band the order is the md5 shuffle, not id order
+    val band0 = byPos.filter(_._2 == 0).map(_._1)
+    assert(band0.toSeq != band0.toSeq.sorted, "band is in raw id order")
+    // equals the single-window rank on the composite key
+    val want = df.select(col("doc_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+          col("band"),
+          md5(concat_ws("|", lit("3"), col("doc_id").cast("string"))),
+          col("doc_id"))) - 1).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._3).toMap == want)
+  }
+
   test("shard manifest partitions the shuffle order exactly, digests in pos order") {
     import graft.ops.{Packing, Sampling}
     val n = 500
