@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("streaming heavy hitters: windowed CountMin equals the batch sketch") {
+    import graft.sketch.{functions => gf}
+    // top-talker detection on a stream: the CountMin TypedImperativeAggregate
+    // runs inside a watermarked event-time window exactly as in batch —
+    // cells are merge-order-insensitive, so estimates agree EXACTLY
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ms"), col("user_id"), col("event_type"))
+    val dir = Files.createTempDirectory("graft_stream_cms_").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val out = StreamingIngest.runFileStreamOnce(spark, dir, ev.schema,
+      src => src
+        .withColumn("__ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("__ts", "10 seconds")
+        .groupBy(window(col("__ts"), "1 hour").as("w"))
+        .agg(gf.cms_agg(col("user_id").cast("string")).as("cms"))
+        .select(unix_millis(col("w.start")).as("win_start"), col("cms")),
+      queryName = "stream_cms")
+    val batch = ev
+      .groupBy((col("ts_ms") - col("ts_ms") % 3600000L).as("win_start"))
+      .agg(gf.cms_agg(col("user_id").cast("string")).as("bcms"))
+    val probes = ev.select(col("user_id").cast("string").as("u")).distinct()
+      .limit(50)
+    val j = out.join(batch, Seq("win_start"), "full").crossJoin(probes)
+      .withColumn("se", gf.cms_est(col("cms"), col("u")))
+      .withColumn("be", gf.cms_est(col("bcms"), col("u")))
+    val bad = j.filter(col("cms").isNull || col("bcms").isNull ||
+      col("se") =!= col("be")).count()
+    assert(bad == 0)
+    assert(j.count() > 0)
+  }
+
   test("streaming exact dedup emits the batch-distinct fingerprint set") {
     import graft.streaming.StreamingDedup
     import spark.implicits._
