@@ -340,6 +340,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of and range joins equal naive references on random key/ts data") {
+    import graft.ops.{AsofJoin, RangeJoin}
+    val s = TestSpark.spark
+    import s.implicits._
+    // small key/ts domains force collisions, exact ties, and duplicate
+    // right-side (k, ts) rows — every tie path gets exercised
+    val genRight = Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 3L); ts <- Gen.chooseNum(0L, 40L)
+    } yield (k, ts))
+    val genLeft = Gen.listOfN(20, for {
+      k <- Gen.chooseNum(0L, 3L); ts <- Gen.chooseNum(0L, 40L)
+    } yield (k, ts))
+    val prop = forAll(genRight, genLeft, Gen.chooseNum(1L, 20L)) { (rs, ls, tol) =>
+      val right = rs.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toDouble, i.toLong) }
+        .toDF("k", "ts", "v", "id")
+      val left = ls.zipWithIndex
+        .map { case ((k, ts), i) => (1000L + i, k, ts) }
+        .toDF("pid", "k", "ts")
+      val got = AsofJoin.backward(left, right, "k", "ts", "ts",
+          Seq("v"), "id", toleranceMs = tol)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      // naive: per left row scan all right rows; dup (k, ts) keeps max id
+      val dedup = rs.zipWithIndex
+        .groupBy { case ((k, ts), _) => (k, ts) }
+        .map { case ((k, ts), g) => (k, ts, g.map(_._2).max) }
+      val want = ls.zipWithIndex.map { case ((k, ts), i) =>
+        val cand = dedup.filter(r => r._1 == k && r._2 <= ts)
+        val m = if (cand.isEmpty) None
+          else Some(cand.maxBy(r => (r._2, r._3))).filter(r => ts - r._2 <= tol)
+        (1000L + i) -> m.map(_._2)
+      }.toMap
+      val gotTs = got.map { case (p, o) => p -> o.map(_.asInstanceOf[Long]) }
+      if (gotTs != want) println(s"asof mismatch:\n got=$gotTs\nwant=$want")
+      gotTs == want
+    }
+    holds(prop)
+    // range join vs a naive containment filter, random bucket widths
+    val genIv = Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0L, 2L); st <- Gen.chooseNum(0L, 30L)
+      len <- Gen.chooseNum(0L, 15L)
+    } yield (k, st, st + len))
+    val prop2 = forAll(genIv, genLeft, Gen.chooseNum(1L, 12L)) { (ivs, ls, b) =>
+      val iv = ivs.zipWithIndex
+        .map { case ((k, st, en), i) => (k, st, en, i.toLong) }
+        .toDF("k", "s", "e", "ivid")
+      val pts = ls.zipWithIndex
+        .map { case ((k, ts), i) => (1000L + i, k, ts) }
+        .toDF("pid", "k", "ts")
+      val got = RangeJoin.pointInInterval(pts, iv, "k", "ts", "s", "e",
+          Seq("ivid"), bucketMs = b)
+        .select("pid", "iv_ivid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        ((k, ts), i) <- ls.zipWithIndex
+        ((ik, st, en), j) <- ivs.zipWithIndex
+        if ik == k && ts >= st && ts < en
+      } yield (1000L + i, j.toLong)).toSet
+      got == want
+    }
+    holds(prop2)
+  }
+
   test("ip rangeRegex matches exactly the in-range dotted quads") {
     import graft.logql.IpMatch
     def quad(x: Long) = Seq(24, 16, 8, 0).map(sh => (x >> sh) & 255).mkString(".")
