@@ -99,6 +99,20 @@ object TextOps {
       (logit > 0.0).cast("int").as("keep"))
   }
 
+  /** NFC Unicode normalization — the canonicalization pass every real
+    * corpus pipeline runs before hashing or dedup (decomposed accents,
+    * legacy precomposed forms): visually identical strings must hash
+    * identically. `java.text.Normalizer` implements the Unicode-standard
+    * NFC algorithm, the same spec any other engine's nfc function
+    * implements, so outputs replay exactly. Null-safe Scala UDF (the JDK
+    * call is the entire work; no expression algebra to optimize
+    * through).
+    */
+  val nfcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** n-gram-heuristic language ID: argmax of per-language stopword hit
     * counts; ties (incl. all-zero) → "und" (undetermined).
     */

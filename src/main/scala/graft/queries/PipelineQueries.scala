@@ -101,6 +101,42 @@ object PipelineQueries extends Catalog {
      FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
   }
 
+  /** Unicode NFC hygiene ([[TextOps.nfcNormalize]]): the ASCII corpus
+    * gains deterministic non-ASCII suffixes — precomposed é (doc_id
+    * even), DECOMPOSED e+U+0301 (odd), and the U+FB01 ligature (doc_id %
+    * 3 = 0, NFC-invariant — only NFKC would fold it) — so normalization
+    * actually changes half the rows. Code-point lengths and the changed
+    * flag replay in any engine implementing the Unicode NFC spec.
+    */
+  private def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    // explicit escapes, not literal glyphs: precomposed U+00E9 and
+    // decomposed e+U+0301 would render identically in source
+    val raw = concat(df("text"),
+      when(df("doc_id") % 2 === 0, lit(" caf\u00e9"))
+        .otherwise(lit(" cafe\u0301")),
+      when(df("doc_id") % 3 === 0, lit("\ufb01nal")).otherwise(lit("")))
+    val nfc = TextOps.nfcNormalize(raw)
+    df.select(df("doc_id"),
+      length(raw).cast("long").as("n_raw"),
+      length(nfc).cast("long").as("n_nfc"),
+      (raw =!= nfc).cast("int").as("changed"))
+  }
+
+  private val unicodeNormSql =
+    """WITH r AS (
+         SELECT doc_id,
+                text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+                             ELSE ' cafe' || chr(769) END
+                     || CASE WHEN doc_id % 3 = 0 THEN chr(64257) || 'nal'
+                             ELSE '' END AS raw
+         FROM documents)
+       SELECT doc_id,
+              CAST(length(raw) AS BIGINT) AS n_raw,
+              CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+              CAST(raw <> nfc_normalize(raw) AS INT) AS changed
+       FROM r"""
+
   /** deterministic curriculum order ([[Sampling.curriculumOrder]]):
     * docs band by their [[TextOps.qualityLr]] logit (floor(logit·4)) and
     * rank (band asc, md5-shuffle within band) — easy-first training
@@ -2415,6 +2451,7 @@ object PipelineQueries extends Catalog {
     Q("pp_jl_project", jlProject, Some(jlProjectSql)),
     Q("pp_jl_ann", jlAnn, Some(jlAnnSql)),
     Q("pp_curriculum", curriculumQ, Some(curriculumSql)),
+    Q("pp_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",
