@@ -645,6 +645,55 @@ object ItQueries extends Catalog {
     * `events` and every segment file, and a require() gates that the
     * pruned fetch read strictly fewer files.
     */
+  /** exemplar→metric enrichment through the segment spine: probe events
+    * (the exemplar subset) pick up the most recent 10 s pre-agg sample
+    * of THEIR series (attr_event_type) at-or-before their timestamp,
+    * within 60 s — [[graft.ops.AsofJoin]] running against the REAL
+    * freq=10000 tier (StepPolicy scan, dateint-pruned): the "what was
+    * the metric when this trace fired" pivot. The oracle replays with
+    * DuckDB's native ASOF JOIN over the same segment files.
+    */
+  private def asofEnrich(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    val qEnd = Start + 24 * HourMs
+    // explicit row filter on top of the partition-pruned tier scan: the
+    // oracle reads the same window, so both sides see identical samples
+    val scan = StepPolicy.scanTier(s, dir, 10000L, Start, qEnd)
+      .filter(col("metric_name") === "events_value" &&
+        col("chq_timestamp") >= Start && col("chq_timestamp") < qEnd)
+      .select(col("attr_event_type").as("k"),
+        col("chq_timestamp").as("sts"),
+        col("chq_rollup_sum").as("msum"),
+        col("chq_rollup_count").as("mcnt"))
+    val probes = Tables.events(s, d)
+      .filter(col("event_id") % 5 === 2 &&
+        col("ts_ms") >= Start && col("ts_ms") < qEnd)
+      .select(col("event_id"), col("event_type").as("k"), col("ts_ms"))
+    // (k, sts) is unique by pre-agg construction; sts tie-break is inert
+    graft.ops.AsofJoin.backward(probes, scan, "k", "ts_ms", "sts",
+      payloadCols = Seq("msum", "mcnt"), tieBreak = "sts",
+      toleranceMs = 60000L)
+  }
+
+  private def asofEnrichSql(dir: String): String =
+    s"""WITH r AS (
+       SELECT attr_event_type AS k, chq_timestamp AS sts,
+              chq_rollup_sum AS msum, chq_rollup_count AS mcnt
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE metric_name = 'events_value'
+         AND chq_timestamp >= $Start AND chq_timestamp < ${Start + 24 * HourMs}),
+     l AS (
+       SELECT event_id, event_type AS k, epoch_ms(ts) AS ts_ms
+       FROM events
+       WHERE event_id % 5 = 2 AND epoch_ms(ts) >= $Start
+         AND epoch_ms(ts) < ${Start + 24 * HourMs})
+     SELECT l.event_id, l.k, l.ts_ms,
+            CASE WHEN l.ts_ms - r.sts <= 60000 THEN r.sts END AS asof_ts,
+            CASE WHEN l.ts_ms - r.sts <= 60000 THEN r.msum END AS asof_msum,
+            CASE WHEN l.ts_ms - r.sts <= 60000 THEN r.mcnt END AS asof_mcnt
+     FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts_ms >= r.sts"""
+
   private def exemplarTrace(s: SparkSession, d: String): DataFrame = {
     import graft.ingest.OtelProto
     import OtelProto.Encode
@@ -751,6 +800,7 @@ object ItQueries extends Catalog {
     Q("it_agg_substitution", aggSubstitution, Some(aggSubstitutionSql(logSegRootCur))),
     Q("it_trace_lookup", traceLookup, Some(traceLookupSql(spanSegRootCur))),
     Q("it_exemplar_trace", exemplarTrace, Some(exemplarTraceSql(spanSegRootCur))),
+    Q("it_asof_enrich", asofEnrich, Some(asofEnrichSql(segRootCur))),
     Q("it_span_logql", spanLogql, Some(spanLogqlSql(spanSegRootCur)))
   )
 }
