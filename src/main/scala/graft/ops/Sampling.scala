@@ -77,6 +77,49 @@ object Sampling {
       .filter(uniform(graft.GraftSession.safeCol(df, idCol)) < col("keep_rate"))
   }
 
+  /** Token-budgeted mixture selection — the variant real training runs
+    * use (budgets are in TOKENS, not documents): source s with token
+    * mass T_s gets budget floor(targetTokens · T_s^α / Σ_t T_t^α + δ)
+    * (δ = the repo's irrational grid offset, so a pow() ulp difference
+    * between engines can never flip the floor), and docs are admitted
+    * in deterministic md5 order until their source's running token sum
+    * crosses the budget — the crossing doc is kept, so a non-empty
+    * budget always admits at least one doc.
+    *
+    * Scale shape: one tiny per-source sum (source-cardinality rows,
+    * a plan-time statistic), then ONE window partitioned by source for
+    * the running sum — no global window, no shuffle beyond the source
+    * partitioning. Adds `n_tokens` and `token_budget`; rows past their
+    * budget are dropped.
+    */
+  def tokenBudgetMixture(df: DataFrame, srcCol: String, idCol: String,
+      tokensCol: String, alpha: Double, targetTokens: Long,
+      seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.GraftSession.safeCol(df, srcCol)
+    val id = graft.GraftSession.safeCol(df, idCol)
+    val toks = graft.GraftSession.safeCol(df, tokensCol).cast("long")
+    val sums = df.groupBy(src.as("__s")).agg(sum(toks).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalW = sums.toSeq.sortBy(_._1)
+      .map { case (_, t) => math.pow(t.toDouble, alpha) }.sum
+    val budgets = sums.map { case (s0, t) =>
+      s0 -> math.floor(targetTokens *
+        (math.pow(t.toDouble, alpha) / totalW) + 0.31830988618367446).toLong
+    }
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, b)) => when(src === k, lit(b)).otherwise(acc)
+    }
+    val key = md5(concat_ws("|", lit(seed.toString), id.cast("string")))
+    val w = Window.partitionBy(src).orderBy(key, id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("token_budget", budget)
+      .withColumn("n_tokens", toks)
+      .withColumn("__run", sum(col("n_tokens")).over(w))
+      .filter(col("__run") - col("n_tokens") < col("token_budget"))
+      .drop("__run")
+  }
+
   /** Deterministic global shuffle — the training-order randomization pass:
     * every row gets a contiguous position 0..n−1 in md5(seed|id) order,
     * reproducible across runs, engines, and partitionings.

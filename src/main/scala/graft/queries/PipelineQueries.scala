@@ -101,6 +101,53 @@ object PipelineQueries extends Catalog {
      FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
   }
 
+  /** token-budgeted mixture ([[Sampling.tokenBudgetMixture]]): sources
+    * get α=0.5 TOKEN budgets out of 20k target tokens and admit docs in
+    * md5 order until the budget crosses; per-source kept-doc and
+    * kept-token sums catch any admission off-by-one. The oracle
+    * recomputes budgets (pow ulps absorbed by the irrational floor
+    * offset) and replays the windowed running sum.
+    */
+  private def tokenMixture(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetMixture(
+      docs(s, d).withColumn("n_tok", TextOps.tokenCount(col("text"))),
+      "source", "doc_id", "n_tok", alpha = 0.5, targetTokens = 20000L,
+      seed = 13)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tok_kept"),
+        min(col("token_budget")).as("token_budget"))
+
+  private val tokenMixtureSql =
+    """WITH st AS (
+         SELECT source AS s,
+                CAST(sum(len(string_split_regex(lower(text), ' +'))) AS BIGINT)
+                  AS t
+         FROM documents GROUP BY 1),
+       tw AS (
+         SELECT CAST(list_sum(list(pow(CAST(t AS DOUBLE), 0.5) ORDER BY s))
+                     AS DOUBLE) AS tot
+         FROM st),
+       bg AS (
+         SELECT s, CAST(floor(20000 * (pow(CAST(t AS DOUBLE), 0.5)
+                     / (SELECT tot FROM tw)) + 0.31830988618367446) AS BIGINT)
+                     AS b
+         FROM st),
+       d AS (
+         SELECT doc_id, source,
+                CAST(len(string_split_regex(lower(text), ' +')) AS BIGINT) AS n,
+                md5('13' || '|' || CAST(doc_id AS VARCHAR)) AS k
+         FROM documents),
+       r AS (
+         SELECT d.doc_id, d.source, d.n, bg.b,
+                sum(d.n) OVER (PARTITION BY d.source ORDER BY d.k, d.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run
+         FROM d JOIN bg ON bg.s = d.source)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(n) AS BIGINT) AS tok_kept,
+              min(b) AS token_budget
+       FROM r WHERE run - n < b GROUP BY 1"""
+
   /** Unicode NFC hygiene ([[TextOps.nfcNormalize]]): the ASCII corpus
     * gains deterministic non-ASCII suffixes — precomposed é (doc_id
     * even), DECOMPOSED e+U+0301 (odd), and the U+FB01 ligature (doc_id %
@@ -2452,6 +2499,7 @@ object PipelineQueries extends Catalog {
     Q("pp_jl_ann", jlAnn, Some(jlAnnSql)),
     Q("pp_curriculum", curriculumQ, Some(curriculumSql)),
     Q("pp_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
+    Q("pp_token_mixture", tokenMixture, Some(tokenMixtureSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",

@@ -377,6 +377,32 @@ class DedupSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("token-budget mixture: crossing doc kept, budgets honored per source") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // source a: 10 docs x 10 tokens; source b: 10 docs x 100 tokens
+    val df = ((0 until 10).map(i => (i.toLong, "a", 10L)) ++
+      (0 until 10).map(i => (100L + i, "b", 100L)))
+      .toDF("doc_id", "src", "n_tok")
+    val out = Sampling.tokenBudgetMixture(df, "src", "doc_id", "n_tok",
+        alpha = 0.5, targetTokens = 300L, seed = 1)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    // alpha=0.5: T_a=100, T_b=1000 -> w = 10/(10+sqrt(1000)),
+    // budgets ~ 72 and ~227 tokens
+    val byS = out.groupBy(_._1)
+    // source a: 72-token budget admits docs while run-n < 72 -> 8 docs
+    // (7 full + the crossing one); source b: 227 -> 3 docs
+    assert(byS("a").length == 8, byS("a").length.toString)
+    assert(byS("b").length == 3, byS("b").length.toString)
+    // budget column constant per source and matches the closed form
+    assert(byS("a").map(_._3).toSet.size == 1 &&
+      byS("b").map(_._3).toSet.size == 1)
+    // determinism: same admission set across runs
+    val again = Sampling.tokenBudgetMixture(df, "src", "doc_id", "n_tok",
+        0.5, 300L, 1).collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
+  }
+
   test("curriculum order: bands ascend along pos, shuffled within band") {
     import graft.ops.Sampling
     val n = 900
