@@ -55,6 +55,34 @@ object Packing {
       floor((running - df(tokensCol)) / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Per-sequence boundary manifest — the artifact a training job needs
+    * from a packer: for every (stratum, bin), the ordered list of
+    * (doc id, start offset within the sequence, token length) as a
+    * compact `id:off:len|…` string, so attention masks and loss
+    * boundaries reconstruct without re-reading the corpus. Offsets are
+    * the same running sum [[packBins]] derives bins from (off =
+    * running − tokens − bin·seqLen); collect_list is bounded by docs
+    * per bin and array_sort restores offset order, so the digest never
+    * depends on shuffle arrival order.
+    */
+  def packBoundaries(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(df(stratumCol)).orderBy(df(idCol))
+    val running = sum(df(tokensCol)).over(w)
+    val bin = floor((running - df(tokensCol)) / lit(seqLen.toDouble)).cast("long")
+    val off = (running - df(tokensCol)) - bin * seqLen
+    df.withColumn("pack_bin", bin)
+      .withColumn("__off", off.cast("long"))
+      .groupBy(col(stratumCol), col("pack_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__off").as("o"),
+            df(idCol).as("id"), df(tokensCol).cast("long").as("n")))),
+          m => concat_ws(":", m.getField("id").cast("string"),
+            m.getField("o").cast("string"), m.getField("n").cast("string"))),
+          "|").as("boundaries"))
+  }
+
   /** pack summary: docs and token totals per (stratum, bin) */
   def packSummary(df: DataFrame, stratumCol: String, idCol: String,
       tokensCol: String, seqLen: Long): DataFrame =

@@ -427,6 +427,38 @@ object PipelineQueries extends Catalog {
             CAST(sum(toks) AS BIGINT) AS n_tokens
      FROM r GROUP BY 1, 2"""
 
+  /** boundary manifests for the packed sequences
+    * ([[graft.ops.Packing.packBoundaries]]): per (lang, bin) the ordered
+    * id:off:len string a training job uses for attention masks / loss
+    * boundaries; the oracle replays the running-sum offsets and the
+    * off-ordered string_agg.
+    */
+  private def packBoundariesQ(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d).withColumn("toks", TextOps.tokenCount(col("text")))
+    graft.ops.Packing.packBoundaries(df, "lang", "doc_id", "toks",
+      seqLen = 512L)
+  }
+
+  private val packBoundariesSql =
+    """WITH t AS (
+       SELECT lang, doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+       FROM documents),
+     r AS (SELECT lang, doc_id, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           FROM t),
+     b AS (SELECT lang, doc_id, toks,
+             CAST(floor((cum - toks) / 512.0) AS BIGINT) AS pack_bin,
+             (cum - toks) - CAST(floor((cum - toks) / 512.0) AS BIGINT) * 512
+               AS off
+           FROM r)
+     SELECT lang, pack_bin, CAST(count(*) AS BIGINT) AS n_docs,
+            string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(off AS VARCHAR) || ':' ||
+                       CAST(toks AS VARCHAR), '|' ORDER BY off, doc_id)
+              AS boundaries
+     FROM b GROUP BY 1, 2"""
+
   private val Bm25Terms = Seq("spark", "merge", "window")
 
   private def bm25(s: SparkSession, d: String): DataFrame =
@@ -2562,6 +2594,7 @@ object PipelineQueries extends Catalog {
     Q("pp_bm25", bm25, Some(bm25Sql)),
     Q("pp_url_dedup", urlDedup, Some(urlDedupSql)),
     Q("pp_chunk", chunkDocs, Some(chunkDocsSql)),
-    Q("pp_pack_bins", packSummary, Some(packSummarySql))
+    Q("pp_pack_bins", packSummary, Some(packSummarySql)),
+    Q("pp_pack_boundaries", packBoundariesQ, Some(packBoundariesSql))
   )
 }
