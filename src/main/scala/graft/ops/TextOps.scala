@@ -99,6 +99,26 @@ object TextOps {
       (logit > 0.0).cast("int").as("keep"))
   }
 
+  /** Vocabulary-pruning statistics — the UNK-ing pass a fixed-vocab
+    * tokenizer pipeline runs: tokens whose CORPUS frequency falls below
+    * `minCount` would be replaced by the unknown symbol; per doc this
+    * reports how much content that destroys (the signal for choosing
+    * the threshold). Shape at scale: one token-level groupBy for the
+    * vocabulary, one token→vocab equi-join, one re-agg per doc — the
+    * standard token-join pipeline, linear, no driver-side vocabulary.
+    */
+  def unkStats(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = df.select(df("doc_id"),
+      explode(filter(tokens(df(textCol)), w => length(w) > 0)).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    toks.join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c") < minCount, 1L).otherwise(0L)).as("n_unk"))
+      .withColumn("unk_rate",
+        round(col("n_unk").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** NFC Unicode normalization — the canonicalization pass every real
     * corpus pipeline runs before hashing or dedup (decomposed accents,
     * legacy precomposed forms): visually identical strings must hash

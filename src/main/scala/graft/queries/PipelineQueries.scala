@@ -101,6 +101,27 @@ object PipelineQueries extends Catalog {
      FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
   }
 
+  /** UNK-rate under a corpus-frequency vocabulary threshold
+    * ([[TextOps.unkStats]], minCount = 3): per doc, how many tokens a
+    * fixed-vocab tokenizer would destroy. Oracle replays the vocabulary
+    * count and the threshold join.
+    */
+  private def unkRate(s: SparkSession, d: String): DataFrame =
+    TextOps.unkStats(docs(s, d), "text", minCount = 3L)
+
+  private val unkRateSql =
+    """WITH t AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), ' +'), w -> len(w) > 0)) AS w
+         FROM documents),
+       v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1)
+       SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN v.c < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+              round(CAST(sum(CASE WHEN v.c < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS unk_rate
+       FROM t JOIN v ON v.w = t.w
+       GROUP BY 1"""
+
   /** token-budgeted mixture ([[Sampling.tokenBudgetMixture]]): sources
     * get α=0.5 TOKEN budgets out of 20k target tokens and admit docs in
     * md5 order until the budget crosses; per-source kept-doc and
@@ -2532,6 +2553,7 @@ object PipelineQueries extends Catalog {
     Q("pp_curriculum", curriculumQ, Some(curriculumSql)),
     Q("pp_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
     Q("pp_token_mixture", tokenMixture, Some(tokenMixtureSql)),
+    Q("pp_unk_rate", unkRate, Some(unkRateSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",
