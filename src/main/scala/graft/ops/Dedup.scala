@@ -33,6 +33,21 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Boilerplate shingle mining — the empirical basis for every
+    * hot-bucket cap in this file: the w-word shingles shared by the
+    * most DOCUMENTS (cookie banners, footers, license blurbs). One
+    * distinct-per-doc explode, one groupBy (map-side combined), then
+    * TakeOrdered for the top-k — no global sort materializes. Ties at
+    * the cut break by shingle text, so the mined list is deterministic
+    * and replayable.
+    */
+  def stopShingles(df: DataFrame, textCol: String, w: Int = 5,
+      topK: Int = 20): DataFrame =
+    df.select(explode(shingles(df(textCol), w)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("sh").asc)
+      .limit(topK)
+
   /** Exact dedup: keep the first row (min orderCol) per identical text. */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
     val fp = md5(df(textCol))

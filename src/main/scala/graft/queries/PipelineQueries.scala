@@ -101,6 +101,32 @@ object PipelineQueries extends Catalog {
      FROM ps JOIN nx ON nx.vec_id = ps.vec_id"""
   }
 
+  /** boilerplate shingle mining ([[Dedup.stopShingles]]) over the
+    * line-structured derived pages (docs % 17 share a verbatim lorem
+    * line, % 13 a brace line — real cross-doc boilerplate): the top-20
+    * 5-word shingles by document frequency, the list that justifies the
+    * dedup hot-bucket caps. Oracle replays distinct-per-doc shingling,
+    * the frequency count, and the tie-broken top-k.
+    */
+  private def stopShinglesQ(s: SparkSession, d: String): DataFrame =
+    Dedup.stopShingles(
+      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
+      w = 5, topK = 20)
+
+  // def, not val: interpolates derivedPageCte, declared later in the file
+  private def stopShinglesSql =
+    s"""WITH $derivedPageCte,
+       t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM pg),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(ws) - 3),
+                  i -> array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)],
+                    ' '))) AS sh
+         FROM t WHERE len(ws) >= 5)
+       SELECT sh, CAST(count(*) AS BIGINT) AS doc_freq
+       FROM sh GROUP BY 1
+       ORDER BY doc_freq DESC, sh ASC LIMIT 20"""
+
   /** UNK-rate under a corpus-frequency vocabulary threshold
     * ([[TextOps.unkStats]], minCount = 3): per doc, how many tokens a
     * fixed-vocab tokenizer would destroy. Oracle replays the vocabulary
@@ -2554,6 +2580,7 @@ object PipelineQueries extends Catalog {
     Q("pp_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
     Q("pp_token_mixture", tokenMixture, Some(tokenMixtureSql)),
     Q("pp_unk_rate", unkRate, Some(unkRateSql)),
+    Q("pp_stop_shingles", stopShinglesQ, Some(stopShinglesSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("pp_winnow", winnowSummary, Some(winnowSql)),
     Q("pp_winnow_pairs",
