@@ -239,7 +239,9 @@ object Bench {
       "lq_rate", "lq_json_stage", "lq_raw_lines",
       "tq_preagg_10s", "tq_rollup_chain", "tq_segment_roundtrip",
       "it_log_needle", "it_stream_ingest",
-      "pp_minhash_lsh", "pp_cosine_topk", "pp_dedup_apply")
+      "tq_asof_join", "tq_range_join",
+      "pp_minhash_lsh", "pp_cosine_topk", "pp_dedup_apply",
+      "pp_jl_ann", "pp_kmeans", "pp_bpe_train_large")
     val resMap = results.toMap
     val headJson = headline.flatMap(k => resMap.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
