@@ -50,6 +50,67 @@ object AsofJoin {
     join0(left, right, keyCol, leftTs, rightTs, payloadCols, tieBreak,
       toleranceMs, dir = -1L)
 
+  /** Skew-resistant backward as-of join — the hot-series answer to
+    * [[backward]]'s one caveat: a key owning most of the rows funnels
+    * its whole series through ONE task's window. Here time additionally
+    * splits into `bucketMs` buckets and the window partitions on
+    * (key, bucket), so no task ever sees more than one bucket of one
+    * key. Cross-bucket matches are recovered by a SECOND, tiny window
+    * over the per-(key, bucket) summary frame (one row per non-empty
+    * bucket — bounded by time range / bucketMs per key, not by rows):
+    * carry = the latest right payload of any EARLIER bucket, joined
+    * back on (key, bucket) and used when the local window finds nothing.
+    * Semantics are exactly [[backward]]'s (property-tested equal),
+    * including right-before-left tie order and the tolerance gate.
+    */
+  def backwardBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      tieBreak: String, bucketMs: Long,
+      toleranceMs: Long = Long.MaxValue): DataFrame = {
+    val rv = struct(col(rightTs).cast("long").as("__rts") +:
+      payloadCols.map(col): _*)
+    val r2 = right
+      .groupBy(col(keyCol).as("__k"), col(rightTs).cast("long").as("__rt"))
+      .agg(max_by(rv, col(tieBreak)).as("__rv"))
+      .select(col("__k"), col("__rt").as("__ts"), lit(0).as("__side"),
+        col("__rv"))
+    val rvType = r2.schema("__rv").dataType
+    val l2 = left.select(
+      struct(left.columns.map(col): _*).as("__lrow"),
+      col(keyCol).as("__k"), col(leftTs).cast("long").as("__ts"),
+      lit(1).as("__side"), lit(null).cast(rvType).as("__rv"))
+    val u = r2.select(lit(null).cast(l2.schema("__lrow").dataType).as("__lrow"),
+      col("__k"), col("__ts"), col("__side"), col("__rv"))
+      .unionByName(l2)
+      .withColumn("__b", (col("__ts") / bucketMs).cast("long"))
+    // pass 1: within-bucket at-or-before — partition (key, bucket), so a
+    // hot key spreads over its buckets instead of one task
+    val w1 = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__m1", last(col("__rv"), ignoreNulls = true).over(w1))
+    // pass 2 input: ONE row per (key, bucket) with the bucket's latest
+    // right payload (null for right-free buckets) — bounded by bucket
+    // count, not row count
+    val bl = u.groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__rv"),
+        when(col("__side") === 0, col("__ts"))).as("__last"))
+    val w2 = Window.partitionBy(col("__k")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bl.withColumn("__carry",
+      last(col("__last"), ignoreNulls = true).over(w2))
+      .select(col("__k"), col("__b"), col("__carry"))
+    val withMatch = local.filter(col("__side") === 1)
+      .join(carry, Seq("__k", "__b"))
+      .withColumn("__m", coalesce(col("__m1"), col("__carry")))
+    val ok = when(col("__ts") - col("__m").getField("__rts") <= toleranceMs,
+      col("__m"))
+    withMatch.select(
+      col("__lrow.*") +:
+        ok.getField("__rts").as("asof_ts") +:
+        payloadCols.map(c => ok.getField(c).as("asof_" + c)): _*)
+  }
+
   /** shared core; `dir` = +1 scans time forward (backward join), -1
     * scans time mirrored (forward join). Sort key is dir·ts; the match
     * distance dir·(left.ts − right.ts) is ≥ 0 by construction and the

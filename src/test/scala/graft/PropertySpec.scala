@@ -373,8 +373,16 @@ class PropertySpec extends AnyFunSuite {
         (1000L + i) -> m.map(_._2)
       }.toMap
       val gotTs = got.map { case (p, o) => p -> o.map(_.asInstanceOf[Long]) }
+      // the skew-resistant bucketed form must give the IDENTICAL result
+      // for any bucket width
+      val bucketed = AsofJoin.backwardBucketed(left, right, "k", "ts", "ts",
+          Seq("v"), "id", bucketMs = 1L + (tol % 7), toleranceMs = tol)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
       if (gotTs != want) println(s"asof mismatch:\n got=$gotTs\nwant=$want")
-      gotTs == want
+      if (bucketed != want) println(s"bucketed mismatch:\n got=$bucketed\nwant=$want")
+      gotTs == want && bucketed == want
     }
     holds(prop)
     // range join vs a naive containment filter, random bucket widths

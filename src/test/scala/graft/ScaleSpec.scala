@@ -229,6 +229,25 @@ class ScaleSpec extends AnyFunSuite {
     val expected = left.filter(col("ts") % 1000 < 500).count()
     assert(badr == 0 && nr == expected, s"badr=$badr nr=$nr want=$expected")
     assert(rjSecs < 120, f"range join took $rjSecs%.1f s at 500k/20k")
+    // worst-case skew: EVERY probe and sample on ONE series — the plain
+    // window would funnel 700k rows through one task; the bucketed form
+    // partitions on (key, bucket) and must stay correct AND bounded
+    val skR = spark.range(0, 200000L)
+      .select(lit(0L).as("k"), (col("id") * 100).as("ts"))
+      .withColumn("v", col("ts") + 1).withColumn("tie", col("ts"))
+    val skL = spark.range(0, 500000L)
+      .select(col("id").as("pid"), lit(0L).as("k"),
+        pmod(col("id") * 7919, lit(20000000L)).as("ts"))
+    val t2 = System.nanoTime()
+    val sk = AsofJoin.backwardBucketed(skL, skR, "k", "ts", "ts",
+      Seq("v"), "tie", bucketMs = 100000L)
+    val skBad = sk.filter(col("asof_ts").isNull ||
+      col("asof_ts") =!= (col("ts") / 100).cast("long") * 100 ||
+      col("asof_v") =!= col("asof_ts") + 1).count()
+    val skN = sk.count()
+    val skSecs = (System.nanoTime() - t2) / 1e9
+    assert(skBad == 0 && skN == 500000L, s"skBad=$skBad skN=$skN")
+    assert(skSecs < 120, f"bucketed as-of took $skSecs%.1f s on a one-key skew")
   }
 
   test("global shuffle at 200k rows / 64 partitions: exact permutation, " +
