@@ -93,6 +93,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // BOTH sides stream (the package's other joins are stream-static):
+    // probes pick up every sample of their series from the last 5 min
+    val ev = graft.model.Tables.events(spark, sf)
+      .withColumn("k", col("user_id") % 10)
+    val probes = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id").as("pid"), col("k").as("pk"),
+        col("ts_ms").as("pts_ms"))
+    val samples = ev.filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id").as("sid"), col("k").as("sk"),
+        col("ts_ms").as("sts_ms"), col("value").as("sval"))
+    val pDir = Files.createTempDirectory("graft_ssj_p_").toString
+    val sDir = Files.createTempDirectory("graft_ssj_s_").toString
+    probes.write.mode("overwrite").parquet(pDir)
+    samples.write.mode("overwrite").parquet(sDir)
+    val pS = spark.readStream.schema(probes.schema).parquet(pDir)
+    val sS = spark.readStream.schema(samples.schema).parquet(sDir)
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      pS, sS, "pk", "pts_ms", "sk", "sts_ms", lookbackMs = 300000L)
+    val q = joined.writeStream
+      .outputMode("append") // stream-stream inner joins emit append-only
+      .format("memory").queryName("ssj")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj").select(col("pid"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = probes.join(samples,
+        col("pk") === col("sk") &&
+          col("sts_ms") >= col("pts_ms") - 300000L &&
+          col("sts_ms") <= col("pts_ms"))
+      .select(col("pid"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming exact dedup emits the batch-distinct fingerprint set") {
     import graft.streaming.StreamingDedup
     import spark.implicits._
