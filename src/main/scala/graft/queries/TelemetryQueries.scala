@@ -1357,6 +1357,21 @@ object TelemetryQueries extends Catalog {
                    THEN r.value END AS asof_value
        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts_ms >= r.ts_ms"""
 
+  /** the skew-resistant bucketed form of [[asofJoinQ]] — identical
+    * semantics through the (key, time-bucket) partitioned windows, so
+    * it shares the backward oracle verbatim; 10-min buckets. */
+  private def asofBucketedQ(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d)
+    val samples = ev.filter(col("event_id") % 7 =!= 0)
+      .withColumn("k", col("user_id") % 10)
+    val probes = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("k", col("user_id") % 10)
+      .select("event_id", "k", "ts_ms")
+    graft.ops.AsofJoin.backwardBucketed(probes, samples, "k", "ts_ms",
+      "ts_ms", payloadCols = Seq("value"), tieBreak = "event_id",
+      bucketMs = 600000L, toleranceMs = 3600000L)
+  }
+
   /** forward leg of [[asofJoinQ]]: the NEXT sample at-or-after each
     * probe (DuckDB replays with the <= ASOF comparator) */
   private def asofForwardQ(s: SparkSession, d: String): DataFrame = {
@@ -1431,6 +1446,7 @@ object TelemetryQueries extends Catalog {
   override def all: Seq[Q] = Seq(
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
+    Q("tq_asof_bucketed", asofBucketedQ, Some(asofJoinSql)),
     Q("tq_range_join", rangeJoinQ, Some(rangeJoinSql)),
     Q("tq_preagg_10s", preagg10, Some(preagg10Sql)),
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
