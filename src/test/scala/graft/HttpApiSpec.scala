@@ -162,6 +162,41 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("HTTP front door survives garbage: no 500s, server stays serving") {
+    val api = new HttpApi(spark, logsDir = Some(segDir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val rng = new scala.util.Random(42)
+      val paths = Seq(
+        "/api/v1/logs/query", "/api/v1/logs/tagvalues", "/api/v1/logs/series",
+        "/api/v1/metrics/query", "/api/v1/spans/trace", "/api/v1/services",
+        "/api/v1/logql/validate", "/api/v1/promql/validate")
+      def junkParam(): String = {
+        val keys = Seq("q", "s", "e", "limit", "fields", "org", "tag", "id", "zz")
+        val vals = Seq("", "-1", "NaN", "{", "%7B", "1e99", "'; DROP TABLE --",
+          "{x=\"", "rate(", " ", "a" * 200,
+          rng.nextLong().toString)
+        s"${keys(rng.nextInt(keys.length))}=${java.net.URLEncoder.encode(vals(rng.nextInt(vals.length)), "UTF-8")}"
+      }
+      // 60 junk requests across routes: every response is a CLIENT error
+      // class (or a 200 for trivially-satisfiable ones), never a 500, and
+      // the server keeps answering
+      for (i <- 0 until 60) {
+        val p = paths(rng.nextInt(paths.length)) + "?" +
+          (0 to rng.nextInt(3)).map(_ => junkParam()).mkString("&")
+        val (code, body) = get(base, p)
+        assert(code == 200 || code == 400 || code == 404,
+          s"$p -> $code ${body.take(200)}")
+      }
+      // still alive and correct afterwards
+      assert(get(base, "/healthz")._1 == 200)
+      val q = enc("""{log_level="DEBUG"}""")
+      val (okc, okb) = get(base,
+        s"/api/v1/logs/query?q=$q&s=$tsLo&e=$tsHi&limit=10")
+      assert(okc == 200 && okb.contains("\"status\":\"ok\""), okb.take(200))
+    } finally api.stop()
+  }
+
   test("HTTP front door: metrics SSE query + metadata + tags, spans trace") {
     val api = new HttpApi(spark, metricsDir = Some(metricDir),
       spansDir = Some(spanDir)).start()
