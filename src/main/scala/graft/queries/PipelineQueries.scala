@@ -638,6 +638,37 @@ object PipelineQueries extends Catalog {
      FROM pairs
      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5"""
 
+  /** dedup observability — which SOURCES overlap: the near-dup pairs of
+    * [[minhashLsh]] joined back to each side's source and counted per
+    * unordered source pair (cross-source counts reveal crawl overlap;
+    * the diagonal is within-source boilerplate). Two broadcast-friendly
+    * id joins + one tiny groupBy on top of the pair stream.
+    */
+  private def dedupBySource(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs(s, d), "text", k = 16, bands = 4,
+      w = 5, threshold = 0.5)
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_sim")), 6).as("mean_est_sim"))
+  }
+
+  private def dedupBySourceSql =
+    s"""WITH p AS ($minhashLshSql),
+       sa AS (SELECT doc_id, source FROM documents)
+       SELECT least(x.source, y.source) AS source_x,
+              greatest(x.source, y.source) AS source_y,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              round(avg(p.est_sim), 6) AS mean_est_sim
+       FROM p
+       JOIN sa x ON x.doc_id = p.a
+       JOIN sa y ON y.doc_id = p.b
+       GROUP BY 1, 2"""
+
   /** incremental (cross-corpus) dedup: incoming batch (doc_id % 10 ∈ {8,9})
     * matched against the existing corpus (doc_id % 10 < 8) by MinHash-LSH,
     * existing×incoming bands only. The oracle replays the same chain with
@@ -2592,6 +2623,7 @@ object PipelineQueries extends Catalog {
     Q("pp_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Q("pp_dedup_by_source", dedupBySource, Some(dedupBySourceSql)),
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
