@@ -94,6 +94,17 @@ class PlanSpec extends AnyFunSuite {
       "missing key-partitioned window:\n" + p.take(2000))
   }
 
+  test("bucketed as-of: two windows, the hot-path one keyed by (key, bucket)") {
+    val p = plan("tq_asof_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(2000))
+    val windows = "windowspecdefinition\\(__k".r.findAllIn(p).length
+    assert(windows >= 2, s"expected both windows, found $windows")
+    // the row-volume window must carry the bucket in its partition key
+    assert(p.contains("windowspecdefinition(__k#") &&
+      p.contains(", __b#"), "missing (key, bucket) partitioning:\n" + p.take(2000))
+  }
+
   test("range join is a bucket equi-join, never a nested loop") {
     val p = plan("tq_range_join")
     assert(!p.contains("CartesianProduct") &&
