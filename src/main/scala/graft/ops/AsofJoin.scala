@@ -66,23 +66,41 @@ object AsofJoin {
   def backwardBucketed(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String],
       tieBreak: String, bucketMs: Long,
-      toleranceMs: Long = Long.MaxValue): DataFrame = {
+      toleranceMs: Long = Long.MaxValue): DataFrame =
+    bucketed0(left, right, keyCol, leftTs, rightTs, payloadCols, tieBreak,
+      bucketMs, toleranceMs, dir = 1L)
+
+  /** time-mirror of [[backwardBucketed]]: smallest right.ts >= left.ts,
+    * same (key, bucket) skew resistance */
+  def forwardBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      tieBreak: String, bucketMs: Long,
+      toleranceMs: Long = Long.MaxValue): DataFrame =
+    bucketed0(left, right, keyCol, leftTs, rightTs, payloadCols, tieBreak,
+      bucketMs, toleranceMs, dir = -1L)
+
+  private def bucketed0(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      tieBreak: String, bucketMs: Long,
+      toleranceMs: Long, dir: Long): DataFrame = {
     val rv = struct(col(rightTs).cast("long").as("__rts") +:
       payloadCols.map(col): _*)
     val r2 = right
       .groupBy(col(keyCol).as("__k"), col(rightTs).cast("long").as("__rt"))
       .agg(max_by(rv, col(tieBreak)).as("__rv"))
-      .select(col("__k"), col("__rt").as("__ts"), lit(0).as("__side"),
+      .select(col("__k"), (col("__rt") * dir).as("__ts"), lit(0).as("__side"),
         col("__rv"))
     val rvType = r2.schema("__rv").dataType
     val l2 = left.select(
       struct(left.columns.map(col): _*).as("__lrow"),
-      col(keyCol).as("__k"), col(leftTs).cast("long").as("__ts"),
+      col(keyCol).as("__k"), (col(leftTs).cast("long") * dir).as("__ts"),
       lit(1).as("__side"), lit(null).cast(rvType).as("__rv"))
+    // floor on the DIRECTED axis (epoch-ms may be negated, so use floor
+    // division, not long-cast truncation)
     val u = r2.select(lit(null).cast(l2.schema("__lrow").dataType).as("__lrow"),
       col("__k"), col("__ts"), col("__side"), col("__rv"))
       .unionByName(l2)
-      .withColumn("__b", (col("__ts") / bucketMs).cast("long"))
+      .withColumn("__b", floor(col("__ts") / lit(bucketMs.toDouble)).cast("long"))
     // pass 1: within-bucket at-or-before — partition (key, bucket), so a
     // hot key spreads over its buckets instead of one task
     val w1 = Window.partitionBy(col("__k"), col("__b"))
@@ -103,7 +121,10 @@ object AsofJoin {
     val withMatch = local.filter(col("__side") === 1)
       .join(carry, Seq("__k", "__b"))
       .withColumn("__m", coalesce(col("__m1"), col("__carry")))
-    val ok = when(col("__ts") - col("__m").getField("__rts") <= toleranceMs,
+    // __ts is dir-scaled; the matched struct keeps the REAL right ts,
+    // so the distance is __ts - dir*matched.ts in either direction
+    val ok = when(
+      col("__ts") - lit(dir) * col("__m").getField("__rts") <= toleranceMs,
       col("__m"))
     withMatch.select(
       col("__lrow.*") +:

@@ -380,9 +380,18 @@ class PropertySpec extends AnyFunSuite {
         .collect()
         .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
         .toMap
+      // forward and its bucketed mirror must agree with each other too
+      def fwdOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      val fwd = fwdOf(AsofJoin.forward(left, right, "k", "ts", "ts",
+        Seq("v"), "id", toleranceMs = tol))
+      val fwdB = fwdOf(AsofJoin.forwardBucketed(left, right, "k", "ts", "ts",
+        Seq("v"), "id", bucketMs = 1L + (tol % 5), toleranceMs = tol))
       if (gotTs != want) println(s"asof mismatch:\n got=$gotTs\nwant=$want")
       if (bucketed != want) println(s"bucketed mismatch:\n got=$bucketed\nwant=$want")
-      gotTs == want && bucketed == want
+      if (fwd != fwdB) println(s"forward mismatch:\n plain=$fwd\nbucketed=$fwdB")
+      gotTs == want && bucketed == want && fwd == fwdB
     }
     holds(prop)
     // range join vs a naive containment filter, random bucket widths
