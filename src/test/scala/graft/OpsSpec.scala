@@ -377,6 +377,51 @@ class DedupSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("stopShingles surfaces planted boilerplate above organic text") {
+    import spark.implicits._
+    val banner = "accept all cookies to continue reading this site"
+    val docs = (0 until 30).map { i =>
+      // body tokens all carry the doc index, so no organic 5-gram ever
+      // repeats across docs
+      val body = (0 until 8).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$banner $body" else body)
+    }.toDF("doc_id", "text")
+    // the 8-word banner holds exactly 4 internal 5-grams, each in 15 docs;
+    // organic 5-grams are doc-unique — the top-4 must be banner-only
+    val top = Dedup.stopShingles(docs, "text", w = 5, topK = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == 4 &&
+      top.forall { case (sh, df) => df == 15 && banner.contains(sh) },
+      top.mkString("\n"))
+  }
+
+  test("packBoundaries: manifests reconstruct contiguous docs per sequence") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val df = (0 until 20).map(i => (i.toLong, "s", 30L + (i % 3) * 10))
+      .toDF("doc_id", "st", "toks")
+    val out = Packing.packBoundaries(df, "st", "doc_id", "toks", seqLen = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // parse every manifest back: offsets start where the previous doc in
+    // the bin ended, and n_docs matches the entry count
+    out.foreach { case (bin, nDocs, bounds) =>
+      val entries = bounds.split('|').map { e =>
+        val Array(id, off, n) = e.split(':'); (id.toLong, off.toLong, n.toLong)
+      }
+      assert(entries.length == nDocs, s"bin $bin")
+      entries.sliding(2).foreach {
+        case Array((_, o1, n1), (_, o2, _)) =>
+          assert(o2 == o1 + n1, s"bin $bin gap: $bounds")
+        case _ =>
+      }
+      assert(entries.head._2 < 100, s"bin $bin first offset out of range")
+    }
+    // every doc appears exactly once across all manifests
+    val ids = out.flatMap(_._3.split('|').map(_.split(':')(0).toLong))
+    assert(ids.sorted.toSeq == (0L until 20L).toSeq)
+  }
+
   test("token-budget mixture: crossing doc kept, budgets honored per source") {
     import graft.ops.Sampling
     import spark.implicits._
