@@ -340,6 +340,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget mixture equals a naive reference on random corpora") {
+    import graft.ops.Sampling
+    val s = TestSpark.spark
+    import s.implicits._
+    val genDocs = Gen.chooseNum(4, 25).flatMap(n => Gen.listOfN(n, for {
+      src <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.chooseNum(1L, 50L)
+    } yield (src, tok)))
+    val prop = forAll(genDocs, Gen.chooseNum(10L, 500L)) { (ds, target) =>
+      val df = ds.zipWithIndex.map { case ((src, tok), i) =>
+        (i.toLong, src, tok)
+      }.toDF("doc_id", "src", "tok")
+      val got = Sampling.tokenBudgetMixture(df, "src", "doc_id", "tok",
+          alpha = 0.5, targetTokens = target, seed = 9)
+        .collect().map(r => r.getLong(0)).toSet
+      // naive: budgets from the same closed form, admission by walking
+      // each source's docs in md5(seed|id) order
+      def md5hex(v: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val rows = ds.zipWithIndex.map { case ((src, tok), i) => (i.toLong, src, tok) }
+      val sums = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val tot = sums.toSeq.sortBy(_._1).map { case (_, t) => math.pow(t.toDouble, 0.5) }.sum
+      val want = rows.groupBy(_._2).flatMap { case (src, g) =>
+        val b = math.floor(target * (math.pow(sums(src).toDouble, 0.5) / tot) +
+          0.31830988618367446).toLong
+        var run = 0L
+        g.sortBy(r => (md5hex("9|" + r._1), r._1)).flatMap { r =>
+          val keep = run < b
+          run += r._3
+          if (keep) Some(r._1) else None
+        }
+      }.toSet
+      if (got != want) println(s"mixture mismatch: got=$got want=$want")
+      got == want
+    }
+    holds(prop)
+  }
+
   test("as-of and range joins equal naive references on random key/ts data") {
     import graft.ops.{AsofJoin, RangeJoin}
     val s = TestSpark.spark
