@@ -15,10 +15,14 @@ package graft
   *    while wall inflates, so the `cpu` map is the contention-immune
   *    signal. Both are reported — per query in BENCH_FULL.json, as
   *    distribution stats on the stdout line.
-  *  - when min-of-2 still exceeds 3x the prior round's time for that query
-  *    (both attempts hit by noise), a THIRD attempt runs before the
-  *    regression flag can fire, so the artifact converges to the engine,
-  *    not the machine.
+  *  - queries run in a SEEDED-RANDOM order (seed in the artifact), and
+  *    when min-of-2 still exceeds the retry threshold the confirm
+  *    attempts are DEFERRED to a second, independently-shuffled pass
+  *    after the full sweep — a contended host window is contiguous in
+  *    time, so with inline retries it could both create and confirm a
+  *    flag (it did, three rounds running); with time-separated passes a
+  *    flag only survives if the slowdown reproduces in two unrelated
+  *    windows, i.e. if it's the engine, not the machine.
   *
   * When a previous round's bench file is present (SPARK_GRAFT_BASELINE,
   * default BENCH_r01.json), the line also carries a `regressions` map
@@ -61,6 +65,36 @@ object Bench {
       case Some(b) => b >= 0.05 && warm > b * 1.5
       case None => !noted && warm > absSlow
     }
+
+  /** Two-pass, order-decorrelated schedule — pure, so the contention
+    * property is unit-testable (BenchSpec drives it with synthetic
+    * contention windows). Pass 1 visits every query ONCE (two attempts,
+    * cold then warm) in a seeded-shuffled order; NO retry runs inline.
+    * All confirm-retries are deferred to pass 2, which re-shuffles just
+    * the still-suspect queries and appends `retryAttempts` more attempts
+    * each. Rationale: r9–r11 all produced catalog-order-CONTIGUOUS false
+    * regression flags — a contended host window lands on whichever
+    * queries run during it, and when the confirm-retry runs inline it
+    * sits inside the very window that created the suspicion, so the same
+    * window both creates AND confirms the flag. Independently-ordered,
+    * time-separated passes break that correlation; a real regression
+    * survives any schedule.
+    *
+    * Returns (attempts per query, pass-1 order preserved per query;
+    * pass-2 query list in its shuffled order).
+    */
+  def twoPassSchedule[A](names: Seq[String], seed: Long,
+      attempt: String => A, stillSuspect: (String, Seq[A]) => Boolean,
+      retryAttempts: Int = 2): (Map[String, Seq[A]], Seq[String]) = {
+    val rng = new scala.util.Random(seed)
+    val order1 = rng.shuffle(names.toVector)
+    val first = order1.map(n => n -> List(attempt(n), attempt(n)))
+    val suspects = first.collect { case (n, as) if stillSuspect(n, as) => n }
+    val order2 = rng.shuffle(suspects)
+    val extra = order2.map(n => n -> List.fill(retryAttempts)(attempt(n))).toMap
+    (first.map { case (n, as) => n -> (as ++ extra.getOrElse(n, Nil)) }.toMap,
+      order2.toList)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,26 +200,29 @@ object Bench {
         "materialized tokenized state, one pair-count + argmax collect each"),
       "pp_bpe_train_large" -> ("materialized-state trainer demo: per-round cost is one " +
         "pair-count over the CURRENT tokenization + one re-tokenize pass, state checkpointed"))
-    var nRetry = 0
-    val timings = SparkEntry.queries.filter(kv => only(kv._1)).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timeOnce(fn)
-      val warm = timeOnce(fn)
-      val two = Seq(cold, warm).collect { case Right(v) => v }
-      // contended-host guard, aligned with the flag thresholds: a
-      // regression flag may only fire after a THIRD attempt also exceeds
-      // it — host noise on sub-second rows routinely lands min-of-2 in the
-      // 1.5-3x band (11 such false flags in the r9 local run, a disjoint
-      // set from the previous run's), while a real engine regression
-      // survives any number of attempts
-      val attempts =
-        if (two.nonEmpty && wantsRetry(two.map(_._1).min, baseline.get(name),
-            notes.contains(name))) {
-          nRetry += 1
-          two ++ timeOnce(fn).toSeq
-        } else two
-      val err = Seq(cold, warm).collect { case Left(m) => m }.headOption
-        .filter(_ => attempts.isEmpty)
-      (name, attempts.minByOption(_._1), cold.toOption.map(_._1), err)
+    // seeded-random execution order + deferred confirm pass (see
+    // twoPassSchedule) — the seed is logged in both artifacts so any run
+    // is replayable order-exactly
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val catalog = SparkEntry.queries.filter(kv => only(kv._1)).toSeq.sortBy(_._1)
+    val fnMap = catalog.toMap
+    val names = catalog.map(_._1)
+    val (attemptsByName, retriedNames) =
+      twoPassSchedule[Either[String, (Double, Double, Long)]](
+        names, seed, n => timeOnce(fnMap(n)),
+        (n, as) => {
+          val ok = as.collect { case Right(v) => v }
+          ok.nonEmpty &&
+            wantsRetry(ok.map(_._1).min, baseline.get(n), notes.contains(n))
+        })
+    val nRetry = retriedNames.size
+    val timings = names.map { name =>
+      val as = attemptsByName(name)
+      val ok = as.collect { case Right(v) => v }
+      val err = as.collectFirst { case Left(m) => m }.filter(_ => ok.isEmpty)
+      val cold = as.headOption.flatMap(_.toOption).map(_._1)
+      (name, ok.minByOption(_._1), cold, err)
     }
     val errs = timings.collect { case (n, _, _, Some(m)) => (n, m) }
     errs.foreach { case (n, m) => System.err.println(s"[bench] ERROR $n: $m") }
@@ -224,9 +261,11 @@ object Bench {
 
     // full artifact: every per-query warm/cold/cpu time, errors, regressions,
     // notes — written as a file so nothing is lost to the tail window
+    val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu":$cpuJson,"shuffle_mb":$shufJson,"cold":$coldJson,"err":$errJson,""" +
-      s""""regressions":$regJson,"n_retry":$nRetry,"notes":$notesJson,"sf":"$sfDir"}"""
+      s""""regressions":$regJson,"n_retry":$nRetry,"seed":$seed,""" +
+      s""""retried":$retriedJson,"notes":$notesJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (full + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query detail -> ${fullPath.toAbsolutePath}")
@@ -256,7 +295,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","sf":"$sfDir",""" +
       s""""n":${sorted.size},"mean":${f"$mean%.3f"},"p50":${f"$p50%.3f"},"max":${f"$mx%.3f"},""" +
       s""""cpu_total":${f"$cpuTotal%.1f"},"cpu_p50":${f"$cpuP50%.3f"},""" +
-      s""""shuffle_total_mb":${f"$shufTotal%.1f"},"n_retry":$nRetry,""" +
+      s""""shuffle_total_mb":${f"$shufTotal%.1f"},"n_retry":$nRetry,"seed":$seed,""" +
       s""""under_1s":$under1,"n_err":${errs.size},"n_regressions":${regressions.size},""" +
       s""""queries":$headJson,"detail":"BENCH_FULL.json"}"""
     // stdout (the driver's contract) AND a fixed file: eight rounds of bench

@@ -126,14 +126,27 @@ final class HttpApi(
     ex.close()
   }
 
+  /** Hard cap on rows any [[jsonRows]] route may collect to the driver.
+    * The discovery endpoints are bounded by construction, but nothing
+    * used to ENFORCE that — a future route wired through jsonRows with an
+    * unbounded frame would OOM the driver. Results larger than the cap
+    * are truncated and flagged (`"truncated":true`), matching the
+    * discovery endpoints' best-effort contract; unbounded results belong
+    * on the SSE iterator path.
+    */
+  val maxJsonRows: Int = 10000
+
   /** JSON endpoint: rows as a JSON array under "results" (bounded by the
-    * front door's own limit/ordering)
+    * front door's own limit/ordering AND the [[maxJsonRows]] guard)
     */
   private def jsonRows(ex: HttpExchange)(df: => DataFrame): Unit =
     try {
-      val rows = df.toJSON.collect()
+      val rows = df.limit(maxJsonRows + 1).toJSON.collect()
+      val truncated = rows.length > maxJsonRows
+      val kept = if (truncated) rows.take(maxJsonRows) else rows
+      val extra = if (truncated) ""","truncated":true""" else ""
       respond(ex, 200,
-        s"""{"status":"ok","results":[${rows.mkString(",")}]}""")
+        s"""{"status":"ok","results":[${kept.mkString(",")}]$extra}""")
     } catch {
       case e: IllegalArgumentException =>
         respond(ex, 400, s"""{"status":"error","error":"${esc(e.getMessage)}"}""")

@@ -95,12 +95,20 @@ object AsofJoin {
       struct(left.columns.map(col): _*).as("__lrow"),
       col(keyCol).as("__k"), (col(leftTs).cast("long") * dir).as("__ts"),
       lit(1).as("__side"), lit(null).cast(rvType).as("__rv"))
-    // floor on the DIRECTED axis (epoch-ms may be negated, so use floor
-    // division, not long-cast truncation)
+    // floor on the DIRECTED axis in PURE INTEGER math. The r11 form,
+    // floor(ts / b.toDouble), is safe only while |ts| < 2^53: beyond that
+    // the quotient's rounding error reaches 1/b and a ts one unit below a
+    // boundary can round UP into the wrong bucket — a wrong as-of match.
+    // Epoch-ms sits inside the safe range, but epoch-µs/ns (or any other
+    // long-typed axis a caller feeds in) does not; integer math removes
+    // the cliff entirely. pmod is nonnegative, so (ts − pmod(ts,b)) is
+    // the exact floor multiple and its truncating `div` equals floor
+    // division for either sign (dir = -1 negates the axis).
     val u = r2.select(lit(null).cast(l2.schema("__lrow").dataType).as("__lrow"),
       col("__k"), col("__ts"), col("__side"), col("__rv"))
       .unionByName(l2)
-      .withColumn("__b", floor(col("__ts") / lit(bucketMs.toDouble)).cast("long"))
+      .withColumn("__b",
+        expr(s"(__ts - pmod(__ts, ${bucketMs}L)) div ${bucketMs}L"))
     // pass 1: within-bucket at-or-before — partition (key, bucket), so a
     // hot key spreads over its buckets instead of one task
     val w1 = Window.partitionBy(col("__k"), col("__b"))

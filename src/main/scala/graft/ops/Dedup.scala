@@ -302,7 +302,7 @@ object Dedup {
       transform(sequence(lit(1), size(words) - lit(k - 1)),
         i => struct((i - 1).cast("int").as("pos"),
           xxhash64(array_join(slice(words, i, lit(k)), " ")).as("g"))))
-      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
     val occ = src.select(col("doc_id"), explode(grams).as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
     // per-gram occurrence lists, capped; pairs expand inside the bucket

@@ -36,15 +36,20 @@ object RangeJoin {
       col(endCol).cast("long").as("__e"),
       struct(payloadCols.map(col): _*).as("__iv"))
       .filter(col("__e") > col("__s"))
-    // inclusive bucket span [s/b, (e-1)/b]; epoch-ms is nonnegative, so
-    // long-cast truncation IS floor
-    val ivb = iv.withColumn("__b",
-      explode(sequence((col("__s") / bucketMs).cast("long"),
-        ((col("__e") - 1) / bucketMs).cast("long"))))
+    // inclusive bucket span [floor(s/b), floor((e-1)/b)] in pure integer
+    // math — double division + long-cast truncation is floor only for
+    // nonnegative ts, and its rounding crosses bucket boundaries once
+    // |ts| approaches 2^53 (same fix as AsofJoin.bucketed0)
+    def fdiv(c: String): Column =
+      expr(s"($c - pmod($c, ${bucketMs}L)) div ${bucketMs}L")
+    val ivb = iv
+      .withColumn("__e1", col("__e") - 1)
+      .withColumn("__b", explode(sequence(fdiv("__s"), fdiv("__e1"))))
+      .drop("__e1")
     val pb = points
       .withColumn("__pk", col(keyCol))
       .withColumn("__pts", col(tsCol).cast("long"))
-      .withColumn("__b", (col("__pts") / bucketMs).cast("long"))
+      .withColumn("__b", fdiv("__pts"))
     pb.join(ivb, pb("__pk") === ivb("__k") && pb("__b") === ivb("__b"))
       .filter(col("__pts") >= col("__s") && col("__pts") < col("__e"))
       .select(points.columns.map(pb(_)) ++

@@ -83,11 +83,19 @@ object Similarity {
   def randomProject(df: DataFrame, outDims: Int,
       embCol: String = "embedding", dims: Int = 64): DataFrame = {
     val scale = math.sqrt(12.0 / outDims)
+    // fail loudly on a width mismatch instead of silently zipping against
+    // missing weight components (a wrong-dims corpus would otherwise
+    // project through nulls and rank garbage)
+    val guarded = when(size(col(embCol)) === dims, col(embCol))
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: embedding length "),
+        size(col(embCol)).cast("string"), lit(s" != dims=$dims"))))
+    val g = df.withColumn("__emb_ck", guarded)
     val coords = (0 until outDims).map { j =>
       val row = lit((0 until dims).map(i => projComponent(j, i)).toArray)
-      dot(col(embCol), row) * scale
+      dot(col("__emb_ck"), row) * scale
     }
-    df.withColumn("proj", array(coords: _*))
+    g.withColumn("proj", array(coords: _*)).drop("__emb_ck")
   }
 
   /** Two-stage ANN through the JL projection ([[randomProject]]): score
@@ -101,10 +109,10 @@ object Similarity {
     * external engine replays the exact candidate sets.
     */
   def jlTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      shortlist: Int = 20, outDims: Int = 16): DataFrame = {
-    val c = randomProject(corpus, outDims)
+      shortlist: Int = 20, outDims: Int = 16, dims: Int = 64): DataFrame = {
+    val c = randomProject(corpus, outDims, dims = dims)
       .select(col("vec_id"), col("embedding"), col("proj"))
-    val q = broadcast(randomProject(queries, outDims)
+    val q = broadcast(randomProject(queries, outDims, dims = dims)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("proj").as("q_proj")))
     val scored = c.crossJoin(q)

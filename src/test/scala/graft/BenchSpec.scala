@@ -35,4 +35,73 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.wantsRetry(0.09, Some(0.05), noted = false))
     assert(!Bench.wantsRetry(0.06, Some(0.05), noted = false))
   }
+
+  // ---- twoPassSchedule: synthetic contention windows ----------------
+  // Model the host as a global attempt clock; attempts whose tick falls
+  // inside [w0, w1) report 4x the query's true time. This is exactly the
+  // r9-r11 failure mode: a contiguous contended window inflates whichever
+  // queries run during it.
+
+  private def contendedRun(names: Seq[String], trueTime: Map[String, Double],
+      w0: Int, w1: Int, seed: Long): (Map[String, Seq[Double]], Seq[String]) = {
+    var tick = -1
+    Bench.twoPassSchedule[Double](names, seed,
+      attempt = { n =>
+        tick += 1
+        if (tick >= w0 && tick < w1) trueTime(n) * 4 else trueTime(n)
+      },
+      stillSuspect = (n, as) =>
+        Bench.wantsRetry(as.min, Some(1.0), noted = false))
+  }
+
+  test("deferred second pass clears flags created by a contended window") {
+    val names = (0 until 20).map(i => f"q$i%02d")
+    val base = names.map(_ -> 1.0).toMap
+    // window [10, 30) covers both pass-1 attempts of ~10 shuffled queries
+    val (res, retried) = contendedRun(names, base, 10, 30, seed = 42L)
+    // the window DID create suspects (both attempts inflated for some rows)
+    assert(retried.nonEmpty)
+    // the old inline-retry behavior would have confirmed them: the third
+    // attempt of a suspect at tick t, t+1 runs at t+2, still in-window
+    // (min-of-3 = 4.0 -> flag). The deferred pass runs after tick 40,
+    // outside the window, so every flag clears.
+    names.foreach { n =>
+      assert(Bench.regressionFlag(res(n).min, Some(1.0), noted = false).isEmpty,
+        s"$n should not be flagged: attempts=${res(n)}")
+    }
+    // suspects got extra attempts; clean rows got exactly cold+warm
+    retried.foreach(n => assert(res(n).size > 2))
+    names.filterNot(retried.contains).foreach(n => assert(res(n).size == 2))
+  }
+
+  test("a real regression survives the deferred pass and still flags") {
+    val names = (0 until 20).map(i => f"q$i%02d")
+    // q07 genuinely regressed to 4x; everything else is clean
+    val base = names.map(n => n -> (if (n == "q07") 4.0 else 1.0)).toMap
+    val (res, retried) = contendedRun(names, base, 10, 30, seed = 7L)
+    assert(retried.contains("q07"))
+    assert(Bench.regressionFlag(res("q07").min, Some(1.0), noted = false)
+      .contains(1.0))
+    (names.toSet - "q07").foreach { n =>
+      assert(Bench.regressionFlag(res(n).min, Some(1.0), noted = false).isEmpty)
+    }
+  }
+
+  test("schedule is deterministic per seed and covers every query") {
+    val names = (0 until 12).map(i => s"q$i")
+    def order(seed: Long): Seq[String] = {
+      val visited = scala.collection.mutable.ArrayBuffer[String]()
+      Bench.twoPassSchedule[Double](names, seed,
+        attempt = { n => visited += n; 1.0 },
+        stillSuspect = (_, _) => false)
+      visited.toSeq
+    }
+    val a = order(123L); val b = order(123L); val c = order(124L)
+    assert(a == b)                 // replayable order-exactly
+    assert(a != c)                 // the seed actually drives the order
+    assert(a.toSet == names.toSet) // full coverage
+    assert(a.size == names.size * 2) // cold+warm each, nothing more
+    // pass-1 order is shuffled, not catalog order
+    assert(a.grouped(2).map(_.head).toSeq != names)
+  }
 }

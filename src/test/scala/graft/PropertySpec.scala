@@ -458,6 +458,71 @@ class PropertySpec extends AnyFunSuite {
     holds(prop2)
   }
 
+  test("bucketed as-of joins stay exact at epoch-scale ts with day buckets") {
+    import graft.ops.AsofJoin
+    val s = TestSpark.spark
+    import s.implicits._
+    // The r11 bucketed0 computed the bucket as floor(ts / b.toDouble),
+    // which floor-errs once |ts| approaches 2^53 (quotient rounding
+    // reaches 1/b, so a ts one unit below a boundary rounds UP into the
+    // next bucket — a wrong as-of MATCH). bucketed0 now uses pure-integer
+    // floor division; this pins the adversarial geometry the small-ts
+    // property can't reach (boundary-straddling rows at epoch magnitudes,
+    // day-scale widths, both directions — the forward mirror negates ts,
+    // so it also exercises negative-axis flooring).
+    val day = 86400000L
+    val base = 1700000000000L
+    val boundary = (base / day + 1) * day
+    val right = (0 until 4)
+      .map(i => (1L, boundary + i * day, i.toDouble, i.toLong))
+      .toDF("k", "ts", "v", "id")
+    val left = (0 until 4).flatMap(i => Seq(
+        (2000L + 2 * i, 1L, boundary + i * day - 1),
+        (2001L + 2 * i, 1L, boundary + i * day + 1)))
+      .toDF("pid", "k", "ts")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "asof_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+    val plain = res(AsofJoin.backward(left, right, "k", "ts", "ts", Seq("v"), "id"))
+    val buck = res(AsofJoin.backwardBucketed(left, right, "k", "ts", "ts",
+      Seq("v"), "id", bucketMs = day))
+    assert(buck == plain, s"backward bucketed diverged: $buck vs $plain")
+    // sanity on the geometry itself: one ms BEFORE the first boundary has
+    // no at-or-before match (the bug manufactured one)
+    assert(plain(2000L).isEmpty)
+    val fplain = res(AsofJoin.forward(left, right, "k", "ts", "ts", Seq("v"), "id"))
+    val fbuck = res(AsofJoin.forwardBucketed(left, right, "k", "ts", "ts",
+      Seq("v"), "id", bucketMs = day))
+    assert(fbuck == fplain, s"forward bucketed diverged: $fbuck vs $fplain")
+    assert(fplain(2007L).isEmpty) // one ms after the last right row
+    // property: random boundary-jittered rows at epoch scale, random
+    // day-scale bucket widths; plain backward/forward (property-verified
+    // vs the naive reference above) are the truth
+    val genTs = for {
+      d <- Gen.chooseNum(-3L, 3L); j <- Gen.chooseNum(-2L, 2L)
+    } yield boundary + d * day + j
+    val genRows = Gen.listOfN(16, for { k <- Gen.chooseNum(0L, 1L); ts <- genTs } yield (k, ts))
+    val genB = Gen.oneOf(day, day / 2, 400000000L, day * 7)
+    holds(forAll(genRows, genRows, genB) { (rs, ls, b) =>
+      val r = rs.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toDouble, i.toLong) }
+        .toDF("k", "ts", "v", "id")
+      val l = ls.zipWithIndex
+        .map { case ((k, ts), i) => (1000L + i, k, ts) }
+        .toDF("pid", "k", "ts")
+      val pb = res(AsofJoin.backward(l, r, "k", "ts", "ts", Seq("v"), "id"))
+      val bb = res(AsofJoin.backwardBucketed(l, r, "k", "ts", "ts",
+        Seq("v"), "id", bucketMs = b))
+      val pf = res(AsofJoin.forward(l, r, "k", "ts", "ts", Seq("v"), "id"))
+      val bf = res(AsofJoin.forwardBucketed(l, r, "k", "ts", "ts",
+        Seq("v"), "id", bucketMs = b))
+      if (pb != bb) println(s"epoch backward mismatch b=$b:\n $pb\n $bb")
+      if (pf != bf) println(s"epoch forward mismatch b=$b:\n $pf\n $bf")
+      pb == bb && pf == bf
+    }, n = 30)
+  }
+
   test("ip rangeRegex matches exactly the in-range dotted quads") {
     import graft.logql.IpMatch
     def quad(x: Long) = Seq(24, 16, 8, 0).map(sh => (x >> sh) & 255).mkString(".")
