@@ -21,7 +21,10 @@ object Dedup {
       .cast("long")
 
   /** w-word shingles (space-joined), distinct per doc; docs shorter than w
-    * words yield no shingles.
+    * words yield no shingles. This is the CANONICAL Column-algebra form —
+    * the executable reference the fused native [[ShingleSet]] is
+    * property-pinned against (and the shape the DuckDB oracles replay);
+    * hot paths call [[shinglesNative]] instead.
     */
   def shingles(text: Column, w: Int = 5): Column = {
     val words = split(text, " +")
@@ -33,6 +36,12 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** fused one-pass twin of [[shingles]] ([[ShingleSet]], codegen'd;
+    * PropertySpec pins element-for-element equality)
+    */
+  def shinglesNative(text: Column, w: Int = 5): Column =
+    ShingleSet.shingles(text, w)
+
   /** Boilerplate shingle mining — the empirical basis for every
     * hot-bucket cap in this file: the w-word shingles shared by the
     * most DOCUMENTS (cookie banners, footers, license blurbs). One
@@ -43,7 +52,7 @@ object Dedup {
     */
   def stopShingles(df: DataFrame, textCol: String, w: Int = 5,
       topK: Int = 20): DataFrame =
-    df.select(explode(shingles(df(textCol), w)).as("sh"))
+    df.select(explode(shinglesNative(df(textCol), w)).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("sh").asc)
       .limit(topK)
@@ -63,22 +72,22 @@ object Dedup {
     * Hash family: ONE md5 base hash per shingle, k affine derivations
     * `((2j+1)·h + j·K) mod 2^48` — 16× fewer md5 calls than hashing per
     * seed, still engine-neutral (plain integer ops in the oracle).
+    *
+    * Execution: the fused native [[MinHashSig]] row expression — one JVM
+    * pass per document, NO shuffle at all (the r11 form exploded every
+    * shingle, hashed it through interpreted Column algebra, and shuffled
+    * |shingles| rows into k min-aggregates; the signature is a per-row
+    * statistic, so none of that movement was necessary). PropertySpec
+    * pins the fused form equal to the explode→groupBy formulation, whose
+    * shape the DuckDB oracles still replay.
     */
-  def minhash(df: DataFrame, textCol: String, k: Int = 16, w: Int = 5): DataFrame = {
-    val base = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
+  def minhash(df: DataFrame, textCol: String, k: Int = 16, w: Int = 5): DataFrame =
     // spread: the shingle construction + per-shingle md5 is compute-dense
     // relative to input bytes — see GraftSession.spread (no-op at scale)
-    val src = graft.GraftSession.spread(
-      df.select(col("doc_id"), df(textCol).as("__text")))
-    val sh = src.select(col("doc_id"), explode(shingles(col("__text"), w)).as("sh"))
-      .select(col("doc_id"), base.as("h0"))
-    val mins = (0 until k).map { j =>
-      min((col("h0") * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48)).as(s"h$j")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
-  }
+    graft.GraftSession.spread(
+        df.select(col("doc_id"), df(textCol).as("__text")))
+      .select(col("doc_id"), MinHashSig.sig(col("__text"), k, w).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Cap a banded frame's per-(band, bucket) membership at
     * `maxDocsPerBucket`: buckets above the cap are dropped entirely —
@@ -208,7 +217,7 @@ object Dedup {
     // (GraftSession.spread — no-op at scale)
     val sh = graft.GraftSession.materialize(
       graft.GraftSession.spread(df.select(col("doc_id"), df(textCol).as("__text")))
-        .select(col("doc_id"), explode(shingles(col("__text"), w)).as("sh")))
+        .select(col("doc_id"), explode(shinglesNative(col("__text"), w)).as("sh")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation via per-shingle doc lists instead of a self-join:
     // singleton shingles (the vast majority) never reach the pair stage,

@@ -27,14 +27,14 @@ object Retrieval {
   def contamination(corpus: DataFrame, bench: DataFrame,
       textCol: String = "text", w: Int = 5): DataFrame = {
     val benchGrams = bench
-      .select(explode(Dedup.shingles(bench(textCol), w)).as("sh"))
+      .select(explode(Dedup.shinglesNative(bench(textCol), w)).as("sh"))
       .distinct()
       .withColumn("__hit", lit(1L))
     // spread: shingle construction is compute-dense vs input bytes
     // (GraftSession.spread — no-op at scale)
     val docGrams = graft.GraftSession.spread(
       corpus.select(col("doc_id"), corpus(textCol).as("__text")))
-      .select(col("doc_id"), explode(Dedup.shingles(col("__text"), w)).as("sh"))
+      .select(col("doc_id"), explode(Dedup.shinglesNative(col("__text"), w)).as("sh"))
     docGrams
       .join(broadcast(benchGrams), Seq("sh"), "left")
       .groupBy(col("doc_id"))

@@ -125,6 +125,66 @@ object MinHashSig {
   }
 }
 
+/** Native distinct w-word shingle set — the fused construction pass
+  * behind [[Dedup.stopShingles]], [[Dedup.ngramJaccard]] and
+  * [[Retrieval.contamination]]. Replaces the interpreted HOF chain
+  * (`transform(sequence) × array_join(slice)` then `array_distinct`,
+  * O(len·w) element reads and string builds per doc through the
+  * non-codegen HOF evaluator) with ONE JVM pass over the word array.
+  *
+  * Bit parity with [[Dedup.shingles]]'s Column form (and the DuckDB
+  * oracle replays): `split(text, " +")` with Java limit -1 keeps
+  * leading/trailing empty tokens; docs shorter than w words yield an
+  * EMPTY array (the Column form's explicit otherwise-guard); distinct
+  * keeps FIRST-SEEN order exactly like `array_distinct`.
+  */
+case class ShingleSet(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleSet.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.ShingleSet.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  /** Column-level distinct shingle set (see [[ShingleSet]]) */
+  def shingles(text: Column, w: Int): Column =
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(text), w))
+
+  def compute(s: UTF8String, w: Int): ArrayData = {
+    val words = s.toString.split(" +", -1)
+    if (words.length < w)
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 /** Native per-row DSIR scorer — the streaming scoring twin of
   * [[Sampling.dsirScore]], fused into one pass per document: lowercase,
   * whitespace-split, word bigrams, one md5 bucket hash each, literal

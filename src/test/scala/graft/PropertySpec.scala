@@ -612,6 +612,52 @@ class PropertySpec extends AnyFunSuite {
     }, n = 25)
   }
 
+  test("native ShingleSet equals HOF shingles; fused minhash equals explode-groupBy") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (k, w) = (16, 3)
+    // the r11 explode→groupBy minhash, kept as the executable reference
+    // (and the shape the DuckDB oracles replay)
+    def oldMinhash(df: DataFrame): Map[Long, List[Long]] = {
+      val base = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
+      val sh = df.select(col("doc_id"),
+          explode(graft.ops.Dedup.shingles(col("t"), w)).as("sh"))
+        .select(col("doc_id"), base.as("h0"))
+      val mins = (0 until k).map { j =>
+        min((col("h0") * lit(2L * j + 1) + lit(j * 2654435761L)) % lit(1L << 48))
+          .as(s"h$j")
+      }
+      sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    }
+    // words mixing ascii and multibyte chars; multi-space runs and
+    // leading/trailing spaces exercise the split(" +", -1) empty-token
+    // parity, repeated words exercise first-seen distinct order
+    val genWord = Gen.oneOf(Gen.const("a"), Gen.const("bb"), Gen.const("é中"),
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    val genText = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, genWord)
+      sep <- Gen.oneOf(" ", "  ")
+      lead <- Gen.oneOf("", " ")
+    } yield lead + ws.mkString(sep)
+    holds(forAll(Gen.listOfN(10, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "t")
+      def sets(c: org.apache.spark.sql.Column) = df.select($"doc_id", c.as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val setsEqual = sets(graft.ops.Dedup.shingles($"t", w)) ==
+        sets(graft.ops.Dedup.shinglesNative($"t", w))
+      val got = graft.ops.Dedup.minhash(df, "t", k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      setsEqual && got == oldMinhash(df)
+    }, n = 25)
+  }
+
   test("native PqEncode equals the subD2/argmin Column formulation") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
