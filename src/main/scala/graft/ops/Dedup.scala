@@ -164,13 +164,26 @@ object Dedup {
     */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
       textCol: String, k: Int = 16, bands: Int = 4, w: Int = 5,
-      threshold: Double = 0.5, maxDocsPerBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxDocsPerBucket: Int = 1000): DataFrame =
+    incrementalDedupFromSigs(
+      graft.GraftSession.materialize(minhash(existing, textCol, k, w)),
+      graft.GraftSession.materialize(minhash(incoming, textCol, k, w)),
+      k, bands, threshold, maxDocsPerBucket)
+
+  /** [[incrementalDedup]]'s core over PRE-COMPUTED signature frames
+    * (doc_id, sig) — the entry point the persisted-store refresh path
+    * ([[SignatureStore.incrementalDedup]]) uses so the existing corpus's
+    * signatures come off disk instead of a full recompute. Each SIDE's
+    * buckets are capped independently: per-bucket join expansion is
+    * |L|·|R| ≤ cap², the same bound the single-corpus cap gives, without
+    * a cross-frame count.
+    */
+  def incrementalDedupFromSigs(existingSigs: DataFrame, incomingSigs: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxDocsPerBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    // each SIDE's buckets are capped independently: per-bucket join
-    // expansion is |L|·|R| ≤ cap², the same bound the single-corpus cap
-    // gives, without a cross-frame count
-    def banded(df: DataFrame, id: String, sig: String): DataFrame =
-      capBuckets(graft.GraftSession.materialize(minhash(df, textCol, k, w))
+    def banded(sigs: DataFrame, id: String, sig: String): DataFrame =
+      capBuckets(sigs
         .select(col("doc_id"), col("sig"),
           explode(array((0 until bands).map { b =>
             struct(lit(b).as("band"),
@@ -181,8 +194,8 @@ object Dedup {
         maxDocsPerBucket)
         .select(col("doc_id").as(id), col("sig").as(sig),
           col("band"), col("bucket"))
-    val l = banded(existing, "old_id", "sig_a")
-    val r = banded(incoming, "new_id", "sig_b")
+    val l = banded(existingSigs, "old_id", "sig_a")
+    val r = banded(incomingSigs, "new_id", "sig_b")
     val eq = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
     l.join(r, Seq("band", "bucket"))

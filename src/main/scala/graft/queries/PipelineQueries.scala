@@ -683,6 +683,29 @@ object PipelineQueries extends Catalog {
       "text", k = 16, bands = 4, w = 5, threshold = 0.5)
   }
 
+  /** persisted-signature incremental dedup ([[SignatureStore]]): the
+    * query BUILDS a deliberately STALE store inside the row — signatures
+    * written for only the existing docs at or below 70% of the max
+    * doc_id, so every existing doc above that watermark exercises the
+    * staleness rule (fresh signature pass over the delta) — then runs
+    * the store-served refresh. The result must be IDENTICAL to the full
+    * recompute, so the oracle is pp_incremental_dedup's SQL verbatim:
+    * stored + delta signatures vs recomputed signatures is exactly the
+    * equivalence the store's contract claims.
+    */
+  private def incrementalPersist(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val existing = all.filter(col("doc_id") % 10 < 8)
+    val incoming = all.filter(col("doc_id") % 10 >= 8)
+    val cut = all.agg(max(col("doc_id"))).head().getLong(0) * 7 / 10
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_").toString
+    graft.ops.SignatureStore.write(
+      existing.filter(col("doc_id") <= cut), "text", dir)
+    graft.ops.SignatureStore.incrementalDedup(
+      existing, incoming, "text", dir, bands = 4, threshold = 0.5)
+  }
+
   private val incrementalDedupSql =
     s"""WITH $shingleCte,
      mh AS (
@@ -2625,6 +2648,8 @@ object PipelineQueries extends Catalog {
     Q("pp_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("pp_dedup_by_source", dedupBySource, Some(dedupBySourceSql)),
     Q("pp_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    // same oracle verbatim: the persisted-store path must equal recompute
+    Q("pp_incremental_persist", incrementalPersist, Some(incrementalDedupSql)),
     Q("pp_substr_dedup", substrDedup, Some(substrDedupSql)),
     Q("pp_c4_filter", c4Filter, Some(c4FilterSql)),
     Q("pp_line_dedup", lineDedupQ, Some(lineDedupSql)),

@@ -356,6 +356,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keySet.forall(_ >= 4L))
   }
 
+  test("SignatureStore: stale store + fresh delta equals full recompute") {
+    import graft.ops.SignatureStore
+    // doc 6 is an exact dup of incoming 4/1 and arrives AFTER the store
+    // was written — only the staleness rule (fresh scan above the
+    // watermark) can match it
+    val late = corpus.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"))
+    val existing = late.filter($"doc_id" =!= 4L)
+    val incoming = late.filter($"doc_id" === 4L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_t_").toString
+    // store covers only docs 1..3 -> watermark 3; 5 and 6 are the delta
+    val meta = SignatureStore.write(existing.filter($"doc_id" <= 3), "text", dir)
+    assert(meta.watermark == 3L)
+    assert(SignatureStore.readMeta(dir) == meta)
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val persisted = shape(SignatureStore.incrementalDedup(
+      existing, incoming, "text", dir))
+    val recomputed = shape(Dedup.incrementalDedup(existing, incoming, "text"))
+    assert(persisted == recomputed)
+    assert(persisted.get(4L).exists { case (_, sim, m) => sim == 1.0 && m == 1L })
+    // delta-only proof: with existing = {3, 5, 6} and a store covering
+    // only doc 3, the ONLY possible match for incoming 4 is the
+    // fresh-delta doc 6 — a store path that ignored the staleness rule
+    // would return no match at all
+    val existing2 = late.filter($"doc_id".isin(3L, 5L, 6L))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sigstore_t2_").toString
+    SignatureStore.write(existing2.filter($"doc_id" <= 3), "text", dir2)
+    val persisted2 = shape(SignatureStore.incrementalDedup(
+      existing2, incoming, "text", dir2))
+    assert(persisted2.get(4L).contains((1L, 1.0, 6L)))
+  }
+
   test("global shuffle: contiguous 0..n-1 positions matching the windowed rank") {
     import graft.ops.Sampling
     val n = 1000
