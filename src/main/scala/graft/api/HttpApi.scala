@@ -162,8 +162,24 @@ final class HttpApi(
     * before opening the stream); only runtime failures stream as a
     * done-error event.
     */
-  private def sse(ex: HttpExchange)(dfArg: => DataFrame): Unit = {
-    val df = dfArg // force query build; handle() maps throw -> 400
+  private def sse(ex: HttpExchange)(dfArg: => DataFrame): Unit =
+    sseSlices(ex)(Seq(() => dfArg))
+
+  /** SSE over ORDERED time slices — the reference's bucket-by-bucket
+    * streaming UX (`queryapi/metrics_evaluator.go:61-112` runs one job
+    * per time bucket and pushes each bucket's rows as it completes).
+    * Every slice frame is PLANNED before any header goes out (a
+    * parse/compile error in any slice is an ordinary 400); each slice
+    * then executes as its own Spark job and its rows stream in bounded
+    * batches the moment the slice lands, ascending in time, so a 30-day
+    * query emits its first slice after one slice-job latency instead of
+    * after the whole scan, and the concatenated stream equals the
+    * one-shot result. A batch never spans a slice boundary — each slice
+    * flushes on completion, so the client sees ≥1 result event per
+    * non-empty slice as it finishes.
+    */
+  private def sseSlices(ex: HttpExchange)(mk: Seq[() => DataFrame]): Unit = {
+    val dfs = mk.map(_.apply()) // force query build; handle() maps throw -> 400
     val h = ex.getResponseHeaders
     h.set("Content-Type", "text/event-stream")
     h.set("Cache-Control", "no-cache")
@@ -174,17 +190,19 @@ final class HttpApi(
       out.flush()
     }
     try {
-      val it = df.toJSON.toLocalIterator()
       val batch = new scala.collection.mutable.ArrayBuffer[String](sseBatchRows)
       def flushBatch(): Unit = if (batch.nonEmpty) {
         event(s"""{"type":"result","data":{"rows":[${batch.mkString(",")}]}}""")
         batch.clear()
       }
-      while (it.hasNext) {
-        batch += it.next()
-        if (batch.size >= sseBatchRows) flushBatch()
+      dfs.foreach { df =>
+        val it = df.toJSON.toLocalIterator()
+        while (it.hasNext) {
+          batch += it.next()
+          if (batch.size >= sseBatchRows) flushBatch()
+        }
+        flushBatch() // slice boundary: emit what this slice produced
       }
-      flushBatch()
       event("""{"type":"done","data":{"status":"ok"}}""")
     } catch {
       case e: Throwable =>
@@ -332,11 +350,23 @@ final class HttpApi(
   handle("/api/v1/metrics/query") { ex =>
     val p = params(ex)
     val (s, e) = tsRange(p)
-    def run = MetricSegments.query(spark, needDir(metricsDir, "metrics"),
-      need(p, "q"), s, e, p.get("org"))
+    val dir = needDir(metricsDir, "metrics")
+    def run = MetricSegments.query(spark, dir, need(p, "q"), s, e, p.get("org"))
     if (p.get("summary").contains("true"))
       sseEach(ex, "summary")(seriesSummary(run))
-    else sse(ex)(run)
+    else {
+      // long ranges stream slice-by-slice in time order (reference
+      // bucket-by-bucket streaming); @-pinned expressions and short
+      // ranges keep the one-shot path
+      val q = need(p, "q")
+      val qp = StepPolicy.paramsFor(s, e)
+      val slices =
+        if (MetricSegments.sliceable(q)) MetricSegments.slicePlan(qp)
+        else Seq(qp)
+      if (slices.size <= 1) sse(ex)(run)
+      else sseSlices(ex)(slices.map(sp =>
+        () => MetricSegments.queryAt(spark, dir, q, sp, p.get("org"))))
+    }
   }
 
   handle("/api/v1/logs/query") { ex =>

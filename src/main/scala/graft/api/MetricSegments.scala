@@ -18,6 +18,8 @@ object MetricSegments {
   /** max (range+offset) lookback across every selector in the expression */
   def maxLookbackMs(e: Expr): Long = e match {
     case s: Selector => s.rangeMs + s.offsetMs
+    // a subquery window extends the lookback of everything inside it
+    case x: Subquery => x.rangeMs + x.offsetMs + maxLookbackMs(x.arg)
     case x: RangeFn => maxLookbackMs(x.arg)
     case x: QuantileOverTime => maxLookbackMs(x.arg)
     case x: UnaryFn => maxLookbackMs(x.arg)
@@ -38,6 +40,7 @@ object MetricSegments {
     */
   def selectors(e: Expr): Seq[Selector] = e match {
     case s: Selector => Seq(s)
+    case x: Subquery => selectors(x.arg)
     case x: RangeFn => selectors(x.arg)
     case x: QuantileOverTime => selectors(x.arg)
     case x: UnaryFn => selectors(x.arg)
@@ -96,10 +99,22 @@ object MetricSegments {
     * contain any selected metric are pruned before the tier scan.
     */
   def query(spark: SparkSession, segDir: String, promql: String,
-      startMs: Long, endMs: Long, org: Option[String] = None): DataFrame = {
+      startMs: Long, endMs: Long, org: Option[String] = None): DataFrame =
+    queryAt(spark, segDir, promql, StepPolicy.paramsFor(startMs, endMs), org)
+
+  /** [[query]] with an externally-fixed grid — the time-sliced SSE path's
+    * slice evaluator: `p` comes from the FULL query span (its step and
+    * tier), so every slice evaluates on the same grid, while the dateint
+    * scan prunes to THIS slice's window plus the expression's lookback.
+    * Exact slicing holds because every non-@-pinned construct's value at
+    * grid instant t depends only on samples in [t − lookback, t] — the
+    * [[sliceable]] guard excludes @-pinned expressions, whose pin
+    * (`start()`/`end()`/a literal ts) reads outside the slice.
+    */
+  def queryAt(spark: SparkSession, segDir: String, promql: String,
+      p: QueryParams, org: Option[String] = None): DataFrame = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
-    val p = StepPolicy.paramsFor(startMs, endMs)
     val effStart = p.startMs - maxLookbackMs(e)
     val excluded = excludedForExpr(spark, segDir, e)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
@@ -110,5 +125,36 @@ object MetricSegments {
     // prunes every other tenant's directories (three-key pruning)
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
     Engine.query(promql, storeFrom(scan), p)
+  }
+
+  /** true when the expression may be evaluated slice-by-slice: no
+    * selector is @-pinned (`@ start()` / `@ end()` resolve against the
+    * query bounds and a literal `@ ts` may sit outside any given slice's
+    * pruned scan — both change meaning under sliced params)
+    */
+  def sliceable(promql: String): Boolean =
+    Parser.parse(promql).fold(_ => true, e => selectors(e).forall(_.atKind == 0))
+
+  /** Step-aligned slice plan for [[queryAt]]: split the grid of `p` into
+    * at most `maxSlices` contiguous windows of at least `minStepsPerSlice`
+    * steps each, boundaries on grid multiples so the concatenated slice
+    * results equal the one-shot result row-for-row. One window (or an
+    * un-sliceable span) returns the original params unchanged.
+    */
+  def slicePlan(p: QueryParams, maxSlices: Int = 8,
+      minStepsPerSlice: Int = 30, minSpanMs: Long = 86400000L): Seq[QueryParams] = {
+    val a0 = p.startMs - p.startMs % p.stepMs
+    // interactive spans stay one-shot: slicing trades first-byte latency
+    // for per-job overhead, which only pays on historical ranges
+    if (p.endMs - a0 < minSpanMs) return Seq(p)
+    val nSteps = math.max(1L, (p.endMs - a0 + p.stepMs - 1) / p.stepMs)
+    val perSlice = math.max(minStepsPerSlice.toLong,
+      (nSteps + maxSlices - 1) / maxSlices)
+    val n = ((nSteps + perSlice - 1) / perSlice).toInt
+    if (n <= 1) Seq(p)
+    else (0 until n).map { i =>
+      QueryParams(a0 + i * perSlice * p.stepMs,
+        math.min(p.endMs, a0 + (i + 1) * perSlice * p.stepMs), p.stepMs)
+    }
   }
 }

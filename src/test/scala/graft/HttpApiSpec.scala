@@ -239,6 +239,47 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metrics SSE: long range streams slice-by-slice, equals one-shot") {
+    val api = new HttpApi(spark, metricsDir = Some(metricDir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val ev = graft.model.Tables.events(spark, sf)
+        .agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (s, e) = (ev.getLong(0), ev.getLong(1) + 1)
+      // the events table spans ~30 days -> 1h step, 8 time slices
+      val q = "sum(rate(events_value[2h]))"
+      val (code, body) = get(base,
+        s"/api/v1/metrics/query?q=${enc(q)}&s=$s&e=$e")
+      assert(code == 200 && body.contains("\"status\":\"ok\""), body.take(300))
+      val events = body.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: ")).toSeq
+      val results = events.filter(_.startsWith("""{"type":"result""""))
+      // the slice path must emit MULTIPLE result events (one-shot SSE
+      // with default batching would emit one): the reference's
+      // bucket-by-bucket streaming UX
+      assert(results.size >= 2, s"expected >=2 result events: ${results.size}")
+      // concatenated slice rows == the one-shot engine result. Both sides
+      // normalize through Jackson so float formatting can't alias.
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val got = results.flatMap { evt =>
+        val rows = om.readTree(evt).get("data").get("rows")
+        (0 until rows.size).map(i => rows.get(i).toString)
+      }.sorted
+      val want = graft.api.MetricSegments.query(spark, metricDir, q, s, e)
+        .toJSON.collect().toSeq.map(r => om.readTree(r).toString).sorted
+      assert(got == want,
+        s"slice concat != one-shot: got=${got.size} want=${want.size}")
+      // slices ascend in time: per-event max ts never exceeds the next
+      // event's... (batches within a slice keep arrival order, slices are
+      // ordered) — check first vs last event's row timestamps
+      def tsOf(rowsJson: String): Seq[Long] = {
+        val rows = om.readTree(rowsJson).get("data").get("rows")
+        (0 until rows.size).map(i => rows.get(i).get("ts").asLong)
+      }
+      assert(tsOf(results.head).max < tsOf(results.last).min)
+    } finally api.stop()
+  }
+
   test("HTTP front door: health, validate, discovery, SSE query, errors") {
     val api = new HttpApi(spark, logsDir = Some(segDir),
       spansDir = Some(segDir), sseBatchRows = 3).start()

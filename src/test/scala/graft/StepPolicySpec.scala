@@ -168,4 +168,34 @@ class StepPolicySpec extends AnyFunSuite {
     val plan = scan.queryExecution.executedPlan.toString()
     assert(plan.contains("freq") && scan.select("freq").distinct().count() == 1)
   }
+
+  test("slicePlan: step-aligned, contiguous, covers the grid exactly") {
+    import graft.api.MetricSegments.slicePlan
+    import graft.promql.QueryParams
+    // 30 days at 1h step = 720 steps -> 8 slices of 90 steps
+    val p = StepPolicy.paramsFor(1700000000123L, 1700000000123L + 30L * 86400000L)
+    assert(p.stepMs == 3600000L)
+    val slices = slicePlan(p)
+    assert(slices.size == 8)
+    // contiguous ascending cover of [aligned start, end), boundaries on
+    // step multiples so every slice grid is a sub-grid of the full grid
+    val a0 = p.startMs - p.startMs % p.stepMs
+    assert(slices.head.startMs == a0 && slices.last.endMs == p.endMs)
+    slices.sliding(2).foreach { case Seq(x, y) =>
+      assert(x.endMs == y.startMs)
+      assert((x.startMs - a0) % p.stepMs == 0)
+    }
+    assert(slices.forall(_.stepMs == p.stepMs))
+    // interactive spans pass through unsliced (sub-24h = one-shot path)
+    val short = StepPolicy.paramsFor(1700000000123L, 1700000000123L + 3600000L)
+    assert(slicePlan(short) == Seq(short))
+    val halfDay = StepPolicy.paramsFor(1700000000123L,
+      1700000000123L + 12L * 3600000L)
+    assert(slicePlan(halfDay) == Seq(halfDay))
+    // a span just over the min-slice width still never under-fills:
+    // 31 steps with minStepsPerSlice 30 -> one 30-step + one 1-step slice
+    val p31 = QueryParams(0L, 31L * 60000L, 60000L)
+    val s31 = slicePlan(p31, maxSlices = 8, minStepsPerSlice = 30, minSpanMs = 0L)
+    assert(s31.map(s => (s.endMs - s.startMs) / 60000L) == Seq(30L, 1L))
+  }
 }
