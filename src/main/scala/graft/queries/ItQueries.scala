@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.api.StepPolicy
+import graft.api.{MetricSegments, StepPolicy}
 import graft.ingest.{MetricsPreAgg, Segments}
 import graft.model.Tables
 import graft.promql.{Engine, MetricStore}
@@ -620,6 +620,57 @@ object ItQueries extends Catalog {
         countDistinct(col("chq_timestamp")).as("n_buckets"))
   }
 
+  /** Streaming ingest WITH the incremental rollup chain: events stream in
+    * over multiple micro-batches (maxFilesPerTrigger=1 forces ≥2, so the
+    * same tier-day is rebuilt repeatedly and idempotently), the
+    * foreachBatch sink maintains the 3600 s tier as batches land, and the
+    * query then runs at a COARSE step through [[MetricSegments.query]]: a
+    * 7-day span selects the 1 h step, whose tier scan reads ONLY the
+    * freq=3600000 files the stream's rollup maintenance wrote. The oracle
+    * reads those same tier files (glob pinned to the rollup dirs), so a
+    * missing/stale/double-counted rollup bucket is a hash mismatch.
+    */
+  private def streamRollup(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val qEnd = Start + 7L * 86400000L
+    val ev = Tables.events(s, d)
+      .filter(col("ts_ms") >= Start && col("ts_ms") < qEnd)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+    val in = Files.createTempDirectory("graft_it_rollup_in_").toString
+    ev.coalesce(3).write.mode("overwrite").parquet(in)
+    val segDir = Files.createTempDirectory("graft_it_rollup_seg_").toString
+    streamRollupDirCur = segDir
+    val commitDir = Files.createTempDirectory("graft_it_rollup_commit_").toString
+    val ckpt = Files.createTempDirectory("graft_it_rollup_ckpt_").toString
+    val q = graft.streaming.StreamingIngest.segmentWriteStream(
+      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(in),
+      b => MetricsPreAgg.preAggregate(b, col("ts_ms"), lit("events_value"),
+        col("value"), Seq("attr_event_type" -> col("event_type")),
+        freqMs = 10000L, withSketch = false),
+      segDir, commitDir, ckpt, rollupTiers = Seq(3600000L))
+    q.awaitTermination()
+    val p = StepPolicy.paramsFor(Start, qEnd)
+    require(p.stepMs == 3600000L,
+      s"7d span must select the 1h step, got ${p.stepMs}")
+    MetricSegments.query(s, segDir, "sum by (attr_event_type) (events_value)",
+      Start, qEnd)
+  }
+
+  @volatile private var streamRollupDirCur: String = "/tmp/unset"
+
+  // per (1h bucket, event_type) there is exactly ONE tid and ONE rolled
+  // row, so the engine-side value is that row's chq_rollup_sum verbatim
+  // and both engines read identical file bits — no float-order hazard
+  private def streamRollupSql(dir: String): String =
+    s"""SELECT chq_timestamp AS ts, attr_event_type,
+            sum(chq_rollup_sum) AS value
+       FROM read_parquet(
+         '$dir/ingest_batch=rollup-*/dateint=*/freq=3600000/*.parquet',
+         hive_partitioning=1)
+       WHERE chq_timestamp >= $Start
+         AND chq_timestamp < ${Start + 7L * 86400000L}
+       GROUP BY 1, 2"""
+
   private val streamIngestSql =
     """SELECT event_type AS attr_event_type,
               CAST(count(*) AS BIGINT) AS n_events,
@@ -792,6 +843,7 @@ object ItQueries extends Catalog {
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
+    Q("it_stream_rollup", streamRollup, Some(streamRollupSql(streamRollupDirCur))),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
     Q("it_http_logs", httpLogs, Some(httpLogsSql(logSegRootCur))),
     Q("it_http_metrics", httpMetrics, Some(segRateSql(segRootCur))),

@@ -68,7 +68,8 @@ object StreamingIngest {
       segDir: String, commitDir: String, checkpointDir: String,
       writeSegments: (DataFrame, String) => Unit =
         (df, dir) => graft.ingest.Segments.writeMetricSegments(df, dir),
-      indexAfterBatch: Boolean = false)
+      indexAfterBatch: Boolean = false,
+      rollupTiers: Seq[Long] = Nil, baseFreqMs: Long = 10000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(commitDir))
     rawStream.writeStream
@@ -90,6 +91,7 @@ object StreamingIngest {
             // re-registers its rewritten files; stale rows are lossless)
             if (indexAfterBatch)
               graft.ingest.FingerprintIndex.indexNewFiles(spark, segDir)
+            maintainRollups(spark, cooked, segDir, rollupTiers, baseFreqMs)
             // coalesce: an all-null chq_timestamp batch must not NPE after
             // segments were written but before the commit record lands
             val maxTs = cooked.agg(coalesce(max(col("chq_timestamp")), lit(-1L)))
@@ -103,6 +105,42 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** Incremental rollup maintenance inside the commit loop — the
+    * streaming counterpart of [[graft.ingest.MetricsPreAgg.rollupChain]]
+    * (reference rolls 10s→60s→…→3600s as segments arrive,
+    * metric_rollup_processor.go:571-708). After a batch lands its base
+    * tier, every (tier, UTC day) the batch TOUCHED is rebuilt from the
+    * on-disk base tier and swapped in as one idempotent directory
+    * (`ingest_batch=rollup-<tier>-<dateint>`, delete-then-rewrite — the
+    * same per-dir exactly-once contract as the base batches). Rebuilding
+    * a whole tier-day instead of single buckets keeps the directory count
+    * bounded (days, not buckets: a catch-up batch covering a month writes
+    * ≤31 dirs per tier, not 43k) while the rebuild read stays
+    * dateint-partition-pruned to one day of base rows; every chain tier
+    * divides 24 h, so a coarse bucket never straddles the rebuilt day. A
+    * replayed batch rewrites its base dir first and then re-rebuilds the
+    * same days, so rollups converge to the base tier regardless of
+    * crash/replay interleaving.
+    */
+  private def maintainRollups(spark: SparkSession, cooked: DataFrame,
+      segDir: String, rollupTiers: Seq[Long], baseFreqMs: Long): Unit =
+    if (rollupTiers.nonEmpty) {
+      val days = cooked
+        .select(graft.ingest.Segments.dateint(col("chq_timestamp")).as("d"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val fs = new org.apache.hadoop.fs.Path(segDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (tier <- rollupTiers; d <- days) {
+        val baseDay = spark.read.parquet(segDir)
+          .filter(col("freq") === baseFreqMs && col("dateint") === d)
+          .drop("dateint", "freq", "ingest_batch")
+        val rolled = graft.ingest.MetricsPreAgg.rollup(baseDay, tier)
+        val dir = s"$segDir/ingest_batch=rollup-$tier-$d"
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        graft.ingest.Segments.writeMetricSegments(rolled, dir)
+      }
+    }
 
   /** run a stream from a parquet directory to completion (AvailableNow),
     * materializing into an in-memory table; returns the result frame.
