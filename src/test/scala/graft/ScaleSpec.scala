@@ -186,6 +186,87 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs2 < 120, f"capped substrDup took $secs2%.1f s on 100k docs")
   }
 
+  test("sf1 rehearsal: dedup/ANN/BPE spines grow ~linearly from 5k to 50k docs") {
+    // The catalog verifies correctness at sf0.1 (5k docs / 2k vectors);
+    // this gate is the 10x rehearsal the next scale-up can't see there:
+    // every heavy family spine runs at BOTH sizes on a synthetic corpus
+    // with scale-INDEPENDENT dup density (dup pair counts grow linearly),
+    // and the wall ratio must stay near-linear — a quadratic pair
+    // expansion, an uncapped hot bucket, or a driver-side collect that
+    // grows with the corpus all blow the ratio far past the bound.
+    // (The as-of/range-join spine has its own 500k-row closed-form gate
+    // below; streaming dedup rides the same capped band join.)
+    def corpus(n: Long): org.apache.spark.sql.DataFrame = {
+      // 7-doc families sharing a 60-word body (near-dups, bounded bucket
+      // fanout) + per-member tail word; every 17th doc carries a shared
+      // boilerplate sentence that at 50k docs is FAR over every cap, so
+      // the stop-gram/hot-bucket guards must engage, not expand
+      val fam = col("doc_id") - pmod(col("doc_id"), lit(7L))
+      val words = transform(sequence(lit(1), lit(60)),
+        i => concat(lit("w"), pmod(hash(fam, i), lit(5000)).cast("string")))
+      val boiler = when(col("doc_id") % 17 === 0,
+        lit(" the same cookie banner text repeated across the site pages"))
+        .otherwise(lit(""))
+      spark.range(0, n).toDF("doc_id")
+        .withColumn("text", concat(array_join(words, " "),
+          lit(" tail"), pmod(col("doc_id"), lit(7L)).cast("string"), boiler))
+    }
+    def vectors(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(0, n).toDF("vec_id")
+        .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+          i => ((pmod(hash(col("vec_id"), i), lit(2000)) - lit(1000)) / 1000.0)
+            .cast("float")))
+    val (c1, c10) = (corpus(5000L).cache(), corpus(50000L).cache())
+    val (v1, v10) = (vectors(2000L).cache(), vectors(20000L).cache())
+    Seq(c1, c10, v1, v10).foreach(_.count()) // generation off the clock
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    // third member: whether the op's OUTPUT is corpus-proportional (dup
+    // pairs scale with docs; top-k/merge lists are fixed-size)
+    val spines: Seq[(String, org.apache.spark.sql.DataFrame => Long, Boolean)] = Seq(
+      ("minhash_lsh", d => graft.ops.Dedup.minhashLsh(d, "text",
+        k = 16, bands = 4, w = 5, threshold = 0.5).count(), true),
+      ("substr_dedup", d => graft.ops.Dedup.substrDup(d, "text",
+        k = 8, minWords = 12).count(), true),
+      ("ngram_jaccard", d => graft.ops.Dedup.ngramJaccard(d, "text",
+        w = 5, threshold = 0.5).count(), true),
+      ("stop_shingles", d => graft.ops.Dedup.stopShingles(d, "text").count(), false),
+      ("bpe_train_fast", d =>
+        graft.ops.TextOps.bpeTrainFast(d, "text", numMerges = 40).size.toLong,
+        false))
+    // warm codegen/JIT once so the 1x leg isn't billed for compilation
+    graft.ops.Dedup.minhashLsh(c1.limit(200), "text").count()
+    spines.foreach { case (name, run, proportional) =>
+      val (t1, r1) = timed(run(c1))
+      val (t10, r10) = timed(run(c10))
+      val ratio = t10 / math.max(t1, 0.4)
+      info(f"$name%-15s 5k: $t1%6.2fs ($r1 rows)  50k: $t10%6.2fs ($r10 rows)  ratio ${t10 / math.max(t1, 1e-9)}%5.1fx")
+      assert(ratio < 20.0, f"$name went super-linear: $t1%.2fs -> $t10%.2fs")
+      assert(t10 < 180.0, f"$name absolute ceiling: $t10%.2fs at 50k docs")
+      // dup structure is per-family, so survivors scale ~10x, never n^2;
+      // fixed-output ops (top-k, merge lists) must not scale at all
+      if (proportional && r1 > 0)
+        assert(r10 <= r1 * 15 && r10 >= r1 * 5,
+          s"$name rows $r1 -> $r10 not ~linear")
+      else if (!proportional)
+        assert(r10 == r1, s"$name fixed output grew: $r1 -> $r10")
+    }
+    // ANN spine over the embedding side (2k -> 20k vectors, broadcast
+    // queries, shortlist rerank): linear scan cost, top-k row count FIXED
+    val q1 = v1.filter(col("vec_id") < 8)
+    val (ta, ra) = timed(graft.ops.Similarity.jlTopK(v1, q1, k = 5).count())
+    val (tb, rb) = timed(graft.ops.Similarity.jlTopK(v10,
+      v10.filter(col("vec_id") < 8), k = 5).count())
+    info(f"jl_ann          2k: $ta%6.2fs ($ra rows)  20k: $tb%6.2fs ($rb rows)")
+    assert(rb == ra, "top-k row count must not scale with the corpus")
+    assert(tb / math.max(ta, 0.4) < 20.0 && tb < 120.0,
+      f"jl_ann went super-linear: $ta%.2fs -> $tb%.2fs")
+    Seq(c1, c10, v1, v10).foreach(_.unpersist())
+  }
+
   test("as-of + range join at 500k probes / 1000 series: closed-form " +
       "ground truth, no quadratic blowup") {
     import graft.ops.{AsofJoin, RangeJoin}
