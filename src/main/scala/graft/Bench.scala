@@ -192,6 +192,10 @@ object Bench {
       "tq_segment_roundtrip" -> "two write waves + real compaction rewrite + re-read: I/O-bound by design",
       "tq_log_roundtrip" -> "same end-to-end write/compact/read spine for logs",
       "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
+      "it_stream_rollup" -> ("streaming spine + per-batch (tier, day) rollup rebuilds " +
+        "(maxFilesPerTrigger=1 forces multiple batches): job-count and I/O bound by design"),
+      "pp_incremental_persist" -> ("builds a signature store inside the row, then the " +
+        "store-served refresh: two minhash passes + a parquet roundtrip by design"),
       "it_log_needle" -> "builds 16 days of log segments + fingerprint index once, then the pruned query",
       "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
       "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +
