@@ -150,6 +150,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("cms_merge_agg(cms)")
       }))
 
+    ext.injectFunction((FunctionIdentifier("fnv1a64"),
+      info("fnv1a64",
+        "fnv1a64(str) - FNV-1a 64-bit over UTF-8 bytes as signed long (reference TID hash)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.ops.Fnv1a64(s)
+        case _ => throw new IllegalArgumentException("fnv1a64(str)")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("java_hash64"),
+      info("java_hash64",
+        "java_hash64(str) - 31-polynomial 64-bit string hash (reference index fingerprint hash)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.ops.JavaHash64(s)
+        case _ => throw new IllegalArgumentException("java_hash64(str)")
+      }))
+
     ext.injectFunction((FunctionIdentifier("cms_est"),
       info("cms_est", "cms_est(cms, value) - point frequency estimate"),
       (args: Seq[Expression]) => args match {

@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
   * between the distributed Column build and the driver-side query
   * computation) rather than the reference's Java-31 rolling hash — a
   * documented divergence; only internal consistency matters since the
-  * index never changes results, only the file list.
+  * index never changes results, only the file list. For bit-level
+  * interop with fingerprints produced by the reference (e.g. reusing a
+  * migrated deployment's fingerprint rows), [[graft.ops.CompatHash]]
+  * provides the reference-exact hash surface (`ComputeHash` 31-poly,
+  * rune trigrams, exists/exact/trigram policy), driver-gated by
+  * `tq_fp_compat`.
   *
   * Scale: the build is explode → distinct-per-file → hash (md5 cost paid
   * per distinct trigram, not per row), one shuffle keyed by file; the

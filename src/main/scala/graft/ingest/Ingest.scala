@@ -256,7 +256,10 @@ object MetricsPreAgg {
   /** engine-neutral series id: 48-bit md5 over name + sorted label kvs
     * (role of the reference's FNV-1a TID,
     * internal/oteltools/pkg/fingerprinter/tid.go:153-229; bit-compat not
-    * required, documented divergence)
+    * required, documented divergence — for deployments that DO need the
+    * reference's exact ids, [[graft.ops.CompatHash.tid]] is the
+    * bit-compatible FNV-1a form, driver-gated by `tq_tid_compat`, and
+    * [[preAggregate]]'s `tidCol` hook swaps it in)
     */
   def tid(metricName: Column, labels: Seq[(String, Column)]): Column = {
     val kvs = labels.sortBy(_._1).map { case (k, v) => concat(lit(k + "="), coalesce(v, lit(""))) }
@@ -267,14 +270,20 @@ object MetricsPreAgg {
   /** raw (tsMs, name, value, labels) → cooked rows at `freqMs`:
     * one row per (name, tid, bucket) with rollups + DDSketch.
     */
+  /** `tidCol`: override the engine-neutral md5 series id — pass
+    * `Some(graft.ops.CompatHash.tid(name, lit("gauge"), labels))` for
+    * the reference's bit-exact FNV-1a TID (compat mode; see
+    * [[graft.ops.CompatHash]]) when cooked rows must interop with
+    * segments written by the reference system.
+    */
   def preAggregate(raw: DataFrame, tsMs: Column, name: Column, value: Column,
       labels: Seq[(String, Column)], freqMs: Long = 10000L,
-      withSketch: Boolean = true): DataFrame = {
+      withSketch: Boolean = true, tidCol: Option[Column] = None): DataFrame = {
     val labelCols = labels.map { case (k, v) => v.cast("string").as(k) }
     val baseCols = Seq(
       (tsMs - tsMs % freqMs).as("chq_timestamp"),
       name.as("metric_name"),
-      tid(name, labels).as("chq_tid"),
+      tidCol.getOrElse(tid(name, labels)).as("chq_tid"),
       value.cast("double").as("__v")) ++ labelCols
     val base = raw.select(baseCols: _*)
     val aggs = Seq(

@@ -1443,7 +1443,103 @@ object TelemetryQueries extends Catalog {
        FROM p JOIN iv ON p.k = iv.k AND p.ts_ms >= iv.s AND p.ts_ms < iv.e
        GROUP BY 1"""
 
+  // ---- reference-bit-compatible hashes (opt-in compat mode) ---------------
+
+  /** DuckDB splice: UTF-8 byte list of a VARCHAR expression (via hex
+    * nibbles — DuckDB has no direct blob→byte-list accessor). */
+  private def duckBytes(expr: String): String =
+    s"""list_transform(range(1, octet_length(encode($expr)) + 1),
+        i -> (strpos('0123456789abcdef', substr(lower(hex(encode($expr))), 2*i-1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(lower(hex(encode($expr))), 2*i, 1)) - 1))"""
+
+  /** DuckDB splice: unsigned-2^64 HUGEINT → the signed BIGINT Spark emits */
+  private def duckSigned(h: String): String =
+    s"""CASE WHEN $h >= 9223372036854775808::HUGEINT
+         THEN ($h - 18446744073709551616::HUGEINT)::BIGINT
+         ELSE ($h)::BIGINT END"""
+
+  /** reference TID bit-compat ([[graft.ops.CompatHash.tid]], FNV-1a 64
+    * over the sorted `k=v|` label serialization, tid.go:70-118): one TID
+    * per synthetic (metric, user-bucket) series off `events`, with an
+    * empty-valued label proving the skip-empty rule. The oracle
+    * re-derives FNV-1a INDEPENDENTLY in DuckDB — HUGEINT mod-2^64
+    * list_reduce over the payload's UTF-8 bytes (xor touches only the
+    * low byte, so it is exact on the unsigned representation).
+    */
+  private def tidCompat(s: SparkSession, d: String): DataFrame = {
+    val series = raw(s, d).select(
+      concat(lit("evt_"), col("event_type")).as("metric_name"),
+      (col("user_id") % 10).cast("string").as("attr_user_bucket"),
+      when(col("event_type") === "click", lit(""))
+        .otherwise(col("event_type")).as("opt")).distinct()
+    series.select(col("metric_name"), col("attr_user_bucket"),
+      graft.ops.CompatHash.tid(col("metric_name"), lit("gauge"),
+        Seq("attr_user_bucket" -> col("attr_user_bucket"),
+          "attr_opt" -> col("opt"))).as("tid"))
+  }
+
+  private def tidCompatSql: String = {
+    val fold =
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, ${duckBytes("payload")}),
+          (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                     * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+    s"""WITH series AS (
+         SELECT DISTINCT 'evt_' || event_type AS metric_name,
+                CAST(user_id % 10 AS VARCHAR) AS attr_user_bucket,
+                CASE WHEN event_type = 'click' THEN '' ELSE event_type END AS opt
+         FROM events),
+       p AS (
+         SELECT metric_name, attr_user_bucket,
+                (CASE WHEN opt <> '' THEN 'attr_opt=' || opt || '|' ELSE '' END)
+                || 'attr_user_bucket=' || attr_user_bucket
+                || '|chq_metric_type=gauge|metric_name=' || metric_name || '|' AS payload
+         FROM series),
+       h AS (SELECT metric_name, attr_user_bucket, $fold AS hv FROM p)
+       SELECT metric_name, attr_user_bucket, ${duckSigned("hv")} AS tid FROM h"""
+  }
+
+  /** reference index-fingerprint bit-compat
+    * ([[graft.ops.CompatHash.fingerprint]], fingerprint.go:119-161):
+    * exists + exact + rune-trigram fingerprints for synthetic service
+    * names under the IndexTrigramExact policy, hashed with the
+    * reference's 31-polynomial 64-bit string hash. The oracle re-derives
+    * the trigram set with DuckDB substr (code-point slicing, same as Go
+    * rune slicing) and the hash with a mod-2^64 list_reduce.
+    */
+  private def fpCompat(s: SparkSession, d: String): DataFrame = {
+    val vals = raw(s, d)
+      .select(concat(lit("svc-"), col("event_type")).as("value")).distinct()
+    vals.select(col("value"),
+        explode(array_union(
+          array(lit(".*"), col("value")),
+          graft.ops.CompatHash.trigrams(col("value")))).as("token"))
+      .select(col("value"), col("token"),
+        graft.ops.CompatHash.fingerprint(
+          lit("resource_service_name"), col("token")).as("fp"))
+  }
+
+  private def fpCompatSql: String = {
+    val fold =
+      s"""list_reduce(list_prepend(0::HUGEINT, ${duckBytes("'resource_service_name:' || token")}),
+          (h, b) -> (31 * h + b::HUGEINT) % 18446744073709551616::HUGEINT)"""
+    s"""WITH vals AS (SELECT DISTINCT 'svc-' || event_type AS value FROM events),
+       toks AS (
+         SELECT DISTINCT value, token FROM (
+           SELECT value, '.*' AS token FROM vals
+           UNION ALL SELECT value, value AS token FROM vals
+           UNION ALL
+           SELECT v.value, u.t AS token
+           FROM vals v, UNNEST(list_distinct(CASE WHEN length(v.value) >= 3
+             THEN list_transform(range(1, length(v.value) - 1),
+                                 i -> substr(v.value, i::INT, 3))
+             ELSE [] END)) AS u(t))),
+       h AS (SELECT value, token, $fold AS hv FROM toks)
+       SELECT value, token, ${duckSigned("hv")} AS fp FROM h"""
+  }
+
   override def all: Seq[Q] = Seq(
+    Q("tq_tid_compat", tidCompat, Some(tidCompatSql)),
+    Q("tq_fp_compat", fpCompat, Some(fpCompatSql)),
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
     Q("tq_asof_bucketed", asofBucketedQ, Some(asofJoinSql)),
