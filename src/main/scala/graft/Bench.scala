@@ -196,6 +196,9 @@ object Bench {
         "(maxFilesPerTrigger=1 forces multiple batches): job-count and I/O bound by design"),
       "pp_incremental_persist" -> ("builds a signature store inside the row, then the " +
         "store-served refresh: two minhash passes + a parquet roundtrip by design"),
+      "it_http_metrics" -> ("time-sliced SSE since r12: a 14-day query runs as 8 ordered " +
+        "slice jobs (prefetched concurrently, shared scan/index hoisted) instead of one — " +
+        "trades ~1s of job overhead for first-slice latency, the reference's streaming UX"),
       "it_log_needle" -> "builds 16 days of log segments + fingerprint index once, then the pruned query",
       "it_trace_lookup" -> "builds span segments + index once, then the pruned trace fetch",
       "tq_log_fingerprint_trie" -> ("two passes by design: distinct-template cardinality " +

@@ -195,13 +195,49 @@ final class HttpApi(
         event(s"""{"type":"result","data":{"rows":[${batch.mkString(",")}]}}""")
         batch.clear()
       }
-      dfs.foreach { df =>
-        val it = df.toJSON.toLocalIterator()
+      if (dfs.size == 1) {
+        // one frame: partition-at-a-time iterator, constant driver memory
+        val it = dfs.head.toJSON.toLocalIterator()
         while (it.hasNext) {
           batch += it.next()
           if (batch.size >= sseBatchRows) flushBatch()
         }
-        flushBatch() // slice boundary: emit what this slice produced
+        flushBatch()
+      } else {
+        // Multi-slice: slice jobs PREFETCH concurrently (the reference's
+        // ordered coordinator runs one worker job per bucket in parallel
+        // and drains results in time order, metrics_evaluator.go:61-112);
+        // emission stays strictly ascending. Lookahead is bounded by
+        // SlicePrefetch, so driver memory holds at most SlicePrefetch
+        // slices (each ~1/K of the full frame) — still far below the
+        // one-shot collect the slicing replaced. Wall-clock ≈
+        // max(slice) + stream time instead of Σ(slice).
+        val futs = new Array[java.util.concurrent.Future[Array[String]]](dfs.size)
+        def submit(i: Int): Unit = if (i < dfs.size && futs(i) == null)
+          futs(i) = HttpApi.slicePool.submit(
+            new java.util.concurrent.Callable[Array[String]] {
+              override def call(): Array[String] =
+                dfs(i).toJSON.collect()
+            })
+        (0 until math.min(HttpApi.SlicePrefetch, dfs.size)).foreach(submit)
+        for (i <- dfs.indices) {
+          submit(i)
+          submit(i + HttpApi.SlicePrefetch)
+          // unwrap the executor's ExecutionException: the done-error event
+          // should carry the Spark failure, not the wrapper
+          val rows =
+            try futs(i).get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          futs(i) = null // free the slice as soon as it is streamed
+          rows.foreach { r =>
+            batch += r
+            if (batch.size >= sseBatchRows) flushBatch()
+          }
+          flushBatch() // slice boundary: emit what this slice produced
+        }
       }
       event("""{"type":"done","data":{"status":"ok"}}""")
     } catch {
@@ -364,8 +400,8 @@ final class HttpApi(
         if (MetricSegments.sliceable(q)) MetricSegments.slicePlan(qp)
         else Seq(qp)
       if (slices.size <= 1) sse(ex)(run)
-      else sseSlices(ex)(slices.map(sp =>
-        () => MetricSegments.queryAt(spark, dir, q, sp, p.get("org"))))
+      else sseSlices(ex)(
+        MetricSegments.queryAtSliced(spark, dir, q, qp, slices, p.get("org")))
     }
   }
 
@@ -468,4 +504,26 @@ final class HttpApi(
     }
   validateRoute("/api/v1/promql/validate", Discovery.validatePromQL)
   validateRoute("/api/v1/logql/validate", Discovery.validateLogQL)
+}
+
+object HttpApi {
+  /** max slice frames in flight per stream (and at rest in driver
+    * memory) for the ordered multi-slice SSE path
+    */
+  val SlicePrefetch = 3
+
+  /** shared daemon pool for slice prefetch across all HttpApi instances —
+    * bounded so N concurrent streaming clients cannot fork N×K Spark
+    * action threads (jobs still share the session's scheduler)
+    */
+  lazy val slicePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"sse-slice-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 }

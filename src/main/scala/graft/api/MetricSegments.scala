@@ -127,6 +127,35 @@ object MetricSegments {
     Engine.query(promql, storeFrom(scan), p)
   }
 
+  /** The slice evaluator used by the streaming front door: one
+    * [[queryAt]] frame per slice in `slices`, with everything
+    * slice-INVARIANT hoisted out of the loop — the parse, the
+    * fingerprint-index exclusion job (time-independent: it depends only
+    * on the expression's metric names), and the segment-dir listing (one
+    * shared pruned relation; each slice's dateint filter partition-prunes
+    * it). Without the hoist a K-slice stream pays K index jobs and K
+    * directory listings for identical answers — the dominant cost of
+    * slicing on a large lake, where the listing alone touches millions
+    * of files' metadata.
+    */
+  def queryAtSliced(spark: SparkSession, segDir: String, promql: String,
+      full: QueryParams, slices: Seq[QueryParams],
+      org: Option[String] = None): Seq[() => DataFrame] = {
+    val e = Parser.parse(promql)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    val lookback = maxLookbackMs(e)
+    val excluded = excludedForExpr(spark, segDir, e)
+    val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
+      .filter(col("freq") === StepPolicy.tierFor(full.stepMs))
+    val base = org.fold(base0)(o => base0.filter(col("org") === o))
+    slices.map { sp => () =>
+      val scan = base.filter(
+        col("dateint") >= StepPolicy.dateintOf(sp.startMs - lookback) &&
+        col("dateint") <= StepPolicy.dateintOf(sp.endMs - 1))
+      Engine.query(promql, storeFrom(scan), sp)
+    }
+  }
+
   /** true when the expression may be evaluated slice-by-slice: no
     * selector is @-pinned (`@ start()` / `@ end()` resolve against the
     * query bounds and a literal `@ ts` may sit outside any given slice's

@@ -302,3 +302,154 @@ object WinnowFps {
     new GenericArrayData(arr)
   }
 }
+
+
+/** Native fused BPE tokenizer summary -- the hot-path twin of
+  * [[TextOps.bpeApply]]'s Column form, which ran the ENTIRE merge chain
+  * (|merges| regexp_replace nodes) through an interpreted `aggregate`
+  * lambda per word. One pass per document: lowercase + whitespace split
+  * (`tokens()` parity), per word the delimiter-string merge semantics
+  * replayed on a token list (see below), one md5 checksum per word, all
+  * in JVM code -- plus a per-thread LRU memo keyed by word, because a
+  * Zipfian corpus re-tokenizes the same words endlessly (the vocabulary
+  * is tiny next to the token stream; this is what makes per-ROW apply
+  * the right 100 TB shape without a distinct-word join).
+  *
+  * Exact parity with the Column form (PropertySpec-pinned), including
+  * its documented edge semantics: `bpeCharStr` char-splits with Java
+  * regex `(.)`, which skips line terminators (LF CR NEL LS PS), so such
+  * characters GLUE to the following char's token and a trailing one
+  * forms an unterminated token that can never be the `y` of a merge
+  * (the `(?=D)` lookahead requires a trailing delimiter). The list
+  * replay: a token is "closed" unless it is the last token of a word
+  * whose final char is a line terminator; merge (x, y) fuses adjacent
+  * (x, closed-y) pairs left-to-right without overlap, resuming AFTER
+  * the pair (the regex scan resumes at the shared lookahead delimiter).
+  * Words containing the u0001 delimiter itself are corpus noise with
+  * undefined tokenization in BOTH forms.
+  *
+  * Returns struct(nw, nc, nb, ck); ck is the sum over words of
+  * pmod(hash48(space-joined tokens, 0), mod) in word order (exact
+  * integer arithmetic).
+  */
+case class BpeApplySummary(child: Expression, merges: Array[String],
+    mod: Long) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nw", LongType, nullable = false),
+    StructField("nc", LongType, nullable = false),
+    StructField("nb", LongType, nullable = false),
+    StructField("ck", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_apply_summary"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeApplySummary.compute(input.asInstanceOf[UTF8String], merges, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.BpeApplySummary.compute($c, $mRef, ${mod}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplySummary =
+    copy(child = newChild)
+}
+
+object BpeApplySummary {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Column-level fused BPE summary (see [[BpeApplySummary]]);
+    * merges in rank order
+    */
+  def summary(text: Column, merges: Seq[(String, String)], mod: Long): Column =
+    ColumnBridge.column(BpeApplySummary(ColumnBridge.expression(text),
+      merges.flatMap(p => Seq(p._1, p._2)).toArray, mod))
+
+  private final val CacheCap = 65536
+
+  // word -> (tokenCount, checksumTerm), per thread and per merge table
+  // (keyed by the table's identity: one array object per plan)
+  private val caches: ThreadLocal[java.util.IdentityHashMap[AnyRef,
+      java.util.LinkedHashMap[String, Array[Long]]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.IdentityHashMap[AnyRef,
+        java.util.LinkedHashMap[String, Array[Long]]]())
+
+  private def isLineTerm(cp: Int): Boolean =
+    cp == 0x0a || cp == 0x0d || cp == 0x85 || cp == 0x2028 || cp == 0x2029
+
+  /** `bpeCharStr` + the rank-ordered merge passes + final split/join, on
+    * a token list (equivalence argued in the class doc)
+    */
+  private def tokenizeWord(w: String, merges: Array[String]): Array[String] = {
+    var toks = new java.util.ArrayList[String](w.length + 1)
+    val cur = new java.lang.StringBuilder()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      cur.appendCodePoint(cp)
+      if (!isLineTerm(cp)) { toks.add(cur.toString); cur.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    val lastClosed = cur.length() == 0
+    if (!lastClosed) toks.add(cur.toString)
+    var m = 0
+    while (m < merges.length) {
+      val x = merges(m); val y = merges(m + 1)
+      val n = toks.size()
+      val out = new java.util.ArrayList[String](n)
+      var j = 0
+      while (j < n) {
+        if (j + 1 < n && toks.get(j) == x && toks.get(j + 1) == y &&
+            (j + 1 < n - 1 || lastClosed)) {
+          out.add(x + y); j += 2
+        } else { out.add(toks.get(j)); j += 1 }
+      }
+      toks = out
+      m += 2
+    }
+    toks.toArray(new Array[String](toks.size()))
+  }
+
+  def compute(s: UTF8String, merges: Array[String], mod: Long): InternalRow = {
+    // tokens() parity: split(lower(text), " +") then drop empties
+    val words = s.toLowerCase.toString.split(" +", -1)
+    val perTable = caches.get()
+    var cache = perTable.get(merges)
+    if (cache == null) {
+      cache = new java.util.LinkedHashMap[String, Array[Long]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > CacheCap
+      }
+      perTable.put(merges, cache)
+    }
+    var nw = 0L; var nc = 0L; var nb = 0L; var ck = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        nw += 1
+        nc += w.codePointCount(0, w.length)
+        var v = cache.get(w)
+        if (v == null) {
+          val toks = tokenizeWord(w, merges)
+          val joined = String.join(" ", toks: _*)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(("0|" + joined).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val d = md.digest()
+          val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+            ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+            ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+          v = Array(toks.length.toLong, h % mod)
+          cache.put(w, v)
+        }
+        nb += v(0); ck += v(1)
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nw, nc, nb, ck))
+  }
+}

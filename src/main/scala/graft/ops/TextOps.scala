@@ -133,6 +133,18 @@ object TextOps {
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
 
+  /** NFKC — compatibility decomposition + canonical recomposition:
+    * fullwidth forms, ligatures, circled/superscript digits, NBSP and
+    * friends all fold to their plain equivalents. The aggressive
+    * normalization LLM-corpus pipelines run so `ﬁｌｅ①` and `file1`
+    * tokenize identically (and dedup/quality features see one surface
+    * form). Same JDK Unicode-standard implementation as [[nfcNormalize]].
+    */
+  val nfkcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+
   /** n-gram-heuristic language ID: argmax of per-language stopword hit
     * counts; ties (incl. all-zero) → "und" (undetermined).
     */
@@ -835,6 +847,24 @@ object TextOps {
     * integers; sums commute, so the aggregation needs no ordered fold.
     */
   def bpeApply(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    // fused native pass ([[BpeApplySummary]]) — bit-equal to
+    // [[bpeApplyColumns]] (PropertySpec-pinned), which ran the merge
+    // chain through an interpreted aggregate lambda per word
+    df.select(df("doc_id"),
+        BpeApplySummary.summary(df(textCol), merges, 1000003L).as("__s"))
+      .where(col("__s.nw") > 0)
+      .select(col("doc_id"), col("__s.nw").as("n_words"),
+        col("__s.nc").as("n_char_tokens"),
+        col("__s.nb").as("n_bpe_tokens"),
+        col("__s.ck").as("tok_checksum"))
+  }
+
+  /** the CANONICAL Column-algebra form of [[bpeApply]] — the executable
+    * reference the fused native expression is property-pinned against
+    * (and the shape the DuckDB oracle replays)
+    */
+  def bpeApplyColumns(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val ws = filter(tokens(df(textCol)), w => length(w) > 0)
     // ONE fold over the words, binding each word's joined token string

@@ -231,6 +231,57 @@ object PipelineQueries extends Catalog {
               CAST(raw <> nfc_normalize(raw) AS INT) AS changed
        FROM r"""
 
+  /** NFKC compatibility normalization ([[TextOps.nfkcNormalize]]): docs
+    * salted with compat characters whose NFKC folds are fixed by the
+    * Unicode standard — fullwidth letters, the ﬁ/ﬃ ligatures, circled
+    * and superscript digits, NBSP, and a decomposed accent (the NFC
+    * case). The corpus text is ASCII (NFKC-invariant), so the oracle is
+    * EXACT without an NFKC engine: it applies the standard's published
+    * mappings for precisely the injected characters via replace(), then
+    * DuckDB's nfc_normalize for the canonical recomposition, and
+    * compares whole strings by md5.
+    */
+  private def nfkcNorm(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    // explicit escapes, not glyphs (NBSP and combining marks are
+    // invisible in source): fullwidth File; then per-parity either
+    // fi-ligature+"nal"+NBSP+circled-1, or
+    // "caffe"+combining-acute+superscript-2+" "+ffi-ligature+"x"
+    val raw = concat(df("text"),
+      lit(" \uFF26\uFF49\uFF4C\uFF45"),
+      when(df("doc_id") % 2 === 0, lit(" \uFB01nal\u00A0\u2460"))
+        .otherwise(lit(" caffe\u0301\u00B2 \uFB03x")))
+    val nfkc = TextOps.nfkcNormalize(raw)
+    df.select(df("doc_id"),
+      md5(nfkc).as("h"),
+      length(nfkc).cast("long").as("n_nfkc"),
+      (raw =!= nfkc).cast("int").as("changed"))
+  }
+
+  private val nfkcNormSql =
+    """WITH r AS (
+         SELECT doc_id,
+                text || ' ' || chr(65318) || chr(65353) || chr(65356) || chr(65349)
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN ' ' || chr(64257) || 'nal' || chr(160) || chr(9312)
+                          ELSE ' caffe' || chr(769) || chr(178) || ' ' || chr(64259) || 'x'
+                        END AS raw
+         FROM documents),
+       n AS (
+         SELECT doc_id,
+                nfc_normalize(
+                  replace(replace(replace(replace(replace(replace(replace(replace(raw,
+                    chr(65318), 'F'), chr(65353), 'i'), chr(65356), 'l'), chr(65349), 'e'),
+                    chr(64257), 'fi'), chr(9312), '1'), chr(178), '2'), chr(64259), 'ffi'))
+                  AS expect,
+                raw
+         FROM r),
+       fixed AS (SELECT doc_id, replace(expect, chr(160), ' ') AS nfkc, raw FROM n)
+       SELECT doc_id, md5(nfkc) AS h,
+              CAST(length(nfkc) AS BIGINT) AS n_nfkc,
+              CAST(raw <> nfkc AS INT) AS changed
+       FROM fixed"""
+
   /** deterministic curriculum order ([[Sampling.curriculumOrder]]):
     * docs band by their [[TextOps.qualityLr]] logit (floor(logit·4)) and
     * rank (band asc, md5-shuffle within band) — easy-first training
@@ -2632,6 +2683,7 @@ object PipelineQueries extends Catalog {
     Q("pp_jl_ann", jlAnn, Some(jlAnnSql)),
     Q("pp_curriculum", curriculumQ, Some(curriculumSql)),
     Q("pp_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
+    Q("pp_nfkc_norm", nfkcNorm, Some(nfkcNormSql)),
     Q("pp_token_mixture", tokenMixture, Some(tokenMixtureSql)),
     Q("pp_unk_rate", unkRate, Some(unkRateSql)),
     Q("pp_stop_shingles", stopShinglesQ, Some(stopShinglesSql)),

@@ -224,6 +224,48 @@ class PropertySpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("fused BpeApplySummary equals the Column-algebra bpeApply, incl. " +
+      "newline glue, unicode, and repeated (cached) words") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // words over an alphabet exercising the regex-metachar quoting, the
+    // '(.)' line-terminator glue anomaly (\n inside and at word end),
+    // multibyte and astral code points, and uppercase (lowered by tokens())
+    val alphaBpe: Seq[String] =
+      Seq("a", "b", "X", ".", "$", "\\", "\n", "é", "😀")
+    val genWord = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphaBpe)).map(_.mkString))
+    val genDoc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genPair = for {
+      a <- Gen.oneOf(alphaBpe.filterNot(_ == "X")) // lowered corpus
+      b <- Gen.oneOf(alphaBpe.filterNot(_ == "X"))
+      c <- Gen.oneOf(alphaBpe.filterNot(_ == "X"))
+      two <- Gen.oneOf(true, false)
+    } yield if (two) (a + b, c) else (a, b)
+    val genCase = for {
+      docs <- Gen.listOfN(16, genDoc)
+      ms <- Gen.listOfN(5, genPair)
+    } yield (docs, ms)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      df.orderBy(col("doc_id")).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val prop = forAll(genCase) { case (docs, ms) =>
+      // duplicate the corpus so the per-thread word memo serves hits
+      val df = (docs ++ docs).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      rows(TextOps.bpeApply(df, "text", ms)) ==
+        rows(TextOps.bpeApplyColumns(df, "text", ms))
+    }
+    for (seed <- Seq(7L, 31337L)) {
+      val r = check(Parameters.default.withMinSuccessfulTests(12)
+        .withInitialSeed(org.scalacheck.rng.Seed(seed)), prop)
+      assert(r.passed, s"seed $seed: ${r.status}")
+    }
+  }
+
   test("BPE string-scan passes equal the reference list fold, incl. regex " +
       "metacharacters") {
     import graft.ops.TextOps
