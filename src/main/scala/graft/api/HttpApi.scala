@@ -178,7 +178,14 @@ final class HttpApi(
     * flushes on completion, so the client sees ≥1 result event per
     * non-empty slice as it finishes.
     */
-  private def sseSlices(ex: HttpExchange)(mk: Seq[() => DataFrame]): Unit = {
+  /** `rowBudget`: global cap across slices (a raw log query's `limit`).
+    * Once the budget is spent the stream trims the current slice, stops
+    * launching further slice jobs, and closes — the reference's
+    * newest-first early-exit walk: a needle query over 30 days that
+    * fills its limit from the first day never touches the other 29.
+    */
+  private def sseSlices(ex: HttpExchange, rowBudget: Option[Int] = None)(
+      mk: Seq[() => DataFrame]): Unit = {
     val dfs = mk.map(_.apply()) // force query build; handle() maps throw -> 400
     val h = ex.getResponseHeaders
     h.set("Content-Type", "text/event-stream")
@@ -220,7 +227,9 @@ final class HttpApi(
                 dfs(i).toJSON.collect()
             })
         (0 until math.min(HttpApi.SlicePrefetch, dfs.size)).foreach(submit)
-        for (i <- dfs.indices) {
+        var remaining = rowBudget.getOrElse(Int.MaxValue)
+        var i = 0
+        while (i < dfs.length && remaining > 0) {
           submit(i)
           submit(i + HttpApi.SlicePrefetch)
           // unwrap the executor's ExecutionException: the done-error event
@@ -232,11 +241,16 @@ final class HttpApi(
                 throw Option(e.getCause).getOrElse(e)
             }
           futs(i) = null // free the slice as soon as it is streamed
-          rows.foreach { r =>
-            batch += r
+          val take = math.min(rows.length, remaining)
+          var r = 0
+          while (r < take) {
+            batch += rows(r)
             if (batch.size >= sseBatchRows) flushBatch()
+            r += 1
           }
+          remaining -= take
           flushBatch() // slice boundary: emit what this slice produced
+          i += 1
         }
       }
       event("""{"type":"done","data":{"status":"ok"}}""")
@@ -409,11 +423,26 @@ final class HttpApi(
     val p = params(ex)
     val (s, e) = tsRange(p)
     val qp = StepPolicy.paramsFor(s, e)
-    sse(ex)(LogSegments.query(spark, needDir(logsDir, "logs"), need(p, "q"),
-      qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),
-      desc = p.get("order").forall(_ != "asc"),
-      fields = p.get("fields").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
-      org = p.get("org")))
+    val q = need(p, "q")
+    val limit = p.get("limit").map(_.toInt).getOrElse(1000)
+    val desc = p.get("order").forall(_ != "asc")
+    val fields = p.get("fields").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val dir = needDir(logsDir, "logs")
+    // long-range RAW queries stream day-sliced in emit order with a
+    // global row budget (early exit once the limit fills — the
+    // reference's newest-first segment walk); metric-style LogQL and
+    // short ranges stay one-shot
+    val slices =
+      if (LogSegments.sliceableRaw(q)) LogSegments.slicePlanRaw(qp)
+      else Seq(qp)
+    if (slices.size <= 1)
+      sse(ex)(LogSegments.query(spark, dir, q, qp, limit = limit,
+        desc = desc, fields = fields, org = p.get("org")))
+    else
+      sseSlices(ex, rowBudget = Some(limit))(
+        LogSegments.querySliced(spark, dir, q,
+          if (desc) slices.reverse else slices,
+          limit = limit, desc = desc, fields = fields, org = p.get("org")))
   }
 
   handle("/api/v1/spans/query") { ex =>

@@ -52,6 +52,68 @@ object LogSegments {
       .drop("dateint") // partition key, not a log label
   }
 
+  /** true when the expression is a plain RAW log query — the shape the
+    * time-sliced streaming path serves (metric-style LogQL returns a
+    * grid and stays one-shot; binops need both sides whole)
+    */
+  def sliceableRaw(logql: String): Boolean =
+    Parser.parseFull(logql).fold(_ => false, {
+      case LeafQuery(q) => q.raw.isDefined
+      case _ => false
+    })
+
+  /** UTC-day-aligned slice plan for a raw log query: the span splits on
+    * day boundaries (= the `dateint` partition key, so every slice scan
+    * partition-prunes exactly) into at most `maxSlices` windows; spans
+    * under `minSpanMs` stay one-shot. Returned oldest-first; the caller
+    * reverses for descending streams.
+    */
+  def slicePlanRaw(p: QueryParams, maxSlices: Int = 8,
+      minSpanMs: Long = 86400000L): Seq[QueryParams] = {
+    val day = 86400000L
+    if (p.endMs - p.startMs < minSpanMs) return Seq(p)
+    val firstB = (p.startMs / day + 1) * day // first day boundary inside
+    val bounds = Iterator.iterate(firstB)(_ + day).takeWhile(_ < p.endMs).toSeq
+    val days = bounds.size + 1
+    val n = math.min(maxSlices, days)
+    if (n <= 1) return Seq(p)
+    val perSlice = (days + n - 1) / n // days per slice
+    val cuts = (1 until n).map(i => bounds(math.min(i * perSlice, days - 1) - 1))
+      .distinct.filter(b => b > p.startMs && b < p.endMs)
+    val edges = (p.startMs +: cuts) :+ p.endMs
+    edges.sliding(2).map(w => QueryParams(w(0), w(1), p.stepMs)).toSeq
+  }
+
+  /** The slice evaluator for the streaming front door: one [[query]]
+    * frame per slice with everything slice-invariant hoisted — the
+    * parse, the fingerprint-index exclusion job, and the segment-dir
+    * listing (one shared relation; per-slice dateint filters partition-
+    * prune it). Slices arrive oldest-first from [[slicePlanRaw]]; pass
+    * them newest-first for a descending stream. Each slice applies the
+    * FULL limit (per-slice results are supersets of what the global
+    * stream may still need; the SSE layer trims to the remaining budget
+    * and stops launching slices once it is spent — the reference's
+    * newest-first early-exit segment walk, logs_evaluator.go:233-424).
+    */
+  def querySliced(spark: SparkSession, segDir: String, logql: String,
+      slices: Seq[QueryParams], limit: Int = 1000, desc: Boolean = true,
+      fields: Seq[String] = Nil,
+      org: Option[String] = None): Seq[() => DataFrame] = {
+    val e = Parser.parseFull(logql)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    val excluded = FingerprintIndex.excludedForTrees(spark, segDir,
+      leafPipelines(e).map(FingerprintIndex.requirementTreeFor))
+    val base0 = FingerprintIndex.prunedRead(spark, segDir, excluded)
+    val base = org.fold(base0)(o => base0.filter(col("org") === o).drop("org"))
+    slices.map { sp => () =>
+      val scan = base
+        .filter(col("dateint") >= StepPolicy.dateintOf(sp.startMs) &&
+          col("dateint") <= StepPolicy.dateintOf(sp.endMs - 1))
+        .drop("dateint")
+      Compiler.exprQuery(e, LogStore(scan), sp, limit, desc, fields)
+    }
+  }
+
   /** Full LogQL query over written log segments. */
   def query(spark: SparkSession, segDir: String, logql: String, p: QueryParams,
       limit: Int = 1000, desc: Boolean = true, fields: Seq[String] = Nil,

@@ -280,6 +280,58 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("logs SSE: long-range raw query streams day-sliced with early-exit " +
+      "limit, equals one-shot in order") {
+    val api = new HttpApi(spark, logsDir = Some(segDir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val q = enc("""{log_level="INFO"}""")
+      def sseRows(path: String): Seq[String] = {
+        val (code, body) = get(base, path)
+        assert(code == 200 && body.contains("\"status\":\"ok\""), body.take(300))
+        body.linesIterator.filter(_.startsWith("data: "))
+          .map(_.stripPrefix("data: "))
+          .filter(_.startsWith("""{"type":"result""""))
+          .flatMap { evt =>
+            val rows = om.readTree(evt).get("data").get("rows")
+            (0 until rows.size).map(i => rows.get(i).toString)
+          }.toSeq
+      }
+      def oneShot(limit: Int, desc: Boolean): Seq[String] =
+        graft.api.LogSegments.query(spark, segDir, """{log_level="INFO"}""",
+          graft.api.StepPolicy.paramsFor(tsLo, tsHi), limit = limit,
+          desc = desc, fields = Seq("chq_timestamp", "log_message"))
+          .toJSON.collect().toSeq.map(r => om.readTree(r).toString)
+      // small limit: the budget trims the stream to the one-shot top-25.
+      // Rows with EQUAL chq_tsns are interchangeable at the boundary (the
+      // sort has no further tiebreak), so compare the timestamp multiset,
+      // the count, and monotonicity rather than exact row identity.
+      def tss(rows: Seq[String]): Seq[Long] =
+        rows.map(r => om.readTree(r).get("chq_timestamp").asLong)
+      val got25 = sseRows(s"/api/v1/logs/query?q=$q&s=$tsLo&e=$tsHi" +
+        "&limit=25&fields=chq_timestamp,log_message")
+      val want25 = oneShot(25, desc = true)
+      assert(got25.size == 25 && tss(got25).sorted == tss(want25).sorted,
+        s"desc limit-25 mismatch: ${got25.size}")
+      val ts25 = tss(got25)
+      assert(ts25 == ts25.sorted(Ordering[Long].reverse), "not descending")
+      // ascending variant
+      val gotAsc = sseRows(s"/api/v1/logs/query?q=$q&s=$tsLo&e=$tsHi" +
+        "&limit=25&order=asc&fields=chq_timestamp,log_message")
+      assert(gotAsc.size == 25 &&
+        tss(gotAsc).sorted == tss(oneShot(25, desc = false)).sorted,
+        s"asc limit-25 mismatch: ${gotAsc.size}")
+      assert(tss(gotAsc) == tss(gotAsc).sorted, "not ascending")
+      // large limit: full equality with the one-shot result as a multiset
+      // (order checked above; a big window crosses slice boundaries)
+      val gotAll = sseRows(s"/api/v1/logs/query?q=$q&s=$tsLo&e=$tsHi" +
+        "&limit=100000&fields=chq_timestamp,log_message")
+      assert(gotAll.sorted == oneShot(100000, desc = true).sorted,
+        s"full mismatch: ${gotAll.size}")
+    } finally api.stop()
+  }
+
   test("HTTP front door: health, validate, discovery, SSE query, errors") {
     val api = new HttpApi(spark, logsDir = Some(segDir),
       spansDir = Some(segDir), sseBatchRows = 3).start()
