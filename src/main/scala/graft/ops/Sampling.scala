@@ -232,6 +232,28 @@ object Sampling {
     */
   def dsirScore(df: DataFrame, textCol: String, isTarget: Column,
       buckets: Int = 4096): DataFrame = {
+    // learn the bounded weight table (≤B doubles, a plan-time statistic
+    // like the PQ codebook), then score every doc in ONE native per-row
+    // projection — no bigram explode, no bucket join, no per-doc
+    // interpreted fold. Bit-equal to [[dsirScoreColumns]] (the
+    // distributed-join canonical form the oracle replays, and the
+    // OpsSpec equivalence gate): identical weight doubles (same IEEE
+    // log/sub on the same exact integer counts) and the identical
+    // position-ordered accumulation inside [[DsirRowScore]].
+    val w = dsirWeights(df, textCol, isTarget, buckets)
+    dsirScoreAgainst(
+      graft.GraftSession.spread(df.select(df("doc_id"), df(textCol))),
+      textCol, w, buckets)
+  }
+
+  /** the CANONICAL distributed-join form of [[dsirScore]] — the
+    * executable reference for the equivalence gates and the shape the
+    * DuckDB oracle replays (bucket stats → weight join → position-ordered
+    * fold); the production path learns the bounded weight table once and
+    * scores with the fused native row expression instead
+    */
+  def dsirScoreColumns(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
     // spread: interpreted per-bigram construction is compute-dense vs
     // input bytes (single-file corpora otherwise run it in ONE task);
     // materialize: the bigram explode + md5 bucketing is the expensive
@@ -280,9 +302,11 @@ object Sampling {
     // ≤B-row stats — totals and the collect below both read them
     val src = graft.GraftSession.spread(
       df.select(isTarget.cast("int").as("__t"), df(textCol).as("__text")))
-    val bigrams = wordBigrams(col("__text"))
-    val toks = src.select(col("__t"), explode(bigrams).as("bg"))
-      .withColumn("__b", Dedup.hash48(col("bg"), 0) % buckets)
+    // fused native bigram->bucket pass ([[BigramBuckets]], bit-equal to
+    // explode(wordBigrams) + hash48 % buckets — DsirRowScore's own hash)
+    val toks = src.select(col("__t"),
+      explode(BigramBuckets.buckets(col("__text"), buckets)).as("__bi"))
+      .select(col("__t"), col("__bi").cast("long").as("__b"))
     val stats = graft.GraftSession.materialize(toks.groupBy(col("__b"))
       .agg(sum(col("__t")).as("tb"), sum(lit(1) - col("__t")).as("rb")))
     val (tn, rn) = {

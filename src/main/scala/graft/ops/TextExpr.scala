@@ -453,3 +453,110 @@ object BpeApplySummary {
     new GenericInternalRow(Array[Any](nw, nc, nb, ck))
   }
 }
+
+
+/** Native word-bigram bucket ids -- the weight-LEARNING twin of
+  * [[DsirRowScore]] (same tokenization, same md5 bucket hash, position
+  * order), emitted as an array so the caller can explode + count per
+  * bucket. Replaces the interpreted `zip_with` bigram construction and
+  * Column md5 chain in [[Sampling.dsirWeights]]'s corpus pass. Docs with
+  * no bigrams yield null.
+  */
+case class BigramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bigram_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramBuckets.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("bb")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData $v =
+      |  graft.ops.BigramBuckets.compute($c, $buckets);
+      |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramBuckets =
+    copy(child = newChild)
+}
+
+object BigramBuckets {
+  /** Column-level bigram bucket ids (see [[BigramBuckets]]) */
+  def buckets(text: Column, b: Int): Column =
+    ColumnBridge.column(BigramBuckets(ColumnBridge.expression(text), b))
+
+  def compute(s: UTF8String, buckets: Int): ArrayData = {
+    // tokens() parity with DsirRowScore: split(lower(text), " +"), drop empties
+    val words = s.toLowerCase.toString.split(" +", -1).filter(_.nonEmpty)
+    val n = words.length - 1
+    if (n < 1) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val bg = "0|" + words(i) + " " + words(i + 1)
+      md.reset()
+      md.update(bg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      out(i) = (h % buckets).toInt
+      i += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+}
+
+
+/** Native word-bigram pairs -- the construction pass of
+  * [[TextOps.bigramSurprisal]] fused into one JVM scan (the Column form
+  * built pairs through interpreted zip_with/slice lambdas per element).
+  * tokens() parity: split(lower(text), " +"), drop empties; returns
+  * array<struct<w1,w2>> in position order (posexplode supplies the
+  * position); docs with fewer than 2 words yield an empty array (the
+  * Column form's explicit guard).
+  */
+case class WordBigramPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_word_bigram_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigramPairs.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.WordBigramPairs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramPairs =
+    copy(child = newChild)
+}
+
+object WordBigramPairs {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Column-level bigram pair array (see [[WordBigramPairs]]) */
+  def pairs(text: Column): Column =
+    ColumnBridge.column(WordBigramPairs(ColumnBridge.expression(text)))
+
+  def compute(s: UTF8String): ArrayData = {
+    val words = s.toLowerCase.toString.split(" +", -1).filter(_.nonEmpty)
+    val n = math.max(0, words.length - 1)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(words(i)), UTF8String.fromString(words(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

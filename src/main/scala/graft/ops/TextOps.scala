@@ -551,15 +551,12 @@ object TextOps {
     val src = graft.GraftSession.spread(
       df.select(df("doc_id"), df(textCol).as("__text")))
     val ws = filter(tokens(col("__text")), w => length(w) > 0)
-    // (doc_id, pos, w1, w2) with the token array bound once (no per-
-    // element re-tokenize — interpreted HOFs get no CSE)
-    val bigramPairs = element_at(transform(array(ws), w =>
-      when(size(w) >= 2,
-        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+    // fused native pair construction ([[WordBigramPairs]], property-
+    // pinned to the zip_with Column form it replaced — interpreted HOFs
+    // made this the row's dominant task-CPU)
     val pairs = graft.GraftSession.materialize(
-      src.select(col("doc_id"), posexplode(bigramPairs).as(Seq("pos", "pr")))
+      src.select(col("doc_id"),
+          posexplode(WordBigramPairs.pairs(col("__text"))).as(Seq("pos", "pr")))
         .select(col("doc_id"), col("pos"),
           col("pr.w1").as("w1"), col("pr.w2").as("w2")))
     val uni = graft.GraftSession.materialize(

@@ -81,19 +81,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L) > 0 && out(7L) < out(1L))
   }
 
-  test("dsirScoreAgainst: literal-weight per-row scorer equals the batch chain") {
+  test("dsirScoreAgainst: literal-weight per-row scorer equals the " +
+      "CANONICAL distributed-join chain (and dsirScore routes through it)") {
     import spark.implicits._
     import graft.ops.Sampling
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat row " + i, true)) ++
       (7 to 12).map(i => (i.toLong, "wire spool metal crate heavy load " + i, false)))
       .toDF("doc_id", "text", "is_t")
-    val batch = Sampling.dsirScore(docs, "text", $"is_t")
+    // the independent reference: bucket stats -> weight join -> ordered fold
+    val batch = Sampling.dsirScoreColumns(docs, "text", $"is_t")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val w = Sampling.dsirWeights(docs, "text", $"is_t")
     val row = Sampling.dsirScoreAgainst(docs, "text", w)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     // bit-exact: same weights, same position-ordered fold
     assert(row == batch, s"row=$row\nbatch=$batch")
+    // the production dsirScore (weights + native scorer) matches too
+    val prod = Sampling.dsirScore(docs, "text", $"is_t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(prod == batch, s"prod=$prod\nbatch=$batch")
   }
 
   test("c4Stats: line filter, sentence count, and the page keep flag") {

@@ -266,6 +266,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordBigramPairs equals the zip_with Column construction") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val genDoc = Gen.listOf(Gen.oneOf("the", "cat", "SAT", "", " ", "é😀", "a b"))
+      .map(_.mkString(" "))
+    val prop = forAll(Gen.listOfN(24, genDoc)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ws = filter(split(lower(col("text")), " +"), w => length(w) > 0)
+      val colForm = element_at(transform(array(ws), w =>
+        when(size(w) >= 2,
+          zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+      def rows(c: org.apache.spark.sql.Column): Seq[(Long, Int, String, String)] =
+        df.select(col("doc_id"), posexplode(c).as(Seq("pos", "pr")))
+          .select(col("doc_id"), col("pos"), col("pr.w1"), col("pr.w2"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getString(3))).toSeq.sorted
+      rows(graft.ops.WordBigramPairs.pairs(col("text"))) == rows(colForm)
+    }
+    val r = check(Parameters.default.withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(77L)), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("BPE string-scan passes equal the reference list fold, incl. regex " +
       "metacharacters") {
     import graft.ops.TextOps
