@@ -303,6 +303,37 @@ object Similarity {
     * an ORDERED fold over (vec_id, sim) so the float sum is bit-stable
     * across engines ([[graft.promql]]'s stddev_over_time lesson).
     */
+  /** Leave-one-out 1-NN label evaluation — the embedding-quality
+    * diagnostic a curation pipeline runs before trusting a labeled
+    * embedding space (are same-label points actually neighbors?): per
+    * label, how many points' nearest OTHER point (cosine, ties by id)
+    * carries the same label. Brute-force all-pairs with the whole set
+    * broadcast — by construction an EVAL-SET operator (eval sets are
+    * thousands of rows, not the corpus; at corpus scale feed a sampled
+    * subset or rank through the IVF/JL ANN paths instead). Float
+    * discipline: [[cosine]]'s native left-fold dot product — the same
+    * fold the kmeans oracle replays with `list_sum(list_transform(...))`
+    * — and the accuracy is ONE int/int division (exact-rounded, engine-
+    * identical).
+    */
+  def knnLabelEval(emb: DataFrame): DataFrame = {
+    val a = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val b = broadcast(emb.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb"), col("label").as("nlabel")))
+    val scored = a.crossJoin(b)
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("__sim", cosine(col("embedding"), col("nemb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("nid").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("nlabel") === col("label")).cast("long")).as("n_correct"))
+      .withColumn("acc",
+        col("n_correct").cast("double") / col("n").cast("double"))
+  }
+
   def kmeansStats(corpus: DataFrame, centroids: Int = 0,
       iters: Int = 2): DataFrame = {
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))

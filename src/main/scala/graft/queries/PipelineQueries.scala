@@ -2101,6 +2101,34 @@ object PipelineQueries extends Catalog {
   private def kmeansQ(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansStats(Tables.embeddings(s, d))
 
+  /** leave-one-out 1-NN label accuracy ([[Similarity.knnLabelEval]]): the
+    * oracle replays the all-pairs argmax with the SAME ordered-fold
+    * cosine as the kmeans row (row_number over (cos DESC, id ASC)) —
+    * bit-identical doubles feed the tie-stable argmax on both engines
+    */
+  private def knnEvalQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnLabelEval(Tables.embeddings(s, d))
+
+  private def knnEvalSql: String = {
+    val cos =
+      "list_sum(list_transform(list_zip(a.embedding, b.embedding), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH nn AS (
+         SELECT label, nlabel FROM (
+           SELECT a.label, b.label AS nlabel,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY $cos DESC, b.vec_id ASC) AS rk
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         WHERE rk = 1)
+       SELECT label, count(*) AS n,
+              CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct,
+              CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS acc
+       FROM nn GROUP BY 1"""
+  }
+
   private val kmeansSql = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
@@ -2746,6 +2774,7 @@ object PipelineQueries extends Catalog {
     Q("pp_audio_dedup", audioDedup, Some(audioDedupSql)),
     Q("pp_video_dedup", videoDedup, Some(videoDedupSql)),
     Q("pp_kmeans", kmeansQ, Some(kmeansSql)),
+    Q("pp_knn_eval", knnEvalQ, Some(knnEvalSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),

@@ -928,6 +928,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("knnLabelEval: planted tight clusters score 100%, scrambled labels do not") {
+    import spark.implicits._
+    // two well-separated clusters: e1-axis vs e2-axis with small jitter on
+    // a third axis -> every point's nearest neighbor shares its label
+    def v(axis: Int, j: Double): Seq[Float] =
+      (0 until 8).map(i => (if (i == axis) 1.0 else if (i == 7) j else 0.0).toFloat)
+    val rows = (0 until 6).map(i => (i.toLong, v(0, 0.01 * i), 0)) ++
+      (6 until 12).map(i => (i.toLong, v(1, 0.01 * i), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelEval(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0) == ((6L, 6L, 1.0)) && out(1) == ((6L, 6L, 1.0)), out.toString)
+    // alternate labels across the SAME geometry: neighbors now disagree
+    val bad = rows.map { case (id, e, _) => (id, e, (id % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val acc2 = Similarity.knnLabelEval(bad).collect()
+      .map(r => r.getDouble(3))
+    assert(acc2.forall(_ < 1.0), acc2.mkString(","))
+    // totals partition the set
+    assert(Similarity.knnLabelEval(emb).agg(sum(col("n"))).head().getLong(0) == 12L)
+  }
+
   test("kmeans: partition of the corpus, planted twin lands with its original") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val n = emb.count()
