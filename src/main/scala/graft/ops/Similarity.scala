@@ -334,6 +334,51 @@ object Similarity {
         col("n_correct").cast("double") / col("n").cast("double"))
   }
 
+  /** Greedy k-center coreset (farthest-first traversal, Gonzalez '85):
+    * select k corpus vectors so every vector is within the returned
+    * `radius` of a selected one — the 2-approximation to optimal k-center
+    * and the standard diverse-subset / coverage-sampling primitive a
+    * curation pipeline runs to pick demonstration sets, eval anchors, or
+    * cluster seeds that SPAN the embedding space instead of sampling its
+    * dense core. Deterministic end-to-end: the seed is the min-md5
+    * vec_id, each round's pick is the (max min-distance, then min
+    * vec_id) argmax, distance = 1 − ordered-fold [[cosine]] so both
+    * engines fold identical doubles.
+    *
+    * Scale shape: k driver-side rows total. Each round recomputes
+    * min-distance against the ≤ k-row broadcast selected set and takes
+    * ONE row via TakeOrdered — O(k²·n) cosine evals, no shuffle of the
+    * corpus, no quadratic pair stage; the loop is k bounded statistics,
+    * not a collect of the corpus.
+    *
+    * Returns (sel_idx 1..k, vec_id, radius) where radius is the picked
+    * vector's min-distance at selection time (the coverage radius
+    * sequence, non-increasing; NULL for the seed).
+    */
+  def kcenterCoreset(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val seed = base
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(1).select(col("vec_id")).head().getLong(0)
+    val sel = scala.collection.mutable.Buffer[(Long, Long, Option[Double])](
+      (1L, seed, None))
+    for (i <- 2 to k) {
+      val ids = sel.map(_._2).toSeq
+      val centers = broadcast(base.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val pick = base.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(centers)
+        .withColumn("__d", lit(1.0) - cosine(col("embedding"), col("cemb")))
+        .groupBy(col("vec_id")).agg(min(col("__d")).as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id").asc)
+        .limit(1).head()
+      sel += ((i.toLong, pick.getLong(0), Some(pick.getDouble(1))))
+    }
+    sel.toSeq.toDF("sel_idx", "vec_id", "radius")
+  }
+
   def kmeansStats(corpus: DataFrame, centroids: Int = 0,
       iters: Int = 2): DataFrame = {
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))

@@ -273,6 +273,58 @@ object TextOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Asymmetric containment detection over winnowed fingerprints: for doc
+    * pairs sharing fingerprints, the fraction of EACH side's fingerprint
+    * set that the pair shares — near 1.0 on side a when a is (almost)
+    * wholly quoted inside b, even when symmetric Jaccard is tiny because
+    * |b| ≫ |a|. This is the signal [[winnowPairs]]'s raw shared-count
+    * can't give: quote/inclusion detection, doc-in-doc wrapping, page
+    * templates that embed whole smaller pages — cases a curation pipeline
+    * wants to treat differently from ordinary near-duplication.
+    *
+    * Both numerator and denominator are restricted to NON-BOILERPLATE
+    * fingerprints (those shared by ≤ maxDocsPerFp docs): a fingerprint on
+    * half the corpus is template noise, not evidence of copying, and
+    * counting it in the denominator only would silently deflate every
+    * ratio in boilerplate-heavy corpora. Containment here is therefore
+    * "fraction of a's distinctive content that also appears in b".
+    *
+    * Scale shape: the ONE fp-grouped aggregate yields both the capped
+    * per-fp doc lists (pair stage, O(cap²) bound as in [[winnowPairs]])
+    * and, by re-exploding those lists, the per-doc distinctive-fp counts —
+    * no second pass over the corpus text. The ratio is a single int/int
+    * double division (exact-rounded, engine-identical).
+    */
+  def containmentPairs(df: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 2, maxDocsPerFp: Int = 20, minContain: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnow(df, k, w, textCol, idCol)
+    // one row per fingerprint with its sorted doc list; everything below
+    // derives from this single shuffle
+    val lists = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDocsPerFp)
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val ds = col("ds")
+    val combos = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
+    val shared = lists.filter(size(col("ds")) >= 2)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("nfp").as("nfp_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nfp").as("nfp_b")), Seq("b"))
+      .withColumn("contain_a", col("shared").cast("double") / col("nfp_a"))
+      .withColumn("contain_b", col("shared").cast("double") / col("nfp_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+      .select(col("a"), col("b"), col("shared"), col("nfp_a"), col("nfp_b"),
+        col("contain_a"), col("contain_b"))
+  }
+
   /** normalized text every n-gram metric operates on: lowercased, trimmed,
     * runs of whitespace collapsed to one space
     */

@@ -680,6 +680,84 @@ object ItQueries extends Catalog {
                 AS n_buckets
        FROM events GROUP BY 1"""
 
+  /** Streaming as-of enrichment ([[graft.streaming.StreamAsof]]) gated
+    * against DuckDB's NATIVE ASOF JOIN — the custom-state streaming
+    * operator checked by an independent implementation of the semantics,
+    * like the batch `tq_asof_*` rows. Events split into probes (every 7th
+    * id) and samples; three arrival waves land as separate micro-batches
+    * (maxFilesPerTrigger=1) under a watermark delay that covers the whole
+    * span, then a far-future sentinel sample on an unused key advances
+    * the watermark past every real probe and the engine's no-data batch
+    * drains all keys through their event-time timeouts. Tie rules match
+    * the batch operator (sample-before-probe at equal ts, greatest value
+    * collapses equal-(key, ts) samples), so the oracle dedupes with
+    * max(value) before its ASOF LEFT JOIN.
+    */
+  private val streamAsofTolMs = 6L * 3600000L
+  private val streamAsofRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def streamAsof(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_ms"), col("user_id"), col("value"))
+    val tagged = ev.select(
+      (col("user_id") % 10).as("key"), col("ts_ms"),
+      when(col("event_id") % 7 === 0, 1).otherwise(0).as("side"),
+      when(col("event_id") % 7 === 0, col("event_id")).otherwise(0L).as("probe_id"),
+      when(col("event_id") % 7 === 0, 0.0).otherwise(col("value")).as("value"))
+      .as[graft.streaming.AsofEvent]
+    val Array(minTs, maxTs) = tagged.agg(min(col("ts_ms")), max(col("ts_ms")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val in = Files.createTempDirectory("graft_it_sasof_in_").toString
+    val third = math.max(1L, (maxTs - minTs) / 3 + 1)
+    (0 until 3).foreach { w =>
+      tagged.filter(col("ts_ms") >= minTs + w * third &&
+        col("ts_ms") < minTs + (w + 1) * third)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    // the file source orders batches by modification time: the sentinel
+    // must tick LATER than every wave or its huge watermark drops real
+    // rows as late
+    Thread.sleep(1200)
+    Seq(graft.streaming.AsofEvent(999L, maxTs + 91L * 86400000L, 0, 0L, 0.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    val src = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.AsofEvent]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .as[graft.streaming.AsofEvent]
+    // unique sink name per invocation: Bench re-runs rows in one JVM and
+    // a memory sink cannot restart under a name while another is active
+    val sink = s"it_stream_asof_${streamAsofRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamAsof.backward(src,
+      toleranceMs = streamAsofTolMs, watermarkDelay = "2160 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("key"), col("probe_id"), col("ts_ms"),
+        col("asof_ts"), col("asof_value"))
+  }
+
+  private val streamAsofSql =
+    s"""WITH probes AS (
+         SELECT user_id % 10 AS key, event_id AS probe_id,
+                epoch_ms(ts) AS ts_ms
+         FROM events WHERE event_id % 7 = 0),
+       samples AS (
+         SELECT user_id % 10 AS key, epoch_ms(ts) AS ts_ms, max("value") AS value
+         FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2),
+       j AS (
+         SELECT p.key, p.probe_id, p.ts_ms, s.ts_ms AS sts, s.value AS sval
+         FROM probes p ASOF LEFT JOIN samples s
+           ON p.key = s.key AND p.ts_ms >= s.ts_ms)
+       SELECT key, probe_id, ts_ms,
+              CASE WHEN sts IS NOT NULL AND ts_ms - sts <= $streamAsofTolMs
+                   THEN sts END AS asof_ts,
+              CASE WHEN sts IS NOT NULL AND ts_ms - sts <= $streamAsofTolMs
+                   THEN sval END AS asof_value
+       FROM j"""
+
   // `all` is a def and the oracle strings are rendered inside it: Verify
   // dumps oracle_sql.json after running the queries, so the embedded
   // segment paths are the ones this run wrote
@@ -844,6 +922,7 @@ object ItQueries extends Catalog {
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_stream_rollup", streamRollup, Some(streamRollupSql(streamRollupDirCur))),
+    Q("it_stream_asof", streamAsof, Some(streamAsofSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
     Q("it_http_logs", httpLogs, Some(httpLogsSql(logSegRootCur))),
     Q("it_http_metrics", httpMetrics, Some(segRateSql(segRootCur))),

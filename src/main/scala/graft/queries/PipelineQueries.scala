@@ -2129,6 +2129,51 @@ object PipelineQueries extends Catalog {
        FROM nn GROUP BY 1"""
   }
 
+  private def coresetQ(s: SparkSession, d: String): DataFrame =
+    Similarity.kcenterCoreset(Tables.embeddings(s, d), k = 8)
+
+  /** DuckDB replay of [[Similarity.kcenterCoreset]]: the greedy loop
+    * unrolled into k−1 chained CTE steps (each = min-distance against the
+    * selected-so-far set, then the (dmin DESC, vec_id ASC) argmax), the
+    * same ordered-fold cosine as the kmeans oracle, min-md5 seed. `def`
+    * not `val`: interpolating vals across the object risks init-order
+    * nulls (round-11 lesson).
+    */
+  private def coresetSql: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    val k = 8
+    // every selN is referenced twice by step N+1 (and transitively by all
+    // later steps): MATERIALIZED is load-bearing — DuckDB inlines CTEs by
+    // default and the chain would re-evaluate 2^k times
+    val steps = (2 to k).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT e.vec_id,
+                  min(1.0 - (${cos("e.embedding", "c.embedding")})) AS dmin
+           FROM embeddings e, embeddings c
+           WHERE c.vec_id IN (SELECT vec_id FROM sel${i - 1})
+             AND e.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           GROUP BY e.vec_id),
+         pick$i AS MATERIALIZED (
+           SELECT vec_id, dmin FROM d$i
+           ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+         sel$i AS MATERIALIZED (
+           SELECT * FROM sel${i - 1}
+           UNION ALL
+           SELECT CAST($i AS BIGINT) AS sel_idx, vec_id, dmin AS radius
+           FROM pick$i)"""
+    }.mkString(",\n")
+    s"""WITH sel1 AS MATERIALIZED (
+         SELECT CAST(1 AS BIGINT) AS sel_idx, vec_id,
+                CAST(NULL AS DOUBLE) AS radius
+         FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1),
+       $steps
+       SELECT sel_idx, vec_id, radius FROM sel$k"""
+  }
+
   private val kmeansSql = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
@@ -2511,6 +2556,30 @@ object PipelineQueries extends Catalog {
        SELECT a, b, CAST(count(*) AS BIGINT) AS shared
        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** DuckDB replay of [[TextOps.containmentPairs]]: capped fp doc-lists →
+    * ordered-pair shared counts + per-doc distinctive-fp sizes, ratio =
+    * one int/int double division on both engines
+    */
+  private val containmentPairsSql =
+    s"""WITH $winnowFpsCte,
+       okfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+       okf AS (SELECT f.doc_id, f.fp FROM fps f JOIN okfp USING (fp)),
+       sizes AS (SELECT doc_id, count(*) AS nfp FROM okf GROUP BY doc_id),
+       sh AS (
+         SELECT f1.doc_id AS a, f2.doc_id AS b,
+                CAST(count(*) AS BIGINT) AS shared
+         FROM okf f1 JOIN okf f2 USING (fp)
+         WHERE f1.doc_id < f2.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT a, b, shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+              CAST(shared AS DOUBLE) / sa.nfp AS contain_a,
+              CAST(shared AS DOUBLE) / sb.nfp AS contain_b
+       FROM sh
+       JOIN sizes sa ON sh.a = sa.doc_id
+       JOIN sizes sb ON sh.b = sb.doc_id
+       WHERE greatest(CAST(shared AS DOUBLE) / sa.nfp,
+                      CAST(shared AS DOUBLE) / sb.nfp) >= 0.5"""
+
   /** DuckDB replay of [[TextOps.repetitionStats]]: identical normalization,
     * n-gram construction (1-based index lists), per-distinct-element count
     * structs, struct-max tie-break, and guard expressions
@@ -2720,6 +2789,10 @@ object PipelineQueries extends Catalog {
     Q("pp_winnow_pairs",
       (s, d) => TextOps.winnowPairs(docs(s, d), k = 8, w = 4, minShared = 2),
       Some(winnowPairsSql)),
+    Q("pp_containment",
+      (s, d) => TextOps.containmentPairs(docs(s, d), k = 8, w = 4,
+        minShared = 2, minContain = 0.5),
+      Some(containmentPairsSql)),
     Q("pp_langid",
       (s, d) => docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdSql)),
@@ -2775,6 +2848,7 @@ object PipelineQueries extends Catalog {
     Q("pp_video_dedup", videoDedup, Some(videoDedupSql)),
     Q("pp_kmeans", kmeansQ, Some(kmeansSql)),
     Q("pp_knn_eval", knnEvalQ, Some(knnEvalSql)),
+    Q("pp_coreset", coresetQ, Some(coresetSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),
     Q("pp_contamination", contamination, Some(contaminationSql)),

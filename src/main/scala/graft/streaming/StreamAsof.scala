@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** one event on the unified as-of stream: side 0 = sample (value
+  * meaningful), side 1 = probe (probe_id meaningful) — the same tagged
+  * union shape the batch operator shuffles ([[graft.ops.AsofJoin]])
+  */
+final case class AsofEvent(key: Long, ts_ms: Long, side: Int,
+    probe_id: Long, value: Double)
+
+/** per-key state: rows not yet releasable by the watermark, plus the
+  * carry — the latest sample already folded out of the buffer
+  */
+final case class AsofBuffer(buf: List[AsofEvent],
+    carryTs: Long, carryVal: Double, hasCarry: Boolean)
+
+/** a finalized probe with its as-of match (None = no sample at-or-before
+  * within tolerance)
+  */
+final case class AsofOut(key: Long, probe_id: Long, ts_ms: Long,
+    asof_ts: Option[Long], asof_value: Option[Double])
+
+/** Streaming backward as-of enrichment — the stateful twin of
+  * [[graft.ops.AsofJoin.backward]]: every probe event is matched to the
+  * most recent sample at-or-before its event time on the same key, over
+  * a LIVE stream where probes and samples arrive interleaved and out of
+  * order (exemplar → nearest pre-agg sample, log line → active deploy,
+  * span → most recent config — the enrichments the batch op serves,
+  * running continuously).
+  *
+  * Why not compose [[StreamJoin.intervalJoin]] + a latest-per-probe
+  * aggregate: "most recent at-or-before" needs an UNBOUNDED lookback —
+  * the matching sample may be arbitrarily old — and interval joins keep
+  * state proportional to rate × lookback. Here the state per key is the
+  * not-yet-releasable buffer plus ONE carry row (the latest sample whose
+  * time the watermark has passed), so an idle series costs one row of
+  * state forever, exactly like the reference's in-memory latest-value
+  * maps.
+  *
+  * Correctness contract: a probe at time p finalizes only once the
+  * watermark passes p — by watermark semantics no sample with ts ≤ p can
+  * still arrive (later ones are late data and dropped by the engine
+  * before this operator). Releasable rows process in (ts, side, value)
+  * order: samples fold into the carry before probes at the same
+  * timestamp consume it — the exact right-sorts-before-left tie rule of
+  * the batch operator — and equal-(key, ts) samples collapse to the
+  * greatest value, mirroring the batch tieBreak. Event-time timeouts
+  * re-invoke a key whose buffer is nonempty even when no new rows
+  * arrive, so quiet series still drain.
+  */
+object StreamAsof {
+
+  def backward(events: Dataset[AsofEvent], toleranceMs: Long = Long.MaxValue,
+      watermarkDelay: String = "0 seconds"): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("__et", timestamp_millis(col("ts_ms")))
+      .withWatermark("__et", watermarkDelay)
+      .as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuffer, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofEvent], state: GroupState[AsofBuffer]) =>
+          val st = state.getOption.getOrElse(
+            AsofBuffer(Nil, Long.MinValue, 0.0, hasCarry = false))
+          val all = st.buf ++ rows
+          val wm = state.getCurrentWatermarkMs()
+          // releasable rows in (ts, side, value) order: samples before
+          // probes at equal ts, greatest-value sample wins an exact tie
+          val (ready, pending) = all.partition(_.ts_ms <= wm)
+          val out = scala.collection.mutable.Buffer.empty[AsofOut]
+          var cTs = st.carryTs; var cVal = st.carryVal; var cHas = st.hasCarry
+          ready.sortBy(e => (e.ts_ms, e.side, e.value)).foreach { e =>
+            if (e.side == 0) {
+              // carry advances monotonically; sort order already put the
+              // greatest value last among equal timestamps
+              if (!cHas || e.ts_ms >= cTs) { cTs = e.ts_ms; cVal = e.value; cHas = true }
+            } else {
+              val hit = cHas && e.ts_ms - cTs <= toleranceMs
+              out += AsofOut(key, e.probe_id, e.ts_ms,
+                if (hit) Some(cTs) else None, if (hit) Some(cVal) else None)
+            }
+          }
+          if (pending.isEmpty && !cHas) state.remove()
+          else {
+            state.update(AsofBuffer(pending, cTs, cVal, cHas))
+            // wake this key when the watermark reaches its oldest pending
+            // row; an all-carry state needs no timeout (nothing to emit)
+            if (pending.nonEmpty) {
+              val next = pending.map(_.ts_ms).min
+              state.setTimeoutTimestamp(math.max(next, wm + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+}

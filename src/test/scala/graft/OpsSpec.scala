@@ -215,6 +215,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"missing (1,2): $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false pair with 3: $pairs")
   }
+
+  test("containmentPairs: contained doc scores 1.0 on its side, asymmetric vs Jaccard") {
+    val inner = "a distinctive quoted passage long enough to winnow cleanly and unmistakably"
+    val df = Seq(
+      (1L, s"big wrapper document opens with context then includes $inner and " +
+        "continues with a great deal of additional unrelated prose afterwards " +
+        "covering many other topics entirely of its own invention and more"),
+      (2L, inner), // doc 2's normalized text is a contiguous substring of doc 1's
+      (3L, "nothing in common with the others at all zzz qqq www yyy xxx")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.containmentPairs(df, k = 8, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(5), r.getDouble(6)))).toMap
+    // interior winnow windows of a contiguous substring select the same
+    // minima as the superstring's corresponding windows -> fp(2) ⊆ fp(1)
+    val (ca, cb) = rows.getOrElse((1L, 2L), fail(s"missing (1,2): $rows"))
+    assert(cb == 1.0, s"contained side should be fully covered: $cb")
+    assert(ca < 0.8, s"wrapper side must stay partial: $ca")
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L), rows.toString)
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
@@ -948,6 +968,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(acc2.forall(_ < 1.0), acc2.mkString(","))
     // totals partition the set
     assert(Similarity.knnLabelEval(emb).agg(sum(col("n"))).head().getLong(0) == 12L)
+  }
+
+  test("kcenterCoreset: one pick per planted cluster, non-increasing radii") {
+    import spark.implicits._
+    // three orthogonal-axis clusters: farthest-first must visit all three
+    // before refining any one of them
+    def v(axis: Int, j: Double): Seq[Float] =
+      (0 until 8).map(i => (if (i == axis) 1.0 else if (i == 7) j else 0.0).toFloat)
+    val rows = (0 until 4).map(i => (i.toLong, v(0, 0.01 * i))) ++
+      (4 until 8).map(i => (i.toLong, v(1, 0.01 * i))) ++
+      (8 until 12).map(i => (i.toLong, v(2, 0.01 * i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kcenterCoreset(emb, k = 3).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length == 3)
+    assert(out(0).isNullAt(2)) // seed has no radius
+    val clusters = out.map(r => r.getLong(1) / 4).toSet
+    assert(clusters.size == 3, s"picks must span all clusters: ${out.mkString(",")}")
+    // later picks cover no more than earlier ones
+    assert(out(1).getDouble(2) >= out(2).getDouble(2))
+    // determinism: a second run returns the identical selection
+    val again = Similarity.kcenterCoreset(emb, k = 3).collect().sortBy(_.getLong(0))
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("kmeans: partition of the corpus, planted twin lands with its original") {

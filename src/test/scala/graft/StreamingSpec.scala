@@ -429,4 +429,59 @@ class StreamingSpec extends AnyFunSuite {
     RecordConsumer.consumeAvailable(spark, src, tracker)(df => extra += df.count())
     assert(extra == 0L)
   }
+
+  test("streaming as-of enrichment equals the batch as-of join, ties and tolerance included") {
+    import graft.streaming.{AsofEvent, StreamAsof}
+    import graft.ops.AsofJoin
+    import spark.implicits._
+    val tol = 2400L // below the fixture's exact 2500 ms per-key slot stride
+    // tie-heavy interleaved probes/samples on 5 keys: ts on a 500 ms grid
+    // so probe==sample and sample==sample timestamp collisions both occur
+    val evs = (0 until 300).map { i =>
+      val key = i % 5L
+      val ts = 1000L + (i * 7919L) % 200 * 500L
+      if (i % 3 == 0) AsofEvent(key, ts, 1, probe_id = i.toLong, value = 0.0)
+      else AsofEvent(key, ts, 0, probe_id = 0L, value = (i % 50) * 1.5)
+    }
+    val dir = Files.createTempDirectory("graft_stream_asof_").toString
+    // four arrival waves in scrambled time order + a far-future sentinel
+    // sample on an unused key: the watermark (2 min delay covers the whole
+    // real span, so nothing is late) passes every probe and the engine's
+    // no-data batch fires the event-time timeouts that drain quiet keys
+    evs.grouped(75).foreach { wave =>
+      wave.toDS().coalesce(1).write.mode("append").parquet(dir)
+    }
+    // the file source orders batches by modification time; the sentinel
+    // must land in a LATER tick than every real wave or an early huge
+    // watermark would drop real rows as late
+    Thread.sleep(1200)
+    Seq(AsofEvent(999L, 10000000L, 0, 0L, 0.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[AsofEvent]
+    val q = StreamAsof.backward(src, toleranceMs = tol,
+      watermarkDelay = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof").start()
+    try q.processAllAvailable() finally q.stop()
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val got = spark.table("stream_asof")
+      .select("key", "probe_id", "ts_ms", "asof_ts", "asof_value")
+      .collect().map(norm).toSet
+    val probes = evs.filter(_.side == 1)
+      .map(e => (e.key, e.probe_id, e.ts_ms)).toDF("key", "probe_id", "ts_ms")
+    val samples = evs.filter(_.side == 0)
+      .map(e => (e.key, e.ts_ms, e.value)).toDF("key", "sts", "value")
+    val want = AsofJoin.backward(probes, samples, "key", "ts_ms", "sts",
+        payloadCols = Seq("value"), tieBreak = "value", toleranceMs = tol)
+      .select(col("key"), col("probe_id"), col("ts_ms"),
+        col("asof_ts"), col("asof_value"))
+      .collect().map(norm).toSet
+    assert(got == want,
+      s"stream=${got.size} batch=${want.size} diff=${(got diff want).take(3)} ${(want diff got).take(3)}")
+    assert(want.exists(_._4.isEmpty) && want.exists(_._4.nonEmpty))
+  }
 }
