@@ -194,6 +194,8 @@ object Bench {
       "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
       "it_stream_rollup" -> ("streaming spine + per-batch (tier, day) rollup rebuilds " +
         "(maxFilesPerTrigger=1 forces multiple batches): job-count and I/O bound by design"),
+      "it_stream_asof" -> ("streaming spine: fixture writes + 3 stateful micro-batches + " +
+        "the watermark-advance drain batch, each with state-store commits by design"),
       "pp_incremental_persist" -> ("builds a signature store inside the row, then the " +
         "store-served refresh: two minhash passes + a parquet roundtrip by design"),
       "it_http_metrics" -> ("time-sliced SSE since r12: a 14-day query runs as 8 ordered " +

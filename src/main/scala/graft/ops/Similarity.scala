@@ -317,16 +317,24 @@ object Similarity {
     * identical).
     */
   def knnLabelEval(emb: DataFrame): DataFrame = {
+    // norms bound ONCE per side (sqrt is correctly rounded, so the
+    // precomputed factor is bit-identical to the per-pair inline form the
+    // oracle replays) — 3 native dots per pair become 1
     val a = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("__na", norm(col("embedding")))
     val b = broadcast(emb.select(col("vec_id").as("nid"),
-      col("embedding").as("nemb"), col("label").as("nlabel")))
+      col("embedding").as("nemb"), col("label").as("nlabel"))
+      .withColumn("__nb", norm(col("nemb"))))
     val scored = a.crossJoin(b)
       .filter(col("vec_id") =!= col("nid"))
-      .withColumn("__sim", cosine(col("embedding"), col("nemb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("nid").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
+      .withColumn("__sim",
+        dot(col("embedding"), col("nemb")) / (col("__na") * col("__nb")))
+    // argmax per vec_id via map-side-combined max_by over a totally
+    // ordered (sim, −nid) key — no n²-row window shuffle; equal to the
+    // oracle's row_number over (sim DESC, nid ASC)
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("nlabel"),
+        struct(col("__sim"), (-col("nid")).as("__t"))).as("nlabel"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum((col("nlabel") === col("label")).cast("long")).as("n_correct"))

@@ -710,18 +710,28 @@ object ItQueries extends Catalog {
     val Array(minTs, maxTs) = tagged.agg(min(col("ts_ms")), max(col("ts_ms")))
       .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
     val in = Files.createTempDirectory("graft_it_sasof_in_").toString
-    val third = math.max(1L, (maxTs - minTs) / 3 + 1)
-    (0 until 3).foreach { w =>
-      tagged.filter(col("ts_ms") >= minTs + w * third &&
-        col("ts_ms") < minTs + (w + 1) * third)
-        .coalesce(1).write.mode("append").parquet(in)
+    val half = math.max(1L, (maxTs - minTs) / 2 + 1)
+    def parts(): Set[java.io.File] = {
+      val fs = new java.io.File(in).listFiles()
+      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
     }
-    // the file source orders batches by modification time: the sentinel
-    // must tick LATER than every wave or its huge watermark drops real
-    // rows as late
-    Thread.sleep(1200)
+    val waves = (0 until 2).map { w =>
+      tagged.filter(col("ts_ms") >= minTs + w * half &&
+        col("ts_ms") < minTs + (w + 1) * half)
+        .coalesce(1).write.mode("append").parquet(in)
+      parts()
+    }
     Seq(graft.streaming.AsofEvent(999L, maxTs + 91L * 86400000L, 0, 0L, 0.0))
       .toDS().coalesce(1).write.mode("append").parquet(in)
+    // the file source orders batches by modification time: stagger mtimes
+    // explicitly so the sentinel (whose huge watermark would drop real
+    // rows as late) always ticks LAST — no wall-clock sleep needed
+    val now = new java.io.File(in).lastModified()
+    waves.zipWithIndex.foreach { case (cum, i) =>
+      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
+      (cum -- prev).foreach(_.setLastModified(now - 6000L + i * 2000L))
+    }
+    (parts() -- waves.last).foreach(_.setLastModified(now))
     val src = s.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.AsofEvent]].schema)
       .option("maxFilesPerTrigger", 1).parquet(in)

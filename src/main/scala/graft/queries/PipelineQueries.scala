@@ -164,6 +164,96 @@ object PipelineQueries extends Catalog {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tok_kept"),
         min(col("token_budget")).as("token_budget"))
 
+  /** End-to-end curation funnel — the composed pass a training-data
+    * pipeline actually runs, as ONE catalog row: model-based quality
+    * filter ([[TextOps.qualityLr]]) → exact dedup (min-id per md5(text)
+    * among kept docs) → per-source α-weighted token budget
+    * ([[graft.ops.Sampling.tokenBudgetMixture]] over the deduped set) →
+    * per-source funnel counts at every stage. Each stage reuses the
+    * exact formulation its own oracle-gated row verifies; the value of
+    * this row is the COMPOSITION — joins between stages, budget learned
+    * from the post-dedup distribution, zero-filled sources that die
+    * mid-funnel — being hash-exact end to end.
+    */
+  private def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+    val q = TextOps.qualityLr(base, "text")
+    val kept = base.select(col("doc_id"), col("source"), col("text"))
+      .join(q.filter(col("keep") === 1).select(col("doc_id"), col("n_words")),
+        Seq("doc_id"))
+    val uniq = kept
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val admitted = graft.ops.Sampling.tokenBudgetMixture(
+      uniq, "source", "doc_id", "n_words",
+      alpha = 0.5, targetTokens = 20000L, seed = 11)
+    val raw = base.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val kc = kept.groupBy(col("source")).agg(count(lit(1)).as("__nq"))
+    val uc = uniq.groupBy(col("source")).agg(count(lit(1)).as("__nu"))
+    val ac = admitted.groupBy(col("source")).agg(count(lit(1)).as("__na"),
+      sum(col("n_tokens")).as("__ta"))
+    raw.join(kc, Seq("source"), "left")
+      .join(uc, Seq("source"), "left")
+      .join(ac, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("__nq"), lit(0L)).as("n_quality"),
+        coalesce(col("__nu"), lit(0L)).as("n_unique"),
+        coalesce(col("__na"), lit(0L)).as("n_admitted"),
+        coalesce(col("__ta"), lit(0L)).as("tok_admitted"))
+  }
+
+  /** replay of [[curationFunnel]]: each stage is its own row's verified
+    * SQL shape, chained; the budget fold keeps the source-ordered
+    * list_sum (Spark folds pow-weights in source order driver-side).
+    * `def`: interpolates [[qualityLrSql]] (declaration-order vals).
+    */
+  private def curationFunnelSql =
+    s"""WITH q AS ($qualityLrSql),
+       kept AS (
+         SELECT d.doc_id, d.source, d.text, q.n_words
+         FROM documents d JOIN q USING (doc_id) WHERE q.keep = 1),
+       uniq AS (
+         SELECT doc_id, source, n_words FROM (
+           SELECT kept.*, row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) AS rk
+           FROM kept) WHERE rk = 1),
+       st AS (
+         SELECT source AS s, CAST(sum(n_words) AS BIGINT) AS t
+         FROM uniq GROUP BY 1),
+       tw AS (
+         SELECT CAST(list_sum(list(pow(CAST(t AS DOUBLE), 0.5) ORDER BY s))
+                     AS DOUBLE) AS tot
+         FROM st),
+       bg AS (
+         SELECT s, CAST(floor(20000 * (pow(CAST(t AS DOUBLE), 0.5)
+                     / (SELECT tot FROM tw)) + 0.31830988618367446) AS BIGINT)
+                     AS b
+         FROM st),
+       r AS (
+         SELECT u.doc_id, u.source, u.n_words, bg.b,
+                sum(u.n_words) OVER (PARTITION BY u.source
+                  ORDER BY md5('11' || '|' || CAST(u.doc_id AS VARCHAR)),
+                           u.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         FROM uniq u JOIN bg ON bg.s = u.source),
+       adm AS (SELECT source, doc_id, n_words FROM r WHERE run - n_words < b)
+       SELECT d.source, CAST(count(*) AS BIGINT) AS n_raw,
+              coalesce(k.n, 0) AS n_quality,
+              coalesce(u.n, 0) AS n_unique,
+              coalesce(a.n, 0) AS n_admitted,
+              coalesce(a.tok, 0) AS tok_admitted
+       FROM documents d
+       LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM kept GROUP BY 1) k ON k.source = d.source
+       LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM uniq GROUP BY 1) u ON u.source = d.source
+       LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(n_words) AS BIGINT) AS tok
+                  FROM adm GROUP BY 1) a ON a.source = d.source
+       GROUP BY 1, k.n, u.n, a.n, a.tok"""
+
   private val tokenMixtureSql =
     """WITH st AS (
          SELECT source AS s,
@@ -2782,6 +2872,7 @@ object PipelineQueries extends Catalog {
     Q("pp_unicode_norm", unicodeNorm, Some(unicodeNormSql)),
     Q("pp_nfkc_norm", nfkcNorm, Some(nfkcNormSql)),
     Q("pp_token_mixture", tokenMixture, Some(tokenMixtureSql)),
+    Q("pp_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     Q("pp_unk_rate", unkRate, Some(unkRateSql)),
     Q("pp_stop_shingles", stopShinglesQ, Some(stopShinglesSql)),
     Q("pp_pii_scrub", piiScrub, Some(piiScrubSql)),

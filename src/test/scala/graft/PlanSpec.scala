@@ -382,4 +382,18 @@ class PlanSpec extends AnyFunSuite {
     val nExists = "\\bexists\\(".r.findAllIn(p).size
     assert(nExists <= 1, s"$nExists exists() HOFs in plan:\n${p.take(3000)}")
   }
+
+  test("containment: capped fp-list pair stage, size joins shuffle on ids, no cartesian") {
+    val p = plan("pp_containment")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("curation funnel: every stage keyed — no cartesian, dedup window partitioned") {
+    val p = plan("pp_curation_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the exact-dedup row_number must partition on the content hash,
+    // never rank the corpus globally
+    assert(!p.contains("partitionBy=[]"), p.take(2000))
+  }
 }

@@ -234,6 +234,12 @@ class ScaleSpec extends AnyFunSuite {
       ("ngram_jaccard", d => graft.ops.Dedup.ngramJaccard(d, "text",
         w = 5, threshold = 0.5).count(), true),
       ("stop_shingles", d => graft.ops.Dedup.stopShingles(d, "text").count(), false),
+      // containment rides the winnow spine; its pair stage is the same
+      // capped quadratic the winnowPairs caps bound — the boilerplate
+      // sentence pushes MANY shared fps over the cap at 50k docs, and
+      // family pairs (7-doc bodies) stay linear in the corpus
+      ("containment", d =>
+        graft.ops.TextOps.containmentPairs(d, k = 8, w = 4).count(), true),
       ("bpe_train_fast", d =>
         graft.ops.TextOps.bpeTrainFast(d, "text", numMerges = 40).size.toLong,
         false))
