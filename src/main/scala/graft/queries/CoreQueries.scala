@@ -443,6 +443,56 @@ object CoreQueries extends Catalog {
        JOIN orders ON o_orderkey = big.l_orderkey
        JOIN customer ON o_custkey = c_custkey"""
 
+  /** Bucketed co-located join — the 100 TB lever the other core rows
+    * don't show: both fact tables are written ONCE as bucketed tables
+    * (same bucket count, bucketed + sorted on the join key), so the join
+    * AND the per-order aggregation run with ZERO Exchange nodes — the
+    * table layout pre-pays the shuffle, exactly how a petabyte warehouse
+    * co-locates its biggest recurring join (PlanSpec pins the no-Exchange
+    * plan). Results are layout-independent, so the oracle is the plain
+    * join over the raw parquet. External-table paths keep the warehouse
+    * out of the repo; writes are per-(sf, session) and idempotent.
+    */
+  private val bucketedDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tg = new java.io.File(d).getName.replace('.', '_')
+    val (liT, ordT) = (s"graft_li_bkt_$tg", s"graft_ord_bkt_$tg")
+    if (bucketedDone.add(d + "@" + s.hashCode())) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_bkt_$tg")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .option("path", root.resolve("li").toString)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .option("path", root.resolve("ord").toString)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordT)
+    }
+    // merge hint: the POINT is the exchange-free sort-merge join on the
+    // bucket layout — at toy SFs AQE would otherwise flip to broadcast
+    // (correct too, but then the row stops proving co-location)
+    val li = s.table(liT).hint("merge")
+    val ord = s.table(ordT).filter(col("o_totalprice") > 150000.0)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT l_orderkey, o_orderpriority,
+              sum(l_quantity) AS sum_qty,
+              CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 150000.0
+       GROUP BY 1, 2"""
+
   /** gap-based sessionization: per-user event stream splits into sessions
     * at >30 min silences (lag + conditional cumulative sum — pure window
     * algebra, partitioned by user, codegen'd end to end); per-session
@@ -556,6 +606,7 @@ object CoreQueries extends Catalog {
     Q("core_q7_nation_volume", q7, Some(q7Sql)),
     Q("core_ntile", qNtile, Some(qNtileSql)),
     Q("core_q18_large_orders", q18, Some(q18Sql)),
+    Q("core_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Q("core_semi_join", qSemi, Some(qSemiSql)),
     Q("core_anti_join", qAnti, Some(qAntiSql)),
     Q("core_window_topk", qTopkWindow, Some(qTopkWindowSql)),

@@ -383,6 +383,14 @@ class PlanSpec extends AnyFunSuite {
     assert(nExists <= 1, s"$nExists exists() HOFs in plan:\n${p.take(3000)}")
   }
 
+  test("bucketed join: the layout pre-pays the shuffle — zero Exchange in the plan") {
+    val p = plan("core_bucketed_join")
+    // both the join and the per-order aggregation must ride the tables'
+    // HashPartitioning(orderkey, 8) — any Exchange means the bucketing
+    // metadata was lost and the co-location lever is broken
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
   test("containment: capped fp-list pair stage, size joins shuffle on ids, no cartesian") {
     val p = plan("pp_containment")
     assert(!p.contains("CartesianProduct"), p.take(2000))
