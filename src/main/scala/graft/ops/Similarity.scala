@@ -366,25 +366,29 @@ object Similarity {
   def kcenterCoreset(corpus: DataFrame, k: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus.select(col("vec_id"), col("embedding"))
-    val seed = base
-      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(1).select(col("vec_id")).head().getLong(0)
-    val sel = scala.collection.mutable.Buffer[(Long, Long, Option[Double])](
-      (1L, seed, None))
-    for (i <- 2 to k) {
-      val ids = sel.map(_._2).toSeq
-      val centers = broadcast(base.filter(col("vec_id").isin(ids: _*))
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
-      val pick = base.filter(!col("vec_id").isin(ids: _*))
-        .crossJoin(centers)
-        .withColumn("__d", lit(1.0) - cosine(col("embedding"), col("cemb")))
-        .groupBy(col("vec_id")).agg(min(col("__d")).as("dmin"))
-        .orderBy(col("dmin").desc, col("vec_id").asc)
-        .limit(1).head()
-      sel += ((i.toLong, pick.getLong(0), Some(pick.getDouble(1))))
-    }
-    sel.toSeq.toDF("sel_idx", "vec_id", "radius")
+    // the greedy loop scans the corpus k−1 times: pin it once instead of
+    // re-reading the source every round
+    val base = corpus.select(col("vec_id"), col("embedding")).cache()
+    try {
+      val seed = base
+        .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+        .limit(1).select(col("vec_id")).head().getLong(0)
+      val sel = scala.collection.mutable.Buffer[(Long, Long, Option[Double])](
+        (1L, seed, None))
+      for (i <- 2 to k) {
+        val ids = sel.map(_._2).toSeq
+        val centers = broadcast(base.filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+        val pick = base.filter(!col("vec_id").isin(ids: _*))
+          .crossJoin(centers)
+          .withColumn("__d", lit(1.0) - cosine(col("embedding"), col("cemb")))
+          .groupBy(col("vec_id")).agg(min(col("__d")).as("dmin"))
+          .orderBy(col("dmin").desc, col("vec_id").asc)
+          .limit(1).head()
+        sel += ((i.toLong, pick.getLong(0), Some(pick.getDouble(1))))
+      }
+      sel.toSeq.toDF("sel_idx", "vec_id", "radius")
+    } finally base.unpersist(blocking = false)
   }
 
   def kmeansStats(corpus: DataFrame, centroids: Int = 0,

@@ -33,4 +33,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracleSql keys without queries: $extra")
   }
+
+  test("curation funnel: stage counts are a monotone funnel that covers the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("pp_curation_funnel")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (raw, q, u, a) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= u && u >= a && a >= 0,
+        s"${r.getString(0)}: funnel not monotone raw=$raw q=$q u=$u adm=$a")
+    }
+    val totalRaw = out.map(_.getLong(1)).sum
+    val corpus = graft.model.Tables.documents(spark, sf).count()
+    assert(totalRaw == corpus, s"raw stage must cover the corpus: $totalRaw != $corpus")
+    // something must actually flow through and something must be cut
+    assert(out.map(_.getLong(4)).sum > 0, "nothing admitted")
+    assert(out.map(_.getLong(4)).sum < totalRaw, "funnel cut nothing")
+  }
 }
