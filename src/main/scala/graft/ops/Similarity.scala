@@ -393,6 +393,10 @@ object Similarity {
 
   def kmeansStats(corpus: DataFrame, centroids: Int = 0,
       iters: Int = 2): DataFrame = {
+    // NOTE the whole Lloyd chain is ONE lazy DAG (iters+1 occurrences of
+    // the projected scan): at real scale the caller caches the projected
+    // corpus before calling; forcing a cache here measured SLOWER than
+    // the rescans at catalog size, so the op stays lazy
     val vecs = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
     val cents = lloydCentroids(vecs, sampledCentroids(corpus, centroids), iters)
     val assigned = assignNearest(vecs, cents, 1)
