@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table rows register external tables; keep the catalog's
+      // default database dir out of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reference semantics: bad casts → NULL (DuckDB try_cast), no ANSI

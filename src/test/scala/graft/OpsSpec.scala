@@ -235,6 +235,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ca < 0.8, s"wrapper side must stay partial: $ca")
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L), rows.toString)
   }
+
+  test("containmentPairs equals set algebra over the fingerprint sets on random docs") {
+    // independent recomputation of the cap/pair/ratio plumbing: collect
+    // the winnowed fp sets, replay the non-boilerplate containment in
+    // plain Scala, compare every emitted pair AND every omission
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0 until 40).map { i =>
+      val n = 12 + rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val cap = 10
+    val fps = TextOps.winnow(df, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .filter(_._2.size <= cap).toMap
+    val okf = byFp.toSeq.flatMap { case (fp, ds) => ds.map(d => (d, fp)) }
+    val nfp = okf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = (for {
+      (_, ds) <- byFp.toSeq if ds.size >= 2
+      a <- ds; b <- ds if a < b
+    } yield (a, b)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+      .map { case ((a, b), sh) =>
+        (a, b) -> ((sh, nfp(a), nfp(b), sh.toDouble / nfp(a), sh.toDouble / nfp(b)))
+      }
+      .filter { case (_, (_, _, _, c1, c2)) => math.max(c1, c2) >= 0.3 }
+    val got = TextOps.containmentPairs(df, k = 8, w = 4, minShared = 2,
+        maxDocsPerFp = cap, minContain = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got == want,
+      s"got=${got.size} want=${want.size} extra=${(got.keySet diff want.keySet).take(3)} missing=${(want.keySet diff got.keySet).take(3)}")
+    assert(want.nonEmpty, "fixture produced no pairs — not a real check")
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
