@@ -749,6 +749,78 @@ object ItQueries extends Catalog {
         col("asof_ts"), col("asof_value"))
   }
 
+  /** forward mirror of [[streamAsof]] over the same fixture machinery:
+    * earliest sample at-or-after each probe ([[graft.streaming.StreamAsof.forward]]),
+    * oracle = DuckDB's native forward ASOF (`p.ts <= s.ts`)
+    */
+  private def streamAsofFwd(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_ms"), col("user_id"), col("value"))
+    val tagged = ev.select(
+      (col("user_id") % 10).as("key"), col("ts_ms"),
+      when(col("event_id") % 7 === 0, 1).otherwise(0).as("side"),
+      when(col("event_id") % 7 === 0, col("event_id")).otherwise(0L).as("probe_id"),
+      when(col("event_id") % 7 === 0, 0.0).otherwise(col("value")).as("value"))
+      .as[graft.streaming.AsofEvent]
+    val Array(minTs, maxTs) = tagged.agg(min(col("ts_ms")), max(col("ts_ms")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val in = Files.createTempDirectory("graft_it_sasoff_in_").toString
+    val half = math.max(1L, (maxTs - minTs) / 2 + 1)
+    def parts(): Set[java.io.File] = {
+      val fs = new java.io.File(in).listFiles()
+      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
+    }
+    val waves = (0 until 2).map { w =>
+      tagged.filter(col("ts_ms") >= minTs + w * half &&
+        col("ts_ms") < minTs + (w + 1) * half)
+        .coalesce(1).write.mode("append").parquet(in)
+      parts()
+    }
+    Seq(graft.streaming.AsofEvent(999L, maxTs + 91L * 86400000L, 0, 0L, 0.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    val now = new java.io.File(in).lastModified()
+    waves.zipWithIndex.foreach { case (cum, i) =>
+      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
+      (cum -- prev).foreach(_.setLastModified(now - 6000L + i * 2000L))
+    }
+    (parts() -- waves.last).foreach(_.setLastModified(now))
+    val src = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.AsofEvent]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .as[graft.streaming.AsofEvent]
+    val sink = s"it_stream_asof_fwd_${streamAsofRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamAsof.forward(src,
+      toleranceMs = streamAsofTolMs, watermarkDelay = "2160 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .filter(col("key") =!= 999L)
+      .select(col("key"), col("probe_id"), col("ts_ms"),
+        col("asof_ts"), col("asof_value"))
+  }
+
+  private val streamAsofFwdSql =
+    s"""WITH probes AS (
+         SELECT user_id % 10 AS key, event_id AS probe_id,
+                epoch_ms(ts) AS ts_ms
+         FROM events WHERE event_id % 7 = 0),
+       samples AS (
+         SELECT user_id % 10 AS key, epoch_ms(ts) AS ts_ms, max("value") AS value
+         FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2),
+       j AS (
+         SELECT p.key, p.probe_id, p.ts_ms, s.ts_ms AS sts, s.value AS sval
+         FROM probes p ASOF LEFT JOIN samples s
+           ON p.key = s.key AND p.ts_ms <= s.ts_ms)
+       SELECT key, probe_id, ts_ms,
+              CASE WHEN sts IS NOT NULL AND sts - ts_ms <= $streamAsofTolMs
+                   THEN sts END AS asof_ts,
+              CASE WHEN sts IS NOT NULL AND sts - ts_ms <= $streamAsofTolMs
+                   THEN sval END AS asof_value
+       FROM j"""
+
   private val streamAsofSql =
     s"""WITH probes AS (
          SELECT user_id % 10 AS key, event_id AS probe_id,
@@ -933,6 +1005,7 @@ object ItQueries extends Catalog {
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_stream_rollup", streamRollup, Some(streamRollupSql(streamRollupDirCur))),
     Q("it_stream_asof", streamAsof, Some(streamAsofSql)),
+    Q("it_stream_asof_fwd", streamAsofFwd, Some(streamAsofFwdSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
     Q("it_http_logs", httpLogs, Some(httpLogsSql(logSegRootCur))),
     Q("it_http_metrics", httpMetrics, Some(segRateSql(segRootCur))),

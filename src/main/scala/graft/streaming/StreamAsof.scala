@@ -23,6 +23,11 @@ final case class AsofBuffer(buf: List[AsofEvent],
 final case class AsofOut(key: Long, probe_id: Long, ts_ms: Long,
     asof_ts: Option[Long], asof_value: Option[Double])
 
+/** forward-direction state: only a buffer — the forward match has no
+  * carry (the candidate set lies AHEAD of each probe)
+  */
+final case class AsofFwdBuffer(buf: List[AsofEvent])
+
 /** Streaming backward as-of enrichment — the stateful twin of
   * [[graft.ops.AsofJoin.backward]]: every probe event is matched to the
   * most recent sample at-or-before its event time on the same key, over
@@ -94,6 +99,68 @@ object StreamAsof {
               val next = pending.map(_.ts_ms).min
               state.setTimeoutTimestamp(math.max(next, wm + 1))
             }
+          }
+          out.iterator
+      }
+  }
+
+  /** Forward streaming as-of: each probe matches the EARLIEST sample
+    * at-or-after its event time on the same key, within `toleranceMs` —
+    * the time-mirror of [[backward]] (next deploy after the alert, first
+    * sample after the exemplar). A finite tolerance is REQUIRED for
+    * liveness: with no sample ahead, a probe can only finalize once the
+    * watermark proves none can arrive inside the tolerance window.
+    *
+    * Finalization logic per probe p (watermark wm): samples with ts ≤ wm
+    * are FINAL (later arrivals are all > wm); if a final sample exists in
+    * [p, wm], the smallest such ts decides — match if within tolerance,
+    * else a proven null (future samples are > wm ≥ that ts > p+tol). With
+    * no final sample ≥ p, the probe waits until wm ≥ p + tolerance, then
+    * emits null. Samples ≤ wm are dropped after each pass (no pending or
+    * future probe can match below them), so state is bounded by
+    * rate × (tolerance + lateness). Equal-(key, ts) samples collapse to
+    * the greatest value, mirroring the batch tieBreak.
+    */
+  def forward(events: Dataset[AsofEvent], toleranceMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[AsofOut] = {
+    require(toleranceMs >= 0 && toleranceMs < Long.MaxValue / 2,
+      "forward streaming as-of needs a finite tolerance for liveness")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("__et", timestamp_millis(col("ts_ms")))
+      .withWatermark("__et", watermarkDelay)
+      .as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofFwdBuffer, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofEvent], state: GroupState[AsofFwdBuffer]) =>
+          val all = state.getOption.map(_.buf).getOrElse(Nil) ++ rows
+          val wm = state.getCurrentWatermarkMs()
+          val (samples, probes) = all.partition(_.side == 0)
+          val (finalS, laterS) = samples.partition(_.ts_ms <= wm)
+          val out = scala.collection.mutable.Buffer.empty[AsofOut]
+          val pending = scala.collection.mutable.Buffer.empty[AsofEvent]
+          probes.foreach { p =>
+            val ahead = finalS.filter(_.ts_ms >= p.ts_ms)
+            if (ahead.nonEmpty) {
+              val sTs = ahead.map(_.ts_ms).min
+              if (sTs - p.ts_ms <= toleranceMs) {
+                val v = ahead.filter(_.ts_ms == sTs).map(_.value).max
+                out += AsofOut(key, p.probe_id, p.ts_ms, Some(sTs), Some(v))
+              } else
+                out += AsofOut(key, p.probe_id, p.ts_ms, None, None)
+            } else if (wm >= p.ts_ms + toleranceMs)
+              out += AsofOut(key, p.probe_id, p.ts_ms, None, None)
+            else pending += p
+          }
+          val keep = laterS ++ pending
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(AsofFwdBuffer(keep))
+            val wake = (laterS.map(_.ts_ms) ++
+              pending.map(p => p.ts_ms + toleranceMs)).min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.iterator
       }

@@ -430,6 +430,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(extra == 0L)
   }
 
+  test("streaming as-of: state stays bounded by keys, not stream length") {
+    import graft.streaming.{AsofEvent, StreamAsof}
+    import spark.implicits._
+    // 3000 time-ordered events on 10 keys across 3 arrival waves with a
+    // SMALL watermark delay: released rows must leave the buffer, so the
+    // terminal state is one carry row per key — independent of how long
+    // the stream ran (the property that lets this run for months)
+    val evs = (0 until 3000).map { i =>
+      val ts = 1000L + i * 100L
+      if (i % 3 == 0) AsofEvent(i % 10L, ts, 1, i.toLong, 0.0)
+      else AsofEvent(i % 10L, ts, 0, 0L, (i % 50) * 0.5)
+    }
+    val dir = Files.createTempDirectory("graft_stream_asof_state_").toString
+    def parts(): Set[java.io.File] = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
+    }
+    val waves = evs.grouped(1000).map { w =>
+      w.toDS().coalesce(1).write.mode("append").parquet(dir); parts()
+    }.toSeq
+    Seq(AsofEvent(999L, 10000000L, 0, 0L, 0.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val now = new java.io.File(dir).lastModified()
+    waves.zipWithIndex.foreach { case (cum, i) =>
+      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
+      (cum -- prev).foreach(_.setLastModified(now - 20000L + i * 2000L))
+    }
+    (parts() -- waves.last).foreach(_.setLastModified(now))
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[AsofEvent]
+    val q = StreamAsof.backward(src, toleranceMs = 60000L,
+      watermarkDelay = "5 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof_state").start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      // 10 real keys + the sentinel key carry one row each
+      assert(stateRows >= 0 && stateRows <= 12,
+        s"state should be ~keys, was $stateRows for 3000 events")
+    } finally q.stop()
+    // every probe emitted exactly once
+    assert(spark.table("stream_asof_state").count() == evs.count(_.side == 1))
+  }
+
   test("streaming as-of enrichment equals the batch as-of join, ties and tolerance included") {
     import graft.streaming.{AsofEvent, StreamAsof}
     import graft.ops.AsofJoin
@@ -493,5 +541,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"stream=${got.size} batch=${want.size} diff=${(got diff want).take(3)} ${(want diff got).take(3)}")
     assert(want.exists(_._4.isEmpty) && want.exists(_._4.nonEmpty))
+
+    // FORWARD direction over the same arrival history: earliest sample
+    // at-or-after each probe, same tie and tolerance rules as the batch
+    // mirror (liveness nulls come from the watermark proof, not a guess)
+    val qf = StreamAsof.forward(
+      spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir).as[AsofEvent],
+      toleranceMs = tol, watermarkDelay = "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof_fwd").start()
+    try qf.processAllAvailable() finally qf.stop()
+    val gotF = spark.table("stream_asof_fwd")
+      .filter(col("key") =!= 999L) // the sentinel key's own probe-free row
+      .select("key", "probe_id", "ts_ms", "asof_ts", "asof_value")
+      .collect().map(norm).toSet
+    val wantF = AsofJoin.forward(probes, samples, "key", "ts_ms", "sts",
+        payloadCols = Seq("value"), tieBreak = "value", toleranceMs = tol)
+      .select(col("key"), col("probe_id"), col("ts_ms"),
+        col("asof_ts"), col("asof_value"))
+      .collect().map(norm).toSet
+    assert(gotF == wantF,
+      s"fwd stream=${gotF.size} batch=${wantF.size} diff=${(gotF diff wantF).take(3)} ${(wantF diff gotF).take(3)}")
+    assert(wantF.exists(_._4.isEmpty) && wantF.exists(_._4.nonEmpty))
   }
 }
