@@ -196,6 +196,8 @@ object Bench {
         "(maxFilesPerTrigger=1 forces multiple batches): job-count and I/O bound by design"),
       "it_stream_asof" -> ("streaming spine: fixture writes + 3 stateful micro-batches + " +
         "the watermark-advance drain batch, each with state-store commits by design"),
+      "it_stream_asof_fwd" -> ("same streaming spine as it_stream_asof, forward " +
+        "direction (watermark-proven liveness nulls)"),
       "pp_incremental_persist" -> ("builds a signature store inside the row, then the " +
         "store-served refresh: two minhash passes + a parquet roundtrip by design"),
       "it_http_metrics" -> ("time-sliced SSE since r12: a 14-day query runs as 8 ordered " +
