@@ -139,16 +139,26 @@ object StreamAsof {
           val wm = state.getCurrentWatermarkMs()
           val (samples, probes) = all.partition(_.side == 0)
           val (finalS, laterS) = samples.partition(_.ts_ms <= wm)
+          // O((S+P) log S) per invocation, not probes × samples: sorted
+          // distinct final timestamps + one binary search per probe, with
+          // the greatest-value tie collapse precomputed per timestamp
+          val tsArr = finalS.map(_.ts_ms).distinct.sorted.toArray
+          val maxVal = finalS.groupBy(_.ts_ms)
+            .map { case (t, xs) => t -> xs.map(_.value).max }
+          def lowerBound(v: Long): Int = {
+            val r = java.util.Arrays.binarySearch(tsArr, v)
+            if (r >= 0) r else -(r + 1)
+          }
           val out = scala.collection.mutable.Buffer.empty[AsofOut]
           val pending = scala.collection.mutable.Buffer.empty[AsofEvent]
           probes.foreach { p =>
-            val ahead = finalS.filter(_.ts_ms >= p.ts_ms)
-            if (ahead.nonEmpty) {
-              val sTs = ahead.map(_.ts_ms).min
-              if (sTs - p.ts_ms <= toleranceMs) {
-                val v = ahead.filter(_.ts_ms == sTs).map(_.value).max
-                out += AsofOut(key, p.probe_id, p.ts_ms, Some(sTs), Some(v))
-              } else
+            val idx = lowerBound(p.ts_ms)
+            if (idx < tsArr.length) {
+              val sTs = tsArr(idx)
+              if (sTs - p.ts_ms <= toleranceMs)
+                out += AsofOut(key, p.probe_id, p.ts_ms, Some(sTs),
+                  Some(maxVal(sTs)))
+              else
                 out += AsofOut(key, p.probe_id, p.ts_ms, None, None)
             } else if (wm >= p.ts_ms + toleranceMs)
               out += AsofOut(key, p.probe_id, p.ts_ms, None, None)
