@@ -450,6 +450,55 @@ object Similarity {
     }
   }
 
+  /** Persist an IVF index to disk: `centroids/` (cid, cemb) plus `lists/`
+    * PARTITIONED BY the centroid id — the write-once index layout that
+    * makes query-time probing a PARTITION-PRUNED read (only the nProbe
+    * lists a query ranks are ever read off disk, ~nProbe/C of the corpus
+    * bytes; the [[graft.ops.SignatureStore]] pattern applied to ANN).
+    * The quantizer is the same deterministic md5-ranked sample
+    * [[ivfTopK]] uses, so a query through the stored index is
+    * bit-identical to the in-memory path — the catalog row reuses the
+    * ivf oracle verbatim. At refresh, rebuild is one assign pass; new
+    * vectors can also append into their list partitions incrementally.
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String, centroids: Int = 0): Unit = {
+    val cents = sampledCentroids(corpus, centroids)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignNearest(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
+      .select(col("id"), col("emb"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /** Serve top-k from a [[buildIvfIndex]] directory. The probe set's
+    * centroid ids are a bounded driver statistic (≤ nProbe × |queries|),
+    * inlined as a literal IN-list so the lists scan prunes PARTITIONS —
+    * the plan reads only the probed lists' files (PlanSpec-gated).
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val probes = assignNearest(
+      queries.select(col("vec_id").as("id"), col("embedding").as("emb")),
+      cents, nProbe)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"), col("cid"))
+    val probeCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // prune on the RAW partition column, then normalize its inferred type
+    // (partition-type inference may read small ids back as int)
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("cid").isin(probeCids: _*))
+      .withColumn("cid", col("cid").cast("long"))
+    val cands = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+    val scored = cands.withColumn("sim", cosine(col("q_emb"), col("emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
   private def ivfCore(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int): DataFrame = {
     val lists = assignNearest(

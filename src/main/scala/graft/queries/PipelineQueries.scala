@@ -1642,6 +1642,28 @@ object PipelineQueries extends Catalog {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nProbe = 4)
   }
 
+  /** IVF served from the PERSISTED index ([[Similarity.buildIvfIndex]] /
+    * [[Similarity.ivfTopKFromIndex]]): same deterministic quantizer, so
+    * the stored-index read is bit-identical to the in-memory path and the
+    * row reuses [[ivfAnnSql]] verbatim (the pp_incremental_persist
+    * pattern). Built once per (sf, session); probe reads are
+    * partition-pruned to the probed lists (PlanSpec-gated).
+    */
+  private val annIdxBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val annIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val key = d + "@" + s.hashCode()
+    val dir = annIdxDirs.computeIfAbsent(key, _ =>
+      java.nio.file.Files.createTempDirectory("graft_annidx_").toString)
+    if (annIdxBuilt.add(key)) Similarity.buildIvfIndex(emb, dir)
+    Similarity.ivfTopKFromIndex(s, dir, emb.filter(col("vec_id") < 5),
+      k = 10, nProbe = 4)
+  }
+
   private val ivfAnnSql = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
@@ -2918,6 +2940,8 @@ object PipelineQueries extends Catalog {
     Q("pp_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("pp_lsh_ann", lshAnn, Some(lshAnnSql)), // + recall vs brute force in spec
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
+    // same oracle verbatim: the stored-index path must equal in-memory IVF
+    Q("pp_ann_persisted", annPersisted, Some(ivfAnnSql)),
     Q("pp_pq_ann", pqAnn, Some(pqAnnSql)),
     Q("pp_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     Q("pp_semantic_dedup", semDedup, Some(semDedupSql)),

@@ -1007,6 +1007,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.knnLabelEval(emb).agg(sum(col("n"))).head().getLong(0) == 12L)
   }
 
+  test("persisted IVF index serves the identical top-k as the in-memory path") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_spec_").toString
+    Similarity.buildIvfIndex(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromIdx = rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4))
+    val inMem = rows(Similarity.ivfTopK(emb, q, k = 10, nProbe = 4))
+    assert(fromIdx == inMem,
+      s"idx=${fromIdx.size} mem=${inMem.size} diff=${(fromIdx diff inMem).take(3)}")
+    assert(fromIdx.nonEmpty)
+    // a second build into the same dir is idempotent (overwrite semantics)
+    Similarity.buildIvfIndex(emb, dir)
+    assert(rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4)) == inMem)
+  }
+
   test("kcenterCoreset: one pick per planted cluster, non-increasing radii") {
     import spark.implicits._
     // three orthogonal-axis clusters: farthest-first must visit all three

@@ -391,6 +391,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("persisted ANN: the lists scan is partition-pruned to the probed centroids") {
+    val p = plan("pp_ann_persisted")
+    // the probe cid IN-list must reach the lists scan as a PARTITION
+    // filter — only the probed lists' files are read off disk
+    val idx = p.indexOf("lists")
+    assert(idx >= 0 && p.contains("PartitionFilters"), p.take(3000))
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+    assert(scanSection.take(400).contains("cid"),
+      s"cid not in partition filters:\n${scanSection.take(400)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("containment: capped fp-list pair stage, size joins shuffle on ids, no cartesian") {
     val p = plan("pp_containment")
     assert(!p.contains("CartesianProduct"), p.take(2000))
