@@ -470,6 +470,26 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
   }
 
+  /** Incrementally add vectors to a [[buildIvfIndex]] directory: assign
+    * the NEW vectors against the STORED centroids (one broadcast map
+    * pass over the delta — the existing corpus is never re-read) and
+    * append them into their list partitions. The quantizer never moves,
+    * so existing list files are untouched and a subsequent
+    * [[ivfTopKFromIndex]] sees old + new identically to a fresh build
+    * over the union with the same centroids — the incremental-refresh
+    * motion [[graft.ops.SignatureStore]] provides for dedup, applied to
+    * ANN. (Centroid drift after heavy growth is a rebuild decision, not
+    * an append-time concern.)
+    */
+  def appendToIvfIndex(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    assignNearest(
+      delta.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
+      .select(col("id"), col("emb"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
   /** Serve top-k from a [[buildIvfIndex]] directory. The probe set's
     * centroid ids are a bounded driver statistic (≤ nProbe × |queries|),
     * inlined as a literal IN-list so the lists scan prunes PARTITIONS —
@@ -499,7 +519,7 @@ object Similarity {
       .select(col("query_id"), col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
-  private def ivfCore(corpus: DataFrame, queries: DataFrame, k: Int,
+  private[graft] def ivfCore(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int): DataFrame = {
     val lists = assignNearest(
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)

@@ -1024,6 +1024,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4)) == inMem)
   }
 
+  test("IVF index append: old + new vectors equal a rebuild on the stored quantizer") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val (oldHalf, newHalf) =
+      (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 =!= 0))
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_app_").toString
+    Similarity.buildIvfIndex(oldHalf, dir)
+    Similarity.appendToIvfIndex(newHalf, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4))
+    // reference: the in-memory core over the UNION with the SAME stored
+    // quantizer (the append never moves centroids)
+    val cents = org.apache.spark.sql.functions.broadcast(
+      spark.read.parquet(s"$dir/centroids"))
+    val want = rows(Similarity.ivfCore(emb, q, k = 10, cents, nProbe = 4))
+    assert(got == want, s"got=${got.size} want=${want.size} diff=${(got diff want).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("kcenterCoreset: one pick per planted cluster, non-increasing radii") {
     import spark.implicits._
     // three orthogonal-axis clusters: farthest-first must visit all three

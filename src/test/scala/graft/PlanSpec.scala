@@ -181,10 +181,23 @@ class PlanSpec extends AnyFunSuite {
     // pre-AQE physical plan (AQE never re-partitions a window, so the
     // initial plan is authoritative for this property).
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    // collectWithSubqueries CCEs on DynamicPruningSubquery (its plan is
+    // still LOGICAL pre-preparation — pp_ann_persisted's partition-pruned
+    // probe read legitimately plans one), so descend into PHYSICAL
+    // subquery plans only; a logical DPP subquery duplicates the main
+    // query's shape and cannot hide a window the main plan lacks
+    def unpartWindows(p: SparkPlan): Seq[WindowExec] = {
+      val local = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val subPhysical = p.collect { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect { case pe: PlanExpression[_] => pe.plan })
+        .collect { case sp: SparkPlan => sp }
+      local ++ subPhysical.flatMap(unpartWindows)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val bad = fn(spark, sf).queryExecution.sparkPlan.collectWithSubqueries {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
+      val bad = unpartWindows(fn(spark, sf).queryExecution.sparkPlan)
       if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
