@@ -22,9 +22,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // bucketed-table rows register external tables; keep the catalog's
-      // default database dir out of the repo working tree
+      // default database dir out of the repo working tree, scoped per
+      // process so concurrent runs / different users never share a path
       .config("spark.sql.warehouse.dir",
-        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse_" +
+          ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reference semantics: bad casts → NULL (DuckDB try_cast), no ANSI

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** all ordered (a, b) pair structs (a before b) from a SORTED list
+    * column — the shared per-bucket pair-expansion of every capped
+    * doc-list pair stage (n-gram Jaccard, winnowing, containment)
+    */
+  private[graft] def orderedPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** stable 48-bit integer hash of a string (md5-derived → engine-neutral) */
   def hash48(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 12), 16, 10)
@@ -235,10 +244,7 @@ object Dedup {
     // pair generation via per-shingle doc lists instead of a self-join:
     // singleton shingles (the vast majority) never reach the pair stage,
     // and the shuffle carries each shingle once instead of twice
-    val ds = col("ds")
-    val combos = flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)),
-        y => struct(x.as("a"), y.as("b")))))
+    val combos = Dedup.orderedPairs(col("ds"))
     val pairs = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocsPerShingle)

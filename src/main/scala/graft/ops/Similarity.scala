@@ -370,12 +370,14 @@ object Similarity {
     // re-reading the source every round
     val base = corpus.select(col("vec_id"), col("embedding")).cache()
     try {
-      val seed = base
+      val seedRow = base
         .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-        .limit(1).select(col("vec_id")).head().getLong(0)
+        .limit(1).select(col("vec_id")).collect()
+      require(seedRow.nonEmpty, "kcenterCoreset: empty corpus")
       val sel = scala.collection.mutable.Buffer[(Long, Long, Option[Double])](
-        (1L, seed, None))
-      for (i <- 2 to k) {
+        (1L, seedRow.head.getLong(0), None))
+      var exhausted = false
+      for (i <- 2 to k if !exhausted) {
         val ids = sel.map(_._2).toSeq
         val centers = broadcast(base.filter(col("vec_id").isin(ids: _*))
           .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
@@ -384,8 +386,11 @@ object Similarity {
           .withColumn("__d", lit(1.0) - cosine(col("embedding"), col("cemb")))
           .groupBy(col("vec_id")).agg(min(col("__d")).as("dmin"))
           .orderBy(col("dmin").desc, col("vec_id").asc)
-          .limit(1).head()
-        sel += ((i.toLong, pick.getLong(0), Some(pick.getDouble(1))))
+          .limit(1).collect()
+        // k larger than the corpus: return every selectable vector rather
+        // than throwing on the empty argmax
+        if (pick.isEmpty) exhausted = true
+        else sel += ((i.toLong, pick.head.getLong(0), Some(pick.head.getDouble(1))))
       }
       sel.toSeq.toDF("sel_idx", "vec_id", "radius")
     } finally base.unpersist(blocking = false)

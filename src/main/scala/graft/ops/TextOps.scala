@@ -260,10 +260,7 @@ object TextOps {
       maxDocsPerFp: Int = 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val fps = winnow(df, k, w, textCol, idCol)
-    val ds = col("ds")
-    val combos = flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)),
-        y => struct(x.as("a"), y.as("b")))))
+    val combos = Dedup.orderedPairs(col("ds"))
     fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocsPerFp)
@@ -306,10 +303,7 @@ object TextOps {
       .filter(size(col("ds")) <= maxDocsPerFp)
     val sizes = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val ds = col("ds")
-    val combos = flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)),
-        y => struct(x.as("a"), y.as("b")))))
+    val combos = Dedup.orderedPairs(col("ds"))
     val shared = lists.filter(size(col("ds")) >= 2)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))

@@ -457,9 +457,13 @@ object CoreQueries extends Catalog {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tg = new java.io.File(d).getName.replace('.', '_')
+    // table names carry the SAME scope as the memo key (full-path hash +
+    // session), so two dataset dirs sharing a basename — or two sessions —
+    // can never repoint each other's tables behind a stale memo entry
+    val tg = s"${new java.io.File(d).getName.replace('.', '_')}_" +
+      s"${Integer.toHexString(d.hashCode)}_${Integer.toHexString(s.hashCode())}"
     val (liT, ordT) = (s"graft_li_bkt_$tg", s"graft_ord_bkt_$tg")
-    if (bucketedDone.add(d + "@" + s.hashCode())) {
+    if (bucketedDone.add(tg)) {
       val root = java.nio.file.Files.createTempDirectory(s"graft_bkt_$tg")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"))

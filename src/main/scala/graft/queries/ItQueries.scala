@@ -695,67 +695,25 @@ object ItQueries extends Catalog {
     */
   private val streamAsofTolMs = 6L * 3600000L
   private val streamAsofRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  // previous runs' memory-sink views, dropped at the next invocation so
+  // repeated bench runs hold at most one result copy per row, not N
+  private val staleSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private def streamAsof(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
-    import s.implicits._
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("ts_ms"), col("user_id"), col("value"))
-    val tagged = ev.select(
-      (col("user_id") % 10).as("key"), col("ts_ms"),
-      when(col("event_id") % 7 === 0, 1).otherwise(0).as("side"),
-      when(col("event_id") % 7 === 0, col("event_id")).otherwise(0L).as("probe_id"),
-      when(col("event_id") % 7 === 0, 0.0).otherwise(col("value")).as("value"))
-      .as[graft.streaming.AsofEvent]
-    val Array(minTs, maxTs) = tagged.agg(min(col("ts_ms")), max(col("ts_ms")))
-      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
-    val in = Files.createTempDirectory("graft_it_sasof_in_").toString
-    val half = math.max(1L, (maxTs - minTs) / 2 + 1)
-    def parts(): Set[java.io.File] = {
-      val fs = new java.io.File(in).listFiles()
-      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
-    }
-    val waves = (0 until 2).map { w =>
-      tagged.filter(col("ts_ms") >= minTs + w * half &&
-        col("ts_ms") < minTs + (w + 1) * half)
-        .coalesce(1).write.mode("append").parquet(in)
-      parts()
-    }
-    Seq(graft.streaming.AsofEvent(999L, maxTs + 91L * 86400000L, 0, 0L, 0.0))
-      .toDS().coalesce(1).write.mode("append").parquet(in)
-    // the file source orders batches by modification time: stagger mtimes
-    // explicitly so the sentinel (whose huge watermark would drop real
-    // rows as late) always ticks LAST — no wall-clock sleep needed
-    val now = new java.io.File(in).lastModified()
-    waves.zipWithIndex.foreach { case (cum, i) =>
-      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
-      (cum -- prev).foreach(_.setLastModified(now - 6000L + i * 2000L))
-    }
-    (parts() -- waves.last).foreach(_.setLastModified(now))
-    val src = s.readStream
-      .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.AsofEvent]].schema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-      .as[graft.streaming.AsofEvent]
-    // unique sink name per invocation: Bench re-runs rows in one JVM and
-    // a memory sink cannot restart under a name while another is active
-    val sink = s"it_stream_asof_${streamAsofRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamAsof.backward(src,
-      toleranceMs = streamAsofTolMs, watermarkDelay = "2160 hours")
-      .writeStream.outputMode("append").format("memory")
-      .queryName(sink).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(sink)
-      .select(col("key"), col("probe_id"), col("ts_ms"),
-        col("asof_ts"), col("asof_value"))
-  }
-
-  /** forward mirror of [[streamAsof]] over the same fixture machinery:
-    * earliest sample at-or-after each probe ([[graft.streaming.StreamAsof.forward]]),
-    * oracle = DuckDB's native forward ASOF (`p.ts <= s.ts`)
+  /** shared fixture spine of both stream-asof rows: the probe/sample
+    * split of `events`, written as two ts-range arrival waves + sentinel
+    * ([[graft.streaming.StreamAsof.writeArrivalWaves]]), streamed with
+    * maxFilesPerTrigger=1 under a delay covering the whole span
     */
-  private def streamAsofFwd(s: SparkSession, d: String): DataFrame = {
+  private def streamAsofRun(s: SparkSession, d: String, prefix: String,
+      run: (org.apache.spark.sql.Dataset[graft.streaming.AsofEvent]) =>
+        org.apache.spark.sql.Dataset[graft.streaming.AsofOut]): DataFrame = {
     import java.nio.file.Files
     import s.implicits._
+    var stale = staleSinks.poll()
+    while (stale != null) {
+      try s.catalog.dropTempView(stale) catch { case _: Exception => }
+      stale = staleSinks.poll()
+    }
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_ms"), col("user_id"), col("value"))
     val tagged = ev.select(
@@ -766,41 +724,43 @@ object ItQueries extends Catalog {
       .as[graft.streaming.AsofEvent]
     val Array(minTs, maxTs) = tagged.agg(min(col("ts_ms")), max(col("ts_ms")))
       .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
-    val in = Files.createTempDirectory("graft_it_sasoff_in_").toString
+    val in = Files.createTempDirectory(prefix).toString
     val half = math.max(1L, (maxTs - minTs) / 2 + 1)
-    def parts(): Set[java.io.File] = {
-      val fs = new java.io.File(in).listFiles()
-      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
-    }
     val waves = (0 until 2).map { w =>
       tagged.filter(col("ts_ms") >= minTs + w * half &&
         col("ts_ms") < minTs + (w + 1) * half)
-        .coalesce(1).write.mode("append").parquet(in)
-      parts()
     }
-    Seq(graft.streaming.AsofEvent(999L, maxTs + 91L * 86400000L, 0, 0L, 0.0))
-      .toDS().coalesce(1).write.mode("append").parquet(in)
-    val now = new java.io.File(in).lastModified()
-    waves.zipWithIndex.foreach { case (cum, i) =>
-      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
-      (cum -- prev).foreach(_.setLastModified(now - 6000L + i * 2000L))
-    }
-    (parts() -- waves.last).foreach(_.setLastModified(now))
+    graft.streaming.StreamAsof.writeArrivalWaves(
+      waves, maxTs + 91L * 86400000L, in)
     val src = s.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.AsofEvent]].schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .as[graft.streaming.AsofEvent]
-    val sink = s"it_stream_asof_fwd_${streamAsofRuns.incrementAndGet()}"
-    val q = graft.streaming.StreamAsof.forward(src,
-      toleranceMs = streamAsofTolMs, watermarkDelay = "2160 hours")
+    val sink = s"${prefix}sink_${streamAsofRuns.incrementAndGet()}"
+    val q = run(src)
       .writeStream.outputMode("append").format("memory")
       .queryName(sink).start()
     try q.processAllAvailable() finally q.stop()
+    staleSinks.add(sink)
     s.table(sink)
       .filter(col("key") =!= 999L)
       .select(col("key"), col("probe_id"), col("ts_ms"),
         col("asof_ts"), col("asof_value"))
   }
+
+  private def streamAsof(s: SparkSession, d: String): DataFrame =
+    streamAsofRun(s, d, "graft_it_sasof_",
+      src => graft.streaming.StreamAsof.backward(src,
+        toleranceMs = streamAsofTolMs, watermarkDelay = "2160 hours"))
+
+  /** forward mirror of [[streamAsof]] over the same fixture machinery:
+    * earliest sample at-or-after each probe ([[graft.streaming.StreamAsof.forward]]),
+    * oracle = DuckDB's native forward ASOF (`p.ts <= s.ts`)
+    */
+  private def streamAsofFwd(s: SparkSession, d: String): DataFrame =
+    streamAsofRun(s, d, "graft_it_sasoff_",
+      src => graft.streaming.StreamAsof.forward(src,
+        toleranceMs = streamAsofTolMs, watermarkDelay = "2160 hours"))
 
   private val streamAsofFwdSql =
     s"""WITH probes AS (

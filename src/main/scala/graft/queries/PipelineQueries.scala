@@ -1649,17 +1649,20 @@ object PipelineQueries extends Catalog {
     * pattern). Built once per (sf, session); probe reads are
     * partition-pruned to the probed lists (PlanSpec-gated).
     */
-  private val annIdxBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val annIdxDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def annPersisted(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val key = d + "@" + s.hashCode()
-    val dir = annIdxDirs.computeIfAbsent(key, _ =>
-      java.nio.file.Files.createTempDirectory("graft_annidx_").toString)
-    if (annIdxBuilt.add(key)) Similarity.buildIvfIndex(emb, dir)
+    // build INSIDE computeIfAbsent: the mapping fn runs at most once per
+    // key and concurrent callers block until it completes, so no reader
+    // can ever see a half-written index dir
+    val dir = annIdxDirs.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+      Similarity.buildIvfIndex(emb, p)
+      p
+    })
     Similarity.ivfTopKFromIndex(s, dir, emb.filter(col("vec_id") < 5),
       k = 10, nProbe = 4)
   }

@@ -58,6 +58,39 @@ final case class AsofFwdBuffer(buf: List[AsofEvent])
   */
 object StreamAsof {
 
+  /** Fixture helper shared by the catalog rows and the specs: write the
+    * given arrival waves into `dir` as one parquet file each, then a
+    * far-future sentinel sample on key 999, with EXPLICIT mtime
+    * staggering — the file source orders batches by modification time,
+    * and the sentinel (whose huge watermark would drop real rows as
+    * late) must always tick LAST. No wall-clock sleeps. The sentinel's
+    * watermark advance is what drains every key's pending buffer through
+    * the event-time timeouts at stream end.
+    */
+  def writeArrivalWaves(waves: Seq[Dataset[AsofEvent]], sentinelTs: Long,
+      dir: String): Unit = {
+    require(waves.nonEmpty)
+    val spark = waves.head.sparkSession
+    import spark.implicits._
+    def parts(): Set[java.io.File] = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
+    }
+    val cum = waves.map { w =>
+      w.coalesce(1).write.mode("append").parquet(dir)
+      parts()
+    }
+    Seq(AsofEvent(999L, sentinelTs, 0, 0L, 0.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val now = new java.io.File(dir).lastModified()
+    val span = 2000L * (cum.size + 1)
+    cum.zipWithIndex.foreach { case (c, i) =>
+      val prev = if (i == 0) Set.empty[java.io.File] else cum(i - 1)
+      (c -- prev).foreach(_.setLastModified(now - span + i * 2000L))
+    }
+    (parts() -- cum.last).foreach(_.setLastModified(now))
+  }
+
   def backward(events: Dataset[AsofEvent], toleranceMs: Long = Long.MaxValue,
       watermarkDelay: String = "0 seconds"): Dataset[AsofOut] = {
     val spark = events.sparkSession

@@ -443,21 +443,9 @@ class StreamingSpec extends AnyFunSuite {
       else AsofEvent(i % 10L, ts, 0, 0L, (i % 50) * 0.5)
     }
     val dir = Files.createTempDirectory("graft_stream_asof_state_").toString
-    def parts(): Set[java.io.File] = {
-      val fs = new java.io.File(dir).listFiles()
-      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
-    }
-    val waves = evs.grouped(1000).map { w =>
-      w.toDS().coalesce(1).write.mode("append").parquet(dir); parts()
-    }.toSeq
-    Seq(AsofEvent(999L, 10000000L, 0, 0L, 0.0)).toDS()
-      .coalesce(1).write.mode("append").parquet(dir)
-    val now = new java.io.File(dir).lastModified()
-    waves.zipWithIndex.foreach { case (cum, i) =>
-      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
-      (cum -- prev).foreach(_.setLastModified(now - 20000L + i * 2000L))
-    }
-    (parts() -- waves.last).foreach(_.setLastModified(now))
+    StreamAsof.writeArrivalWaves(
+      evs.grouped(1000).map(_.toDS(): org.apache.spark.sql.Dataset[AsofEvent]).toSeq,
+      sentinelTs = 10000000L, dir = dir)
     val src = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
       .option("maxFilesPerTrigger", 1).parquet(dir).as[AsofEvent]
@@ -496,25 +484,9 @@ class StreamingSpec extends AnyFunSuite {
     // sample on an unused key: the watermark (2 min delay covers the whole
     // real span, so nothing is late) passes every probe and the engine's
     // no-data batch fires the event-time timeouts that drain quiet keys
-    def parts(): Set[java.io.File] = {
-      val fs = new java.io.File(dir).listFiles()
-      if (fs == null) Set.empty else fs.filter(_.getName.startsWith("part-")).toSet
-    }
-    val waves = evs.grouped(75).map { wave =>
-      wave.toDS().coalesce(1).write.mode("append").parquet(dir)
-      parts()
-    }.toSeq
-    Seq(AsofEvent(999L, 10000000L, 0, 0L, 0.0)).toDS()
-      .coalesce(1).write.mode("append").parquet(dir)
-    // the file source orders batches by modification time; stagger mtimes
-    // so the sentinel (whose huge watermark would drop real rows as late)
-    // always ticks LAST — no wall-clock sleep
-    val now = new java.io.File(dir).lastModified()
-    waves.zipWithIndex.foreach { case (cum, i) =>
-      val prev = if (i == 0) Set.empty[java.io.File] else waves(i - 1)
-      (cum -- prev).foreach(_.setLastModified(now - 20000L + i * 2000L))
-    }
-    (parts() -- waves.last).foreach(_.setLastModified(now))
+    StreamAsof.writeArrivalWaves(
+      evs.grouped(75).map(_.toDS(): org.apache.spark.sql.Dataset[AsofEvent]).toSeq,
+      sentinelTs = 10000000L, dir = dir)
     val src = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
       .option("maxFilesPerTrigger", 1).parquet(dir).as[AsofEvent]
     val q = StreamAsof.backward(src, toleranceMs = tol,
