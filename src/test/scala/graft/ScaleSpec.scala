@@ -247,7 +247,15 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Dedup.minhashLsh(c1.limit(200), "text").count()
     spines.foreach { case (name, run, proportional) =>
       val (t1, r1) = timed(run(c1))
-      val (t10, r10) = timed(run(c10))
+      val (t10a, r10) = timed(run(c10))
+      // confirm-retry before flagging (the driver-bench lesson): a
+      // contended host window inflates one leg 4x and would alias onto
+      // whichever spine runs during it — a REAL quadratic blowup at 10x
+      // data inflates far past the bound on both attempts
+      val t10 = if (t10a / math.max(t1, 0.4) >= 20.0) {
+        val (t10b, _) = timed(run(c10))
+        math.min(t10a, t10b)
+      } else t10a
       val ratio = t10 / math.max(t1, 0.4)
       info(f"$name%-15s 5k: $t1%6.2fs ($r1 rows)  50k: $t10%6.2fs ($r10 rows)  ratio ${t10 / math.max(t1, 1e-9)}%5.1fx")
       assert(ratio < 20.0, f"$name went super-linear: $t1%.2fs -> $t10%.2fs")
