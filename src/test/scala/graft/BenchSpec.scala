@@ -87,6 +87,69 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  // ---- r13: None-baseline seeding + run-level inflation scaling -----
+  // r12's driver run exposed two holes: (a) a row absent from the
+  // driver's compact baseline fell to the 3.0 s absolute floor and
+  // pp_knn_eval was flagged at a literal 1.00x vs its committed time;
+  // (b) the whole run was +51% task CPU at the same HEAD and all six
+  // flags were host noise. These gates pin both fixes.
+
+  test("extractNumMap pulls the right map out of every artifact shape") {
+    // committed BENCH_FULL-style single line: cold values must NOT bleed
+    // into the queries map (the old whole-file scan let cold overwrite warm)
+    val full = """{"metric":"total","value":9.9,"queries":{"q_a":1.000,"q_b":0.400},""" +
+      """"cpu":{"q_a":0.800,"q_b":0.300},"cold":{"q_a":5.000,"q_b":2.000},"seed":42}"""
+    assert(Bench.extractNumMap(full, "queries") == Map("q_a" -> 1.0, "q_b" -> 0.4))
+    assert(Bench.extractNumMap(full, "cpu") == Map("q_a" -> 0.8, "q_b" -> 0.3))
+    // driver wrapper: pretty-printed, map nested under "parsed", plus an
+    // escaped-quote echo of the line inside the "tail" string — the
+    // structured copy wins and the escaped copy still parses if alone
+    val wrapped = "{\n  \"n\": 12,\n  \"tail\": \"stuff {\\\"queries\\\":{\\\"q_a\\\":9.000}}\",\n" +
+      "  \"parsed\": {\"metric\": \"total\", \"queries\": {\"q_a\": 1.100, \"q_b\": 0.500}}\n}"
+    assert(Bench.extractNumMap(wrapped, "queries") == Map("q_a" -> 1.1, "q_b" -> 0.5))
+    val tailOnly = "{\"tail\": \"x {\\\"queries\\\":{\\\"q_a\\\":9.000}} y\"}"
+    assert(Bench.extractNumMap(tailOnly, "queries") == Map("q_a" -> 9.0))
+    // absent key -> empty, not a crash
+    assert(Bench.extractNumMap(full, "nope").isEmpty)
+  }
+
+  test("a new row matching its committed time never flags (seeded baseline)") {
+    // driver baseline lacks the row; committed has 3.187 s; warm 3.013 s
+    // (r12's literal false flag). With the committed seed the row is
+    // baselined and 3.013 < 3.187*1.5 -> no flag.
+    val committed = Map("pp_knn_eval" -> 3.187)
+    val envBaseline = Map.empty[String, Double]
+    val seeded = (envBaseline.keySet ++ committed.keySet).map { k =>
+      k -> math.max(envBaseline.getOrElse(k, 0.0), committed.getOrElse(k, 0.0))
+    }.toMap
+    assert(Bench.regressionFlag(3.013, seeded.get("pp_knn_eval"), noted = false).isEmpty)
+    // and a REAL regression vs committed still flags
+    assert(Bench.regressionFlag(5.2, seeded.get("pp_knn_eval"), noted = false)
+      .contains(3.187))
+  }
+
+  test("inflation factor scales flag thresholds; guards keep it honest") {
+    // +60% CPU run-wide on 25 common rows -> factor ~1.6
+    val base = (0 until 25).map(i => s"q$i" -> 1.0).toMap
+    val cur = base.map { case (k, v) => k -> v * 1.6 }
+    val f = Bench.inflationFactor(cur, base)
+    assert(math.abs(f - 1.6) < 1e-9)
+    // a 1.5x-inflated warm time inside that run does not flag...
+    assert(Bench.regressionFlag(1.55, Some(1.0), noted = false, inflate = f).isEmpty)
+    // ...but a true 3x regression still does
+    assert(Bench.regressionFlag(3.0, Some(1.0), noted = false, inflate = f)
+      .contains(1.0))
+    // the absolute-floor path scales too
+    assert(Bench.regressionFlag(3.2, None, noted = false, inflate = f).isEmpty)
+    assert(Bench.regressionFlag(5.0, None, noted = false, inflate = f).contains(3.0))
+    // guards: too few common rows, too little CPU mass, faster run, cap
+    assert(Bench.inflationFactor(Map("a" -> 9.0), Map("a" -> 1.0)) == 1.0)
+    val tiny = (0 until 25).map(i => s"q$i" -> 0.01).toMap
+    assert(Bench.inflationFactor(tiny.map { case (k, v) => k -> v * 3 }, tiny) == 1.0)
+    assert(Bench.inflationFactor(base.map { case (k, v) => k -> v * 0.7 }, base) == 1.0)
+    assert(Bench.inflationFactor(base.map { case (k, v) => k -> v * 9 }, base) == 4.0)
+  }
+
   test("schedule is deterministic per seed and covers every query") {
     val names = (0 until 12).map(i => s"q$i")
     def order(seed: Long): Seq[String] = {
