@@ -342,6 +342,82 @@ object Similarity {
         col("n_correct").cast("double") / col("n").cast("double"))
   }
 
+  /** Sampled-query 1-NN label evaluation — the corpus-scale shape of
+    * [[knnLabelEval]]. The exact leave-one-out eval is O(n²) cosines by
+    * construction, but the ESTIMATE it produces doesn't need the whole
+    * corpus on the query side: take the `m` md5-ranked lowest vec_ids
+    * (the same deterministic no-RNG sample [[ivfTopK]]'s quantizer
+    * uses), keep the FULL corpus as the neighbor side, and the job is
+    * one broadcast-m map pass over the corpus — O(n·m) with m fixed, so
+    * 100× the corpus is 100× the work, not 10 000×. The map-side-
+    * combined argmax carries m rows to the shuffle. Float discipline
+    * identical to the exact row (norms bound once, native left-fold
+    * dot, int/int accuracy division).
+    */
+  def knnLabelEvalSampled(emb: DataFrame, m: Int = 64): DataFrame = {
+    val q = broadcast(emb.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("__r", md5(col("vec_id").cast("string")))
+      .orderBy(col("__r"), col("vec_id")).limit(m).drop("__r")
+      .withColumn("__na", norm(col("embedding"))))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
+      col("label").as("nlabel"))
+      .withColumn("__nb", norm(col("nemb")))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("__sim",
+        dot(col("embedding"), col("nemb")) / (col("__na") * col("__nb")))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("nlabel"),
+        struct(col("__sim"), (-col("nid")).as("__t"))).as("nlabel"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("nlabel") === col("label")).cast("long")).as("n_correct"))
+      .withColumn("acc",
+        col("n_correct").cast("double") / col("n").cast("double"))
+  }
+
+  /** ANN-shortlist + exact-rerank 1-NN label evaluation — the third
+    * rung: the sampled eval still scans the full corpus per query; at
+    * billions of vectors the neighbor side should come from the ANN
+    * index instead. Shortlist = [[ivfTopK]] (probed-list candidates,
+    * exact cosines inside the probed cells), then an exact rerank of
+    * the ≤ m·shortK shortlist rows recomputes the raw cosine with the
+    * same norm-bound fold as [[knnLabelEval]] and takes the (sim DESC,
+    * nid ASC) argmax. Cost: the IVF probe (~nProbe/C of the corpus per
+    * query) + a broadcast join of the bounded shortlist — nothing
+    * quadratic anywhere. Recall follows the IVF quantizer; with
+    * nProbe = C it degenerates to the sampled-exact answer
+    * (SimilaritySpec pins exactly that equivalence).
+    */
+  def knnLabelEvalAnn(emb: DataFrame, m: Int = 64, shortK: Int = 8,
+      centroids: Int = 0, nProbe: Int = 4): DataFrame = {
+    val q = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("__r", md5(col("vec_id").cast("string")))
+      .orderBy(col("__r"), col("vec_id")).limit(m).drop("__r")
+    val short = ivfTopK(emb, q, shortK, centroids, nProbe)
+      .select(col("query_id"), col("vec_id").as("nid"))
+    // exact rerank over the bounded shortlist: re-attach both embeddings
+    // (query side is m rows — broadcast; neighbor side is an equi-join
+    // on vec_id into the corpus) and redo the exact-cosine argmax
+    val qSide = broadcast(q
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      .withColumn("__na", norm(col("embedding"))))
+    val nSide = emb.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb"), col("label").as("nlabel"))
+      .withColumn("__nb", norm(col("nemb")))
+    short.join(qSide, Seq("query_id")).join(nSide, Seq("nid"))
+      .withColumn("__sim",
+        dot(col("embedding"), col("nemb")) / (col("__na") * col("__nb")))
+      .groupBy(col("query_id"), col("label"))
+      .agg(max_by(col("nlabel"),
+        struct(col("__sim"), (-col("nid")).as("__t"))).as("nlabel"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("nlabel") === col("label")).cast("long")).as("n_correct"))
+      .withColumn("acc",
+        col("n_correct").cast("double") / col("n").cast("double"))
+  }
+
   /** Greedy k-center coreset (farthest-first traversal, Gonzalez '85):
     * select k corpus vectors so every vector is within the returned
     * `radius` of a selected one — the 2-approximation to optimal k-center

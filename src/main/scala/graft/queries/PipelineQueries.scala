@@ -2244,6 +2244,38 @@ object PipelineQueries extends Catalog {
        FROM nn GROUP BY 1"""
   }
 
+  /** sampled-query 1-NN accuracy ([[Similarity.knnLabelEvalSampled]]):
+    * the corpus-scale eval shape — 64 md5-ranked query vectors against
+    * the full neighbor set, O(n·m) not O(n²). The oracle replays the
+    * same deterministic sample (md5 ASC, vec_id ASC LIMIT) and the
+    * exact row's ordered-fold cosine argmax.
+    */
+  private def knnEvalSampledQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnLabelEvalSampled(Tables.embeddings(s, d), m = 64)
+
+  private def knnEvalSampledSql: String = {
+    val cos =
+      "list_sum(list_transform(list_zip(a.embedding, b.embedding), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH q AS MATERIALIZED (
+         SELECT vec_id, embedding, label FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 64),
+       nn AS (
+         SELECT label, nlabel FROM (
+           SELECT a.label, b.label AS nlabel,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY $cos DESC, b.vec_id ASC) AS rk
+           FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         WHERE rk = 1)
+       SELECT label, count(*) AS n,
+              CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct,
+              CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS acc
+       FROM nn GROUP BY 1"""
+  }
+
   private def coresetQ(s: SparkSession, d: String): DataFrame =
     Similarity.kcenterCoreset(Tables.embeddings(s, d), k = 8)
 
@@ -2966,6 +2998,7 @@ object PipelineQueries extends Catalog {
     Q("pp_video_dedup", videoDedup, Some(videoDedupSql)),
     Q("pp_kmeans", kmeansQ, Some(kmeansSql)),
     Q("pp_knn_eval", knnEvalQ, Some(knnEvalSql)),
+    Q("pp_knn_eval_sampled", knnEvalSampledQ, Some(knnEvalSampledSql)),
     Q("pp_coreset", coresetQ, Some(coresetSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),

@@ -1007,6 +1007,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.knnLabelEval(emb).agg(sum(col("n"))).head().getLong(0) == 12L)
   }
 
+  test("sampled and ANN-shortlist 1-NN evals agree with the exact eval") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    def accs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // m >= corpus: the sampled eval degenerates to the exact leave-one-out
+    val exact = accs(Similarity.knnLabelEval(emb))
+    assert(accs(Similarity.knnLabelEvalSampled(emb, m = n)) == exact)
+    // full probe: the IVF shortlist provably contains the true 1-NN, so
+    // the ANN eval equals the sampled-exact answer at the same m
+    val sampled = accs(Similarity.knnLabelEvalSampled(emb, m = 64))
+    val ann = accs(Similarity.knnLabelEvalAnn(emb, m = 64, shortK = 8,
+      centroids = 16, nProbe = 16))
+    assert(ann == sampled, s"ann=$ann sampled=$sampled")
+    // recall-limited probe: still a partition of the m sampled queries
+    val low = Similarity.knnLabelEvalAnn(emb, m = 64, shortK = 8,
+      centroids = 16, nProbe = 2)
+    assert(low.agg(sum(col("n"))).head().getLong(0) == 64L)
+  }
+
   test("persisted IVF index serves the identical top-k as the in-memory path") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

@@ -278,6 +278,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(rb == ra, "top-k row count must not scale with the corpus")
     assert(tb / math.max(ta, 0.4) < 20.0 && tb < 120.0,
       f"jl_ann went super-linear: $ta%.2fs -> $tb%.2fs")
+    // sampled 1-NN eval spine (r13): the exact leave-one-out eval is
+    // O(n²) by construction (kept as a small-scale oracle only); the
+    // sampled variant holds m fixed so 10x vectors must be ~10x wall,
+    // with a FIXED output row count (one row per label)
+    def labeled(v: org.apache.spark.sql.DataFrame) =
+      v.withColumn("label", pmod(hash(col("vec_id")), lit(10)).cast("int"))
+    val (te, re) = timed(
+      graft.ops.Similarity.knnLabelEvalSampled(labeled(v1), m = 64).count())
+    val (tf, rf) = timed(
+      graft.ops.Similarity.knnLabelEvalSampled(labeled(v10), m = 64).count())
+    info(f"knn_eval_sampled 2k: $te%6.2fs ($re rows)  20k: $tf%6.2fs ($rf rows)")
+    assert(rf == re, "per-label eval output must not scale with the corpus")
+    assert(tf / math.max(te, 0.4) < 20.0 && tf < 120.0,
+      f"knn_eval_sampled went super-linear: $te%.2fs -> $tf%.2fs")
     Seq(c1, c10, v1, v10).foreach(_.unpersist())
   }
 
