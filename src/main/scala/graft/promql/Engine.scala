@@ -72,6 +72,52 @@ object Engine {
     }
   }
 
+  /** Several simple aggregations over ONE shared step-agg scan — the
+    * multi-agg path a dashboard panel issuing `sum/avg/min/max/count`
+    * of the same selector should hit instead of five full engine
+    * passes + four ts-joins (each pass re-scans the store and adds an
+    * Exchange; the fused form is one scan, one Exchange, one output
+    * row per populated bucket). Each entry is (output column, promql);
+    * every expression must be a parameter-less aggregation over the
+    * SAME selector with the SAME by/without grouping — anything else
+    * belongs in [[query]]. Count keeps [[query]]'s double type; the
+    * zero-fill densification of the standalone count path is
+    * deliberately absent because the fused row set is the populated
+    * buckets (exactly what the joined five-query form produced).
+    */
+  def queryMulti(exprs: Seq[(String, String)], store: MetricStore,
+      p: QueryParams): DataFrame = {
+    require(exprs.nonEmpty, "queryMulti needs at least one aggregation")
+    val parsed = exprs.map { case (alias, q) =>
+      Parser.parse(q).fold(e => throw new IllegalArgumentException(e), identity) match {
+        case Agg(op, s: Selector, by, without, None)
+            if Set("sum", "avg", "min", "max", "count")(op) =>
+          (alias, op, s, by, without)
+        case other => throw new IllegalArgumentException(
+          s"queryMulti supports sum/avg/min/max/count over a selector, got $other")
+      }
+    }
+    val (_, _, sel0, by0, wo0) = parsed.head
+    require(parsed.forall { case (_, _, s, b, w) => s == sel0 && b == by0 && w == wo0 },
+      "queryMulti requires an identical selector and grouping across aggregations")
+    val sf = leaf(sel0, "", store, p)
+    val keep: Seq[String] =
+      if (by0.nonEmpty) sf.labels.filter(by0.contains)
+      else if (wo0.nonEmpty) sf.labels.filterNot(wo0.contains)
+      else Nil
+    val aggs = parsed.map { case (alias, op, _, _, _) =>
+      val fn = op match {
+        case "sum"   => sum(col("value"))
+        case "avg"   => avg(col("value"))
+        case "min"   => min(col("value"))
+        case "max"   => max(col("value"))
+        case "count" => count(col("value")).cast("double")
+      }
+      fn.as(alias)
+    }
+    sf.df.groupBy((col("ts") +: keep.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def alignedStart(p: QueryParams): Long =
     p.startMs - p.startMs % p.stepMs
 

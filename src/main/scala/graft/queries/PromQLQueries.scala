@@ -173,14 +173,15 @@ object PromQLQueries extends Catalog {
 
     Q("pq_agg_global",
       { (s, d) =>
+        // one shared step-agg scan for all five aggregations (r13,
+        // Engine.queryMulti) — previously five full engine passes +
+        // four ts-joins; PlanSpec pins the single-Exchange plan
         val store = MetricStore(Cooked.metrics(s, d))
         val p = QueryParams(Start, End, StepMs)
-        val su = Engine.query("sum(events_value)", store, p).withColumnRenamed("value", "sum_v")
-        val av = Engine.query("avg(events_value)", store, p).withColumnRenamed("value", "avg_v")
-        val mn = Engine.query("min(events_value)", store, p).withColumnRenamed("value", "min_v")
-        val mx = Engine.query("max(events_value)", store, p).withColumnRenamed("value", "max_v")
-        val ct = Engine.query("count(events_value)", store, p).withColumnRenamed("value", "cnt_v")
-        su.join(av, "ts").join(mn, "ts").join(mx, "ts").join(ct, "ts")
+        Engine.queryMulti(Seq(
+          "sum_v" -> "sum(events_value)", "avg_v" -> "avg(events_value)",
+          "min_v" -> "min(events_value)", "max_v" -> "max(events_value)",
+          "cnt_v" -> "count(events_value)"), store, p)
       },
       Some(s"""WITH ${stepCte()}
         SELECT ts, sum(bsum) AS sum_v, avg(bsum) AS avg_v, min(bsum) AS min_v,

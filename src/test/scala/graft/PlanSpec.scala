@@ -396,6 +396,23 @@ class PlanSpec extends AnyFunSuite {
     assert(nExists <= 1, s"$nExists exists() HOFs in plan:\n${p.take(3000)}")
   }
 
+  test("pq_agg_global: five aggregations ride ONE scan and one agg Exchange chain") {
+    // r13 queryMulti: previously five full engine passes (5 scans,
+    // 10 Exchanges) + four ts-joins; the fused form must read the store
+    // once, aggregate once, and join NOTHING
+    // AQE appends the pre-adaptive plan under "== Initial Plan ==" — count
+    // the FINAL plan only or every node doubles
+    val p = plan("pq_agg_global").split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single store scan, got $scans:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"fused multi-agg must not join:\n${p.take(2000)}")
+    // 3 = cooked-store derivation agg + leaf step agg + final ts agg; the
+    // old five-pass form had 15 Exchanges and 4 joins
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected cooked+leaf+final Exchanges only, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("bucketed join: the layout pre-pays the shuffle — zero Exchange in the plan") {
     val p = plan("core_bucketed_join")
     // both the join and the per-order aggregation must ride the tables'

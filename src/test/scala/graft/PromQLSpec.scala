@@ -166,6 +166,37 @@ class PromQLEngineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("queryMulti equals the per-agg query() answers on one shared scan") {
+    val multi = Engine.queryMulti(Seq(
+      "sum_v" -> "sum(events_value)", "avg_v" -> "avg(events_value)",
+      "cnt_v" -> "count(events_value)"), store, p)
+    assert(multi.columns.toSeq == Seq("ts", "sum_v", "avg_v", "cnt_v"))
+    val fused = multi.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def one(q: String) = Engine.query(q, store, p).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (su, av) = (one("sum(events_value)"), one("avg(events_value)"))
+    assert(fused.keySet == su.keySet)
+    fused.foreach { case (ts, (s2, a2, c2)) =>
+      assert(s2 == su(ts) && a2 == av(ts) && c2 > 0, s"ts=$ts")
+    }
+    // by-grouping rides the same path
+    val byType = Engine.queryMulti(Seq(
+      "mx" -> "max by (attr_event_type) (events_value)",
+      "mn" -> "min by (attr_event_type) (events_value)"), store, p)
+    assert(byType.columns.toSeq == Seq("ts", "attr_event_type", "mx", "mn"))
+    assert(byType.filter(col("mx") < col("mn")).count() == 0 && byType.count() > 0)
+    // contract violations throw at plan time, not at execution
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "sum(events_value)",
+        "b" -> "avg(other_metric)"), store, p)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "topk(2, events_value)"), store, p)
+    }
+  }
+
   test("rate = windowed sum / range seconds with coverage rule") {
     val range = 24L * 3600000L
     val rate = Engine.query(s"rate(events_value[1d])", store, p)
