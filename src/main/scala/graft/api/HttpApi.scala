@@ -196,6 +196,13 @@ final class HttpApi(
       out.write(("data: " + json + "\n\n").getBytes(UTF_8))
       out.flush()
     }
+    // hoisted so the finally can cancel in-flight prefetch work on ANY
+    // early exit — budget spent, a slice job failing, or the client
+    // disconnecting mid-stream (ADVICE r12: abandoned collect() jobs
+    // otherwise keep running on the shared slicePool, holding their rows
+    // and starving other streams' slices)
+    var sliceFuts: Array[java.util.concurrent.Future[Array[String]]] = null
+    var sliceTag: String = null
     try {
       val batch = new scala.collection.mutable.ArrayBuffer[String](sseBatchRows)
       def flushBatch(): Unit = if (batch.nonEmpty) {
@@ -220,11 +227,22 @@ final class HttpApi(
         // one-shot collect the slicing replaced. Wall-clock ≈
         // max(slice) + stream time instead of Σ(slice).
         val futs = new Array[java.util.concurrent.Future[Array[String]]](dfs.size)
+        val tag = s"graft-sse-${java.util.UUID.randomUUID()}"
+        sliceFuts = futs; sliceTag = tag
         def submit(i: Int): Unit = if (i < dfs.size && futs(i) == null)
           futs(i) = HttpApi.slicePool.submit(
             new java.util.concurrent.Callable[Array[String]] {
-              override def call(): Array[String] =
-                dfs(i).toJSON.collect()
+              override def call(): Array[String] = {
+                // per-slice job group (set on the pool thread, so it tags
+                // exactly this slice's Spark jobs): the finally below can
+                // cancel the cluster-side work of an abandoned slice, not
+                // just its pool task
+                val sc = dfs(i).sparkSession.sparkContext
+                sc.setJobGroup(s"$tag-$i", "sse slice prefetch",
+                  interruptOnCancel = true)
+                try dfs(i).toJSON.collect()
+                finally sc.clearJobGroup()
+              }
             })
         (0 until math.min(HttpApi.SlicePrefetch, dfs.size)).foreach(submit)
         var remaining = rowBudget.getOrElse(Int.MaxValue)
@@ -257,7 +275,23 @@ final class HttpApi(
     } catch {
       case e: Throwable =>
         event(s"""{"type":"done","data":{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}}""")
-    } finally ex.close()
+    } finally {
+      // reap whatever prefetch is still in flight: cancel the pool task
+      // AND the tagged Spark jobs of every slice that never streamed
+      if (sliceFuts != null) {
+        var j = 0
+        while (j < sliceFuts.length) {
+          val f = sliceFuts(j)
+          if (f != null && !f.isDone) {
+            f.cancel(true)
+            try dfs(j).sparkSession.sparkContext.cancelJobGroup(s"$sliceTag-$j")
+            catch { case _: Throwable => () }
+          }
+          j += 1
+        }
+      }
+      ex.close()
+    }
   }
 
   /** SSE with ONE event per row (the reference's summary mode shape:

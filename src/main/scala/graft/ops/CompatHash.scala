@@ -136,8 +136,16 @@ object CompatHash {
     */
   def tid(metricName: Column, metricType: Column,
       labels: Seq[(String, Column)]): Column = {
+    // Go sorts label keys with strings.Compare = byte order over UTF-8
+    // (tid.go:97-99); Scala String ordering is UTF-16 code-unit order.
+    // They diverge for supplementary-plane keys vs U+E000..U+FFFF, so
+    // compare the keys' UTF-8 bytes unsigned (ADVICE r12).
     val kvs = (labels ++ Seq("metric_name" -> metricName,
-      "chq_metric_type" -> metricType)).sortBy(_._1)
+      "chq_metric_type" -> metricType)).sortWith { (p, q) =>
+      java.util.Arrays.compareUnsigned(
+        p._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        q._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
     val terms = kvs.map { case (k, v) =>
       val s = v.cast("string")
       when(s.isNotNull && s =!= "", concat(lit(k + "="), s, lit("|")))

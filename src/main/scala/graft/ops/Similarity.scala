@@ -85,8 +85,13 @@ object Similarity {
     val scale = math.sqrt(12.0 / outDims)
     // fail loudly on a width mismatch instead of silently zipping against
     // missing weight components (a wrong-dims corpus would otherwise
-    // project through nulls and rank garbage)
-    val guarded = when(size(col(embCol)) === dims, col(embCol))
+    // project through nulls and rank garbage) — but a NULL embedding is
+    // data, not a schema error: it passes through to a NULL proj as it
+    // did before the guard existed (ADVICE r12: size(NULL) is NULL, so
+    // the otherwise-branch used to raise with a NULL message on any
+    // missing-embedding row)
+    val guarded = when(col(embCol).isNull, lit(null).cast(df.schema(embCol).dataType))
+      .when(size(col(embCol)) === dims, col(embCol))
       .otherwise(raise_error(concat(
         lit(s"randomProject: embedding length "),
         size(col(embCol)).cast("string"), lit(s" != dims=$dims"))))
@@ -95,7 +100,10 @@ object Similarity {
       val row = lit((0 until dims).map(i => projComponent(j, i)).toArray)
       dot(col("__emb_ck"), row) * scale
     }
-    g.withColumn("proj", array(coords: _*)).drop("__emb_ck")
+    // no otherwise-branch: a NULL embedding yields a NULL proj (not an
+    // array OF nulls, which would rank as garbage downstream)
+    g.withColumn("proj", when(col("__emb_ck").isNotNull, array(coords: _*)))
+      .drop("__emb_ck")
   }
 
   /** Two-stage ANN through the JL projection ([[randomProject]]): score

@@ -368,6 +368,8 @@ object BpeApplySummary {
       merges.flatMap(p => Seq(p._1, p._2)).toArray, mod))
 
   private final val CacheCap = 65536
+  /** max distinct merge tables memoized per thread (one per live plan) */
+  private final val MaxTables = 8
 
   // word -> (tokenCount, checksumTerm), per thread and per merge table
   // (keyed by the table's identity: one array object per plan)
@@ -419,6 +421,12 @@ object BpeApplySummary {
     val perTable = caches.get()
     var cache = perTable.get(merges)
     if (cache == null) {
+      // bound the TABLE count too, not just entries per table: each plan
+      // contributes a distinct merge-table array, so a long-lived service
+      // running many BPE plans would otherwise accumulate dead tables'
+      // memos forever (ADVICE r12). On overflow drop the lot — live
+      // tables rebuild their memos in one batch's worth of words.
+      if (perTable.size() >= MaxTables) perTable.clear()
       cache = new java.util.LinkedHashMap[String, Array[Long]](1024, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Array[Long]]): Boolean =

@@ -454,7 +454,7 @@ object CoreQueries extends Catalog {
     * out of the repo; writes are per-(sf, session) and idempotent.
     */
   private val bucketedDone =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     // table names carry the SAME scope as the memo key (full-path hash +
@@ -463,7 +463,11 @@ object CoreQueries extends Catalog {
     val tg = s"${new java.io.File(d).getName.replace('.', '_')}_" +
       s"${Integer.toHexString(d.hashCode)}_${Integer.toHexString(s.hashCode())}"
     val (liT, ordT) = (s"graft_li_bkt_$tg", s"graft_ord_bkt_$tg")
-    if (bucketedDone.add(tg)) {
+    // computeIfAbsent (the annPersisted pattern): a failed build — disk
+    // full, interrupted run — records NO memo entry, so the next call
+    // retries instead of serving a missing/half-written table forever;
+    // concurrent callers block until the one build finishes (ADVICE r12)
+    bucketedDone.computeIfAbsent(tg, { _ =>
       val root = java.nio.file.Files.createTempDirectory(s"graft_bkt_$tg")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"))
@@ -477,7 +481,7 @@ object CoreQueries extends Catalog {
         .option("path", root.resolve("ord").toString)
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(ordT)
-    }
+    })
     // merge hint: the POINT is the exchange-free sort-merge join on the
     // bucket layout — at toy SFs AQE would otherwise flip to broadcast
     // (correct too, but then the row stops proving co-location)

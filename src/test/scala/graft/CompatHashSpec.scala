@@ -100,6 +100,21 @@ class CompatHashSpec extends AnyFunSuite {
       fnvRef("chq_metric_type=gauge|metric_name=mem.usage|resource_region=us-east|"))
   }
 
+  test("tid: label keys sort in UTF-8 byte order, not UTF-16 code-unit order") {
+    // U+1F600 (UTF-8 f0 9f 98 80) vs U+E000 (UTF-8 ee 80 80): Scala's
+    // String ordering compares UTF-16 units (d83d < e000 → 😀 first) but
+    // Go's strings.Compare is UTF-8 byte order (f0 > ee → 😀 LAST). The
+    // reference-exact concatenation must use the Go order (ADVICE r12).
+    val astral = new String(Character.toChars(0x1F600))
+    val privUse = "k"
+    val df = Seq(("m", "a", "b")).toDF("name", "x", "y")
+    val got = df.select(CompatHash.tid($"name", lit("gauge"),
+      Seq(astral -> $"x", privUse -> $"y")).as("tid"))
+      .head().getLong(0)
+    assert(got == fnvRef(
+      s"chq_metric_type=gauge|metric_name=m|${privUse}=b|${astral}=a|"))
+  }
+
   test("trigrams column equals Go rune slicing incl. astral code points") {
     val vals = Seq("", "ab", "abc", "abcd", "svc-api", "a漢b字c", "😀😁😂🤣x",
       "ääää", "a:b|c=d")

@@ -961,6 +961,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(t => t._2 < t._1))
   }
 
+  test("randomProject: NULL embeddings pass through as NULL proj; wrong width raises") {
+    import spark.implicits._
+    val mixed = Seq((1L, Some((0 until 64).map(_.toFloat))), (2L, None))
+      .toDF("vec_id", "embedding")
+    // a missing embedding is data, not a schema error (ADVICE r12: the
+    // width guard used to raise a null-message error on NULL rows)
+    val out = Similarity.randomProject(mixed, outDims = 4)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+    // a present-but-wrong-width embedding still fails loudly
+    val bad = Seq((3L, (0 until 8).map(_.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProject(bad, outDims = 4).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("!= dims") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("!= dims")))
+  }
+
   test("JL projection: norms concentrate around 1 on real embeddings") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val p = Similarity.randomProject(emb, outDims = 16)
