@@ -924,6 +924,50 @@ object PipelineQueries extends Catalog {
      FROM pairs
      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5"""
 
+  private val streamPersistRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val stalePersistSinks =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** [[streamNearDup]]'s screen run as a REAL streaming query with the
+    * reference side served from a persisted [[graft.ops.SignatureStore]]
+    * instead of recomputed per refresh (r12 VERDICT #7): incoming docs
+    * arrive as 3 micro-batches (maxFilesPerTrigger=1), the banded
+    * reference reads stored signatures for docs up to the store
+    * watermark and fresh-hashes only the newer arrivals — the store is
+    * deliberately built from just the id-prefix of the reference corpus
+    * so the staleness delta path executes inside the row. The oracle is
+    * [[streamNearDupSql]] VERBATIM: store-served must equal the full
+    * recompute.
+    */
+  private def streamNearDupPersist(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    var stale = stalePersistSinks.poll()
+    while (stale != null) {
+      try s.catalog.dropTempView(stale) catch { case _: Exception => }
+      stale = stalePersistSinks.poll()
+    }
+    val all = docs(s, d)
+    val reference = all.filter(col("doc_id") % 10 < 8)
+    val incoming = all.filter(col("doc_id") % 10 >= 8).select("doc_id", "text")
+    val maxId = all.agg(max(col("doc_id"))).head().getLong(0)
+    val dir = Files.createTempDirectory("graft_it_sigstore_").toString
+    graft.ops.SignatureStore.write(
+      reference.filter(col("doc_id") <= maxId * 3 / 4), "text", dir)
+    val banded = graft.streaming.StreamingDedup.bandedReferenceFromStore(
+      s, reference, "text", dir)
+    val in = Files.createTempDirectory("graft_it_sneardup_in_").toString
+    incoming.repartition(3).write.mode("overwrite").parquet(in)
+    val src = s.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val sink = s"graft_sneardup_sink_${streamPersistRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamingDedup.nearDupAgainst(src, banded, "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    stalePersistSinks.add(sink)
+    s.table(sink)
+  }
+
   /** transitive dup clusters: connected components over the MinHash-LSH
     * candidate pairs, canonical member = min doc_id. The oracle replays
     * the full chain — shingles → signatures → banded pairs → a recursive
@@ -2959,6 +3003,7 @@ object PipelineQueries extends Catalog {
     Q("pp_dsir_resample", dsirResample, Some(dsirResampleSql)),
     Q("pp_stream_dsir", streamDsir, Some(streamDsirSql)),
     Q("pp_stream_neardup", streamNearDup, Some(streamNearDupSql)),
+    Q("it_stream_neardup_persist", streamNearDupPersist, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -63,10 +63,38 @@ object StreamingDedup {
     * bounds the join's expansion per stream row at cap × bands.
     */
   def bandedReference(existing: DataFrame, textCol: String, k: Int = 16,
-      bands: Int = 4, w: Int = 5, maxDocsPerBucket: Int = 1000): DataFrame = {
+      bands: Int = 4, w: Int = 5, maxDocsPerBucket: Int = 1000): DataFrame =
+    bandSigs(graft.ops.Dedup.minhash(existing, textCol, k, w),
+      k, bands, maxDocsPerBucket)
+
+  /** [[bandedReference]] with the signatures served from a persisted
+    * [[graft.ops.SignatureStore]] instead of recomputed per refresh —
+    * the 100 TB reference side: stored signatures cover docs up to the
+    * store's watermark, and existing docs ABOVE it (corpus arrivals
+    * since the last store write) get a fresh signature pass, the
+    * store's documented staleness rule. The banded output is identical
+    * to [[bandedReference]] over the same corpus (signatures are
+    * deterministic per doc), so a screen restarted against a new corpus
+    * snapshot only ever hashes the delta. k/w come from the store meta.
+    */
+  def bandedReferenceFromStore(spark: org.apache.spark.sql.SparkSession,
+      existing: DataFrame, textCol: String, dir: String, bands: Int = 4,
+      maxDocsPerBucket: Int = 1000): DataFrame = {
+    val meta = graft.ops.SignatureStore.readMeta(dir)
+    val stored = graft.ops.SignatureStore.readSigs(spark, dir)
+    val fresh = graft.ops.Dedup.minhash(
+      existing.filter(col("doc_id") > meta.watermark), textCol, meta.k, meta.w)
+    bandSigs(stored.unionByName(fresh), meta.k, bands, maxDocsPerBucket)
+  }
+
+  /** (doc_id, sig) → capped banded reference (shared tail of both
+    * reference builders)
+    */
+  private def bandSigs(sigs: DataFrame, k: Int, bands: Int,
+      maxDocsPerBucket: Int): DataFrame = {
     val rows = k / bands
     graft.ops.Dedup.capBuckets(
-      graft.ops.Dedup.minhash(existing, textCol, k, w)
+      sigs
         .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"),
           explode(array((0 until bands).map { b =>
             struct(lit(b).as("band"),

@@ -199,6 +199,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(t => t._1 == 10L && t._2 == 1L && t._4 == 1.0))
     assert(pairs.contains((11L, 1L)))
     assert(!pairs.exists(_._1 == 12L))
+
+    // store-served banded reference == recomputed banded reference, with
+    // the store deliberately stale (built from a strict id-prefix so the
+    // fresh-delta pass must cover the rest) — r13, VERDICT #7
+    val storeDir = Files.createTempDirectory("graft_neardup_store_").toString
+    graft.ops.SignatureStore.write(
+      reference.filter(col("doc_id") <= 2L), "text", storeDir)
+    def refSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("ref_id"), r.getAs[Seq[Long]]("ref_sig"),
+        r.getAs[Int]("band"), r.getAs[String]("bucket")))
+      .toSet
+    val served = refSet(StreamingDedup.bandedReferenceFromStore(
+      spark, reference, "text", storeDir))
+    assert(served == refSet(ref) && served.nonEmpty)
   }
 
   test("stateful streaming sessionization equals batch-closed sessions") {
