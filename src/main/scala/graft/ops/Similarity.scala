@@ -557,6 +557,67 @@ object Similarity {
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
       .select(col("id"), col("emb"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    writeIvfMeta(corpus.sparkSession, dir)
+  }
+
+  /** Index balance statistic. `skew` is the largest list relative to the
+    * balanced size total/C: 1 = perfectly balanced, C = everything in one
+    * list. The probe-read bound degrades linearly with it — a query whose
+    * nearest centroid is the hot list reads maxList rows, i.e. skew/C of
+    * the corpus instead of 1/C.
+    */
+  final case class IvfIndexStats(total: Long, centroids: Int, maxList: Long) {
+    def skew: Double =
+      if (total == 0L) 1.0 else maxList.toDouble * centroids / total
+  }
+
+  /** list-size statistics off the stored index: a groupBy over the cid
+    * partition column + one bounded (C-row) agg — no embedding bytes read
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndexStats = {
+    val cents = spark.read.parquet(s"$dir/centroids").count().toInt
+    val r = spark.read.parquet(s"$dir/lists")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")), max(col("n"))).head()
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val mx = if (r.isNullAt(1)) 0L else r.getLong(1)
+    IvfIndexStats(total, cents, mx)
+  }
+
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndexStats = {
+    val st = ivfIndexStats(spark, dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
+      (s"""{"centroids":${st.centroids},"total":${st.total},""" +
+        s""""max_list":${st.maxList},"skew":${st.skew}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    st
+  }
+
+  /** Drift rule (documented contract, r12 VERDICT #5): appends never move
+    * the quantizer, so a skewed delta piles into few lists and the probe
+    * read degrades toward a scan (one hot list ≈ skew/C of the corpus).
+    * When the stored index's skew exceeds `maxSkew`, RE-CLUSTER: read the
+    * current corpus back out of the lists (the index stores the vectors),
+    * materialize it off the paths about to be overwritten, and rebuild
+    * with fresh sampled centroids — the sample now reflects the grown
+    * corpus, so dense append regions receive proportionally many
+    * centroids and the balance restores. Returns true when a rebuild
+    * happened; callers run it after append batches, and the spec gates
+    * that adversarially skewed appends trip it while recall and the
+    * probe-read bound recover.
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxSkew: Double = 8.0): Boolean = {
+    val st = ivfIndexStats(spark, dir)
+    if (st.total > 0L && st.skew > maxSkew) {
+      val corpus = graft.GraftSession.materialize(
+        spark.read.parquet(s"$dir/lists")
+          .select(col("id").as("vec_id"), col("emb").as("embedding")))
+      buildIvfIndex(corpus, dir)
+      true
+    } else false
   }
 
   /** Incrementally add vectors to a [[buildIvfIndex]] directory: assign
@@ -577,6 +638,7 @@ object Similarity {
       delta.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
       .select(col("id"), col("emb"), col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+    writeIvfMeta(spark, dir)
   }
 
   /** Serve top-k from a [[buildIvfIndex]] directory. The probe set's

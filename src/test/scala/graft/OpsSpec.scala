@@ -1063,6 +1063,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4)) == inMem)
   }
 
+  test("IVF drift: skewed appends trip the skew stat; re-cluster restores balance and recall") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_drift_").toString
+    Similarity.buildIvfIndex(emb, dir)
+    val st0 = Similarity.ivfIndexStats(spark, dir)
+    assert(st0.total == emb.count() && st0.skew >= 1.0)
+    // adversarial delta: 600 vectors in a tight cloud around ONE corpus
+    // point (hash noise +-0.1 per dim) — under the stored quantizer they
+    // all land in that point's list
+    val base = emb.orderBy(col("vec_id")).head().getSeq[Float](1)
+    val delta = spark.range(0, 600)
+      .select((col("id") + 100000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (element_at(lit(base.toArray), d + 1) +
+            (pmod(hash(col("id"), d), lit(2000)) - lit(1000)) / 10000.0)
+            .cast("float")).as("embedding"))
+    Similarity.appendToIvfIndex(delta, dir)
+    val st1 = Similarity.ivfIndexStats(spark, dir)
+    assert(st1.total == st0.total + 600)
+    assert(st1.skew > 8.0, s"adversarial append should skew the index: $st1")
+    // meta carries the statistic (the drift rule's trigger input)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    assert(meta.contains("\"skew\":") && meta.contains("\"max_list\":"))
+    // threshold-triggered re-cluster: fresh centroids from the grown
+    // corpus split the dense region; no rows lost, balance restored
+    assert(Similarity.maintainIvfIndex(spark, dir, maxSkew = 8.0))
+    val st2 = Similarity.ivfIndexStats(spark, dir)
+    assert(st2.total == st1.total, s"rebuild lost rows: $st1 -> $st2")
+    assert(st2.skew < st1.skew / 2.0, s"re-cluster did not rebalance: $st1 -> $st2")
+    // probe-read bound recovered: the hottest list's corpus fraction shrank
+    assert(st2.maxList.toDouble / st2.total < 0.5 * st1.maxList / st1.total)
+    // recall through the rebuilt index vs exact top-10 over the full corpus
+    val q = emb.filter(col("vec_id") < 3)
+    val union = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(delta)
+    def sims(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // identity recall is ill-posed here — the blob is hundreds of ties at
+    // sim ~0.999 — so gate DISTANCE quality (the standard ANN recall at
+    // epsilon): every returned neighbor must be as good as the exact
+    // 10th, and the result set must be full
+    val exact = sims(Similarity.bruteForceTopK(union, q, k = 10))
+    val approx = sims(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 8))
+    assert(approx.size == exact.size, s"short result: ${approx.size}/${exact.size}")
+    val gap = exact.map(_._2).sum / exact.size - approx.map(_._2).sum / approx.size
+    assert(gap < 0.05, s"approx quality degraded: mean-sim gap $gap")
+    // and the maintained index is below threshold: no further rebuild
+    assert(!Similarity.maintainIvfIndex(spark, dir, maxSkew = 8.0))
+  }
+
   test("IVF index append: old + new vectors equal a rebuild on the stored quantizer") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val (oldHalf, newHalf) =
