@@ -390,6 +390,33 @@ object Segments {
     * within a metric — the bloom is what lets a tid-equality scan skip
     * row groups.
     */
+  /** session conf key: "true" → [[readMetricSegments]] treats the
+    * `chq_sketch` column as sketches-go DataDog-proto bytes — what a
+    * REFERENCE-written segment stores at rest
+    * (promql/aggregator.go:48-61 round-trips sketches-go proto.Marshal
+    * bytes through its segments) — and converts them to graft sketch
+    * bytes on read via [[graft.sketch.DDSketchProto]]. Opt-in exactly
+    * like [[graft.ops.CompatHash]]'s TID compat: graft's own segments
+    * keep graft's versioned sketch format; the flag is for querying a
+    * reference deployment's segments in place.
+    */
+  val SketchProtoCompatKey = "spark.graft.sketch.protoCompat"
+
+  /** metric-segment read front door: plain parquet scan (partition
+    * pruning on org/dateint/freq rides the layout), plus the opt-in
+    * proto-sketch conversion under [[SketchProtoCompatKey]]. The flag is
+    * read at PLAN time; the conversion is a per-row expression, so
+    * pruning and bloom-filter row-group skipping are untouched.
+    */
+  def readMetricSegments(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val compat = spark.conf.getOption(SketchProtoCompatKey).contains("true")
+    if (compat && df.schema.fieldNames.contains("chq_sketch"))
+      df.withColumn("chq_sketch",
+        graft.sketch.functions.ddsketch_from_proto(col("chq_sketch")))
+    else df
+  }
+
   def writeMetricSegments(cooked: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 2000000L, org: Option[String] = None): Unit = {
     val base = withOrg(cooked, org)

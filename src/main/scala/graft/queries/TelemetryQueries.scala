@@ -158,6 +158,42 @@ object TelemetryQueries extends Catalog {
      LEFT JOIN q95 USING (chq_timestamp, attr_event_type)"""
   }
 
+  /** At-rest sketches-go read-compat (r12 VERDICT #6): a metric segment
+    * whose `chq_sketch` column carries DataDog-proto bytes — what a
+    * REFERENCE-written segment stores; the fixture bytes are generated
+    * through graft's proto encoder since no sketches-go library exists in
+    * this environment — is written to disk, then read back through
+    * [[Segments.readMetricSegments]] under the proto-compat session flag,
+    * which converts the column to graft sketch bytes ON READ. Quantiles
+    * come off the read-back; the oracle re-derives them independently
+    * (the [[protoSketchRoundtripSql]] bucket replay, reused verbatim —
+    * the at-rest leg changes where the bytes live, not their content).
+    */
+  private def sketchCompat(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{functions => gf}
+    val dir = Files.createTempDirectory("graft_tq_skcompat_").toString
+    val cooked = MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = true)
+      .withColumn("chq_sketch", gf.ddsketch_to_proto(col("chq_sketch")))
+    Segments.writeMetricSegments(cooked, dir)
+    val prev = s.conf.getOption(Segments.SketchProtoCompatKey)
+    s.conf.set(Segments.SketchProtoCompatKey, "true")
+    try {
+      Segments.readMetricSegments(s, dir)
+        .select(col("chq_timestamp"), col("attr_event_type"),
+          col("chq_rollup_count"),
+          round(gf.ddsketch_quantile(col("chq_sketch"), 0.5), 6).as("p50"),
+          round(gf.ddsketch_quantile(col("chq_sketch"), 0.95), 6).as("p95"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(Segments.SketchProtoCompatKey, v)
+        case None => s.conf.unset(Segments.SketchProtoCompatKey)
+      }
+    }
+  }
+
   /** full rollup chain 10s→60s→300s→1200s→3600s; the hourly tier must
     * equal a direct hourly aggregation of the raw events (associativity
     * through four re-aggregations).
@@ -1548,6 +1584,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_preagg_percentiles", preaggPercentiles, Some(preaggPercentilesSql)),
     Q("tq_proto_sketch_roundtrip", protoSketchRoundtrip,
       Some(protoSketchRoundtripSql)),
+    Q("tq_sketch_compat", sketchCompat, Some(protoSketchRoundtripSql)),
     Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_log_roundtrip", logSegmentRoundtrip, Some(logSegmentRoundtripSql)),

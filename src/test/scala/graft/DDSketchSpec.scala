@@ -141,6 +141,43 @@ class DDSketchSpec extends AnyFunSuite {
     assert(ms.length == 16 && ms.forall(v => v >= 0 && v < (1L << 48)))
   }
 
+  test("readMetricSegments proto-compat flag decodes sketches-go bytes at rest") {
+    import graft.ingest.{MetricsPreAgg, Segments}
+    import TestSpark._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_skcompat_spec_").toString
+    // a "reference-written" segment: chq_sketch holds DataDog-proto bytes
+    val cooked = MetricsPreAgg.preAggregate(
+      graft.model.Tables.events(spark, sf), col("ts_ms"),
+      lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 60000L,
+      withSketch = true)
+      .withColumn("chq_sketch", gf.ddsketch_to_proto(col("chq_sketch")))
+    Segments.writeMetricSegments(cooked, dir)
+    // flag OFF: bytes come back verbatim (graft never rewrites at rest) —
+    // and they are NOT graft-format (quantile on them must fail)
+    spark.conf.unset(Segments.SketchProtoCompatKey)
+    val rawRead = Segments.readMetricSegments(spark, dir)
+    intercept[Exception] {
+      rawRead.select(gf.ddsketch_quantile(col("chq_sketch"), 0.5)).collect()
+    }
+    // flag ON: the same dir serves graft sketches; quantiles match the
+    // in-memory proto round-trip of the same cooked rows
+    spark.conf.set(Segments.SketchProtoCompatKey, "true")
+    try {
+      val got = Segments.readMetricSegments(spark, dir)
+        .select(col("chq_timestamp"), col("attr_event_type"),
+          round(gf.ddsketch_quantile(col("chq_sketch"), 0.95), 6).as("p95"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val want = cooked
+        .select(col("chq_timestamp"), col("attr_event_type"),
+          round(gf.ddsketch_quantile(
+            gf.ddsketch_from_proto(col("chq_sketch")), 0.95), 6).as("p95"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.unset(Segments.SketchProtoCompatKey)
+  }
+
   test("CountMin: overestimate-only, merge-order-insensitive, serde round-trip") {
     import graft.sketch.CountMin
     val vals = (0 until 5000).map(i => s"u${i % 137}")
