@@ -385,4 +385,104 @@ class ScaleSpec extends AnyFunSuite {
     val bad = a.join(b, "pos").filter(col("kb") <= col("ka")).count()
     assert(bad == 0, s"$bad adjacent pairs out of key order")
   }
+
+  test("streaming spines at 10x events: as-of state stays O(keys); " +
+      "rollup rebuild stays O(tier-days); wall ~linear") {
+    // r12 VERDICT #4: the dedup/ANN/BPE spines have the sf1 rehearsal
+    // above; the STREAMING spines only had fixed-size fixtures. Rehearse
+    // 10x event volume and pin the two properties that decide whether
+    // they run for months: state rows scale with KEYS (not stream
+    // length) and the incremental rollup rebuild scales with the
+    // (tier, day) pairs touched (not rows).
+    import graft.streaming.{AsofEvent, StreamAsof, StreamingIngest}
+    import java.nio.file.Files
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // ---- StreamAsof backward: n vs 10n events on 10 keys, 3 waves ----
+    val asofRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+    def runAsof(n: Int): (Double, Long, Long) = {
+      val evs = (0 until n).map { i =>
+        val ts = 1000L + i * 100L
+        if (i % 3 == 0) AsofEvent(i % 10L, ts, 1, i.toLong, 0.0)
+        else AsofEvent(i % 10L, ts, 0, 0L, (i % 50) * 0.5)
+      }
+      val dir = Files.createTempDirectory("graft_scale_sasof_").toString
+      StreamAsof.writeArrivalWaves(
+        evs.grouped(n / 3 + 1)
+          .map(_.toDS(): org.apache.spark.sql.Dataset[AsofEvent]).toSeq,
+        sentinelTs = 100000000L, dir = dir)
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir).as[AsofEvent]
+      val sink = s"scale_sasof_${asofRuns.incrementAndGet()}"
+      val q = StreamAsof.backward(src, toleranceMs = 60000L,
+        watermarkDelay = "5 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      val (wall, _) = timed(try q.processAllAvailable() finally q.stop())
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      val out = spark.table(sink).count()
+      spark.catalog.dropTempView(sink)
+      (wall, stateRows, out)
+    }
+    val (aw1, as1, ao1) = runAsof(3000)
+    val (aw10a, as10, ao10) = runAsof(30000)
+    // the released-rows property at BOTH sizes: one carry row per key
+    // (10 real keys + sentinel), independent of how many events streamed
+    assert(as1 >= 0 && as1 <= 12, s"1x state $as1")
+    assert(as10 >= 0 && as10 <= 12,
+      s"state grew with the stream: $as10 rows for 30k events")
+    assert(ao10 == ao1 * 10, s"probe outputs $ao1 -> $ao10 not 10x")
+    // confirm-retry before flagging wall (host-contention lesson)
+    val aw10 = if (aw10a / math.max(aw1, 0.4) >= 20.0)
+      math.min(aw10a, runAsof(30000)._1) else aw10a
+    info(f"stream_asof      3k: $aw1%6.2fs (state $as1)  30k: $aw10%6.2fs (state $as10)")
+    assert(aw10 / math.max(aw1, 0.4) < 20.0 && aw10 < 150.0,
+      f"stream-asof went super-linear: $aw1%.2fs -> $aw10%.2fs")
+
+    // ---- streaming rollup: n vs 10n events over the SAME 2-day span ----
+    def runRollup(n: Int): (Double, Int) = {
+      val ev = spark.range(0, n).select(
+        col("id").as("event_id"),
+        (lit(Day0) + col("id") * lit(2L * 86400000L / n)).as("ts_ms"),
+        concat(lit("t"), pmod(col("id"), lit(4)).cast("string")).as("event_type"),
+        (pmod(col("id"), lit(100)) / 10.0).as("value"))
+      val in = Files.createTempDirectory("graft_scale_roll_in_").toString
+      ev.coalesce(3).write.mode("overwrite").parquet(in)
+      val segDir = Files.createTempDirectory("graft_scale_roll_seg_").toString
+      val commitDir = Files.createTempDirectory("graft_scale_roll_c_").toString
+      val ckpt = Files.createTempDirectory("graft_scale_roll_k_").toString
+      val (wall, _) = timed {
+        val q = StreamingIngest.segmentWriteStream(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(in),
+          b => graft.ingest.MetricsPreAgg.preAggregate(b, col("ts_ms"),
+            lit("events_value"), col("value"),
+            Seq("attr_event_type" -> col("event_type")),
+            freqMs = 10000L, withSketch = false),
+          segDir, commitDir, ckpt, rollupTiers = Seq(3600000L))
+        q.awaitTermination()
+      }
+      val rollupDirs = Option(new java.io.File(segDir).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("ingest_batch=rollup-"))
+      (wall, rollupDirs)
+    }
+    val (rw1, rd1) = runRollup(3000)
+    val (rw10a, rd10) = runRollup(30000)
+    // tier-day directories: 1 tier x 2 days at BOTH sizes — the rebuild
+    // unit is (tier, day), never rows
+    assert(rd1 == 2 && rd10 == 2, s"rollup dirs $rd1 / $rd10, want 2")
+    val rw10 = if (rw10a / math.max(rw1, 0.4) >= 20.0)
+      math.min(rw10a, runRollup(30000)._1) else rw10a
+    info(f"stream_rollup    3k: $rw1%6.2fs ($rd1 dirs)  30k: $rw10%6.2fs ($rd10 dirs)")
+    assert(rw10 / math.max(rw1, 0.4) < 20.0 && rw10 < 150.0,
+      f"stream-rollup went super-linear: $rw1%.2fs -> $rw10%.2fs")
+  }
 }
