@@ -445,6 +445,32 @@ object Dedup {
     df.join(clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol)), Seq(idCol), "left_anti")
 
+  /** Cluster-aware KEEP-BEST dedup apply — the curation policy real
+    * pipelines want over [[applyClusters]]'s keep-canonical-id: within
+    * each near-dup cluster keep the member with the HIGHEST quality
+    * score (ties by lowest id), drop the rest; docs in no cluster
+    * survive untouched. `scored` carries (idCol, scoreCol) — any
+    * deterministic per-doc score ([[TextOps.qualityLr]]'s rounded logit
+    * in the catalog row, so the choice replays bit-identically in an
+    * external engine). Scale shape: one equi-join of cluster labels to
+    * scores, one map-side-combined argmax per component (one row per
+    * cluster reaches the shuffle), one anti-join — all keyed, nothing
+    * pairwise beyond what the pairs stage already bounded.
+    */
+  def applyClustersKeepBest(df: DataFrame, clusters: DataFrame,
+      scored: DataFrame, idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
+    val labeled = clusters.select(col("id").as(idCol), col("comp"))
+      .join(scored.select(col(idCol), col(scoreCol).as("__q")), Seq(idCol))
+    val best = labeled.groupBy(col("comp"))
+      .agg(max_by(col(idCol),
+        struct(col("__q"), (-col(idCol)).as("__t"))).as("__keep"))
+    val removed = labeled.join(best, Seq("comp"))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol))
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature (`bits`-wide, ≤ 48): per token-with-multiplicity,
     * ±1 vote per bit of the token hash; sign vector packed into a long.
     */

@@ -1028,6 +1028,54 @@ object PipelineQueries extends Catalog {
             CAST(sum(doc_id) AS BIGINT) AS id_sum
      FROM documents WHERE doc_id NOT IN (SELECT id FROM removed)"""
 
+  /** keep-BEST-per-cluster removal ([[Dedup.applyClustersKeepBest]]):
+    * the survivor of each near-dup cluster is its highest-quality member
+    * (qualityLr's rounded logit, ties by lowest id), not the min-id
+    * canonical — what a real curation pipeline keeps. The oracle chains
+    * three verified fragments: the LSH pair generation + reachability
+    * closure (dedupApply's), the quality replay (qualityLrSql), and a
+    * per-component (logit DESC, id ASC) rank-1.
+    */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val clusters = Dedup.components(
+      Dedup.minhashLsh(ds, "text", k = 16, bands = 4, w = 5, threshold = 0.5))
+    Dedup.applyClustersKeepBest(ds, clusters,
+      TextOps.qualityLr(ds, "text"), scoreCol = "lr_logit")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(lit(ds.count()).as("n_docs"), col("n_survivors"), col("id_sum"))
+  }
+
+  private def dedupKeepBestSql =
+    s"""WITH RECURSIVE pairs_q AS ($minhashLshSql),
+     edges AS (
+       SELECT a AS x, b AS y FROM pairs_q
+       UNION
+       SELECT b AS x, a AS y FROM pairs_q),
+     nodes AS (SELECT DISTINCT x AS id FROM edges),
+     walk(id, r) AS (
+       SELECT id, id FROM nodes
+       UNION
+       SELECT w.id, e.y FROM walk w JOIN edges e ON w.r = e.x),
+     comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+     q AS ($qualityLrSql),
+     scored AS (
+       SELECT c.id, c.comp, q.lr_logit FROM comp c JOIN q ON q.doc_id = c.id),
+     best AS (
+       SELECT comp, id AS keep_id FROM (
+         SELECT comp, id,
+                row_number() OVER (PARTITION BY comp
+                                   ORDER BY lr_logit DESC, id ASC) AS rk
+         FROM scored) WHERE rk = 1),
+     removed AS (
+       SELECT s.id FROM scored s JOIN best b USING (comp)
+       WHERE s.id <> b.keep_id)
+     SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_survivors,
+            CAST(sum(doc_id) AS BIGINT) AS id_sum
+     FROM documents WHERE doc_id NOT IN (SELECT id FROM removed)"""
+
   /** deterministic per-language Bernoulli rates ([[graft.ops.Sampling]]):
     * downsample dominant en, keep rare langs — binary-exact rates so the
     * `< rate` comparison replays bit-identically in DuckDB
@@ -2320,6 +2368,76 @@ object PipelineQueries extends Catalog {
        FROM nn GROUP BY 1"""
   }
 
+  /** ANN-shortlist + exact-rerank 1-NN accuracy
+    * ([[Similarity.knnLabelEvalAnn]]): the billions-of-vectors eval
+    * shape — the neighbor side comes from the IVF probe, nothing
+    * quadratic anywhere. The oracle chains the proven IVF CTE spine
+    * (ivfAnnSql's params/cents/lists) with the sampled query set and a
+    * per-query (cos DESC, id ASC) rank-1: since shortlist AND rerank
+    * both rank the raw cosine, the rerank argmax equals the candidate
+    * argmax, which the oracle states directly.
+    */
+  private def knnEvalAnnQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnLabelEvalAnn(Tables.embeddings(s, d), m = 64,
+      shortK = 8, centroids = 0, nProbe = 4)
+
+  private def knnEvalAnnSql: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH params AS (
+       SELECT least(4096, greatest(4,
+         CAST(pow(2, ceil(log2(CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT))) AS c
+       FROM embeddings),
+     cents AS (
+       SELECT vec_id AS cid, embedding AS cemb
+       FROM (SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings)
+       WHERE rn <= (SELECT c FROM params)),
+     assign_all AS (
+       SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cemb")} AS csim
+       FROM embeddings e CROSS JOIN cents c),
+     lists AS (
+       SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+         FROM assign_all) WHERE rk <= 1),
+     qset AS MATERIALIZED (
+       SELECT vec_id, label FROM embeddings
+       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 64),
+     probes AS (
+       SELECT vec_id AS query_id, cid FROM (
+         SELECT a.vec_id, a.cid,
+                row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY a.csim DESC, a.cid ASC) AS rk
+         FROM assign_all a JOIN qset qs ON qs.vec_id = a.vec_id)
+       WHERE rk <= 4),
+     cand AS (
+       SELECT p.query_id, l.vec_id
+       FROM lists l JOIN probes p ON l.cid = p.cid
+       WHERE l.vec_id <> p.query_id),
+     nn AS (
+       SELECT query_id, nid FROM (
+         SELECT c.query_id, c.vec_id AS nid,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY ${cos("q.embedding", "v.embedding")} DESC,
+                           c.vec_id ASC) AS rk
+         FROM cand c
+         JOIN embeddings q ON q.vec_id = c.query_id
+         JOIN embeddings v ON v.vec_id = c.vec_id) WHERE rk = 1)
+     SELECT qs.label, count(*) AS n,
+            CAST(sum(CASE WHEN vl.label = qs.label THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct,
+            CAST(sum(CASE WHEN vl.label = qs.label THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS acc
+     FROM nn
+     JOIN qset qs ON qs.vec_id = nn.query_id
+     JOIN embeddings vl ON vl.vec_id = nn.nid
+     GROUP BY 1"""
+  }
+
   private def coresetQ(s: SparkSession, d: String): DataFrame =
     Similarity.kcenterCoreset(Tables.embeddings(s, d), k = 8)
 
@@ -3006,6 +3124,7 @@ object PipelineQueries extends Catalog {
     Q("it_stream_neardup_persist", streamNearDupPersist, Some(streamNearDupSql)),
     Q("pp_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("pp_dedup_apply", dedupApply, Some(dedupApplySql)),
+    Q("pp_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("pp_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("pp_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     Q("pp_shard_manifest", shardManifest, Some(shardManifestSql)),
@@ -3044,6 +3163,7 @@ object PipelineQueries extends Catalog {
     Q("pp_kmeans", kmeansQ, Some(kmeansSql)),
     Q("pp_knn_eval", knnEvalQ, Some(knnEvalSql)),
     Q("pp_knn_eval_sampled", knnEvalSampledQ, Some(knnEvalSampledSql)),
+    Q("pp_knn_eval_ann", knnEvalAnnQ, Some(knnEvalAnnSql)),
     Q("pp_coreset", coresetQ, Some(coresetSql)),
     Q("pp_media_video", mediaVideo, Some(mediaVideoSql)),
     Q("pp_media_video_mjpg", mediaVideoMjpg, Some(mediaVideoMjpgSql)),

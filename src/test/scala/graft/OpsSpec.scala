@@ -404,6 +404,24 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 3L, 5L))
   }
 
+  test("applyClustersKeepBest keeps the highest-score member, not the min id") {
+    val clusters = Dedup.components(
+      Dedup.minhashLsh(corpus, "text", k = 16, bands = 4, w = 5, threshold = 0.5))
+    // score the cluster {1, 2, 4} so that 4 (NOT the min id) wins; ties
+    // elsewhere are irrelevant (singletons never consult the score)
+    val scored = corpus.select($"doc_id",
+      when($"doc_id" === 4L, 9.0).otherwise($"doc_id".cast("double") * 0.1)
+        .as("score"))
+    val survivors = Dedup.applyClustersKeepBest(corpus, clusters, scored)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(4L, 3L, 5L), survivors.toString)
+    // equal scores fall back to the lowest id — applyClusters' answer
+    val flat = corpus.select($"doc_id", lit(1.0).as("score"))
+    val tied = Dedup.applyClustersKeepBest(corpus, clusters, flat)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 3L, 5L), tied.toString)
+  }
+
   test("incremental dedup matches incoming docs against the existing corpus only") {
     val existing = corpus.filter($"doc_id" <= 3)
     val incoming = corpus.filter($"doc_id" >= 4)
