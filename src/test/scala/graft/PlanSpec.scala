@@ -81,6 +81,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("keep-best dedup apply stays keyed: no cartesian, argmax not window") {
+    val p = plan("pp_dedup_keep_best")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-cluster best is a partial-aggregated max_by, not an
+    // all-members window sort
+    assert(p.contains("max_by") || p.contains("partial_max_by"), p.take(2000))
+  }
+
+  test("ANN 1-NN eval: shortlist rides the IVF equi-join, rerank is keyed") {
+    val p = plan("pp_knn_eval_ann")
+    // the ONLY nested-loop is the bounded broadcast of the m-query /
+    // centroid statistics; the corpus side must never cross-join itself
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
   test("as-of join: one key-partitioned window, no join operator at all") {
     // the union+window form must not contain ANY join node (a range-join
     // formulation would show a nested loop here) and its window must be
