@@ -60,20 +60,25 @@ object Bench {
       case None => if (!noted && warm > absSlow * inflate) Some(absSlow) else None
     }
 
-  /** Run-level contention factor: this run's summed task-CPU over the
-    * baseline's, on rows BOTH runs measured. Task CPU barely moves with
-    * engine-level regressions confined to one query but rises run-wide
-    * when the host is oversubscribed (r12's driver run: +51% on every
-    * family at an identical HEAD), so a whole-run ratio isolates the
-    * machine from the code. Guarded: needs enough common rows and CPU
-    * mass to be meaningful, never deflates (<1 → 1), capped at 4x so a
-    * pathological baseline cannot disable flagging entirely.
+  /** Run-level contention factor: this run's summed metric (task-CPU or
+    * wall) over the baseline's, on rows BOTH runs measured. A regression
+    * confined to a few queries barely moves a 271-row sum, but an
+    * oversubscribed host moves it run-wide (r12's driver run: +51% CPU
+    * on every family at an identical HEAD), so a whole-run ratio
+    * isolates the machine from the code. The caller takes the MAX of
+    * the CPU-based and wall-based factors: CPU catches compute
+    * contention; the wall ratio catches I/O/scheduler contention that
+    * inflates wall while CPU stays flat (observed in r13: wall +29%
+    * run-wide at cpu_total within 0.5% of the committed run). Guarded:
+    * needs enough common rows and metric mass to be meaningful, never
+    * deflates (<1 → 1), capped at 4x so a pathological baseline cannot
+    * disable flagging entirely.
     */
-  def inflationFactor(curCpu: Map[String, Double],
-      baseCpu: Map[String, Double]): Double = {
-    val common = curCpu.keySet intersect baseCpu.keySet
-    val baseSum = common.toSeq.map(baseCpu).sum
-    val curSum = common.toSeq.map(curCpu).sum
+  def inflationFactor(cur: Map[String, Double],
+      base: Map[String, Double]): Double = {
+    val common = cur.keySet intersect base.keySet
+    val baseSum = common.toSeq.map(base).sum
+    val curSum = common.toSeq.map(cur).sum
     if (common.size < 20 || baseSum < 5.0) 1.0
     else math.min(4.0, math.max(1.0, curSum / baseSum))
   }
@@ -277,6 +282,11 @@ object Bench {
         "direction (watermark-proven liveness nulls)"),
       "pp_incremental_persist" -> ("builds a signature store inside the row, then the " +
         "store-served refresh: two minhash passes + a parquet roundtrip by design"),
+      "it_stream_neardup_persist" -> ("streaming spine like it_stream_asof: builds a " +
+        "signature store + banded reference, then 3 stateless micro-batches against it " +
+        "with memory-sink commits by design"),
+      "pp_dedup_keep_best" -> ("the full pp_dedup_apply pipeline (LSH pairs + component " +
+        "convergence) plus the per-cluster quality argmax and anti-join"),
       "it_http_metrics" -> ("time-sliced SSE since r12: a 14-day query runs as 8 ordered " +
         "slice jobs (prefetched concurrently, shared scan/index hoisted) instead of one — " +
         "trades ~1s of job overhead for first-slice latency, the reference's streaming UX"),
@@ -334,10 +344,13 @@ object Bench {
     val total = results.map(_._2).sum
     val cpuTotal = cpuSecs.map(_._2).sum
 
-    val inflate = inflationFactor(cpuSecs.toMap, baseCpu)
+    val inflate = math.max(
+      inflationFactor(cpuSecs.toMap, baseCpu),
+      inflationFactor(results.toMap, baseline))
     if (inflate > 1.05)
-      System.err.println(f"[bench] run-level CPU contention factor $inflate%.2fx " +
-        "(vs baseline on common rows) — regression thresholds scaled accordingly")
+      System.err.println(f"[bench] run-level contention factor $inflate%.2fx " +
+        "(max of CPU and wall ratios vs baseline on common rows) — " +
+        "regression thresholds scaled accordingly")
     val regressions = results.flatMap { case (k, v) =>
       regressionFlag(v, baseline.get(k), notes.contains(k), inflate = inflate)
         .map(b => (k, b, v))

@@ -150,6 +150,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.inflationFactor(base.map { case (k, v) => k -> v * 9 }, base) == 4.0)
   }
 
+  test("wall-only contention scales thresholds even when CPU is flat") {
+    // r13 observation: a run with cpu_total within 0.5% of committed but
+    // wall +29% run-wide (I/O/scheduler contention) — the CPU factor
+    // alone sees nothing; the max-of-both composition must catch it
+    val base = (0 until 25).map(i => s"q$i" -> 1.0).toMap
+    val wallInflated = base.map { case (k, v) => k -> v * 1.3 }
+    val f = math.max(Bench.inflationFactor(base, base),
+      Bench.inflationFactor(wallInflated, base))
+    assert(math.abs(f - 1.3) < 1e-9)
+    assert(Bench.regressionFlag(1.6, Some(1.0), noted = false, inflate = f).isEmpty)
+    assert(Bench.regressionFlag(2.5, Some(1.0), noted = false, inflate = f)
+      .contains(1.0))
+  }
+
   test("schedule is deterministic per seed and covers every query") {
     val names = (0 until 12).map(i => s"q$i")
     def order(seed: Long): Seq[String] = {
