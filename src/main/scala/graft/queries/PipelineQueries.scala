@@ -1744,19 +1744,47 @@ object PipelineQueries extends Catalog {
   private val annIdxDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def annPersisted(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val key = d + "@" + s.hashCode()
-    // build INSIDE computeIfAbsent: the mapping fn runs at most once per
-    // key and concurrent callers block until it completes, so no reader
-    // can ever see a half-written index dir
-    val dir = annIdxDirs.computeIfAbsent(key, _ => {
+  /** the per-(dataset, session) memoized index dir both persisted-ANN
+    * rows probe; build INSIDE computeIfAbsent: the mapping fn runs at
+    * most once per key and concurrent callers block until it completes,
+    * so no reader can ever see a half-written index dir
+    */
+  private def annIndexDir(s: SparkSession, d: String): String =
+    annIdxDirs.computeIfAbsent(d + "@" + s.hashCode(), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
-      Similarity.buildIvfIndex(emb, p)
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), p)
       p
     })
-    Similarity.ivfTopKFromIndex(s, dir, emb.filter(col("vec_id") < 5),
-      k = 10, nProbe = 4)
+
+  private def annPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKFromIndex(s, annIndexDir(s, d),
+      emb.filter(col("vec_id") < 5), k = 10, nProbe = 4)
+  }
+
+  /** the same persisted index served by a STREAM of probe vectors
+    * ([[graft.streaming.StreamingAnn.probeStream]]): the five ivf-oracle
+    * queries arrive as 2 micro-batches, each runs the partition-pruned
+    * probe in foreachBatch, per-batch results land in idempotent dirs —
+    * per-query top-k is batching-independent, so the oracle is
+    * [[ivfAnnSql]] VERBATIM.
+    */
+  private def annStreamPersist(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(s, d)
+    val idx = annIndexDir(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val in = Files.createTempDirectory("graft_it_sann_in_").toString
+    queries.repartition(2).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_it_sann_out_").toString
+    val ckpt = Files.createTempDirectory("graft_it_sann_ckpt_").toString
+    val q = graft.streaming.StreamingAnn.probeStream(
+      s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      idx, out, ckpt, k = 10, nProbe = 4)
+    q.awaitTermination()
+    s.read.parquet(out).select(col("query_id"), col("vec_id"), col("sim"))
   }
 
   private val ivfAnnSql = {
@@ -3141,6 +3169,7 @@ object PipelineQueries extends Catalog {
     Q("pp_ivf_ann", ivfAnn, Some(ivfAnnSql)), // + recall vs brute force in spec
     // same oracle verbatim: the stored-index path must equal in-memory IVF
     Q("pp_ann_persisted", annPersisted, Some(ivfAnnSql)),
+    Q("it_stream_ann_persist", annStreamPersist, Some(ivfAnnSql)),
     Q("pp_pq_ann", pqAnn, Some(pqAnnSql)),
     Q("pp_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     Q("pp_semantic_dedup", semDedup, Some(semDedupSql)),

@@ -215,6 +215,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == refSet(ref) && served.nonEmpty)
   }
 
+  test("streaming ANN probes against the persisted index equal the batch probe") {
+    import graft.ops.Similarity
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft_sann_idx_").toString
+    Similarity.buildIvfIndex(emb, idx)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"))
+    val in = Files.createTempDirectory("graft_sann_in_").toString
+    queries.repartition(3).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_sann_out_").toString
+    val ckpt = Files.createTempDirectory("graft_sann_ckpt_").toString
+    val q = graft.streaming.StreamingAnn.probeStream(
+      spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      idx, out, ckpt, k = 10, nProbe = 4)
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(Similarity.ivfTopKFromIndex(spark, idx, queries,
+      k = 10, nProbe = 4))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("stateful streaming sessionization equals batch-closed sessions") {
     import graft.streaming.{Session, SessionEvent, Sessionize}
     import spark.implicits._
