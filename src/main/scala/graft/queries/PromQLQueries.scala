@@ -188,6 +188,56 @@ object PromQLQueries extends Catalog {
                max(bsum) AS max_v, CAST(count(bsum) AS DOUBLE) AS cnt_v
         FROM step WHERE ts >= $Start AND ts < $End GROUP BY ts""")),
 
+    Q("pq_agg_multi_by",
+      { (s, d) =>
+        // the BY-grouped multi-agg path of Engine.queryMulti (r13): a
+        // dashboard panel's max/min/sum per event type ACROSS services
+        // on one shared scan. Two-label store (event type × service) so
+        // the by-grouping genuinely aggregates across series — the
+        // default store's single label would make by == leaf identity.
+        val ev = graft.model.Tables.events(s, d)
+        val cooked2 = ev
+          .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(60000L))
+          .withColumn("attr_event_type", col("event_type"))
+          .withColumn("resource_service_name",
+            concat(lit("svc-"), (col("user_id") % 5).cast("string")))
+          .groupBy(col("chq_timestamp"), col("attr_event_type"),
+            col("resource_service_name"))
+          .agg(sum(col("value")).as("chq_rollup_sum"),
+            count(lit(1)).cast("double").as("chq_rollup_count"),
+            min(col("value")).as("chq_rollup_min"),
+            max(col("value")).as("chq_rollup_max"))
+          .withColumn("metric_name", lit("events_value"))
+          .withColumn("chq_metric_type", lit("gauge"))
+        val p = QueryParams(Start, End, StepMs)
+        // sum recovered onto the exact cents grid (events.value is
+        // 2-decimal quantized) — the core_* precedent for cross-engine
+        // float-sum hashing; max/min are order-free
+        Engine.queryMulti(Seq(
+          "max_v" -> "max by (attr_event_type) (events_value)",
+          "min_v" -> "min by (attr_event_type) (events_value)",
+          "sum_v" -> "sum by (attr_event_type) (events_value)"),
+          MetricStore(cooked2), p)
+          .withColumn("sum_v",
+            round(col("sum_v") * 100, 0).cast("long") / 100.0)
+      },
+      Some(s"""WITH cooked2 AS (
+          SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS chq_timestamp,
+                 event_type AS attr_event_type,
+                 'svc-' || CAST(user_id % 5 AS VARCHAR) AS resource_service_name,
+                 sum("value") AS chq_rollup_sum
+          FROM events GROUP BY 1, 2, 3),
+        step AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 attr_event_type, resource_service_name,
+                 sum(chq_rollup_sum) AS bsum
+          FROM cooked2
+          WHERE chq_timestamp >= $Start AND chq_timestamp < $End
+          GROUP BY 1, 2, 3)
+        SELECT ts, attr_event_type, max(bsum) AS max_v, min(bsum) AS min_v,
+               CAST(round(sum(bsum) * 100, 0) AS BIGINT) / 100.0 AS sum_v
+        FROM step WHERE ts >= $Start AND ts < $End GROUP BY 1, 2""")),
+
     Q("pq_topk",
       run("topk(2, events_value)"),
       Some(s"""WITH ${stepCte()},
