@@ -287,6 +287,9 @@ object Bench {
         "with memory-sink commits by design"),
       "pp_dedup_keep_best" -> ("the full pp_dedup_apply pipeline (LSH pairs + component " +
         "convergence) plus the per-cluster quality argmax and anti-join"),
+      "it_stream_ann_persist" -> ("streaming spine: builds/reuses the persisted IVF " +
+        "index, then 2 foreachBatch probe micro-batches with per-batch parquet commits " +
+        "by design"),
       "it_http_metrics" -> ("time-sliced SSE since r12: a 14-day query runs as 8 ordered " +
         "slice jobs (prefetched concurrently, shared scan/index hoisted) instead of one — " +
         "trades ~1s of job overhead for first-slice latency, the reference's streaming UX"),

@@ -241,6 +241,44 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("index refresh between probe-stream runs: appended vectors become visible") {
+    import graft.ops.Similarity
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft_sann_rf_idx_").toString
+    // build over HALF the corpus, probe, then append the other half and
+    // probe again on a fresh run — the second run's candidates must
+    // include appended vectors (the restart-against-a-new-snapshot
+    // refresh contract, with the quantizer held fixed by append)
+    val (oldHalf, newHalf) =
+      (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 =!= 0))
+    Similarity.buildIvfIndex(oldHalf, idx)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    val in = Files.createTempDirectory("graft_sann_rf_in_").toString
+    queries.write.mode("overwrite").parquet(in)
+    def run(tag: Int): Set[(Long, Long, Double)] = {
+      val out = Files.createTempDirectory(s"graft_sann_rf_out${tag}_").toString
+      val ckpt = Files.createTempDirectory(s"graft_sann_rf_ck${tag}_").toString
+      val q = graft.streaming.StreamingAnn.probeStream(
+        spark.readStream.schema(queries.schema).parquet(in),
+        idx, out, ckpt, k = 10, nProbe = 4)
+      q.awaitTermination()
+      spark.read.parquet(out).select(col("query_id"), col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val before = run(1)
+    assert(before.nonEmpty && before.forall(_._2 % 2 == 0),
+      "pre-append results must come from the built half")
+    Similarity.appendToIvfIndex(newHalf, idx)
+    val after = run(2)
+    assert(after.exists(_._2 % 2 != 0),
+      "appended vectors never surfaced in the refreshed run")
+    // and the refreshed run equals the batch probe over the full index
+    val batch = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == batch)
+  }
+
   test("stateful streaming sessionization equals batch-closed sessions") {
     import graft.streaming.{Session, SessionEvent, Sessionize}
     import spark.implicits._
