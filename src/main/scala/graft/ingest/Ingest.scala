@@ -552,7 +552,10 @@ object Segments {
     * schema union, let the caller write the sorted rewrite to a temp dir,
     * then double-rename with rollback
     */
-  private def compactWithSwap(spark: SparkSession, dir: String)(
+  /** private[graft]: the IVF index compactor ([[graft.ops.Similarity
+    * .compactIvfIndex]]) reuses the same staged-swap contract over its
+    * lists directory */
+  private[graft] def compactWithSwap(spark: SparkSession, dir: String)(
       write: DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): DataFrame = {
     val tmp = dir.stripSuffix("/") + ".compact_tmp"
     val old = dir.stripSuffix("/") + ".compact_old"

@@ -1081,6 +1081,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4)) == inMem)
   }
 
+  test("IVF list compaction: append-decayed files collapse; answers bit-identical") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_cmp_").toString
+    // build over a third, then three appends -> each touched cid
+    // partition accumulates one small file per append batch
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 4 === 0), dir)
+    (1 to 3).foreach(r => Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === r), dir))
+    def parquetFiles(): Int = {
+      val base = java.nio.file.Paths.get(dir, "lists")
+      val st = java.nio.file.Files.walk(base)
+      try st.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally st.close()
+    }
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4))
+    val stBefore = Similarity.ivfIndexStats(spark, dir)
+    val filesBefore = parquetFiles()
+    Similarity.compactIvfIndex(spark, dir)
+    val filesAfter = parquetFiles()
+    // one shuffled file per cid partition replaces the per-append shards
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the layout: $filesBefore -> $filesAfter")
+    assert(filesAfter <= stBefore.centroids,
+      s"$filesAfter files for ${stBefore.centroids} lists")
+    // content and statistics unchanged — only the layout moved
+    val stAfter = Similarity.ivfIndexStats(spark, dir)
+    assert(stAfter.total == stBefore.total && stAfter.maxList == stBefore.maxList)
+    assert(rows(Similarity.ivfTopKFromIndex(spark, dir, q, k = 10, nProbe = 4))
+      == before)
+  }
+
   test("IVF drift: skewed appends trip the skew stat; re-cluster restores balance and recall") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_drift_").toString
