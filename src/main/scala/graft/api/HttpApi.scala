@@ -277,14 +277,21 @@ final class HttpApi(
         event(s"""{"type":"done","data":{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}}""")
     } finally {
       // reap whatever prefetch is still in flight: cancel the pool task
-      // AND the tagged Spark jobs of every slice that never streamed
+      // AND the tagged Spark jobs of every slice that never streamed.
+      // AndFutureJobs closes the race where the Callable has started but
+      // not yet submitted its collect job — a plain cancelJobGroup fired
+      // in that window cancels nothing and the late-submitted job would
+      // run to completion cluster-side (r13 review find); the
+      // future-jobs variant marks the (UUID-unique) group so the late
+      // submission is cancelled on arrival.
       if (sliceFuts != null) {
         var j = 0
         while (j < sliceFuts.length) {
           val f = sliceFuts(j)
           if (f != null && !f.isDone) {
             f.cancel(true)
-            try dfs(j).sparkSession.sparkContext.cancelJobGroup(s"$sliceTag-$j")
+            try dfs(j).sparkSession.sparkContext
+              .cancelJobGroupAndFutureJobs(s"$sliceTag-$j")
             catch { case _: Throwable => () }
           }
           j += 1

@@ -61,6 +61,24 @@ object SignatureStore {
   def readSigs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/sigs.parquet").select(col("doc_id"), col("sig"))
 
+  /** The staleness rule as one shared helper: stored signatures cover
+    * `doc_id <= watermark`, existing docs ABOVE it (corpus arrivals
+    * since the last [[write]]) get a fresh signature pass. The fresh
+    * delta is MATERIALIZED once — both the batch refresh's capBuckets
+    * consumers and the streaming screen's per-micro-batch static side
+    * would otherwise recompute the shingle+hash pass per consumer.
+    * Returns (store-served ∪ fresh signatures, store meta).
+    */
+  def sigsWithDelta(existing: DataFrame, textCol: String,
+      dir: String): (DataFrame, Meta) = {
+    val meta = readMeta(dir)
+    val stored = readSigs(existing.sparkSession, dir)
+    val fresh = graft.GraftSession.materialize(
+      Dedup.minhash(existing.filter(col("doc_id") > meta.watermark),
+        textCol, meta.k, meta.w))
+    (stored.unionByName(fresh), meta)
+  }
+
   /** [[Dedup.incrementalDedup]] with the existing side served from the
     * store: stored signatures cover `doc_id <= watermark`, and existing
     * docs ABOVE the watermark (arrivals since the last [[write]]) get a
@@ -73,15 +91,10 @@ object SignatureStore {
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
       textCol: String, dir: String, bands: Int = 4, threshold: Double = 0.5,
       maxDocsPerBucket: Int = 1000): DataFrame = {
-    val meta = readMeta(dir)
-    val spark = existing.sparkSession
-    val stored = readSigs(spark, dir)
-    val fresh = Dedup.minhash(
-      existing.filter(col("doc_id") > meta.watermark), textCol, meta.k, meta.w)
     // stored rides its parquet files (re-read beats re-hash); only the
     // fresh delta — recomputed by both capBuckets consumers otherwise —
-    // is worth pinning
-    val lSigs = stored.unionByName(graft.GraftSession.materialize(fresh))
+    // is worth pinning (sigsWithDelta does exactly that)
+    val (lSigs, meta) = sigsWithDelta(existing, textCol, dir)
     Dedup.incrementalDedupFromSigs(
       lSigs,
       graft.GraftSession.materialize(

@@ -634,14 +634,55 @@ object Similarity {
     */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxSkew: Double = 8.0): Boolean = {
+    recoverIndexSwap(spark, dir)
     val st = ivfIndexStats(spark, dir)
     if (st.total > 0L && st.skew > maxSkew) {
-      val corpus = graft.GraftSession.materialize(
-        spark.read.parquet(s"$dir/lists")
-          .select(col("id").as("vec_id"), col("emb").as("embedding")))
-      buildIvfIndex(corpus, dir)
+      // rebuild into a SIBLING root while the live index stays intact —
+      // never in place: buildIvfIndex writes centroids/ then lists/ as
+      // two separate overwrites, and a crash between them would leave
+      // NEW centroids over OLD cid assignments, silently probing wrong
+      // partitions (r13 review find). The corpus streams straight off
+      // the live lists into the staged build (no in-memory-only copy of
+      // the only store), then the whole root swaps with two renames —
+      // the segment compactor's contract applied index-wide.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dirP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+      val fs = dirP.getFileSystem(conf)
+      val tmpP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_tmp")
+      val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_old")
+      fs.delete(tmpP, true)
+      val corpus = spark.read.parquet(s"$dir/lists")
+        .select(col("id").as("vec_id"), col("emb").as("embedding"))
+      buildIvfIndex(corpus, tmpP.toString)
+      fs.delete(oldP, true)
+      if (!fs.rename(dirP, oldP)) {
+        fs.delete(tmpP, true)
+        throw new java.io.IOException(s"ivf rebuild: could not stage $dir aside")
+      }
+      if (!fs.rename(tmpP, dirP)) {
+        fs.rename(oldP, dirP) // roll back so the index never stays missing
+        fs.delete(tmpP, true)
+        throw new java.io.IOException(s"ivf rebuild swap failed for $dir (rolled back)")
+      }
+      fs.delete(oldP, true)
       true
     } else false
+  }
+
+  /** crash recovery for the whole-index swap: a process that died
+    * between the two renames leaves the live root missing with the data
+    * stranded in `.rebuild_old` — restore it (mirror of
+    * [[graft.ingest.Segments.recoverStagedSwap]]). Called on
+    * maintenance entry; an aborted `.rebuild_tmp` is deleted before the
+    * next build either way.
+    */
+  private def recoverIndexSwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = dirP.getFileSystem(conf)
+    val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_old")
+    if (!fs.exists(dirP) && fs.exists(oldP)) { fs.rename(oldP, dirP); () }
   }
 
   /** Incrementally add vectors to a [[buildIvfIndex]] directory: assign

@@ -80,11 +80,11 @@ object StreamingDedup {
   def bandedReferenceFromStore(spark: org.apache.spark.sql.SparkSession,
       existing: DataFrame, textCol: String, dir: String, bands: Int = 4,
       maxDocsPerBucket: Int = 1000): DataFrame = {
-    val meta = graft.ops.SignatureStore.readMeta(dir)
-    val stored = graft.ops.SignatureStore.readSigs(spark, dir)
-    val fresh = graft.ops.Dedup.minhash(
-      existing.filter(col("doc_id") > meta.watermark), textCol, meta.k, meta.w)
-    bandSigs(stored.unionByName(fresh), meta.k, bands, maxDocsPerBucket)
+    // shared staleness-rule helper; the fresh delta arrives MATERIALIZED
+    // so the stream-static join doesn't re-hash it per micro-batch
+    val (sigs, meta) =
+      graft.ops.SignatureStore.sigsWithDelta(existing, textCol, dir)
+    bandSigs(sigs, meta.k, bands, maxDocsPerBucket)
   }
 
   /** (doc_id, sig) → capped banded reference (shared tail of both

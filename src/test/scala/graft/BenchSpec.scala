@@ -22,8 +22,15 @@ class BenchSpec extends AnyFunSuite {
   test("baselined queries keep the 1.5x / 200ms-floor semantics") {
     assert(Bench.regressionFlag(0.9, Some(0.5), noted = false).contains(0.5))
     assert(Bench.regressionFlag(0.6, Some(0.5), noted = false).isEmpty)
-    // sub-200ms baselines are noise, never flagged
+    // sub-200ms baselines are RATIO noise, never ratio-flagged...
     assert(Bench.regressionFlag(0.25, Some(0.1), noted = false).isEmpty)
+    // ...but keep the absolute ceiling: with committed seeding every row
+    // has a Some baseline, so a 0.1s row regressing to 8.4s must still
+    // flag through the floor (r13 review find)
+    assert(Bench.regressionFlag(8.4, Some(0.1), noted = false).contains(3.0))
+    assert(Bench.regressionFlag(8.4, Some(0.1), noted = true).isEmpty)
+    assert(Bench.wantsRetry(8.4, Some(0.01), noted = false))
+    assert(!Bench.wantsRetry(2.0, Some(0.01), noted = false))
     // a noted row with a real baseline still flags on true regression
     assert(Bench.regressionFlag(2.0, Some(1.0), noted = true).contains(1.0))
   }
