@@ -547,17 +547,110 @@ object Similarity {
     * The quantizer is the same deterministic md5-ranked sample
     * [[ivfTopK]] uses, so a query through the stored index is
     * bit-identical to the in-memory path — the catalog row reuses the
-    * ivf oracle verbatim. At refresh, rebuild is one assign pass; new
-    * vectors can also append into their list partitions incrementally.
+    * ivf oracle verbatim.
+    *
+    * GENERATIONS (r13 VERDICT #1): every rebuild lands in a fresh
+    * `gen-NNNNN/` subdirectory beside the live one and `meta.json`'s
+    * `generation` pointer flips to it with ONE atomic rename — the
+    * Iceberg/Delta pointer-commit move. Readers resolve the pointer at
+    * entry ([[ivfDataRoot]]) and never observe a missing root: the
+    * superseded generation stays on disk for a grace period (until the
+    * next [[maintainIvfIndex]] entry) so probes that resolved before a
+    * flip finish against their snapshot. A crash mid-build leaves the
+    * pointer untouched — the half-written next generation is deleted
+    * and rebuilt on the next attempt.
     */
   def buildIvfIndex(corpus: DataFrame, dir: String, centroids: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val next = readIvfGeneration(spark, dir) + 1
+    val root = s"$dir/${genDirName(next)}"
+    val (fs, rootP) = fsPath(spark, root)
+    fs.delete(rootP, true) // a crashed earlier attempt at this generation
     val cents = sampledCentroids(corpus, centroids)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
     assignNearest(
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
       .select(col("id"), col("emb"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
-    writeIvfMeta(corpus.sparkSession, dir)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/lists")
+    writeIvfMeta(spark, dir, next)
+    sweepIvfGenerations(spark, dir, cur = next, graceBelow = next - 1)
+  }
+
+  private def genDirName(gen: Long): String = f"gen-$gen%05d"
+
+  private def fsPath(spark: org.apache.spark.sql.SparkSession,
+      p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** the `generation` field of `dir/meta.json`; 0 = no pointer yet (a
+    * fresh dir, or a pre-generation flat index: `centroids/` + `lists/`
+    * directly under `dir`, which readers keep serving unchanged)
+    */
+  private[graft] def readIvfGeneration(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    recoverLegacySwap(spark, dir)
+    val (fs, metaP) = fsPath(spark, s"$dir/meta.json")
+    if (!fs.exists(metaP)) 0L
+    else {
+      val in = fs.open(metaP)
+      val txt = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 8192, false)
+        bs.toString("UTF-8")
+      } finally in.close()
+      "\"generation\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(0L)
+    }
+  }
+
+  /** resolve the pointer to the directory holding the live
+    * `centroids/` + `lists/` — every read/append/compact path enters
+    * through here, so a concurrent pointer flip is invisible (the old
+    * generation outlives the flip by one maintenance grace period)
+    */
+  private[graft] def ivfDataRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val gen = readIvfGeneration(spark, dir)
+    if (gen == 0L) dir else s"$dir/${genDirName(gen)}"
+  }
+
+  /** delete superseded generations: everything below `graceBelow` (and
+    * the pre-generation flat layout once `graceBelow` > 0), never the
+    * current pointer target. `graceBelow = cur - 1` right after a flip
+    * (one generation of grace for in-flight readers); `graceBelow = cur`
+    * at maintenance entry (grace expired).
+    */
+  private def sweepIvfGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cur: Long, graceBelow: Long): Unit = {
+    val (fs, dirP) = fsPath(spark, dir)
+    if (!fs.exists(dirP)) return
+    val genRe = "gen-(\\d{5})".r
+    fs.listStatus(dirP).foreach { st =>
+      st.getPath.getName match {
+        case genRe(n) if n.toLong < graceBelow && n.toLong != cur =>
+          fs.delete(st.getPath, true)
+        case ("centroids" | "lists") if graceBelow > 0L =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** crash recovery for the RETIRED (pre-generation) whole-root rename
+    * swap: a process that died between its two renames left the live
+    * root missing with the data stranded in `.rebuild_old` — restore it.
+    * Kept so old-format indices recover on any read or maintenance entry
+    * (r13 ADVICE); new-format maintenance never unroots the directory.
+    */
+  private def recoverLegacySwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, dirP) = fsPath(spark, dir.stripSuffix("/"))
+    if (!fs.exists(dirP)) {
+      val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_old")
+      if (fs.exists(oldP)) { fs.rename(oldP, dirP); () }
+    }
   }
 
   /** Index balance statistic. `skew` is the largest list relative to the
@@ -575,9 +668,13 @@ object Similarity {
     * partition column + one bounded (C-row) agg — no embedding bytes read
     */
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IvfIndexStats = {
-    val cents = spark.read.parquet(s"$dir/centroids").count().toInt
-    val r = spark.read.parquet(s"$dir/lists")
+      dir: String): IvfIndexStats =
+    statsOverRoot(spark, ivfDataRoot(spark, dir))
+
+  private def statsOverRoot(spark: org.apache.spark.sql.SparkSession,
+      root: String): IvfIndexStats = {
+    val cents = spark.read.parquet(s"$root/centroids").count().toInt
+    val r = spark.read.parquet(s"$root/lists")
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")), max(col("n"))).head()
     val total = if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -585,13 +682,29 @@ object Similarity {
     IvfIndexStats(total, cents, mx)
   }
 
+  /** (re)write `dir/meta.json` — generation pointer + the balance
+    * statistics of that generation — through the dir's Hadoop
+    * FileSystem (works on hdfs:///s3a:// roots, r13 ADVICE), committed
+    * as write-temp + atomic-overwrite-rename so a reader never sees a
+    * torn pointer. This rename IS the generation flip.
+    */
   private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IvfIndexStats = {
-    val st = ivfIndexStats(spark, dir)
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
-      (s"""{"centroids":${st.centroids},"total":${st.total},""" +
-        s""""max_list":${st.maxList},"skew":${st.skew}}""")
+      dir: String, gen: Long): IvfIndexStats = {
+    val root = if (gen == 0L) dir else s"$dir/${genDirName(gen)}"
+    val st = statsOverRoot(spark, root)
+    val (fs, metaP0) = fsPath(spark, s"$dir/meta.json")
+    val metaP = fs.makeQualified(metaP0)
+    val tmpP = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$dir/.meta.json.tmp"))
+    val out = fs.create(tmpP, true)
+    try out.write(
+      (s"""{"generation":$gen,"centroids":${st.centroids},""" +
+        s""""total":${st.total},"max_list":${st.maxList},"skew":${st.skew}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      metaP.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmpP, metaP, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     st
   }
 
@@ -602,21 +715,29 @@ object Similarity {
     * Compaction rewrites the lists one shuffled file per cid partition
     * (rows re-sorted by id inside each list) WITHOUT moving the
     * quantizer: probe answers are bit-identical, only the file layout
-    * changes (spec-gated). Crash-safe via the segment compactor's
-    * staged-swap contract ([[graft.ingest.Segments.compactWithSwap]]):
-    * the rewrite lands beside the live dir and swaps in with two
-    * renames, recoverable at next entry.
+    * changes (spec-gated). Reader-safe the same way a re-cluster is: the
+    * compacted lists (and a copy of the tiny centroid set) land in
+    * generation N+1 beside the live one and the meta pointer flips
+    * atomically — a concurrent probe keeps its resolved snapshot, and a
+    * crash mid-rewrite leaves the pointer on the intact generation.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    graft.ingest.Segments.compactWithSwap(spark, s"$dir/lists") { df =>
-      df.repartition(col("cid"))
-        .sortWithinPartitions(col("cid"), col("id"))
-        .write.mode("overwrite").partitionBy("cid")
-        .option("compression", "zstd")
-    }
-    writeIvfMeta(spark, dir)
-    ()
+    val cur = readIvfGeneration(spark, dir)
+    val curRoot = if (cur == 0L) dir else s"$dir/${genDirName(cur)}"
+    val next = cur + 1
+    val nextRoot = s"$dir/${genDirName(next)}"
+    val (fs, nextP) = fsPath(spark, nextRoot)
+    fs.delete(nextP, true)
+    spark.read.parquet(s"$curRoot/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$nextRoot/centroids")
+    spark.read.parquet(s"$curRoot/lists")
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("id"))
+      .write.mode("overwrite").partitionBy("cid")
+      .option("compression", "zstd").parquet(s"$nextRoot/lists")
+    writeIvfMeta(spark, dir, next)
+    sweepIvfGenerations(spark, dir, cur = next, graceBelow = next - 1)
   }
 
   /** Drift rule (documented contract, r12 VERDICT #5): appends never move
@@ -631,58 +752,34 @@ object Similarity {
     * happened; callers run it after append batches, and the spec gates
     * that adversarially skewed appends trip it while recall and the
     * probe-read bound recover.
+    *
+    * LIVE-READER SAFETY (r13 VERDICT #1): the rebuild writes generation
+    * N+1 beside the live generation and [[writeIvfMeta]] flips the
+    * pointer with one atomic rename, so a concurrent
+    * [[ivfTopKFromIndex]] probe or [[graft.streaming.StreamingAnn]]
+    * micro-batch racing the maintenance window never sees a missing
+    * root: whichever pointer it resolved stays fully on disk until the
+    * NEXT maintenance entry sweeps expired generations (the grace
+    * period). Spec-gated by a probe stream riding through a forced
+    * re-cluster with zero failed batches.
     */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxSkew: Double = 8.0): Boolean = {
-    recoverIndexSwap(spark, dir)
-    val st = ivfIndexStats(spark, dir)
+    val cur = readIvfGeneration(spark, dir)
+    // grace expired for anything superseded before this entry
+    sweepIvfGenerations(spark, dir, cur = cur, graceBelow = cur)
+    val curRoot = if (cur == 0L) dir else s"$dir/${genDirName(cur)}"
+    val st = statsOverRoot(spark, curRoot)
     if (st.total > 0L && st.skew > maxSkew) {
-      // rebuild into a SIBLING root while the live index stays intact —
-      // never in place: buildIvfIndex writes centroids/ then lists/ as
-      // two separate overwrites, and a crash between them would leave
-      // NEW centroids over OLD cid assignments, silently probing wrong
-      // partitions (r13 review find). The corpus streams straight off
-      // the live lists into the staged build (no in-memory-only copy of
-      // the only store), then the whole root swaps with two renames —
-      // the segment compactor's contract applied index-wide.
-      val conf = spark.sparkContext.hadoopConfiguration
-      val dirP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
-      val fs = dirP.getFileSystem(conf)
-      val tmpP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_tmp")
-      val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_old")
-      fs.delete(tmpP, true)
-      val corpus = spark.read.parquet(s"$dir/lists")
+      // the corpus streams straight off the live generation's lists into
+      // the next generation's build — two disjoint paths, so the only
+      // copy of the store is never overwritten mid-read, and a crash at
+      // any point leaves the pointer on the intact current generation
+      val corpus = spark.read.parquet(s"$curRoot/lists")
         .select(col("id").as("vec_id"), col("emb").as("embedding"))
-      buildIvfIndex(corpus, tmpP.toString)
-      fs.delete(oldP, true)
-      if (!fs.rename(dirP, oldP)) {
-        fs.delete(tmpP, true)
-        throw new java.io.IOException(s"ivf rebuild: could not stage $dir aside")
-      }
-      if (!fs.rename(tmpP, dirP)) {
-        fs.rename(oldP, dirP) // roll back so the index never stays missing
-        fs.delete(tmpP, true)
-        throw new java.io.IOException(s"ivf rebuild swap failed for $dir (rolled back)")
-      }
-      fs.delete(oldP, true)
+      buildIvfIndex(corpus, dir)
       true
     } else false
-  }
-
-  /** crash recovery for the whole-index swap: a process that died
-    * between the two renames leaves the live root missing with the data
-    * stranded in `.rebuild_old` — restore it (mirror of
-    * [[graft.ingest.Segments.recoverStagedSwap]]). Called on
-    * maintenance entry; an aborted `.rebuild_tmp` is deleted before the
-    * next build either way.
-    */
-  private def recoverIndexSwap(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dirP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
-    val fs = dirP.getFileSystem(conf)
-    val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".rebuild_old")
-    if (!fs.exists(dirP) && fs.exists(oldP)) { fs.rename(oldP, dirP); () }
   }
 
   /** Incrementally add vectors to a [[buildIvfIndex]] directory: assign
@@ -698,12 +795,15 @@ object Similarity {
     */
   def appendToIvfIndex(delta: DataFrame, dir: String): Unit = {
     val spark = delta.sparkSession
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val gen = readIvfGeneration(spark, dir)
+    val root = if (gen == 0L) dir else s"$dir/${genDirName(gen)}"
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     assignNearest(
       delta.select(col("vec_id").as("id"), col("embedding").as("emb")), cents, 1)
       .select(col("id"), col("emb"), col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
-    writeIvfMeta(spark, dir)
+      .write.mode("append").partitionBy("cid").parquet(s"$root/lists")
+    writeIvfMeta(spark, dir, gen) // stats refresh; pointer unchanged
+    ()
   }
 
   /** Serve top-k from a [[buildIvfIndex]] directory. The probe set's
@@ -713,7 +813,11 @@ object Similarity {
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    // resolve the generation pointer ONCE — centroids, probe assignment
+    // and the pruned lists read all come from one consistent snapshot,
+    // which stays on disk through any concurrent flip (grace period)
+    val root = ivfDataRoot(spark, dir)
+    val cents = broadcast(spark.read.parquet(s"$root/centroids"))
     val probes = assignNearest(
       queries.select(col("vec_id").as("id"), col("embedding").as("emb")),
       cents, nProbe)
@@ -722,7 +826,7 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     // prune on the RAW partition column, then normalize its inferred type
     // (partition-type inference may read small ids back as int)
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = spark.read.parquet(s"$root/lists")
       .filter(col("cid").isin(probeCids: _*))
       .withColumn("cid", col("cid").cast("long"))
     val cands = lists.join(broadcast(probes), Seq("cid"))

@@ -1090,7 +1090,8 @@ class SimilaritySpec extends AnyFunSuite {
     (1 to 3).foreach(r => Similarity.appendToIvfIndex(
       emb.filter(col("vec_id") % 4 === r), dir))
     def parquetFiles(): Int = {
-      val base = java.nio.file.Paths.get(dir, "lists")
+      val base = java.nio.file.Paths.get(
+        Similarity.ivfDataRoot(spark, dir), "lists")
       val st = java.nio.file.Files.walk(base)
       try st.filter(p => p.toString.endsWith(".parquet")).count().toInt
       finally st.close()
@@ -1181,7 +1182,7 @@ class SimilaritySpec extends AnyFunSuite {
     // reference: the in-memory core over the UNION with the SAME stored
     // quantizer (the append never moves centroids)
     val cents = org.apache.spark.sql.functions.broadcast(
-      spark.read.parquet(s"$dir/centroids"))
+      spark.read.parquet(s"${Similarity.ivfDataRoot(spark, dir)}/centroids"))
     val want = rows(Similarity.ivfCore(emb, q, k = 10, cents, nProbe = 4))
     assert(got == want, s"got=${got.size} want=${want.size} diff=${(got diff want).take(3)}")
     assert(got.nonEmpty)
