@@ -929,6 +929,36 @@ class SimilaritySpec extends AnyFunSuite {
       TextOps.bpeTrainLarge(runs, "text", numMerges = 10, checkpointEvery = 3))
   }
 
+  test("BPE trainFast minCount floor: no-op below the word-frequency floor, cuts tail noise") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // every distinct word appears >= 2 times (the corpus is doubled), so
+    // a floor of 2 drops nothing and the learned table is bit-identical
+    val sents = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "the jay pig fox zebra and my wolves quack")
+    val doubled = (sents ++ sents).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val unfloored = TextOps.bpeTrainFast(doubled, "text", numMerges = 20)
+    assert(TextOps.bpeTrainFast(doubled, "text", numMerges = 20, minCount = 2L)
+      == unfloored)
+    // heavy-tail corpus: the same doubled text plus 2000 UNIQUE hex-id
+    // noise words (each frequency 1 — the web-scale token tail). With
+    // the floor at 2 the noise is cut inside the distributed aggregate,
+    // so the learned table equals training on the clean corpus alone —
+    // and the driver histogram is vocabulary-, not tail-, sized
+    val noise = (0 until 2000).map { i =>
+      (10000L + i, f"0x${java.lang.Integer.toHexString(i * 2654435761L.toInt)}%s")
+    }.toDF("doc_id", "text")
+    val noisy = doubled.unionByName(noise)
+    assert(TextOps.bpeTrainFast(noisy, "text", numMerges = 20, minCount = 2L)
+      == unfloored)
+    // without the floor the noise DOES reach the merge statistics (hex
+    // pairs accumulate across the tail) — the floor is load-bearing
+    assert(TextOps.bpeTrainFast(noisy, "text", numMerges = 20) != unfloored)
+  }
+
   test("surprisal: hand-checked unigram LM means, token counts") {
     import spark.implicits._
     import graft.ops.TextOps

@@ -295,6 +295,37 @@ class ScaleSpec extends AnyFunSuite {
     Seq(c1, c10, v1, v10).foreach(_.unpersist())
   }
 
+  test("BPE floor on a heavy-tail corpus: driver histogram is vocab-sized, not tail-sized") {
+    // web-scale token noise: 100k docs whose text is mostly UNIQUE hex
+    // ids (the Heaps-curve-breaking tail) around a small real vocabulary.
+    // bpeTrainFast(minCount=2) cuts the tail INSIDE the distributed
+    // aggregate — the driver materializes only the words that can
+    // influence a merge, bounded here to the ~3k real vocab vs the ~100k
+    // distinct tail the unfloored histogram would collect.
+    val real = transform(sequence(lit(1), lit(8)),
+      i => concat(lit("w"), pmod(hash(col("doc_id") + i), lit(3000)).cast("string")))
+    val docs = spark.range(0, 100000L).toDF("doc_id")
+      .withColumn("text", concat(array_join(real, " "), lit(" id"),
+        conv(col("doc_id").cast("string"), 10, 16), lit("deadbeef")))
+      .cache()
+    docs.count()
+    // the exact histogram the trainer aggregates, floored vs not
+    import graft.ops.TextOps
+    def vocabRows(floor: Long): Long = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= floor).count()
+    val tail = vocabRows(1L)
+    val kept = vocabRows(2L)
+    assert(tail > 100000L, s"tail corpus lost its tail: $tail")
+    assert(kept < 4000L, s"floor did not bound the histogram: $kept rows")
+    // and the floored trainer itself completes on the bounded histogram
+    // with a real learned table (same floor as the histogram above)
+    val learned = TextOps.bpeTrainFast(docs, "text", numMerges = 30, minCount = 2L)
+    assert(learned.size == 30 && learned.forall(_._3 >= 2L))
+    docs.unpersist(blocking = false)
+  }
+
   test("as-of + range join at 500k probes / 1000 series: closed-form " +
       "ground truth, no quadratic blowup") {
     import graft.ops.{AsofJoin, RangeJoin}
