@@ -17,7 +17,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   *  - `GET /healthz`, `GET|POST /api/v1/ping`
   *  - `GET|POST /api/v1/metrics/query` — PromQL over metric segments,
-  *    SSE-streamed ([[MetricSegments.query]])
+  *    SSE-streamed ([[MetricSegments.query]]); extra `q2`..`q9` params
+  *    fuse a multi-panel request onto one scan
+  *    ([[MetricSegments.queryMultiAt]], columns `value`, `value2`, ..)
   *  - `GET|POST /api/v1/logs/query` — LogQL over log segments, SSE
   *    ([[LogSegments.query]]; params `q`, `s`, `e`, `limit`, `fields`)
   *  - `GET|POST /api/v1/spans/query` — LogQL-over-spans, SSE
@@ -443,7 +445,17 @@ final class HttpApi(
     val (s, e) = tsRange(p)
     val dir = needDir(metricsDir, "metrics")
     def run = MetricSegments.query(spark, dir, need(p, "q"), s, e, p.get("org"))
-    if (p.get("summary").contains("true"))
+    // multi-expression request (q + q2..q9): the panels fuse onto ONE
+    // pruned scan + engine pass (Engine.queryMulti — identical-selector
+    // aggregations, or identical-selector/range window functions).
+    // Output columns: value, value2, .. valueN. One-shot SSE: the fused
+    // frame is a single bounded result set, not a slice stream.
+    val extra = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
+    if (extra.nonEmpty) {
+      val exprs = ("value" -> need(p, "q")) +: extra
+      sse(ex)(MetricSegments.queryMultiAt(spark, dir, exprs,
+        StepPolicy.paramsFor(s, e), p.get("org")))
+    } else if (p.get("summary").contains("true"))
       sseEach(ex, "summary")(seriesSummary(run))
     else {
       // long ranges stream slice-by-slice in time order (reference

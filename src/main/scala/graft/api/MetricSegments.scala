@@ -156,6 +156,30 @@ object MetricSegments {
     }
   }
 
+  /** A multi-expression request fused onto ONE pruned tier scan
+    * ([[graft.promql.Engine.queryMulti]], r14): a dashboard issuing
+    * several aggregations or range-window panels of the same selector
+    * pays one dateint-pruned segment read and one engine pass instead of
+    * one per panel. `exprs` are (output column, promql); the engine
+    * enforces the identical-selector contract, so the first expression's
+    * lookback and metric exclusions prune for all of them.
+    */
+  def queryMultiAt(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], p: QueryParams,
+      org: Option[String] = None): DataFrame = {
+    require(exprs.nonEmpty, "queryMultiAt needs at least one expression")
+    val e = Parser.parse(exprs.head._2)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    val effStart = p.startMs - maxLookbackMs(e)
+    val excluded = excludedForExpr(spark, segDir, e)
+    val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
+      .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
+        col("dateint") >= StepPolicy.dateintOf(effStart) &&
+        col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+    val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
+    Engine.queryMulti(exprs, storeFrom(scan), p)
+  }
+
   /** true when the expression may be evaluated slice-by-slice: no
     * selector is @-pinned (`@ start()` / `@ end()` resolve against the
     * query bounds and a literal `@ ts` may sit outside any given slice's

@@ -87,15 +87,19 @@ object Engine {
     */
   def queryMulti(exprs: Seq[(String, String)], store: MetricStore,
       p: QueryParams): DataFrame = {
-    require(exprs.nonEmpty, "queryMulti needs at least one aggregation")
-    val parsed = exprs.map { case (alias, q) =>
-      Parser.parse(q).fold(e => throw new IllegalArgumentException(e), identity) match {
-        case Agg(op, s: Selector, by, without, None)
-            if Set("sum", "avg", "min", "max", "count")(op) =>
-          (alias, op, s, by, without)
-        case other => throw new IllegalArgumentException(
-          s"queryMulti supports sum/avg/min/max/count over a selector, got $other")
-      }
+    require(exprs.nonEmpty, "queryMulti needs at least one expression")
+    val parsedAll = exprs.map { case (alias, q) =>
+      alias -> Parser.parse(q).fold(e => throw new IllegalArgumentException(e), identity)
+    }
+    if (parsedAll.forall(_._2.isInstanceOf[RangeFn]))
+      return queryMultiWindow(parsedAll, store, p)
+    val parsed = parsedAll.map {
+      case (alias, Agg(op, s: Selector, by, without, None))
+          if Set("sum", "avg", "min", "max", "count")(op) =>
+        (alias, op, s, by, without)
+      case (_, other) => throw new IllegalArgumentException(
+        s"queryMulti supports sum/avg/min/max/count over a selector, " +
+          s"or all-range-window expressions, got $other")
     }
     val (_, _, sel0, by0, wo0) = parsed.head
     require(parsed.forall { case (_, _, s, b, w) => s == sel0 && b == by0 && w == wo0 },
@@ -116,6 +120,55 @@ object Engine {
       fn.as(alias)
     }
     sf.df.groupBy((col("ts") +: keep.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** the simple range-window functions [[queryMulti]] can fuse — every
+    * one is pure Column algebra over the shared bucketed frame and the
+    * shared range window (irate is excluded: its flag-gated exact mode
+    * forks semantics at plan time and belongs in [[query]])
+    */
+  val MultiWindowFns: Set[String] = Set(
+    "rate", "increase", "delta", "sum_over_time", "count_over_time",
+    "avg_over_time", "min_over_time", "max_over_time",
+    "first_over_time", "last_over_time")
+
+  /** The range-window half of [[queryMulti]] (r13 VERDICT #3): a
+    * dashboard's `rate/increase/avg_over_time` panels over the SAME
+    * selector and range fuse onto ONE leaf scan + ONE step aggregation +
+    * ONE window pass — each expression is just one more window column
+    * over the shared range frame (PlanSpec pins one FileScan, one
+    * Window). Previously each panel re-ran the full engine: N scans, N
+    * shuffles, N window sorts for identical inputs. Output: `ts`, the
+    * store's label columns, one value column per alias; buckets without
+    * full range coverage evaluate to NaN exactly like [[query]].
+    */
+  private def queryMultiWindow(parsedAll: Seq[(String, Expr)],
+      store: MetricStore, p: QueryParams): DataFrame = {
+    val parsed = parsedAll.map {
+      case (alias, RangeFn(fn, s: Selector)) if MultiWindowFns(fn) =>
+        (alias, fn, s)
+      case (_, other) => throw new IllegalArgumentException(
+        s"queryMulti window fusion supports ${MultiWindowFns.mkString("/")} " +
+          s"over a range selector, got $other")
+    }
+    val sel0 = parsed.head._3
+    require(parsed.forall(_._3 == sel0),
+      "queryMulti requires an identical selector (incl. range/offset) across expressions")
+    require(sel0.rangeMs > 0, "queryMulti window fusion needs a range selector")
+    require(sel0.atKind == 0, "@-pinned selectors are not fusable")
+    val (bucketed, labels, step) = leafBucketed(sel0, store, p)
+    val range = sel0.rangeMs
+    val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
+    val rw = w.rangeBetween(math.min(0L, -(range - step)), 0)
+    val firstTs = min(col("ts")).over(rw)
+    val covered = firstTs <= col("ts") - lit(range) + lit(step)
+    val vals = parsed.map { case (alias, fn, _) =>
+      when(covered, simpleRangeValue(fn, rw, range))
+        .otherwise(lit(Double.NaN)).as(alias)
+    }
+    bucketed
+      .select((col("ts") +: labels.map(col)) ++ vals: _*)
+      .filter(col("ts") >= alignedStart(p) && col("ts") < p.endMs)
   }
 
   private def alignedStart(p: QueryParams): Long =
@@ -567,12 +620,14 @@ object Engine {
       pinned.labels)
   }
 
-  private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
-      predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
-    if (sel.atKind != 0) {
-      return pinToGrid(store, p, sel.atKind, sel.atMs)(pp =>
-        leaf(sel.copy(atKind = 0), fn, store, pp, predictT, hwSf, hwTf))
-    }
+  /** The shared scan → matcher-filter → epoch-aligned step bucket →
+    * partial-agg spine every leaf evaluates — extracted so the fused
+    * multi-expression paths ([[queryMulti]]) reuse ONE of these per
+    * request instead of one per expression. Returns (bucketed frame with
+    * bsum/bcnt/bmin/bmax, label columns, step).
+    */
+  private def leafBucketed(sel: Selector, store: MetricStore,
+      p: QueryParams): (DataFrame, Seq[String], Long) = {
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
     val off = sel.offsetMs
@@ -598,13 +653,53 @@ object Engine {
         sum(coalesce(col("chq_rollup_count"), lit(0.0))).as("bcnt"),
         min(col("chq_rollup_min")).as("bmin"),
         max(col("chq_rollup_max")).as("bmax"))
+    (bucketed, labels, step)
+  }
+
+  /** the simple range-window family's value expression over the bucketed
+    * frame — pure Column algebra on bsum/bcnt/bmin/bmax within the range
+    * frame `rw`, shared verbatim by [[leaf]] and the fused
+    * [[queryMulti]] windowed path so both compile the identical plan
+    */
+  private def simpleRangeValue(fn: String,
+      rw: org.apache.spark.sql.expressions.WindowSpec, range: Long): Column =
+    fn match {
+      case "rate" | "irate" => sum(col("bsum")).over(rw) / lit(range / 1000.0)
+      case "increase" | "sum_over_time" => sum(col("bsum")).over(rw)
+      case "count_over_time" => sum(col("bcnt")).over(rw)
+      case "avg_over_time" =>
+        val c = sum(col("bcnt")).over(rw)
+        when(c === 0, lit(Double.NaN)).otherwise(sum(col("bsum")).over(rw) / c)
+      case "min_over_time" => min(col("bmin")).over(rw)
+      case "max_over_time" => max(col("bmax")).over(rw)
+      case "last_over_time" =>
+        last(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
+      case "first_over_time" =>
+        first(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
+      case "delta" =>
+        // gauge delta at worker granularity: last minus first bucket
+        // average in the window (Prometheus extrapolates between raw
+        // samples; bucketized stores see bucket means — documented)
+        val bavg = col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))
+        last(bavg).over(rw) - first(bavg).over(rw)
+    }
+
+  private def leaf(sel: Selector, fn: String, store: MetricStore, p: QueryParams,
+      predictT: Double = 0.0, hwSf: Double = 0.0, hwTf: Double = 0.0): SeriesFrame = {
+    if (sel.atKind != 0) {
+      return pinToGrid(store, p, sel.atKind, sel.atMs)(pp =>
+        leaf(sel.copy(atKind = 0), fn, store, pp, predictT, hwSf, hwTf))
+    }
+    val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
+    val range = sel.rangeMs
+    val (bucketed, labels, _) = leafBucketed(sel, store, p)
 
     // exact irate (flag-gated): true last-two-buckets semantics — the last
     // delta divided by the gap to the previous bucket, PromQL's irate over
     // bucketized counter deltas — instead of the reference's rate-equivalent
     // deferral (promql/sql_builder.go:51). Conf is read at plan time.
     val exactIrate = fn == "irate" &&
-      df.sparkSession.conf.getOption(ExactIrateKey).contains("true")
+      store.df.sparkSession.conf.getOption(ExactIrateKey).contains("true")
 
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
     val out: DataFrame =
@@ -799,26 +894,7 @@ object Engine {
         // (covered = ts - first + step >= range, leaf_node.go:90-97)
         val firstTs = min(col("ts")).over(rw)
         val covered = firstTs <= col("ts") - lit(range) + lit(step)
-        val value = fn match {
-          case "rate" | "irate" => sum(col("bsum")).over(rw) / lit(range / 1000.0)
-          case "increase" | "sum_over_time" => sum(col("bsum")).over(rw)
-          case "count_over_time" => sum(col("bcnt")).over(rw)
-          case "avg_over_time" =>
-            val c = sum(col("bcnt")).over(rw)
-            when(c === 0, lit(Double.NaN)).otherwise(sum(col("bsum")).over(rw) / c)
-          case "min_over_time" => min(col("bmin")).over(rw)
-          case "max_over_time" => max(col("bmax")).over(rw)
-          case "last_over_time" =>
-            last(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
-          case "first_over_time" =>
-            first(col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))).over(rw)
-          case "delta" =>
-            // gauge delta at worker granularity: last minus first bucket
-            // average in the window (Prometheus extrapolates between raw
-            // samples; bucketized stores see bucket means — documented)
-            val bavg = col("bsum") / when(col("bcnt") === 0, lit(1.0)).otherwise(col("bcnt"))
-            last(bavg).over(rw) - first(bavg).over(rw)
-        }
+        val value = simpleRangeValue(fn, rw, range)
         bucketed.withColumn("value",
           when(covered, value).otherwise(lit(Double.NaN)))
       } else if (fn.nonEmpty && Ast.rangeFns.contains(fn)) {

@@ -238,6 +238,32 @@ object PromQLQueries extends Catalog {
                CAST(round(sum(bsum) * 100, 0) AS BIGINT) / 100.0 AS sum_v
         FROM step WHERE ts >= $Start AND ts < $End GROUP BY 1, 2""")),
 
+    Q("pq_multi_window",
+      { (s, d) =>
+        // the range-window half of Engine.queryMulti (r14): a dashboard's
+        // rate/increase/avg_over_time panels over the same selector fuse
+        // onto ONE leaf scan + ONE step agg + ONE window pass (PlanSpec
+        // pins the plan) instead of three full engine passes. Hash tricks
+        // per column follow the standalone rows: rate recovered onto the
+        // exact cents grid (pq_rate), avg onto the q6 grid
+        // (pq_avg_over_time), increase raw (pq_increase).
+        val store = MetricStore(Cooked.metrics(s, d))
+        val p = QueryParams(Start, End, StepMs)
+        Engine.queryMulti(Seq(
+          "rate_v" -> "rate(events_value[4h])",
+          "inc_v" -> "increase(events_value[4h])",
+          "avg_v" -> "avg_over_time(events_value[4h])"), store, p)
+          .filter(!isnan(col("rate_v")) && !isnan(col("avg_v")))
+          .withColumn("rate_v", exactCents(col("rate_v"), H4))
+          .withColumn("avg_v", q6(col("avg_v")))
+      },
+      Some(s"""WITH ${winCte(H4)}
+        SELECT ts, attr_event_type,
+               CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS rate_v,
+               wsum AS inc_v,
+               ${q6Sql("wsum / wcnt")} AS avg_v
+        FROM win WHERE ${covered(H4)} AND wcnt > 0""")),
+
     Q("pq_topk",
       run("topk(2, events_value)"),
       Some(s"""WITH ${stepCte()},

@@ -218,6 +218,21 @@ class HttpApiSpec extends AnyFunSuite {
         sbody.contains("\"count\"") && sbody.contains("\"status\":\"ok\""),
         sbody.take(400))
 
+      // multi-expression fusion: q + q2/q3 over the same selector route
+      // through queryMultiAt — one scan, columns value/value2/value3
+      val (cmm, mm) = get(base,
+        s"/api/v1/metrics/query?q=${enc("rate(events_value[1h])")}" +
+          s"&q2=${enc("increase(events_value[1h])")}" +
+          s"&q3=${enc("max_over_time(events_value[1h])")}&s=$s&e=$e")
+      assert(cmm == 200 && mm.contains("\"value\"") &&
+        mm.contains("\"value2\"") && mm.contains("\"value3\"") &&
+        mm.contains("\"status\":\"ok\""), mm.take(400))
+      // a malformed second expression is a client error, not a 500
+      val (cbad, _) = get(base,
+        s"/api/v1/metrics/query?q=${enc("rate(events_value[1h])")}" +
+          s"&q2=${enc("rate(other_metric[2h])")}&s=$s&e=$e")
+      assert(cbad == 400, s"mixed-selector multi should 400, got $cbad")
+
       val (cmd, meta) = get(base, s"/api/v1/metrics/metadata?s=$s&e=$e")
       assert(cmd == 200 && meta.contains("events_value"), meta.take(300))
       val (cmt, mtags) = get(base, s"/api/v1/metrics/tags?s=$s&e=$e")

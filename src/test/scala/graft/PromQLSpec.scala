@@ -197,6 +197,46 @@ class PromQLEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("queryMulti window fusion equals the per-fn query() answers bit-for-bit") {
+    val multi = Engine.queryMulti(Seq(
+      "rate_v" -> "rate(events_value[4h])",
+      "inc_v" -> "increase(events_value[4h])",
+      "avg_v" -> "avg_over_time(events_value[4h])",
+      "last_v" -> "last_over_time(events_value[4h])"), store, p)
+    assert(multi.columns.toSeq ==
+      Seq("ts", "attr_event_type", "rate_v", "inc_v", "avg_v", "last_v"))
+    def one(q: String): Map[(Long, String), Double] =
+      Engine.query(q, store, p).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val (ra, in, av, la) = (one("rate(events_value[4h])"),
+      one("increase(events_value[4h])"),
+      one("avg_over_time(events_value[4h])"),
+      one("last_over_time(events_value[4h])"))
+    val fused = multi.collect().map(r => (r.getLong(0), r.getString(1)) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(fused.keySet == ra.keySet && fused.nonEmpty)
+    def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) ||
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    fused.foreach { case (k, (r2, i2, a2, l2)) =>
+      assert(eq(r2, ra(k)) && eq(i2, in(k)) && eq(a2, av(k)) && eq(l2, la(k)),
+        s"series $k diverged from the standalone answers")
+    }
+    // contract: mixed ranges / mixed selectors / unfusable fns throw at plan time
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "rate(events_value[4h])",
+        "b" -> "increase(events_value[6h])"), store, p)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "rate(events_value[4h])",
+        "b" -> "irate(events_value[4h])"), store, p)
+    }
+    // mixing a plain agg with a window fn is two different shapes
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "sum(events_value)",
+        "b" -> "rate(events_value[4h])"), store, p)
+    }
+  }
+
   test("rate = windowed sum / range seconds with coverage rule") {
     val range = 24L * 3600000L
     val rate = Engine.query(s"rate(events_value[1d])", store, p)
