@@ -153,8 +153,9 @@ object FingerprintIndex {
     * rebuild at 100 TB would re-read the lake). Indexes ONLY files not
     * yet in the index and APPENDS their rows. Returns the number of newly
     * indexed files. Stale rows for files removed by compaction are
-    * harmless (exclusions are intersected against the live file list) but
-    * compaction should still run [[buildLogIndex]] for a clean slate.
+    * harmless (exclusions are intersected against the live file list);
+    * [[compactIndex]] sweeps them — and the per-batch shards — without
+    * the full re-read a [[buildLogIndex]] rebuild costs.
     */
   def indexNewFiles(spark: SparkSession, segDir: String,
       maxTrigramsPerFile: Long = MaxTrigramsPerFile): Long = {
@@ -175,6 +176,46 @@ object FingerprintIndex {
       .option("parquet.bloom.filter.enabled#fingerprint", "true")
       .parquet(indexPath(segDir))
     newFiles.length.toLong
+  }
+
+  /** Compact the fingerprint index beside segDir (r13 VERDICT #4).
+    * [[indexNewFiles]] appends one parquet batch per streaming
+    * micro-batch — the same small-files decay
+    * [[graft.ops.Similarity.compactIvfIndex]] fixes for ANN lists — and
+    * rows for files removed by segment compaction/retention linger
+    * (harmless for correctness: exclusions intersect the live file
+    * list, but every exclusion probe scans them). One crash-safe staged
+    * rewrite ([[Segments.compactWithSwap]]): drop rows whose file is no
+    * longer under segDir (a semi-JOIN against the live file list — never
+    * an IN-literal, which would inline millions of paths at 100 TB),
+    * dedupe, and collapse to `targetFiles` fingerprint-range-sorted
+    * files so the point lookup keeps row-group stats + the bloom filter.
+    * Lossless by the incremental path's own argument: live files keep
+    * every row, removed files can never be scan candidates, and files
+    * newer than the index were never described by it. Returns the number
+    * of stale rows dropped; no-op without an index.
+    */
+  def compactIndex(spark: SparkSession, segDir: String,
+      targetFiles: Int = 1): Long = {
+    val idxDir = indexPath(segDir)
+    val idxP = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idxP)) return 0L
+    import spark.implicits._
+    val liveDf = spark.read.option("mergeSchema", "true").parquet(segDir)
+      .inputFiles.map(normPath).toSeq.toDF("file")
+    val stale = spark.read.parquet(idxDir)
+      .join(liveDf, Seq("file"), "left_anti").count()
+    graft.ingest.Segments.compactWithSwap(spark, idxDir) { df =>
+      df.join(liveDf, Seq("file"), "left_semi")
+        .distinct()
+        .repartitionByRange(math.max(1, targetFiles), col("fingerprint"))
+        .sortWithinPartitions(col("fingerprint"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#fingerprint", "true")
+    }
+    stale
   }
 
   /** the (file, fingerprint) rows for one frame of segment data */

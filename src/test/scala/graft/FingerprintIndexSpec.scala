@@ -217,6 +217,51 @@ class FingerprintIndexSpec extends AnyFunSuite {
     assert(read.forall(_.contains("dateint=20240107")))
   }
 
+  test("index compaction: micro-batch shards collapse to one file, stale rows drop, pruning unchanged") {
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(1500, "h"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    // three incremental waves — each appends one index parquet batch,
+    // the streaming micro-batch small-files decay
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      val ts = Day0 + (5L + k) * 86400000L
+      val late = Seq((ts, ts * 1000000L, s"evt=h wave$k plainline",
+        "svc-9", 0L, "INFO"))
+        .toDF("chq_timestamp", "chq_tsns", "log_message",
+          "resource_service_name", "chq_fingerprint", "log_level")
+      Segments.writeLogSegments(late, dir, maxRecordsPerFile = 400)
+      assert(FI.indexNewFiles(spark, dir) > 0)
+    }
+    def idxFiles(): Int = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(FI.indexPath(dir)))
+      try st.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally st.close()
+    }
+    assert(idxFiles() >= 4, s"expected build+3 append shards, got ${idxFiles()}")
+    // retention drops day 0 — its index rows go stale (harmless, scanned)
+    assert(Segments.expireSegments(spark, dir, 20240102) == 1)
+    val pipe = LogPipeline(Nil, List(LineFilter(LineFilterOp.Contains, "zebraquux")))
+    def needleScan() = FI.scanLogs(spark, dir, pipe)
+    val prunedBefore = needleScan().inputFiles.map(FI.normPath).toSet
+    val needleRows = needleScan()
+      .filter(col("log_message").contains("zebraquux")).count()
+    assert(needleRows > 0 && prunedBefore.nonEmpty)
+    val dropped = FI.compactIndex(spark, dir)
+    assert(dropped > 0, "the expired day should have left stale index rows")
+    assert(idxFiles() == 1, s"expected ONE compacted index file, got ${idxFiles()}")
+    // the index now describes live files only
+    val orphans = spark.read.parquet(FI.indexPath(dir))
+      .join(files(dir).toSeq.toDF("file"), Seq("file"), "left_anti").count()
+    assert(orphans == 0, s"$orphans index rows for files no longer present")
+    // pruning decision and results are unchanged by the rewrite
+    assert(needleScan().inputFiles.map(FI.normPath).toSet == prunedBefore)
+    assert(needleScan().filter(col("log_message").contains("zebraquux")).count()
+      == needleRows)
+    // nothing left to drop; the layout stays compact
+    assert(FI.compactIndex(spark, dir) == 0L && idxFiles() == 1)
+  }
+
   test("trigram cap drops the body family (no pruning) but stays correct") {
     val dir = freshDir()
     Segments.writeLogSegments(mkLogs(1500, "d"), dir, maxRecordsPerFile = 400)
