@@ -407,19 +407,40 @@ object Segments {
     * proto-sketch conversion under [[SketchProtoCompatKey]]. The flag is
     * read at PLAN time; the conversion is a per-row expression, so
     * pruning and bloom-filter row-group skipping are untouched.
+    * `protoCompat = Some(b)` pins the choice explicitly for this read —
+    * the session conf is a deployment-wide default, and mutating it
+    * around plan construction would leak the conversion into any other
+    * thread planning a read on the shared session (r13 ADVICE).
     */
-  def readMetricSegments(spark: SparkSession, dir: String): DataFrame = {
+  def readMetricSegments(spark: SparkSession, dir: String,
+      protoCompat: Option[Boolean] = None): DataFrame = {
     val df = spark.read.parquet(dir)
-    val compat = spark.conf.getOption(SketchProtoCompatKey).contains("true")
+    val compat = protoCompat.getOrElse(
+      spark.conf.getOption(SketchProtoCompatKey).contains("true"))
     if (compat && df.schema.fieldNames.contains("chq_sketch"))
       df.withColumn("chq_sketch",
         graft.sketch.functions.ddsketch_from_proto(col("chq_sketch")))
     else df
   }
 
+  /** `sketchProtoCompat = true` is the WRITE half of the sketches-go
+    * interop (r13 VERDICT #5, mirror of [[SketchProtoCompatKey]]): the
+    * segment's `chq_sketch` lands at rest as DataDog-proto bytes
+    * ([[graft.sketch.DDSketchProto]]), the encoding a reference
+    * deployment reads natively (promql/aggregator.go:48-61) — so graft
+    * can WRITE segments into a reference-owned lake, not just query one
+    * in place. Per-row expression at write: layout, sort, blooms
+    * unchanged.
+    */
   def writeMetricSegments(cooked: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 2000000L, org: Option[String] = None): Unit = {
-    val base = withOrg(cooked, org)
+      maxRecordsPerFile: Long = 2000000L, org: Option[String] = None,
+      sketchProtoCompat: Boolean = false): Unit = {
+    val src =
+      if (sketchProtoCompat && cooked.schema.fieldNames.contains("chq_sketch"))
+        cooked.withColumn("chq_sketch",
+          graft.sketch.functions.ddsketch_to_proto(col("chq_sketch")))
+      else cooked
+    val base = withOrg(src, org)
       .withColumn("dateint", dateint(col("chq_timestamp")))
       .withColumn("freq", col("chq_rollup_freq"))
     base

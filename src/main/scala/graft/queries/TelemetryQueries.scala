@@ -178,20 +178,36 @@ object TelemetryQueries extends Catalog {
       withSketch = true)
       .withColumn("chq_sketch", gf.ddsketch_to_proto(col("chq_sketch")))
     Segments.writeMetricSegments(cooked, dir)
-    val prev = s.conf.getOption(Segments.SketchProtoCompatKey)
-    s.conf.set(Segments.SketchProtoCompatKey, "true")
-    try {
-      Segments.readMetricSegments(s, dir)
-        .select(col("chq_timestamp"), col("attr_event_type"),
-          col("chq_rollup_count"),
-          round(gf.ddsketch_quantile(col("chq_sketch"), 0.5), 6).as("p50"),
-          round(gf.ddsketch_quantile(col("chq_sketch"), 0.95), 6).as("p95"))
-    } finally {
-      prev match {
-        case Some(v) => s.conf.set(Segments.SketchProtoCompatKey, v)
-        case None => s.conf.unset(Segments.SketchProtoCompatKey)
-      }
-    }
+    // compat pinned per-read (r13 ADVICE): no session-conf mutation that
+    // another thread planning a concurrent read could pick up
+    Segments.readMetricSegments(s, dir, protoCompat = Some(true))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.5), 6).as("p50"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.95), 6).as("p95"))
+  }
+
+  /** WRITE-side sketches-go compat (r13 VERDICT #5): graft cooks its own
+    * sketch column, writes the segment under the proto-compat WRITE flag
+    * (`chq_sketch` lands at rest as DataDog-proto bytes a reference
+    * deployment reads natively), then reads it back under the READ flag
+    * — the full interop loop entirely at rest. Quantiles off the
+    * round-trip; the oracle re-derives them from raw data
+    * ([[protoSketchRoundtripSql]] verbatim).
+    */
+  private def sketchCompatWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{functions => gf}
+    val dir = Files.createTempDirectory("graft_tq_skcw_").toString
+    val cooked = MetricsPreAgg.preAggregate(
+      raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+      withSketch = true)
+    Segments.writeMetricSegments(cooked, dir, sketchProtoCompat = true)
+    Segments.readMetricSegments(s, dir, protoCompat = Some(true))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        col("chq_rollup_count"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.5), 6).as("p50"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.95), 6).as("p95"))
   }
 
   /** full rollup chain 10s→60s→300s→1200s→3600s; the hourly tier must
@@ -1585,6 +1601,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_proto_sketch_roundtrip", protoSketchRoundtrip,
       Some(protoSketchRoundtripSql)),
     Q("tq_sketch_compat", sketchCompat, Some(protoSketchRoundtripSql)),
+    Q("tq_sketch_compat_write", sketchCompatWrite, Some(protoSketchRoundtripSql)),
     Q("tq_rollup_chain", rollupChain, Some(rollupChainSql)),
     Q("tq_segment_roundtrip", segmentRoundtrip, Some(segmentRoundtripSql)),
     Q("tq_log_roundtrip", logSegmentRoundtrip, Some(logSegmentRoundtripSql)),

@@ -178,6 +178,63 @@ class DDSketchSpec extends AnyFunSuite {
     } finally spark.conf.unset(Segments.SketchProtoCompatKey)
   }
 
+  test("writeMetricSegments proto-compat flag lands sketches-go bytes at rest") {
+    import graft.ingest.{MetricsPreAgg, Segments}
+    import TestSpark._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_skcw_spec_").toString
+    val cooked = MetricsPreAgg.preAggregate(
+      graft.model.Tables.events(spark, sf), col("ts_ms"),
+      lit("events_value"), col("value"),
+      Seq("attr_event_type" -> col("event_type")), freqMs = 60000L,
+      withSketch = true)
+    Segments.writeMetricSegments(cooked, dir, sketchProtoCompat = true)
+    // at rest the column is PROTO, not graft-format: a plain (compat-off,
+    // explicitly pinned) read cannot quantile it...
+    intercept[Exception] {
+      Segments.readMetricSegments(spark, dir, protoCompat = Some(false))
+        .select(gf.ddsketch_quantile(col("chq_sketch"), 0.5)).collect()
+    }
+    // ...while decoding it as proto works — exactly what a reference
+    // deployment's sketches-go reader sees
+    val viaProto = Segments.readMetricSegments(spark, dir, protoCompat = Some(false))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        round(gf.ddsketch_quantile(
+          gf.ddsketch_from_proto(col("chq_sketch")), 0.95), 6).as("p95"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // and the READ flag closes the loop bit-exactly: write-flag +
+    // read-flag == the in-memory to_proto→from_proto of the same rows
+    // (the proto walk re-derives bucket midpoints, so vs the RAW graft
+    // sketch the agreement is the alpha bound, not bit-equality)
+    val viaFlag = Segments.readMetricSegments(spark, dir, protoCompat = Some(true))
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        round(gf.ddsketch_quantile(col("chq_sketch"), 0.95), 6).as("p95"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = cooked
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        round(gf.ddsketch_quantile(gf.ddsketch_from_proto(
+          gf.ddsketch_to_proto(col("chq_sketch"))), 0.95), 6).as("p95"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaProto == direct && viaFlag == direct && direct.nonEmpty)
+    // vs the raw sketch: within the 1% relative-accuracy contract
+    val raw = cooked
+      .select(col("chq_timestamp"), col("attr_event_type"),
+        gf.ddsketch_quantile(col("chq_sketch"), 0.95).as("p95"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    viaFlag.foreach { case (k, v) =>
+      assert(math.abs(v - raw(k)) <= 0.021 * math.abs(raw(k)) + 1e-9,
+        s"$k: $v vs ${raw(k)}")
+    }
+    // explicit per-read pin beats the session conf (no shared mutation)
+    spark.conf.set(Segments.SketchProtoCompatKey, "true")
+    try {
+      val pinnedOff = Segments.readMetricSegments(spark, dir, protoCompat = Some(false))
+      intercept[Exception] {
+        pinnedOff.select(gf.ddsketch_quantile(col("chq_sketch"), 0.5)).collect()
+      }
+    } finally spark.conf.unset(Segments.SketchProtoCompatKey)
+  }
+
   test("CountMin: overestimate-only, merge-order-insensitive, serde round-trip") {
     import graft.sketch.CountMin
     val vals = (0 until 5000).map(i => s"u${i % 137}")
