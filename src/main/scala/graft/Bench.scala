@@ -113,8 +113,15 @@ object Bench {
       val open = t.indexOf('{', m.start)
       val close = t.indexOf('}', open)
       if (open < 0 || close < 0) acc
-      else acc ++ pairRe.findAllMatchIn(t.substring(open + 1, close))
-        .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      else {
+        val span = t.substring(open + 1, close)
+        // a '{' inside the span means the named map nests an object —
+        // indexOf('}') closed the INNER one, so this occurrence would
+        // silently truncate the baseline; skip it (r13 VERDICT #6)
+        if (span.contains('{')) acc
+        else acc ++ pairRe.findAllMatchIn(span)
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }
     }
   }
 
@@ -387,6 +394,21 @@ object Bench {
     regressions.foreach { case (k, b, v) =>
       System.err.println(f"[bench] REGRESSION $k: $b%.3fs -> $v%.3fs (${v / b}%.2fx)")
     }
+    // what the contention scaling suppressed (r13 ADVICE): the would-be
+    // flags at inflate=1 that the scaled pass did not fire. The scaling
+    // can self-mask a uniform engine regression up to the 4x cap, so the
+    // suppressed set is emitted beside the real flags — an adjudicator
+    // reading inflation>1 sees exactly which rows the factor absorbed.
+    val suppressed = results.flatMap { case (k, v) =>
+      regressionFlag(v, baseline.get(k), notes.contains(k)).map(b => (k, b, v))
+    }.filterNot { case (k, _, _) => regressions.exists(_._1 == k) }
+    val supJson = suppressed
+      .map { case (k, b, v) => "\"" + k + "\":[" + f"$b%.3f,$v%.3f]" }
+      .mkString("{", ",", "}")
+    suppressed.foreach { case (k, b, v) =>
+      System.err.println(
+        f"[bench] suppressed-by-inflation $k: $b%.3fs -> $v%.3fs (${v / b}%.2fx)")
+    }
 
     val notesJson = notes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -398,6 +420,7 @@ object Bench {
       s""""cpu":$cpuJson,"shuffle_mb":$shufJson,"cold":$coldJson,"err":$errJson,""" +
       s""""regressions":$regJson,"n_retry":$nRetry,"seed":$seed,""" +
       s""""inflation":${f"$inflate%.3f"},""" +
+      s""""suppressed_by_inflation":$supJson,""" +
       s""""retried":$retriedJson,"notes":$notesJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (full + "\n").getBytes("UTF-8"))
@@ -431,6 +454,7 @@ object Bench {
       s""""shuffle_total_mb":${f"$shufTotal%.1f"},"n_retry":$nRetry,"seed":$seed,""" +
       s""""inflation":${f"$inflate%.3f"},""" +
       s""""under_1s":$under1,"n_err":${errs.size},"n_regressions":${regressions.size},""" +
+      s""""n_suppressed":${suppressed.size},""" +
       s""""queries":$headJson,"detail":"BENCH_FULL.json"}"""
     // stdout (the driver's contract) AND a fixed file: eight rounds of bench
     // artifacts arrived with "parsed": null, consistent with the line being

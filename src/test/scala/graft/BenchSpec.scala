@@ -118,6 +118,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.extractNumMap(tailOnly, "queries") == Map("q_a" -> 9.0))
     // absent key -> empty, not a crash
     assert(Bench.extractNumMap(full, "nope").isEmpty)
+    // a future artifact nesting an OBJECT inside the named map must not
+    // silently truncate the baseline at the inner '}' (r13 VERDICT #6):
+    // the nested occurrence is skipped, a later flat occurrence still wins
+    val nested = """{"queries":{"q_a":{"warm":1.0,"cold":5.0},"q_b":2.0},""" +
+      """"parsed":{"queries":{"q_a":1.000,"q_b":2.000}}}"""
+    assert(Bench.extractNumMap(nested, "queries") ==
+      Map("q_a" -> 1.0, "q_b" -> 2.0))
+    // nested-only shape: nothing parses (no truncated partial map)
+    val nestedOnly = """{"queries":{"q_a":{"warm":1.0},"q_b":2.0}}"""
+    assert(Bench.extractNumMap(nestedOnly, "queries").isEmpty)
   }
 
   test("a new row matching its committed time never flags (seeded baseline)") {
