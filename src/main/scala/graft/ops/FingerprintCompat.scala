@@ -1,0 +1,796 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Reference-parity log-template fingerprinting — the behavior of the
+  * reference's ragel-driven fingerprinter
+  * (internal/oteltools/pkg/fingerprinter/fingerprinter.go:29-409 and
+  * trie_cluster_manager.go:78-259), re-expressed as an original Scala
+  * scanner + driver-side trie. Graft's own ingest keeps its independent
+  * [[graft.ingest.LogFingerprint]] design; THIS module is the opt-in
+  * compat surface for cluster-id parity with a reference deployment —
+  * the same role [[CompatHash]] plays for TID/fingerprint hashes.
+  *
+  * What "parity" means here, concretely (all pinned in
+  * FingerprintCompatSpec):
+  *  - the tokenizer reproduces the reference's ASSERTED token-sequence
+  *    table (fingerprinter_test.go:47-315) input by input;
+  *  - the JSON-body fingerprint is BIT-EXACT: the three published int64
+  *    fingerprints (fingerprinter_test.go:735-760) reproduce, which
+  *    pins the XXH64 implementation, the token items, and the sorted
+  *    deep-key order all at once;
+  *  - inputs the reference asserts cluster together
+  *    (TestFingerprintIdenticality) cluster together here.
+  *
+  * The ragel grammar itself lives in an external package the reference
+  * only vendors the driver of, so token-class definitions are derived
+  * from the published test expectations, not copied; where the tests
+  * are silent the classes are documented guesses and the trie's
+  * Jaccard matching (>= threshold over token SETS) absorbs the
+  * difference — exactly the robustness the reference relies on too.
+  */
+object FingerprintCompat {
+
+  /** loglevel keywords (tokenizer.LogLevelNames in the reference's
+    * external tokenizer package; the set below covers every level the
+    * published fixtures exercise plus the conventional remainder)
+    */
+  val LogLevelNames: Set[String] = Set(
+    "trace", "debug", "info", "warn", "warning", "error", "fatal",
+    "critical", "panic", "severe")
+
+  private val HttpMethods: Set[String] = Set(
+    "GET", "POST", "PUT", "DELETE", "HEAD", "OPTIONS", "PATCH", "CONNECT")
+
+  /** The word vocabulary. The reference keys IsWord off an external
+    * `wordlist.EnglishWords`; its exact contents are not published, so
+    * this list is CALIBRATED to the reference's observable fixtures:
+    * every word its asserted token sequences keep is present, every
+    * pure-alpha token they drop (class, pid, jid, ids, sync, exist) is
+    * absent, and the three bit-exact JSON fingerprints uniquely pin
+    * alice/bob/john/nancy as words (verified by brute force over the
+    * 2^4 x key-order space — only all-words + sorted-keys reproduces
+    * all three int64s). Beyond the fixtures it carries a common-English
+    * core so real log prose keeps its words the way the reference does.
+    */
+  val EnglishWords: Set[String] = Set(
+    // fixture-pinned (asserted token sequences keep these)
+    "hello", "world", "bob", "start", "tid", "received", "error", "code",
+    "endpoint", "foo", "receive", "list", "recommendations", "product",
+    "wrote", "buffer", "info", "alice", "john", "nancy", "movie", "id",
+    "license", "validation", "request",
+    // identicality-table words (kept in its documented sequences)
+    "the", "specified", "key", "does", "not", "service", "amazon",
+    "status", "extended", "proxy", "null", "values", "insert", "into",
+    "ticket", "create", "completed", "ok", "in", "views", "queries",
+    "cached", "parameters", "started", "at", "for", "from",
+    // common-English core for real prose
+    "a", "an", "and", "or", "of", "to", "on", "by", "with", "is", "are",
+    "was", "were", "be", "been", "it", "this", "that", "no", "yes",
+    "new", "old", "all", "any", "get", "got", "set", "put", "post",
+    "user", "users", "name", "names", "value", "time", "times", "date",
+    "day", "days", "file", "files", "line", "lines", "log", "logs",
+    "message", "messages", "event", "events", "type", "types", "types",
+    "count", "counts", "total", "sum", "min", "max", "mean", "rate",
+    "level", "levels", "data", "item", "items", "job", "jobs", "task",
+    "tasks", "work", "worker", "workers", "search", "query", "fetch",
+    "read", "reads", "write", "writes", "update", "updates", "delete",
+    "deletes", "remove", "removed", "add", "added", "load", "loaded",
+    "save", "saved", "send", "sent", "open", "opened", "close", "closed",
+    "connect", "connected", "connection", "connections", "disconnect",
+    "disconnected", "session", "sessions", "client", "clients", "server",
+    "servers", "host", "hosts", "port", "ports", "retry", "retries",
+    "timeout", "timeouts", "failed", "failure", "failures", "success",
+    "successful", "complete", "done", "begin", "end", "stop", "stopped",
+    "run", "running", "ran", "state", "states", "active", "inactive",
+    "record", "records", "row", "rows", "table", "tables", "index",
+    "cache", "memory", "disk", "cpu", "thread", "threads", "process",
+    "processes", "queue", "queues", "batch", "batches", "stream",
+    "streams", "view", "click", "clicks", "purchase", "purchases", "signup",
+    "cart", "login", "logout", "page", "pages", "order", "orders",
+    "account", "accounts", "payment", "payments", "invoice", "shipped",
+    "handler", "handlers", "route", "routes", "path", "paths", "method",
+    "methods", "header", "headers", "body", "response", "responses",
+    "result", "results", "served", "serving", "starting", "stopping",
+    "created", "updated", "deleted", "processed", "processing",
+    "accepted", "rejected", "denied", "allowed", "invalid", "valid",
+    "missing", "found", "checking", "check", "checked", "waiting",
+    "ready", "shutdown", "startup", "init", "initialized", "config",
+    "configuration", "version", "build", "test", "tests", "metric",
+    "metrics", "span", "spans", "group", "groups", "member", "members")
+
+  // ---------------------------------------------------------------------
+  // xxHash64 (XXH64, public algorithm; seed 0 like the reference's
+  // cespare/xxhash default). Own implementation so the bit contract is
+  // local: FingerprintCompatSpec pins it against the reference's three
+  // published fingerprints AND the canonical empty-input vector.
+  // ---------------------------------------------------------------------
+  private final val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  private final val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  private final val P3 = 1609587929392839161L  // 0x165667B19E3779F9
+  private final val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+  private final val P5 = 2870177450012600261L  // 0x27D4EB2F165667C5
+
+  private def round(acc: Long, in: Long): Long =
+    java.lang.Long.rotateLeft(acc + in * P2, 31) * P1
+
+  private def mergeRound(acc: Long, v: Long): Long =
+    (acc ^ round(0L, v)) * P1 + P4
+
+  private def readLE8(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 | (b(i + 2) & 0xffL) << 16 |
+      (b(i + 3) & 0xffL) << 24 | (b(i + 4) & 0xffL) << 32 |
+      (b(i + 5) & 0xffL) << 40 | (b(i + 6) & 0xffL) << 48 |
+      (b(i + 7) & 0xffL) << 56
+
+  private def readLE4(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 | (b(i + 2) & 0xffL) << 16 |
+      (b(i + 3) & 0xffL) << 24
+
+  def xxh64(data: Array[Byte], seed: Long = 0L): Long = {
+    val n = data.length
+    var i = 0
+    var h =
+      if (n >= 32) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (i + 32 <= n) {
+          v1 = round(v1, readLE8(data, i)); i += 8
+          v2 = round(v2, readLE8(data, i)); i += 8
+          v3 = round(v3, readLE8(data, i)); i += 8
+          v4 = round(v4, readLE8(data, i)); i += 8
+        }
+        var acc = java.lang.Long.rotateLeft(v1, 1) +
+          java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) +
+          java.lang.Long.rotateLeft(v4, 18)
+        acc = mergeRound(acc, v1); acc = mergeRound(acc, v2)
+        acc = mergeRound(acc, v3); mergeRound(acc, v4)
+      } else seed + P5
+    h += n
+    while (i + 8 <= n) {
+      h = java.lang.Long.rotateLeft(h ^ round(0L, readLE8(data, i)), 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= n) {
+      h = java.lang.Long.rotateLeft(h ^ (readLE4(data, i) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < n) {
+      h = java.lang.Long.rotateLeft(h ^ ((data(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  def xxh64(s: String): Long = xxh64(s.getBytes("UTF-8"))
+
+  /** the reference's item+key fingerprint: xxh64 over items joined with
+    * ':' followed by ":key" per deep JSON key (fingerprinter.go:195-206)
+    */
+  def fingerprintHash(items: Seq[String], jsonKeys: Seq[String]): Long = {
+    val sb = new StringBuilder
+    var first = true
+    items.foreach { it =>
+      if (!first) sb.append(':')
+      sb.append(it); first = false
+    }
+    jsonKeys.foreach { k => sb.append(':').append(k) }
+    xxh64(sb.toString)
+  }
+
+  // ---------------------------------------------------------------------
+  // word machinery (fingerprinter.go:258-273, 409-445)
+  // ---------------------------------------------------------------------
+
+  /** camelCase / snake_case splitter — exact port of the reference's
+    * splitWords semantics (fingerprinter.go:409-445): an uppercase rune
+    * not at position 0 and not preceded by '_' flushes the current word;
+    * '_' flushes without emitting; everything else (lowercased for
+    * uppers) accumulates.
+    */
+  def splitWords(input: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val word = new StringBuilder
+    var i = 0
+    while (i < input.length) {
+      val r = input.charAt(i)
+      if (Character.isUpperCase(r)) {
+        if (i != 0 && input.charAt(i - 1) != '_') {
+          out += word.toString; word.clear()
+        }
+        word.append(Character.toLowerCase(r))
+      } else if (r == '_') {
+        if (word.nonEmpty) { out += word.toString; word.clear() }
+      } else word.append(r)
+      i += 1
+    }
+    if (word.nonEmpty) out += word.toString
+    out.toSeq
+  }
+
+  /** IsWord (fingerprinter.go:258-273): wordlist hit on the lowercase
+    * form; otherwise entirely-upper/entirely-lower fails; otherwise all
+    * camel/snake parts must be words.
+    */
+  def isWord(word: String): Boolean = {
+    if (EnglishWords.contains(word.toLowerCase)) return true
+    if (word.toUpperCase == word || word.toLowerCase == word) return false
+    splitWords(word).forall(isWord)
+  }
+
+  // ---------------------------------------------------------------------
+  // pre-processing (fingerprinter.go:209-246, 300-327)
+  // ---------------------------------------------------------------------
+
+  private val AnsiRe = "\u001b\\[[0-9;]*[A-Za-z]".r
+
+  def removeAnsi(s: String): String = AnsiRe.replaceAllIn(s, "")
+
+  /** first '{' .. last '}' split (fingerprinter.go:102-115) */
+  def findJSONContent(input: String): (String, String, String) = {
+    val start = input.indexOf('{')
+    if (start == -1) return ("", "", "")
+    val end = input.lastIndexOf('}')
+    if (end == -1 || end <= start) return ("", "", "")
+    (input.substring(0, start), input.substring(start, end + 1),
+      input.substring(end + 1))
+  }
+
+  /** quoted-substring split (stringutils.SplitQuotedStrings): '"' or
+    * '\'' opens a quoted part closed by the next same character; each
+    * quoted part becomes the literal `quotedstringplaceholder` in the
+    * scan target and its value is collected in order. An unterminated
+    * quote reads to end-of-string as literal.
+    */
+  private[ops] def splitQuoted(input: String): (String, Seq[String]) = {
+    val quoted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def part(s: String): Unit = {
+      if (s.isEmpty) return
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(s)
+    }
+    var i = 0
+    var litStart = 0
+    while (i < input.length) {
+      val c = input.charAt(i)
+      if (c == '"' || c == '\'') {
+        val close = input.indexOf(c, i + 1)
+        if (close == -1) { i += 1 } // unterminated: keep as literal
+        else {
+          part(input.substring(litStart, i))
+          quoted += input.substring(i + 1, close)
+          part("quotedstringplaceholder")
+          i = close + 1
+          litStart = i
+        }
+      } else i += 1
+    }
+    part(input.substring(litStart))
+    (sb.toString, quoted.toSeq)
+  }
+
+  // ---------------------------------------------------------------------
+  // the scanner (token classes from the published expectation table;
+  // longest match wins, ties by list order — ragel's match discipline)
+  // ---------------------------------------------------------------------
+
+  private object Tok extends Enumeration {
+    val ModuleName, ISO8601, Date, Time, UUID, Email, IPv4, Url, FQDN,
+      Path, Duration, Loglevel, HTTPMethod, Number, ListTok, Identifier,
+      StringTok, QuotedString = Value
+  }
+
+  import java.util.regex.Pattern
+
+  private val rules: Seq[(Tok.Value, Pattern)] = Seq(
+    Tok.ListTok ->
+      Pattern.compile("""\[[^\[\]]*,[^\[\]]*\]"""),
+    Tok.ModuleName ->
+      Pattern.compile("""[A-Za-z0-9_.-]+@v?[0-9][A-Za-z0-9_.-]*/[A-Za-z0-9_./-]+(:[0-9]+)?"""),
+    Tok.ISO8601 ->
+      Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?"""),
+    Tok.Date ->
+      Pattern.compile("""\d{4}-\d{2}-\d{2}|\d{4}/\d{2}/\d{2}|\d{2}/\d{2}/\d{2,4}"""),
+    Tok.Time ->
+      Pattern.compile("""\d{1,2}:\d{2}:\d{2}(\.\d+)?"""),
+    Tok.UUID ->
+      Pattern.compile("""[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"""),
+    Tok.Email ->
+      Pattern.compile("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""),
+    Tok.IPv4 ->
+      Pattern.compile("""\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(:\d+)?"""),
+    Tok.Url ->
+      Pattern.compile("""[A-Za-z][A-Za-z0-9+.-]*://[^\s,]*"""),
+    Tok.FQDN ->
+      Pattern.compile("""[a-z][a-z0-9-]*(\.[a-z][a-z0-9-]*)+(:\d+)?"""),
+    Tok.Path ->
+      Pattern.compile("""(/[A-Za-z0-9._~%!$&*+=-]+){2,}/?(\?\S*)?|(/[A-Za-z0-9._~%!$&*+=-]+)+\?\S*"""),
+    Tok.Duration ->
+      Pattern.compile("""\d+(\.\d+)?(ms|us|ns|s|m|h)(?![A-Za-z0-9_])"""),
+    Tok.Loglevel ->
+      Pattern.compile("""(?i)(trace|debug|info|warn(ing)?|error|fatal|critical|panic|severe):?(?![A-Za-z0-9_-])"""),
+    Tok.HTTPMethod ->
+      Pattern.compile("""(GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|CONNECT)(?![A-Za-z0-9_-])"""),
+    Tok.Number ->
+      Pattern.compile("""[+-]?\d+(\.\d+)?"""),
+    // key-with-colon (the `ids:[...]`, `Parameters: {...}` shape) lexes
+    // as an Identifier of the bare name — longest-match beats the plain
+    // word so `ids:` never resolves to a droppable String token
+    Tok.Identifier ->
+      Pattern.compile("""[A-Za-z_][A-Za-z0-9_.-]*:|[A-Za-z0-9]([A-Za-z0-9._-]*[A-Za-z0-9])?"""),
+    Tok.QuotedString ->
+      Pattern.compile("""quotedstringplaceholder"""))
+
+  /** first-char dispatch: per start character, the indices of the only
+    * rules whose pattern can begin there (original order preserved, so
+    * longest-match + tie-by-priority semantics are IDENTICAL to trying
+    * every rule — a rule absent from a char's class cannot match at that
+    * position by construction of its first-char set). Separator chars
+    * map to an empty class and skip with zero matcher calls.
+    */
+  private val ruleClasses: Array[Array[Int]] = {
+    val idx = rules.map(_._1).zipWithIndex.toMap
+    def cls(c: Char): Array[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def add(ts: Tok.Value*): Unit = ts.foreach(t => out += idx(t))
+      if (c == '[') add(Tok.ListTok)
+      if (c.isDigit)
+        add(Tok.ModuleName, Tok.ISO8601, Tok.Date, Tok.Time, Tok.UUID,
+          Tok.Email, Tok.IPv4, Tok.Duration, Tok.Number, Tok.Identifier)
+      if (c.isLetter)
+        add(Tok.ModuleName, Tok.UUID, Tok.Email, Tok.Url, Tok.FQDN,
+          Tok.Loglevel, Tok.HTTPMethod, Tok.Identifier, Tok.QuotedString)
+      if (c == '/') add(Tok.Path)
+      if (c == '+' || c == '-') add(Tok.ModuleName, Tok.Email, Tok.Number)
+      if (c == '_') add(Tok.ModuleName, Tok.Email, Tok.Identifier)
+      if (c == '.' || c == '%') add(Tok.ModuleName, Tok.Email)
+      out.toArray.distinct.sorted
+    }
+    (0 until 128).map(i => cls(i.toChar)).toArray
+  }
+  private def ruleClassOf(c: Char): Array[Int] =
+    if (c < 128) ruleClasses(c)
+    else if (Character.isLetter(c)) ruleClasses('a')
+    else if (Character.isDigit(c)) ruleClasses('0')
+    else EmptyClass
+  private val EmptyClass = Array.empty[Int]
+
+  /** scan result: token items (placeholder strings / kept words), the
+    * first loglevel seen (lowercase, "" if none)
+    */
+  def tokenizeString(input: String, maxTokens: Int = 15): (Seq[String], String) = {
+    val (target, quotedStrings) = splitQuoted(input)
+    scanTarget(target, quotedStrings, maxTokens)
+  }
+
+  private val IdentifierPlaceHolder = "<Identifier>"
+  private val LogLevelPlaceHolder = "<Loglevel>"
+
+  private val ruleArr = rules.toArray
+
+  private def scanTarget(target: String, quotedStrings: Seq[String],
+      maxTokens: Int): (Seq[String], String) = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var level = ""
+    var qIdx = 0
+    var i = 0
+    val n = target.length
+    val ms = new Array[java.util.regex.Matcher](ruleArr.length)
+    while (i < n && items.size < maxTokens) {
+      val c = target.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else {
+        // longest match across the char's rule class; ties resolve to
+        // the earlier rule
+        var bestTok: Tok.Value = null
+        var bestEnd = i
+        val cl = ruleClassOf(c)
+        var ri = 0
+        while (ri < cl.length) {
+          val r = cl(ri)
+          var m = ms(r)
+          if (m == null) { m = ruleArr(r)._2.matcher(target); ms(r) = m }
+          m.region(i, n)
+          if (m.lookingAt() && m.end > bestEnd) {
+            bestTok = ruleArr(r)._1; bestEnd = m.end
+          }
+          ri += 1
+        }
+        if (bestTok == null) { i += 1 } // separator / stray punctuation
+        else {
+          val lit0 = target.substring(i, bestEnd)
+          i = bestEnd
+          var tok = bestTok
+          var lit = lit0
+          if (tok == Tok.Identifier) {
+            if (lit.endsWith(":")) lit = lit.dropRight(1)
+            // type split the grammar encodes structurally: pure-alpha
+            // mixed/lower-case chunks are String tokens (kept only when
+            // words); digit-bearing, punctuated, ALL-CAPS, or key-colon
+            // chunks are Identifier tokens
+            val pureAlpha = lit.forall(Character.isLetter)
+            val allCaps = pureAlpha && lit.length >= 2 &&
+              lit.forall(Character.isUpperCase)
+            if (pureAlpha && !allCaps && !lit0.endsWith(":"))
+              tok = Tok.StringTok
+          }
+          tok match {
+            case Tok.QuotedString =>
+              if (qIdx < quotedStrings.size) {
+                items += "<QuotedString>"; qIdx += 1
+              }
+            case Tok.ListTok =>
+              val count = {
+                var c0 = 0; var idx = lit.toLowerCase.indexOf("quotedstringplaceholder")
+                while (idx >= 0) {
+                  c0 += 1
+                  idx = lit.toLowerCase.indexOf("quotedstringplaceholder", idx + 1)
+                }
+                c0
+              }
+              if (qIdx < quotedStrings.size && qIdx + count <= quotedStrings.size)
+                items += "<List>"
+            case Tok.Loglevel =>
+              val name = (if (lit.endsWith(":")) lit.dropRight(1) else lit)
+              if (level.isEmpty) {
+                level = name.toLowerCase
+                items += LogLevelPlaceHolder
+              } else items += name.toLowerCase
+            case Tok.Identifier =>
+              val lower = lit.toLowerCase
+              if (level.isEmpty && LogLevelNames.contains(lower)) {
+                level = lower
+                items += LogLevelPlaceHolder
+              } else if (isWord(lit)) items += lower
+              else if (items.nonEmpty && items.last != IdentifierPlaceHolder)
+                items += IdentifierPlaceHolder
+            case Tok.StringTok =>
+              if (isWord(lit)) items += lit.toLowerCase
+            case other =>
+              items += s"<${other.toString.stripSuffix("Tok")}>"
+          }
+        }
+      }
+    }
+    (items.toSeq, level)
+  }
+
+  // ---------------------------------------------------------------------
+  // JSON branch (fingerprinter.go:149-246)
+  // ---------------------------------------------------------------------
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  private def parseJsonMap(json: String): Option[java.util.LinkedHashMap[String, Object]] =
+    try {
+      val node = mapper.readValue(json, classOf[Object])
+      node match {
+        case m: java.util.LinkedHashMap[_, _] =>
+          Some(m.asInstanceOf[java.util.LinkedHashMap[String, Object]])
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** document-order deep lookup of the first string value under any of
+    * `keys` (fingerprinter.go:117-147)
+    */
+  private def getStringKey(m: java.util.Map[String, Object],
+      keys: String*): String = {
+    def find(cur: java.util.Map[String, Object], key: String): String = {
+      val it = cur.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey == key) e.getValue match {
+          case s: String => return s
+          case _ => return ""
+        }
+      }
+      val it2 = cur.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        e.getValue match {
+          case nested: java.util.Map[_, _] =>
+            val r = find(nested.asInstanceOf[java.util.Map[String, Object]], key)
+            if (r.nonEmpty) return r
+          case _ =>
+        }
+      }
+      ""
+    }
+    keys.foreach { k =>
+      val v = find(m, k)
+      if (v.nonEmpty) return v
+    }
+    ""
+  }
+
+  /** sorted dotted LEAF key paths: map values recurse (the map key
+    * itself is not emitted), empty maps contribute nothing, everything
+    * else is a leaf — the order the three published fingerprints pin
+    * (maputils.DeepKeys in the reference)
+    */
+  def deepKeys(m: java.util.Map[String, Object]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(cur: java.util.Map[String, Object], prefix: String): Unit = {
+      val it = cur.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+        e.getValue match {
+          case nested: java.util.Map[_, _] =>
+            walk(nested.asInstanceOf[java.util.Map[String, Object]], p)
+          case _ => out += p
+        }
+      }
+    }
+    walk(m, "")
+    out.sorted.toSeq
+  }
+
+  /** full tokenize: (items, level, jsonKeys). jsonKeys non-empty IFF the
+    * input carried a parseable JSON object (then the fingerprint is the
+    * pure [[fingerprintHash]]; otherwise clustering decides it).
+    */
+  def tokenizeInput(input0: String, maxTokens: Int = 15): (Seq[String], String, Seq[String]) = {
+    var input = removeAnsi(input0.trim)
+    val (prefix, jsonContent, suffix) = findJSONContent(input)
+    if (jsonContent.nonEmpty) {
+      val parsed = parseJsonMap(jsonContent)
+        .orElse(parseJsonMap(jsonContent.replace("=>", ":")))
+      parsed.foreach { data =>
+        val message = getStringKey(data, "message", "msg")
+        var level = getStringKey(data, "level", "loglevel").toLowerCase
+        if (!LogLevelNames.contains(level)) level = ""
+        val body = s"$prefix $level$message $suffix "
+        val (items, nlevel) = tokenizeString(body, maxTokens)
+        val lvl = if (level.isEmpty) nlevel else level
+        return (items, lvl, deepKeys(data))
+      }
+    }
+    val nl = input.indexWhere(ch => ch == '\n' || ch == '\r')
+    if (nl != -1) input = input.substring(0, nl)
+    val (items, level) = tokenizeString(input, maxTokens)
+    (items, level, Nil)
+  }
+
+  /** fingerprint one line against a cluster manager — the reference's
+    * Fingerprint() front door (fingerprinter.go:179-192)
+    */
+  def fingerprint(input: String, cm: TrieClusterManager,
+      maxTokens: Int = 15): (Long, String) = {
+    val (items, level, jsonKeys) = tokenizeInput(input, maxTokens)
+    if (jsonKeys.nonEmpty) (fingerprintHash(items, jsonKeys), level)
+    else (cm.cluster(items), level)
+  }
+
+  // ---------------------------------------------------------------------
+  // trie cluster manager (trie_cluster_manager.go:78-259): walk the
+  // token-sequence trie as far as it goes; full consumption adds to that
+  // node's leaf clusterer (Jaccard >= threshold joins a cluster and
+  // intersects its token set, else a new cluster keyed by the sequence's
+  // own hash); divergence scans every cluster under the subtree for the
+  // best match above threshold before carving a new branch.
+  // ---------------------------------------------------------------------
+
+  final class TrieClusterManager(threshold: Double) {
+    private final class Cluster(var fp: Long, var tokens: Set[String],
+        var matchCount: Int, var total: Int) {
+      def matchRate: Double = if (total == 0) 0.0 else matchCount.toDouble / total
+      def record(incoming: Set[String], matched: Boolean): Unit = {
+        if (matched) { tokens = tokens.intersect(incoming); matchCount += 1 }
+        total += 1
+      }
+    }
+    private final class Leaf {
+      val clusters = scala.collection.mutable.ArrayBuffer.empty[Cluster]
+      def add(items: Seq[String]): Long = {
+        val incoming = items.toSet
+        var idx = 0
+        while (idx < clusters.size) {
+          val cl = clusters(idx)
+          val score = jaccard(cl.tokens, incoming)
+          cl.record(incoming, score >= threshold)
+          if (score >= threshold) {
+            // bubble the matched cluster up while it outranks its
+            // predecessor (the reference's ordering discipline)
+            var j = idx
+            while (j > 0 && clusters(j).matchRate > clusters(j - 1).matchRate) {
+              val t = clusters(j); clusters(j) = clusters(j - 1)
+              clusters(j - 1) = t
+              j -= 1
+            }
+            return cl.fp
+          }
+          idx += 1
+        }
+        val fp = fingerprintHash(items, Nil)
+        new Cluster(fp, incoming, 1, 1) +=: clusters
+        fp
+      }
+    }
+    private final class Node {
+      val children = scala.collection.mutable.HashMap.empty[String, Node]
+      var leaf: Leaf = null
+      def getOrCreateLeaf(): Leaf = {
+        if (leaf == null) leaf = new Leaf
+        leaf
+      }
+    }
+    private val root = new Node
+
+    private def jaccard(a: Set[String], b: Set[String]): Double = {
+      val inter = a.count(b.contains)
+      val union = a.size + b.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    private def collectLeaves(n: Node): Seq[Leaf] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+      def dfs(x: Node): Unit = {
+        if (x.leaf != null) out += x.leaf
+        x.children.values.foreach(dfs)
+      }
+      dfs(n)
+      out.toSeq
+    }
+
+    def cluster(items: Seq[String]): Long = synchronized {
+      var cur = root
+      var i = 0
+      var walking = true
+      while (walking && i < items.size) {
+        cur.children.get(items(i)) match {
+          case Some(nxt) => cur = nxt; i += 1
+          case None => walking = false
+        }
+      }
+      if (i == items.size) return cur.getOrCreateLeaf().add(items)
+
+      val incoming = items.toSet
+      var bestScore = -1.0
+      var best: Cluster = null
+      collectLeaves(cur).foreach { leaf =>
+        leaf.clusters.foreach { cl =>
+          val score = jaccard(cl.tokens, incoming)
+          if (score >= threshold && score > bestScore) {
+            bestScore = score; best = cl
+          }
+        }
+      }
+      if (best != null) {
+        best.record(incoming, matched = true)
+        return best.fp
+      }
+      while (i < items.size) {
+        val n = new Node
+        cur.children(items(i)) = n
+        cur = n
+        i += 1
+      }
+      cur.getOrCreateLeaf().add(items)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Spark surface
+  // ---------------------------------------------------------------------
+
+  /** Column: struct(items array<string>, level string, json_fp
+    * nullable long). json_fp is the final fingerprint for JSON-carrying
+    * lines (pure hash — no cluster state needed); null means the line
+    * needs trie clustering over `items`.
+    */
+  def tokens(line: Column, maxTokens: Int = 15): Column =
+    ColumnBridge.column(FpcTokenize(ColumnBridge.expression(line), maxTokens))
+
+  /** Batch fingerprinting at reference parity. Two-phase and scale-sane:
+    *
+    *  1. distributed tokenize (one scanner pass per line — the same
+    *     per-record cost the reference pays per collector record);
+    *     JSON-keyed lines finish here (their fingerprint is the pure
+    *     hash, fully deterministic and shuffle-free).
+    *  2. the remaining lines reduce to DISTINCT token sequences + counts
+    *     (template cardinality, not corpus cardinality — the premise of
+    *     template fingerprinting is that this is thousands, the same
+    *     premise the reference's in-memory trie rests on). The driver
+    *     replays them through the trie in (count desc, sequence asc)
+    *     order — a deterministic stand-in for the reference's arrival
+    *     order — and the sequence→fingerprint map broadcasts back.
+    *
+    * `maxTemplates` bounds the driver exactly like bpeTrainFast's
+    * minCount floor: beyond it, the long tail keeps the pure sequence
+    * hash (every such sequence is its own cluster — the trie would
+    * almost surely have created fresh clusters for them anyway).
+    */
+  def fingerprintLines(df: DataFrame, line: Column,
+      threshold: Double = 0.5, maxTokens: Int = 15,
+      maxTemplates: Int = 100000): DataFrame =
+    fingerprintLinesWith(df, line, new TrieClusterManager(threshold),
+      maxTokens, maxTemplates)
+
+  /** same two-phase pass against a CALLER-OWNED trie -- the streaming
+    * shape ([[graft.streaming.StreamingFingerprint]]): the trie carries
+    * cluster state across micro-batches exactly like the reference
+    * collector's long-lived in-process TrieClusterManager.
+    */
+  def fingerprintLinesWith(df: DataFrame, line: Column,
+      cm: TrieClusterManager, maxTokens: Int = 15,
+      maxTemplates: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val tok = df.withColumn("__fpc", tokens(line, maxTokens))
+      .withColumn("__fpc_items", col("__fpc.items"))
+      .withColumn("__fpc_level", col("__fpc.level"))
+      .withColumn("__fpc_jsonfp", col("__fpc.json_fp"))
+      .drop("__fpc")
+    val seqs = tok.filter(col("__fpc_jsonfp").isNull)
+      .groupBy(col("__fpc_items")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, concat_ws("", col("__fpc_items")).asc)
+      .limit(maxTemplates)
+      .select(col("__fpc_items"), col("__n"))
+      .collect()
+    val mapping: Map[Seq[String], Long] = seqs.map { r =>
+      val items = r.getSeq[String](0)
+      items -> cm.cluster(items)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(mapping)
+    val lookup = udf { items: Seq[String] =>
+      bc.value.getOrElse(items, fingerprintHash(items, Nil))
+    }
+    tok.withColumn("fpc_fingerprint",
+        coalesce(col("__fpc_jsonfp"), lookup(col("__fpc_items"))))
+      .withColumn("fpc_level", col("__fpc_level"))
+      .drop("__fpc_items", "__fpc_level", "__fpc_jsonfp")
+  }
+}
+
+/** tokenizer as a native expression: struct(items, level, json_fp) */
+case class FpcTokenize(child: Expression, maxTokens: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", ArrayType(StringType, containsNull = false)),
+    StructField("level", StringType),
+    StructField("json_fp", LongType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fpc_tokenize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FpcTokenize.compute(input.asInstanceOf[UTF8String], maxTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.FpcTokenize.compute($c, $maxTokens)")
+
+  override protected def withNewChildInternal(newChild: Expression): FpcTokenize =
+    copy(child = newChild)
+}
+
+object FpcTokenize {
+  def compute(line: UTF8String, maxTokens: Int): InternalRow = {
+    val (items, level, jsonKeys) =
+      FingerprintCompat.tokenizeInput(line.toString, maxTokens)
+    val arr = new GenericArrayData(items.map(UTF8String.fromString).toArray[Any])
+    val fp: Any =
+      if (jsonKeys.nonEmpty)
+        java.lang.Long.valueOf(FingerprintCompat.fingerprintHash(items, jsonKeys))
+      else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](arr, UTF8String.fromString(level), fp))
+  }
+}

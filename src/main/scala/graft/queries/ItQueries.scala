@@ -957,7 +957,54 @@ object ItQueries extends Catalog {
     f.toString
   }
 
+  /** streaming reference-parity fingerprinting
+    * ([[graft.streaming.StreamingFingerprint]]): 3 micro-batches of
+    * templated lines against ONE stream-lifetime trie (the reference
+    * collector's in-process TrieClusterManager shape). Per event type,
+    * TWO templates diverge at one mid-sequence word (request/fetch) —
+    * a SYMMETRIC divergence, so whichever arrives first the other
+    * Jaccard-merges into its cluster and the per-type fingerprint count
+    * is 1 regardless of batch order (an extension-suffix variant would
+    * be order-dependent — the reference mints a fresh cluster when a
+    * prefix template arrives after its extension; StreamingSpec pins
+    * that asymmetry separately). JSON signup lines bypass the trie with
+    * the pure item+key hash. Oracle: counts per type, one fingerprint.
+    */
+  private def streamFpc(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = Tables.events(s, d).filter(col("event_id") % 13 === 0)
+    val base = concat(
+      lit("INFO "), col("event_type"),
+      when(col("event_id") % 2 === 0, lit(" request user="))
+        .otherwise(lit(" fetch user=")),
+      col("user_id"),
+      lit(" handled /api/v4/do?id="), col("event_id"),
+      lit(" in "), pmod(col("event_id"), lit(700)), lit("ms"))
+    val line = when(col("event_type") === "signup",
+        concat(lit("""{"msg": "user signup ok", "uid": """), col("user_id"),
+          lit(""", "plan": "pro"}""")))
+      .otherwise(base)
+    val rows = ev.select(col("event_id"), col("event_type"), line.as("line"))
+    val in = Files.createTempDirectory("graft_it_fpc_in_").toString
+    rows.repartition(3).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_it_fpc_out_").toString
+    val ckpt = Files.createTempDirectory("graft_it_fpc_ck_").toString
+    val src = s.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = graft.streaming.StreamingFingerprint
+      .fingerprintStream(src, "line", out, ckpt)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    s.read.parquet(out).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("fpc_fingerprint")).as("n_fp"))
+  }
+
+  private def streamFpcSql: String =
+    """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
+       FROM events WHERE event_id % 13 = 0 GROUP BY event_type"""
+
   override def all: Seq[Q] = Seq(
+    Q("it_stream_fpc", streamFpc, Some(streamFpcSql)),
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),

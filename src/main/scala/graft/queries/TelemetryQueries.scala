@@ -1589,9 +1589,76 @@ object TelemetryQueries extends Catalog {
        SELECT value, token, ${duckSigned("hv")} AS fp FROM h"""
   }
 
+  /** reference-parity log-template tokenizer
+    * ([[graft.ops.FingerprintCompat]], behavior from the reference's
+    * fingerprinter_test.go expectation table): templated event lines
+    * cover ISO8601/Loglevel/word/Number/Path/IPv4/Identifier/Duration
+    * classes plus the level capture; the oracle re-derives the exact
+    * token string per line from the same raw columns.
+    */
+  private def fpcTokens(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d).filter(col("event_id") % 7 === 0)
+    val line = concat(
+      lit("2024-03-01T10:15:30Z INFO user="), col("user_id"),
+      lit(" "), col("event_type"),
+      lit(" served /api/v2/items?page="), pmod(col("user_id"), lit(7)),
+      lit(" from 10.0."), pmod(col("user_id"), lit(200)),
+      lit("."), pmod(col("event_id"), lit(200)),
+      lit(" req-"), col("event_id"),
+      lit(" in "), pmod(col("event_id"), lit(500)), lit("ms"))
+    ev.select(col("event_id"),
+        graft.ops.FingerprintCompat.tokens(line).as("__t"))
+      .select(col("event_id"),
+        concat_ws(" ", col("__t.items")).as("tokens"),
+        col("__t.level").as("level"))
+  }
+
+  private def fpcTokensSql: String =
+    """SELECT event_id,
+         '<ISO8601> <Loglevel> user <Number> ' || lower(event_type) ||
+         ' served <Path> from <IPv4> <Identifier> in <Duration>' AS tokens,
+         'info' AS level
+       FROM events WHERE event_id % 7 = 0"""
+
+  /** reference-parity trie clustering
+    * ([[graft.ops.FingerprintCompat.fingerprintLines]], semantics from
+    * trie_cluster_manager.go): per event type, TWO line templates — the
+    * base shape and the base shape plus a trailing word — must converge
+    * onto ONE cluster fingerprint via the trie's Jaccard match (the
+    * shared prefix walks to the divergence node, the subtree scan finds
+    * the base cluster above threshold). JSON-bodied signup lines bypass
+    * the trie with the pure item+key hash. The oracle pins one
+    * fingerprint per event type over the full corpus.
+    */
+  private def fpcCluster(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d).filter(col("event_id") % 11 === 0)
+    val base = concat(
+      lit("INFO "), col("event_type"),
+      lit(" request user="), col("user_id"),
+      lit(" handled /api/v3/do?id="), col("event_id"),
+      lit(" in "), pmod(col("event_id"), lit(900)), lit("ms"))
+    val line = when(col("event_type") === "signup",
+        concat(lit("""{"msg": "user signup ok", "uid": """), col("user_id"),
+          lit(""", "plan": "basic"}""")))
+      .otherwise(when(col("event_id") % 2 === 0, base)
+        .otherwise(concat(base, lit(" retry"))))
+    val out = graft.ops.FingerprintCompat.fingerprintLines(
+      ev.select(col("event_id"), col("event_type"), line.as("line")),
+      col("line"))
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("fpc_fingerprint")).as("n_fp"))
+  }
+
+  private def fpcClusterSql: String =
+    """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
+       FROM events WHERE event_id % 11 = 0 GROUP BY event_type"""
+
   override def all: Seq[Q] = Seq(
     Q("tq_tid_compat", tidCompat, Some(tidCompatSql)),
     Q("tq_fp_compat", fpCompat, Some(fpCompatSql)),
+    Q("tq_fpc_tokens", fpcTokens, Some(fpcTokensSql)),
+    Q("tq_fpc_cluster", fpcCluster, Some(fpcClusterSql)),
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
     Q("tq_asof_bucketed", asofBucketedQ, Some(asofJoinSql)),

@@ -691,4 +691,56 @@ class StreamingSpec extends AnyFunSuite {
       s"fwd stream=${gotF.size} batch=${wantF.size} diff=${(gotF diff wantF).take(3)} ${(wantF diff gotF).take(3)}")
     assert(wantF.exists(_._4.isEmpty) && wantF.exists(_._4.nonEmpty))
   }
+
+  test("streaming fingerprint: trie state carries across micro-batches; " +
+      "extension-suffix order asymmetry matches the reference trie") {
+    import graft.ops.FingerprintCompat
+    import graft.streaming.StreamingFingerprint
+    import spark.implicits._
+
+    // ---- cross-batch carry: base template in batch 1, its "+retry"
+    // extension ONLY in batch 2. With one stream-lifetime trie the
+    // extension walks the batch-1 path and Jaccard-merges into the base
+    // cluster; a per-batch trie would mint hash(extension-items) instead.
+    val base = (0 until 40)
+      .map(i => (i.toLong, s"INFO click request user=$i handled /api/v4/do?id=$i in ${i % 9}ms"))
+    val ext = (100 until 140)
+      .map(i => (i.toLong, s"INFO click request user=$i handled /api/v4/do?id=$i in ${i % 9}ms retry"))
+    // two appends -> two files in one dir -> two micro-batches
+    // (maxFilesPerTrigger=1; file order follows append order)
+    val in2 = Files.createTempDirectory("graft_sfpc_in_").toString
+    base.toDF("id", "line").coalesce(1).write.mode("append").parquet(in2)
+    ext.toDF("id", "line").coalesce(1).write.mode("append").parquet(in2)
+    val out = Files.createTempDirectory("graft_sfpc_out_").toString
+    val ckpt = Files.createTempDirectory("graft_sfpc_ck_").toString
+    val src = spark.readStream
+      .schema(base.toDF("id", "line").schema)
+      .option("maxFilesPerTrigger", 1).parquet(in2)
+    val q = StreamingFingerprint.fingerprintStream(src, "line", out, ckpt)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 80)
+    // ONE cluster across both batches (carry + Jaccard merge)
+    assert(got.select("fpc_fingerprint").distinct().count() == 1,
+      "extension batch minted a new cluster — trie state not carried")
+    // and its id is the batch-1 base hash, not the extension hash
+    val baseItems = FingerprintCompat.tokenizeInput(base.head._2)._1
+    assert(got.select("fpc_fingerprint").head().getLong(0) ==
+      FingerprintCompat.fingerprintHash(baseItems, Nil))
+
+    // ---- the documented asymmetry (why the it-row uses symmetric
+    // divergence): extension FIRST, then base — the base consumes a
+    // strict prefix of the trie path, lands on an interior node with an
+    // empty leaf, and mints its own cluster (reference cluster()
+    // semantics: exact-walk beats subtree scan).
+    val cm = new FingerprintCompat.TrieClusterManager(0.5)
+    val extItems = FingerprintCompat.tokenizeInput(ext.head._2)._1
+    val fpExt = cm.cluster(extItems)
+    val fpBase = cm.cluster(baseItems)
+    assert(fpExt != fpBase, "prefix-after-extension should mint a new cluster")
+    // base first, extension second: merge (the carry test's shape)
+    val cm2 = new FingerprintCompat.TrieClusterManager(0.5)
+    val fpBase2 = cm2.cluster(baseItems)
+    assert(cm2.cluster(extItems) == fpBase2)
+  }
 }
