@@ -166,6 +166,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("java_hash64(str)")
       }))
 
+    ext.injectFunction((FunctionIdentifier("xxh64"),
+      info("xxh64",
+        "xxh64(str) - XXH64 (seed 0) over UTF-8 bytes as signed long (reference span-fingerprint hash)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.ops.Xxh64Str(s)
+        case _ => throw new IllegalArgumentException("xxh64(str)")
+      }))
+
     ext.injectFunction((FunctionIdentifier("cms_est"),
       info("cms_est", "cms_est(cms, value) - point frequency estimate"),
       (args: Seq[Expression]) => args match {

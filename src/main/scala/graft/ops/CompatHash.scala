@@ -188,4 +188,86 @@ object CompatHash {
     val tri = transform(trigrams(value), t => fingerprint(field, t))
     array_union(array(existsFingerprint(field), fingerprint(field, value)), tri)
   }
+
+  // ---- reference span fingerprints (oteltools fingerprinter/spans.go) -----
+
+  /** XXH64 (seed 0) of a string column as the SIGNED long the reference
+    * stores — `int64(xxhash.Sum64String(s))`. Bit contract held by
+    * [[FingerprintCompat.xxh64]] (pinned against the reference's three
+    * published fingerprints); registered in SQL as `xxh64` by
+    * [[graft.GraftExtensions]].
+    */
+  def xxh64(c: Column): Column =
+    ColumnBridge.column(Xxh64Str(ColumnBridge.expression(c)))
+
+  /** Reference-exact span fingerprint
+    * (spans.go:51-87 CalculateSpanFingerprint / :95- FromRow):
+    * xxh64 over the `##`-joined attribute list
+    * [cluster|"unknown", namespace|"unknown", service|"unknown", kind]
+    * plus the FIRST matching branch —
+    * messaging.system → [system, operation.type, destination.name];
+    * db.system.name   → [span name, system, namespace, operation.name,
+    *                     server.address, collection.name];
+    * http.request.method → [method, url.template];
+    * otherwise         → [span name].
+    * Absent/null attributes participate as EMPTY strings (Go's
+    * strings.Join keeps empty parts — `a####b` is meaningful), while the
+    * three resource attrs default to "unknown". Branch tests are
+    * non-empty-string tests, exactly the Go guards.
+    */
+  def spanFingerprint(
+      clusterName: Column, namespaceName: Column, serviceName: Column,
+      spanKind: Column, spanName: Column,
+      messagingSystem: Column = lit(""), messagingOperationType: Column = lit(""),
+      messagingDestinationName: Column = lit(""),
+      dbSystem: Column = lit(""), dbNamespace: Column = lit(""),
+      dbOperationName: Column = lit(""), serverAddress: Column = lit(""),
+      dbCollectionName: Column = lit(""),
+      httpRequestMethod: Column = lit(""), urlTemplate: Column = lit("")): Column = {
+    def orUnknown(c: Column): Column =
+      when(coalesce(c, lit("")) === "", lit("unknown")).otherwise(c)
+    def orEmpty(c: Column): Column = coalesce(c, lit(""))
+    val base = Seq(orUnknown(clusterName), orUnknown(namespaceName),
+      orUnknown(serviceName), orEmpty(spanKind))
+    def joined(extra: Seq[Column]): Column =
+      concat_ws("##", (base ++ extra.map(orEmpty)): _*)
+    val payload =
+      when(orEmpty(messagingSystem) =!= "",
+        joined(Seq(messagingSystem, messagingOperationType, messagingDestinationName)))
+        .when(orEmpty(dbSystem) =!= "",
+          joined(Seq(spanName, dbSystem, dbNamespace, dbOperationName,
+            serverAddress, dbCollectionName)))
+        .when(orEmpty(httpRequestMethod) =!= "",
+          joined(Seq(httpRequestMethod, urlTemplate)))
+        .otherwise(joined(Seq(spanName)))
+    xxh64(payload)
+  }
+}
+
+/** XXH64 (seed 0) of a string's UTF-8 bytes as a signed long — the
+  * reference's span-fingerprint / fingerprinter hash
+  * (xxhash.Sum64String; algorithm is public XXH64). Single-pass native
+  * expression; bit-exactness pinned in FingerprintCompatSpec /
+  * CompatHashSpec.
+  */
+case class Xxh64Str(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "xxh64"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"xxh64 needs a string child, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintCompat.xxh64(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.FingerprintCompat.xxh64($c.getBytes(), 0L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Xxh64Str =
+    copy(child = newChild)
 }

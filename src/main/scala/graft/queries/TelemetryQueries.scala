@@ -1589,6 +1589,158 @@ object TelemetryQueries extends Catalog {
        SELECT value, token, ${duckSigned("hv")} AS fp FROM h"""
   }
 
+  // ---- DuckDB XXH64 (seed 0), generated CTE chain ------------------------
+  // Independent re-derivation of the reference's span-fingerprint hash for
+  // payloads UNDER 32 BYTES (no 32-byte stripes — the short-input path:
+  // 8-byte rounds, 4-byte mix, tail bytes, avalanche). The >=32 stripe
+  // path is pinned separately by the reference's published JSON
+  // fingerprints in FingerprintCompatSpec. All arithmetic is HUGEINT
+  // mod-2^64; 64x64 multiplication splits into 32-bit halves so no
+  // intermediate exceeds 2^96; xor routes through signed BIGINT. Linear
+  // size: every sub-expression is staged as its own CTE column.
+  private object DuckXxh64 {
+    private val U64 = "18446744073709551616::HUGEINT"
+    private val U32 = "4294967296::HUGEINT"
+    private val P1 = "11400714785074694791::HUGEINT"
+    private val P2 = "14029467366897019727::HUGEINT"
+    private val P3 = "1609587929392839161::HUGEINT"
+    private val P4 = "9650029242287828579::HUGEINT"
+    private val P5 = "2870177450012600261::HUGEINT"
+
+    private def m64(a: String, b: String): String =
+      s"((($a) % $U32) * ($b) + (((($a) // $U32) * ($b)) % $U32) * $U32) % $U64"
+    private def rotl(x: String, r: Int): String =
+      s"((($x) * ${BigInt(2).pow(r)}::HUGEINT) % $U64 + (($x) // ${BigInt(2).pow(64 - r)}::HUGEINT))"
+    private def sgn(a: String): String =
+      s"(CASE WHEN ($a) >= 9223372036854775808::HUGEINT THEN (($a) - $U64)::BIGINT ELSE ($a)::BIGINT END)"
+    private def xor64(a: String, b: String): String =
+      s"(CASE WHEN xor(${sgn(a)}, ${sgn(b)}) < 0 THEN xor(${sgn(a)}, ${sgn(b)})::HUGEINT + $U64 " +
+        s"ELSE xor(${sgn(a)}, ${sgn(b)})::HUGEINT END)"
+
+    /** WITH-chain computing xxh64 of `xsrc.payload` (octet length < 32).
+      * Caller supplies the leading `xsrc AS (...)` CTE; the final select
+      * exposes every xsrc column plus signed `fp`.
+      */
+    def query(srcCte: String, outCols: String): String = {
+      val bytesExpr =
+        s"""list_transform(range(1, octet_length(encode(payload)) + 1),
+            i -> (strpos('0123456789abcdef', substr(lower(hex(encode(payload))), 2*i-1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(lower(hex(encode(payload))), 2*i, 1)) - 1))"""
+      val ctes = scala.collection.mutable.ArrayBuffer[String](
+        srcCte,
+        s"xb AS (SELECT *, $bytesExpr AS bs, octet_length(encode(payload)) AS n FROM xsrc)",
+        s"xh0 AS (SELECT *, ($P5 + n::HUGEINT) % $U64 AS h FROM xb)")
+      var prev = "xh0"
+      var step = 0
+      def add(expr: String, colname: String): Unit = {
+        step += 1; val nm = s"x$step"
+        ctes += s"$nm AS (SELECT *, $expr AS $colname FROM $prev)"
+        prev = nm
+      }
+      def replaceH(expr: String): Unit = {
+        step += 1; val nm = s"x$step"
+        ctes += s"$nm AS (SELECT * REPLACE ($expr AS h) FROM $prev)"
+        prev = nm
+      }
+      def le(off: String, width: Int): String =
+        (0 until width).map(j =>
+          s"coalesce(bs[$off + ${j + 1}], 0)::HUGEINT * ${BigInt(256).pow(j)}::HUGEINT")
+          .mkString("(", " + ", ")")
+      for (k <- 0 until 3) {
+        val o = 8 * k
+        add(le(o.toString, 8), s"w$k")
+        add(m64(s"w$k", P2), s"t${k}a")
+        add(rotl(s"t${k}a", 31), s"t${k}b")
+        add(m64(s"t${k}b", P1), s"t${k}c")
+        add(xor64("h", s"t${k}c"), s"t${k}d")
+        add(rotl(s"t${k}d", 27), s"t${k}e")
+        replaceH(s"CASE WHEN n >= ${o + 8} THEN (${m64(s"t${k}e", P1)} + $P4) % $U64 ELSE h END")
+      }
+      val o4 = "(8 * (n // 8))"
+      add(le(o4, 4), "w4")
+      add(m64("w4", P1), "t4a")
+      add(xor64("h", "t4a"), "t4b")
+      add(rotl("t4b", 23), "t4c")
+      replaceH(s"CASE WHEN n % 8 >= 4 THEN (${m64("t4c", P2)} + $P3) % $U64 ELSE h END")
+      val tb0 = "(8 * (n // 8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END)"
+      for (j <- 0 until 3) {
+        add(s"coalesce(bs[$tb0 + ${j + 1}], 0)::HUGEINT", s"b$j")
+        add(m64(s"b$j", P5), s"u${j}a")
+        add(xor64("h", s"u${j}a"), s"u${j}b")
+        add(rotl(s"u${j}b", 11), s"u${j}c")
+        replaceH(s"CASE WHEN n > $tb0 + $j THEN ${m64(s"u${j}c", P1)} ELSE h END")
+      }
+      add(xor64("h", "h // 8589934592::HUGEINT"), "va")
+      replaceH(m64("va", P2))
+      add(xor64("h", "h // 536870912::HUGEINT"), "vb")
+      replaceH(m64("vb", P3))
+      replaceH(xor64("h", "h // 4294967296::HUGEINT"))
+      "WITH " + ctes.mkString(",\n") + s"\nSELECT $outCols, ${sgn("h")} AS fp FROM $prev"
+    }
+  }
+
+  /** reference span-fingerprint bit-compat
+    * ([[graft.ops.CompatHash.spanFingerprint]], oteltools
+    * fingerprinter/spans.go:51-133): synthetic spans off `events`
+    * exercise all four branches — messaging, db (with absent attrs
+    * participating as EMPTY join parts), http, and the plain-name
+    * fallback — plus the ""→"unknown" resource default. The oracle
+    * rebuilds the `##` payload AND re-derives XXH64 INDEPENDENTLY in
+    * DuckDB (generated HUGEINT mod-2^64 CTE chain; payloads are kept
+    * under 32 bytes so the short-input path fully covers them — the
+    * stripe path is pinned by the published JSON fingerprints in
+    * FingerprintCompatSpec).
+    */
+  private def spanFpCompat(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d).filter(col("event_id") % 9 === 0)
+    val cluster = when(col("event_type") === "error", lit(""))
+      .otherwise(concat(lit("c"), pmod(col("user_id"), lit(3))))
+    val ns = concat(lit("n"), pmod(col("user_id"), lit(4)))
+    val svc = concat(lit("s"), pmod(col("user_id"), lit(5)))
+    val kind = when(col("event_id") % 2 === 0, lit("S")).otherwise(lit("C"))
+    val name = concat(lit("o"), pmod(col("event_id"), lit(8)))
+    val isMsg = col("event_type") === "click"
+    val isDb = col("event_type") === "purchase"
+    val isHttp = col("event_type") === "view"
+    ev.select(col("event_id"),
+      graft.ops.CompatHash.spanFingerprint(
+        cluster, ns, svc, kind, name,
+        messagingSystem = when(isMsg, lit("mq")).otherwise(lit("")),
+        messagingOperationType = when(isMsg && col("user_id") % 2 === 0,
+          lit("p")).otherwise(when(isMsg, lit("c")).otherwise(lit(""))),
+        messagingDestinationName = when(isMsg,
+          concat(lit("t"), pmod(col("user_id"), lit(7)))).otherwise(lit("")),
+        dbSystem = when(isDb, lit("pg")).otherwise(lit("")),
+        httpRequestMethod = when(isHttp && col("user_id") % 2 === 0,
+          lit("GET")).otherwise(when(isHttp, lit("POST")).otherwise(lit(""))),
+        urlTemplate = when(isHttp,
+          concat(lit("/u"), pmod(col("user_id"), lit(5)))).otherwise(lit(""))
+      ).as("span_fp"))
+  }
+
+  private def spanFpCompatSql: String = {
+    val base = """'c' || (user_id % 3) || '##n' || (user_id % 4) || '##s' || (user_id % 5)
+      || CASE WHEN event_id % 2 = 0 THEN '##S' ELSE '##C' END"""
+    val baseUnknown = """'unknown' || '##n' || (user_id % 4) || '##s' || (user_id % 5)
+      || CASE WHEN event_id % 2 = 0 THEN '##S' ELSE '##C' END"""
+    val payload = s"""CASE
+        WHEN event_type = 'click' THEN ($base) || '##mq##'
+          || CASE WHEN user_id % 2 = 0 THEN 'p' ELSE 'c' END
+          || '##t' || (user_id % 7)
+        WHEN event_type = 'purchase' THEN ($base) || '##o' || (event_id % 8)
+          || '##pg' || '########'
+        WHEN event_type = 'view' THEN ($base) || '##'
+          || CASE WHEN user_id % 2 = 0 THEN 'GET' ELSE 'POST' END
+          || '##/u' || (user_id % 5)
+        WHEN event_type = 'error' THEN ($baseUnknown) || '##o' || (event_id % 8)
+        ELSE ($base) || '##o' || (event_id % 8)
+      END"""
+    DuckXxh64.query(
+      s"""xsrc AS (SELECT event_id, $payload AS payload
+          FROM events WHERE event_id % 9 = 0)""",
+      "event_id").replace("AS fp FROM", "AS span_fp FROM")
+  }
+
   /** reference-parity log-template tokenizer
     * ([[graft.ops.FingerprintCompat]], behavior from the reference's
     * fingerprinter_test.go expectation table): templated event lines
@@ -1659,6 +1811,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_fp_compat", fpCompat, Some(fpCompatSql)),
     Q("tq_fpc_tokens", fpcTokens, Some(fpcTokensSql)),
     Q("tq_fpc_cluster", fpcCluster, Some(fpcClusterSql)),
+    Q("tq_span_fp_compat", spanFpCompat, Some(spanFpCompatSql)),
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
     Q("tq_asof_bucketed", asofBucketedQ, Some(asofJoinSql)),

@@ -151,4 +151,50 @@ class CompatHashSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0).toSet
     assert(got == want)
   }
+
+  test("xxh64 column equals the driver fold on random strings, short and striped") {
+    val rnd = new scala.util.Random(42)
+    val strs = (0 until 60).map { i =>
+      val len = if (i % 3 == 0) rnd.nextInt(31) else 20 + rnd.nextInt(150)
+      rnd.alphanumeric.take(len).mkString + (if (i % 5 == 0) " ##/{}" else "")
+    } :+ "" :+ ("x" * 32) :+ ("y" * 31) :+ ("z" * 33)
+    val got = strs.toDF("s").select($"s", CompatHash.xxh64($"s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(got(s) == graft.ops.FingerprintCompat.xxh64(s),
+        s"xxh64 mismatch for len=${s.length}")
+    }
+    // SQL registration
+    assert(spark.sql("SELECT xxh64('')").head().getLong(0) ==
+      graft.ops.FingerprintCompat.xxh64(""))
+  }
+
+  test("spanFingerprint: branch priority, unknown defaults, empty parts kept") {
+    import graft.ops.FingerprintCompat.{xxh64 => x64}
+    def fp(cluster: String, ns: String, svc: String, kind: String, name: String,
+        msys: String = "", mop: String = "", mdest: String = "",
+        db: String = "", meth: String = "", tmpl: String = ""): Long =
+      Seq(1).toDF("i").select(CompatHash.spanFingerprint(
+        lit(cluster), lit(ns), lit(svc), lit(kind), lit(name),
+        messagingSystem = lit(msys), messagingOperationType = lit(mop),
+        messagingDestinationName = lit(mdest),
+        dbSystem = lit(db), httpRequestMethod = lit(meth),
+        urlTemplate = lit(tmpl))).head().getLong(0)
+    // plain-name fallback
+    assert(fp("c1", "n1", "s1", "Server", "op") ==
+      x64("c1##n1##s1##Server##op"))
+    // empty resource attrs -> "unknown" (spans.go getFromResource)
+    assert(fp("", "", "", "Client", "op") ==
+      x64("unknown##unknown##unknown##Client##op"))
+    // messaging branch wins over db and http; empty sub-attrs KEPT as
+    // empty join parts (Go strings.Join)
+    assert(fp("c", "n", "s", "K", "op", msys = "kafka", db = "pg", meth = "GET") ==
+      x64("c##n##s##K##kafka####"))
+    // db branch: span name + 6 fields, absent ones empty
+    assert(fp("c", "n", "s", "K", "op", db = "pg") ==
+      x64("c##n##s##K##op##pg########"))
+    // http branch
+    assert(fp("c", "n", "s", "K", "op", meth = "GET", tmpl = "/u/{id}") ==
+      x64("c##n##s##K##GET##/u/{id}"))
+  }
 }
