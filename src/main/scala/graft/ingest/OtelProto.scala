@@ -1286,7 +1286,7 @@ object OtelProto {
       coalesce(element_at(array(names.map(lit): _*), c.cast("int") + 1), lit(names(0)))
     val kindName = (c: org.apache.spark.sql.Column) => nameOf(c, spanKindNames)
     val codeName = (c: org.apache.spark.sql.Column) => nameOf(c, statusCodeNames)
-    widenAttrs(spans.toDF().select(
+    val widened = widenAttrs(spans.toDF().select(
       expr("startUnixNano DIV 1000000").as("chq_timestamp"),
       col("startUnixNano").as("chq_tsns"),
       col("traceId").as("span_trace_id"),
@@ -1300,6 +1300,33 @@ object OtelProto {
       expr("endUnixNano DIV 1000000").as("span_end_timestamp"),
       col("scopeName").as("scope_name"),
       col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
+    // reference-parity span fingerprint, computed at ingest exactly like
+    // the reference's trace reader (ingest_proto_traces.go:283 assigns
+    // CalculateSpanFingerprintFromRow over the same widened row keys,
+    // pipeline/wkk/intern.go:251-289). The reference's span_kind string
+    // is pdata's Kind().String() ("Server"), not the proto enum name
+    // this frame keeps in span_kind — map just for the hash input.
+    def ac(n: String): org.apache.spark.sql.Column =
+      if (widened.columns.contains(n)) coalesce(col(n), lit("")) else lit("")
+    val pdataKind = OtelProto.spanKindNames.zip(Seq(
+      "Unspecified", "Internal", "Server", "Client", "Producer", "Consumer"))
+      .foldLeft(lit("Unspecified")) { case (acc, (proto, pd)) =>
+        when(col("span_kind") === proto, lit(pd)).otherwise(acc)
+      }
+    widened.withColumn("chq_fingerprint",
+      graft.ops.CompatHash.spanFingerprint(
+        ac("resource_k8s_cluster_name"), ac("resource_k8s_namespace_name"),
+        ac("resource_service_name"), pdataKind, col("span_name"),
+        messagingSystem = ac("attr_messaging_system"),
+        messagingOperationType = ac("attr_messaging_operation_type"),
+        messagingDestinationName = ac("attr_messaging_destination_name"),
+        dbSystem = ac("attr_db_system_name"),
+        dbNamespace = ac("attr_db_namespace"),
+        dbOperationName = ac("attr_db_operation_name"),
+        serverAddress = ac("attr_server_address"),
+        dbCollectionName = ac("attr_db_collection_name"),
+        httpRequestMethod = ac("attr_http_request_method"),
+        urlTemplate = ac("attr_url_template")))
   }
 
   // ---- tiny encoder (fixtures/tests; also documents the wire format) ---------

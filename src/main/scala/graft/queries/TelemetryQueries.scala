@@ -1741,6 +1741,30 @@ object TelemetryQueries extends Catalog {
       "event_id").replace("AS fp FROM", "AS span_fp FROM")
   }
 
+  /** reference JSON-body fingerprint, BIT-EXACT at the driver gate
+    * (fingerprinter.go:195-206: xxh64 of items joined ':' + ':key' per
+    * sorted deep key): JSON log lines per event; the oracle re-derives
+    * the token items (trivially — the msg template is fixed, with the
+    * loglevel-capture case for event_type='error'), the sorted key list,
+    * AND the XXH64 itself through the generated DuckDB chain.
+    */
+  private def fpcJsonFp(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d).filter(col("event_id") % 5 === 0)
+    val line = concat(lit("""{"msg": "user """), col("event_type"),
+      lit(""" ok", "uid": """), col("user_id"), lit(""", "plan": "basic"}"""))
+    ev.select(col("event_id"),
+      graft.ops.FingerprintCompat.tokens(line)
+        .getField("json_fp").as("json_fp"))
+  }
+
+  private def fpcJsonFpSql: String =
+    DuckXxh64.query(
+      """xsrc AS (SELECT event_id,
+           'user:' || CASE WHEN event_type = 'error' THEN '<Loglevel>'
+                           ELSE event_type END || ':ok:msg:plan:uid' AS payload
+         FROM events WHERE event_id % 5 = 0)""",
+      "event_id").replace("AS fp FROM", "AS json_fp FROM")
+
   /** reference-parity log-template tokenizer
     * ([[graft.ops.FingerprintCompat]], behavior from the reference's
     * fingerprinter_test.go expectation table): templated event lines
@@ -1812,6 +1836,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_fpc_tokens", fpcTokens, Some(fpcTokensSql)),
     Q("tq_fpc_cluster", fpcCluster, Some(fpcClusterSql)),
     Q("tq_span_fp_compat", spanFpCompat, Some(spanFpCompatSql)),
+    Q("tq_fpc_jsonfp", fpcJsonFp, Some(fpcJsonFpSql)),
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
     Q("tq_asof_bucketed", asofBucketedQ, Some(asofJoinSql)),

@@ -278,5 +278,10 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(r.getAs[Long]("chq_timestamp") == 1704067200000L)
     assert(r.getAs[String]("resource_service_name") == "svc-b")
     assert(r.getAs[String]("attr_http_status") == "500")
+    // reference-parity span fingerprint at ingest: no k8s attrs ->
+    // "unknown", pdata-style kind name, plain-name branch (http.status
+    // is not http.request.method)
+    assert(r.getAs[Long]("chq_fingerprint") ==
+      graft.ops.FingerprintCompat.xxh64("unknown##unknown##svc-b##Server##GET /"))
   }
 }
