@@ -757,6 +757,61 @@ object FingerprintCompat {
       .withColumn("fpc_level", col("__fpc_level"))
       .drop("__fpc_items", "__fpc_level", "__fpc_jsonfp")
   }
+
+  /** per-tenant trie registry — the reference's TenantManager
+    * (internal/fingerprint/tenant_manager.go:34-59: one long-lived
+    * TrieClusterManager per organization id, created on first sight).
+    * Cluster MERGE decisions are tenant-isolated: org A's templates
+    * never widen or match org B's clusters. (A template's FIRST cluster
+    * id is the hash of its own items, so ids can coincide across
+    * tenants when the templates coincide — same as the reference.)
+    */
+  final class TenantRegistry(threshold: Double = 0.5) {
+    private val tenants =
+      new java.util.concurrent.ConcurrentHashMap[String, TrieClusterManager]()
+    def tenant(org: String): TrieClusterManager =
+      tenants.computeIfAbsent(org, _ => new TrieClusterManager(threshold))
+    def size: Int = tenants.size
+  }
+
+  /** multi-tenant batch fingerprinting: [[fingerprintLinesWith]] with the
+    * trie chosen PER ORG from the registry — distinct (org, sequence)
+    * pairs reduce to the driver (still template-cardinality-bounded),
+    * replay through each org's trie in deterministic order, and the
+    * (org, sequence)→fingerprint map broadcasts back.
+    */
+  def fingerprintLinesByOrg(df: DataFrame, line: Column, org: Column,
+      registry: TenantRegistry, maxTokens: Int = 15,
+      maxTemplates: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    val tok = df.withColumn("__fpc", tokens(line, maxTokens))
+      .withColumn("__fpc_org", coalesce(org.cast("string"), lit("")))
+      .withColumn("__fpc_items", col("__fpc.items"))
+      .withColumn("__fpc_level", col("__fpc.level"))
+      .withColumn("__fpc_jsonfp", col("__fpc.json_fp"))
+      .drop("__fpc")
+    val seqs = tok.filter(col("__fpc_jsonfp").isNull)
+      .groupBy(col("__fpc_org"), col("__fpc_items"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__fpc_org").asc,
+        concat_ws("", col("__fpc_items")).asc)
+      .limit(maxTemplates)
+      .collect()
+    val mapping: Map[(String, Seq[String]), Long] = seqs.map { r =>
+      val o = r.getString(0)
+      val items = r.getSeq[String](1)
+      (o, items) -> registry.tenant(o).cluster(items)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(mapping)
+    val lookup = udf { (o: String, items: Seq[String]) =>
+      bc.value.getOrElse((o, items), fingerprintHash(items, Nil))
+    }
+    tok.withColumn("fpc_fingerprint",
+        coalesce(col("__fpc_jsonfp"),
+          lookup(col("__fpc_org"), col("__fpc_items"))))
+      .withColumn("fpc_level", col("__fpc_level"))
+      .drop("__fpc_org", "__fpc_items", "__fpc_level", "__fpc_jsonfp")
+  }
 }
 
 /** tokenizer as a native expression: struct(items, level, json_fp) */

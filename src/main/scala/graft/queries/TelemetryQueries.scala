@@ -1765,6 +1765,40 @@ object TelemetryQueries extends Catalog {
          FROM events WHERE event_id % 5 = 0)""",
       "event_id").replace("AS fp FROM", "AS json_fp FROM")
 
+  /** multi-tenant fingerprinting
+    * ([[graft.ops.FingerprintCompat.fingerprintLinesByOrg]], reference
+    * TenantManager, internal/fingerprint/tenant_manager.go): one trie
+    * per org; both orgs run the same two templates per event type and
+    * converge to one cluster per type WITHIN their own trie. Merge
+    * isolation (the part a shared trie would get wrong) is pinned in
+    * FingerprintCompatSpec; this row gates the surface end-to-end.
+    */
+  private def fpcByOrg(s: SparkSession, d: String): DataFrame = {
+    val ev = raw(s, d).filter(col("event_id") % 17 === 0)
+    val org = when(col("user_id") % 2 === 0, lit("acme")).otherwise(lit("globex"))
+    // symmetric mid-sequence divergence (request/fetch): the two
+    // templates merge into one cluster whichever is seen first — an
+    // extension-suffix variant would be arrival-order-dependent
+    val line = concat(lit("INFO "), col("event_type"),
+      when(col("event_id") % 2 === 0, lit(" request user="))
+        .otherwise(lit(" fetch user=")),
+      col("user_id"),
+      lit(" handled /api/v5/do?id="), col("event_id"),
+      lit(" in "), pmod(col("event_id"), lit(800)), lit("ms"))
+    val reg = new graft.ops.FingerprintCompat.TenantRegistry(0.5)
+    graft.ops.FingerprintCompat.fingerprintLinesByOrg(
+      ev.select(org.as("org"), col("event_type"), line.as("line")),
+      col("line"), col("org"), reg)
+      .groupBy(col("org"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("fpc_fingerprint")).as("n_fp"))
+  }
+
+  private def fpcByOrgSql: String =
+    """SELECT CASE WHEN user_id % 2 = 0 THEN 'acme' ELSE 'globex' END AS org,
+         event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
+       FROM events WHERE event_id % 17 = 0 GROUP BY 1, 2"""
+
   /** reference-parity log-template tokenizer
     * ([[graft.ops.FingerprintCompat]], behavior from the reference's
     * fingerprinter_test.go expectation table): templated event lines
@@ -1837,6 +1871,7 @@ object TelemetryQueries extends Catalog {
     Q("tq_fpc_cluster", fpcCluster, Some(fpcClusterSql)),
     Q("tq_span_fp_compat", spanFpCompat, Some(spanFpCompatSql)),
     Q("tq_fpc_jsonfp", fpcJsonFp, Some(fpcJsonFpSql)),
+    Q("tq_fpc_by_org", fpcByOrg, Some(fpcByOrgSql)),
     Q("tq_asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("tq_asof_forward", asofForwardQ, Some(asofForwardSql)),
     Q("tq_asof_bucketed", asofBucketedQ, Some(asofJoinSql)),

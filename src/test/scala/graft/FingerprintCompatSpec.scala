@@ -294,6 +294,32 @@ class FingerprintCompatSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("tenant isolation: merge decisions never cross orgs (TenantManager semantics)") {
+    import TestSpark._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reg = new FingerprintCompat.TenantRegistry(0.5)
+    val base = "INFO click request user=7 handled /api/v4/do?id=7 in 3ms"
+    val ext = base + " retry"
+    // org A sees the base template AND its extension -> the extension
+    // Jaccard-merges into the base cluster. org B sees ONLY the
+    // extension -> a fresh cluster in B's own trie (hash of the
+    // extension's items). A shared trie would have merged B's too.
+    val rows = Seq(("A", base), ("A", ext), ("B", ext)).toDF("org", "line")
+    val out = FingerprintCompat
+      .fingerprintLinesByOrg(rows, col("line"), col("org"), reg)
+      .select("org", "line", "fpc_fingerprint").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val baseItems = tokenizeInput(base)._1
+    val extItems = tokenizeInput(ext)._1
+    assert(out(("A", base)) == fingerprintHash(baseItems, Nil))
+    assert(out(("A", ext)) == out(("A", base)), "extension did not merge in org A")
+    assert(out(("B", ext)) == fingerprintHash(extItems, Nil),
+      "org B's cluster leaked from org A's trie")
+    assert(out(("B", ext)) != out(("A", ext)))
+    assert(reg.size == 2)
+  }
+
   test("fingerprintLines is deterministic across partitionings") {
     import TestSpark._
     import spark.implicits._

