@@ -476,4 +476,31 @@ class PlanSpec extends AnyFunSuite {
     // never rank the corpus globally
     assert(!p.contains("partitionBy=[]"), p.take(2000))
   }
+
+  test("compat fingerprinting: template map-join is broadcast, never a shuffle join") {
+    // fingerprintLines resolves cluster ids through a broadcast lookup
+    // over the driver-trie mapping — the per-row side must stay a pure
+    // projection: NO join operator and NO extra Exchange beyond the
+    // final aggregation the row itself asks for
+    val p = plan("tq_fpc_cluster")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"cluster-id resolution became a join:\n${p.take(2000)}")
+  }
+
+  test("compat tokenizer row: single scan, no shuffle before the projection") {
+    val p = plan("tq_fpc_tokens")
+    // one FileScan of events; the tokenize is a projection — no join, no
+    // aggregation, no Exchange at all in this row's plan
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"tokenizer projection picked up a shuffle:\n${p.take(2000)}")
+    assert(p.contains("graft_fpc_tokenize") || p.contains("FpcTokenize") ||
+      p.contains("Project"), p.take(1500))
+  }
+
+  test("span fingerprint row: pure codegen projection over one scan") {
+    val p = plan("tq_span_fp_compat")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"span fingerprint picked up a shuffle:\n${p.take(2000)}")
+  }
 }
