@@ -685,6 +685,47 @@ object FingerprintCompat {
       }
       cur.getOrCreateLeaf().add(items)
     }
+
+    /** full cluster state, leaf by leaf: (trie path, clusters in match
+      * order) with each cluster's (fp, token set, matchCount, total) —
+      * the fields the reference's own cluster struct serializes
+      * (trie_cluster_manager.go:28-34 json tags). The path is what the
+      * Go struct does NOT need to persist in memory but a snapshot
+      * does: it reconstructs the node chain on restore.
+      */
+    def snapshot(): Seq[(Seq[String], Seq[(Long, Set[String], Int, Int)])] =
+      synchronized {
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[String], Seq[(Long, Set[String], Int, Int)])]
+        def dfs(n: Node, path: List[String]): Unit = {
+          if (n.leaf != null && n.leaf.clusters.nonEmpty)
+            out += ((path.reverse,
+              n.leaf.clusters.map(c =>
+                (c.fp, c.tokens, c.matchCount, c.total)).toSeq))
+          n.children.toSeq.sortBy(_._1).foreach { case (k, c) =>
+            dfs(c, k :: path)
+          }
+        }
+        dfs(root, Nil)
+        out.toSeq
+      }
+
+    /** rebuild one leaf from a snapshot row; call on a fresh manager in
+      * any order — node chains are carved as needed, cluster order
+      * within a leaf is preserved (it is the match-priority order).
+      */
+    def restoreLeaf(path: Seq[String],
+        clusters: Seq[(Long, Set[String], Int, Int)]): Unit = synchronized {
+      var cur = root
+      path.foreach { tok =>
+        cur = cur.children.getOrElseUpdate(tok, new Node)
+      }
+      val leaf = cur.getOrCreateLeaf()
+      clusters.foreach { case (fp, tokens, mc, tot) =>
+        val cl = new Cluster(fp, tokens, mc, tot)
+        leaf.clusters += cl
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -772,6 +813,10 @@ object FingerprintCompat {
     def tenant(org: String): TrieClusterManager =
       tenants.computeIfAbsent(org, _ => new TrieClusterManager(threshold))
     def size: Int = tenants.size
+    def orgIds: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      tenants.keySet().asScala.toSeq.sorted
+    }
   }
 
   /** multi-tenant batch fingerprinting: [[fingerprintLinesWith]] with the

@@ -16,16 +16,21 @@ import graft.ops.FingerprintCompat
   * Jaccard-merges into the batch-1 cluster exactly like a collector
   * restartlessly running for a week. State is O(distinct templates)
   * on the driver — the same bound the reference's in-memory trie has —
-  * and like the reference it is process-lifetime state: a restart starts
-  * an empty trie (new cluster ids for re-seen templates), which is the
-  * reference's documented behavior, not a durability gap.
+  * and like the reference it is process-lifetime state by default: a
+  * restart starts an empty trie (new cluster ids for re-seen templates),
+  * which is the reference's documented behavior, not a durability gap.
+  * Opt-in `stateDir` upgrades that: [[graft.ops.TrieStore]] snapshots
+  * the trie per batch and restores it at stream start, so cluster ids
+  * survive restarts (a graft extension).
   */
 object StreamingFingerprint {
 
   /** one stream's trie + config; hold one per logical stream */
   final class Session(threshold: Double = 0.5, maxTokens: Int = 15,
       maxTemplates: Int = 100000) {
-    val trie = new FingerprintCompat.TrieClusterManager(threshold)
+    private[streaming] val registry =
+      new FingerprintCompat.TenantRegistry(threshold)
+    val trie: FingerprintCompat.TrieClusterManager = registry.tenant("")
     def fingerprintBatch(batch: DataFrame, line: Column): DataFrame =
       FingerprintCompat.fingerprintLinesWith(batch, line, trie,
         maxTokens, maxTemplates)
@@ -37,10 +42,21 @@ object StreamingFingerprint {
     * identically because the trie resolves re-seen sequences to their
     * existing clusters)
     */
+  /** `stateDir = Some(dir)` persists the trie after every batch via
+    * [[graft.ops.TrieStore]] and RESTORES it at stream start — a graft
+    * extension past the reference's process-lifetime trie: cluster ids
+    * survive a restart, so a template first seen before the crash keeps
+    * its id after (the reference re-mints). Snapshot cost is
+    * O(templates) per batch — the trie's own size.
+    */
   def fingerprintStream(lines: DataFrame, lineCol: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.5, maxTokens: Int = 15,
-      maxTemplates: Int = 100000): StreamingQuery = {
+      maxTemplates: Int = 100000,
+      stateDir: Option[String] = None): StreamingQuery = {
     val session = new Session(threshold, maxTokens, maxTemplates)
+    stateDir.foreach { d =>
+      graft.ops.TrieStore.load(lines.sparkSession, d, session.registry)
+    }
     lines.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -53,6 +69,9 @@ object StreamingFingerprint {
             .delete(p, true)
           session.fingerprintBatch(batch, org.apache.spark.sql.functions.col(lineCol))
             .write.mode("overwrite").parquet(dir)
+          stateDir.foreach { d =>
+            graft.ops.TrieStore.save(spark, session.registry, d, batchId)
+          }
         }
         ()
       }

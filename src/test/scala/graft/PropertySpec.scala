@@ -799,4 +799,27 @@ class PropertySpec extends AnyFunSuite {
       words.toDF("w")
     }
   }
+
+  test("fpc tokenizer is total and bounded on arbitrary input") {
+    import graft.ops.FingerprintCompat
+    // arbitrary unicode soup: quotes, braces, ANSI-ish bytes, newlines,
+    // astral code points — the scanner must never throw, items stay
+    // within maxTokens, levels stay in the level vocabulary, and the
+    // function is a pure function of its input
+    val soupChar: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '=', '"', '\'', '.', '-', ':', ',', ';',
+        '{', '}', '[', ']', '(', ')', '/', '@', '#', '%', '|', '\n', '\r'),
+      1 -> Gen.oneOf('\u001b', '\u00e9', '\u4e2d', '\ud83d', '\udca9'))
+    val soup: Gen[String] = Gen.listOf(soupChar).map(_.mkString)
+    holds(forAll(soup) { s0 =>
+      val (items, level, keys) = FingerprintCompat.tokenizeInput(s0)
+      val again = FingerprintCompat.tokenizeInput(s0)
+      items.size <= 15 &&
+        (level.isEmpty || FingerprintCompat.LogLevelNames.contains(level)) &&
+        keys == keys.sorted &&
+        (items, level, keys) == again &&
+        { FingerprintCompat.fingerprintHash(items, keys); true }
+    }, n = 400)
+  }
 }

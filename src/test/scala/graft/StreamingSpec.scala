@@ -743,4 +743,56 @@ class StreamingSpec extends AnyFunSuite {
     val fpBase2 = cm2.cluster(baseItems)
     assert(cm2.cluster(extItems) == fpBase2)
   }
+
+  test("trie state survives a stream restart via TrieStore; snapshot round-trips") {
+    import graft.ops.{FingerprintCompat, TrieStore}
+    import graft.streaming.StreamingFingerprint
+    import spark.implicits._
+
+    val base = (0 until 30)
+      .map(i => (i.toLong, s"INFO click request user=$i handled /api/v4/do?id=$i in ${i % 9}ms"))
+    val ext = (100 until 130)
+      .map(i => (i.toLong, s"INFO click request user=$i handled /api/v4/do?id=$i in ${i % 9}ms retry"))
+    val stateDir = Files.createTempDirectory("graft_triestore_").toString
+
+    // ---- run 1: base templates only, persisted
+    val in1 = Files.createTempDirectory("graft_sfpc_r1_").toString
+    base.toDF("id", "line").coalesce(1).write.mode("append").parquet(in1)
+    val out1 = Files.createTempDirectory("graft_sfpc_r1o_").toString
+    val q1 = StreamingFingerprint.fingerprintStream(
+      spark.readStream.schema(base.toDF("id", "line").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in1),
+      "line", out1, Files.createTempDirectory("graft_sfpc_r1k_").toString,
+      stateDir = Some(stateDir))
+    try q1.awaitTermination() finally if (q1.isActive) q1.stop()
+    val fpBase = spark.read.parquet(out1)
+      .select("fpc_fingerprint").head().getLong(0)
+
+    // ---- run 2 (a RESTART: fresh session object): extension templates
+    // only. With the restored trie they merge into run 1's cluster; a
+    // cold trie would mint hash(extension-items) instead.
+    val in2 = Files.createTempDirectory("graft_sfpc_r2_").toString
+    ext.toDF("id", "line").coalesce(1).write.mode("append").parquet(in2)
+    val out2 = Files.createTempDirectory("graft_sfpc_r2o_").toString
+    val q2 = StreamingFingerprint.fingerprintStream(
+      spark.readStream.schema(ext.toDF("id", "line").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in2),
+      "line", out2, Files.createTempDirectory("graft_sfpc_r2k_").toString,
+      stateDir = Some(stateDir))
+    try q2.awaitTermination() finally if (q2.isActive) q2.stop()
+    val fps2 = spark.read.parquet(out2)
+      .select("fpc_fingerprint").distinct().collect().map(_.getLong(0)).toSeq
+    assert(fps2 == Seq(fpBase),
+      s"restart lost the trie: run-2 fps $fps2 != run-1 cluster $fpBase")
+
+    // ---- snapshot/restore round-trip preserves full cluster state
+    val reg = new FingerprintCompat.TenantRegistry(0.5)
+    TrieStore.load(spark, stateDir, reg)
+    val cm = reg.tenant("")
+    val snap = cm.snapshot()
+    assert(snap.nonEmpty)
+    val reg2 = new FingerprintCompat.TenantRegistry(0.5)
+    snap.foreach { case (p, cs) => reg2.tenant("").restoreLeaf(p, cs) }
+    assert(reg2.tenant("").snapshot() == snap)
+  }
 }
