@@ -166,6 +166,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("java_hash64(str)")
       }))
 
+    ext.injectFunction((FunctionIdentifier("fpc_tokenize"),
+      info("fpc_tokenize",
+        "fpc_tokenize(line) - reference-parity log tokenizer: struct(items, level, json_fp)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.ops.FpcTokenize(s, 15)
+        case _ => throw new IllegalArgumentException("fpc_tokenize(line)")
+      }))
+
     ext.injectFunction((FunctionIdentifier("xxh64"),
       info("xxh64",
         "xxh64(str) - XXH64 (seed 0) over UTF-8 bytes as signed long (reference span-fingerprint hash)"),

@@ -781,7 +781,7 @@ object FingerprintCompat {
       .drop("__fpc")
     val seqs = tok.filter(col("__fpc_jsonfp").isNull)
       .groupBy(col("__fpc_items")).agg(count(lit(1)).as("__n"))
-      .orderBy(col("__n").desc, concat_ws("", col("__fpc_items")).asc)
+      .orderBy(col("__n").desc, concat_ws("\u0001", col("__fpc_items")).asc)
       .limit(maxTemplates)
       .select(col("__fpc_items"), col("__n"))
       .collect()
@@ -839,7 +839,7 @@ object FingerprintCompat {
       .groupBy(col("__fpc_org"), col("__fpc_items"))
       .agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__fpc_org").asc,
-        concat_ws("", col("__fpc_items")).asc)
+        concat_ws("\u0001", col("__fpc_items")).asc)
       .limit(maxTemplates)
       .collect()
     val mapping: Map[(String, Seq[String]), Long] = seqs.map { r =>

@@ -1003,8 +1003,57 @@ object ItQueries extends Catalog {
     """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
        FROM events WHERE event_id % 13 = 0 GROUP BY event_type"""
 
+  /** compat fingerprints through the SEGMENT spine: cook log lines with
+    * [[graft.ops.FingerprintCompat.fingerprintLines]] (the reference's
+    * logs-ingest motion — its ingest assigns the trie fingerprint per
+    * record before the segment write, logs_ingest_duckdb.go), write real
+    * partitioned log segments sorted/bloomed on chq_fingerprint, read
+    * them back, and aggregate per event type. One cluster per type
+    * (symmetric-divergence templates), JSON lines pure-hash — the same
+    * invariants as tq_fpc_cluster but THROUGH the storage contract.
+    */
+  private def fpcSegments(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = Tables.events(s, d).filter(col("event_id") % 19 === 0)
+    val line = when(col("event_type") === "signup",
+        concat(lit("""{"msg": "user signup ok", "uid": """), col("user_id"),
+          lit(""", "plan": "max"}""")))
+      .otherwise(concat(
+        lit("INFO "), col("event_type"),
+        when(col("event_id") % 2 === 0, lit(" request user="))
+          .otherwise(lit(" fetch user=")),
+        col("user_id"),
+        lit(" handled /api/v6/do?id="), col("event_id"),
+        lit(" in "), pmod(col("event_id"), lit(600)), lit("ms")))
+    val cooked = graft.ops.FingerprintCompat.fingerprintLines(
+      ev.select(col("ts_ms").as("chq_timestamp"),
+        (col("ts_ms") * 1000000L + col("event_id")).as("chq_tsns"),
+        line.as("log_message"),
+        concat(lit("svc-"), pmod(col("user_id"), lit(5))).as("resource_service_name"),
+        col("event_type").as("attr_event_type")),
+      col("log_message"))
+      .withColumn("chq_fingerprint", col("fpc_fingerprint"))
+      .withColumn("log_level", upper(coalesce(
+        when(col("fpc_level") === "", null).otherwise(col("fpc_level")),
+        lit("info"))))
+      .drop("fpc_fingerprint", "fpc_level")
+    val dir = Files.createTempDirectory("graft_it_fpcseg_").toString
+    Segments.writeLogSegments(cooked, dir, maxRecordsPerFile = 5000)
+    s.read.parquet(dir)
+      .groupBy(col("attr_event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("chq_fingerprint")).as("n_fp"),
+        min(col("log_level")).as("lvl"))
+  }
+
+  private def fpcSegmentsSql: String =
+    """SELECT event_type AS attr_event_type, count(*) AS n,
+         CAST(1 AS BIGINT) AS n_fp, 'INFO' AS lvl
+       FROM events WHERE event_id % 19 = 0 GROUP BY event_type"""
+
   override def all: Seq[Q] = Seq(
     Q("it_stream_fpc", streamFpc, Some(streamFpcSql)),
+    Q("it_fpc_segments", fpcSegments, Some(fpcSegmentsSql)),
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),

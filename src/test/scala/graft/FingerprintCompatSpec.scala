@@ -320,6 +320,16 @@ class FingerprintCompatSpec extends AnyFunSuite {
     assert(reg.size == 2)
   }
 
+  test("SQL registry: fpc_tokenize callable from spark.sql") {
+    import TestSpark._
+    val r = spark.sql(
+      """SELECT fpc_tokenize('2024-01-02T14:54:12Z INFO hello world') AS t""")
+      .selectExpr("t.items", "t.level", "t.json_fp").head()
+    assert(r.getSeq[String](0) == Seq("<ISO8601>", "<Loglevel>", "hello", "world"))
+    assert(r.getString(1) == "info")
+    assert(r.isNullAt(2))
+  }
+
   test("fingerprintLines is deterministic across partitionings") {
     import TestSpark._
     import spark.implicits._
