@@ -1832,26 +1832,32 @@ object TelemetryQueries extends Catalog {
 
   /** reference-parity trie clustering
     * ([[graft.ops.FingerprintCompat.fingerprintLines]], semantics from
-    * trie_cluster_manager.go): per event type, TWO line templates — the
-    * base shape and the base shape plus a trailing word — must converge
-    * onto ONE cluster fingerprint via the trie's Jaccard match (the
-    * shared prefix walks to the divergence node, the subtree scan finds
-    * the base cluster above threshold). JSON-bodied signup lines bypass
+    * trie_cluster_manager.go): per event type, TWO line templates
+    * diverging at one mid-sequence word must converge onto ONE cluster
+    * fingerprint via the trie's Jaccard match (the shared prefix walks
+    * to the divergence node, the subtree scan finds the earlier cluster
+    * above threshold). JSON-bodied signup lines bypass
     * the trie with the pure item+key hash. The oracle pins one
     * fingerprint per event type over the full corpus.
     */
   private def fpcCluster(s: SparkSession, d: String): DataFrame = {
     val ev = raw(s, d).filter(col("event_id") % 11 === 0)
+    // symmetric mid-sequence divergence (request/fetch): the templates
+    // merge whichever arrives first in the deterministic replay order —
+    // a suffix-extension pair would be order-dependent (a prefix seen
+    // AFTER its extension mints a fresh cluster; that asymmetry is
+    // pinned in StreamingSpec, not leaned on here)
     val base = concat(
       lit("INFO "), col("event_type"),
-      lit(" request user="), col("user_id"),
+      when(col("event_id") % 2 === 0, lit(" request user="))
+        .otherwise(lit(" fetch user=")),
+      col("user_id"),
       lit(" handled /api/v3/do?id="), col("event_id"),
       lit(" in "), pmod(col("event_id"), lit(900)), lit("ms"))
     val line = when(col("event_type") === "signup",
         concat(lit("""{"msg": "user signup ok", "uid": """), col("user_id"),
           lit(""", "plan": "basic"}""")))
-      .otherwise(when(col("event_id") % 2 === 0, base)
-        .otherwise(concat(base, lit(" retry"))))
+      .otherwise(base)
     val out = graft.ops.FingerprintCompat.fingerprintLines(
       ev.select(col("event_id"), col("event_type"), line.as("line")),
       col("line"))
