@@ -794,5 +794,22 @@ class StreamingSpec extends AnyFunSuite {
     val reg2 = new FingerprintCompat.TenantRegistry(0.5)
     snap.foreach { case (p, cs) => reg2.tenant("").restoreLeaf(p, cs) }
     assert(reg2.tenant("").snapshot() == snap)
+
+    // ---- generation lifecycle: repeated saves sweep to the two newest
+    // complete generations; the newest always wins the load
+    val dir2 = Files.createTempDirectory("graft_triestore_gens_").toString
+    (0 until 4).foreach { g =>
+      reg.tenant("").cluster(Seq("gen", s"marker$g"))
+      TrieStore.save(spark, reg, dir2, g.toLong)
+    }
+    val gens = new java.io.File(dir2).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted.toSeq
+    assert(gens == Seq("gen-000000002", "gen-000000003"),
+      s"sweep kept $gens")
+    val reg3 = new FingerprintCompat.TenantRegistry(0.5)
+    assert(TrieStore.load(spark, dir2, reg3) == 3L)
+    // the newest generation carries every marker cluster added so far
+    val toks = reg3.tenant("").snapshot().flatMap(_._2.flatMap(_._2))
+    (0 until 4).foreach(g => assert(toks.contains(s"marker$g")))
   }
 }
