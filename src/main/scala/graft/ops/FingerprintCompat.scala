@@ -326,13 +326,16 @@ object FingerprintCompat {
       Pattern.compile("""(GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|CONNECT)(?![A-Za-z0-9_-])"""),
     Tok.Number ->
       Pattern.compile("""[+-]?\d+(\.\d+)?"""),
+    // the quoted-string placeholder must OUTRANK the identifier rule —
+    // they tie on length, and a placeholder lost to Identifier would be
+    // silently dropped as a non-word instead of emitting <QuotedString>
+    Tok.QuotedString ->
+      Pattern.compile("""quotedstringplaceholder"""),
     // key-with-colon (the `ids:[...]`, `Parameters: {...}` shape) lexes
     // as an Identifier of the bare name — longest-match beats the plain
     // word so `ids:` never resolves to a droppable String token
     Tok.Identifier ->
-      Pattern.compile("""[A-Za-z_][A-Za-z0-9_.-]*:|[A-Za-z0-9]([A-Za-z0-9._-]*[A-Za-z0-9])?"""),
-    Tok.QuotedString ->
-      Pattern.compile("""quotedstringplaceholder"""))
+      Pattern.compile("""[A-Za-z_][A-Za-z0-9_.-]*:|[A-Za-z0-9]([A-Za-z0-9._-]*[A-Za-z0-9])?"""))
 
   /** first-char dispatch: per start character, the indices of the only
     * rules whose pattern can begin there (original order preserved, so
@@ -381,6 +384,23 @@ object FingerprintCompat {
 
   private val ruleArr = rules.toArray
 
+  /** test hook: force the regex battery for every token so PropertySpec
+    * can prove the fast word/number path is observationally identical
+    */
+  private[graft] var disableFastPath = false
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** true when `c` ends a plain word/number token such that no
+    * multi-class rule (email/url/fqdn/path/module/date/duration/...)
+    * could extend past it — the fast path's exactness condition
+    */
+  private def hardBoundary(c: Char): Boolean =
+    !(c == '@' || c == ':' || c == '/' || c == '.' || c == '-' ||
+      c == '_' || c == '%' || c == '+' || Character.isLetterOrDigit(c))
+
   private def scanTarget(target: String, quotedStrings: Seq[String],
       maxTokens: Int): (Seq[String], String) = {
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -389,78 +409,116 @@ object FingerprintCompat {
     var i = 0
     val n = target.length
     val ms = new Array[java.util.regex.Matcher](ruleArr.length)
+
+    def emit(tok0: Tok.Value, lit0: String): Unit = {
+      var tok = tok0
+      var lit = lit0
+      if (tok == Tok.Identifier) {
+        if (lit.endsWith(":")) lit = lit.dropRight(1)
+        // type split the grammar encodes structurally: pure-alpha
+        // mixed/lower-case chunks are String tokens (kept only when
+        // words); digit-bearing, punctuated, ALL-CAPS, or key-colon
+        // chunks are Identifier tokens
+        val pureAlpha = lit.forall(Character.isLetter)
+        val allCaps = pureAlpha && lit.length >= 2 &&
+          lit.forall(Character.isUpperCase)
+        if (pureAlpha && !allCaps && !lit0.endsWith(":"))
+          tok = Tok.StringTok
+      }
+      tok match {
+        case Tok.QuotedString =>
+          if (qIdx < quotedStrings.size) {
+            items += "<QuotedString>"; qIdx += 1
+          }
+        case Tok.ListTok =>
+          val count = {
+            var c0 = 0; var idx = lit.toLowerCase.indexOf("quotedstringplaceholder")
+            while (idx >= 0) {
+              c0 += 1
+              idx = lit.toLowerCase.indexOf("quotedstringplaceholder", idx + 1)
+            }
+            c0
+          }
+          if (qIdx < quotedStrings.size && qIdx + count <= quotedStrings.size)
+            items += "<List>"
+        case Tok.Loglevel =>
+          val name = (if (lit.endsWith(":")) lit.dropRight(1) else lit)
+          if (level.isEmpty) {
+            level = name.toLowerCase
+            items += LogLevelPlaceHolder
+          } else items += name.toLowerCase
+        case Tok.Identifier =>
+          val lower = lit.toLowerCase
+          if (level.isEmpty && LogLevelNames.contains(lower)) {
+            level = lower
+            items += LogLevelPlaceHolder
+          } else if (isWord(lit)) items += lower
+          else if (items.nonEmpty && items.last != IdentifierPlaceHolder)
+            items += IdentifierPlaceHolder
+        case Tok.StringTok =>
+          if (isWord(lit)) items += lit.toLowerCase
+        case other =>
+          items += s"<${other.toString.stripSuffix("Tok")}>"
+      }
+    }
+
     while (i < n && items.size < maxTokens) {
       val c = target.charAt(i)
       if (Character.isWhitespace(c)) i += 1
       else {
-        // longest match across the char's rule class; ties resolve to
-        // the earlier rule
-        var bestTok: Tok.Value = null
-        var bestEnd = i
-        val cl = ruleClassOf(c)
-        var ri = 0
-        while (ri < cl.length) {
-          val r = cl(ri)
-          var m = ms(r)
-          if (m == null) { m = ruleArr(r)._2.matcher(target); ms(r) = m }
-          m.region(i, n)
-          if (m.lookingAt() && m.end > bestEnd) {
-            bestTok = ruleArr(r)._1; bestEnd = m.end
-          }
-          ri += 1
-        }
-        if (bestTok == null) { i += 1 } // separator / stray punctuation
-        else {
-          val lit0 = target.substring(i, bestEnd)
-          i = bestEnd
-          var tok = bestTok
-          var lit = lit0
-          if (tok == Tok.Identifier) {
-            if (lit.endsWith(":")) lit = lit.dropRight(1)
-            // type split the grammar encodes structurally: pure-alpha
-            // mixed/lower-case chunks are String tokens (kept only when
-            // words); digit-bearing, punctuated, ALL-CAPS, or key-colon
-            // chunks are Identifier tokens
-            val pureAlpha = lit.forall(Character.isLetter)
-            val allCaps = pureAlpha && lit.length >= 2 &&
-              lit.forall(Character.isUpperCase)
-            if (pureAlpha && !allCaps && !lit0.endsWith(":"))
-              tok = Tok.StringTok
-          }
-          tok match {
-            case Tok.QuotedString =>
-              if (qIdx < quotedStrings.size) {
-                items += "<QuotedString>"; qIdx += 1
-              }
-            case Tok.ListTok =>
-              val count = {
-                var c0 = 0; var idx = lit.toLowerCase.indexOf("quotedstringplaceholder")
-                while (idx >= 0) {
-                  c0 += 1
-                  idx = lit.toLowerCase.indexOf("quotedstringplaceholder", idx + 1)
-                }
-                c0
-              }
-              if (qIdx < quotedStrings.size && qIdx + count <= quotedStrings.size)
-                items += "<List>"
-            case Tok.Loglevel =>
-              val name = (if (lit.endsWith(":")) lit.dropRight(1) else lit)
-              if (level.isEmpty) {
-                level = name.toLowerCase
-                items += LogLevelPlaceHolder
-              } else items += name.toLowerCase
-            case Tok.Identifier =>
+        // FAST PATH — the overwhelmingly common tokens in real logs are
+        // plain ASCII words and integers ending at a hard boundary. For
+        // those, no multi-class rule can match longer (they all need
+        // one of @ : / . - _ % or a mixed alnum run), so the outcome is
+        // decided by set lookups alone — no regex battery. Exactness vs
+        // the battery is property-tested (disableFastPath).
+        var fastDone = false
+        if (!disableFastPath) {
+          if (isAsciiLetter(c)) {
+            var j = i + 1
+            while (j < n && isAsciiLetter(target.charAt(j))) j += 1
+            if (j >= n || hardBoundary(target.charAt(j))) {
+              val lit = target.substring(i, j)
               val lower = lit.toLowerCase
-              if (level.isEmpty && LogLevelNames.contains(lower)) {
-                level = lower
-                items += LogLevelPlaceHolder
-              } else if (isWord(lit)) items += lower
-              else if (items.nonEmpty && items.last != IdentifierPlaceHolder)
-                items += IdentifierPlaceHolder
-            case Tok.StringTok =>
-              if (isWord(lit)) items += lit.toLowerCase
-            case other =>
-              items += s"<${other.toString.stripSuffix("Tok")}>"
+              if (lit == "quotedstringplaceholder") emit(Tok.QuotedString, lit)
+              else if (LogLevelNames.contains(lower)) emit(Tok.Loglevel, lit)
+              else if (HttpMethods.contains(lit)) emit(Tok.HTTPMethod, lit)
+              else emit(Tok.Identifier, lit) // emit() re-types pure-alpha
+              i = j
+              fastDone = true
+            }
+          } else if (isAsciiDigit(c)) {
+            var j = i + 1
+            while (j < n && isAsciiDigit(target.charAt(j))) j += 1
+            if (j >= n || hardBoundary(target.charAt(j))) {
+              emit(Tok.Number, target.substring(i, j))
+              i = j
+              fastDone = true
+            }
+          }
+        }
+        if (!fastDone) {
+          // longest match across the char's rule class; ties resolve to
+          // the earlier rule
+          var bestTok: Tok.Value = null
+          var bestEnd = i
+          val cl = ruleClassOf(c)
+          var ri = 0
+          while (ri < cl.length) {
+            val r = cl(ri)
+            var m = ms(r)
+            if (m == null) { m = ruleArr(r)._2.matcher(target); ms(r) = m }
+            m.region(i, n)
+            if (m.lookingAt() && m.end > bestEnd) {
+              bestTok = ruleArr(r)._1; bestEnd = m.end
+            }
+            ri += 1
+          }
+          if (bestTok == null) { i += 1 } // separator / stray punctuation
+          else {
+            val lit0 = target.substring(i, bestEnd)
+            i = bestEnd
+            emit(bestTok, lit0)
           }
         }
       }

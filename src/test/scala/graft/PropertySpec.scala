@@ -822,4 +822,25 @@ class PropertySpec extends AnyFunSuite {
         { FingerprintCompat.fingerprintHash(items, keys); true }
     }, n = 400)
   }
+
+  test("fpc fast word/number path is observationally identical to the regex battery") {
+    import graft.ops.FingerprintCompat
+    val logish: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf("error", "click", "INFO", "user", "request", "GET",
+        "quotedstringplaceholder", "xqzkw", "SLWHPA", "Received", "pid",
+        "12msap", "10.0.1.2", "2024-01-02", "14:54:12", "/api/v1/x?a=b",
+        "a@b.com", "a+b@c.com", "x+1", "svc.local", "7", "42ms", "0.5", "[a, b]", "k=v",
+        "ids:", "c.g.d.Emitter", "---"),
+      2 -> Gen.alphaNumStr.map(_.take(12)),
+      1 -> Gen.oneOf(":", ",", ";", "(", ")", "|", "=", "{", "}")
+    )).map(_.mkString(" "))
+    holds(forAll(logish) { line =>
+      val fast = FingerprintCompat.tokenizeString(line)
+      FingerprintCompat.disableFastPath = true
+      val slow =
+        try FingerprintCompat.tokenizeString(line)
+        finally FingerprintCompat.disableFastPath = false
+      fast == slow
+    }, n = 500)
+  }
 }
