@@ -816,6 +816,12 @@ object FingerprintCompat {
     * minCount floor: beyond it, the long tail keeps the pure sequence
     * hash (every such sequence is its own cluster — the trie would
     * almost surely have created fresh clusters for them anyway).
+    *
+    * Cost note: the tokenize projection runs twice over the corpus —
+    * once under the distinct-sequence aggregation, once in the output
+    * projection (two jobs over one scan-shaped plan, the standard
+    * two-phase trade; persisting a corpus-sized intermediate to avoid
+    * the recompute would cost more at 100 TB than the second CPU pass).
     */
   def fingerprintLines(df: DataFrame, line: Column,
       threshold: Double = 0.5, maxTokens: Int = 15,
