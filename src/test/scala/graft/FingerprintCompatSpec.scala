@@ -76,6 +76,15 @@ class FingerprintCompatSpec extends AnyFunSuite {
       == ("receive listrecommendations for product <Identifier> <List>", ""))
   }
 
+  test("tokenize: standalone quoted strings become <QuotedString>, in order") {
+    // the placeholder rule must outrank Identifier (a tie would drop the
+    // token as a non-word); quoted values land as positional placeholders
+    assert(toks("""user "abc xyz" in 42ms""") ==
+      ("user <QuotedString> in <Duration>", ""))
+    assert(toks("""request "a" for "b" from bob""") ==
+      ("request <QuotedString> for <QuotedString> from bob", ""))
+  }
+
   test("tokenize: go module, newline truncation, mixed json") {
     assert(toks("chqs3exporter@v0.31.0/exporter.go:142") == ("<ModuleName>", ""))
     assert(toks("2024-06-16T18:37:46.053Z\tinfo\tchqs3exporter@v0.31.0/exporter.go:142\tWrote buffer\n15 lines written to file foo.bar")
