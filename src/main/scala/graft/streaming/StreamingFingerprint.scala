@@ -34,6 +34,13 @@ object StreamingFingerprint {
     def fingerprintBatch(batch: DataFrame, line: Column): DataFrame =
       FingerprintCompat.fingerprintLinesWith(batch, line, trie,
         maxTokens, maxTemplates)
+    /** multi-tenant batch: per-org tries from this session's registry —
+      * the reference collector's TenantManager shape over a stream
+      */
+    def fingerprintBatchByOrg(batch: DataFrame, line: Column,
+        org: Column): DataFrame =
+      FingerprintCompat.fingerprintLinesByOrg(batch, line, org, registry,
+        maxTokens, maxTemplates)
   }
 
   /** line stream → fingerprinted rows under `outDir/fpc_batch=<id>`
@@ -54,9 +61,12 @@ object StreamingFingerprint {
       maxTemplates: Int = 100000,
       stateDir: Option[String] = None): StreamingQuery = {
     val session = new Session(threshold, maxTokens, maxTemplates)
-    stateDir.foreach { d =>
-      graft.ops.TrieStore.load(lines.sparkSession, d, session.registry)
-    }
+    // generations stay monotonic across restarts (a restarted stream's
+    // batch ids begin at 0 again; rewriting the newest generation in
+    // place would leave a moment with no complete generation on disk)
+    val baseGen = stateDir.map { d =>
+      graft.ops.TrieStore.load(lines.sparkSession, d, session.registry) + 1
+    }.getOrElse(0L)
     lines.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -70,7 +80,50 @@ object StreamingFingerprint {
           session.fingerprintBatch(batch, org.apache.spark.sql.functions.col(lineCol))
             .write.mode("overwrite").parquet(dir)
           stateDir.foreach { d =>
-            graft.ops.TrieStore.save(spark, session.registry, d, batchId)
+            graft.ops.TrieStore.save(spark, session.registry, d,
+              baseGen + batchId)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** multi-tenant stream: per-org tries (the reference's TenantManager
+    * over its collector stream) with the same per-batch-dir idempotent
+    * output and optional [[graft.ops.TrieStore]] persistence — the
+    * registry snapshot carries EVERY tenant's trie, so a restart
+    * restores all orgs at once.
+    */
+  def fingerprintStreamByOrg(lines: DataFrame, lineCol: String,
+      orgCol: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.5, maxTokens: Int = 15,
+      maxTemplates: Int = 100000,
+      stateDir: Option[String] = None): StreamingQuery = {
+    val session = new Session(threshold, maxTokens, maxTemplates)
+    // generations stay monotonic across restarts (a restarted stream's
+    // batch ids begin at 0 again; rewriting the newest generation in
+    // place would leave a moment with no complete generation on disk)
+    val baseGen = stateDir.map { d =>
+      graft.ops.TrieStore.load(lines.sparkSession, d, session.registry) + 1
+    }.getOrElse(0L)
+    lines.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dir = s"$outDir/fpc_batch=$batchId"
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          session.fingerprintBatchByOrg(batch,
+              org.apache.spark.sql.functions.col(lineCol),
+              org.apache.spark.sql.functions.col(orgCol))
+            .write.mode("overwrite").parquet(dir)
+          stateDir.foreach { d =>
+            graft.ops.TrieStore.save(spark, session.registry, d,
+              baseGen + batchId)
           }
         }
         ()

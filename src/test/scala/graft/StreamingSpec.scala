@@ -795,6 +795,43 @@ class StreamingSpec extends AnyFunSuite {
     snap.foreach { case (p, cs) => reg2.tenant("").restoreLeaf(p, cs) }
     assert(reg2.tenant("").snapshot() == snap)
 
+    // ---- multi-tenant stream: org isolation holds across batches AND
+    // across a persisted restart (the registry snapshot carries every
+    // tenant's trie)
+    val stateDirM = Files.createTempDirectory("graft_triestore_mt_").toString
+    val b1 = base.take(20).map { case (id, l) => (id, "acme", l) }
+    val b2 = ext.take(20).map { case (id, l) => (id, "acme", l) } ++
+      ext.take(20).map { case (id, l) => (id + 1000, "globex", l) }
+    def runOrg(rows: Seq[(Long, String, String)]): String = {
+      val in = Files.createTempDirectory("graft_sfpc_mt_in_").toString
+      rows.toDF("id", "org", "line").coalesce(1)
+        .write.mode("append").parquet(in)
+      val out = Files.createTempDirectory("graft_sfpc_mt_out_").toString
+      val q = StreamingFingerprint.fingerprintStreamByOrg(
+        spark.readStream.schema(rows.toDF("id", "org", "line").schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "line", "org", out,
+        Files.createTempDirectory("graft_sfpc_mt_k_").toString,
+        stateDir = Some(stateDirM))
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      out
+    }
+    val o1 = runOrg(b1)
+    val acmeBase = spark.read.parquet(o1)
+      .select("fpc_fingerprint").head().getLong(0)
+    val o2 = runOrg(b2) // restart: fresh session, restored registry
+    val byOrg = spark.read.parquet(o2).groupBy("org")
+      .agg(org.apache.spark.sql.functions
+        .collect_set("fpc_fingerprint").as("fps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // acme's extension merges into acme's RESTORED base cluster;
+    // globex, seeing only the extension, mints its own cluster
+    assert(byOrg("acme") == Set(acmeBase), s"acme: ${byOrg("acme")}")
+    val extFp = FingerprintCompat.fingerprintHash(
+      FingerprintCompat.tokenizeInput(ext.head._2)._1, Nil)
+    assert(byOrg("globex") == Set(extFp),
+      s"globex leaked acme's cluster: ${byOrg("globex")}")
+
     // ---- generation lifecycle: repeated saves sweep to the two newest
     // complete generations; the newest always wins the load
     val dir2 = Files.createTempDirectory("graft_triestore_gens_").toString
