@@ -779,5 +779,29 @@ class ScaleSpec extends AnyFunSuite {
     val nSeq = out.select("fpc_fingerprint").distinct().count()
     assert(nSeq == 870,
       s"capped path broke per-sequence exactness: $nSeq clusters, want 870")
+
+    // ---- TrieStore state volume is cluster-bounded, never corpus-bounded:
+    // a registry fed 10x and 100x corpora of the SAME templates persists
+    // the same row count (one row per cluster), and generations stay at 2
+    import graft.ops.TrieStore
+    val reg = new FingerprintCompat.TenantRegistry(0.5)
+    def feed(n: Int): Unit = (0 until n).foreach { i =>
+      reg.tenant("t1").cluster(Seq("worker", "<Number>", "done"))
+      // 25 mutually-disjoint sequences (no shared tokens -> no merges)
+      val k = i % 25
+      reg.tenant("t1").cluster(Seq(s"k${k}a", s"k${k}b", s"k${k}c"))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scale_triestore_").toString
+    feed(200); TrieStore.save(spark, reg, dir, 0L)
+    val rows1 = spark.read.parquet(s"$dir/gen-000000000").count()
+    feed(2000); TrieStore.save(spark, reg, dir, 1L)
+    feed(20000); TrieStore.save(spark, reg, dir, 2L)
+    val rows100 = spark.read.parquet(s"$dir/gen-000000002").count()
+    assert(rows1 == 26 && rows100 == 26,
+      s"state grew with the corpus: $rows1 -> $rows100 rows (want 26 clusters)")
+    val gens = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("gen-"))
+    assert(gens == 2, s"generation sweep kept $gens dirs")
   }
 }
