@@ -889,6 +889,12 @@ object FingerprintCompat {
     * replay through each org's trie in deterministic order, and the
     * (org, sequence)→fingerprint map broadcasts back.
     */
+  /** `maxTemplates` is a GLOBAL cap across orgs (count-desc order, so a
+    * template-heavy tenant can crowd a quiet one out of the trie replay;
+    * the crowded-out tail still gets exact per-sequence hash ids — only
+    * cross-template Jaccard merging is lost for it). Size the cap at
+    * tenants x expected templates when that matters.
+    */
   def fingerprintLinesByOrg(df: DataFrame, line: Column, org: Column,
       registry: TenantRegistry, maxTokens: Int = 15,
       maxTemplates: Int = 100000): DataFrame = {
