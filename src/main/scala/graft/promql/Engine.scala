@@ -80,7 +80,9 @@ object Engine {
     * row per populated bucket). Each entry is (output column, promql);
     * every expression must be a parameter-less aggregation over the
     * SAME selector with the SAME by/without grouping — anything else
-    * belongs in [[query]]. Count keeps [[query]]'s double type; the
+    * belongs in [[query]]. Two sibling shapes dispatch below: all-range-
+    * window panels ([[queryMultiWindow]]) and agg-of-range-window panels
+    * ([[queryMultiAggWindow]]). Count keeps [[query]]'s double type; the
     * zero-fill densification of the standalone count path is
     * deliberately absent because the fused row set is the populated
     * buckets (exactly what the joined five-query form produced).
@@ -93,6 +95,11 @@ object Engine {
     }
     if (parsedAll.forall(_._2.isInstanceOf[RangeFn]))
       return queryMultiWindow(parsedAll, store, p)
+    if (parsedAll.forall {
+        case (_, Agg(_, _: RangeFn, _, _, None)) => true
+        case _ => false
+      })
+      return queryMultiAggWindow(parsedAll, store, p)
     val parsed = parsedAll.map {
       case (alias, Agg(op, s: Selector, by, without, None))
           if Set("sum", "avg", "min", "max", "count")(op) =>
@@ -169,6 +176,71 @@ object Engine {
     bucketed
       .select((col("ts") +: labels.map(col)) ++ vals: _*)
       .filter(col("ts") >= alignedStart(p) && col("ts") < p.endMs)
+  }
+
+  /** The dominant dashboard shape, fused (r14 VERDICT #1): N panels of
+    * `agg by (labels) (range_fn(selector[r]))` — e.g. `sum by (svc)
+    * (rate(x[5m]))` next to `max by (svc) (increase(x[5m]))` — over the
+    * SAME selector and the SAME by/without grouping ride ONE leaf scan +
+    * ONE step aggregation + ONE window pass + ONE grouped aggregation,
+    * instead of a full engine pass per panel (ref analog: one
+    * buildStepAggNoWindow leaf feeding several API agg nodes,
+    * promql/sql_builder.go:529, promql/agg_node.go:30). Each panel may
+    * pick its own (agg op, range fn); the windowed value columns share
+    * the range frame verbatim with [[query]]'s leaf (`simpleRangeValue`),
+    * and the per-alias aggregate functions are the same Column aggs
+    * [[aggNode]] applies — so fused == standalone bitwise per alias
+    * (PromQLSpec pins it). NaN propagates exactly like the standalone
+    * form: an uncovered bucket's NaN poisons its group's sum/avg, and
+    * sorts greatest under min/max — identical in both paths. As in the
+    * bare-agg fusion above, the standalone count path's zero-fill
+    * densification is deliberately absent: the fused row set is the
+    * populated buckets.
+    */
+  private def queryMultiAggWindow(parsedAll: Seq[(String, Expr)],
+      store: MetricStore, p: QueryParams): DataFrame = {
+    val parsed = parsedAll.map {
+      case (alias, Agg(op, RangeFn(fn, s: Selector), by, without, None))
+          if Set("sum", "avg", "min", "max", "count")(op) && MultiWindowFns(fn) =>
+        (alias, op, fn, s, by, without)
+      case (_, other) => throw new IllegalArgumentException(
+        s"queryMulti agg-window fusion supports sum/avg/min/max/count by/without " +
+          s"over ${MultiWindowFns.mkString("/")} of a range selector, got $other")
+    }
+    val (_, _, _, sel0, by0, wo0) = parsed.head
+    require(parsed.forall { case (_, _, _, s, b, w) => s == sel0 && b == by0 && w == wo0 },
+      "queryMulti requires an identical selector and grouping across panels")
+    require(sel0.rangeMs > 0, "queryMulti agg-window fusion needs a range selector")
+    require(sel0.atKind == 0, "@-pinned selectors are not fusable")
+    val (bucketed, labels, step) = leafBucketed(sel0, store, p)
+    val range = sel0.rangeMs
+    val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
+    val rw = w.rangeBetween(math.min(0L, -(range - step)), 0)
+    val firstTs = min(col("ts")).over(rw)
+    val covered = firstTs <= col("ts") - lit(range) + lit(step)
+    val winCols = parsed.map { case (alias, _, fn, _, _, _) =>
+      when(covered, simpleRangeValue(fn, rw, range))
+        .otherwise(lit(Double.NaN)).as(s"__w_$alias")
+    }
+    val windowed = bucketed
+      .select((col("ts") +: labels.map(col)) ++ winCols: _*)
+      .filter(col("ts") >= alignedStart(p) && col("ts") < p.endMs)
+    val keep: Seq[String] =
+      if (by0.nonEmpty) labels.filter(by0.contains)
+      else if (wo0.nonEmpty) labels.filterNot(wo0.contains)
+      else Nil
+    val aggs = parsed.map { case (alias, op, _, _, _, _) =>
+      val v = col(s"__w_$alias")
+      val fn = op match {
+        case "sum"   => sum(v)
+        case "avg"   => avg(v)
+        case "min"   => min(v)
+        case "max"   => max(v)
+        case "count" => count(v).cast("double")
+      }
+      fn.as(alias)
+    }
+    windowed.groupBy((col("ts") +: keep.map(col)): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def alignedStart(p: QueryParams): Long =

@@ -264,6 +264,91 @@ object PromQLQueries extends Catalog {
                ${q6Sql("wsum / wcnt")} AS avg_v
         FROM win WHERE ${covered(H4)} AND wcnt > 0""")),
 
+    Q("pq_multi_agg_window",
+      { (s, d) =>
+        // the dominant Grafana shape, fused (r14 VERDICT #1): N panels of
+        // `agg by (labels) (range_fn(selector[r]))` over one selector ride
+        // ONE scan + ONE step agg + ONE window pass + ONE grouped agg
+        // (Engine.queryMultiAggWindow; PlanSpec pins the plan) instead of
+        // a full engine pass per panel. Two-label store (event type ×
+        // service, as pq_agg_multi_by) so the by-grouping genuinely
+        // aggregates across series. Hash tricks follow the standalone
+        // rows: sum-of-rates recovers the exact total cents (pq_sum_rate),
+        // max-of-increase recovers integer cents, avg-of-avg lands on the
+        // q6 grid (pq_avg_over_time).
+        val ev = graft.model.Tables.events(s, d)
+        val cooked2 = ev
+          .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(60000L))
+          .withColumn("attr_event_type", col("event_type"))
+          .withColumn("resource_service_name",
+            concat(lit("svc-"), (col("user_id") % 5).cast("string")))
+          .groupBy(col("chq_timestamp"), col("attr_event_type"),
+            col("resource_service_name"))
+          .agg(sum(col("value")).as("chq_rollup_sum"),
+            count(lit(1)).cast("double").as("chq_rollup_count"),
+            min(col("value")).as("chq_rollup_min"),
+            max(col("value")).as("chq_rollup_max"))
+          .withColumn("metric_name", lit("events_value"))
+          .withColumn("chq_metric_type", lit("gauge"))
+        val p = QueryParams(Start, End, StepMs)
+        Engine.queryMulti(Seq(
+          "sum_rate" -> "sum by (attr_event_type) (rate(events_value[4h]))",
+          "max_inc" -> "max by (attr_event_type) (increase(events_value[4h]))",
+          "avg_aot" -> "avg by (attr_event_type) (avg_over_time(events_value[4h]))"),
+          MetricStore(cooked2), p)
+          .filter(!isnan(col("sum_rate")) && !isnan(col("max_inc")) &&
+            !isnan(col("avg_aot")))
+          .withColumn("sum_rate", exactCents(col("sum_rate"), H4))
+          .withColumn("max_inc",
+            round(col("max_inc") * 100, 0).cast("long") / 100.0)
+          .withColumn("avg_aot", q6(col("avg_aot")))
+      },
+      Some(s"""WITH cooked2 AS (
+          SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS chq_timestamp,
+                 event_type AS attr_event_type,
+                 'svc-' || CAST(user_id % 5 AS VARCHAR) AS resource_service_name,
+                 sum("value") AS chq_rollup_sum,
+                 CAST(count(*) AS DOUBLE) AS chq_rollup_count
+          FROM events GROUP BY 1, 2, 3),
+        step AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 attr_event_type, resource_service_name,
+                 sum(chq_rollup_sum) AS bsum,
+                 sum(chq_rollup_count) AS bcnt
+          FROM cooked2
+          WHERE chq_timestamp >= ${Start - H4} AND chq_timestamp < $End
+          GROUP BY 1, 2, 3),
+        win AS (
+          SELECT ts, attr_event_type,
+                 sum(bsum) OVER w AS wsum, sum(bcnt) OVER w AS wcnt,
+                 min(ts) OVER w AS first_ts
+          FROM step
+          WINDOW w AS (PARTITION BY attr_event_type, resource_service_name
+                       ORDER BY ts
+                       RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW)),
+        r AS (
+          SELECT ts, attr_event_type,
+                 CASE WHEN first_ts = ts - ${H4 - StepMs}
+                      THEN wsum / ${H4 / 1000.0} ELSE 'NaN'::DOUBLE END AS rate_v,
+                 CASE WHEN first_ts = ts - ${H4 - StepMs}
+                      THEN wsum ELSE 'NaN'::DOUBLE END AS inc_v,
+                 CASE WHEN first_ts = ts - ${H4 - StepMs} AND wcnt > 0
+                      THEN wsum / wcnt ELSE 'NaN'::DOUBLE END AS aot_v
+          FROM win WHERE ts >= $Start AND ts < $End),
+        g AS (
+          SELECT ts, attr_event_type,
+                 sum(rate_v) AS sum_rate, max(inc_v) AS max_inc,
+                 avg(aot_v) AS avg_aot
+          FROM r GROUP BY 1, 2)
+        SELECT ts, attr_event_type,
+               CAST(round(sum_rate * ${H4 / 1000.0 * 100}, 0) AS BIGINT)
+                 / ${H4 / 1000.0 * 100} AS sum_rate,
+               CAST(round(max_inc * 100, 0) AS BIGINT) / 100.0 AS max_inc,
+               ${q6Sql("avg_aot")} AS avg_aot
+        FROM g
+        WHERE NOT isnan(sum_rate) AND NOT isnan(max_inc)
+          AND NOT isnan(avg_aot)""")),
+
     Q("pq_topk",
       run("topk(2, events_value)"),
       Some(s"""WITH ${stepCte()},

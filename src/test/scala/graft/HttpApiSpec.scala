@@ -233,6 +233,22 @@ class HttpApiSpec extends AnyFunSuite {
           s"&q2=${enc("rate(other_metric[2h])")}&s=$s&e=$e")
       assert(cbad == 400, s"mixed-selector multi should 400, got $cbad")
 
+      // agg-of-range-window panels (r15): sum(rate)/max(increase) over the
+      // same selector ride the q2..q9 route through the fused agg-window
+      // path of Engine.queryMulti
+      val (caw, aw) = get(base,
+        s"/api/v1/metrics/query?q=${enc("sum(rate(events_value[1h]))")}" +
+          s"&q2=${enc("max(increase(events_value[1h]))")}&s=$s&e=$e")
+      assert(caw == 200 && aw.contains("\"value\"") &&
+        aw.contains("\"value2\"") && aw.contains("\"status\":\"ok\""),
+        aw.take(400))
+      // mixed grouping across agg-window panels is a client error
+      val (cawBad, _) = get(base,
+        s"/api/v1/metrics/query?q=${enc("sum(rate(events_value[1h]))")}" +
+          s"&q2=${enc("sum by (attr_event_type) (rate(events_value[1h]))")}" +
+          s"&s=$s&e=$e")
+      assert(cawBad == 400, s"mixed-grouping multi should 400, got $cawBad")
+
       val (cmd, meta) = get(base, s"/api/v1/metrics/metadata?s=$s&e=$e")
       assert(cmd == 200 && meta.contains("events_value"), meta.take(300))
       val (cmt, mtags) = get(base, s"/api/v1/metrics/tags?s=$s&e=$e")

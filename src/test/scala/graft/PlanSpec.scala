@@ -443,6 +443,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected ONE shared Window pass, got $windows:\n${p.take(3000)}")
   }
 
+  test("pq_multi_agg_window: three agg-of-range panels ride ONE scan, ONE window, no join") {
+    // r15 queryMulti agg-window fusion: sum(rate)/max(increase)/
+    // avg(avg_over_time) over the same selector previously ran three full
+    // engine passes (3 scans, 3 window sorts, 3 grouped aggs) + 2
+    // ts-joins; fused they are three window columns over one shared range
+    // frame feeding ONE grouped aggregation
+    val p = plan("pq_multi_agg_window").split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single store scan, got $scans:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"fused agg-window must not join:\n${p.take(2000)}")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"expected ONE shared Window pass, got $windows:\n${p.take(3000)}")
+  }
+
   test("bucketed join: the layout pre-pays the shuffle — zero Exchange in the plan") {
     val p = plan("core_bucketed_join")
     // both the join and the per-order aggregation must ride the tables'

@@ -237,6 +237,58 @@ class PromQLEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("queryMulti agg-window fusion equals the per-panel query() answers bit-for-bit") {
+    // the dominant dashboard shape (r14 VERDICT #1): agg by (...) of a
+    // range function, N panels over one selector — fused = standalone
+    val multi = Engine.queryMulti(Seq(
+      "sum_rate" -> "sum(rate(events_value[4h]))",
+      "max_inc" -> "max(increase(events_value[4h]))",
+      "avg_aot" -> "avg(avg_over_time(events_value[4h]))"), store, p)
+    assert(multi.columns.toSeq == Seq("ts", "sum_rate", "max_inc", "avg_aot"))
+    def one(q: String): Map[Long, Double] =
+      Engine.query(q, store, p).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (sr, mi, aa) = (one("sum(rate(events_value[4h]))"),
+      one("max(increase(events_value[4h]))"),
+      one("avg(avg_over_time(events_value[4h]))"))
+    val fused = multi.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(fused.keySet == sr.keySet && fused.nonEmpty)
+    def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) ||
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    fused.foreach { case (ts, (s2, m2, a2)) =>
+      assert(eq(s2, sr(ts)) && eq(m2, mi(ts)) && eq(a2, aa(ts)),
+        s"ts=$ts diverged from the standalone answers")
+    }
+    // by-grouping: series identity on the single-label store — each group's
+    // sum-of-rates equals the standalone form exactly
+    val byType = Engine.queryMulti(Seq(
+      "sr" -> "sum by (attr_event_type) (rate(events_value[4h]))"), store, p)
+    val byOne = Engine.query(
+      "sum by (attr_event_type) (rate(events_value[4h]))", store, p)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    byType.collect().foreach { r =>
+      assert(eq(r.getDouble(2), byOne((r.getLong(0), r.getString(1)))))
+    }
+    // contract violations throw at plan time: mixed grouping, mixed
+    // selector range, unfusable inner fn, parameterized agg
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq(
+        "a" -> "sum by (attr_event_type) (rate(events_value[4h]))",
+        "b" -> "max(rate(events_value[4h]))"), store, p)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "sum(rate(events_value[4h]))",
+        "b" -> "max(increase(events_value[6h]))"), store, p)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "sum(irate(events_value[4h]))"), store, p)
+    }
+    intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "topk(2, rate(events_value[4h]))"), store, p)
+    }
+  }
+
   test("rate = windowed sum / range seconds with coverage rule") {
     val range = 24L * 3600000L
     val rate = Engine.query(s"rate(events_value[1d])", store, p)
