@@ -1590,15 +1590,17 @@ object TelemetryQueries extends Catalog {
   }
 
   // ---- DuckDB XXH64 (seed 0), generated CTE chain ------------------------
-  // Independent re-derivation of the reference's span-fingerprint hash for
-  // payloads UNDER 32 BYTES (no 32-byte stripes — the short-input path:
-  // 8-byte rounds, 4-byte mix, tail bytes, avalanche). The >=32 stripe
-  // path is pinned separately by the reference's published JSON
-  // fingerprints in FingerprintCompatSpec. All arithmetic is HUGEINT
-  // mod-2^64; 64x64 multiplication splits into 32-bit halves so no
-  // intermediate exceeds 2^96; xor routes through signed BIGINT. Linear
-  // size: every sub-expression is staged as its own CTE column.
-  private object DuckXxh64 {
+  // Independent re-derivation of the reference's fingerprint hash. The
+  // default covers payloads UNDER 32 BYTES (8-byte rounds, 4-byte mix,
+  // tail bytes, avalanche); passing maxBytes >= 32 additionally unrolls
+  // the 32-byte STRIPE path (v1..v4 accumulator rounds + merge), each
+  // stripe guarded by the payload length, so template-length payloads
+  // (the trie-cluster value pins, ~70 bytes) re-derive bit-exactly too.
+  // All arithmetic is HUGEINT mod-2^64; 64x64 multiplication splits into
+  // 32-bit halves so no intermediate exceeds 2^96; xor routes through
+  // signed BIGINT. Linear size: every sub-expression is staged as its
+  // own CTE column.
+  private[graft] object DuckXxh64 {
     private val U64 = "18446744073709551616::HUGEINT"
     private val U32 = "4294967296::HUGEINT"
     private val P1 = "11400714785074694791::HUGEINT"
@@ -1617,65 +1619,104 @@ object TelemetryQueries extends Catalog {
       s"(CASE WHEN xor(${sgn(a)}, ${sgn(b)}) < 0 THEN xor(${sgn(a)}, ${sgn(b)})::HUGEINT + $U64 " +
         s"ELSE xor(${sgn(a)}, ${sgn(b)})::HUGEINT END)"
 
-    /** WITH-chain computing xxh64 of `xsrc.payload` (octet length < 32).
-      * Caller supplies the leading `xsrc AS (...)` CTE; the final select
+    /** WITH-chain computing xxh64 of `xsrc.payload` (octet length <=
+      * maxBytes; lengths < 32 need no stripes — the default). Caller
+      * supplies the leading `xsrc AS (...)` CTE; the final select
       * exposes every xsrc column plus signed `fp`.
       */
-    def query(srcCte: String, outCols: String): String = {
+    def query(srcCte: String, outCols: String, maxBytes: Int = 31): String = {
       val bytesExpr =
         s"""list_transform(range(1, octet_length(encode(payload)) + 1),
             i -> (strpos('0123456789abcdef', substr(lower(hex(encode(payload))), 2*i-1, 1)) - 1) * 16
                + (strpos('0123456789abcdef', substr(lower(hex(encode(payload))), 2*i, 1)) - 1))"""
       val ctes = scala.collection.mutable.ArrayBuffer[String](
         srcCte,
-        s"xb AS (SELECT *, $bytesExpr AS bs, octet_length(encode(payload)) AS n FROM xsrc)",
-        s"xh0 AS (SELECT *, ($P5 + n::HUGEINT) % $U64 AS h FROM xb)")
-      var prev = "xh0"
+        s"xb AS (SELECT *, $bytesExpr AS x_bs, octet_length(encode(payload)) AS x_n FROM xsrc)")
+      var prev = "xb"
       var step = 0
       def add(expr: String, colname: String): Unit = {
         step += 1; val nm = s"x$step"
-        ctes += s"$nm AS (SELECT *, $expr AS $colname FROM $prev)"
+        ctes += s"$nm AS (SELECT *, $expr AS x_$colname FROM $prev)"
         prev = nm
       }
-      def replaceH(expr: String): Unit = {
+      def replace(colname: String, expr: String): Unit = {
         step += 1; val nm = s"x$step"
-        ctes += s"$nm AS (SELECT * REPLACE ($expr AS h) FROM $prev)"
+        ctes += s"$nm AS (SELECT * REPLACE ($expr AS x_$colname) FROM $prev)"
         prev = nm
       }
+      def replaceH(expr: String): Unit = replace("h", expr)
       def le(off: String, width: Int): String =
         (0 until width).map(j =>
-          s"coalesce(bs[$off + ${j + 1}], 0)::HUGEINT * ${BigInt(256).pow(j)}::HUGEINT")
+          s"coalesce(x_bs[($off) + ${j + 1}], 0)::HUGEINT * ${BigInt(256).pow(j)}::HUGEINT")
           .mkString("(", " + ", ")")
+      val maxStripes = maxBytes / 32
+      if (maxStripes > 0) {
+        // stripe accumulators: v1 = seed+P1+P2, v2 = seed+P2, v3 = seed,
+        // v4 = seed-P1 (seed 0, all mod 2^64)
+        add(s"(($P1 + $P2) % $U64)", "v1")
+        add(s"($P2 % $U64)", "v2")
+        add("0::HUGEINT", "v3")
+        add(s"(($U64 - $P1) % $U64)", "v4")
+        for (s <- 0 until maxStripes; i <- 0 until 4) {
+          // vi = round(vi, lane) = rotl(vi + lane*P2, 31) * P1, guarded by
+          // "this stripe is fully inside the payload"
+          val lane = s"s${s}l$i"
+          add(le((32 * s + 8 * i).toString, 8), lane)
+          add(m64(s"x_$lane", P2), s"s${s}a$i")
+          add(s"(x_v${i + 1} + x_s${s}a$i) % $U64", s"s${s}b$i")
+          add(rotl(s"x_s${s}b$i", 31), s"s${s}c$i")
+          replace(s"v${i + 1}",
+            s"CASE WHEN x_n >= ${32 * (s + 1)} THEN ${m64(s"x_s${s}c$i", P1)} " +
+              s"ELSE x_v${i + 1} END")
+        }
+        // converge: h = rotl(v1,1)+rotl(v2,7)+rotl(v3,12)+rotl(v4,18),
+        // then one merge round per accumulator
+        add(s"(${rotl("x_v1", 1)} + ${rotl("x_v2", 7)} + ${rotl("x_v3", 12)} + " +
+          s"${rotl("x_v4", 18)}) % $U64", "hm")
+        for (i <- 0 until 4) {
+          add(m64(s"x_v${i + 1}", P2), s"g${i}a")
+          add(rotl(s"x_g${i}a", 31), s"g${i}b")
+          add(m64(s"x_g${i}b", P1), s"g${i}c")
+          add(xor64("x_hm", s"x_g${i}c"), s"g${i}d")
+          replace("hm", s"(${m64(s"x_g${i}d", P1)} + $P4) % $U64")
+        }
+        add(s"CASE WHEN x_n >= 32 THEN (x_hm + x_n::HUGEINT) % $U64 " +
+          s"ELSE ($P5 + x_n::HUGEINT) % $U64 END", "h")
+      } else {
+        add(s"($P5 + x_n::HUGEINT) % $U64", "h")
+      }
+      // tail: up to three 8-byte rounds over the post-stripe remainder —
+      // offsets generalize to 32*(n//32)+8k (identical to 8k when n < 32)
       for (k <- 0 until 3) {
-        val o = 8 * k
-        add(le(o.toString, 8), s"w$k")
-        add(m64(s"w$k", P2), s"t${k}a")
-        add(rotl(s"t${k}a", 31), s"t${k}b")
-        add(m64(s"t${k}b", P1), s"t${k}c")
-        add(xor64("h", s"t${k}c"), s"t${k}d")
-        add(rotl(s"t${k}d", 27), s"t${k}e")
-        replaceH(s"CASE WHEN n >= ${o + 8} THEN (${m64(s"t${k}e", P1)} + $P4) % $U64 ELSE h END")
+        val o = s"(32 * (x_n // 32) + ${8 * k})"
+        add(le(o, 8), s"w$k")
+        add(m64(s"x_w$k", P2), s"t${k}a")
+        add(rotl(s"x_t${k}a", 31), s"t${k}b")
+        add(m64(s"x_t${k}b", P1), s"t${k}c")
+        add(xor64("x_h", s"x_t${k}c"), s"t${k}d")
+        add(rotl(s"x_t${k}d", 27), s"t${k}e")
+        replaceH(s"CASE WHEN x_n >= ($o) + 8 THEN (${m64(s"x_t${k}e", P1)} + $P4) % $U64 ELSE x_h END")
       }
-      val o4 = "(8 * (n // 8))"
+      val o4 = "(8 * (x_n // 8))"
       add(le(o4, 4), "w4")
-      add(m64("w4", P1), "t4a")
-      add(xor64("h", "t4a"), "t4b")
-      add(rotl("t4b", 23), "t4c")
-      replaceH(s"CASE WHEN n % 8 >= 4 THEN (${m64("t4c", P2)} + $P3) % $U64 ELSE h END")
-      val tb0 = "(8 * (n // 8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END)"
+      add(m64("x_w4", P1), "t4a")
+      add(xor64("x_h", "x_t4a"), "t4b")
+      add(rotl("x_t4b", 23), "t4c")
+      replaceH(s"CASE WHEN x_n % 8 >= 4 THEN (${m64("x_t4c", P2)} + $P3) % $U64 ELSE x_h END")
+      val tb0 = "(8 * (x_n // 8) + CASE WHEN x_n % 8 >= 4 THEN 4 ELSE 0 END)"
       for (j <- 0 until 3) {
-        add(s"coalesce(bs[$tb0 + ${j + 1}], 0)::HUGEINT", s"b$j")
-        add(m64(s"b$j", P5), s"u${j}a")
-        add(xor64("h", s"u${j}a"), s"u${j}b")
-        add(rotl(s"u${j}b", 11), s"u${j}c")
-        replaceH(s"CASE WHEN n > $tb0 + $j THEN ${m64(s"u${j}c", P1)} ELSE h END")
+        add(s"coalesce(x_bs[$tb0 + ${j + 1}], 0)::HUGEINT", s"b$j")
+        add(m64(s"x_b$j", P5), s"u${j}a")
+        add(xor64("x_h", s"x_u${j}a"), s"u${j}b")
+        add(rotl(s"x_u${j}b", 11), s"u${j}c")
+        replaceH(s"CASE WHEN x_n > $tb0 + $j THEN ${m64(s"x_u${j}c", P1)} ELSE x_h END")
       }
-      add(xor64("h", "h // 8589934592::HUGEINT"), "va")
-      replaceH(m64("va", P2))
-      add(xor64("h", "h // 536870912::HUGEINT"), "vb")
-      replaceH(m64("vb", P3))
-      replaceH(xor64("h", "h // 4294967296::HUGEINT"))
-      "WITH " + ctes.mkString(",\n") + s"\nSELECT $outCols, ${sgn("h")} AS fp FROM $prev"
+      add(xor64("x_h", "x_h // 8589934592::HUGEINT"), "va")
+      replaceH(m64("x_va", P2))
+      add(xor64("x_h", "x_h // 536870912::HUGEINT"), "vb")
+      replaceH(m64("x_vb", P3))
+      replaceH(xor64("x_h", "x_h // 4294967296::HUGEINT"))
+      "WITH " + ctes.mkString(",\n") + s"\nSELECT $outCols, ${sgn("x_h")} AS fp FROM $prev"
     }
   }
 
@@ -1791,13 +1832,42 @@ object TelemetryQueries extends Catalog {
       col("line"), col("org"), reg)
       .groupBy(col("org"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        countDistinct(col("fpc_fingerprint")).as("n_fp"))
+        countDistinct(col("fpc_fingerprint")).as("n_fp"),
+        min(col("fpc_fingerprint")).as("fp"))
   }
 
+  /** Value-pinned like [[fpcClusterSql]], per tenant: each org's trie
+    * converges every template onto the cluster minted by that ORG's
+    * first-replayed template (count desc, then sequence asc within the
+    * org — the global replay sort is (count desc, org asc, seq asc) and
+    * replay routes to per-org tries, so the restriction to one org
+    * preserves its relative order); a window rank re-derives each org's
+    * winner and the XXH64 chain re-derives the id.
+    */
   private def fpcByOrgSql: String =
-    """SELECT CASE WHEN user_id % 2 = 0 THEN 'acme' ELSE 'globex' END AS org,
-         event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
-       FROM events WHERE event_id % 17 = 0 GROUP BY 1, 2"""
+    DuckXxh64.query(
+      s"""xsrc AS (
+         WITH fpc_counts AS (
+           SELECT CASE WHEN user_id % 2 = 0 THEN 'acme' ELSE 'globex' END AS org,
+                  event_type,
+                  CASE WHEN event_id % 2 = 0 THEN 'request' ELSE 'fetch' END AS w,
+                  count(*) AS c
+           FROM events WHERE event_id % 17 = 0
+           GROUP BY 1, 2, 3),
+         fpc_rank AS (
+           SELECT org, event_type AS wt, w AS ww,
+                  row_number() OVER (PARTITION BY org
+                    ORDER BY c DESC, event_type ASC, w ASC) AS rn
+           FROM fpc_counts),
+         fpc_winner AS (SELECT org, wt, ww FROM fpc_rank WHERE rn = 1)
+         SELECT g.org, g.event_type, g.n, CAST(1 AS BIGINT) AS n_fp,
+                '<Loglevel>:' || fw.wt || ':' || fw.ww ||
+                  ':user:<Number>:<Path>:in:<Duration>' AS payload
+         FROM (SELECT CASE WHEN user_id % 2 = 0 THEN 'acme' ELSE 'globex' END AS org,
+                      event_type, count(*) AS n
+               FROM events WHERE event_id % 17 = 0 GROUP BY 1, 2) g
+         JOIN fpc_winner fw ON fw.org = g.org)""",
+      "org, event_type, n, n_fp", maxBytes = 96)
 
   /** reference-parity log-template tokenizer
     * ([[graft.ops.FingerprintCompat]], behavior from the reference's
@@ -1863,12 +1933,44 @@ object TelemetryQueries extends Catalog {
       col("line"))
     out.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        countDistinct(col("fpc_fingerprint")).as("n_fp"))
+        countDistinct(col("fpc_fingerprint")).as("n_fp"),
+        min(col("fpc_fingerprint")).as("fp"))
   }
 
+  /** The oracle VALUE-PINS the cluster fingerprint (r14 VERDICT #2), not
+    * just convergence: every non-JSON template shares the six invariant
+    * items {<Loglevel>, user, <Number>, <Path>, in, <Duration>} out of
+    * eight, so the divergence-subtree Jaccard (>= 6/10) merges ALL of
+    * them into the cluster minted by the FIRST-REPLAYED template —
+    * deterministically the (count desc, joined-sequence asc) argmax,
+    * which the SQL re-derives as (count desc, event_type asc, word asc).
+    * Its item payload then pushes through the DuckDB XXH64 chain (now
+    * with the 32-byte stripe path — template payloads run ~60 bytes), so
+    * a drift in replay order, trie semantics, tokenizer classes, OR the
+    * hash itself turns this row red. JSON signup lines pin the pure
+    * item+key hash the same way.
+    */
   private def fpcClusterSql: String =
-    """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
-       FROM events WHERE event_id % 11 = 0 GROUP BY event_type"""
+    DuckXxh64.query(
+      s"""xsrc AS (
+         WITH fpc_counts AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 2 = 0 THEN 'request' ELSE 'fetch' END AS w,
+                  count(*) AS c
+           FROM events WHERE event_id % 11 = 0 AND event_type <> 'signup'
+           GROUP BY 1, 2),
+         fpc_winner AS (
+           SELECT event_type AS wt, w AS ww FROM fpc_counts
+           ORDER BY c DESC, event_type ASC, w ASC LIMIT 1)
+         SELECT e.event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp,
+                CASE WHEN e.event_type = 'signup'
+                     THEN 'user:signup:ok:msg:plan:uid'
+                     ELSE (SELECT '<Loglevel>:' || wt || ':' || ww ||
+                           ':user:<Number>:<Path>:in:<Duration>'
+                           FROM fpc_winner)
+                END AS payload
+         FROM events e WHERE e.event_id % 11 = 0 GROUP BY 1)""",
+      "event_type, n, n_fp", maxBytes = 96)
 
   override def all: Seq[Q] = Seq(
     Q("tq_tid_compat", tidCompat, Some(tidCompatSql)),
