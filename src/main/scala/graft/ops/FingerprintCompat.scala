@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -647,11 +648,27 @@ object FingerprintCompat {
   // ---------------------------------------------------------------------
 
   final class TrieClusterManager(threshold: Double) {
+    // STRUCTURAL change epoch (r14 VERDICT #4): bumps when the trie's
+    // id-determining state changes — a cluster minted, a token set
+    // shrunk, clusters reordered, a branch carved — but NOT on
+    // match-count/total bookkeeping (every replay touches those, so a
+    // count-sensitive epoch would force a snapshot per batch; counts
+    // only tune the match-priority heuristic and the reference does not
+    // persist them at all). Change-driven TrieStore snapshots key off
+    // this: a batch of already-seen templates leaves the epoch alone.
+    private var _epoch = 0L
+    def epoch: Long = synchronized(_epoch)
+
     private final class Cluster(var fp: Long, var tokens: Set[String],
         var matchCount: Int, var total: Int) {
       def matchRate: Double = if (total == 0) 0.0 else matchCount.toDouble / total
       def record(incoming: Set[String], matched: Boolean): Unit = {
-        if (matched) { tokens = tokens.intersect(incoming); matchCount += 1 }
+        if (matched) {
+          val nt = tokens.intersect(incoming)
+          if (nt.size != tokens.size) _epoch += 1
+          tokens = nt
+          matchCount += 1
+        }
         total += 1
       }
     }
@@ -672,6 +689,7 @@ object FingerprintCompat {
               val t = clusters(j); clusters(j) = clusters(j - 1)
               clusters(j - 1) = t
               j -= 1
+              _epoch += 1
             }
             return cl.fp
           }
@@ -679,6 +697,7 @@ object FingerprintCompat {
         }
         val fp = fingerprintHash(items, Nil)
         new Cluster(fp, incoming, 1, 1) +=: clusters
+        _epoch += 1
         fp
       }
     }
@@ -881,6 +900,13 @@ object FingerprintCompat {
       import scala.jdk.CollectionConverters._
       tenants.keySet().asScala.toSeq.sorted
     }
+    /** monotonic sum of every tenant trie's structural epoch — the
+      * registry-level change signal for change-driven snapshots
+      */
+    def epoch: Long = {
+      import scala.jdk.CollectionConverters._
+      tenants.values().asScala.map(_.epoch).sum
+    }
   }
 
   /** multi-tenant batch fingerprinting: [[fingerprintLinesWith]] with the
@@ -889,11 +915,16 @@ object FingerprintCompat {
     * replay through each org's trie in deterministic order, and the
     * (org, sequence)→fingerprint map broadcasts back.
     */
-  /** `maxTemplates` is a GLOBAL cap across orgs (count-desc order, so a
-    * template-heavy tenant can crowd a quiet one out of the trie replay;
-    * the crowded-out tail still gets exact per-sequence hash ids — only
-    * cross-template Jaccard merging is lost for it). Size the cap at
-    * tenants x expected templates when that matters.
+  /** `maxTemplates` is a PER-TENANT cap (r14 VERDICT #3: the earlier
+    * global count-desc cap let a template-heavy tenant crowd a quiet one
+    * entirely out of the trie replay — a per-tenant behavior change
+    * caused by a noisy neighbor). Templates rank within their org
+    * (count desc, sequence asc — a window rank, computed on the
+    * executors before anything reaches the driver); each org's tail
+    * beyond its own cap keeps exact per-sequence hash ids, losing only
+    * cross-template Jaccard merging for itself. Driver state is
+    * O(orgs x maxTemplates) — the same shape as the reference's
+    * one-trie-per-tenant TenantManager.
     */
   def fingerprintLinesByOrg(df: DataFrame, line: Column, org: Column,
       registry: TenantRegistry, maxTokens: Int = 15,
@@ -905,12 +936,16 @@ object FingerprintCompat {
       .withColumn("__fpc_level", col("__fpc.level"))
       .withColumn("__fpc_jsonfp", col("__fpc.json_fp"))
       .drop("__fpc")
+    val rankWin = Window.partitionBy(col("__fpc_org"))
+      .orderBy(col("__n").desc, concat_ws("\u0001", col("__fpc_items")).asc)
     val seqs = tok.filter(col("__fpc_jsonfp").isNull)
       .groupBy(col("__fpc_org"), col("__fpc_items"))
       .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(rankWin))
+      .filter(col("__rk") <= maxTemplates)
       .orderBy(col("__n").desc, col("__fpc_org").asc,
         concat_ws("\u0001", col("__fpc_items")).asc)
-      .limit(maxTemplates)
+      .select(col("__fpc_org"), col("__fpc_items"))
       .collect()
     val mapping: Map[(String, Seq[String]), Long] = seqs.map { r =>
       val o = r.getString(0)

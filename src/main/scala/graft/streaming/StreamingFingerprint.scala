@@ -20,8 +20,8 @@ import graft.ops.FingerprintCompat
   * restart starts an empty trie (new cluster ids for re-seen templates),
   * which is the reference's documented behavior, not a durability gap.
   * Opt-in `stateDir` upgrades that: [[graft.ops.TrieStore]] snapshots
-  * the trie per batch and restores it at stream start, so cluster ids
-  * survive restarts (a graft extension).
+  * the trie whenever a batch structurally changed it and restores it at
+  * stream start, so cluster ids survive restarts (a graft extension).
   */
 object StreamingFingerprint {
 
@@ -49,12 +49,19 @@ object StreamingFingerprint {
     * identically because the trie resolves re-seen sequences to their
     * existing clusters)
     */
-  /** `stateDir = Some(dir)` persists the trie after every batch via
-    * [[graft.ops.TrieStore]] and RESTORES it at stream start — a graft
-    * extension past the reference's process-lifetime trie: cluster ids
-    * survive a restart, so a template first seen before the crash keeps
-    * its id after (the reference re-mints). Snapshot cost is
-    * O(templates) per batch — the trie's own size.
+  /** `stateDir = Some(dir)` persists the trie via [[graft.ops.TrieStore]]
+    * and RESTORES it at stream start — a graft extension past the
+    * reference's process-lifetime trie: cluster ids survive a restart,
+    * so a template first seen before the crash keeps its id after (the
+    * reference re-mints). Snapshots are CHANGE-DRIVEN (r14 VERDICT #4):
+    * a batch writes a new generation only when the trie's structural
+    * epoch moved — a cluster minted, a token set shrunk, a reorder — so
+    * a steady stream of already-seen templates costs zero snapshot
+    * writes per batch instead of a full O(tenants x templates) rewrite.
+    * Match-count bookkeeping alone does not trigger a write (counts only
+    * tune match priority; the reference persists nothing at all), so a
+    * restore after count-only batches carries slightly stale counts with
+    * bit-identical cluster ids — StreamingSpec pins both properties.
     */
   def fingerprintStream(lines: DataFrame, lineCol: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.5, maxTokens: Int = 15,
@@ -67,6 +74,9 @@ object StreamingFingerprint {
     val baseGen = stateDir.map { d =>
       graft.ops.TrieStore.load(lines.sparkSession, d, session.registry) + 1
     }.getOrElse(0L)
+    // change-driven snapshot gate: a freshly-restored (or fresh) trie is
+    // already on disk (or empty), so epoch 0 needs no initial write
+    var lastSavedEpoch = 0L
     lines.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -80,8 +90,12 @@ object StreamingFingerprint {
           session.fingerprintBatch(batch, org.apache.spark.sql.functions.col(lineCol))
             .write.mode("overwrite").parquet(dir)
           stateDir.foreach { d =>
-            graft.ops.TrieStore.save(spark, session.registry, d,
-              baseGen + batchId)
+            val ep = session.registry.epoch
+            if (ep != lastSavedEpoch) {
+              graft.ops.TrieStore.save(spark, session.registry, d,
+                baseGen + batchId)
+              lastSavedEpoch = ep
+            }
           }
         }
         ()
@@ -107,6 +121,9 @@ object StreamingFingerprint {
     val baseGen = stateDir.map { d =>
       graft.ops.TrieStore.load(lines.sparkSession, d, session.registry) + 1
     }.getOrElse(0L)
+    // change-driven snapshot gate: a freshly-restored (or fresh) trie is
+    // already on disk (or empty), so epoch 0 needs no initial write
+    var lastSavedEpoch = 0L
     lines.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -122,8 +139,12 @@ object StreamingFingerprint {
               org.apache.spark.sql.functions.col(orgCol))
             .write.mode("overwrite").parquet(dir)
           stateDir.foreach { d =>
-            graft.ops.TrieStore.save(spark, session.registry, d,
-              baseGen + batchId)
+            val ep = session.registry.epoch
+            if (ep != lastSavedEpoch) {
+              graft.ops.TrieStore.save(spark, session.registry, d,
+                baseGen + batchId)
+              lastSavedEpoch = ep
+            }
           }
         }
         ()

@@ -329,6 +329,44 @@ class FingerprintCompatSpec extends AnyFunSuite {
     assert(reg.size == 2)
   }
 
+  test("per-tenant maxTemplates: a noisy tenant cannot evict a quiet tenant's templates") {
+    import TestSpark._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reg = new FingerprintCompat.TenantRegistry(0.5)
+    // 10 high-count templates for the loud tenant (mutually non-mergeable:
+    // distinct word triples share only <Loglevel> -> Jaccard 1/7); the
+    // quiet tenant has two one-count templates that must Jaccard-merge.
+    // Under the old GLOBAL count-desc cap of 3, the loud tenant's top-3
+    // would consume the whole replay budget and the quiet tenant's
+    // extension would silently lose its merge.
+    val words = Seq("read", "write", "update", "delete", "open", "close",
+      "send", "load", "save", "run", "check", "data", "file", "line", "log",
+      "message", "event", "task", "queue", "batch", "cache", "memory",
+      "disk", "thread", "process", "session", "client", "server", "host",
+      "port")
+    val loud = (0 until 10).flatMap { i =>
+      val t = s"INFO ${words(3 * i)} ${words(3 * i + 1)} ${words(3 * i + 2)}"
+      Seq.fill(20 - i)(("loud", t))
+    }
+    val base = "INFO click request user=7 handled /api/v4/do?id=7 in 3ms"
+    val ext = base + " retry"
+    val rows = (loud ++ Seq(("quiet", base), ("quiet", ext))).toDF("org", "line")
+    val out = FingerprintCompat
+      .fingerprintLinesByOrg(rows, col("line"), col("org"), reg, maxTemplates = 3)
+      .select("org", "line", "fpc_fingerprint").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val baseItems = tokenizeInput(base)._1
+    // the quiet tenant's two templates both replay through its own trie
+    assert(out(("quiet", base)) == fingerprintHash(baseItems, Nil))
+    assert(out(("quiet", ext)) == out(("quiet", base)),
+      "quiet tenant's extension lost Jaccard merging to a noisy neighbor")
+    // the loud tenant's beyond-cap tail keeps exact per-sequence hashes
+    val t9 = s"INFO ${words(27)} ${words(28)} ${words(29)}"
+    assert(out(("loud", t9)) == fingerprintHash(tokenizeInput(t9)._1, Nil))
+    assert(reg.size == 2)
+  }
+
   test("SQL registry: fpc_tokenize callable from spark.sql") {
     import TestSpark._
     val r = spark.sql(

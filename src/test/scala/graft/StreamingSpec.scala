@@ -744,6 +744,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(cm2.cluster(extItems) == fpBase2)
   }
 
+  test("change-driven TrieStore snapshots: repeated-template batches write no generations") {
+    import graft.ops.{FingerprintCompat, TrieStore}
+    import graft.streaming.StreamingFingerprint
+    import spark.implicits._
+    def lines(word: String, lo: Int): Seq[(Long, String)] = (lo until lo + 20)
+      .map(i => (i.toLong, s"INFO click $word user=$i handled /api/v4/do?id=$i in ${i % 9}ms"))
+    val stateDir = Files.createTempDirectory("graft_triestore_cd_").toString
+    val in = Files.createTempDirectory("graft_sfpc_cd_in_").toString
+    val schema = lines("request", 0).toDF("id", "line").schema
+    // five micro-batches: new template, repeat, symmetric variant
+    // (token-set shrink), repeat, repeat — only batches 0 and 2 change
+    // the trie structurally
+    Seq(lines("request", 0), lines("request", 100), lines("fetch", 200),
+      lines("request", 300), lines("request", 400)).foreach { b =>
+      b.toDF("id", "line").coalesce(1).write.mode("append").parquet(in)
+    }
+    val out = Files.createTempDirectory("graft_sfpc_cd_out_").toString
+    val q = StreamingFingerprint.fingerprintStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      "line", out, Files.createTempDirectory("graft_sfpc_cd_ck_").toString,
+      stateDir = Some(stateDir))
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    def gens(): Seq[String] = {
+      val d = new java.io.File(stateDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .map(_.getName).sorted.toSeq
+    }
+    // 5 batches, 2 generation writes — count-only batches skipped
+    assert(gens() == Seq("gen-000000000", "gen-000000002"),
+      s"expected change-driven generations, got ${gens()}")
+    val fpBase = spark.read.parquet(out)
+      .select("fpc_fingerprint").distinct().collect().map(_.getLong(0)).toSeq
+    assert(fpBase.size == 1, "request/fetch variants should share one cluster")
+
+    // restart on the variant only: the restored trie resolves it to the
+    // SAME cluster id, and (no structural change) writes nothing new
+    val in2 = Files.createTempDirectory("graft_sfpc_cd_in2_").toString
+    lines("fetch", 500).toDF("id", "line").coalesce(1)
+      .write.mode("append").parquet(in2)
+    val out2 = Files.createTempDirectory("graft_sfpc_cd_out2_").toString
+    val q2 = StreamingFingerprint.fingerprintStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in2),
+      "line", out2, Files.createTempDirectory("graft_sfpc_cd_ck2_").toString,
+      stateDir = Some(stateDir))
+    try q2.awaitTermination() finally if (q2.isActive) q2.stop()
+    val fps2 = spark.read.parquet(out2)
+      .select("fpc_fingerprint").distinct().collect().map(_.getLong(0)).toSeq
+    assert(fps2 == fpBase, s"restart lost the trie: $fps2 != $fpBase")
+    assert(gens() == Seq("gen-000000000", "gen-000000002"),
+      "a count-only restart batch wrote a snapshot generation")
+  }
+
   test("trie state survives a stream restart via TrieStore; snapshot round-trips") {
     import graft.ops.{FingerprintCompat, TrieStore}
     import graft.streaming.StreamingFingerprint
