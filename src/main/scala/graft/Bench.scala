@@ -300,7 +300,14 @@ object Bench {
       "lq_topk" -> "same two-phase rank trade (shared engine path)",
       "pp_dup_clusters" -> ("iterative component convergence: per-round join+agg over the " +
         "edge set with one checkpoint per round — rounds scale with component diameter, not corpus"),
-      "pp_dedup_apply" -> "full pipeline end-to-end: minhash-LSH pairs + component convergence + anti-join removal",
+      "pp_dedup_apply" -> ("full pipeline end-to-end: minhash-LSH pairs + component convergence " +
+        "+ anti-join removal; r14 1.69x flag adjudicated r15: quiet rerun at HEAD was FASTER than " +
+        "the flagged value (1.59s vs 2.10s) on a window measuring 1.24x median vs baseline — contention"),
+      "pp_simhash_pairs" -> ("fused shingle+simhash native expr, banded pigeonhole buckets; " +
+        "r14 1.52x suppressed flag adjudicated r15 by same-machine A/B: the pre-flag commit's " +
+        "classes (3381dbc) and HEAD run statistically identical wall AND task-CPU here " +
+        "(0.96-1.25s / 6.9-9.0 cpu both) — the committed 0.60s/1.64cpu baseline is a " +
+        "faster-host window, not a code regression (paths untouched since)"),
       "tq_segment_roundtrip" -> "two write waves + real compaction rewrite + re-read: I/O-bound by design",
       "tq_log_roundtrip" -> "same end-to-end write/compact/read spine for logs",
       "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
