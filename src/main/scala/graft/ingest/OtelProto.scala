@@ -1026,14 +1026,33 @@ object OtelProto {
     * log_level, log_message, scope_name + flattened resource_* / attr_*
     * string columns (dynamic union across records, missing → null).
     */
-  def readLogs(spark: SparkSession, path: String): DataFrame = {
+  /** session conf key: "true" → [[readLogs]] assigns reference-parity
+    * `chq_fingerprint` per record by routing the decoded body through
+    * [[graft.ops.FingerprintCompat.fingerprintLines]] — the reference's
+    * logs-ingest motion (internal/metricsprocessing/
+    * logs_ingest_processor.go:793-803: fingerprinter.Fingerprint(message,
+    * trieClusterManager) assigns RowKeyCFingerprint before the segment
+    * write; same call in log_translating_reader.go:153). Opt-in exactly
+    * like [[graft.ingest.Segments.SketchProtoCompatKey]]: graft-native
+    * pipelines keep assigning [[graft.ingest.LogFingerprint]] ids
+    * downstream; the flag is for writing LOG segments a reference
+    * deployment reads with parity cluster ids end-to-end.
+    */
+  val LogsFpcCompatKey = "spark.graft.logs.fpcCompat"
+
+  /** `fpcCompat = Some(b)` pins the choice for this read; the session
+    * conf is the deployment-wide default (per-read pinning over
+    * shared-conf mutation, the r13 ADVICE rule).
+    */
+  def readLogs(spark: SparkSession, path: String,
+      fpcCompat: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
     val logs = files.flatMap { case (p, content) => parseLogs(maybeGunzip(p, content)) }
     // shared widen path: gunzip + wire decode runs once (materialized), the
     // key-union pass and the returned plan both read the decoded rows
-    widenAttrs(logs.toDF().select(
+    val widened = widenAttrs(logs.toDF().select(
       expr("timeUnixNano DIV 1000000").as("chq_timestamp"), // integer div: ns epochs exceed double's 2^53
       col("timeUnixNano").as("chq_tsns"),
       col("severityText").as("log_level"),
@@ -1042,6 +1061,14 @@ object OtelProto {
       col("scopeName").as("scope_name"),
       col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
       .withColumn("metric_name", lit("log_events"))
+    val compat = fpcCompat.getOrElse(
+      spark.conf.getOption(LogsFpcCompatKey).contains("true"))
+    if (compat)
+      graft.ops.FingerprintCompat.fingerprintLines(widened,
+          coalesce(col("log_message"), lit("")))
+        .withColumn("chq_fingerprint", col("fpc_fingerprint"))
+        .drop("fpc_fingerprint", "fpc_level") // severity stays the record's own, like the reference
+    else widened
   }
 
   /** widen map-typed attrs/resourceAttrs into attr_* / resource_* string

@@ -1972,11 +1972,80 @@ object TelemetryQueries extends Catalog {
          FROM events e WHERE e.event_id % 11 = 0 GROUP BY 1)""",
       "event_type, n, n_fp", maxBytes = 96)
 
+  /** reference-parity log fingerprints AT BINPB INGEST (r14 VERDICT #6,
+    * mirror of the span wiring): the opt-in
+    * [[graft.ingest.OtelProto.LogsFpcCompatKey]] routes wire-decoded
+    * bodies through [[graft.ops.FingerprintCompat]] exactly where the
+    * reference's ingest worker fingerprints each record
+    * (logs_ingest_processor.go:793-803 assigns RowKeyCFingerprint before
+    * the segment write), so `chq_fingerprint` lands on the cooked frame a
+    * reference deployment would read. Fixture: an events subset encoded
+    * as OTel LogsData — JSON signup bodies (pure item+key hash) plus two
+    * mid-sequence-diverging non-JSON templates per remaining type — gzip
+    * binpb, read back with the flag pinned per-read. The oracle
+    * re-derives counts, the ns→ms timestamp, the decoded severity, trie
+    * convergence AND the winning cluster id's XXH64 through the DuckDB
+    * chain, straight from `events` ([[fpcClusterSql]]'s construction).
+    */
+  private def fpcIngestLogs(s: SparkSession, d: String): DataFrame = {
+    import OtelProto.Encode
+    val rows = raw(s, d).filter(col("event_id") % 21 === 0)
+      .select(col("event_id"), col("ts_ms"), col("event_type"), col("user_id"))
+      .collect() // fixture encoding is driver-side by design (test harness)
+    val recs = rows.toSeq.map { r =>
+      val (id, ts, et, uid) = (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      val body =
+        if (et == "signup")
+          s"""{"msg": "user signup ok", "uid": $uid, "plan": "pro"}"""
+        else {
+          val w = if (id % 2 == 0) "request" else "fetch"
+          s"INFO $et $w user=$uid handled /api/v7/do?id=$id in ${id % 700}ms"
+        }
+      Encode.logRecord(ts * 1000000L, 9, "INFO", body, Seq("event.type" -> et))
+    }
+    val blob = Encode.logsData(
+      Seq("service.name" -> "fixture-svc"), "graft-test", recs)
+    OtelProto.readLogs(s,
+        gzWrite("graft_binpb_fpc_", "logs.binpb.gz", blob),
+        fpcCompat = Some(true))
+      .groupBy(col("attr_event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("chq_fingerprint")).as("n_fp"),
+        min(col("chq_fingerprint")).as("fp"),
+        min(col("chq_timestamp")).as("min_ts"),
+        min(col("log_level")).as("lvl"))
+  }
+
+  private def fpcIngestLogsSql: String =
+    DuckXxh64.query(
+      s"""xsrc AS (
+         WITH fpc_counts AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 2 = 0 THEN 'request' ELSE 'fetch' END AS w,
+                  count(*) AS c
+           FROM events WHERE event_id % 21 = 0 AND event_type <> 'signup'
+           GROUP BY 1, 2),
+         fpc_winner AS (
+           SELECT event_type AS wt, w AS ww FROM fpc_counts
+           ORDER BY c DESC, event_type ASC, w ASC LIMIT 1)
+         SELECT e.event_type AS attr_event_type, count(*) AS n,
+                CAST(1 AS BIGINT) AS n_fp,
+                min(epoch_ms(e.ts)) AS min_ts, 'INFO' AS lvl,
+                CASE WHEN e.event_type = 'signup'
+                     THEN 'user:signup:ok:msg:plan:uid'
+                     ELSE (SELECT '<Loglevel>:' || wt || ':' || ww ||
+                           ':user:<Number>:<Path>:in:<Duration>'
+                           FROM fpc_winner)
+                END AS payload
+         FROM events e WHERE e.event_id % 21 = 0 GROUP BY 1)""",
+      "attr_event_type, n, n_fp, min_ts, lvl", maxBytes = 96)
+
   override def all: Seq[Q] = Seq(
     Q("tq_tid_compat", tidCompat, Some(tidCompatSql)),
     Q("tq_fp_compat", fpCompat, Some(fpCompatSql)),
     Q("tq_fpc_tokens", fpcTokens, Some(fpcTokensSql)),
     Q("tq_fpc_cluster", fpcCluster, Some(fpcClusterSql)),
+    Q("tq_fpc_ingest_logs", fpcIngestLogs, Some(fpcIngestLogsSql)),
     Q("tq_span_fp_compat", spanFpCompat, Some(spanFpCompatSql)),
     Q("tq_fpc_jsonfp", fpcJsonFp, Some(fpcJsonFpSql)),
     Q("tq_fpc_by_org", fpcByOrg, Some(fpcByOrgSql)),

@@ -56,6 +56,49 @@ class OtelProtoSpec extends AnyFunSuite {
     assert(ok.getAs[String]("attr_retries") == null)
   }
 
+  test("readLogs fpcCompat: off by default; on → reference-parity chq_fingerprint") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_otel_fpc_")
+    val gz = dir.resolve("logs.binpb.gz")
+    val blob = OtelProto.Encode.logsData(
+      Seq("service.name" -> "checkout"), "graft-test",
+      Seq(
+        Encode.logRecord(1L, 9, "INFO",
+          """{"msg": "cart emptied ok", "cart": 7}""", Nil),
+        Encode.logRecord(2L, 9, "INFO",
+          "INFO checkout request user=12 in 30ms", Nil),
+        Encode.logRecord(3L, 9, "INFO",
+          "INFO checkout request user=99 in 515ms", Nil)))
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(blob); out.close()
+
+    // default: the graft-native frame, no compat fingerprint column
+    assert(!OtelProto.readLogs(spark, gz.toString).columns.contains("chq_fingerprint"))
+
+    // per-read pin: JSON body bit-equals the pure item+key hash; the two
+    // same-template lines share one cluster id; severity stays the record's
+    val on = OtelProto.readLogs(spark, gz.toString, fpcCompat = Some(true))
+    assert(!on.columns.contains("fpc_level"))
+    val json = on.filter(col("chq_tsns") === 1L).head()
+    // "emptied" is outside the calibrated word list and drops from the
+    // items (reference parity: unknown prose words don't tokenize)
+    assert(json.getAs[Long]("chq_fingerprint") ==
+      graft.ops.FingerprintCompat.fingerprintHash(
+        Seq("cart", "ok"), Seq("cart", "msg")))
+    assert(json.getAs[String]("log_level") == "INFO")
+    val fps = on.filter(col("chq_tsns") =!= 1L)
+      .select(col("chq_fingerprint")).distinct().collect()
+    assert(fps.length == 1)
+
+    // session-conf default: same assignment through the Readers front door
+    spark.conf.set(OtelProto.LogsFpcCompatKey, "true")
+    try {
+      val viaConf = graft.ingest.Readers.readAny(spark, gz.toString)
+      assert(viaConf.filter(col("chq_tsns") === 1L).head()
+        .getAs[Long]("chq_fingerprint") == json.getAs[Long]("chq_fingerprint"))
+    } finally spark.conf.unset(OtelProto.LogsFpcCompatKey)
+  }
+
   test("kvlist + array attribute values parse structurally (not as garbage)") {
     val rec = Encode.logRecord(1L, 9, "INFO", "body", Nil) ++
       Encode.ld(6, Encode.str(1, "ctx") ++ Encode.ld(2,
