@@ -960,26 +960,33 @@ object ItQueries extends Catalog {
   /** streaming reference-parity fingerprinting
     * ([[graft.streaming.StreamingFingerprint]]): 3 micro-batches of
     * templated lines against ONE stream-lifetime trie (the reference
-    * collector's in-process TrieClusterManager shape). Per event type,
-    * TWO templates diverge at one mid-sequence word (request/fetch) —
-    * a SYMMETRIC divergence, so whichever arrives first the other
-    * Jaccard-merges into its cluster and the per-type fingerprint count
-    * is 1 regardless of batch order (an extension-suffix variant would
-    * be order-dependent — the reference mints a fresh cluster when a
-    * prefix template arrives after its extension; StreamingSpec pins
-    * that asymmetry separately). JSON signup lines bypass the trie with
-    * the pure item+key hash. Oracle: counts per type, one fingerprint.
+    * collector's in-process TrieClusterManager shape). The oracle
+    * VALUE-PINS the cluster id batch-order-independently: EVEN event
+    * ids emit one TYPE-LESS dominant template T ("INFO request user=…"
+    * — ~half of every micro-batch, so T wins every batch's
+    * (count desc, seq asc) replay and is minted FIRST whatever file
+    * order the stream picks), while odd ids emit per-type "fetch"
+    * templates that share 6 of T∪odd's 9 items (Jaccard 0.667 ≥ 0.5 →
+    * each merges into T's cluster via the divergence subtree scan,
+    * which carves no branch on merge). So every non-JSON line's
+    * fingerprint is exactly hash(T) — a CONSTANT payload the DuckDB
+    * XXH64 chain re-derives — and a drift in replay order, trie
+    * semantics, or the hash turns the row red (the r14 trie-oracle
+    * value-pin, extended to the streaming spine). JSON signup lines
+    * bypass the trie with the pure item+key hash, pinned the same way.
     */
   private def streamFpc(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.Files
     val ev = Tables.events(s, d).filter(col("event_id") % 13 === 0)
-    val base = concat(
-      lit("INFO "), col("event_type"),
-      when(col("event_id") % 2 === 0, lit(" request user="))
-        .otherwise(lit(" fetch user=")),
-      col("user_id"),
-      lit(" handled /api/v4/do?id="), col("event_id"),
-      lit(" in "), pmod(col("event_id"), lit(700)), lit("ms"))
+    val base = when(col("event_id") % 2 === 0,
+        concat(lit("INFO request user="), col("user_id"),
+          lit(" handled /api/v4/do?id="), col("event_id"),
+          lit(" in "), pmod(col("event_id"), lit(700)), lit("ms")))
+      .otherwise(concat(
+        lit("INFO "), col("event_type"), lit(" fetch user="),
+        col("user_id"),
+        lit(" handled /api/v4/do?id="), col("event_id"),
+        lit(" in "), pmod(col("event_id"), lit(700)), lit("ms")))
     val line = when(col("event_type") === "signup",
         concat(lit("""{"msg": "user signup ok", "uid": """), col("user_id"),
           lit(""", "plan": "pro"}""")))
@@ -996,12 +1003,20 @@ object ItQueries extends Catalog {
     try q.awaitTermination() finally if (q.isActive) q.stop()
     s.read.parquet(out).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        countDistinct(col("fpc_fingerprint")).as("n_fp"))
+        countDistinct(col("fpc_fingerprint")).as("n_fp"),
+        min(col("fpc_fingerprint")).as("fp"))
   }
 
   private def streamFpcSql: String =
-    """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp
-       FROM events WHERE event_id % 13 = 0 GROUP BY event_type"""
+    TelemetryQueries.DuckXxh64.query(
+      """xsrc AS (
+         SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS n_fp,
+                CASE WHEN event_type = 'signup'
+                     THEN 'user:signup:ok:msg:plan:uid'
+                     ELSE '<Loglevel>:request:user:<Number>:<Path>:in:<Duration>'
+                END AS payload
+         FROM events WHERE event_id % 13 = 0 GROUP BY 1)""",
+      "event_type, n, n_fp", maxBytes = 96)
 
   /** compat fingerprints through the SEGMENT spine: cook log lines with
     * [[graft.ops.FingerprintCompat.fingerprintLines]] (the reference's
@@ -1043,13 +1058,40 @@ object ItQueries extends Catalog {
       .groupBy(col("attr_event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("chq_fingerprint")).as("n_fp"),
+        min(col("chq_fingerprint")).as("fp"),
         min(col("log_level")).as("lvl"))
   }
 
+  /** VALUE-PINNED like [[graft.queries.TelemetryQueries]]'s
+    * fpcClusterSql (r14 VERDICT #2, extended through the segment
+    * spine): the SQL re-derives the deterministic batch-replay winner —
+    * (count desc, joined-sequence asc) over the (type, request/fetch)
+    * templates — and pushes its item payload through the DuckDB XXH64
+    * chain, so the chq_fingerprint value that lands AT REST in the
+    * segments is pinned end-to-end, not just its convergence count.
+    */
   private def fpcSegmentsSql: String =
-    """SELECT event_type AS attr_event_type, count(*) AS n,
-         CAST(1 AS BIGINT) AS n_fp, 'INFO' AS lvl
-       FROM events WHERE event_id % 19 = 0 GROUP BY event_type"""
+    TelemetryQueries.DuckXxh64.query(
+      """xsrc AS (
+         WITH fpc_counts AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 2 = 0 THEN 'request' ELSE 'fetch' END AS w,
+                  count(*) AS c
+           FROM events WHERE event_id % 19 = 0 AND event_type <> 'signup'
+           GROUP BY 1, 2),
+         fpc_winner AS (
+           SELECT event_type AS wt, w AS ww FROM fpc_counts
+           ORDER BY c DESC, event_type ASC, w ASC LIMIT 1)
+         SELECT e.event_type AS attr_event_type, count(*) AS n,
+                CAST(1 AS BIGINT) AS n_fp, 'INFO' AS lvl,
+                CASE WHEN e.event_type = 'signup'
+                     THEN 'user:signup:ok:msg:plan:uid'
+                     ELSE (SELECT '<Loglevel>:' || wt || ':' || ww ||
+                           ':user:<Number>:<Path>:in:<Duration>'
+                           FROM fpc_winner)
+                END AS payload
+         FROM events e WHERE e.event_id % 19 = 0 GROUP BY 1)""",
+      "attr_event_type, n, n_fp, lvl", maxBytes = 96)
 
   override def all: Seq[Q] = Seq(
     Q("it_stream_fpc", streamFpc, Some(streamFpcSql)),
