@@ -448,7 +448,10 @@ final class HttpApi(
     // multi-expression request (q + q2..q9): the panels fuse onto ONE
     // pruned scan + engine pass (Engine.queryMulti — identical-selector
     // aggregations, or identical-selector/range window functions).
-    // Output columns: value, value2, .. valueN. One-shot SSE: the fused
+    // Output columns: value, value2, .. valueN. Heterogeneous sets
+    // (different metrics/groupings) fall back to the general tagged door
+    // (Engine.queryMultiTagged): one materialized pass, rows tagged
+    // (alias, ts, series, value). One-shot SSE either way: the multi
     // frame is a single bounded result set, not a slice stream.
     val extra = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
     if (extra.nonEmpty) {

@@ -15,46 +15,24 @@ import graft.promql._
   */
 object MetricSegments {
 
-  /** max (range+offset) lookback across every selector in the expression */
-  def maxLookbackMs(e: Expr): Long = e match {
-    case s: Selector => s.rangeMs + s.offsetMs
-    // a subquery window extends the lookback of everything inside it
-    case x: Subquery => x.rangeMs + x.offsetMs + maxLookbackMs(x.arg)
-    case x: RangeFn => maxLookbackMs(x.arg)
-    case x: QuantileOverTime => maxLookbackMs(x.arg)
-    case x: UnaryFn => maxLookbackMs(x.arg)
-    case x: Clamp => maxLookbackMs(x.arg)
-    case x: ScalarFn => maxLookbackMs(x.arg)
-    case x: HistogramQuantile => maxLookbackMs(x.arg)
-    case x: LabelReplace => maxLookbackMs(x.arg)
-    case x: LabelJoin => maxLookbackMs(x.arg)
-    case x: Absent => maxLookbackMs(x.arg)
-    case x: RoundFn => maxLookbackMs(x.arg)
-    case x: Agg => maxLookbackMs(x.arg)
-    case x: BinOp => math.max(maxLookbackMs(x.lhs), maxLookbackMs(x.rhs))
-    case _ => 0L
-  }
+  /** max (range+offset) lookback across every selector in the expression.
+    * Delegates to the TOTAL Product-reflection walker ([[Ast.lookbackMs]]):
+    * the hand-enumerated match this replaces returned 0 for AST nodes
+    * added after it was written (predict_linear,
+    * double_exponential_smoothing, sketch fns, absent_over_time,
+    * count_values, timestamp/sort/calendar fns) — under-extending the
+    * dateint-pruned scan window whenever such a node's lookback crossed a
+    * day boundary.
+    */
+  def maxLookbackMs(e: Expr): Long = Ast.lookbackMs(e)
 
   /** every selector in the expression (the leaves whose metric names and
-    * matchers drive segment lookup in the reference)
+    * matchers drive segment lookup in the reference). Total walker for
+    * the same reason as [[maxLookbackMs]] — the enumerated version hid
+    * @-pinned selectors under unlisted nodes from [[sliceable]] and
+    * their metrics from the index pruning requirements.
     */
-  def selectors(e: Expr): Seq[Selector] = e match {
-    case s: Selector => Seq(s)
-    case x: Subquery => selectors(x.arg)
-    case x: RangeFn => selectors(x.arg)
-    case x: QuantileOverTime => selectors(x.arg)
-    case x: UnaryFn => selectors(x.arg)
-    case x: Clamp => selectors(x.arg)
-    case x: ScalarFn => selectors(x.arg)
-    case x: HistogramQuantile => selectors(x.arg)
-    case x: LabelReplace => selectors(x.arg)
-    case x: LabelJoin => selectors(x.arg)
-    case x: Absent => selectors(x.arg)
-    case x: RoundFn => selectors(x.arg)
-    case x: Agg => selectors(x.arg)
-    case x: BinOp => selectors(x.lhs) ++ selectors(x.rhs)
-    case _ => Nil
-  }
+  def selectors(e: Expr): Seq[Selector] = Ast.selectors(e)
 
   /** per-selector fingerprint requirement: the metric name is an
     * exact-indexed dimension (reference prunes metric segments on exactly
@@ -62,13 +40,18 @@ object MetricSegments {
     * EVERY selector excludes it
     */
   private def excludedForExpr(spark: SparkSession, segDir: String,
-      e: Expr): Set[String] = {
+      e: Expr): Set[String] = excludedForExprs(spark, segDir, Seq(e))
+
+  private def excludedForExprs(spark: SparkSession, segDir: String,
+      es: Seq[Expr]): Set[String] = {
     import graft.ingest.FingerprintIndex
     import graft.ingest.FingerprintIndex.{ReqAnd, ReqNode, Requirement}
-    // One requirement tree per selector; the whole expression costs ONE
-    // index read ([[FingerprintIndex.excludedForTrees]] unions the wanted
-    // fingerprints, reads once, intersects per-leaf exclusions).
-    val trees: Seq[ReqNode] = selectors(e).map { s =>
+    // One requirement tree per selector; the whole expression set costs
+    // ONE index read ([[FingerprintIndex.excludedForTrees]] unions the
+    // wanted fingerprints, reads once, intersects per-leaf exclusions —
+    // so with several expressions a file is pruned only when NO panel's
+    // selector can live in it).
+    val trees: Seq[ReqNode] = es.flatMap(selectors).map { s =>
       // a bare matcher set `{attr="v"}` parses with an EMPTY metric name:
       // it selects across all metrics, so it must contribute no
       // requirement (an exact fp of "" is never indexed and would exclude
@@ -164,20 +147,33 @@ object MetricSegments {
     * enforces the identical-selector contract, so the first expression's
     * lookback and metric exclusions prune for all of them.
     */
+  /** Dateint pruning takes the MAX lookback across all panels and the
+    * index exclusion intersects across every panel's selectors, so the
+    * shared scan is correct for the whole set, fused or not. Fusable
+    * sets (identical selector+grouping) keep the alias-column response;
+    * heterogeneous sets — which previously 400'd — fall back to
+    * [[graft.promql.Engine.queryMultiTagged]]: one materialized pass,
+    * rows tagged (alias, ts, series, value).
+    */
   def queryMultiAt(spark: SparkSession, segDir: String,
       exprs: Seq[(String, String)], p: QueryParams,
       org: Option[String] = None): DataFrame = {
     require(exprs.nonEmpty, "queryMultiAt needs at least one expression")
-    val e = Parser.parse(exprs.head._2)
-      .fold(err => throw new IllegalArgumentException(err), identity)
-    val effStart = p.startMs - maxLookbackMs(e)
-    val excluded = excludedForExpr(spark, segDir, e)
+    val parsed = exprs.map(x => Parser.parse(x._2)
+      .fold(err => throw new IllegalArgumentException(err), identity))
+    val effStart = p.startMs - parsed.map(maxLookbackMs).max
+    val excluded = excludedForExprs(spark, segDir, parsed)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
         col("dateint") >= StepPolicy.dateintOf(effStart) &&
         col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
-    Engine.queryMulti(exprs, storeFrom(scan), p)
+    val store = storeFrom(scan)
+    try Engine.queryMulti(exprs, store, p)
+    catch {
+      case _: IllegalArgumentException =>
+        Engine.queryMultiTagged(exprs, store, p)
+    }
   }
 
   /** true when the expression may be evaluated slice-by-slice: no

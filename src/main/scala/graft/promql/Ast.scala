@@ -207,4 +207,41 @@ object Ast {
     "year", "days_in_month")
   val compOps: Set[String] = Set("==", "!=", ">", "<", ">=", "<=")
   val setOps: Set[String] = Set("and", "or", "unless")
+
+  /** Structural children of a node: every Expr reachable through its
+    * fields, Lists, and Options, via Product reflection — TOTAL by
+    * construction, so an AST node added tomorrow is walked without
+    * touching this code. (The hand-enumerated walkers this backs
+    * replaced silently skipped later-added nodes — predict_linear,
+    * double_exponential_smoothing, sketch fns, absent_over_time,
+    * count_values, timestamp/sort/calendar fns — under-pruning the
+    * segment front door's lookback window and hiding @-pinned selectors
+    * from the slicing guard.)
+    */
+  def children(e: Expr): Seq[Expr] = e match {
+    case p: Product => p.productIterator.flatMap {
+      case c: Expr => c :: Nil
+      case l: Iterable[_] => l.collect { case c: Expr => c }
+      case Some(c: Expr) => c :: Nil
+      case _ => Nil
+    }.toSeq
+    case _ => Nil
+  }
+
+  /** every selector in the expression, leaves of [[children]] */
+  def selectors(e: Expr): Seq[Selector] =
+    (e match { case s: Selector => Seq(s); case _ => Nil }) ++
+      children(e).flatMap(selectors)
+
+  /** max (range+offset) lookback across every path to a selector; a
+    * subquery's window extends the lookback of everything inside it
+    */
+  def lookbackMs(e: Expr): Long = {
+    val inner = (children(e).map(lookbackMs) :+ 0L).max
+    e match {
+      case s: Selector => s.rangeMs + math.max(0L, s.offsetMs)
+      case x: Subquery => x.rangeMs + math.max(0L, x.offsetMs) + inner
+      case _ => inner
+    }
+  }
 }

@@ -243,6 +243,56 @@ object Engine {
     windowed.groupBy((col("ts") +: keep.map(col)): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Heterogeneous dashboard fusion — the GENERAL multi-expression door
+    * (the fused [[queryMulti]] shapes above require one shared
+    * selector+grouping): N panels over DIFFERENT metrics, matchers, and
+    * groupings share ONE materialized pass over the store. The union of
+    * the panels' lookback-extended time window and metric names prunes
+    * the scan; the pruned frame materializes once
+    * ([[graft.GraftSession.materialize]] — the dashboard-scoped analog of
+    * the reference's segment cache, queryworker S3 segment reuse); every
+    * panel's full engine pass then reads those blocks instead of
+    * rescanning the lake. At 100 TB the lake scan dominates a dashboard's
+    * cost, so K panels cost one scan + K block-local aggregations rather
+    * than K scans (the reference evaluates each request expression as its
+    * own worker query — this door is strictly cheaper at equal answers).
+    *
+    * Output is a TAGGED union — (alias, ts, series, value), `series` the
+    * panel's label set as sorted-key JSON — because heterogeneous
+    * groupings share no column schema. Safety bail-outs: an @-pinned or
+    * negative-offset selector disables the time prefilter (its pin reads
+    * outside the window); an empty metric name (bare matcher set)
+    * disables the metric prefilter. Both only widen the shared scan.
+    */
+  def queryMultiTagged(exprs: Seq[(String, String)], store: MetricStore,
+      p: QueryParams): DataFrame = {
+    require(exprs.nonEmpty, "queryMultiTagged needs at least one expression")
+    val parsedAll = exprs.map { case (a, q) =>
+      (a, q, Parser.parse(q).fold(e => throw new IllegalArgumentException(e), identity))
+    }
+    val sels = parsedAll.flatMap(t => Ast.selectors(t._3))
+    var pre = store.df
+    if (sels.nonEmpty && sels.forall(_.metric.nonEmpty))
+      pre = pre.filter(col("metric_name").isin(sels.map(_.metric).distinct: _*))
+    if (sels.nonEmpty && sels.forall(s => s.atKind == 0 && s.offsetMs >= 0)) {
+      val look = parsedAll.map(t => Ast.lookbackMs(t._3)).max
+      // one extra max-step of slack: the output grid aligns DOWN to the
+      // step ([[alignedStart]]), so the first emitted bucket can start up
+      // to a step before startMs
+      val maxStep = (p.stepMs +: sels.map(_.subStepMs)).max
+      pre = pre.filter(
+        col("chq_timestamp") >= p.startMs - look - maxStep &&
+          col("chq_timestamp") < p.endMs)
+    }
+    val shared = MetricStore(graft.GraftSession.materialize(pre))
+    parsedAll.map { case (alias, q, _) =>
+      val out = query(q, shared, p)
+      val labels = out.columns.filterNot(c => c == "ts" || c == "value").sorted
+      out.select(lit(alias).as("alias"), col("ts"),
+        to_json(struct(labels.map(col): _*)).as("series"), col("value"))
+    }.reduce(_.union(_))
+  }
+
   private def alignedStart(p: QueryParams): Long =
     p.startMs - p.startMs % p.stepMs
 

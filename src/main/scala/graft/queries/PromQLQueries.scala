@@ -349,6 +349,88 @@ object PromQLQueries extends Catalog {
         WHERE NOT isnan(sum_rate) AND NOT isnan(max_inc)
           AND NOT isnan(avg_aot)""")),
 
+    Q("pq_multi_hetero",
+      { (s, d) =>
+        // HETEROGENEOUS dashboard fusion (Engine.queryMultiTagged, r15):
+        // three panels over TWO different metrics with THREE different
+        // groupings — unfusable by the identical-selector paths above —
+        // share ONE materialized pass over the store (PlanSpec pins the
+        // panels' plans scan-free). Output is the tagged union
+        // (alias, ts, series-JSON, value). events_count's rollups are
+        // integer-valued, so max/increase hash exactly; the sum panel
+        // recovers the cents grid like pq_sum_by.
+        val ev = graft.model.Tables.events(s, d)
+        def cook(name: String, v: org.apache.spark.sql.Column) = ev
+          .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(60000L))
+          .withColumn("attr_event_type", col("event_type"))
+          .withColumn("attr_service",
+            concat(lit("svc-"), (col("user_id") % 5).cast("string")))
+          .groupBy(col("chq_timestamp"), col("attr_event_type"), col("attr_service"))
+          .agg(sum(v).as("chq_rollup_sum"),
+            count(lit(1)).cast("double").as("chq_rollup_count"),
+            min(v).as("chq_rollup_min"), max(v).as("chq_rollup_max"))
+          .withColumn("metric_name", lit(name))
+          .withColumn("chq_metric_type", lit("gauge"))
+        val store = MetricStore(
+          cook("events_value", col("value"))
+            .unionByName(cook("events_count", lit(1.0))))
+        val p = QueryParams(Start, End, StepMs)
+        Engine.queryMultiTagged(Seq(
+          "sum_v" -> "sum by (attr_event_type) (events_value)",
+          "max_c" -> "max by (attr_service) (events_count)",
+          "inc_c" -> "increase(events_count[4h])"), store, p)
+          .filter(!isnan(col("value")))
+          .withColumn("value", when(col("alias") === "sum_v",
+            round(col("value") * 100, 0).cast("long") / 100.0)
+            .otherwise(col("value")))
+      },
+      Some(s"""WITH cookedh AS (
+          SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS chq_timestamp,
+                 event_type AS attr_event_type,
+                 'svc-' || CAST(user_id % 5 AS VARCHAR) AS attr_service,
+                 sum("value") AS vsum, CAST(count(*) AS DOUBLE) AS csum
+          FROM events GROUP BY 1, 2, 3),
+        stepv AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 attr_event_type, attr_service, sum(vsum) AS bsum
+          FROM cookedh
+          WHERE chq_timestamp >= $Start AND chq_timestamp < $End
+          GROUP BY 1, 2, 3),
+        stepc AS (
+          SELECT chq_timestamp - chq_timestamp % $StepMs AS ts,
+                 attr_event_type, attr_service, sum(csum) AS bsum
+          FROM cookedh
+          WHERE chq_timestamp >= ${Start - H4} AND chq_timestamp < $End
+          GROUP BY 1, 2, 3),
+        p1 AS (
+          SELECT 'sum_v' AS alias, ts,
+                 '{"attr_event_type":"' || attr_event_type || '"}' AS series,
+                 CAST(round(sum(bsum) * 100, 0) AS BIGINT) / 100.0 AS value
+          FROM stepv WHERE ts >= $Start AND ts < $End
+          GROUP BY ts, attr_event_type),
+        p2 AS (
+          SELECT 'max_c' AS alias, ts,
+                 '{"attr_service":"' || attr_service || '"}' AS series,
+                 max(bsum) AS value
+          FROM stepc WHERE ts >= $Start AND ts < $End
+          GROUP BY ts, attr_service),
+        p3 AS (
+          SELECT 'inc_c' AS alias, ts,
+                 '{"attr_event_type":"' || attr_event_type ||
+                   '","attr_service":"' || attr_service || '"}' AS series,
+                 wsum AS value
+          FROM (SELECT ts, attr_event_type, attr_service,
+                       sum(bsum) OVER w AS wsum, min(ts) OVER w AS first_ts
+                FROM stepc
+                WINDOW w AS (PARTITION BY attr_event_type, attr_service
+                             ORDER BY ts
+                             RANGE BETWEEN ${H4 - StepMs} PRECEDING
+                               AND CURRENT ROW))
+          WHERE first_ts = ts - ${H4 - StepMs}
+            AND ts >= $Start AND ts < $End)
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        UNION ALL SELECT * FROM p3""")),
+
     Q("pq_topk",
       run("topk(2, events_value)"),
       Some(s"""WITH ${stepCte()},

@@ -227,11 +227,23 @@ class HttpApiSpec extends AnyFunSuite {
       assert(cmm == 200 && mm.contains("\"value\"") &&
         mm.contains("\"value2\"") && mm.contains("\"value3\"") &&
         mm.contains("\"status\":\"ok\""), mm.take(400))
-      // a malformed second expression is a client error, not a 500
+      // mixed selectors can't fuse — since r15 they fall back to the
+      // TAGGED general door (one materialized pass per request) instead
+      // of 400ing: rows carry alias/series, both panels answer
+      val (chet, het) = get(base,
+        s"/api/v1/metrics/query?q=${enc("rate(events_value[1h])")}" +
+          s"&q2=${enc("sum by (attr_event_type) (events_value)")}&s=$s&e=$e")
+      assert(chet == 200 && het.contains("\"alias\"") &&
+        het.contains("\"series\"") && het.contains("\"status\":\"ok\""),
+        het.take(400))
+      assert(het.contains("\"alias\":\"value\"") &&
+        het.contains("\"alias\":\"value2\""),
+        s"both panels' tagged rows expected: ${het.take(400)}")
+      // a malformed expression is still a client error, not a 500
       val (cbad, _) = get(base,
         s"/api/v1/metrics/query?q=${enc("rate(events_value[1h])")}" +
-          s"&q2=${enc("rate(other_metric[2h])")}&s=$s&e=$e")
-      assert(cbad == 400, s"mixed-selector multi should 400, got $cbad")
+          s"&q2=${enc("rate(events_value[)")}&s=$s&e=$e")
+      assert(cbad == 400, s"malformed multi expression should 400, got $cbad")
 
       // agg-of-range-window panels (r15): sum(rate)/max(increase) over the
       // same selector ride the q2..q9 route through the fused agg-window
@@ -242,12 +254,14 @@ class HttpApiSpec extends AnyFunSuite {
       assert(caw == 200 && aw.contains("\"value\"") &&
         aw.contains("\"value2\"") && aw.contains("\"status\":\"ok\""),
         aw.take(400))
-      // mixed grouping across agg-window panels is a client error
-      val (cawBad, _) = get(base,
+      // mixed grouping across agg-window panels also rides the tagged
+      // fallback since r15 (was a 400)
+      val (cawMix, awMix) = get(base,
         s"/api/v1/metrics/query?q=${enc("sum(rate(events_value[1h]))")}" +
           s"&q2=${enc("sum by (attr_event_type) (rate(events_value[1h]))")}" +
           s"&s=$s&e=$e")
-      assert(cawBad == 400, s"mixed-grouping multi should 400, got $cawBad")
+      assert(cawMix == 200 && awMix.contains("\"alias\":\"value2\"") &&
+        awMix.contains("\"series\""), awMix.take(400))
 
       val (cmd, meta) = get(base, s"/api/v1/metrics/metadata?s=$s&e=$e")
       assert(cmd == 200 && meta.contains("events_value"), meta.take(300))

@@ -458,6 +458,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected ONE shared Window pass, got $windows:\n${p.take(3000)}")
   }
 
+  test("pq_multi_hetero: heterogeneous panels run scan-free downstream of ONE materialized pass") {
+    // the general multi door (Engine.queryMultiTagged): different metrics
+    // and groupings can't fuse, but they share one pruned, materialized
+    // pass over the store — each panel's plan reads those blocks, so the
+    // tagged union contains NO file scan (K panels = 1 lake scan + K
+    // block-local passes; at 100 TB the scan is the dashboard's cost)
+    val p = plan("pq_multi_hetero")
+    assert(!p.contains("FileScan"),
+      s"panels must read the shared materialized blocks:\n${p.take(2000)}")
+    assert(p.contains("Union"), p.take(800))
+  }
+
   test("bucketed join: the layout pre-pays the shuffle — zero Exchange in the plan") {
     val p = plan("core_bucketed_join")
     // both the join and the per-order aggregation must ride the tables'

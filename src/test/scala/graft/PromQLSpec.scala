@@ -237,6 +237,53 @@ class PromQLEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("queryMultiTagged: heterogeneous panels equal standalone answers, scan-free downstream") {
+    import org.apache.spark.sql.functions._
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val ev = graft.model.Tables.events(spark, sf)
+    def cook(name: String, v: org.apache.spark.sql.Column) = ev
+      .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(60000L))
+      .withColumn("attr_event_type", col("event_type"))
+      .groupBy(col("chq_timestamp"), col("attr_event_type"))
+      .agg(sum(v).as("chq_rollup_sum"),
+        count(lit(1)).cast("double").as("chq_rollup_count"),
+        min(v).as("chq_rollup_min"), max(v).as("chq_rollup_max"))
+      .withColumn("metric_name", lit(name))
+    val st2 = MetricStore(cook("events_value", col("value"))
+      .unionByName(cook("events_count", lit(1.0))))
+    // two metrics, two groupings — unfusable by the identical-selector
+    // paths; the general door shares ONE materialized pruned pass
+    val tagged = Engine.queryMultiTagged(Seq(
+      "sum_v" -> "sum by (attr_event_type) (events_value)",
+      "inc_c" -> "increase(events_count[4h])"), st2, p)
+    assert(tagged.columns.toSeq == Seq("alias", "ts", "series", "value"))
+    val got = tagged.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)) -> bits(r.getDouble(3)))
+      .toMap
+    def one(alias: String, q: String) =
+      Engine.query(q, st2, p).collect().map { r =>
+        (alias, r.getLong(0),
+          s"""{"attr_event_type":"${r.getString(1)}"}""") -> bits(r.getDouble(2))
+      }.toMap
+    val want = one("sum_v", "sum by (attr_event_type) (events_value)") ++
+      one("inc_c", "increase(events_count[4h])")
+    assert(got.nonEmpty && got == want)
+    // downstream of the shared materialization: no file scan per panel
+    assert(!tagged.queryExecution.executedPlan.toString.contains("FileScan"))
+
+    // an @-pinned panel reads OUTSIDE the other panels' window — the time
+    // prefilter must bail out for the whole set or the pin comes back empty
+    val p2 = QueryParams(start + 2L * 86400000L, start + 4L * 86400000L, p.stepMs)
+    val pinQ = s"sum(events_value @ ${start / 1000})"
+    val taggedPin = Engine.queryMultiTagged(Seq(
+      "pin" -> pinQ, "sum_v" -> "sum(events_value)"), st2, p2)
+    val gotPin = taggedPin.filter(col("alias") === "pin").collect()
+      .map(r => r.getLong(1) -> bits(r.getDouble(3))).toMap
+    val wantPin = Engine.query(pinQ, st2, p2).collect()
+      .map(r => r.getLong(0) -> bits(r.getDouble(1))).toMap
+    assert(gotPin.nonEmpty && gotPin == wantPin)
+  }
+
   test("queryMulti agg-window fusion equals the per-panel query() answers bit-for-bit") {
     // the dominant dashboard shape (r14 VERDICT #1): agg by (...) of a
     // range function, N panels over one selector — fused = standalone

@@ -61,6 +61,37 @@ class StepPolicySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == manual)
   }
 
+  test("lookback/selector walkers are TOTAL over the AST (nodes the old " +
+      "enumeration missed)") {
+    import graft.api.MetricSegments
+    def ast(q: String) = graft.promql.Parser.parse(q)
+      .fold(e => fail(s"parse: $e"), identity)
+    val H = 3600000L
+    // each of these returned lookback 0 / no selectors before the
+    // Product-reflection walker — under-pruning queryAt's dateint window
+    // whenever the lookback crossed a day boundary
+    assert(MetricSegments.maxLookbackMs(ast("predict_linear(m[4h], 600)")) == 4 * H)
+    assert(MetricSegments.maxLookbackMs(
+      ast("double_exponential_smoothing(m[2h], 0.5, 0.5)")) == 2 * H)
+    assert(MetricSegments.maxLookbackMs(ast("absent_over_time(m[6h])")) == 6 * H)
+    assert(MetricSegments.maxLookbackMs(
+      ast("""count_values("v", m offset 1h)""")) == H)
+    assert(MetricSegments.maxLookbackMs(ast("timestamp(m offset 30m)")) == H / 2)
+    assert(MetricSegments.maxLookbackMs(ast("sort(rate(m[1h]))")) == H)
+    // subquery window extends everything inside it (pre-existing rule,
+    // preserved by the total walker)
+    assert(MetricSegments.maxLookbackMs(
+      ast("max_over_time(rate(m[30m])[1h:10m])")) == H + H / 2)
+    assert(MetricSegments.selectors(ast("predict_linear(m[4h], 600)")).size == 1)
+    assert(MetricSegments.selectors(
+      ast("""count_values("v", m{a="b"})""")).head.matchers.nonEmpty)
+    // an @-pinned selector under a previously-unlisted node must disable
+    // slicing (its pin reads outside any slice's pruned scan)
+    assert(!MetricSegments.sliceable("sort(m @ 1704067200)"))
+    assert(!MetricSegments.sliceable("predict_linear(m[4h] @ end(), 600)"))
+    assert(MetricSegments.sliceable("predict_linear(m[4h], 600)"))
+  }
+
   test("metric-name fingerprint pruning skips files of other metrics") {
     import org.apache.spark.sql.functions._
     import graft.api.MetricSegments
