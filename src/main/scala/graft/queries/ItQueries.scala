@@ -957,6 +957,34 @@ object ItQueries extends Catalog {
     f.toString
   }
 
+  /** lookback through a previously-UNWALKED AST node, gated at the driver
+    * (the r15 total-walker fix): `timestamp(m offset 26h)` through the
+    * segments front door with the query start ON a dateint boundary — the
+    * 26 h offset reaches two partitions back into the previous days,
+    * which the pre-fix enumerated walker priced at lookback 0
+    * (TimestampFn was unlisted), silently dateint-pruning those days and
+    * dropping the first ~26 h of output buckets. The oracle replays the
+    * offset bucketing from the SAME written segment files.
+    */
+  private def segOffsetWalk(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    MetricSegments.query(s, dir, "timestamp(events_value offset 26h)",
+      Start + 2L * 86400000L, End)
+  }
+
+  private def segOffsetWalkSql(dir: String): String = {
+    val off = 26L * HourMs
+    val qs = Start + 2L * 86400000L
+    s"""SELECT ts, attr_event_type, ts / 1000.0 AS value FROM (
+       SELECT (chq_timestamp + $off) - (chq_timestamp + $off) % $HourMs AS ts,
+              attr_event_type
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= ${qs - off} AND chq_timestamp < ${End - off}
+       GROUP BY 1, 2)
+     WHERE ts >= $qs AND ts < $End"""
+  }
+
   /** streaming reference-parity fingerprinting
     * ([[graft.streaming.StreamingFingerprint]]): 3 micro-batches of
     * templated lines against ONE stream-lifetime trie (the reference
@@ -1097,6 +1125,7 @@ object ItQueries extends Catalog {
     Q("it_stream_fpc", streamFpc, Some(streamFpcSql)),
     Q("it_fpc_segments", fpcSegments, Some(fpcSegmentsSql)),
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
+    Q("it_seg_offset_walk", segOffsetWalk, Some(segOffsetWalkSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
