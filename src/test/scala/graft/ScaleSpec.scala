@@ -155,6 +155,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("heterogeneous multi-panel request scans the lake ONCE (listener-pinned)") {
+    import graft.promql.{Engine, MetricStore, QueryParams}
+    // a parquet-backed two-metric store split across many files; four
+    // panels with different metrics and groupings ride the tagged door:
+    // exactly ONE stage in the whole evaluation reads files — the shared
+    // materialize pass — and every panel's engine pass rides its blocks.
+    // K panels = 1 lake scan + K block-local passes; at 100 TB the scan
+    // IS the dashboard's cost, so this is the plan shape that must hold.
+    val freq = 3600000L
+    val rows = (0 until Days * 24 * 2).map { i =>
+      val slot = i / 2
+      val name = if (i % 2 == 0) "mx_a" else "mx_b"
+      (Day0 + slot * freq, name, s"t${i % 7}", s"s${i % 3}",
+        (i % 40).toDouble, 1.0, 0.0, 40.0)
+    }.toDF("chq_timestamp", "metric_name", "attr_kind", "attr_svc",
+      "chq_rollup_sum", "chq_rollup_count", "chq_rollup_min", "chq_rollup_max")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_multi_").toString
+    rows.repartition(8).write.mode("overwrite")
+      .option("maxRecordsPerFile", 100).parquet(dir)
+    val src = spark.read.parquet(dir)
+    assert(src.inputFiles.length >= 8, s"corpus too few files: ${src.inputFiles.length}")
+    val store = MetricStore(src)
+    val p = QueryParams(Day0 + 2L * 86400000L, Day0 + 9L * 86400000L, freq)
+
+    var scanStages = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.rddInfos.exists(_.name == "FileScanRDD")) scanStages += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Engine.queryMultiTagged(Seq(
+        "a" -> "sum by (attr_kind) (mx_a)",
+        "b" -> "max by (attr_svc) (mx_b)",
+        "c" -> "increase(mx_a[4h])",
+        "d" -> "avg_over_time(mx_b[2h])"), store, p)
+      val n = out.filter(!isnan(col("value"))).count()
+      assert(n > 0, "panels returned nothing")
+      // drain the async listener bus before counting
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && scanStages != last) {
+        last = scanStages
+        Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(scanStages == 1,
+      s"expected the single shared materialize scan, saw $scanStages file-scan stages")
+  }
+
   test("hot-bucket caps keep dedup linear on a 100k-doc boilerplate-heavy corpus") {
     // 60k docs share ONE template (the uncapped band join would expand
     // that bucket to 3.6e9 pairs); 40k docs are unique. The caps must
