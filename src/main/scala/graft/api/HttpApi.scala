@@ -456,8 +456,18 @@ final class HttpApi(
     val extra = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
     if (extra.nonEmpty) {
       val exprs = ("value" -> need(p, "q")) +: extra
-      sse(ex)(MetricSegments.queryMultiAt(spark, dir, exprs,
-        StepPolicy.paramsFor(s, e), p.get("org")))
+      val qp = StepPolicy.paramsFor(s, e)
+      // long ranges stream slice-by-slice like the single-query path,
+      // over ONE shared materialized scan (queryMultiAtSliced); @-pinned
+      // panels and short ranges stay one-shot
+      val slices =
+        if (exprs.forall(x => MetricSegments.sliceable(x._2)))
+          MetricSegments.slicePlan(qp)
+        else Seq(qp)
+      if (slices.size <= 1)
+        sse(ex)(MetricSegments.queryMultiAt(spark, dir, exprs, qp, p.get("org")))
+      else sseSlices(ex)(MetricSegments.queryMultiAtSliced(
+        spark, dir, exprs, qp, slices, p.get("org")))
     } else if (p.get("summary").contains("true"))
       sseEach(ex, "summary")(seriesSummary(run))
     else {

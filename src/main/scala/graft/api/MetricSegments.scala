@@ -176,6 +176,42 @@ object MetricSegments {
     }
   }
 
+  /** The multi-expression door, SLICED ([[slicePlan]]): ONE shared
+    * materialized pass over the full window's pruned tier scan feeds
+    * every (slice × panel) evaluation, so a 30-day K-panel dashboard
+    * costs one lake scan total — and the first slice streams after that
+    * scan plus one slice-sized engine pass instead of after the
+    * full-window pass. (The single-query [[queryAtSliced]] instead
+    * slices the SCAN itself; with K panels the shared-scan trade wins:
+    * 1 scan vs K×S partial scans.) Fusable panel sets keep the fused
+    * alias-column shape per slice; heterogeneous sets ride the tagged
+    * inner loop against the shared store. Slice-exactness holds per
+    * panel exactly as for [[queryAtSliced]] — callers gate with
+    * [[sliceable]] on EVERY panel.
+    */
+  def queryMultiAtSliced(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], full: QueryParams,
+      slices: Seq[QueryParams],
+      org: Option[String] = None): Seq[() => DataFrame] = {
+    require(exprs.nonEmpty, "queryMultiAtSliced needs at least one expression")
+    val parsed = exprs.map(x => Parser.parse(x._2)
+      .fold(err => throw new IllegalArgumentException(err), identity))
+    val lookback = parsed.map(maxLookbackMs).max
+    val excluded = excludedForExprs(spark, segDir, parsed)
+    val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
+      .filter(col("freq") === StepPolicy.tierFor(full.stepMs) &&
+        col("dateint") >= StepPolicy.dateintOf(full.startMs - lookback) &&
+        col("dateint") <= StepPolicy.dateintOf(full.endMs - 1))
+    val base = org.fold(base0)(o => base0.filter(col("org") === o))
+    val shared = MetricStore(graft.GraftSession.materialize(storeFrom(base).df))
+    slices.map { sp => () =>
+      try Engine.queryMulti(exprs, shared, sp)
+      catch {
+        case _: IllegalArgumentException => Engine.taggedOver(exprs, shared, sp)
+      }
+    }
+  }
+
   /** true when the expression may be evaluated slice-by-slice: no
     * selector is @-pinned (`@ start()` / `@ end()` resolve against the
     * query bounds and a literal `@ ts` may sit outside any given slice's

@@ -285,13 +285,23 @@ object Engine {
           col("chq_timestamp") < p.endMs)
     }
     val shared = MetricStore(graft.GraftSession.materialize(pre))
-    parsedAll.map { case (alias, q, _) =>
-      val out = query(q, shared, p)
+    taggedOver(exprs, shared, p)
+  }
+
+  /** the tagged-union inner loop of [[queryMultiTagged]] over a
+    * caller-prepared store — the sliced front door
+    * ([[graft.api.MetricSegments.queryMultiAtSliced]]) calls this per
+    * slice against ONE shared materialized store, so the prefilter +
+    * materialization above runs once per request, not once per slice
+    */
+  private[graft] def taggedOver(exprs: Seq[(String, String)],
+      store: MetricStore, p: QueryParams): DataFrame =
+    exprs.map { case (alias, q) =>
+      val out = query(q, store, p)
       val labels = out.columns.filterNot(c => c == "ts" || c == "value").sorted
       out.select(lit(alias).as("alias"), col("ts"),
         to_json(struct(labels.map(col): _*)).as("series"), col("value"))
     }.reduce(_.union(_))
-  }
 
   private def alignedStart(p: QueryParams): Long =
     p.startMs - p.startMs % p.stepMs

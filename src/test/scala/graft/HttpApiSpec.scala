@@ -325,6 +325,40 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metrics SSE: multi-panel long range streams slice-by-slice over one shared scan") {
+    val api = new HttpApi(spark, metricsDir = Some(metricDir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val ev = graft.model.Tables.events(spark, sf)
+        .agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (s, e) = (ev.getLong(0), ev.getLong(1) + 1)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      // heterogeneous pair (different groupings) → tagged rows, sliced
+      val q1 = "sum(rate(events_value[2h]))"
+      val q2 = "max by (attr_event_type) (events_value)"
+      val (code, body) = get(base,
+        s"/api/v1/metrics/query?q=${enc(q1)}&q2=${enc(q2)}&s=$s&e=$e")
+      assert(code == 200 && body.contains("\"status\":\"ok\""), body.take(300))
+      val results = body.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: "))
+        .filter(_.startsWith("""{"type":"result"""")).toSeq
+      assert(results.size >= 2,
+        s"multi request should stream >=2 slice events: ${results.size}")
+      val got = results.flatMap { evt =>
+        val rows = om.readTree(evt).get("data").get("rows")
+        (0 until rows.size).map(i => rows.get(i).toString)
+      }.sorted
+      // concatenated slices == the one-shot tagged result
+      val p = graft.api.StepPolicy.paramsFor(s, e)
+      val want = graft.api.MetricSegments.queryMultiAt(spark, metricDir,
+        Seq("value" -> q1, "value2" -> q2), p)
+        .toJSON.collect().toSeq.map(r => om.readTree(r).toString).sorted
+      assert(got == want,
+        s"multi slice concat != one-shot: got=${got.size} want=${want.size}")
+      assert(got.exists(_.contains("\"alias\":\"value2\"")), got.take(2).toString)
+    } finally api.stop()
+  }
+
   test("logs SSE: long-range raw query streams day-sliced with early-exit " +
       "limit, equals one-shot in order") {
     val api = new HttpApi(spark, logsDir = Some(segDir)).start()
