@@ -278,8 +278,12 @@ object Engine {
       val look = parsedAll.map(t => Ast.lookbackMs(t._3)).max
       // one extra max-step of slack: the output grid aligns DOWN to the
       // step ([[alignedStart]]), so the first emitted bucket can start up
-      // to a step before startMs
-      val maxStep = (p.stepMs +: sels.map(_.subStepMs)).max
+      // to a step before startMs — counting expression-subquery steps
+      // ([expr][r:step]) as well as selector sub-steps
+      def allNodes(e: Expr): Seq[Expr] = e +: Ast.children(e).flatMap(allNodes)
+      val subSteps = parsedAll.flatMap(t => allNodes(t._3))
+        .collect { case s: Subquery => s.stepMs }
+      val maxStep = ((p.stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
       pre = pre.filter(
         col("chq_timestamp") >= p.startMs - look - maxStep &&
           col("chq_timestamp") < p.endMs)
