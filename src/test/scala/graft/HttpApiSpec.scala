@@ -356,6 +356,28 @@ class HttpApiSpec extends AnyFunSuite {
       assert(got == want,
         s"multi slice concat != one-shot: got=${got.size} want=${want.size}")
       assert(got.exists(_.contains("\"alias\":\"value2\"")), got.take(2).toString)
+
+      // FUSABLE pair (same selector) sliced: keeps the alias-column shape
+      // per slice; concatenation equals the one-shot fused result
+      val f1 = "rate(events_value[2h])"
+      val f2 = "increase(events_value[2h])"
+      val (cf, fbody) = get(base,
+        s"/api/v1/metrics/query?q=${enc(f1)}&q2=${enc(f2)}&s=$s&e=$e")
+      assert(cf == 200, fbody.take(300))
+      val fres = fbody.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: "))
+        .filter(_.startsWith("""{"type":"result"""")).toSeq
+      assert(fres.size >= 2, s"fused multi should stream slices: ${fres.size}")
+      val fgot = fres.flatMap { evt =>
+        val rows = om.readTree(evt).get("data").get("rows")
+        (0 until rows.size).map(i => rows.get(i).toString)
+      }.sorted
+      val fwant = graft.api.MetricSegments.queryMultiAt(spark, metricDir,
+        Seq("value" -> f1, "value2" -> f2), p)
+        .toJSON.collect().toSeq.map(r => om.readTree(r).toString).sorted
+      assert(fgot == fwant,
+        s"fused slice concat != one-shot: got=${fgot.size} want=${fwant.size}")
+      assert(fgot.exists(_.contains("\"value2\"")), fgot.take(2).toString)
     } finally api.stop()
   }
 
