@@ -457,6 +457,11 @@ final class HttpApi(
     if (extra.nonEmpty) {
       val exprs = ("value" -> need(p, "q")) +: extra
       val qp = StepPolicy.paramsFor(s, e)
+      // tagged=true forces the uniform (alias, ts, series, value) shape
+      // even for fusable sets, so a client gets ONE schema for any panel
+      // mix; default keeps the cheaper fused alias-column shape when the
+      // set fuses
+      val forceTagged = p.get("tagged").contains("true")
       // long ranges stream slice-by-slice like the single-query path,
       // over ONE shared materialized scan (queryMultiAtSliced); @-pinned
       // panels and short ranges stay one-shot
@@ -465,9 +470,10 @@ final class HttpApi(
           MetricSegments.slicePlan(qp)
         else Seq(qp)
       if (slices.size <= 1)
-        sse(ex)(MetricSegments.queryMultiAt(spark, dir, exprs, qp, p.get("org")))
+        sse(ex)(MetricSegments.queryMultiAt(spark, dir, exprs, qp,
+          p.get("org"), forceTagged))
       else sseSlices(ex)(MetricSegments.queryMultiAtSliced(
-        spark, dir, exprs, qp, slices, p.get("org")))
+        spark, dir, exprs, qp, slices, p.get("org"), forceTagged))
     } else if (p.get("summary").contains("true"))
       sseEach(ex, "summary")(seriesSummary(run))
     else {

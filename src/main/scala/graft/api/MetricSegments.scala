@@ -155,9 +155,14 @@ object MetricSegments {
     * [[graft.promql.Engine.queryMultiTagged]]: one materialized pass,
     * rows tagged (alias, ts, series, value).
     */
+  /** `forceTagged = true` skips the fused attempt so the response shape
+    * is the tagged union regardless of fusability — for clients that
+    * want ONE uniform schema across arbitrary panel sets (the HTTP
+    * route's `tagged=true` param).
+    */
   def queryMultiAt(spark: SparkSession, segDir: String,
       exprs: Seq[(String, String)], p: QueryParams,
-      org: Option[String] = None): DataFrame = {
+      org: Option[String] = None, forceTagged: Boolean = false): DataFrame = {
     require(exprs.nonEmpty, "queryMultiAt needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
@@ -169,6 +174,7 @@ object MetricSegments {
         col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
     val store = storeFrom(scan)
+    if (forceTagged) return Engine.queryMultiTagged(exprs, store, p)
     try Engine.queryMulti(exprs, store, p)
     catch {
       case _: IllegalArgumentException =>
@@ -192,7 +198,8 @@ object MetricSegments {
   def queryMultiAtSliced(spark: SparkSession, segDir: String,
       exprs: Seq[(String, String)], full: QueryParams,
       slices: Seq[QueryParams],
-      org: Option[String] = None): Seq[() => DataFrame] = {
+      org: Option[String] = None,
+      forceTagged: Boolean = false): Seq[() => DataFrame] = {
     require(exprs.nonEmpty, "queryMultiAtSliced needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
@@ -205,7 +212,8 @@ object MetricSegments {
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     val shared = MetricStore(graft.GraftSession.materialize(storeFrom(base).df))
     slices.map { sp => () =>
-      try Engine.queryMulti(exprs, shared, sp)
+      if (forceTagged) Engine.taggedOver(exprs, shared, sp)
+      else try Engine.queryMulti(exprs, shared, sp)
       catch {
         case _: IllegalArgumentException => Engine.taggedOver(exprs, shared, sp)
       }

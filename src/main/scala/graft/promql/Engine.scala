@@ -258,8 +258,11 @@ object Engine {
     * own worker query — this door is strictly cheaper at equal answers).
     *
     * Output is a TAGGED union — (alias, ts, series, value), `series` the
-    * panel's label set as sorted-key JSON — because heterogeneous
-    * groupings share no column schema. Safety bail-outs: an @-pinned or
+    * panel's label set as sorted-key JSON (null label values are omitted
+    * from the JSON, like the reference's tag maps — consumers that must
+    * distinguish all-null series should group on a non-null label set) —
+    * because heterogeneous groupings share no column schema. Safety
+    * bail-outs: an @-pinned or
     * negative-offset selector disables the time prefilter (its pin reads
     * outside the window); an empty metric name (bare matcher set)
     * disables the metric prefilter. Both only widen the shared scan.

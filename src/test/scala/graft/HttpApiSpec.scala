@@ -378,6 +378,13 @@ class HttpApiSpec extends AnyFunSuite {
       assert(fgot == fwant,
         s"fused slice concat != one-shot: got=${fgot.size} want=${fwant.size}")
       assert(fgot.exists(_.contains("\"value2\"")), fgot.take(2).toString)
+
+      // tagged=true forces the uniform tagged shape even though the set
+      // fuses — one schema for any panel mix
+      val (ct, tbody2) = get(base,
+        s"/api/v1/metrics/query?q=${enc(f1)}&q2=${enc(f2)}&s=$s&e=$e&tagged=true")
+      assert(ct == 200 && tbody2.contains("\"alias\":\"value2\"") &&
+        tbody2.contains("\"series\""), tbody2.take(300))
     } finally api.stop()
   }
 
