@@ -302,13 +302,23 @@ object Engine {
     * materialization above runs once per request, not once per slice
     */
   private[graft] def taggedOver(exprs: Seq[(String, String)],
-      store: MetricStore, p: QueryParams): DataFrame =
-    exprs.map { case (alias, q) =>
+      store: MetricStore, p: QueryParams): DataFrame = {
+    // a real dashboard repeats queries under different panels (same
+    // promql, different viz): evaluate each DISTINCT query once and
+    // explode the alias list over its rows — duplicate panels cost a
+    // row-copy, not a second engine pass. Output order follows the
+    // first appearance of each distinct query; the tagged union is a
+    // set keyed by (alias, ts, series) either way.
+    val byQuery = exprs.groupBy(_._2)
+    exprs.map(_._2).distinct.map { q =>
+      val aliases = byQuery(q).map(_._1)
       val out = query(q, store, p)
       val labels = out.columns.filterNot(c => c == "ts" || c == "value").sorted
-      out.select(lit(alias).as("alias"), col("ts"),
+      out.select(
+        explode(lit(aliases.toArray)).as("alias"), col("ts"),
         to_json(struct(labels.map(col): _*)).as("series"), col("value"))
     }.reduce(_.union(_))
+  }
 
   private def alignedStart(p: QueryParams): Long =
     p.startMs - p.startMs % p.stepMs

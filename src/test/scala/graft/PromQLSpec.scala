@@ -271,6 +271,23 @@ class PromQLEngineSpec extends AnyFunSuite {
     // downstream of the shared materialization: no file scan per panel
     assert(!tagged.queryExecution.executedPlan.toString.contains("FileScan"))
 
+    // duplicate panels (same promql, different alias — a dashboard's
+    // repeated query under two vizzes) evaluate ONCE: alias rows equal,
+    // and the plan carries a single Window pass, not two
+    val dup = Engine.queryMultiTagged(Seq(
+      "x" -> "increase(events_count[4h])",
+      "y" -> "increase(events_count[4h])"), st2, p)
+    val dupRows = dup.collect()
+    val xs = dupRows.filter(_.getString(0) == "x")
+      .map(r => (r.getLong(1), r.getString(2)) -> bits(r.getDouble(3))).toMap
+    val ys = dupRows.filter(_.getString(0) == "y")
+      .map(r => (r.getLong(1), r.getString(2)) -> bits(r.getDouble(3))).toMap
+    assert(xs.nonEmpty && xs == ys)
+    val dupWindows = "\\bWindow\\b".r.findAllIn(dup.queryExecution
+      .executedPlan.toString.split("== Initial Plan ==").head).size
+    assert(dupWindows == 1,
+      s"duplicate panels must share one engine pass, saw $dupWindows Windows")
+
     // an @-pinned panel reads OUTSIDE the other panels' window — the time
     // prefilter must bail out for the whole set or the pin comes back empty
     val p2 = QueryParams(start + 2L * 86400000L, start + 4L * 86400000L, p.stepMs)
