@@ -437,7 +437,8 @@ final class HttpApi(
       "spans" -> spansDir).collect { case (n, Some(_)) => "\"" + n + "\"" }
     respond(ex, 200,
       s"""{"signals":[${signals.mkString(",")}],""" +
-        """"promql":true,"logql":true,"sse":true,"summary":true}""")
+        """"promql":true,"logql":true,"sse":true,"summary":true,""" +
+        """"multi":true,"tagged":true}""")
   }
 
   handle("/api/v1/metrics/query") { ex =>

@@ -491,6 +491,8 @@ class HttpApiSpec extends AnyFunSuite {
       val (cf, fbody) = get(base, "/api/v1/features")
       assert(cf == 200 && fbody.contains("\"logs\"") &&
         fbody.contains("\"spans\"") && !fbody.contains("\"metrics\""), fbody)
+      assert(fbody.contains("\"multi\":true") &&
+        fbody.contains("\"tagged\":true"), fbody)
 
       // concurrency: parallel SSE queries all complete with done:ok (the
       // server's thread pool + Spark's scheduler serve them simultaneously)
