@@ -501,21 +501,30 @@ final class HttpApi(
     val desc = p.get("order").forall(_ != "asc")
     val fields = p.get("fields").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val dir = needDir(logsDir, "logs")
-    // long-range RAW queries stream day-sliced in emit order with a
-    // global row budget (early exit once the limit fills — the
-    // reference's newest-first segment walk); metric-style LogQL and
-    // short ranges stay one-shot
-    val slices =
-      if (LogSegments.sliceableRaw(q)) LogSegments.slicePlanRaw(qp)
-      else Seq(qp)
-    if (slices.size <= 1)
-      sse(ex)(LogSegments.query(spark, dir, q, qp, limit = limit,
-        desc = desc, fields = fields, org = p.get("org")))
-    else
-      sseSlices(ex, rowBudget = Some(limit))(
-        LogSegments.querySliced(spark, dir, q,
-          if (desc) slices.reverse else slices,
-          limit = limit, desc = desc, fields = fields, org = p.get("org")))
+    // multi-panel request (q + q2..q9): metric-style LogQL panels share
+    // ONE materialized pass over the pruned log scan; rows are tagged
+    // (alias, ts, series, value). Raw log queries are single-q only.
+    val extraLq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
+    if (extraLq.nonEmpty)
+      sse(ex)(LogSegments.queryMultiTagged(spark, dir,
+        ("value" -> q) +: extraLq, qp, p.get("org")))
+    else {
+      // long-range RAW queries stream day-sliced in emit order with a
+      // global row budget (early exit once the limit fills — the
+      // reference's newest-first segment walk); metric-style LogQL and
+      // short ranges stay one-shot
+      val slices =
+        if (LogSegments.sliceableRaw(q)) LogSegments.slicePlanRaw(qp)
+        else Seq(qp)
+      if (slices.size <= 1)
+        sse(ex)(LogSegments.query(spark, dir, q, qp, limit = limit,
+          desc = desc, fields = fields, org = p.get("org")))
+      else
+        sseSlices(ex, rowBudget = Some(limit))(
+          LogSegments.querySliced(spark, dir, q,
+            if (desc) slices.reverse else slices,
+            limit = limit, desc = desc, fields = fields, org = p.get("org")))
+    }
   }
 
   handle("/api/v1/spans/query") { ex =>

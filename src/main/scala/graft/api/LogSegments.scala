@@ -123,4 +123,56 @@ object LogSegments {
     Compiler.exprQuery(e, LogStore(scanFor(spark, segDir, e, p, org)), p,
       limit, desc, fields)
   }
+
+  /** Logs-side dashboard fusion (mirror of
+    * [[graft.promql.Engine.queryMultiTagged]]): N METRIC-style LogQL
+    * panels — volume by level, error rate, unwrap aggregations — over
+    * different streams and groupings share ONE materialized pass over
+    * the pruned log scan: the index exclusion intersects across every
+    * panel's pipelines (one index read), the dateint window extends by
+    * the max lookback across panels, the row-level time filter pushes to
+    * the scan, and each panel's compiler pass reads the materialized
+    * blocks. K panels = 1 lake scan + K block-local passes; repeated
+    * panels (same LogQL under two aliases) evaluate once. Output is the
+    * tagged union (alias, ts, series-JSON, value). RAW log queries are
+    * rejected — they return rows, not grids, and stream through the
+    * single-query sliced path.
+    */
+  def queryMultiTagged(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], p: QueryParams,
+      org: Option[String] = None): DataFrame = {
+    require(exprs.nonEmpty, "queryMultiTagged needs at least one expression")
+    val parsed = exprs.map { case (a, q) =>
+      (a, q, Parser.parseFull(q)
+        .fold(err => throw new IllegalArgumentException(err), identity))
+    }
+    def isRaw(e: LogExpr): Boolean = e match {
+      case LeafQuery(q) => q.raw.isDefined
+      case _ => false
+    }
+    parsed.find(t => isRaw(t._3)).foreach { t =>
+      throw new IllegalArgumentException(
+        s"queryMultiTagged serves metric-style LogQL panels; raw log " +
+          s"query '${t._2}' streams through the single-query path")
+    }
+    val excluded = FingerprintIndex.excludedForTrees(spark, segDir,
+      parsed.flatMap(t => leafPipelines(t._3))
+        .map(FingerprintIndex.requirementTreeFor))
+    val effStart = p.startMs - parsed.map(t => maxLookbackMs(t._3)).max
+    val scan0 = FingerprintIndex.prunedRead(spark, segDir, excluded)
+      .filter(col("dateint") >= StepPolicy.dateintOf(effStart) &&
+        col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+    val scan = org.fold(scan0)(o => scan0.filter(col("org") === o).drop("org"))
+      .drop("dateint")
+      .filter(col("chq_timestamp") >= effStart &&
+        col("chq_timestamp") < p.endMs)
+    val shared = LogStore(graft.GraftSession.materialize(scan))
+    exprs.map(_._2).distinct.map { q =>
+      val aliases = exprs.filter(_._2 == q).map(_._1)
+      val out = Compiler.query(q, shared, p)
+      val labels = out.columns.filterNot(c => c == "ts" || c == "value").sorted
+      out.select(explode(lit(aliases.toArray)).as("alias"), col("ts"),
+        to_json(struct(labels.map(col): _*)).as("series"), col("value"))
+    }.reduce(_.union(_))
+  }
 }

@@ -957,6 +957,61 @@ object ItQueries extends Catalog {
     f.toString
   }
 
+  /** logs-side dashboard fusion through the segment spine
+    * ([[graft.api.LogSegments.queryMultiTagged]], r15): two metric-style
+    * LogQL panels with different streams AND different groupings —
+    * volume by level, error count by service — share ONE materialized
+    * pass over the pruned log scan (index exclusion intersected across
+    * both pipelines, one index read). The oracle replays both grids from
+    * the same written segment files and tags them identically.
+    */
+  private def logsMulti(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureLogSegments(s, d)
+    val p = StepPolicy.paramsFor(Start, End)
+    graft.api.LogSegments.queryMultiTagged(s, dir, Seq(
+      "vol" -> """sum by (log_level) (count_over_time({metric_name="log_events"}[4h]))""",
+      "err" -> """sum by (resource_service_name) (count_over_time({log_level="ERROR"}[4h]))"""),
+      p).filter(!isnan(col("value")))
+  }
+
+  private def logsMultiSql(dir: String): String =
+    s"""WITH src AS (
+       SELECT chq_timestamp, log_level, resource_service_name
+       FROM read_parquet('$dir/dateint=*/*.parquet', hive_partitioning=1)
+       WHERE chq_timestamp >= ${Start - H4} AND chq_timestamp < $End),
+     stepv AS (
+       SELECT chq_timestamp - chq_timestamp % $HourMs AS ts, log_level,
+              CAST(count(*) AS DOUBLE) AS c
+       FROM src GROUP BY 1, 2),
+     winv AS (
+       SELECT ts, log_level, sum(c) OVER w AS wc, min(ts) OVER w AS first_ts
+       FROM stepv
+       WINDOW w AS (PARTITION BY log_level ORDER BY ts
+                    RANGE BETWEEN ${H4 - HourMs} PRECEDING AND CURRENT ROW)),
+     p1 AS (
+       SELECT 'vol' AS alias, ts,
+              '{"log_level":"' || log_level || '"}' AS series, wc AS value
+       FROM winv WHERE first_ts = ts - ${H4 - HourMs}
+         AND ts >= $Start AND ts < $End),
+     stepe AS (
+       SELECT chq_timestamp - chq_timestamp % $HourMs AS ts,
+              resource_service_name, CAST(count(*) AS DOUBLE) AS c
+       FROM src WHERE log_level = 'ERROR' GROUP BY 1, 2),
+     wine AS (
+       SELECT ts, resource_service_name, sum(c) OVER w AS wc,
+              min(ts) OVER w AS first_ts
+       FROM stepe
+       WINDOW w AS (PARTITION BY resource_service_name ORDER BY ts
+                    RANGE BETWEEN ${H4 - HourMs} PRECEDING AND CURRENT ROW)),
+     p2 AS (
+       SELECT 'err' AS alias, ts,
+              '{"resource_service_name":"' || resource_service_name || '"}'
+                AS series,
+              wc AS value
+       FROM wine WHERE first_ts = ts - ${H4 - HourMs}
+         AND ts >= $Start AND ts < $End)
+     SELECT * FROM p1 UNION ALL SELECT * FROM p2"""
+
   /** lookback through a previously-UNWALKED AST node, gated at the driver
     * (the r15 total-walker fix): `timestamp(m offset 26h)` through the
     * segments front door with the query start ON a dateint boundary — the
@@ -1135,6 +1190,7 @@ object ItQueries extends Catalog {
     Q("it_stream_asof_fwd", streamAsofFwd, Some(streamAsofFwdSql)),
     Q("it_log_needle", logNeedle, Some(logNeedleSql(logSegRootCur))),
     Q("it_http_logs", httpLogs, Some(httpLogsSql(logSegRootCur))),
+    Q("it_logs_multi", logsMulti, Some(logsMultiSql(logSegRootCur))),
     Q("it_http_metrics", httpMetrics, Some(segRateSql(segRootCur))),
     Q("it_log_regex_needle", logRegexNeedle, Some(logRegexNeedleSql(logSegRootCur))),
     Q("it_multi_org", multiOrg, Some(multiOrgSql(orgSegRootCur))),

@@ -437,6 +437,21 @@ class HttpApiSpec extends AnyFunSuite {
         "&limit=100000&fields=chq_timestamp,log_message")
       assert(gotAll.sorted == oneShot(100000, desc = true).sorted,
         s"full mismatch: ${gotAll.size}")
+
+      // logs multi door (r15): two metric panels over different streams
+      // and groupings ride one shared pass; rows come back tagged
+      val mq1 = enc("""sum by (log_level) (count_over_time({log_level="INFO"}[1h]))""")
+      val mq2 = enc("""sum by (resource_service_name) (count_over_time({log_level="ERROR"}[1h]))""")
+      val mrows = sseRows(
+        s"/api/v1/logs/query?q=$mq1&q2=$mq2&s=$tsLo&e=$tsHi")
+      assert(mrows.nonEmpty &&
+        mrows.exists(_.contains("\"alias\":\"value\"")) &&
+        mrows.exists(_.contains("\"alias\":\"value2\"")) &&
+        mrows.exists(_.contains("\"series\"")), mrows.take(2).toString)
+      // a RAW panel in a multi request is a client error, not a 500
+      val (craw, _) = get(base,
+        s"/api/v1/logs/query?q=$mq1&q2=$q&s=$tsLo&e=$tsHi")
+      assert(craw == 400, s"raw panel in multi should 400, got $craw")
     } finally api.stop()
   }
 
