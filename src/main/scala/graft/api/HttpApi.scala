@@ -531,9 +531,15 @@ final class HttpApi(
     val p = params(ex)
     val (s, e) = tsRange(p)
     val qp = StepPolicy.paramsFor(s, e)
-    sse(ex)(SpanSegments.query(spark, needDir(spansDir, "spans"), need(p, "q"),
-      qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),
-      org = p.get("org")))
+    val dir = needDir(spansDir, "spans")
+    val extraSq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
+    if (extraSq.nonEmpty)
+      sse(ex)(SpanSegments.queryMultiTagged(spark, dir,
+        ("value" -> need(p, "q")) +: extraSq, qp, p.get("org")))
+    else
+      sse(ex)(SpanSegments.query(spark, dir, need(p, "q"),
+        qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),
+        org = p.get("org")))
   }
 
   handle("/api/v1/spans/trace") { ex =>

@@ -29,6 +29,15 @@ object SpanSegments {
       org: Option[String] = None): DataFrame =
     LogSegments.query(spark, segDir, logql, p, limit, desc, fields, org)
 
+  /** Spans-side dashboard fusion — N metric-style LogQL-over-spans
+    * panels (error-rate by service, p-duration aggregations) on ONE
+    * materialized pass; same lifecycle delegate as [[query]].
+    */
+  def queryMultiTagged(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], p: QueryParams,
+      org: Option[String] = None): DataFrame =
+    LogSegments.queryMultiTagged(spark, segDir, exprs, p, org)
+
   /** Fetch one trace's spans in trace order through the exact index. */
   def traceById(spark: SparkSession, segDir: String, traceId: String,
       p: QueryParams, org: Option[String] = None): DataFrame =

@@ -281,6 +281,15 @@ class HttpApiSpec extends AnyFunSuite {
         tbody.contains("\"status\":\"ok\""), tbody.take(400))
       val (cst, stags) = get(base, s"/api/v1/spans/tags?s=$ss&e=$se")
       assert(cst == 200 && stags.contains("span_"), stags.take(300))
+
+      // spans multi door (r15): two metric panels tagged on one pass
+      val sq1 = enc("""sum by (span_name) (count_over_time({span_status_code="STATUS_CODE_ERROR"}[1h]))""")
+      val sq2 = enc("""sum by (resource_service_name) (count_over_time({span_kind="SPAN_KIND_SERVER"}[1h]))""")
+      val (csm2, smb) = get(base,
+        s"/api/v1/spans/query?q=$sq1&q2=$sq2&s=$ss&e=$se")
+      assert(csm2 == 200 && smb.contains("\"alias\":\"value\"") &&
+        smb.contains("\"alias\":\"value2\"") && smb.contains("\"series\""),
+        smb.take(400))
     } finally api.stop()
   }
 
