@@ -52,12 +52,24 @@ object Bench {
     * driver run +51% CPU at the same HEAD), so the threshold scales
     * with it.
     */
+  /** `volatile`: rows whose min-of-N wall PROVABLY swings ≳2x between
+    * identical-code runs (r15 A/B adjudication: pp_simhash_pairs ran the
+    * pre-baseline commit's classes and HEAD side by side — statistically
+    * identical wall AND task-CPU, yet samples span 0.59-1.8s; likewise
+    * pp_dedup_apply 1.25-2.7s; both are straggler-scheduling variance on
+    * shuffle-heavy sub-2s rows, cpu ≈ 7-10s over 32 cores). A 1.5x bar
+    * straddles that band, so these rows widen to 2.5x — still low enough
+    * to catch a real 3x regression, no longer flagging the band itself.
+    */
+  val volatileRows: Set[String] = Set("pp_simhash_pairs", "pp_dedup_apply")
+
   def regressionFlag(warm: Double, baseline: Option[Double],
       noted: Boolean, absSlow: Double = 3.0,
-      inflate: Double = 1.0): Option[Double] =
+      inflate: Double = 1.0, volatileRow: Boolean = false): Option[Double] =
     baseline match {
       case Some(b) if b >= 0.2 =>
-        if (warm > b * 1.5 * inflate) Some(b) else None
+        val bar = if (volatileRow) 2.5 else 1.5
+        if (warm > b * bar * inflate) Some(b) else None
       // sub-200ms baselines are ratio noise (1.5x of 80ms is scheduler
       // jitter) — but since the committed seed gives EVERY row a Some
       // baseline (r13), they must keep the absolute ceiling or a 0.07s
@@ -392,7 +404,8 @@ object Bench {
         "(max of CPU and wall ratios vs baseline on common rows) — " +
         "regression thresholds scaled accordingly")
     val regressions = results.flatMap { case (k, v) =>
-      regressionFlag(v, baseline.get(k), notes.contains(k), inflate = inflate)
+      regressionFlag(v, baseline.get(k), notes.contains(k), inflate = inflate,
+          volatileRow = volatileRows.contains(k))
         .map(b => (k, b, v))
     }
     val regJson = regressions
@@ -407,7 +420,8 @@ object Bench {
     // suppressed set is emitted beside the real flags — an adjudicator
     // reading inflation>1 sees exactly which rows the factor absorbed.
     val suppressed = results.flatMap { case (k, v) =>
-      regressionFlag(v, baseline.get(k), notes.contains(k)).map(b => (k, b, v))
+      regressionFlag(v, baseline.get(k), notes.contains(k),
+        volatileRow = volatileRows.contains(k)).map(b => (k, b, v))
     }.filterNot { case (k, _, _) => regressions.exists(_._1 == k) }
     val supJson = suppressed
       .map { case (k, b, v) => "\"" + k + "\":[" + f"$b%.3f,$v%.3f]" }
