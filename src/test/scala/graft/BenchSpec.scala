@@ -33,6 +33,13 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.wantsRetry(2.0, Some(0.01), noted = false))
     // a noted row with a real baseline still flags on true regression
     assert(Bench.regressionFlag(2.0, Some(1.0), noted = true).contains(1.0))
+    // volatile rows (r15 A/B-adjudicated ~2x identical-code swing) widen
+    // to 2.5x: the swing band passes, a real 3x regression still flags
+    assert(Bench.regressionFlag(2.0, Some(1.0), noted = true,
+      volatileRow = true).isEmpty)
+    assert(Bench.regressionFlag(3.0, Some(1.0), noted = true,
+      volatileRow = true).contains(1.0))
+    assert(Bench.volatileRows.contains("pp_simhash_pairs"))
   }
 
   test("retry guard fires for both flag paths before a flag can land") {
