@@ -505,10 +505,18 @@ final class HttpApi(
     // ONE materialized pass over the pruned log scan; rows are tagged
     // (alias, ts, series, value). Raw log queries are single-q only.
     val extraLq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
-    if (extraLq.nonEmpty)
-      sse(ex)(LogSegments.queryMultiTagged(spark, dir,
-        ("value" -> q) +: extraLq, qp, p.get("org")))
-    else {
+    if (extraLq.nonEmpty) {
+      // long ranges stream slice-by-slice over ONE shared materialized
+      // scan (metric-style panels slice exactly; the step grid matches
+      // the metrics route's policy)
+      val exprs = ("value" -> q) +: extraLq
+      val slices = MetricSegments.slicePlan(qp)
+      if (slices.size <= 1)
+        sse(ex)(LogSegments.queryMultiTagged(spark, dir, exprs, qp,
+          p.get("org")))
+      else sseSlices(ex)(LogSegments.queryMultiTaggedSliced(
+        spark, dir, exprs, qp, slices, p.get("org")))
+    } else {
       // long-range RAW queries stream day-sliced in emit order with a
       // global row budget (early exit once the limit fills — the
       // reference's newest-first segment walk); metric-style LogQL and
@@ -533,10 +541,15 @@ final class HttpApi(
     val qp = StepPolicy.paramsFor(s, e)
     val dir = needDir(spansDir, "spans")
     val extraSq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
-    if (extraSq.nonEmpty)
-      sse(ex)(SpanSegments.queryMultiTagged(spark, dir,
-        ("value" -> need(p, "q")) +: extraSq, qp, p.get("org")))
-    else
+    if (extraSq.nonEmpty) {
+      val exprs = ("value" -> need(p, "q")) +: extraSq
+      val slices = MetricSegments.slicePlan(qp)
+      if (slices.size <= 1)
+        sse(ex)(SpanSegments.queryMultiTagged(spark, dir, exprs, qp,
+          p.get("org")))
+      else sseSlices(ex)(SpanSegments.queryMultiTaggedSliced(
+        spark, dir, exprs, qp, slices, p.get("org")))
+    } else
       sse(ex)(SpanSegments.query(spark, dir, need(p, "q"),
         qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),
         org = p.get("org")))

@@ -167,12 +167,62 @@ object LogSegments {
       .filter(col("chq_timestamp") >= effStart &&
         col("chq_timestamp") < p.endMs)
     val shared = LogStore(graft.GraftSession.materialize(scan))
+    taggedOver(exprs, shared, p)
+  }
+
+  /** the tagged-union inner loop over a caller-prepared store — shared by
+    * the one-shot door above and the sliced door below (ONE materialized
+    * pass per request, evaluated per slice); distinct queries evaluate
+    * once, alias lists explode over their rows
+    */
+  private def taggedOver(exprs: Seq[(String, String)], store: LogStore,
+      p: QueryParams): DataFrame =
     exprs.map(_._2).distinct.map { q =>
       val aliases = exprs.filter(_._2 == q).map(_._1)
-      val out = Compiler.query(q, shared, p)
+      val out = Compiler.query(q, store, p)
       val labels = out.columns.filterNot(c => c == "ts" || c == "value").sorted
       out.select(explode(lit(aliases.toArray)).as("alias"), col("ts"),
         to_json(struct(labels.map(col): _*)).as("series"), col("value"))
     }.reduce(_.union(_))
+
+  /** [[queryMultiTagged]], SLICED (the logs twin of
+    * [[MetricSegments.queryMultiAtSliced]]): one shared materialized
+    * pass over the full window's pruned scan feeds every
+    * (slice × panel) evaluation — a 30-day logs dashboard costs one
+    * lake scan total and streams its first slice after that scan plus
+    * one slice-sized compiler pass. Metric-style LogQL slices exactly
+    * (every grid bucket depends only on [t − lookback, t]; LogQL has no
+    * @-pin to exclude); raw panels are rejected as in the one-shot door.
+    */
+  def queryMultiTaggedSliced(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], full: QueryParams,
+      slices: Seq[QueryParams],
+      org: Option[String] = None): Seq[() => DataFrame] = {
+    require(exprs.nonEmpty, "queryMultiTaggedSliced needs at least one expression")
+    val parsed = exprs.map { case (a, q) =>
+      (a, q, Parser.parseFull(q)
+        .fold(err => throw new IllegalArgumentException(err), identity))
+    }
+    parsed.find(t => t._3 match {
+      case LeafQuery(q) => q.raw.isDefined
+      case _ => false
+    }).foreach { t =>
+      throw new IllegalArgumentException(
+        s"queryMultiTaggedSliced serves metric-style LogQL panels; raw " +
+          s"log query '${t._2}' streams through the single-query path")
+    }
+    val excluded = FingerprintIndex.excludedForTrees(spark, segDir,
+      parsed.flatMap(t => leafPipelines(t._3))
+        .map(FingerprintIndex.requirementTreeFor))
+    val effStart = full.startMs - parsed.map(t => maxLookbackMs(t._3)).max
+    val scan0 = FingerprintIndex.prunedRead(spark, segDir, excluded)
+      .filter(col("dateint") >= StepPolicy.dateintOf(effStart) &&
+        col("dateint") <= StepPolicy.dateintOf(full.endMs - 1))
+    val scan = org.fold(scan0)(o => scan0.filter(col("org") === o).drop("org"))
+      .drop("dateint")
+      .filter(col("chq_timestamp") >= effStart &&
+        col("chq_timestamp") < full.endMs)
+    val shared = LogStore(graft.GraftSession.materialize(scan))
+    slices.map { sp => () => taggedOver(exprs, shared, sp) }
   }
 }

@@ -38,6 +38,13 @@ object SpanSegments {
       org: Option[String] = None): DataFrame =
     LogSegments.queryMultiTagged(spark, segDir, exprs, p, org)
 
+  /** sliced twin, same delegate ([[LogSegments.queryMultiTaggedSliced]]) */
+  def queryMultiTaggedSliced(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], full: QueryParams,
+      slices: Seq[QueryParams],
+      org: Option[String] = None): Seq[() => DataFrame] =
+    LogSegments.queryMultiTaggedSliced(spark, segDir, exprs, full, slices, org)
+
   /** Fetch one trace's spans in trace order through the exact index. */
   def traceById(spark: SparkSession, segDir: String, traceId: String,
       p: QueryParams, org: Option[String] = None): DataFrame =

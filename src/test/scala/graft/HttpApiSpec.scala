@@ -448,15 +448,32 @@ class HttpApiSpec extends AnyFunSuite {
         s"full mismatch: ${gotAll.size}")
 
       // logs multi door (r15): two metric panels over different streams
-      // and groupings ride one shared pass; rows come back tagged
+      // and groupings ride one shared pass; the ~30d span streams
+      // slice-by-slice and the concatenation equals the one-shot door
       val mq1 = enc("""sum by (log_level) (count_over_time({log_level="INFO"}[1h]))""")
       val mq2 = enc("""sum by (resource_service_name) (count_over_time({log_level="ERROR"}[1h]))""")
-      val mrows = sseRows(
+      val (mc, mbody) = get(base,
         s"/api/v1/logs/query?q=$mq1&q2=$mq2&s=$tsLo&e=$tsHi")
-      assert(mrows.nonEmpty &&
-        mrows.exists(_.contains("\"alias\":\"value\"")) &&
+      assert(mc == 200 && mbody.contains("\"status\":\"ok\""), mbody.take(300))
+      val mevents = mbody.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: "))
+        .filter(_.startsWith("""{"type":"result"""")).toSeq
+      assert(mevents.size >= 2,
+        s"logs multi should stream >=2 slice events: ${mevents.size}")
+      val mrows = mevents.flatMap { evt =>
+        val rows = om.readTree(evt).get("data").get("rows")
+        (0 until rows.size).map(i => rows.get(i).toString)
+      }
+      assert(mrows.exists(_.contains("\"alias\":\"value\"")) &&
         mrows.exists(_.contains("\"alias\":\"value2\"")) &&
         mrows.exists(_.contains("\"series\"")), mrows.take(2).toString)
+      val mwant = graft.api.LogSegments.queryMultiTagged(spark, segDir,
+        Seq("value" -> """sum by (log_level) (count_over_time({log_level="INFO"}[1h]))""",
+          "value2" -> """sum by (resource_service_name) (count_over_time({log_level="ERROR"}[1h]))"""),
+        graft.api.StepPolicy.paramsFor(tsLo, tsHi))
+        .toJSON.collect().toSeq.map(r => om.readTree(r).toString)
+      assert(mrows.sorted == mwant.sorted,
+        s"logs multi slice concat != one-shot: ${mrows.size} vs ${mwant.size}")
       // a RAW panel in a multi request is a client error, not a 500
       val (craw, _) = get(base,
         s"/api/v1/logs/query?q=$mq1&q2=$q&s=$tsLo&e=$tsHi")
