@@ -470,6 +470,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p.take(800))
   }
 
+  test("it_logs_multi: logs panels run scan-free downstream of ONE materialized pass") {
+    // the logs fusion door (LogSegments.queryMultiTagged): both panels'
+    // compiler passes read the shared materialized blocks — no file scan
+    // in the tagged union's plan, same shape as pq_multi_hetero
+    val p = plan("it_logs_multi")
+    assert(!p.contains("FileScan"),
+      s"logs panels must read the shared materialized blocks:\n${p.take(2000)}")
+    assert(p.contains("Union"), p.take(800))
+  }
+
   test("bucketed join: the layout pre-pays the shuffle — zero Exchange in the plan") {
     val p = plan("core_bucketed_join")
     // both the join and the per-order aggregation must ride the tables'
