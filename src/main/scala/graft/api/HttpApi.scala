@@ -501,21 +501,43 @@ final class HttpApi(
     val desc = p.get("order").forall(_ != "asc")
     val fields = p.get("fields").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val dir = needDir(logsDir, "logs")
-    // multi-panel request (q + q2..q9): metric-style LogQL panels share
+    // Multi-panel request (q + q2..q9): metric-style LogQL panels share
     // ONE materialized pass over the pruned log scan; rows are tagged
-    // (alias, ts, series, value). Raw log queries are single-q only.
+    // (alias, ts, series, value). A real dashboard MIXES a raw "recent
+    // errors" panel with metric panels (the reference evaluates each
+    // request query independently, queryapi/querier.go:441) — raw
+    // panels ride the existing single-query path, one alias-tagged
+    // rows-shaped frame per panel with the raw params (limit/order/
+    // fields) applied to THEM (previously a raw panel 400'd the whole
+    // request and the raw params were silently dropped); metric panels
+    // keep the shared pass. Both sections stream in one SSE response:
+    // tagged grid rows first, raw rows after.
     val extraLq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
     if (extraLq.nonEmpty) {
-      // long ranges stream slice-by-slice over ONE shared materialized
-      // scan (metric-style panels slice exactly; the step grid matches
-      // the metrics route's policy)
       val exprs = ("value" -> q) +: extraLq
-      val slices = MetricSegments.slicePlan(qp)
-      if (slices.size <= 1)
-        sse(ex)(LogSegments.queryMultiTagged(spark, dir, exprs, qp,
-          p.get("org")))
-      else sseSlices(ex)(LogSegments.queryMultiTaggedSliced(
-        spark, dir, exprs, qp, slices, p.get("org")))
+      val (raw, metric) = exprs.partition(x => LogSegments.isRaw(x._2))
+      // metric panels: long ranges stream slice-by-slice over ONE shared
+      // materialized scan (metric-style panels slice exactly; the step
+      // grid matches the metrics route's policy)
+      val metricFrames: Seq[() => DataFrame] =
+        if (metric.isEmpty) Nil
+        else {
+          val slices = MetricSegments.slicePlan(qp)
+          if (slices.size <= 1)
+            Seq(() => LogSegments.queryMultiTagged(spark, dir, metric, qp,
+              p.get("org")))
+          else LogSegments.queryMultiTaggedSliced(
+            spark, dir, metric, qp, slices, p.get("org"))
+        }
+      val rawFrames: Seq[() => DataFrame] = raw.map { case (alias, rq) =>
+        () => {
+          val out = LogSegments.query(spark, dir, rq, qp, limit = limit,
+            desc = desc, fields = fields, org = p.get("org"))
+          out.select(org.apache.spark.sql.functions.lit(alias).as("alias") +:
+            out.columns.toSeq.map(col): _*)
+        }
+      }
+      sseSlices(ex)(metricFrames ++ rawFrames)
     } else {
       // long-range RAW queries stream day-sliced in emit order with a
       // global row budget (early exit once the limit fills — the
@@ -540,15 +562,33 @@ final class HttpApi(
     val (s, e) = tsRange(p)
     val qp = StepPolicy.paramsFor(s, e)
     val dir = needDir(spansDir, "spans")
+    // mixed raw+metric panels, same contract as the logs route: raw span
+    // panels ride the single-query path with `limit` applied (previously
+    // ignored on the multi path), metric panels share one pass
     val extraSq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
     if (extraSq.nonEmpty) {
       val exprs = ("value" -> need(p, "q")) +: extraSq
-      val slices = MetricSegments.slicePlan(qp)
-      if (slices.size <= 1)
-        sse(ex)(SpanSegments.queryMultiTagged(spark, dir, exprs, qp,
-          p.get("org")))
-      else sseSlices(ex)(SpanSegments.queryMultiTaggedSliced(
-        spark, dir, exprs, qp, slices, p.get("org")))
+      val (raw, metric) = exprs.partition(x => LogSegments.isRaw(x._2))
+      val metricFrames: Seq[() => DataFrame] =
+        if (metric.isEmpty) Nil
+        else {
+          val slices = MetricSegments.slicePlan(qp)
+          if (slices.size <= 1)
+            Seq(() => SpanSegments.queryMultiTagged(spark, dir, metric, qp,
+              p.get("org")))
+          else SpanSegments.queryMultiTaggedSliced(
+            spark, dir, metric, qp, slices, p.get("org"))
+        }
+      val spanLimit = p.get("limit").map(_.toInt).getOrElse(1000)
+      val rawFrames: Seq[() => DataFrame] = raw.map { case (alias, rq) =>
+        () => {
+          val out = SpanSegments.query(spark, dir, rq, qp, limit = spanLimit,
+            org = p.get("org"))
+          out.select(org.apache.spark.sql.functions.lit(alias).as("alias") +:
+            out.columns.toSeq.map(col): _*)
+        }
+      }
+      sseSlices(ex)(metricFrames ++ rawFrames)
     } else
       sse(ex)(SpanSegments.query(spark, dir, need(p, "q"),
         qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),

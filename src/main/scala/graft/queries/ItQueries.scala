@@ -1040,6 +1040,64 @@ object ItQueries extends Catalog {
      WHERE ts >= $qs AND ts < $End"""
   }
 
+  /** NEGATIVE offset through the segments front door (r15 VERDICT #1):
+    * `events_value offset -26h` over [Start, End − 2d) reads samples up
+    * to 26 h AFTER the query end — two dateint partitions past the old
+    * pruning upper bound `dateintOf(end − 1)`. Gates BOTH halves of the
+    * signed-offset fix: the parser (pre-fix the '-' was silently
+    * dropped, flipping the shift direction) and the front door's
+    * forward dateint widening ([[graft.promql.Ast.forwardMs]] — without
+    * it the last 26 h of output buckets vanish). The oracle replays the
+    * forward-shifted bucketing from the SAME written segment files.
+    */
+  private def segOffsetNeg(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    MetricSegments.query(s, dir, "events_value offset -26h",
+      Start, End - 2L * 86400000L)
+  }
+
+  private def segOffsetNegSql(dir: String): String = {
+    val off = -26L * HourMs
+    val qe = End - 2L * 86400000L
+    s"""SELECT ts, attr_event_type, bsum AS value FROM (
+       SELECT (chq_timestamp + $off) - (chq_timestamp + $off) % $HourMs AS ts,
+              attr_event_type, sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= ${Start - off} AND chq_timestamp < ${qe - off}
+       GROUP BY 1, 2)
+     WHERE ts >= $Start AND ts < $qe"""
+  }
+
+  /** literal `@` pin OUTSIDE [start − lookback, end) through the
+    * segments front door (r15 VERDICT #2): the query window starts 7
+    * days after the pin, so the old dateint pruning — derived from the
+    * query window alone — excluded the pinned day entirely and the door
+    * returned EMPTY while the engine over an unpruned store answered
+    * correctly (pq_at_modifier never goes through segments). The fixed
+    * door unions each literal pin's absolute read window into the
+    * dateint bounds ([[graft.promql.Ast.pinWindowsMs]]); the oracle
+    * re-derives the pinned bucket from the same written files and
+    * broadcasts it across the query grid.
+    */
+  private def segAtPin(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    MetricSegments.query(s, dir, s"events_value @ ${Start / 1000}",
+      Start + 7L * 86400000L, End)
+  }
+
+  private def segAtPinSql(dir: String): String = {
+    val qs = Start + 7L * 86400000L
+    s"""WITH pinned AS (
+       SELECT attr_event_type, sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $Start AND chq_timestamp < ${Start + HourMs}
+       GROUP BY 1)
+     SELECT g.ts, p.attr_event_type, p.bsum AS value
+     FROM range($qs, $End, $HourMs) g(ts), pinned p"""
+  }
+
   /** streaming reference-parity fingerprinting
     * ([[graft.streaming.StreamingFingerprint]]): 3 micro-batches of
     * templated lines against ONE stream-lifetime trie (the reference
@@ -1181,6 +1239,8 @@ object ItQueries extends Catalog {
     Q("it_fpc_segments", fpcSegments, Some(fpcSegmentsSql)),
     Q("it_seg_rate", segRate, Some(segRateSql(segRootCur))),
     Q("it_seg_offset_walk", segOffsetWalk, Some(segOffsetWalkSql(segRootCur))),
+    Q("it_seg_offset_neg", segOffsetNeg, Some(segOffsetNegSql(segRootCur))),
+    Q("it_seg_at_pin", segAtPin, Some(segAtPinSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),

@@ -524,6 +524,17 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, bsum AS value FROM step
         WHERE ts >= $Start AND ts < $End""")),
 
+    // negative offset = look-AHEAD (modern PromQL): the bucket at t carries
+    // the samples from t + 1d. Gates the signed-duration offset parser —
+    // before r16 `offset -1d` silently parsed as `offset 1d` (the unsigned
+    // regex skipped the '-') and this row would hash-mismatch against the
+    // forward-shifted oracle.
+    Q("pq_offset_negative",
+      run("events_value offset -1d"),
+      Some(s"""WITH ${stepCte(0, -86400000L)}
+        SELECT ts, attr_event_type, bsum AS value FROM step
+        WHERE ts >= $Start AND ts < $End""")),
+
     Q("pq_irate", // irate ≡ rate at worker granularity; cents trick as pq_rate
       { (s, d) =>
         run("irate(events_value[4h])")(s, d).withColumn("value",

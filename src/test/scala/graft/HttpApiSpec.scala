@@ -474,10 +474,38 @@ class HttpApiSpec extends AnyFunSuite {
         .toJSON.collect().toSeq.map(r => om.readTree(r).toString)
       assert(mrows.sorted == mwant.sorted,
         s"logs multi slice concat != one-shot: ${mrows.size} vs ${mwant.size}")
-      // a RAW panel in a multi request is a client error, not a 500
-      val (craw, _) = get(base,
-        s"/api/v1/logs/query?q=$mq1&q2=$q&s=$tsLo&e=$tsHi")
-      assert(craw == 400, s"raw panel in multi should 400, got $craw")
+      // MIXED raw+metric multi request (r15 VERDICT #5): a raw "recent
+      // errors" panel next to two metric panels returns BOTH shapes in
+      // ONE response — tagged grid rows for the metric panels (shared
+      // pass) and alias-tagged raw rows with the raw params
+      // (limit/fields) applied, which a raw-in-multi request previously
+      // 400'd away
+      val (cmix, mixBody) = get(base,
+        s"/api/v1/logs/query?q=$mq1&q2=$mq2&q3=$q&s=$tsLo&e=$tsHi" +
+          "&limit=7&fields=chq_timestamp,log_message")
+      assert(cmix == 200 && mixBody.contains("\"status\":\"ok\""),
+        mixBody.take(300))
+      val mixRows = mixBody.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: "))
+        .filter(_.startsWith("""{"type":"result""""))
+        .flatMap { evt =>
+          val rows = om.readTree(evt).get("data").get("rows")
+          (0 until rows.size).map(i => rows.get(i))
+        }.toSeq
+      val rawRows = mixRows.filter(r =>
+        r.has("alias") && r.get("alias").asText == "value3")
+      val gridRows = mixRows.filter(r =>
+        r.has("series") && r.has("alias") && r.get("alias").asText != "value3")
+      assert(rawRows.size == 7, s"raw panel limit=7, got ${rawRows.size}")
+      assert(rawRows.forall(r => r.has("log_message") && r.has("chq_timestamp")),
+        "raw rows must carry the requested fields")
+      assert(gridRows.exists(_.get("alias").asText == "value") &&
+        gridRows.exists(_.get("alias").asText == "value2"),
+        "metric panels must still stream tagged grid rows")
+      // the metric section equals the metric-only multi door's answer
+      val mixGrid = gridRows.map(_.toString).sorted
+      assert(mixGrid == mwant.sorted,
+        s"mixed-request metric section != metric-only door: ${mixGrid.size} vs ${mwant.size}")
     } finally api.stop()
   }
 

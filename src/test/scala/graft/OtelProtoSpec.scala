@@ -99,6 +99,52 @@ class OtelProtoSpec extends AnyFunSuite {
     } finally spark.conf.unset(OtelProto.LogsFpcCompatKey)
   }
 
+  test("readLogs fpcOrgAttr: per-tenant tries — cross-org templates never merge") {
+    import org.apache.spark.sql.functions.col
+    // the reference's ingest worker fingerprints per tenant
+    // (fingerprintManager.GetTenant(orgID) before Fingerprint): a batch
+    // mixing orgs must NOT Jaccard-merge one org's template into
+    // another's cluster. svc-a emits a dominant template twice; svc-b
+    // emits ONE line whose items overlap it at Jaccard 0.667 (the same
+    // merge shape the streaming spec pins). One shared trie merges b
+    // into a's cluster; per-tenant routing keeps them apart.
+    val dir = Files.createTempDirectory("graft_otel_fpc_org_")
+    def writeGz(name: String, svc: String, bodies: Seq[(Long, String)]): Unit = {
+      val blob = OtelProto.Encode.logsData(
+        Seq("service.name" -> svc), "graft-test",
+        bodies.map { case (ts, b) => Encode.logRecord(ts, 9, "INFO", b, Nil) })
+      val out = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(dir.resolve(name)))
+      out.write(blob); out.close()
+    }
+    writeGz("a.binpb.gz", "svc-a", Seq(
+      1L -> "INFO request user=12 handled /api/v4/do?id=5 in 30ms",
+      2L -> "INFO request user=99 handled /api/v4/do?id=8 in 515ms"))
+    writeGz("b.binpb.gz", "svc-b", Seq(
+      3L -> "INFO signup fetch user=7 handled /api/v4/do?id=9 in 40ms"))
+
+    def fps(df: org.apache.spark.sql.DataFrame, svc: String): Set[Long] =
+      df.filter(col("resource_service_name") === svc)
+        .select("chq_fingerprint").distinct().collect()
+        .map(_.getLong(0)).toSet
+
+    val shared = OtelProto.readLogs(spark, dir.toString, fpcCompat = Some(true))
+    val perOrg = OtelProto.readLogs(spark, dir.toString, fpcCompat = Some(true),
+      fpcOrgAttr = Some("resource_service_name"))
+    // svc-a's own cluster is unaffected by the tenancy split
+    assert(fps(shared, "svc-a").size == 1 &&
+      fps(shared, "svc-a") == fps(perOrg, "svc-a"))
+    // one shared trie cross-tenant-merges svc-b's line into svc-a's
+    // cluster; per-tenant tries keep it separate
+    assert(fps(shared, "svc-b") == fps(shared, "svc-a"))
+    assert(fps(perOrg, "svc-b") != fps(perOrg, "svc-a"))
+    // a missing org column is a caller error, not a silent single-trie read
+    intercept[IllegalArgumentException] {
+      OtelProto.readLogs(spark, dir.toString, fpcCompat = Some(true),
+        fpcOrgAttr = Some("resource_no_such_attr"))
+    }
+  }
+
   test("kvlist + array attribute values parse structurally (not as garbage)") {
     val rec = Encode.logRecord(1L, 9, "INFO", "body", Nil) ++
       Encode.ld(6, Encode.str(1, "ctx") ++ Encode.ld(2,

@@ -93,6 +93,38 @@ class PromQLParserSpec extends AnyFunSuite {
       Selector("m", Nil, offsetMs = 3600000L, atKind = 3))
   }
 
+  test("negative offset parses SIGNED (look-ahead), selector and subquery") {
+    // pre-r16 the unsigned duration regex silently skipped the '-', so
+    // `offset -5m` evaluated as `offset 5m` — the sign must survive
+    assert(p("m offset -5m") == Selector("m", Nil, offsetMs = -300000L))
+    assert(p("m[10m] offset -1h") ==
+      Selector("m", Nil, rangeMs = 600000L, offsetMs = -3600000L))
+    assert(p("(m)[1h:5m] offset -30m") ==
+      Subquery(Selector("m", Nil), 3600000L, 300000L, -1800000L))
+    // combined with @: both modifiers keep their meaning
+    assert(p("m offset -1h @ 1704067200") ==
+      Selector("m", Nil, offsetMs = -3600000L, atKind = 1, atMs = 1704067200000L))
+    // offset of zero stays invalid either way
+    assert(Parser.parse("m offset -0s").isLeft)
+  }
+
+  test("forwardMs / pinWindowsMs walkers price look-ahead and literal pins") {
+    val neg = p("sum(rate(m[5m] offset -1h))")
+    assert(Ast.forwardMs(neg) == 3600000L)
+    assert(Ast.lookbackMs(neg) == 300000L) // negative offset adds no LEFT reach
+    assert(Ast.forwardMs(p("m offset 1h")) == 0L)
+    // nested negative subquery offsets compound
+    assert(Ast.forwardMs(p("(m offset -30m)[1h:5m] offset -1h")) == 5400000L)
+    // literal pin window = [atMs - range - max(0,off), atMs - min(0,off)]
+    assert(Ast.pinWindowsMs(p("m[10m] @ 1700000000")) ==
+      Seq((1700000000000L - 600000L, 1700000000000L)))
+    assert(Ast.pinWindowsMs(p("m offset -1h @ 1700000000")) ==
+      Seq((1700000000000L, 1700000000000L + 3600000L)))
+    // start()/end() pins resolve inside the query bounds: no extra window
+    assert(Ast.pinWindowsMs(p("m @ start()")) == Nil)
+    assert(Ast.pinWindowsMs(p("m offset 1h")) == Nil)
+  }
+
   test("functions") {
     assert(p("clamp_min(m, 3)") == Clamp(true, Selector("m", Nil), 3.0))
     assert(p("abs(m)") == UnaryFn("abs", Selector("m", Nil)))
@@ -195,6 +227,44 @@ class PromQLEngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Engine.queryMulti(Seq("a" -> "topk(2, events_value)"), store, p)
     }
+  }
+
+  test("negative offset is look-ahead: bucket t carries the samples of t + |off|") {
+    // off = exactly one step, so the negative-offset frame at ts t must
+    // equal the plain selector evaluated over the forward-shifted window
+    // at ts t + step — same store, both unpruned
+    val step = p.stepMs
+    val neg = Engine.query("events_value offset -6h", store, p).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val p2 = QueryParams(p.startMs + step, p.endMs + step, step)
+    val plain = Engine.query("events_value", store, p2).collect()
+      .map(r => (r.getLong(0) - step, r.getString(1)) -> r.getDouble(2)).toMap
+    assert(neg.nonEmpty && neg == plain)
+  }
+
+  test("NotFusableException is the shape signal; genuine errors stay plain IAE") {
+    // non-fusable shapes raise the TYPED signal (it subclasses
+    // IllegalArgumentException, so pre-r16 callers keep working)...
+    val nf = intercept[Engine.NotFusableException] {
+      Engine.queryMulti(Seq("a" -> "sum(events_value)",
+        "b" -> "avg(events_value{attr_event_type=\"error\"})"), store, p)
+    }
+    assert(nf.isInstanceOf[IllegalArgumentException])
+    intercept[Engine.NotFusableException] {
+      Engine.queryMulti(Seq("a" -> "topk(2, events_value)"), store, p)
+    }
+    intercept[Engine.NotFusableException] {
+      Engine.queryMulti(Seq("a" -> "rate(events_value[4h])",
+        "b" -> "rate(events_value[2h])"), store, p)
+    }
+    // ...while a PARSE failure — a genuinely bad panel — is a plain IAE,
+    // NOT a fusability signal, so front doors no longer silently retry
+    // it through the tagged door (r15 VERDICT #3)
+    val pe = intercept[IllegalArgumentException] {
+      Engine.queryMulti(Seq("a" -> "sum(events_value)", "b" -> "sum((("),
+        store, p)
+    }
+    assert(!pe.isInstanceOf[Engine.NotFusableException])
   }
 
   test("queryMulti window fusion equals the per-fn query() answers bit-for-bit") {

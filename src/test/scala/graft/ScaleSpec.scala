@@ -206,6 +206,50 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the single shared materialize scan, saw $scanStages file-scan stages")
   }
 
+  test("multi-door prefilter is a per-selector union: one pinned panel no " +
+      "longer widens the shared scan for the whole set") {
+    import graft.promql.{Ast, Engine, Parser, QueryParams}
+    // r15 the time/metric prefilters were all-or-nothing forall guards:
+    // ONE @-pinned (or bare-matcher, or negative-offset) panel disabled
+    // BOTH prefilters and the tier-wide store was materialized. Now each
+    // selector contributes its own (metric AND window) conjunct — the
+    // pinned panel adds a bounded window around ITS pin, the other
+    // panels' reads stay bounded by the query window, and unselected
+    // metrics/timestamps never enter the materialized pass.
+    val step = 3600000L
+    val start = Day0 + 20L * 86400000L
+    val end = start + 86400000L
+    val pinMs = Day0 // 20 days before the window — far outside it
+    val rows = Seq(
+      ("m1", start + 1000L, "m1 in-window"),
+      ("m1", start - 3L * 86400000L, "m1 far before the window"),
+      ("m1", pinMs, "m1 at the pin ts (pin belongs to m3)"),
+      ("m3", pinMs, "m3 at its pin"),
+      ("m3", pinMs + step - 1, "m3 inside the pin bucket"),
+      ("m3", start - 3L * 86400000L, "m3 outside pin and window"),
+      ("m3", start + 1000L, "m3 in-window"),
+      ("mX", start + 1000L, "unselected metric")
+    ).toDF("metric_name", "chq_timestamp", "note")
+    val es = Seq(
+      "sum by (attr_kind) (rate(m1[2h]))",
+      "max by (attr_svc) (m3)",
+      s"sum(m3 @ ${pinMs / 1000})"
+    ).map(q => Parser.parse(q).fold(e => fail(e), identity))
+    val cond = Engine.multiPrefilter(es, QueryParams(start, end, step))
+      .getOrElse(fail("three selector panels must yield a prefilter"))
+    val kept = rows.filter(cond).select("note").collect().map(_.getString(0)).toSet
+    assert(kept == Set("m1 in-window", "m3 at its pin",
+      "m3 inside the pin bucket", "m3 in-window"),
+      s"prefilter kept: $kept")
+    // sanity: the windows are supersets of what each panel re-filters —
+    // the pinned panel's full answer survives the union
+    assert(Ast.pinWindowsMs(es(2)) == Seq((pinMs, pinMs)))
+    // scalar-only sets have nothing to bound (and nothing to read)
+    assert(Engine.multiPrefilter(
+      Seq(Parser.parse("1 + 2").fold(e => fail(e), identity)),
+      QueryParams(start, end, step)).isEmpty)
+  }
+
   test("hot-bucket caps keep dedup linear on a 100k-doc boilerplate-heavy corpus") {
     // 60k docs share ONE template (the uncapped band join would expand
     // that bucket to 3.6e9 pairs); 40k docs are unique. The caps must
