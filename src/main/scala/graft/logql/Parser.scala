@@ -436,6 +436,12 @@ private final class LogParser(input: String) {
     var offsetMs = 0L
     if (eatWord("offset")) {
       skipWs()
+      // explicit rejection, not a silent sign-flip (and not the opaque
+      // "invalid duration:" the unconsumed '-' used to produce): LogQL
+      // range offsets are strictly positive here — the PromQL engine is
+      // where signed look-ahead offsets are supported
+      if (pos < input.length && input(pos) == '-')
+        fail(s"negative offset is not supported in LogQL range aggregations (at $pos)")
       val oStart = pos
       while (pos < input.length && (input(pos).isLetterOrDigit || input(pos) == '.')) pos += 1
       offsetMs = PParser.parseDurationMs(input.substring(oStart, pos))

@@ -68,6 +68,11 @@ class LogQLParserSpec extends AnyFunSuite {
     val q = p("""sum by (app) (count_over_time({app="web"}[5m] offset 1h))""")
     assert(q.range.get.rangeMs == 300000L && q.range.get.offsetMs == 3600000L)
     assert(p("""rate({app="web"}[5m])""").range.get.offsetMs == 0L)
+    // a negative offset is rejected with an EXPLICIT error, never a
+    // silent sign-flip (signed look-ahead offsets live in PromQL only)
+    val err = Parser.parseFull(
+      """rate({app="web"}[5m] offset -1h)""").swap.toOption.get
+    assert(err.contains("negative offset"), err)
   }
 
   test("binop expressions parse with precedence (reference KindBinOp)") {

@@ -155,6 +155,66 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("@-pinned segment query scans the pin's day + the window's days, " +
+      "NOT the span between (disjunctive dateint pruning)") {
+    // r16: a literal `@ ts` outside [start − lookback, end) adds ITS OWN
+    // dateint window to the partition predicate as a DISJUNCT. Two
+    // physical properties must hold at file scale: (a) the OR of range
+    // predicates on the partition column still lands in PartitionFilters
+    // (prunes directories, not rows), and (b) the effective file set is
+    // pin-days + window-days — a 23-day-away pin must NOT widen the scan
+    // to the span in between.
+    val freq = 1200000L
+    val rows = (0 until Days * 72).map { i =>
+      val day = i % Days
+      val slot = i / Days
+      (Day0 + day * 86400000L + slot * freq, "m_pin", s"tid-${i % 7}",
+        (i % 50).toDouble, 1.0, 0.0, 50.0, freq)
+    }.toDF("chq_timestamp", "metric_name", "chq_tid", "chq_rollup_sum",
+      "chq_rollup_count", "chq_rollup_min", "chq_rollup_max", "chq_rollup_freq")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_pin_").toString
+    Segments.writeMetricSegments(rows, dir, maxRecordsPerFile = 20)
+    val all = spark.read.parquet(dir).inputFiles.map(FI.normPath).toSet
+    assert(all.size >= 60, s"corpus too small: ${all.size} files")
+
+    val start = Day0 + 25L * 86400000L
+    val end = start + 2L * 86400000L
+    val p = graft.api.StepPolicy.paramsFor(start, end)
+    assert(graft.api.StepPolicy.tierFor(p.stepMs) == freq)
+    val pinMs = Day0 + 2L * 86400000L // 23 days before the window
+    val expr = s"sum(m_pin @ ${pinMs / 1000})"
+
+    val door = graft.api.MetricSegments.query(spark, dir, expr, start, end)
+    // the disjunction must land in the scan's PARTITION filters (prunes
+    // directories), not as a post-scan row filter — read the expressions
+    // off the FileSourceScanExec itself (the plan STRING truncates them)
+    val scans = door.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the pinned door plan")
+    val pf = scans.flatMap(_.partitionFilters).mkString(" ")
+    // the window days AND the pin's days appear in the PARTITION filter
+    assert(pf.contains("20240126") && (pf.contains("20240102") || pf.contains("20240103")),
+      s"partition filter lost a disjunct: $pf")
+    // set arithmetic over the corpus: the predicate admits ≤ 4 of 30 days
+    val dateRe = "dateint=(\\d{8})".r
+    val admitted = Set(20240126, 20240127, 20240102, 20240103)
+    val effective = all.filter(f => dateRe.findFirstMatchIn(f)
+      .exists(m => admitted.contains(m.group(1).toInt)))
+    val tierAll = all // single tier written
+    assert(effective.size <= tierAll.size / 5,
+      s"pin should bound the scan to ~4/30 days: ${effective.size}/${tierAll.size}")
+    // and the answer is the pinned value across the grid, equal to the
+    // engine over the UNPRUNED store (pre-r16 the door returned empty)
+    val got = door.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oracle = graft.promql.Engine.query(expr,
+      graft.api.MetricSegments.storeFrom(
+        spark.read.parquet(dir).filter(col("freq") === freq)), p)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got == oracle,
+      s"pinned door != unpruned engine: ${got.size} vs ${oracle.size}")
+  }
+
   test("heterogeneous multi-panel request scans the lake ONCE (listener-pinned)") {
     import graft.promql.{Engine, MetricStore, QueryParams}
     // a parquet-backed two-metric store split across many files; four
