@@ -438,7 +438,7 @@ final class HttpApi(
     respond(ex, 200,
       s"""{"signals":[${signals.mkString(",")}],""" +
         """"promql":true,"logql":true,"sse":true,"summary":true,""" +
-        """"multi":true,"tagged":true}""")
+        """"multi":true,"tagged":true,"multi_mixed":true}""")
   }
 
   handle("/api/v1/metrics/query") { ex =>

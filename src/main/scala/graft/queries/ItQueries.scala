@@ -1098,6 +1098,52 @@ object ItQueries extends Catalog {
      FROM range($qs, $End, $HourMs) g(ts), pinned p"""
   }
 
+  /** range window × positive offset × literal pin, through the segment
+    * door: `sum_over_time(events_value[4h] @ pin offset 2h)` with the pin
+    * ~6 days before the query window. Gates the FULL pin-window arm of
+    * [[graft.promql.Ast.pinWindowsMs]] — the window's lower bound is
+    * `atMs − range − offset`, which for this pin (Start + 26 h, i.e.
+    * 02:00 on day 2) reaches 20:00 on day 1: the PREVIOUS dateint
+    * partition. A pruning that priced the pin alone (forgetting its
+    * range+offset reach) would exclude day 1, silently dropping the
+    * window's early buckets and shifting the sum. Oracle replays the
+    * offset-shifted bucketing, the 4 h window with the left-inclusive
+    * coverage rule, and the pin broadcast from the same written files.
+    */
+  private def segAtPinRange(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    val pin = Start + 26L * HourMs
+    MetricSegments.query(s, dir,
+      s"sum_over_time(events_value[4h] @ ${pin / 1000} offset 2h)",
+      Start + 7L * 86400000L, End)
+  }
+
+  private def segAtPinRangeSql(dir: String): String = {
+    val qs = Start + 7L * 86400000L
+    val pin = Start + 26L * HourMs
+    val off = 2L * HourMs
+    val h4 = 4L * HourMs
+    s"""WITH step AS (
+       SELECT (chq_timestamp + $off) - (chq_timestamp + $off) % $HourMs AS ts,
+              attr_event_type, sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= ${pin - h4 - off}
+         AND chq_timestamp < ${pin + HourMs - off}
+       GROUP BY 1, 2),
+     win AS (
+       SELECT ts, attr_event_type, sum(bsum) OVER w AS wsum,
+              min(ts) OVER w AS first_ts
+       FROM step
+       WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                    RANGE BETWEEN ${h4 - HourMs} PRECEDING AND CURRENT ROW)),
+     pinned AS (
+       SELECT attr_event_type, wsum
+       FROM win WHERE ts = $pin AND first_ts = ts - ${h4 - HourMs})
+     SELECT g.ts, p.attr_event_type, p.wsum AS value
+     FROM range($qs, $End, $HourMs) g(ts), pinned p"""
+  }
+
   /** streaming reference-parity fingerprinting
     * ([[graft.streaming.StreamingFingerprint]]): 3 micro-batches of
     * templated lines against ONE stream-lifetime trie (the reference
@@ -1241,6 +1287,7 @@ object ItQueries extends Catalog {
     Q("it_seg_offset_walk", segOffsetWalk, Some(segOffsetWalkSql(segRootCur))),
     Q("it_seg_offset_neg", segOffsetNeg, Some(segOffsetNegSql(segRootCur))),
     Q("it_seg_at_pin", segAtPin, Some(segAtPinSql(segRootCur))),
+    Q("it_seg_at_pin_range", segAtPinRange, Some(segAtPinRangeSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),

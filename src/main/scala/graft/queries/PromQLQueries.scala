@@ -535,6 +535,26 @@ object PromQLQueries extends Catalog {
         SELECT ts, attr_event_type, bsum AS value FROM step
         WHERE ts >= $Start AND ts < $End""")),
 
+    // range window × negative offset: the window slides over the
+    // FORWARD-shifted buckets with the same left-inclusive coverage rule
+    // (gates the interaction, not just the bare-selector shift; cents
+    // recovery as pq_rate)
+    Q("pq_rate_offset_neg",
+      { (s, d) =>
+        run("rate(events_value[4h] offset -1d)")(s, d).withColumn("value",
+          exactCents(col("value"), H4))
+      },
+      Some(s"""WITH ${stepCte(H4, -86400000L)},
+        win AS (
+          SELECT ts, attr_event_type, sum(bsum) OVER w AS wsum,
+                 min(ts) OVER w AS first_ts
+          FROM step
+          WINDOW w AS (PARTITION BY attr_event_type ORDER BY ts
+                       RANGE BETWEEN ${H4 - StepMs} PRECEDING AND CURRENT ROW))
+        SELECT ts, attr_event_type,
+               CAST(round(wsum * 100, 0) AS BIGINT) / ${H4 / 1000.0 * 100} AS value
+        FROM win WHERE ${covered(H4)}""")),
+
     Q("pq_irate", // irate ≡ rate at worker granularity; cents trick as pq_rate
       { (s, d) =>
         run("irate(events_value[4h])")(s, d).withColumn("value",

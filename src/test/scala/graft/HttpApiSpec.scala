@@ -561,7 +561,8 @@ class HttpApiSpec extends AnyFunSuite {
       assert(cf == 200 && fbody.contains("\"logs\"") &&
         fbody.contains("\"spans\"") && !fbody.contains("\"metrics\""), fbody)
       assert(fbody.contains("\"multi\":true") &&
-        fbody.contains("\"tagged\":true"), fbody)
+        fbody.contains("\"tagged\":true") &&
+        fbody.contains("\"multi_mixed\":true"), fbody)
 
       // concurrency: parallel SSE queries all complete with done:ok (the
       // server's thread pool + Spark's scheduler serve them simultaneously)
