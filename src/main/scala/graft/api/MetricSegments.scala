@@ -58,8 +58,17 @@ object MetricSegments {
       stepMs: Long): org.apache.spark.sql.Column = {
     val look = es.map(Ast.lookbackMs).max
     val fwd = es.map(Ast.forwardMs).max
-    val base = col("dateint") >= StepPolicy.dateintOf(startMs - look) &&
-      col("dateint") <= StepPolicy.dateintOf(endMs + fwd - 1)
+    // a `@ start()` / `@ end()` pin evaluates the one step-wide bucket
+    // CONTAINING its bound: for a step-aligned end (the normal case —
+    // StepPolicy.paramsFor aligns), that bucket is [endMs, endMs+step),
+    // entirely PAST dateintOf(endMs − 1) — found by r16 audit, the same
+    // class of hole as the literal-pin one. One step of widening on both
+    // bounds (≤ one extra day each side) covers both bound pins.
+    val boundPin = es.exists(e =>
+      Ast.selectors(e).exists(s => s.atKind == 2 || s.atKind == 3))
+    val pad = if (boundPin) stepMs else 0L
+    val base = col("dateint") >= StepPolicy.dateintOf(startMs - look - pad) &&
+      col("dateint") <= StepPolicy.dateintOf(endMs + fwd - 1 + pad)
     es.flatMap(Ast.pinWindowsMs).foldLeft(base) { case (c, (lo, hi)) =>
       c || (col("dateint") >= StepPolicy.dateintOf(lo - stepMs) &&
         col("dateint") <= StepPolicy.dateintOf(hi + stepMs))

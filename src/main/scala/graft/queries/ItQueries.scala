@@ -1113,9 +1113,16 @@ object ItQueries extends Catalog {
   private def segAtPinRange(s: SparkSession, d: String): DataFrame = {
     val dir = ensureSegments(s, d)
     val pin = Start + 26L * HourMs
+    // NaN filter (range-window coverage rule, like the pq_* rows): at
+    // sf0.001 the hourly buckets around the pin are sparse, so the
+    // pinned window is uncovered → NaN on the engine side and no row on
+    // the oracle side. At sf0.01+ the oracle emits the full grid, so a
+    // pruning regression (dropped early window buckets → NaN → filtered)
+    // still turns this row red by ROWCOUNT.
     MetricSegments.query(s, dir,
       s"sum_over_time(events_value[4h] @ ${pin / 1000} offset 2h)",
       Start + 7L * 86400000L, End)
+      .filter(!isnan(col("value")))
   }
 
   private def segAtPinRangeSql(dir: String): String = {
@@ -1142,6 +1149,33 @@ object ItQueries extends Catalog {
        FROM win WHERE ts = $pin AND first_ts = ts - ${h4 - HourMs})
      SELECT g.ts, p.attr_event_type, p.wsum AS value
      FROM range($qs, $End, $HourMs) g(ts), pinned p"""
+  }
+
+  /** `@ end()` through the segment door with a step-aligned end (the
+    * normal case — [[StepPolicy.paramsFor]] aligns): the pin evaluates
+    * the bucket CONTAINING endMs, i.e. [endMs, endMs + step), which lies
+    * entirely past the old pruning upper bound `dateintOf(endMs − 1)` —
+    * found by r16 audit, the bound-pin sibling of the literal-pin hole.
+    * Pre-fix the door returned EMPTY while the engine over an unpruned
+    * store emitted the end bucket across the grid. The query end sits on
+    * a dateint boundary so the missing bucket is in the NEXT partition.
+    */
+  private def segAtEnd(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    MetricSegments.query(s, dir, "events_value @ end()",
+      Start, Start + 7L * 86400000L)
+  }
+
+  private def segAtEndSql(dir: String): String = {
+    val qe = Start + 7L * 86400000L
+    s"""WITH pinned AS (
+       SELECT attr_event_type, sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $qe AND chq_timestamp < ${qe + HourMs}
+       GROUP BY 1)
+     SELECT g.ts, p.attr_event_type, p.bsum AS value
+     FROM range($Start, $qe, $HourMs) g(ts), pinned p"""
   }
 
   /** streaming reference-parity fingerprinting
@@ -1288,6 +1322,7 @@ object ItQueries extends Catalog {
     Q("it_seg_offset_neg", segOffsetNeg, Some(segOffsetNegSql(segRootCur))),
     Q("it_seg_at_pin", segAtPin, Some(segAtPinSql(segRootCur))),
     Q("it_seg_at_pin_range", segAtPinRange, Some(segAtPinRangeSql(segRootCur))),
+    Q("it_seg_at_end", segAtEnd, Some(segAtEndSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
