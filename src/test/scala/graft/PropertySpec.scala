@@ -105,6 +105,83 @@ class PropertySpec extends AnyFunSuite {
     }, n = 40)
   }
 
+  test("pruning containment: every leaf's raw read window sits inside the " +
+      "walker-derived windows, for arbitrary offset/pin/subquery shapes") {
+    import graft.promql._
+    // The segment front door prunes the scan to windows derived from the
+    // PURE walkers (Ast.lookbackMs / forwardMs / pinWindowsMs + max-step
+    // alignment slack). This property replays the ENGINE's actual leaf
+    // read-window arithmetic (leafBucketed effStart/effEnd, pinToGrid
+    // down-alignment, subqueryWindow's shifted inner params) for randomly
+    // generated expression shapes and asserts ms-level containment — a
+    // walker that under-prices any shape (the r15 enumerated-walker bug
+    // class, the r16 negative-offset/pin holes, the subquery-step
+    // alignment corner this test caught pre-ship) fails here without
+    // needing a segment fixture per shape.
+    def alignedStart(p: QueryParams): Long = p.startMs - p.startMs % p.stepMs
+    def reads(e: Expr, p: QueryParams): Seq[(Long, Long)] = e match {
+      case s: Selector =>
+        if (s.atKind == 0) {
+          Seq((p.startMs - s.rangeMs - s.offsetMs, p.endMs - s.offsetMs))
+        } else {
+          val te = s.atKind match {
+            case 1 => s.atMs
+            case 2 => p.startMs
+            case _ => p.endMs
+          }
+          val teA = te - te % p.stepMs
+          reads(s.copy(atKind = 0), QueryParams(teA, teA + p.stepMs, p.stepMs))
+        }
+      case Subquery(arg, r, st, off) =>
+        val istep = if (st > 0) st else p.stepMs
+        reads(arg, QueryParams(alignedStart(p) - r - off, p.endMs - off, istep))
+      case other => Ast.children(other).flatMap(c => reads(c, p))
+    }
+    val step = 3600000L
+    val start = 1704067200000L // step-aligned, the door contract (paramsFor)
+    val p = QueryParams(start, start + 3L * 86400000L, step)
+    val durGen = Gen.oneOf(0L, 60000L, 600000L, 3600000L, 4L * 3600000L,
+      26L * 3600000L)
+    val offGen = Gen.oneOf(0L, 60000L, 7200000L, 86400000L,
+      -60000L, -7200000L, -86400000L)
+    val selGen = for {
+      range <- durGen
+      off <- offGen
+      sub <- Gen.oneOf(0L, 60000L, 7200000L) // sub-step may EXCEED p.step
+      atKind <- Gen.oneOf(0, 0, 1, 2, 3) // unpinned twice as likely
+      atMs <- Gen.chooseNum(start - 30L * 86400000L, p.endMs + 30L * 86400000L)
+    } yield Selector("m", Nil, range, off, sub, atKind, atMs)
+    val exprGen: Gen[Expr] = selGen.flatMap { s =>
+      Gen.oneOf(
+        Gen.const(s: Expr),
+        Gen.const(Agg("sum", s.copy(rangeMs = 0L), Nil, Nil, None): Expr),
+        Gen.const(RangeFn("sum_over_time",
+          s.copy(rangeMs = math.max(s.rangeMs, 60000L))): Expr),
+        for { // fn over an expression subquery, signed subquery offset
+          r2 <- durGen.suchThat(_ > 0)
+          st2 <- Gen.oneOf(0L, 600000L, 7200000L)
+          off2 <- offGen
+        } yield RangeFn("max_over_time",
+          Subquery(s.copy(rangeMs = 0L, subStepMs = 0L), r2, st2, off2)): Expr)
+    }
+    holds(forAll(exprGen) { e =>
+      val look = Ast.lookbackMs(e)
+      val fwd = Ast.forwardMs(e)
+      val sels = Ast.selectors(e)
+      def allNodes(x: Expr): Seq[Expr] = x +: Ast.children(x).flatMap(allNodes)
+      val subSteps = allNodes(e).collect { case s: Subquery => s.stepMs }
+      val maxStep = ((p.stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
+      val pad =
+        if (sels.exists(s => s.atKind == 2 || s.atKind == 3)) 2L * maxStep else 0L
+      val covers: Seq[(Long, Long)] =
+        (p.startMs - look - pad, p.endMs + fwd + pad) +:
+          Ast.pinWindowsMs(e).map { case (lo, hi) => (lo - maxStep, hi + maxStep) }
+      reads(e, p).forall { case (lo, hi) =>
+        covers.exists { case (clo, chi) => clo <= lo && hi <= chi }
+      }
+    }, n = 3000)
+  }
+
   test("LogQL parser is total: arbitrary input never throws") {
     holds(forAll(Gen.asciiPrintableStr) { s =>
       graft.logql.Parser.parseFull(s)
