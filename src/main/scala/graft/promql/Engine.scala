@@ -319,29 +319,47 @@ object Engine {
     */
   private[graft] def multiPrefilter(es: Seq[Expr],
       p: QueryParams): Option[Column] = {
+    val ws = selectorWindows(es, p)
+    if (ws.isEmpty) return None
+    val conds = ws.map { case (metric, lo, hi) =>
+      val metricCond: Column =
+        if (metric.nonEmpty) col("metric_name") === metric else lit(true)
+      metricCond && col("chq_timestamp") >= lo && col("chq_timestamp") < hi
+    }
+    Some(conds.reduce(_ || _))
+  }
+
+  /** the PURE window arithmetic behind [[multiPrefilter]] — one
+    * (metric, lo, hi) conservative read window per selector in the set,
+    * exposed so the pruning-containment property (PropertySpec) can
+    * check it against the engine's actual leaf read windows without a
+    * Spark session. One extra max-step of slack everywhere: the output
+    * grid aligns DOWN to the step ([[alignedStart]]) and a pinned leaf
+    * aligns its pin down by its own (possibly larger) evaluation step —
+    * counting expression-subquery steps ([expr][r:step]) as well as
+    * selector sub-steps.
+    */
+  private[graft] def selectorWindows(es: Seq[Expr],
+      p: QueryParams): Seq[(String, Long, Long)] = {
     val sels = es.flatMap(Ast.selectors)
-    if (sels.isEmpty) return None
+    if (sels.isEmpty) return Nil
     val look = es.map(Ast.lookbackMs).max
     val fwd = es.map(Ast.forwardMs).max
-    // one extra max-step of slack: the output grid aligns DOWN to the
-    // step ([[alignedStart]]), so the first emitted bucket can start up
-    // to a step before startMs — counting expression-subquery steps
-    // ([expr][r:step]) as well as selector sub-steps
     def allNodes(e: Expr): Seq[Expr] = e +: Ast.children(e).flatMap(allNodes)
     val subSteps = es.flatMap(allNodes).collect { case s: Subquery => s.stepMs }
     val maxStep = ((p.stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
     val slack = look + maxStep
-    val conds = sels.map { s =>
-      val metricCond: Column =
-        if (s.metric.nonEmpty) col("metric_name") === s.metric else lit(true)
+    sels.map { s =>
       val (lo, hi) = s.atKind match {
         case 0 => (p.startMs - slack, p.endMs + fwd)
         case 1 => (s.atMs - slack, s.atMs + maxStep + fwd)
+        // start()/end() pins resolve against possibly subquery-shifted
+        // bounds and their bucket can overhang the bound by a step —
+        // doubled slack on both sides
         case _ => (p.startMs - 2 * slack, p.endMs + fwd + slack)
       }
-      metricCond && col("chq_timestamp") >= lo && col("chq_timestamp") < hi
+      (s.metric, lo, hi)
     }
-    Some(conds.reduce(_ || _))
   }
 
   /** the tagged-union inner loop of [[queryMultiTagged]] over a

@@ -176,9 +176,18 @@ class PropertySpec extends AnyFunSuite {
       val covers: Seq[(Long, Long)] =
         (p.startMs - look - pad, p.endMs + fwd + pad) +:
           Ast.pinWindowsMs(e).map { case (lo, hi) => (lo - maxStep, hi + maxStep) }
-      reads(e, p).forall { case (lo, hi) =>
+      val doorOk = reads(e, p).forall { case (lo, hi) =>
         covers.exists { case (clo, chi) => clo <= lo && hi <= chi }
       }
+      // the tagged multi door's per-selector prefilter windows
+      // (Engine.selectorWindows) must cover the same leaf reads — every
+      // generated selector carries metric "m", so any window of the set
+      // may cover (the metric conjunct matches)
+      val pre = Engine.selectorWindows(Seq(e), p)
+      val preOk = reads(e, p).forall { case (lo, hi) =>
+        pre.exists { case (_, clo, chi) => clo <= lo && hi <= chi }
+      }
+      doorOk && preOk
     }, n = 3000)
   }
 
