@@ -1178,6 +1178,44 @@ object ItQueries extends Catalog {
      FROM range($Start, $qe, $HourMs) g(ts), pinned p"""
   }
 
+  /** the MULTI door with an @-pinned panel (the r15 ADVICE #1 scenario,
+    * distinct from the single-query [[segAtPin]]): a dashboard mixing a
+    * normal grouped panel with a panel pinned 7 days BEFORE the query
+    * window rides [[MetricSegments.queryMultiAt]]'s tagged fallback —
+    * the shared scan's dateint union must include the pin's day or the
+    * pinned panel comes back empty while the normal panel answers. The
+    * oracle unions both panels' tagged rows from the same written files.
+    */
+  private def segMultiPin(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSegments(s, d)
+    MetricSegments.queryMultiAt(s, dir, Seq(
+      "grp" -> "sum by (attr_event_type) (events_value)",
+      "pin" -> s"events_value @ ${Start / 1000}"),
+      graft.api.StepPolicy.paramsFor(Start + 7L * 86400000L, End))
+  }
+
+  private def segMultiPinSql(dir: String): String = {
+    val qs = Start + 7L * 86400000L
+    s"""WITH step AS (
+       SELECT chq_timestamp - chq_timestamp % $HourMs AS ts, attr_event_type,
+              sum(chq_rollup_sum) AS bsum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       GROUP BY 1, 2),
+     p1 AS (
+       SELECT 'grp' AS alias, ts,
+              '{"attr_event_type":"' || attr_event_type || '"}' AS series,
+              bsum AS value
+       FROM step WHERE ts >= $qs AND ts < $End),
+     pinned AS (SELECT attr_event_type, bsum FROM step WHERE ts = $Start),
+     p2 AS (
+       SELECT 'pin' AS alias, g.ts,
+              '{"attr_event_type":"' || p.attr_event_type || '"}' AS series,
+              p.bsum AS value
+       FROM range($qs, $End, $HourMs) g(ts), pinned p)
+     SELECT * FROM p1 UNION ALL SELECT * FROM p2"""
+  }
+
   /** streaming reference-parity fingerprinting
     * ([[graft.streaming.StreamingFingerprint]]): 3 micro-batches of
     * templated lines against ONE stream-lifetime trie (the reference
@@ -1323,6 +1361,7 @@ object ItQueries extends Catalog {
     Q("it_seg_at_pin", segAtPin, Some(segAtPinSql(segRootCur))),
     Q("it_seg_at_pin_range", segAtPinRange, Some(segAtPinRangeSql(segRootCur))),
     Q("it_seg_at_end", segAtEnd, Some(segAtEndSql(segRootCur))),
+    Q("it_seg_multi_pin", segMultiPin, Some(segMultiPinSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
