@@ -48,7 +48,15 @@ object Compiler {
       .limit(limit)
     val cols =
       if (fields.nonEmpty) fields
-      else Seq("chq_timestamp", "chq_tsns", "log_message") ++ labels
+      else if (ordered.columns.contains("log_message"))
+        Seq("chq_timestamp", "chq_tsns", "log_message") ++ labels
+      else
+        // span-shaped store (LogQL-over-spans has no line column): the
+        // raw rows ARE the spans — return every store column instead of
+        // 500ing on the missing log_message (r16 audit, surfaced by the
+        // mixed-panel spans route; the single-query route had the same
+        // hole for field-less raw span queries)
+        ordered.columns.filterNot(_.startsWith("__")).toSeq
     // resolve against the frame — bare col("user") would hit the
     // current_user() SQL function instead of the extracted label
     ordered.select(cols.map(ordered(_)): _*)

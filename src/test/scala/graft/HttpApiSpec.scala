@@ -290,6 +290,28 @@ class HttpApiSpec extends AnyFunSuite {
       assert(csm2 == 200 && smb.contains("\"alias\":\"value\"") &&
         smb.contains("\"alias\":\"value2\"") && smb.contains("\"series\""),
         smb.take(400))
+
+      // spans MIXED multi (r16): a raw span panel next to a metric panel
+      // returns both shapes in one response, the raw section capped by
+      // `limit` (previously ignored on the multi path)
+      val sqr = enc("""{span_status_code="STATUS_CODE_ERROR"}""")
+      val (csm3, smx) = get(base,
+        s"/api/v1/spans/query?q=$sq1&q2=$sqr&s=$ss&e=$se&limit=5")
+      assert(csm3 == 200 && smx.contains("\"status\":\"ok\""), smx.take(400))
+      val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      val smxRows = smx.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: "))
+        .filter(_.startsWith("""{"type":"result""""))
+        .flatMap { evt =>
+          val rows = om2.readTree(evt).get("data").get("rows")
+          (0 until rows.size).map(i => rows.get(i))
+        }.toSeq
+      val rawSpans = smxRows.filter(r =>
+        r.has("alias") && r.get("alias").asText == "value2" && !r.has("series"))
+      assert(rawSpans.size == 5 && rawSpans.forall(_.has("span_trace_id")),
+        s"raw span panel limit=5: got ${rawSpans.size}")
+      assert(smxRows.exists(r => r.has("series") &&
+        r.get("alias").asText == "value"), "metric panel missing from mixed response")
     } finally api.stop()
   }
 
