@@ -353,6 +353,26 @@ class HttpApiSpec extends AnyFunSuite {
         (0 until rows.size).map(i => rows.get(i).get("ts").asLong)
       }
       assert(tsOf(results.head).max < tsOf(results.last).min)
+
+      // negative offset stays sliceable (r16): each slice's scan widens
+      // FORWARD by the look-ahead (Ast.forwardMs in the per-slice dateint
+      // bounds), so the concatenation equals the one-shot — a slice
+      // evaluated against an unwidened scan would lose its last 26h of
+      // buckets
+      val qn = "sum by (attr_event_type) (events_value offset -26h)"
+      val en = e - 2L * 86400000L // leave 2 days of data past the window
+      val pn = graft.api.StepPolicy.paramsFor(s, en)
+      val slicesN = graft.api.MetricSegments.slicePlan(pn)
+      assert(slicesN.size >= 2, s"span should slice: ${slicesN.size}")
+      val oneShotN = graft.api.MetricSegments
+        .queryAt(spark, metricDir, qn, pn)
+        .toJSON.collect().toSeq.map(r => om.readTree(r).toString).sorted
+      val slicedN = graft.api.MetricSegments
+        .queryAtSliced(spark, metricDir, qn, pn, slicesN)
+        .flatMap(_.apply().toJSON.collect())
+        .map(r => om.readTree(r).toString).sorted
+      assert(oneShotN.nonEmpty && slicedN == oneShotN,
+        s"negative-offset slice concat != one-shot: ${slicedN.size} vs ${oneShotN.size}")
     } finally api.stop()
   }
 
