@@ -1221,6 +1221,34 @@ object PromQLQueries extends Catalog {
         GROUP BY 1, 2"""
       }),
 
+    // NEGATIVE offset on an expression SUBQUERY: the whole inner series
+    // shifts forward — value at t is the daily max of the NEXT day's 4h
+    // buckets ([t + 4h, t + 1d]). Gates the subquery arm of the signed
+    // offset parser and subqueryWindow's sign-agnostic point shift (the
+    // selector arm is pq_offset_negative). Cents quantization on the
+    // picked max, the pq_subquery_expr technique.
+    Q("pq_subquery_offset_neg",
+      { (s, d) =>
+        run("max_over_time((events_value)[1d:4h] offset -1d)")(s, d)
+          .withColumn("value",
+            round(col("value") * 100, 0).cast("long") / lit(100.0))
+      },
+      Some {
+        val d1 = 86400000L
+        s"""WITH ${Cooked.metricsCte},
+        b4 AS (
+          SELECT chq_timestamp - chq_timestamp % $H4 AS u, attr_event_type,
+                 sum(chq_rollup_sum) AS bsum
+          FROM cooked
+          WHERE chq_timestamp >= $Start AND chq_timestamp < ${End + d1}
+          GROUP BY 1, 2)
+        SELECT g.ts, b4.attr_event_type,
+               CAST(round(max(b4.bsum) * 100, 0) AS BIGINT) / 100.0 AS value
+        FROM range($Start, $End, $StepMs) g(ts)
+        JOIN b4 ON b4.u - $d1 >= g.ts - ${d1 - H4} AND b4.u - $d1 <= g.ts
+        GROUP BY 1, 2"""
+      }),
+
     Q("pq_count_values",
       // ×100 puts the bucket sum on the cents scale, where its true value
       // is an exact integer: round() sits ~0.5 away from any boundary, so
