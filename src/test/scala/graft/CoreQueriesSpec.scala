@@ -16,10 +16,19 @@ class CoreQueriesSpec extends AnyFunSuite {
   import TestSpark._
 
   test("all registered queries run and return rows on sf0.001") {
+    // rows whose CORRECT answer is empty at sf0.001 by construction —
+    // and whose DuckDB oracles are empty there too, so the compare stays
+    // meaningful: it_seg_at_end pins the one hour right after the query
+    // window and it_seg_at_pin_range needs a fully-covered 4h window at
+    // its pin, neither of which the ~1000-event sf0.001 corpus reliably
+    // populates. The driver's correctness gate runs at sf0.01, where
+    // both emit full 840-row grids (and a regression to empty turns
+    // them red by ROWCOUNT there). They must still RUN cleanly here.
+    val emptyOkAtSf0001 = Set("it_seg_at_end", "it_seg_at_pin_range")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, sf).count()
-        if (n > 0) None else Some(s"$name: 0 rows")
+        if (n > 0 || emptyOkAtSf0001(name)) None else Some(s"$name: 0 rows")
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("; "))
