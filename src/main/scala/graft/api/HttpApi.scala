@@ -185,8 +185,18 @@ final class HttpApi(
     * launching further slice jobs, and closes — the reference's
     * newest-first early-exit walk: a needle query over 30 days that
     * fills its limit from the first day never touches the other 29.
+    *
+    * `groupOf`/`groupBudgets`: PER-GROUP budgets for heterogeneous
+    * responses (the mixed raw+metric multi routes): frames map to a
+    * group id; a group with a budget early-exits independently — its
+    * remaining frames are skipped and their in-flight prefetch jobs
+    * cancelled — while other groups keep streaming. A group without a
+    * budget (the metric section) is unbounded. The legacy `rowBudget`
+    * is group 0's budget (every frame defaults to group 0).
     */
-  private def sseSlices(ex: HttpExchange, rowBudget: Option[Int] = None)(
+  private def sseSlices(ex: HttpExchange, rowBudget: Option[Int] = None,
+      groupOf: Int => Int = _ => 0,
+      groupBudgets: Map[Int, Int] = Map.empty)(
       mk: Seq[() => DataFrame]): Unit = {
     val dfs = mk.map(_.apply()) // force query build; handle() maps throw -> 400
     val h = ex.getResponseHeaders
@@ -231,7 +241,11 @@ final class HttpApi(
         val futs = new Array[java.util.concurrent.Future[Array[String]]](dfs.size)
         val tag = s"graft-sse-${java.util.UUID.randomUUID()}"
         sliceFuts = futs; sliceTag = tag
-        def submit(i: Int): Unit = if (i < dfs.size && futs(i) == null)
+        val budgets = scala.collection.mutable.Map[Int, Int]() ++ groupBudgets
+        rowBudget.foreach(b => budgets(0) = b)
+        def remaining(g: Int): Int = budgets.getOrElse(g, Int.MaxValue)
+        def submit(i: Int): Unit = if (i < dfs.size && futs(i) == null &&
+            remaining(groupOf(i)) > 0)
           futs(i) = HttpApi.slicePool.submit(
             new java.util.concurrent.Callable[Array[String]] {
               override def call(): Array[String] = {
@@ -247,29 +261,42 @@ final class HttpApi(
               }
             })
         (0 until math.min(HttpApi.SlicePrefetch, dfs.size)).foreach(submit)
-        var remaining = rowBudget.getOrElse(Int.MaxValue)
         var i = 0
-        while (i < dfs.length && remaining > 0) {
-          submit(i)
-          submit(i + HttpApi.SlicePrefetch)
-          // unwrap the executor's ExecutionException: the done-error event
-          // should carry the Spark failure, not the wrapper
-          val rows =
-            try futs(i).get()
-            catch {
-              case e: java.util.concurrent.ExecutionException =>
-                throw Option(e.getCause).getOrElse(e)
+        while (i < dfs.length) {
+          val g = groupOf(i)
+          if (remaining(g) <= 0) {
+            // this group's budget is spent: skip the frame and cancel any
+            // prefetch already in flight for it; other groups keep going
+            val f = futs(i)
+            if (f != null && !f.isDone) {
+              f.cancel(true)
+              try dfs(i).sparkSession.sparkContext
+                .cancelJobGroupAndFutureJobs(s"$tag-$i")
+              catch { case _: Throwable => () }
             }
-          futs(i) = null // free the slice as soon as it is streamed
-          val take = math.min(rows.length, remaining)
-          var r = 0
-          while (r < take) {
-            batch += rows(r)
-            if (batch.size >= sseBatchRows) flushBatch()
-            r += 1
+            futs(i) = null
+          } else {
+            submit(i)
+            submit(i + HttpApi.SlicePrefetch)
+            // unwrap the executor's ExecutionException: the done-error
+            // event should carry the Spark failure, not the wrapper
+            val rows =
+              try futs(i).get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            futs(i) = null // free the slice as soon as it is streamed
+            val take = math.min(rows.length, remaining(g))
+            var r = 0
+            while (r < take) {
+              batch += rows(r)
+              if (batch.size >= sseBatchRows) flushBatch()
+              r += 1
+            }
+            if (budgets.contains(g)) budgets(g) = remaining(g) - take
+            flushBatch() // slice boundary: emit what this slice produced
           }
-          remaining -= take
-          flushBatch() // slice boundary: emit what this slice produced
           i += 1
         }
       }
@@ -441,6 +468,65 @@ final class HttpApi(
         """"multi":true,"tagged":true,"multi_mixed":true}""")
   }
 
+  /** panel tag for raw rows, FRAME-resolved (bare col(name) would trip
+    * the function-name trap Compiler.rawQuery documents — a label named
+    * `user` resolves to current_user()) and collision-safe: a pipeline
+    * that extracts a label literally named `alias` keeps its data under
+    * `alias__col` so the row JSON never carries duplicate keys
+    */
+  private def tagAlias(alias: String, df: DataFrame): DataFrame = {
+    val base =
+      if (df.columns.contains("alias")) df.withColumnRenamed("alias", "alias__col")
+      else df
+    base.select(org.apache.spark.sql.functions.lit(alias).as("alias") +:
+      base.columns.toSeq.map(base(_)): _*)
+  }
+
+  /** The mixed raw+metric multi-panel evaluator shared by the logs and
+    * spans routes (SpanSegments delegates its whole LogQL lifecycle to
+    * LogSegments, so ONE implementation serves both — the same
+    * drift-hazard rule as LogSegments.multiShared): metric panels share
+    * ONE materialized pass, sliced on long ranges; each RAW panel rides
+    * the same day-sliced walk as the single-query route with ITS OWN
+    * row budget (newest-first when descending), so a limited raw panel
+    * early-exits after ~a day of scan instead of scanning and sorting
+    * the full window — and both sections stream in one SSE response
+    * (the reference evaluates each request query independently,
+    * queryapi/querier.go:441).
+    */
+  private def serveLogStyleMulti(ex: HttpExchange, dir: String,
+      exprs: Seq[(String, String)], qp: QueryParams, org: Option[String],
+      limit: Int, desc: Boolean, fields: Seq[String]): Unit = {
+    val (raw, metric) = exprs.partition(x => LogSegments.isRaw(x._2))
+    val metricFrames: Seq[() => DataFrame] =
+      if (metric.isEmpty) Nil
+      else {
+        val slices = MetricSegments.slicePlan(qp)
+        if (slices.size <= 1)
+          Seq(() => LogSegments.queryMultiTagged(spark, dir, metric, qp, org))
+        else LogSegments.queryMultiTaggedSliced(spark, dir, metric, qp,
+          slices, org)
+      }
+    val rawSlices = LogSegments.slicePlanRaw(qp)
+    val rawGroups: Seq[Seq[() => DataFrame]] = raw.map { case (alias, rq) =>
+      LogSegments.querySliced(spark, dir, rq,
+        if (desc) rawSlices.reverse else rawSlices,
+        limit = limit, desc = desc, fields = fields, org = org)
+        .map(mkDf => () => tagAlias(alias, mkDf()))
+    }
+    // raw panel k = budget group k+1 (group 0, the metric section, is
+    // unbounded); each group's budget is the raw `limit`, so the SSE
+    // layer trims and early-exits per panel exactly like the single-q
+    // route's rowBudget
+    val perGroup = math.max(1, rawSlices.size)
+    val groupOf: Int => Int = i =>
+      if (i < metricFrames.size) 0
+      else 1 + (i - metricFrames.size) / perGroup
+    sseSlices(ex, groupOf = groupOf,
+      groupBudgets = raw.indices.map(k => (k + 1) -> limit).toMap)(
+      metricFrames ++ rawGroups.flatten)
+  }
+
   handle("/api/v1/metrics/query") { ex =>
     val p = params(ex)
     val (s, e) = tsRange(p)
@@ -514,30 +600,8 @@ final class HttpApi(
     // tagged grid rows first, raw rows after.
     val extraLq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
     if (extraLq.nonEmpty) {
-      val exprs = ("value" -> q) +: extraLq
-      val (raw, metric) = exprs.partition(x => LogSegments.isRaw(x._2))
-      // metric panels: long ranges stream slice-by-slice over ONE shared
-      // materialized scan (metric-style panels slice exactly; the step
-      // grid matches the metrics route's policy)
-      val metricFrames: Seq[() => DataFrame] =
-        if (metric.isEmpty) Nil
-        else {
-          val slices = MetricSegments.slicePlan(qp)
-          if (slices.size <= 1)
-            Seq(() => LogSegments.queryMultiTagged(spark, dir, metric, qp,
-              p.get("org")))
-          else LogSegments.queryMultiTaggedSliced(
-            spark, dir, metric, qp, slices, p.get("org"))
-        }
-      val rawFrames: Seq[() => DataFrame] = raw.map { case (alias, rq) =>
-        () => {
-          val out = LogSegments.query(spark, dir, rq, qp, limit = limit,
-            desc = desc, fields = fields, org = p.get("org"))
-          out.select(org.apache.spark.sql.functions.lit(alias).as("alias") +:
-            out.columns.toSeq.map(col): _*)
-        }
-      }
-      sseSlices(ex)(metricFrames ++ rawFrames)
+      serveLogStyleMulti(ex, dir, ("value" -> q) +: extraLq, qp,
+        p.get("org"), limit, desc, fields)
     } else {
       // long-range RAW queries stream day-sliced in emit order with a
       // global row budget (early exit once the limit fills — the
@@ -562,33 +626,16 @@ final class HttpApi(
     val (s, e) = tsRange(p)
     val qp = StepPolicy.paramsFor(s, e)
     val dir = needDir(spansDir, "spans")
-    // mixed raw+metric panels, same contract as the logs route: raw span
-    // panels ride the single-query path with `limit` applied (previously
-    // ignored on the multi path), metric panels share one pass
+    // mixed raw+metric panels, same contract (and same code) as the logs
+    // route: raw span panels ride the day-sliced budgeted walk with
+    // limit/order/fields applied, metric panels share one pass
     val extraSq = (2 to 9).flatMap(i => p.get(s"q$i").map(v => s"value$i" -> v))
     if (extraSq.nonEmpty) {
-      val exprs = ("value" -> need(p, "q")) +: extraSq
-      val (raw, metric) = exprs.partition(x => LogSegments.isRaw(x._2))
-      val metricFrames: Seq[() => DataFrame] =
-        if (metric.isEmpty) Nil
-        else {
-          val slices = MetricSegments.slicePlan(qp)
-          if (slices.size <= 1)
-            Seq(() => SpanSegments.queryMultiTagged(spark, dir, metric, qp,
-              p.get("org")))
-          else SpanSegments.queryMultiTaggedSliced(
-            spark, dir, metric, qp, slices, p.get("org"))
-        }
-      val spanLimit = p.get("limit").map(_.toInt).getOrElse(1000)
-      val rawFrames: Seq[() => DataFrame] = raw.map { case (alias, rq) =>
-        () => {
-          val out = SpanSegments.query(spark, dir, rq, qp, limit = spanLimit,
-            org = p.get("org"))
-          out.select(org.apache.spark.sql.functions.lit(alias).as("alias") +:
-            out.columns.toSeq.map(col): _*)
-        }
-      }
-      sseSlices(ex)(metricFrames ++ rawFrames)
+      serveLogStyleMulti(ex, dir, ("value" -> need(p, "q")) +: extraSq, qp,
+        p.get("org"),
+        limit = p.get("limit").map(_.toInt).getOrElse(1000),
+        desc = p.get("order").forall(_ != "asc"),
+        fields = p.get("fields").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     } else
       sse(ex)(SpanSegments.query(spark, dir, need(p, "q"),
         qp, limit = p.get("limit").map(_.toInt).getOrElse(1000),

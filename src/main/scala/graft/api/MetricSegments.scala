@@ -60,16 +60,9 @@ object MetricSegments {
     val fwd = es.map(Ast.forwardMs).max
     // Pin evaluation is STEP-ALIGNED — the pin timestamp aligns DOWN to
     // the evaluation step and reads one step-wide bucket — and the
-    // effective step at a pinned leaf is NOT always the query step: a
-    // selector sub-step (`m[..:2h]`) or an enclosing expression
-    // subquery's step replaces it (`(m @ ts)[6h:2h]` aligns by 2 h).
-    // The alignment slack must therefore be the MAX step reachable in
-    // the expression set, not `stepMs` (caught by the r16 containment
-    // property before it shipped).
-    def allNodes(e: Expr): Seq[Expr] = e +: Ast.children(e).flatMap(allNodes)
-    val sels = es.flatMap(Ast.selectors)
-    val subSteps = es.flatMap(allNodes).collect { case s: Subquery => s.stepMs }
-    val maxStep = ((stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
+    // effective step at a pinned leaf is NOT always the query step
+    // ([[Ast.maxStepMs]]: `(m @ ts)[6h:2h]` aligns by 2 h).
+    val maxStep = Ast.maxStepMs(es, stepMs)
     // a `@ start()` / `@ end()` pin evaluates the one step-wide bucket
     // CONTAINING its bound: for a step-aligned end (the normal case —
     // StepPolicy.paramsFor aligns), that bucket is [endMs, endMs+step),
@@ -79,7 +72,8 @@ object MetricSegments {
     // subquery resolves against the subquery-SHIFTED bounds, which the
     // lookback/forward walkers already price into look/fwd, so the
     // shifted pin bucket stays inside the padded base window.
-    val boundPin = sels.exists(s => s.atKind == 2 || s.atKind == 3)
+    val boundPin = es.flatMap(Ast.selectors)
+      .exists(s => s.atKind == 2 || s.atKind == 3)
     val pad = if (boundPin) 2L * maxStep else 0L
     val base = col("dateint") >= StepPolicy.dateintOf(startMs - look - pad) &&
       col("dateint") <= StepPolicy.dateintOf(endMs + fwd - 1 + pad)

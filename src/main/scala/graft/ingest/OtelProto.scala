@@ -1074,8 +1074,14 @@ object OtelProto {
       col("scopeName").as("scope_name"),
       col("attrs"), col("resourceAttrs"), col("scopeAttrs")))
       .withColumn("metric_name", lit("log_events"))
-    val compat = fpcCompat.getOrElse(
+    // an explicit per-tenant request IMPLIES compat fingerprinting (the
+    // parameter exists only for it); pinning fpcCompat=false alongside
+    // it is a contradiction that must error, not silently skip the
+    // tenancy the caller asked for
+    val compat = fpcCompat.getOrElse(fpcOrgAttr.isDefined ||
       spark.conf.getOption(LogsFpcCompatKey).contains("true"))
+    require(compat || fpcOrgAttr.isEmpty,
+      "fpcOrgAttr requests per-tenant compat fingerprinting but fpcCompat is pinned false")
     if (compat) {
       val fp = fpcOrgAttr match {
         case Some(orgAttr) =>

@@ -279,4 +279,20 @@ object Ast {
       (s.atMs - s.rangeMs - math.max(0L, s.offsetMs),
         s.atMs - math.min(0L, s.offsetMs))
     }
+
+  /** The largest evaluation step reachable anywhere in the expression
+    * set — the alignment-slack unit for every time-window derivation
+    * (output grids align DOWN by the step; a pinned leaf aligns its pin
+    * down by its own evaluation step, which a selector sub-step or an
+    * enclosing subquery's step may set LARGER than the query step). ONE
+    * definition on purpose: the segment doors' dateint pruning and the
+    * tagged door's row prefilter must price identical slack, and this
+    * arithmetic has already been wrong once (the r16 containment
+    * property caught a pin slack priced from the query step alone).
+    */
+  def maxStepMs(es: Seq[Expr], stepMs: Long): Long = {
+    def allNodes(e: Expr): Seq[Expr] = e +: children(e).flatMap(allNodes)
+    val subSteps = es.flatMap(allNodes).collect { case s: Subquery => s.stepMs }
+    ((stepMs +: es.flatMap(selectors).map(_.subStepMs)) ++ subSteps).max
+  }
 }

@@ -345,9 +345,7 @@ object Engine {
     if (sels.isEmpty) return Nil
     val look = es.map(Ast.lookbackMs).max
     val fwd = es.map(Ast.forwardMs).max
-    def allNodes(e: Expr): Seq[Expr] = e +: Ast.children(e).flatMap(allNodes)
-    val subSteps = es.flatMap(allNodes).collect { case s: Subquery => s.stepMs }
-    val maxStep = ((p.stepMs +: sels.map(_.subStepMs)) ++ subSteps).max
+    val maxStep = Ast.maxStepMs(es, p.stepMs)
     val slack = look + maxStep
     sels.map { s =>
       val (lo, hi) = s.atKind match {
