@@ -388,9 +388,35 @@ final class HttpApi(
     if (fields.contains("dateint"))
       df = df.filter(col("dateint") >= StepPolicy.dateintOf(s) &&
         col("dateint") <= StepPolicy.dateintOf(e - 1))
+    // Discovery scans read the COARSEST rollup tier only: the label
+    // universe is tier-invariant (the rollup chain carries every TID —
+    // the full label set — into every coarser tier), so tag names,
+    // values, and series from the 1 h tier equal the 10 s tier's, at
+    // ~1/360th of the rows. Reading all tiers — the previous behavior —
+    // was also slightly wrong for counts: a sample was counted once per
+    // tier it appears in. At 100 TB this is the difference between an
+    // interactive tags endpoint and a full-lake scan. (`n` counts are
+    // now coarse-tier rollup row counts; discovery ranks by popularity,
+    // which the tier preserves.)
+    if (fields.contains("freq"))
+      coarsestTier(dir).foreach(t => df = df.filter(col("freq") === t))
     Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c)) d.drop(c) else d
     }
+  }
+
+  /** largest freq= partition value under `dir` (any of the layouts:
+    * freq at the top, under dateint, or under org/dateint) — a pure
+    * filesystem-metadata walk, no Spark job
+    */
+  private def coarsestTier(dir: String): Option[Long] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("freq=*", "*/freq=*", "*/*/freq=*").flatMap { pat =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, pat)))
+        .map(_.toSeq).getOrElse(Nil)
+    }.flatMap(st => st.getPath.getName.stripPrefix("freq=").toLongOption)
+      .maxOption
   }
 
   private def labelCols(df: DataFrame): Seq[String] =

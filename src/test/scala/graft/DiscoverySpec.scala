@@ -39,6 +39,45 @@ class DiscoverySpec extends AnyFunSuite {
     assert(se == Set(("x", "A", 1L), ("y", "A", 1L)))
   }
 
+  test("discovery over a multi-tier lake: the coarsest tier alone yields " +
+      "the full tag universe (HTTP scan reads ~1/Nth of the rows)") {
+    import spark.implicits._
+    // the rollup chain carries every TID — the full label set — into
+    // every coarser tier, so discovery answers are tier-invariant; the
+    // HTTP segScan exploits that by reading ONLY the coarsest tier.
+    // Build a two-tier dir and pin: (a) coarse-tier tag values == the
+    // all-tier value SET, (b) the HTTP tags/tagvalues routes answer
+    // identically to the full-scan Discovery call.
+    val day0 = 1704067200000L
+    val ev = (0 until 2000).map { i =>
+      (day0 + (i.toLong * 97000) % (2L * 86400000L), "m_disc",
+        s"svc-${i % 7}", (i % 30).toDouble)
+    }.toDF("ts_ms", "name", "attr_svc", "v")
+    val base = graft.ingest.MetricsPreAgg.preAggregate(
+      ev, col("ts_ms"), col("name"), col("v"),
+      Seq("attr_svc" -> col("attr_svc")), freqMs = 10000L, withSketch = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_disc_tiers_").toString
+    graft.ingest.Segments.writeMetricSegments(base, dir)
+    graft.ingest.Segments.writeMetricSegments(
+      graft.ingest.MetricsPreAgg.rollup(base, 3600000L), dir)
+
+    val all = spark.read.parquet(dir)
+    val coarse = all.filter(col("freq") === 3600000L)
+    def values(df: org.apache.spark.sql.DataFrame): Set[String] =
+      Discovery.tagValues(df, "attr_svc", day0, day0 + 3L * 86400000L)
+        .collect().map(_.getString(0)).toSet
+    assert(values(coarse) == values(all) && values(all).size == 7)
+
+    val api = new graft.api.HttpApi(spark, metricsDir = Some(dir)).start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${api.port}/api/v1/metrics/tagvalues?tag=attr_svc" +
+          s"&s=$day0&e=${day0 + 3L * 86400000L}")
+      val body = new String(uri.toURL.openStream().readAllBytes(), "UTF-8")
+      (0 until 7).foreach(k => assert(body.contains(s"svc-$k"), body.take(300)))
+    } finally api.stop()
+  }
+
   test("tagNames drops all-empty labels and applies the time bound") {
     import spark.implicits._
     val df = Seq((1000L, "a", ""), (99999L, "b", "late"))
