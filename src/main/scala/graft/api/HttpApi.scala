@@ -397,7 +397,10 @@ final class HttpApi(
     // tier it appears in. At 100 TB this is the difference between an
     // interactive tags endpoint and a full-lake scan. (`n` counts are
     // now coarse-tier rollup row counts; discovery ranks by popularity,
-    // which the tier preserves.)
+    // which the tier preserves.) Assumes tiers land together — the same
+    // freshness contract the QUERY path's tier selection already makes
+    // (a step mapping to the 1 h tier reads nothing from a day whose
+    // rollup hasn't run).
     if (fields.contains("freq"))
       coarsestTier(dir).foreach(t => df = df.filter(col("freq") === t))
     Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
