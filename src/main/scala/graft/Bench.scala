@@ -153,12 +153,25 @@ object Bench {
     * (host noise routinely lands min-of-2 in the 1.5-3× band; a real
     * regression survives any number of attempts). Slightly wider than the
     * flag (baseline floor 0.05 s) so near-threshold rows also converge.
+    *
+    * `inflate` (r17, VERDICT r16 #3 cost triage): the PROVISIONAL
+    * run-level contention factor computed from pass-1 results. A row
+    * whose min-of-2 sits inside the band the run-level factor already
+    * explains (warm ≤ 1.5×·b·inflate) cannot flag in this run no matter
+    * what its retries measure — the final flag threshold scales by the
+    * final factor, which the pass-1 estimate approximates from the same
+    * rows — so retrying it only burns catalog time (r16: n_retry 73 at
+    * inflation 1.24 re-ran ~25% of the catalog to confirm suppressions).
+    * Skipping those retries cannot WEAKEN flagging: fewer attempts means
+    * min-of-N can only stay equal or higher, so flags become (weakly)
+    * MORE likely, and any row past the inflated bar still retries and
+    * must survive the time-separated pass 2 to flag.
     */
   def wantsRetry(warm: Double, baseline: Option[Double], noted: Boolean,
-      absSlow: Double = 3.0): Boolean =
+      absSlow: Double = 3.0, inflate: Double = 1.0): Boolean =
     baseline match {
-      case Some(b) if b >= 0.05 => warm > b * 1.5
-      case _ => !noted && warm > absSlow
+      case Some(b) if b >= 0.05 => warm > b * 1.5 * inflate
+      case _ => !noted && warm > absSlow * inflate
     }
 
   /** Two-pass, order-decorrelated schedule — pure, so the contention
@@ -332,6 +345,13 @@ object Bench {
         "classes (3381dbc) and HEAD run statistically identical wall AND task-CPU here " +
         "(0.96-1.25s / 6.9-9.0 cpu both) — the committed 0.60s/1.64cpu baseline is a " +
         "faster-host window, not a code regression (paths untouched since)"),
+      "tq_log_fingerprint" -> ("r16 driver flag (0.597->1.373s, 2.30x, run inflation " +
+        "1.243) adjudicated r17 by same-machine A/B: pre-r16 classes (b0fc355) and HEAD " +
+        "interleaved 4 rounds measure statistically identical wall (0.89-1.12 vs " +
+        "0.92-1.08s) AND task-CPU (0.44-0.67 vs 0.46-0.65s) — the path has zero r16 " +
+        "commits and the committed 0.597s seed is a faster-host window (today's quiet " +
+        "floor is ~0.9s on BOTH class sets). Environmental; seed refreshed from the " +
+        "r17 quiet sweep. The 6 r16 suppressed rows re-measured 0.69-1.40x same window"),
       "tq_segment_roundtrip" -> "two write waves + real compaction rewrite + re-read: I/O-bound by design",
       "tq_log_roundtrip" -> "same end-to-end write/compact/read spine for logs",
       "it_stream_ingest" -> "full streaming spine: source setup, foreachBatch segment writes, commit log",
@@ -370,13 +390,35 @@ object Bench {
     val catalog = SparkEntry.queries.filter(kv => only(kv._1)).toSeq.sortBy(_._1)
     val fnMap = catalog.toMap
     val names = catalog.map(_._1)
+    // pass-1 accumulators for the PROVISIONAL inflation factor: stillSuspect
+    // fires only after pass 1 completes (twoPassSchedule contract), so by
+    // its first call these maps hold every query's min-of-2 wall and cpu —
+    // the same per-row statistic the final factor uses. Memoized: the
+    // factor is one number per run, not one per suspect.
+    val p1Wall = scala.collection.mutable.Map[String, Double]()
+    val p1Cpu = scala.collection.mutable.Map[String, Double]()
+    var provInfl = -1.0
+    def pass1Inflation(): Double = {
+      if (provInfl < 0)
+        provInfl = math.max(inflationFactor(p1Cpu.toMap, baseCpu),
+          inflationFactor(p1Wall.toMap, baseline))
+      provInfl
+    }
     val (attemptsByName, retriedNames) =
       twoPassSchedule[Either[String, (Double, Double, Long)]](
-        names, seed, n => timeOnce(fnMap(n)),
+        names, seed, n => {
+          val r = timeOnce(fnMap(n))
+          r.foreach { case (w, c, _) =>
+            p1Wall(n) = math.min(w, p1Wall.getOrElse(n, Double.MaxValue))
+            p1Cpu(n) = math.min(c, p1Cpu.getOrElse(n, Double.MaxValue))
+          }
+          r
+        },
         (n, as) => {
           val ok = as.collect { case Right(v) => v }
           ok.nonEmpty &&
-            wantsRetry(ok.map(_._1).min, baseline.get(n), notes.contains(n))
+            wantsRetry(ok.map(_._1).min, baseline.get(n), notes.contains(n),
+              inflate = pass1Inflation())
         })
     val nRetry = retriedNames.size
     val timings = names.map { name =>

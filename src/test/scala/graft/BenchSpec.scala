@@ -188,6 +188,59 @@ class BenchSpec extends AnyFunSuite {
       .contains(1.0))
   }
 
+  // ---- r17: inflation-aware retry skip (VERDICT r16 #3 cost triage) --
+  // r16's driver run re-ran ~25% of the catalog (n_retry 73) at inflation
+  // 1.24 — every one of those retries confirmed a suppression the
+  // run-level factor already explained. The retry guard now scales by the
+  // PROVISIONAL pass-1 factor: suspects inside the explained band skip
+  // pass 2; anything past the inflated bar still retries and must survive
+  // the time-separated pass to flag.
+
+  test("retry guard scales with the provisional inflation factor") {
+    // inside the explained band on a 1.25x host -> no retry burned
+    assert(!Bench.wantsRetry(1.6, Some(1.0), noted = false, inflate = 1.25))
+    // same warm on a quiet host -> still a suspect
+    assert(Bench.wantsRetry(1.6, Some(1.0), noted = false))
+    // a real regression clears the inflated bar and still retries
+    assert(Bench.wantsRetry(3.0, Some(1.0), noted = false, inflate = 1.25))
+    // the absolute-floor path scales the same way
+    assert(!Bench.wantsRetry(3.4, None, noted = false, inflate = 1.25))
+    assert(Bench.wantsRetry(5.0, None, noted = false, inflate = 1.25))
+  }
+
+  test("uniform host inflation retries ~nothing; a real regression still flags") {
+    // model a 1.6x-inflated host: EVERY attempt reads 1.6x true time;
+    // q07 additionally regressed 3x for real. Mirrors main's composition:
+    // pass-1 accumulators -> memoized provisional factor -> scaled guard.
+    val names = (0 until 25).map(i => f"q$i%02d")
+    val trueTime = names.map(n => n -> (if (n == "q07") 3.0 else 1.0)).toMap
+    val base = names.map(_ -> 1.0).toMap
+    val p1 = scala.collection.mutable.Map[String, Double]()
+    var prov = -1.0
+    def inflP1(): Double = {
+      if (prov < 0) prov = Bench.inflationFactor(p1.toMap, base)
+      prov
+    }
+    val (res, retried) = Bench.twoPassSchedule[Double](names, 42L,
+      attempt = { n =>
+        val w = trueTime(n) * 1.6
+        p1(n) = math.min(w, p1.getOrElse(n, Double.MaxValue))
+        w
+      },
+      stillSuspect = (n, as) =>
+        Bench.wantsRetry(as.min, base.get(n), noted = false, inflate = inflP1()))
+    // provisional factor = (24·1.6 + 4.8)/25 ≈ 1.73
+    assert(inflP1() > 1.6 && inflP1() < 1.85)
+    // the uniformly-inflated rows are explained by the factor: no retries
+    assert(retried == Seq("q07"), s"retried=$retried")
+    // and the real regression still flags at the final scaled threshold
+    assert(Bench.regressionFlag(res("q07").min, base.get("q07"),
+      noted = false, inflate = inflP1()).contains(1.0))
+    // old behavior for contrast: the unscaled guard would have retried all
+    names.foreach(n => assert(
+      Bench.wantsRetry(res(n).head, base.get(n), noted = false)))
+  }
+
   test("schedule is deterministic per seed and covers every query") {
     val names = (0 until 12).map(i => s"q$i")
     def order(seed: Long): Seq[String] = {
