@@ -16,6 +16,30 @@ object Discovery {
     */
   private def qcol(df: DataFrame, name: String) = graft.GraftSession.safeCol(df, name)
 
+  /** A discovery-grade segment scan, shared by the HTTP routes and the
+    * catalog oracle rows: partition keys pruned before the read (org
+    * equality, dateint range), each in-window day read from its
+    * COARSEST PRESENT rollup tier ([[TierFreshness.discoveryTierCond]]
+    * — rolled days cost ~1/360th of their rows, not-yet-rolled-up days
+    * stay visible from the finest tier that exists for them), system
+    * partition columns dropped so they never leak into the label set.
+    */
+  def segmentScan(spark: SparkSession, dir: String, startMs: Long,
+      endMs: Long, org: Option[String] = None): DataFrame = {
+    var df = spark.read.parquet(dir)
+    val fields = df.schema.fieldNames.toSet
+    for (o <- org if fields.contains("org")) df = df.filter(col("org") === o)
+    if (fields.contains("dateint"))
+      df = df.filter(col("dateint") >= StepPolicy.dateintOf(startMs) &&
+        col("dateint") <= StepPolicy.dateintOf(endMs - 1))
+    if (fields.contains("freq"))
+      TierFreshness.discoveryTierCond(spark, dir, startMs, endMs, org)
+        .foreach(c => df = df.filter(c))
+    Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c)) d.drop(c) else d
+    }
+  }
+
   /** distinct values of one tag with row counts, time-bounded */
   def tagValues(df: DataFrame, tag: String, startMs: Long, endMs: Long,
       limit: Int = 1000): DataFrame = {

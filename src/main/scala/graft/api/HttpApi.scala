@@ -61,7 +61,8 @@ final class HttpApi(
     spansDir: Option[String] = None,
     bindPort: Int = 0,
     sseBatchRows: Int = 256,
-    apiKeys: Map[String, String] = Map.empty) {
+    apiKeys: Map[String, String] = Map.empty,
+    maxSliceRows: Int = 250000) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -216,6 +217,7 @@ final class HttpApi(
     var sliceFuts: Array[java.util.concurrent.Future[Array[String]]] = null
     var sliceTag: String = null
     try {
+      var truncated = false
       val batch = new scala.collection.mutable.ArrayBuffer[String](sseBatchRows)
       def flushBatch(): Unit = if (batch.nonEmpty) {
         event(s"""{"type":"result","data":{"rows":[${batch.mkString(",")}]}}""")
@@ -238,6 +240,17 @@ final class HttpApi(
         // slices (each ~1/K of the full frame) — still far below the
         // one-shot collect the slicing replaced. Wall-clock ≈
         // max(slice) + stream time instead of Σ(slice).
+        //
+        // Per-slice HARD row cap (`maxSliceRows`, r16 VERDICT #4): raw
+        // panels are budget-bounded and metric grids are series×steps-
+        // bounded, but a pathological `by (high_card_label)` panel over a
+        // long range could otherwise collect an unbounded slice onto the
+        // driver heap where the single-frame path's toLocalIterator would
+        // not. The prefetch collects cap+1 (the limit also plans a
+        // LocalLimit, so executors stop early too); an over-cap slice
+        // streams its first cap rows and the stream closes with
+        // `"truncated":true` in the done event — the same best-effort
+        // contract as [[jsonRows]]. Untruncated streams are unchanged.
         val futs = new Array[java.util.concurrent.Future[Array[String]]](dfs.size)
         val tag = s"graft-sse-${java.util.UUID.randomUUID()}"
         sliceFuts = futs; sliceTag = tag
@@ -256,7 +269,7 @@ final class HttpApi(
                 val sc = dfs(i).sparkSession.sparkContext
                 sc.setJobGroup(s"$tag-$i", "sse slice prefetch",
                   interruptOnCancel = true)
-                try dfs(i).toJSON.collect()
+                try dfs(i).toJSON.limit(maxSliceRows + 1).collect()
                 finally sc.clearJobGroup()
               }
             })
@@ -287,7 +300,8 @@ final class HttpApi(
                   throw Option(e.getCause).getOrElse(e)
               }
             futs(i) = null // free the slice as soon as it is streamed
-            val take = math.min(rows.length, remaining(g))
+            if (rows.length > maxSliceRows) truncated = true
+            val take = math.min(math.min(rows.length, maxSliceRows), remaining(g))
             var r = 0
             while (r < take) {
               batch += rows(r)
@@ -300,7 +314,9 @@ final class HttpApi(
           i += 1
         }
       }
-      event("""{"type":"done","data":{"status":"ok"}}""")
+      event(if (truncated)
+        """{"type":"done","data":{"status":"ok","truncated":true}}"""
+      else """{"type":"done","data":{"status":"ok"}}""")
     } catch {
       case e: Throwable =>
         event(s"""{"type":"done","data":{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}}""")
@@ -378,49 +394,18 @@ final class HttpApi(
     o.getOrElse(throw new IllegalArgumentException(s"no $signal segment dir configured"))
 
   /** a discovery-grade segment scan: partition keys pruned (org equality,
-    * dateint range) before the read, system partition columns dropped
+    * dateint range) before the read, each in-window day read from its
+    * COARSEST PRESENT tier — rolled days cost ~1/360th of their rows and
+    * a day whose rollup hasn't run yet stays visible from the finest
+    * tier that exists for it (r16 VERDICT #2: the previous dir-wide
+    * coarsest-tier pin made freshly-ingested labels invisible to
+    * tags/tagvalues/series until the rollup job landed). One shared
+    * implementation with the catalog's oracle-gated discovery rows:
+    * [[Discovery.segmentScan]].
     */
   private def segScan(dir: String, s: Long, e: Long,
-      org: Option[String]): DataFrame = {
-    var df = spark.read.parquet(dir)
-    val fields = df.schema.fieldNames.toSet
-    for (o <- org if fields.contains("org")) df = df.filter(col("org") === o)
-    if (fields.contains("dateint"))
-      df = df.filter(col("dateint") >= StepPolicy.dateintOf(s) &&
-        col("dateint") <= StepPolicy.dateintOf(e - 1))
-    // Discovery scans read the COARSEST rollup tier only: the label
-    // universe is tier-invariant (the rollup chain carries every TID —
-    // the full label set — into every coarser tier), so tag names,
-    // values, and series from the 1 h tier equal the 10 s tier's, at
-    // ~1/360th of the rows. Reading all tiers — the previous behavior —
-    // was also slightly wrong for counts: a sample was counted once per
-    // tier it appears in. At 100 TB this is the difference between an
-    // interactive tags endpoint and a full-lake scan. (`n` counts are
-    // now coarse-tier rollup row counts; discovery ranks by popularity,
-    // which the tier preserves.) Assumes tiers land together — the same
-    // freshness contract the QUERY path's tier selection already makes
-    // (a step mapping to the 1 h tier reads nothing from a day whose
-    // rollup hasn't run).
-    if (fields.contains("freq"))
-      coarsestTier(dir).foreach(t => df = df.filter(col("freq") === t))
-    Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c)) d.drop(c) else d
-    }
-  }
-
-  /** largest freq= partition value under `dir` (any of the layouts:
-    * freq at the top, under dateint, or under org/dateint) — a pure
-    * filesystem-metadata walk, no Spark job
-    */
-  private def coarsestTier(dir: String): Option[Long] = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("freq=*", "*/freq=*", "*/*/freq=*").flatMap { pat =>
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, pat)))
-        .map(_.toSeq).getOrElse(Nil)
-    }.flatMap(st => st.getPath.getName.stripPrefix("freq=").toLongOption)
-      .maxOption
-  }
+      org: Option[String]): DataFrame =
+    Discovery.segmentScan(spark, dir, s, e, org)
 
   private def labelCols(df: DataFrame): Seq[String] =
     df.schema.fieldNames.filterNot(graft.logql.LogStore.systemCols.contains).toSeq
@@ -505,8 +490,15 @@ final class HttpApi(
     */
   private def tagAlias(alias: String, df: DataFrame): DataFrame = {
     val base =
-      if (df.columns.contains("alias")) df.withColumnRenamed("alias", "alias__col")
-      else df
+      if (df.columns.contains("alias")) {
+        // collision-free rename: a pipeline can extract labels named both
+        // `alias` AND `alias__col` (ADVICE r16) — a fixed target would
+        // duplicate the column and make the select ambiguous
+        val taken = df.columns.toSet
+        val target = Iterator.from(0)
+          .map(i => "alias__col" + ("_" * i)).find(!taken.contains(_)).get
+        df.withColumnRenamed("alias", target)
+      } else df
     base.select(org.apache.spark.sql.functions.lit(alias).as("alias") +:
       base.columns.toSeq.map(base(_)): _*)
   }
@@ -560,7 +552,13 @@ final class HttpApi(
     val p = params(ex)
     val (s, e) = tsRange(p)
     val dir = needDir(metricsDir, "metrics")
-    def run = MetricSegments.query(spark, dir, need(p, "q"), s, e, p.get("org"))
+    // fresh=true: opt into the tier fresh-tail union — newest
+    // not-yet-rolled-up days answered from the finest tier instead of
+    // silently missing ([[MetricSegments.tierCond]]); default keeps
+    // reference parity (one frequency per query)
+    val fresh = p.get("fresh").contains("true")
+    def run = MetricSegments.query(spark, dir, need(p, "q"), s, e, p.get("org"),
+      freshTail = fresh)
     // multi-expression request (q + q2..q9): the panels fuse onto ONE
     // pruned scan + engine pass (Engine.queryMulti — identical-selector
     // aggregations, or identical-selector/range window functions).
@@ -587,9 +585,10 @@ final class HttpApi(
         else Seq(qp)
       if (slices.size <= 1)
         sse(ex)(MetricSegments.queryMultiAt(spark, dir, exprs, qp,
-          p.get("org"), forceTagged))
+          p.get("org"), forceTagged, freshTail = fresh))
       else sseSlices(ex)(MetricSegments.queryMultiAtSliced(
-        spark, dir, exprs, qp, slices, p.get("org"), forceTagged))
+        spark, dir, exprs, qp, slices, p.get("org"), forceTagged,
+        freshTail = fresh))
     } else if (p.get("summary").contains("true"))
       sseEach(ex, "summary")(seriesSummary(run))
     else {
@@ -603,7 +602,8 @@ final class HttpApi(
         else Seq(qp)
       if (slices.size <= 1) sse(ex)(run)
       else sseSlices(ex)(
-        MetricSegments.queryAtSliced(spark, dir, q, qp, slices, p.get("org")))
+        MetricSegments.queryAtSliced(spark, dir, q, qp, slices, p.get("org"),
+          freshTail = fresh))
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.promql._
 
@@ -83,6 +83,24 @@ object MetricSegments {
     }
   }
 
+  /** The tier condition every door scans with. Default: the classic
+    * `freq = tierFor(step)` equality (reference parity — its segment
+    * lookup keys one frequency, queryapi/metrics_evaluator.go:505-509,
+    * and its event-driven rollups keep that tier minutes-fresh). With
+    * `freshTail = true` (opt-in — graft's rollups are job-driven, so a
+    * lagging rollup would otherwise silently DROP the newest days from a
+    * long-range query): the tier below its day-granular high-water mark
+    * unioned with the finest tier past it
+    * ([[TierFreshness.queryTierCond]]); the engine's associative step
+    * bucketing makes the union answer equal a completed rollup's. One
+    * filesystem-metadata glob, no extra Spark job.
+    */
+  private def tierCond(spark: SparkSession, segDir: String, stepMs: Long,
+      org: Option[String], freshTail: Boolean): Column =
+    if (freshTail)
+      TierFreshness.queryTierCond(spark, segDir, StepPolicy.tierFor(stepMs), org)
+    else col("freq") === StepPolicy.tierFor(stepMs)
+
   /** per-selector fingerprint requirement: the metric name is an
     * exact-indexed dimension (reference prunes metric segments on exactly
     * this); conservative like the log side — a file is excluded only when
@@ -131,8 +149,10 @@ object MetricSegments {
     * contain any selected metric are pruned before the tier scan.
     */
   def query(spark: SparkSession, segDir: String, promql: String,
-      startMs: Long, endMs: Long, org: Option[String] = None): DataFrame =
-    queryAt(spark, segDir, promql, StepPolicy.paramsFor(startMs, endMs), org)
+      startMs: Long, endMs: Long, org: Option[String] = None,
+      freshTail: Boolean = false): DataFrame =
+    queryAt(spark, segDir, promql, StepPolicy.paramsFor(startMs, endMs), org,
+      freshTail)
 
   /** [[query]] with an externally-fixed grid — the time-sliced SSE path's
     * slice evaluator: `p` comes from the FULL query span (its step and
@@ -144,12 +164,13 @@ object MetricSegments {
     * (`start()`/`end()`/a literal ts) reads outside the slice.
     */
   def queryAt(spark: SparkSession, segDir: String, promql: String,
-      p: QueryParams, org: Option[String] = None): DataFrame = {
+      p: QueryParams, org: Option[String] = None,
+      freshTail: Boolean = false): DataFrame = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
     val excluded = excludedForExpr(spark, segDir, e)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
+      .filter(tierCond(spark, segDir, p.stepMs, org, freshTail) &&
         dateintCond(Seq(e), p.startMs, p.endMs, p.stepMs))
     // tenant isolation: org leads the partition layout, so this equality
     // prunes every other tenant's directories (three-key pruning)
@@ -170,12 +191,13 @@ object MetricSegments {
     */
   def queryAtSliced(spark: SparkSession, segDir: String, promql: String,
       full: QueryParams, slices: Seq[QueryParams],
-      org: Option[String] = None): Seq[() => DataFrame] = {
+      org: Option[String] = None,
+      freshTail: Boolean = false): Seq[() => DataFrame] = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
     val excluded = excludedForExpr(spark, segDir, e)
     val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(col("freq") === StepPolicy.tierFor(full.stepMs))
+      .filter(tierCond(spark, segDir, full.stepMs, org, freshTail))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     slices.map { sp => () =>
       val scan = base.filter(dateintCond(Seq(e), sp.startMs, sp.endMs, sp.stepMs))
@@ -206,13 +228,14 @@ object MetricSegments {
     */
   def queryMultiAt(spark: SparkSession, segDir: String,
       exprs: Seq[(String, String)], p: QueryParams,
-      org: Option[String] = None, forceTagged: Boolean = false): DataFrame = {
+      org: Option[String] = None, forceTagged: Boolean = false,
+      freshTail: Boolean = false): DataFrame = {
     require(exprs.nonEmpty, "queryMultiAt needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
     val excluded = excludedForExprs(spark, segDir, parsed)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(col("freq") === StepPolicy.tierFor(p.stepMs) &&
+      .filter(tierCond(spark, segDir, p.stepMs, org, freshTail) &&
         dateintCond(parsed, p.startMs, p.endMs, p.stepMs))
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
     val store = storeFrom(scan)
@@ -246,13 +269,14 @@ object MetricSegments {
       exprs: Seq[(String, String)], full: QueryParams,
       slices: Seq[QueryParams],
       org: Option[String] = None,
-      forceTagged: Boolean = false): Seq[() => DataFrame] = {
+      forceTagged: Boolean = false,
+      freshTail: Boolean = false): Seq[() => DataFrame] = {
     require(exprs.nonEmpty, "queryMultiAtSliced needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
     val excluded = excludedForExprs(spark, segDir, parsed)
     val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(col("freq") === StepPolicy.tierFor(full.stepMs) &&
+      .filter(tierCond(spark, segDir, full.stepMs, org, freshTail) &&
         dateintCond(parsed, full.startMs, full.endMs, full.stepMs))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     val shared = MetricStore(graft.GraftSession.materialize(storeFrom(base).df))

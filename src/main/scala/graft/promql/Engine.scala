@@ -314,13 +314,18 @@ object Engine {
     *    possibly subquery-shifted bounds, so they carry doubled slack.
     * Every window is a conservative SUPERSET of what the panel's engine
     * pass re-filters exactly, so results are unchanged — the union only
-    * bounds the materialized block set. Returns None when the set has
-    * no selectors (scalar-only panels: nothing to bound, nothing read).
+    * bounds the materialized block set. A set with NO selectors
+    * (scalar-only panels — `time()`, `vector(1)`, arithmetic) never
+    * reads a store row: every such node evaluates on a spark.range
+    * grid, so the prefilter is `false` — the shared pass materializes
+    * an empty relation instead of the entire unfiltered tier store
+    * (ADVICE r16: returning None here meant a full-tier scan for
+    * panels that never touch a row).
     */
   private[graft] def multiPrefilter(es: Seq[Expr],
       p: QueryParams): Option[Column] = {
     val ws = selectorWindows(es, p)
-    if (ws.isEmpty) return None
+    if (ws.isEmpty) return Some(lit(false))
     val conds = ws.map { case (metric, lo, hi) =>
       val metricCond: Column =
         if (metric.nonEmpty) col("metric_name") === metric else lit(true)

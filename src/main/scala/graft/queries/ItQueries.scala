@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.api.{MetricSegments, StepPolicy}
+import graft.api.{Discovery, MetricSegments, StepPolicy}
 import graft.ingest.{MetricsPreAgg, Segments}
 import graft.model.Tables
 import graft.promql.{Engine, MetricStore}
@@ -35,6 +35,9 @@ object ItQueries extends Catalog {
   // defaults point at the official correctness SF so an out-of-order render
   // (oracle before query) still names the right run
   @volatile private var segRootCur: String = s"$tmpRoot/graft_it_segments_sf0.01"
+  @volatile private var freshRootCur: String = s"$tmpRoot/graft_it_fresh_sf0.01"
+  /** start of the newest (un-rolled-up) day of the fresh-tier fixture */
+  private val FreshB = End - 86400000L
   @volatile private var unionRootCur: String = s"$tmpRoot/graft_it_union_sf0.01"
   @volatile private var logSegRootCur: String = s"$tmpRoot/graft_it_logseg_sf0.01"
 
@@ -90,6 +93,37 @@ object ItQueries extends Catalog {
         freqMs = 60000L, withSketch = false)
       Segments.writeMetricSegments(a, dir)
       Segments.writeMetricSegments(b, dir)
+      true
+    })
+    dir
+  }
+
+  /** A rollup-LAGGED two-tier store: the 10 s base tier covers the whole
+    * window, the 3600 s rollup tier STOPS one day short — the newest day
+    * exists only at 10 s, exactly the state a job-driven rollup chain
+    * leaves a live lake in between runs. Gates the r17 freshness
+    * contract on both consumers: the query door's opt-in fresh-tail
+    * union ([[MetricSegments]] `freshTail`,
+    * [[graft.api.TierFreshness.queryTierCond]]) and discovery's
+    * per-dateint coarsest-present tier plan
+    * ([[graft.api.Discovery.segmentScan]]).
+    */
+  private def ensureFreshSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_fresh_${tag(d)}"
+    freshRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      val ev = Tables.events(s, d)
+        .filter(col("ts_ms") >= Start - 86400000L && col("ts_ms") < End)
+      val base = MetricsPreAgg.preAggregate(
+        ev, col("ts_ms"), lit("events_value"), col("value"),
+        Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+        withSketch = false)
+      Segments.writeMetricSegments(base, dir)
+      // rollup lag: the hourly tier only below the fresh-day boundary
+      Segments.writeMetricSegments(
+        MetricsPreAgg.rollup(base.filter(col("chq_timestamp") < FreshB),
+          3600000L), dir)
       true
     })
     dir
@@ -223,6 +257,71 @@ object ItQueries extends Catalog {
                          hive_partitioning=1)
        WHERE chq_timestamp >= $Start AND chq_timestamp < ${Start + HourMs}
        GROUP BY 1, 2"""
+
+  /** The tier-freshness contract end-to-end (r16 VERDICT next-round #3):
+    * the 14 d span picks the hourly step and tier, but the hourly rollup
+    * STOPS one day short of the window — with `freshTail = true` the
+    * door unions the tier scan with the 10 s base tier past the
+    * high-water mark ([[graft.api.TierFreshness.queryTierCond]]), so the
+    * newest day's buckets come back instead of silently missing. The
+    * oracle reads the SAME two disjoint tier slices; the engine's
+    * associative bucket aggregation makes the union equal a completed
+    * rollup's answer.
+    */
+  private def tierFresh(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFreshSegments(s, d)
+    val p = StepPolicy.paramsFor(Start, End)
+    require(p.stepMs == HourMs, s"14d span must select the hourly step, got ${p.stepMs}")
+    MetricSegments.query(s, dir, "sum by (attr_event_type) (events_value)",
+      Start, End, freshTail = true)
+      .withColumn("value", cents(col("value"), 100))
+  }
+
+  private def tierFreshSql(dir: String): String =
+    s"""WITH rows AS (
+       SELECT chq_timestamp, attr_event_type, chq_rollup_sum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp < $FreshB
+       UNION ALL
+       SELECT chq_timestamp, attr_event_type, chq_rollup_sum
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $FreshB)
+     SELECT chq_timestamp - chq_timestamp % $HourMs AS ts, attr_event_type,
+            CAST(round(sum(chq_rollup_sum) * 100, 0) AS BIGINT) / 100.0 AS value
+     FROM rows
+     WHERE chq_timestamp >= $Start AND chq_timestamp < $End
+     GROUP BY 1, 2"""
+
+  /** Discovery freshness over the SAME lagged store (r16 VERDICT #2):
+    * tag values through [[Discovery.segmentScan]]'s per-dateint
+    * coarsest-present tier plan — rolled days from the hourly tier, the
+    * un-rolled fresh day from the 10 s tier it still lives in. The
+    * oracle replays exactly that union; `n` counts are tier-row counts
+    * per the discovery contract (popularity ranking).
+    */
+  private def freshTagValues(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFreshSegments(s, d)
+    Discovery.tagValues(
+      Discovery.segmentScan(s, dir, Start, End), "attr_event_type", Start, End)
+  }
+
+  private def freshTagValuesSql(dir: String): String =
+    s"""WITH rows AS (
+       SELECT chq_timestamp, attr_event_type
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       UNION ALL
+       SELECT chq_timestamp, attr_event_type
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $FreshB)
+     SELECT attr_event_type AS tag_value, CAST(count(*) AS BIGINT) AS n
+     FROM rows
+     WHERE chq_timestamp >= $Start AND chq_timestamp < $End
+       AND attr_event_type IS NOT NULL AND attr_event_type <> ''
+     GROUP BY 1 ORDER BY n DESC, tag_value ASC LIMIT 1000"""
 
   /** query across two segments with disjoint attr_* sets: mergeSchema
     * union-by-name with NULL fill, matcher on a label only one batch
@@ -1364,6 +1463,8 @@ object ItQueries extends Catalog {
     Q("it_seg_multi_pin", segMultiPin, Some(segMultiPinSql(segRootCur))),
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
+    Q("it_tier_fresh", tierFresh, Some(tierFreshSql(freshRootCur))),
+    Q("td_fresh_tag_values", freshTagValues, Some(freshTagValuesSql(freshRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),
     Q("it_stream_rollup", streamRollup, Some(streamRollupSql(streamRollupDirCur))),

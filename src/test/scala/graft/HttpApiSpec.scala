@@ -376,6 +376,52 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metrics SSE: per-slice prefetch collect is hard-capped on the " +
+      "driver; over-cap streams flag truncation (r16 VERDICT #4)") {
+    // an adversarial high-cardinality `by` panel over a long range: each
+    // slice's grid (series × steps) far exceeds a tiny cap. The prefetch
+    // must collect at most cap+1 rows per slice (bounded driver heap, no
+    // matter the panel), stream the first cap, and close with
+    // "truncated":true — the jsonRows best-effort contract. A roomy cap
+    // on the same query stays untruncated and complete.
+    val cap = 5
+    val api = new HttpApi(spark, metricsDir = Some(metricDir),
+      maxSliceRows = cap).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val ev = graft.model.Tables.events(spark, sf)
+        .agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (s, e) = (ev.getLong(0), ev.getLong(1) + 1)
+      val q = "sum by (attr_event_type) (events_value)"
+      val slices = graft.api.MetricSegments
+        .slicePlan(graft.api.StepPolicy.paramsFor(s, e))
+      assert(slices.size >= 2, s"span should slice: ${slices.size}")
+      val (code, body) = get(base, s"/api/v1/metrics/query?q=${enc(q)}&s=$s&e=$e")
+      assert(code == 200, body.take(300))
+      assert(body.contains(""""status":"ok","truncated":true"""), body.take(400))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val nRows = body.linesIterator.filter(_.startsWith("data: "))
+        .map(_.stripPrefix("data: "))
+        .filter(_.startsWith("""{"type":"result""""))
+        .map(evt => om.readTree(evt).get("data").get("rows").size).sum
+      assert(nRows <= slices.size * cap, s"$nRows rows past the cap")
+      assert(nRows > 0)
+    } finally api.stop()
+    // roomy cap: same query, complete and untruncated
+    val api2 = new HttpApi(spark, metricsDir = Some(metricDir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api2.port}"
+      val ev = graft.model.Tables.events(spark, sf)
+        .agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (s, e) = (ev.getLong(0), ev.getLong(1) + 1)
+      val q = "sum by (attr_event_type) (events_value)"
+      val (code, body) = get(base, s"/api/v1/metrics/query?q=${enc(q)}&s=$s&e=$e")
+      assert(code == 200 && body.contains("""{"type":"done","data":{"status":"ok"}}"""),
+        body.takeRight(300))
+      assert(!body.contains("truncated"), body.takeRight(300))
+    } finally api2.stop()
+  }
+
   test("metrics SSE: multi-panel long range streams slice-by-slice over one shared scan") {
     val api = new HttpApi(spark, metricsDir = Some(metricDir)).start()
     try {

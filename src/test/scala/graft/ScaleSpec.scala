@@ -304,10 +304,22 @@ class ScaleSpec extends AnyFunSuite {
     // sanity: the windows are supersets of what each panel re-filters —
     // the pinned panel's full answer survives the union
     assert(Ast.pinWindowsMs(es(2)) == Seq((pinMs, pinMs)))
-    // scalar-only sets have nothing to bound (and nothing to read)
-    assert(Engine.multiPrefilter(
+    // scalar-only sets never read a store row: the prefilter is `false`
+    // (the shared pass materializes an EMPTY relation, not the whole
+    // unfiltered tier store — ADVICE r16)
+    val scalarPre = Engine.multiPrefilter(
       Seq(Parser.parse("1 + 2").fold(e => fail(e), identity)),
-      QueryParams(start, end, step)).isEmpty)
+      QueryParams(start, end, step))
+      .getOrElse(fail("scalar-only set must yield the false prefilter"))
+    assert(rows.filter(scalarPre).isEmpty)
+    // and the tagged door still answers scalar panels off the grid
+    val scalarOut = Engine.queryMultiTagged(Seq("value" -> "1 + 2"),
+      graft.promql.MetricStore(rows.withColumn("chq_rollup_sum", lit(1.0))
+        .withColumn("chq_rollup_count", lit(1.0))
+        .withColumn("chq_rollup_min", lit(1.0))
+        .withColumn("chq_rollup_max", lit(1.0))),
+      QueryParams(start, start + 4 * step, step))
+    assert(scalarOut.filter(col("value") === 3.0).count() == 4)
   }
 
   test("hot-bucket caps keep dedup linear on a 100k-doc boilerplate-heavy corpus") {

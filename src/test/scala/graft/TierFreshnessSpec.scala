@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.{MetricSegments, StepPolicy, TierFreshness}
+import graft.ingest.{MetricsPreAgg, Segments}
+
+/** Gates on the r17 tier-freshness contract (r16 VERDICT #2 and
+  * next-round #3): a job-driven rollup chain leaves a live lake with
+  * days the base tier has and a coarser tier does not yet —
+  *
+  *  - the query door's opt-in `freshTail` union must return those days
+  *    (and return EXACTLY what a completed rollup would: disjoint
+  *    branches, no double counting);
+  *  - discovery's per-dateint tier plan must keep labels in un-rolled
+  *    days visible while rolled days still read the cheap coarse tier.
+  */
+class TierFreshnessSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Day = 86400000L
+  private val Day0 = 1704067200000L // 2024-01-01T00:00:00Z
+
+  /** synthetic 5-day metric events: 4 series, one sample/10 min each */
+  private def events5d = {
+    import spark.implicits._
+    (0 until 5 * 144).flatMap { slot =>
+      (0 until 4).map { k =>
+        (Day0 + slot * 600000L, s"svc-$k", (slot % 30 + k).toDouble)
+      }
+    }.toDF("ts_ms", "attr_svc", "v")
+  }
+
+  private def preAgg(df: org.apache.spark.sql.DataFrame) =
+    MetricsPreAgg.preAggregate(df, col("ts_ms"), lit("m_fresh"), col("v"),
+      Seq("attr_svc" -> col("attr_svc")), freqMs = 10000L, withSketch = false)
+
+  test("dayEndMs is the exclusive, bucket-aligned coverage bound") {
+    assert(TierFreshness.dayEndMs(20240101) == Day0 + Day)
+    assert(TierFreshness.dayEndMs(20231231) == Day0)
+    // every rollup tier divides the day, so the bound splits no bucket
+    graft.ingest.MetricsPreAgg.RollupChainMs.foreach(t =>
+      assert(TierFreshness.dayEndMs(20240105) % t == 0L, s"tier $t"))
+  }
+
+  test("freshTail: the un-rolled newest day comes back, exactly as a " +
+      "completed rollup would have answered it") {
+    val base = preAgg(events5d)
+    // lagged store: 10s everywhere, hourly rollup STOPS before day 4
+    val lagged = java.nio.file.Files
+      .createTempDirectory("graft_fresh_lag_").toString
+    Segments.writeMetricSegments(base, lagged)
+    Segments.writeMetricSegments(
+      MetricsPreAgg.rollup(base.filter(col("chq_timestamp") < Day0 + 4 * Day),
+        3600000L), lagged)
+    // settled store: the same data with the rollup complete
+    val settled = java.nio.file.Files
+      .createTempDirectory("graft_fresh_set_").toString
+    Segments.writeMetricSegments(base, settled)
+    Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), settled)
+
+    val (s, e) = (Day0, Day0 + 5 * Day)
+    val q = "sum by (attr_svc) (m_fresh)"
+    require(StepPolicy.paramsFor(s, e).stepMs == 3600000L)
+    def grid(dir: String, fresh: Boolean): Map[(Long, String), Double] =
+      MetricSegments.query(spark, dir, q, s, e, freshTail = fresh)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          math.rint(r.getDouble(2) * 1e6) / 1e6).toMap
+
+    val want = grid(settled, fresh = false) // reference answer
+    assert(want.keys.map(_._1).max >= Day0 + 4 * Day, "day 4 in reference")
+    // the default tier read silently stops at the rollup high-water mark
+    val stale = grid(lagged, fresh = false)
+    assert(stale.nonEmpty && stale.keys.map(_._1).max < Day0 + 4 * Day,
+      "default path must expose the lag this suite exists to bound")
+    // the fresh-tail union restores the newest day — and NOTHING else
+    // changes: disjoint branches mean no bucket is double-counted
+    assert(grid(lagged, fresh = true) == want)
+  }
+
+  test("freshTail on a settled store is a no-op; absent rollup reads the base") {
+    val base = preAgg(events5d)
+    val settled = java.nio.file.Files
+      .createTempDirectory("graft_fresh_noop_").toString
+    Segments.writeMetricSegments(base, settled)
+    Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), settled)
+    val (s, e) = (Day0, Day0 + 5 * Day)
+    val q = "sum by (attr_svc) (rate(m_fresh[2h]))"
+    val a = MetricSegments.query(spark, settled, q, s, e)
+      .collect().map(_.toString).sorted
+    val b = MetricSegments.query(spark, settled, q, s, e, freshTail = true)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && (a sameElements b))
+
+    // rollup never ran at all: the whole scan is the fresh tail
+    val baseOnly = java.nio.file.Files
+      .createTempDirectory("graft_fresh_only_").toString
+    Segments.writeMetricSegments(base, baseOnly)
+    assert(MetricSegments.query(spark, baseOnly, q, s, e).isEmpty,
+      "default path reads the absent tier")
+    assert(MetricSegments.query(spark, baseOnly, q, s, e, freshTail = true)
+      .count() > 0)
+  }
+
+  test("discovery tier plan: per-dateint coarsest-present, gap days " +
+      "included, one tier per day") {
+    val base = preAgg(events5d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fresh_disc_").toString
+    Segments.writeMetricSegments(base, dir)
+    // rollup covers days 0,1,3 — day 2 is a MID-WINDOW gap (partial
+    // rollup), day 4 is the fresh tail; both must stay visible
+    Segments.writeMetricSegments(
+      MetricsPreAgg.rollup(base.filter(
+        col("chq_timestamp") < Day0 + 2 * Day ||
+          (col("chq_timestamp") >= Day0 + 3 * Day &&
+            col("chq_timestamp") < Day0 + 4 * Day)), 3600000L), dir)
+
+    val cond = TierFreshness.discoveryTierCond(spark, dir, Day0, Day0 + 5 * Day)
+      .getOrElse(fail("two-tier store must yield a tier plan"))
+    val kept = spark.read.parquet(dir).filter(cond)
+      .select(col("dateint"), col("freq").cast("long")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(kept == Set(
+      (20240101, 3600000L), (20240102, 3600000L), (20240104, 3600000L),
+      (20240103, 10000L), (20240105, 10000L)), s"kept=$kept")
+
+    // window scoping: a plan for days 0-1 only must not mention day 4's
+    // fine tier (the old dir-wide coarsest pin was window-blind)
+    val cond01 = TierFreshness
+      .discoveryTierCond(spark, dir, Day0, Day0 + 2 * Day).get
+    val kept01 = spark.read.parquet(dir).filter(cond01)
+      .select(col("freq").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(kept01 == Set(3600000L), s"kept01=$kept01")
+  }
+
+  test("tier plan is org-scoped: one tenant's rollup lag cannot widen or " +
+      "stale another tenant's plan") {
+    val base = preAgg(events5d.filter(col("ts_ms") < Day0 + 2 * Day))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fresh_org_").toString
+    // org=a fully rolled; org=b base-only (its rollup job hasn't run)
+    Segments.writeMetricSegments(base, dir, org = Some("a"))
+    Segments.writeMetricSegments(
+      MetricsPreAgg.rollup(base, 3600000L), dir, org = Some("a"))
+    Segments.writeMetricSegments(base, dir, org = Some("b"))
+
+    val pa = TierFreshness.tierPartitions(spark, dir, Some("a"))
+    val pb = TierFreshness.tierPartitions(spark, dir, Some("b"))
+    assert(pa.map(_._2).toSet == Set(10000L, 3600000L))
+    assert(pb.map(_._2).toSet == Set(10000L))
+    // org a's discovery plan reads coarse only; org b's falls back to base
+    val ca = TierFreshness
+      .discoveryTierCond(spark, dir, Day0, Day0 + 2 * Day, Some("a")).get
+    val keptA = spark.read.parquet(dir)
+      .filter(col("org") === "a" && ca)
+      .select(col("freq").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(keptA == Set(3600000L))
+    val cb = TierFreshness
+      .discoveryTierCond(spark, dir, Day0, Day0 + 2 * Day, Some("b")).get
+    val keptB = spark.read.parquet(dir)
+      .filter(col("org") === "b" && cb)
+      .select(col("freq").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(10000L))
+  }
+}
