@@ -559,19 +559,39 @@ object FingerprintIndex {
     */
   val indexReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Balanced boolean fold: `reduce(_ || _)` nests N-deep and every
+    * Column-tree walker (the Column→Expression converter first) recurses
+    * per node, so an OR-set of ~1000+ requirements — a real exemplar
+    * pivot's trace-id list at lake scale — StackOverflowed the PLANNER
+    * before any data was touched (found by the r17 sf1 sweep). Pairwise
+    * grouping keeps the tree log₂(N) deep: 5000 terms nest 13 levels.
+    */
+  private def balanced(cs: Seq[Column],
+      op: (Column, Column) => Column): Column = {
+    var cur = cs.toIndexedSeq
+    while (cur.size > 1)
+      cur = cur.grouped(2)
+        .map(g => if (g.size == 2) op(g(0), g(1)) else g(0)).toIndexedSeq
+    cur.head
+  }
+
   /** Column twin of [[canMatch]]: the requirement tree evaluated over a
     * per-file hit ARRAY, so tree evaluation runs inside the executors and
-    * only decided FILE PATHS ever reach the driver.
+    * only decided FILE PATHS ever reach the driver. All folds are
+    * [[balanced]] — tree depth is log₂(children), never children.
     */
   private[graft] def canMatchCol(have: Column, n: ReqNode): Column = n match {
     case Requirement(f, fps, guarded) =>
-      val all = fps.map(fp => array_contains(have, lit(fp)))
-        .reduceOption(_ && _).getOrElse(lit(true))
+      val all =
+        if (fps.isEmpty) lit(true)
+        else balanced(fps.map(fp => array_contains(have, lit(fp))), _ && _)
       if (guarded) !array_contains(have, lit(sentinelFp(f))) || all else all
     case ReqAnd(cs) =>
-      cs.map(canMatchCol(have, _)).reduceOption(_ && _).getOrElse(lit(true))
+      if (cs.isEmpty) lit(true)
+      else balanced(cs.map(canMatchCol(have, _)), _ && _)
     case ReqOr(cs) =>
-      if (cs.isEmpty) lit(true) else cs.map(canMatchCol(have, _)).reduce(_ || _)
+      if (cs.isEmpty) lit(true)
+      else balanced(cs.map(canMatchCol(have, _)), _ || _)
   }
 
   /** The exclusion computation as a DataFrame — single column `file`, one
@@ -600,7 +620,7 @@ object FingerprintIndex {
       .groupBy(col("file"))
       .agg(collect_set(col("fingerprint")).as("fps"))
     // excluded ⇔ indexed (file marker present) ∧ NO leaf tree can match
-    val excluded = trees.map(t => !canMatchCol(col("fps"), t)).reduce(_ && _)
+    val excluded = balanced(trees.map(t => !canMatchCol(col("fps"), t)), _ && _)
     Some(hits
       .filter(array_contains(col("fps"), lit(fileMarker)) && excluded)
       .select(col("file")))

@@ -96,6 +96,33 @@ class FingerprintIndexSpec extends AnyFunSuite {
       .rlike("^(?:rare-svc|absent-svc)$")).count() == expect && expect > 0)
   }
 
+  test("a 5000-wide OR-set plans log-depth: no planner stack overflow, " +
+      "pruning still exact (r17 sf1 find)") {
+    // the r17 sf1 sweep crashed it_exemplar_trace before any data was
+    // touched: canMatchCol left-folded a ~1100-id trace OR-set into a
+    // ~1100-deep Column chain and the Column→Expression converter
+    // StackOverflowed. A real exemplar pivot at lake scale carries
+    // thousands of ids; the balanced fold keeps depth at log₂(N).
+    val dir = freshDir()
+    Segments.writeLogSegments(mkLogs(3000, "w"), dir, maxRecordsPerFile = 400)
+    FI.buildLogIndex(spark, dir)
+    // 4999 absent values + the one rare service: the OR-set must still
+    // prune to the rare service's day and keep its files
+    val ids = (0 until 4999).map(i => s"no-such-svc-$i") :+ "rare-svc"
+    val req = FI.ReqOr(ids.map(t => FI.Requirement("resource_service_name",
+      Seq(FI.existsFp("resource_service_name"),
+        FI.fingerprint("resource_service_name", t)), guarded = false)))
+    val excluded = FI.excludedForTrees(spark, dir, Seq(req))
+    val pruned = FI.prunedRead(spark, dir, excluded)
+    val read = pruned.inputFiles.map(FI.normPath).toSet
+    assert(read.nonEmpty && read.size < files(dir).size)
+    assert(read.forall(_.contains("dateint=20240103")), read.take(3))
+    val expect = spark.read.parquet(dir)
+      .filter(col("resource_service_name") === "rare-svc").count()
+    assert(pruned.filter(col("resource_service_name") === "rare-svc")
+      .count() == expect && expect > 0)
+  }
+
   test("regex line filter prunes through body literal runs") {
     val dir = freshDir()
     Segments.writeLogSegments(mkLogs(3000, "i"), dir, maxRecordsPerFile = 400)

@@ -158,6 +158,22 @@ class PlanSpec extends AnyFunSuite {
       s"tier selection missing from partition filters: $scanSection")
   }
 
+  test("freshTail union scan still partition-prunes (freq disjunction + dateint)") {
+    // the freshness fallback unions two tiers behind an OR that mixes
+    // partition (freq, dateint) and data (chq_timestamp) columns — the
+    // scan must still carry partition filters on BOTH keys (Catalyst
+    // extracts the weakened partition-only disjunction), or the fallback
+    // would silently turn a one-tier read into a full-lake scan
+    val p = plan("it_tier_fresh")
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    val scanSection = p.substring(p.indexOf("PartitionFilters"))
+      .takeWhile(_ != '\n')
+    assert(scanSection.contains("freq") && scanSection.contains("dateint"),
+      s"partition filters incomplete: $scanSection")
+    assert(scanSection.contains("3600000") && scanSection.contains("10000"),
+      s"both tier branches must reach the partition filters: $scanSection")
+  }
+
   test("multi-tenant query prunes ALL THREE partition keys (org + dateint + freq)") {
     // one segment dir, two tenants: the org_a query's scan must carry
     // partition filters on org (tenant isolation), dateint (time), and
