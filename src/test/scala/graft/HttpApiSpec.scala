@@ -376,6 +376,49 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metrics query route: fresh=true serves the not-yet-rolled-up tail " +
+      "through SSE; default keeps the one-tier contract") {
+    // lagged store: 10s base for 5 days, hourly rollup stops before day 4
+    val day0 = 1704067200000L
+    val day = 86400000L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_http_fresh_").toString
+    val ev = {
+      import spark.implicits._
+      (0 until 5 * 24).map(h =>
+        (day0 + h * 3600000L + 7000L, "a", 2.0)).toDF("ts_ms", "attr_k", "v")
+    }
+    val base = graft.ingest.MetricsPreAgg.preAggregate(
+      ev, col("ts_ms"), lit("m_http_fresh"), col("v"),
+      Seq("attr_k" -> col("attr_k")), freqMs = 10000L, withSketch = false)
+    graft.ingest.Segments.writeMetricSegments(base, dir)
+    graft.ingest.Segments.writeMetricSegments(
+      graft.ingest.MetricsPreAgg.rollup(
+        base.filter(col("chq_timestamp") < day0 + 4 * day), 3600000L), dir)
+    val api = new HttpApi(spark, metricsDir = Some(dir)).start()
+    try {
+      val baseUrl = s"http://127.0.0.1:${api.port}"
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def maxTs(extra: String): Long = {
+        val (code, body) = get(baseUrl,
+          s"/api/v1/metrics/query?q=${enc("sum(m_http_fresh)")}" +
+            s"&s=$day0&e=${day0 + 5 * day}$extra")
+        assert(code == 200 && body.contains("\"status\":\"ok\""), body.take(300))
+        body.linesIterator.filter(_.startsWith("data: "))
+          .map(_.stripPrefix("data: "))
+          .filter(_.startsWith("""{"type":"result""""))
+          .flatMap { evt =>
+            val rows = om.readTree(evt).get("data").get("rows")
+            (0 until rows.size).map(i => rows.get(i).get("ts").asLong)
+          }.max
+      }
+      // default: the newest day is silently absent (reference parity)
+      assert(maxTs("") < day0 + 4 * day)
+      // fresh=true: the 10s tail fills it in
+      assert(maxTs("&fresh=true") >= day0 + 4 * day)
+    } finally api.stop()
+  }
+
   test("metrics SSE: per-slice prefetch collect is hard-capped on the " +
       "driver; over-cap streams flag truncation (r16 VERDICT #4)") {
     // an adversarial high-cardinality `by` panel over a long range: each
