@@ -73,7 +73,18 @@ object Bench {
     * volatileRows admission stays reserved for rows that PROVABLY swing
     * ≳2x under identical code.
     */
-  val volatileRows: Set[String] = Set("pp_simhash_pairs", "pp_dedup_apply")
+  /** r17 admission: pp_semantic_dedup (the round's one driver-run flag,
+    * 0.549→0.867 at a 1.57 inflated bar) — same-machine A/B of pre-r16
+    * classes (b0fc355) vs HEAD, 4 interleaved isolated rounds: HEAD
+    * 1.60-2.07 s, PRE 1.65-3.12 s wall (overlapping, HEAD if anything
+    * faster) at statistically identical task-CPU (~0.4-0.7 s both) —
+    * identical code PROVABLY swings ≳2x on this row (cluster-local
+    * cosine pass: iterative k-means jobs, wall dominated by straggler
+    * scheduling at ~0.5 s CPU over 32 cores). The 0.549 committed seed
+    * was a faster-window sample of that band.
+    */
+  val volatileRows: Set[String] =
+    Set("pp_simhash_pairs", "pp_dedup_apply", "pp_semantic_dedup")
 
   def regressionFlag(warm: Double, baseline: Option[Double],
       noted: Boolean, absSlow: Double = 3.0,
