@@ -47,17 +47,20 @@ import org.apache.spark.sql.functions.col
 object TierFreshness {
 
   /** every (dateint, freqMs) partition pair under `dir`, from one
-    * filesystem glob per supported layout depth (freq under dateint at
-    * the top, or under a leading org= key). When `org` is given and the
-    * layout carries an org key, only that tenant's partitions count —
-    * the tier plan must not let one tenant's rollup lag change another's
-    * scan (ADVICE r16: the old dir-wide coarsest-tier glob ignored org).
+    * filesystem glob per supported layout depth: `dateint=/freq=` at the
+    * top, or under ONE leading partition key — `org=` (multi-tenant
+    * stores) or `ingest_batch=` (the streaming writer's exactly-once
+    * per-batch dirs). When `org` is given, another tenant's `org=`
+    * partitions never count — the tier plan must not let one tenant's
+    * rollup lag change another's scan (ADVICE r16: the old dir-wide
+    * coarsest-tier glob ignored org); non-org leading keys (batch dirs)
+    * always count.
     */
   def tierPartitions(spark: SparkSession, dir: String,
       org: Option[String] = None): Seq[(Int, Long)] = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def pairsFor(pat: String): Seq[(Int, Long)] =
+    def pairsFor(pat: String): Seq[(Path, Int, Long)] =
       Option(fs.globStatus(new Path(base, pat)))
         .map(_.toSeq).getOrElse(Nil)
         .flatMap { st =>
@@ -65,14 +68,14 @@ object TierFreshness {
           for {
             f <- p.getName.stripPrefix("freq=").toLongOption
             d <- p.getParent.getName.stripPrefix("dateint=").toIntOption
-          } yield (d, f)
+          } yield (p, d, f)
         }
     val flat = pairsFor("dateint=*/freq=*")
-    val scoped = org match {
-      case Some(o) => pairsFor(s"org=$o/dateint=*/freq=*")
-      case None    => pairsFor("org=*/dateint=*/freq=*")
+    val nested = pairsFor("*/dateint=*/freq=*").filter { case (p, _, _) =>
+      val mid = p.getParent.getParent.getName
+      !mid.startsWith("org=") || org.forall(o => mid == s"org=$o")
     }
-    (flat ++ scoped).distinct
+    (flat ++ nested).map { case (_, d, f) => (d, f) }.distinct
   }
 
   /** UTC epoch-ms start of the day AFTER `dateint` — the exclusive
@@ -83,6 +86,52 @@ object TierFreshness {
   def dayEndMs(dateint: Int): Long =
     java.time.LocalDate.of(dateint / 10000, dateint / 100 % 100, dateint % 100)
       .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+
+  // ------------------------------------------------------ explicit watermark
+  // The partition-derived bound above is DAY-granular: a tier with any
+  // partition for a day is assumed current for the whole day. That holds
+  // for this repo's rollup paths (both rebuild whole (tier, day) units),
+  // but a rollup job that knows exactly how far it has rolled can do
+  // better — the reference's analog is the rollup processor's own
+  // progress state (metric_rollup_processor.go:571-708 works off
+  // registered-segment watermarks). `writeWatermark(dir, t, W)` records
+  // "tier t reflects every base row with ts < W" in a tiny sidecar file
+  // (`_graft_watermarks/freq=<t>`, monotonic max, one small overwrite —
+  // last-writer-wins is safe for a monotonic value, S3 included). When
+  // present, the doors split at W instead of the day bound, so a
+  // half-rolled day serves its rolled half from the tier and its fresh
+  // half from the base tier.
+
+  private def watermarkPath(dir: String, freqMs: Long): Path =
+    new Path(dir, s"_graft_watermarks/freq=$freqMs")
+
+  /** record that tier `freqMs` reflects every base row with
+    * `chq_timestamp < uptoMs` (monotonic: an older claim never regresses
+    * a newer one)
+    */
+  def writeWatermark(spark: SparkSession, dir: String, freqMs: Long,
+      uptoMs: Long): Unit = {
+    val p = watermarkPath(dir, freqMs)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readWatermark(spark, dir, freqMs).forall(_ < uptoMs)) {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(uptoMs.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** the tier's recorded exclusive rolled-through bound, if any job wrote one */
+  def readWatermark(spark: SparkSession, dir: String,
+      freqMs: Long): Option[Long] = {
+    val p = watermarkPath(dir, freqMs)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+      finally in.close()
+    }
+  }
 
   /** The discovery-scan tier condition for the window [sMs, eMs): per
     * dateint in-window, read the COARSEST tier present for that dateint.
@@ -100,8 +149,24 @@ object TierFreshness {
     val parts = tierPartitions(spark, dir, org)
       .filter { case (d, _) => d >= dLo && d <= dHi }
     if (parts.isEmpty) return None
-    // per-dateint coarsest tier, then group dateints by chosen tier
-    val chosen = parts.groupBy(_._1).map { case (d, ps) => (d, ps.map(_._2).max) }
+    // per-dateint coarsest ELIGIBLE tier: a tier with an explicit
+    // watermark qualifies for a day only when the watermark covers the
+    // WHOLE day (a half-rolled day would otherwise hide its fresh half's
+    // labels); without a watermark, partition presence is the day-granular
+    // claim (this repo's rollup paths write whole days). The finest tier
+    // present always qualifies — it IS the data. A day whose coarse
+    // watermark stops mid-day falls back to a finer tier entirely: a few
+    // extra rows for one day, zero intra-day seams, zero double counting.
+    val tiers = parts.map(_._2).distinct
+    val wm: Map[Long, Option[Long]] =
+      tiers.map(t => t -> readWatermark(spark, dir, t)).toMap
+    val chosen = parts.groupBy(_._1).map { case (d, ps) =>
+      val present = ps.map(_._2)
+      val finest = present.min
+      val eligible = present.filter(t =>
+        t == finest || wm(t).forall(_ >= dayEndMs(d)))
+      (d, eligible.max)
+    }
     val byTier = chosen.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toSeq
       .sortBy(-_._1)
     val conds = byTier.map { case (t, ds) =>
@@ -136,10 +201,18 @@ object TierFreshness {
         // scan is the fresh tail
         col("freq") === fine
       case Some(hwmDate) =>
-        val b = dayEndMs(hwmDate)
+        // explicit rolled-through watermark (written by the rollup job)
+        // refines the bound to intra-day; taking the MIN with the
+        // partition-derived day bound is always safe — a smaller bound
+        // only moves rows from the (aggregated) tier branch to the
+        // (source-of-truth) base branch. Floor to the tier so no bucket
+        // straddles the seam.
+        val dayB = dayEndMs(hwmDate)
+        val b = readWatermark(spark, dir, tierMs)
+          .map(w => math.min(w - w % tierMs, dayB)).getOrElse(dayB)
         plain && col("chq_timestamp") < b ||
           (col("freq") === fine && col("chq_timestamp") >= b &&
-            col("dateint") > hwmDate)
+            col("dateint") >= StepPolicy.dateintOf(b))
     }
   }
 }

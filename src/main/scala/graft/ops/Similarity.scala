@@ -594,12 +594,32 @@ object Similarity {
     val (fs, metaP) = fsPath(spark, s"$dir/meta.json")
     if (!fs.exists(metaP)) 0L
     else {
-      val in = fs.open(metaP)
-      val txt = try {
-        val bs = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 8192, false)
-        bs.toString("UTF-8")
-      } finally in.close()
+      // The pointer flip renames .meta.json.tmp over meta.json — atomic
+      // for the DATA file on every FS — but Hadoop's local ChecksumFs
+      // moves the data file and its .crc sidecar in TWO steps, so a
+      // reader landing inside that window verifies new bytes against the
+      // old checksum and throws ChecksumException (caught live by the
+      // StreamingSpec concurrent re-cluster test). The window is
+      // microseconds and self-heals on the next open; retry a few times
+      // before surfacing. S3A/HDFS have no sidecar — the retry never
+      // fires there.
+      var attempt = 0
+      var txt: String = null
+      while (txt == null) {
+        try {
+          val in = fs.open(metaP)
+          txt = try {
+            val bs = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 8192, false)
+            bs.toString("UTF-8")
+          } finally in.close()
+        } catch {
+          case e: org.apache.hadoop.fs.ChecksumException =>
+            attempt += 1
+            if (attempt > 5) throw e
+            Thread.sleep(10L * attempt)
+        }
+      }
       "\"generation\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong).getOrElse(0L)
     }

@@ -36,8 +36,12 @@ object ItQueries extends Catalog {
   // (oracle before query) still names the right run
   @volatile private var segRootCur: String = s"$tmpRoot/graft_it_segments_sf0.01"
   @volatile private var freshRootCur: String = s"$tmpRoot/graft_it_fresh_sf0.01"
+  @volatile private var intraRootCur: String = s"$tmpRoot/graft_it_intra_sf0.01"
   /** start of the newest (un-rolled-up) day of the fresh-tier fixture */
   private val FreshB = End - 86400000L
+  /** intraday fixture: 5-day window, hourly rollup through 4.5 days */
+  private val IntraEnd = Start + 5L * 86400000L
+  private val IntraB = Start + 4L * 86400000L + 12L * HourMs
   @volatile private var unionRootCur: String = s"$tmpRoot/graft_it_union_sf0.01"
   @volatile private var logSegRootCur: String = s"$tmpRoot/graft_it_logseg_sf0.01"
 
@@ -124,6 +128,35 @@ object ItQueries extends Catalog {
       Segments.writeMetricSegments(
         MetricsPreAgg.rollup(base.filter(col("chq_timestamp") < FreshB),
           3600000L), dir)
+      true
+    })
+    dir
+  }
+
+  /** A HALF-ROLLED-day store with an explicit rolled-through watermark:
+    * the hourly rollup covers 4.5 of the window's 5 days — partitions
+    * EXIST for the boundary day, so the partition-derived day-granular
+    * bound alone would claim it covered and drop its fresh half — and
+    * the rollup job recorded `writeWatermark(3600000, IntraB)` the way
+    * the streaming rebuild does after every batch. The doors must split
+    * at the watermark, not the day.
+    */
+  private def ensureIntradaySegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_intra_${tag(d)}"
+    intraRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      val ev = Tables.events(s, d)
+        .filter(col("ts_ms") >= Start - 86400000L && col("ts_ms") < IntraEnd)
+      val base = MetricsPreAgg.preAggregate(
+        ev, col("ts_ms"), lit("events_value"), col("value"),
+        Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+        withSketch = false)
+      Segments.writeMetricSegments(base, dir)
+      Segments.writeMetricSegments(
+        MetricsPreAgg.rollup(base.filter(col("chq_timestamp") < IntraB),
+          3600000L), dir)
+      graft.api.TierFreshness.writeWatermark(s, dir, 3600000L, IntraB)
       true
     })
     dir
@@ -292,6 +325,40 @@ object ItQueries extends Catalog {
             CAST(round(sum(chq_rollup_sum) * 100, 0) AS BIGINT) / 100.0 AS value
      FROM rows
      WHERE chq_timestamp >= $Start AND chq_timestamp < $End
+     GROUP BY 1, 2"""
+
+  /** The INTRA-DAY freshness refinement (r17): same contract as
+    * [[tierFresh]] but the rollup stops MID-day and the store carries
+    * the rollup job's explicit rolled-through watermark
+    * ([[graft.api.TierFreshness.writeWatermark]], stamped by the
+    * streaming rebuild after every batch). The partition-derived day
+    * bound alone would claim the boundary day covered (its partitions
+    * exist) and silently drop its fresh half; the door splits at the
+    * watermark instead — rolled half from the hourly tier, fresh half
+    * from the 10 s base — and the oracle reads the same two slices.
+    */
+  private def tierFreshIntraday(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIntradaySegments(s, d)
+    MetricSegments.query(s, dir, "sum by (attr_event_type) (events_value)",
+      Start, IntraEnd, freshTail = true)
+      .withColumn("value", cents(col("value"), 100))
+  }
+
+  private def tierFreshIntradaySql(dir: String): String =
+    s"""WITH rows AS (
+       SELECT chq_timestamp, attr_event_type, chq_rollup_sum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp < $IntraB
+       UNION ALL
+       SELECT chq_timestamp, attr_event_type, chq_rollup_sum
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp >= $IntraB)
+     SELECT chq_timestamp - chq_timestamp % $HourMs AS ts, attr_event_type,
+            CAST(round(sum(chq_rollup_sum) * 100, 0) AS BIGINT) / 100.0 AS value
+     FROM rows
+     WHERE chq_timestamp >= $Start AND chq_timestamp < $IntraEnd
      GROUP BY 1, 2"""
 
   /** Discovery freshness over the SAME lagged store (r16 VERDICT #2):
@@ -1464,6 +1531,8 @@ object ItQueries extends Catalog {
     Q("it_seg_limitk", segLimitk, Some(segLimitkSql(segRootCur))),
     Q("it_seg_bucket10s", segBucket10s, Some(segBucket10sSql(segRootCur))),
     Q("it_tier_fresh", tierFresh, Some(tierFreshSql(freshRootCur))),
+    Q("it_tier_fresh_intraday", tierFreshIntraday,
+      Some(tierFreshIntradaySql(intraRootCur))),
     Q("td_fresh_tag_values", freshTagValues, Some(freshTagValuesSql(freshRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),

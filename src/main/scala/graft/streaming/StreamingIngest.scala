@@ -91,11 +91,12 @@ object StreamingIngest {
             // re-registers its rewritten files; stale rows are lossless)
             if (indexAfterBatch)
               graft.ingest.FingerprintIndex.indexNewFiles(spark, segDir)
-            maintainRollups(spark, cooked, segDir, rollupTiers, baseFreqMs)
             // coalesce: an all-null chq_timestamp batch must not NPE after
             // segments were written but before the commit record lands
             val maxTs = cooked.agg(coalesce(max(col("chq_timestamp")), lit(-1L)))
               .head().getLong(0)
+            maintainRollups(spark, cooked, segDir, rollupTiers, baseFreqMs,
+              maxTs)
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(commitDir, f"batch_$batchId%09d.json"),
               s"""{"batch_id":$batchId,"rows":$n,"max_ts":$maxTs}""")
@@ -124,7 +125,8 @@ object StreamingIngest {
     * crash/replay interleaving.
     */
   private def maintainRollups(spark: SparkSession, cooked: DataFrame,
-      segDir: String, rollupTiers: Seq[Long], baseFreqMs: Long): Unit =
+      segDir: String, rollupTiers: Seq[Long], baseFreqMs: Long,
+      batchMaxTs: Long): Unit =
     if (rollupTiers.nonEmpty) {
       val days = cooked
         .select(graft.ingest.Segments.dateint(col("chq_timestamp")).as("d"))
@@ -140,6 +142,15 @@ object StreamingIngest {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         graft.ingest.Segments.writeMetricSegments(rolled, dir)
       }
+      // the rebuild loop re-rolled every day this batch touched from the
+      // just-landed base tier, so each tier now reflects every base row
+      // with ts <= batchMaxTs — record the rolled-through watermark the
+      // query/discovery doors refine their freshness bound with
+      // ([[graft.api.TierFreshness]]). Monotonic write: an out-of-order
+      // (all-late-data) batch never regresses the claim.
+      if (batchMaxTs >= 0)
+        rollupTiers.foreach(t => graft.api.TierFreshness
+          .writeWatermark(spark, segDir, t, batchMaxTs + 1))
     }
 
   /** run a stream from a parquet directory to completion (AvailableNow),

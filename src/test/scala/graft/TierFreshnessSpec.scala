@@ -134,6 +134,69 @@ class TierFreshnessSpec extends AnyFunSuite {
     assert(kept01 == Set(3600000L), s"kept01=$kept01")
   }
 
+  test("explicit watermark refines the bound to intra-day; monotonic; " +
+      "day-granular fallback unchanged without it") {
+    val base = preAgg(events5d)
+    val halfDay = Day0 + 4 * Day + 12 * 3600000L // rollup through day 4, noon
+    val lagged = java.nio.file.Files
+      .createTempDirectory("graft_fresh_intra_").toString
+    Segments.writeMetricSegments(base, lagged)
+    Segments.writeMetricSegments(
+      MetricsPreAgg.rollup(base.filter(col("chq_timestamp") < halfDay),
+        3600000L), lagged)
+    val settled = java.nio.file.Files
+      .createTempDirectory("graft_fresh_intra_set_").toString
+    Segments.writeMetricSegments(base, settled)
+    Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), settled)
+
+    val (s, e) = (Day0, Day0 + 5 * Day)
+    val q = "sum by (attr_svc) (m_fresh)"
+    def grid(dir: String): Map[(Long, String), Double] =
+      MetricSegments.query(spark, dir, q, s, e, freshTail = true)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          math.rint(r.getDouble(2) * 1e6) / 1e6).toMap
+    val want = grid(settled)
+
+    // WITHOUT a watermark: day 4 has rollup partitions, so the
+    // day-granular bound claims it covered — the fresh afternoon is
+    // silently absent (exactly the refinement gap the watermark closes)
+    assert(grid(lagged).keys.map(_._1).max < halfDay)
+
+    // the rollup job records how far it actually rolled → exact again
+    TierFreshness.writeWatermark(spark, lagged, 3600000L, halfDay)
+    assert(TierFreshness.readWatermark(spark, lagged, 3600000L)
+      .contains(halfDay))
+    assert(grid(lagged) == want)
+
+    // monotonic: a replayed/older claim never regresses the bound
+    TierFreshness.writeWatermark(spark, lagged, 3600000L, halfDay - Day)
+    assert(TierFreshness.readWatermark(spark, lagged, 3600000L)
+      .contains(halfDay))
+
+    // discovery: the half-rolled boundary day is no longer eligible for
+    // the coarse tier — it falls back to the base tier ENTIRELY (no
+    // intra-day seams), while fully-covered days keep the coarse scan
+    val cond = TierFreshness.discoveryTierCond(spark, lagged, s, e).get
+    val kept = spark.read.parquet(lagged).filter(cond)
+      .select(col("dateint"), col("freq").cast("long")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(kept == Set(
+      (20240101, 3600000L), (20240102, 3600000L), (20240103, 3600000L),
+      (20240104, 3600000L), (20240105, 10000L)), s"kept=$kept")
+  }
+
+  test("tierPartitions sees the streaming writer's ingest_batch layout") {
+    val base = preAgg(events5d.filter(col("ts_ms") < Day0 + Day))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fresh_batch_").toString
+    Segments.writeMetricSegments(base, s"$dir/ingest_batch=0")
+    Segments.writeMetricSegments(
+      MetricsPreAgg.rollup(base, 3600000L), s"$dir/ingest_batch=rollup-3600000-20240101")
+    val pairs = TierFreshness.tierPartitions(spark, dir)
+    assert(pairs.toSet == Set((20240101, 10000L), (20240101, 3600000L)),
+      s"pairs=$pairs")
+  }
+
   test("tier plan is org-scoped: one tenant's rollup lag cannot widen or " +
       "stale another tenant's plan") {
     val base = preAgg(events5d.filter(col("ts_ms") < Day0 + 2 * Day))
