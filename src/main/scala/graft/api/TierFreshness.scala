@@ -201,18 +201,27 @@ object TierFreshness {
         // scan is the fresh tail
         col("freq") === fine
       case Some(hwmDate) =>
-        // explicit rolled-through watermark (written by the rollup job)
-        // refines the bound to intra-day; taking the MIN with the
-        // partition-derived day bound is always safe — a smaller bound
-        // only moves rows from the (aggregated) tier branch to the
-        // (source-of-truth) base branch. Floor to the tier so no bucket
-        // straddles the seam.
-        val dayB = dayEndMs(hwmDate)
-        val b = readWatermark(spark, dir, tierMs)
-          .map(w => math.min(w - w % tierMs, dayB)).getOrElse(dayB)
+        val b = freshBoundMs(hwmDate, readWatermark(spark, dir, tierMs),
+          tierMs)
         plain && col("chq_timestamp") < b ||
           (col("freq") === fine && col("chq_timestamp") >= b &&
             col("dateint") >= StepPolicy.dateintOf(b))
     }
+  }
+
+  /** The union's split bound — PURE arithmetic so the freshness
+    * containment property (PropertySpec) can drive it against simulated
+    * rollup states without a Spark session. An explicit rolled-through
+    * watermark (written by the rollup job) refines the partition-derived
+    * day bound to intra-day; taking the MIN of the two is always safe —
+    * a smaller bound only moves rows from the (aggregated) tier branch
+    * to the (source-of-truth) base branch. Floored to the tier so no
+    * bucket straddles the seam: both operands are tier-aligned (every
+    * tier divides the day), hence so is the min.
+    */
+  def freshBoundMs(hwmDate: Int, watermark: Option[Long],
+      tierMs: Long): Long = {
+    val dayB = dayEndMs(hwmDate)
+    watermark.map(w => math.min(w - w % tierMs, dayB)).getOrElse(dayB)
   }
 }

@@ -191,6 +191,56 @@ class PropertySpec extends AnyFunSuite {
     }, n = 3000)
   }
 
+  test("tier fresh-bound containment: every sample exactly once; misses " +
+      "only in the documented un-watermarked half-day") {
+    // Simulated rollup state, replaying the door's split arithmetic
+    // (TierFreshness.freshBoundMs) against ground truth: the base tier
+    // holds EVERY sample; the coarse tier reflects exactly those with
+    // ts < C (the true rolled-through point, which only the rollup job
+    // knows); partitions — hence the day-granular bound — derive from
+    // the rolled rows; an honest watermark is any W ≤ C. The union must
+    // never count a sample twice, be EXACT whenever rollups land whole
+    // days (this repo's two rollup paths) or a watermark is recorded,
+    // and mis-serve at most the [C, dayEnd(day(C))) half-day tail when
+    // neither holds — the contract TierFreshness documents.
+    import graft.api.TierFreshness
+    val day = 86400000L
+    val day0 = 1704067200000L
+    val tiers = graft.ingest.MetricsPreAgg.RollupChainMs.filter(_ > 10000L)
+    val gen = for {
+      t <- Gen.oneOf(tiers)
+      nDays <- Gen.choose(1, 7)
+      ts <- Gen.nonEmptyListOf(Gen.choose(0L, nDays * day - 1)).map(_.map(day0 + _))
+      // true rolled-through point: day-aligned half the time (batch
+      // chain), arbitrary otherwise (mid-batch / partial)
+      dayAligned <- Gen.oneOf(true, false)
+      cRaw <- Gen.choose(0L, nDays * day)
+      c = if (dayAligned) cRaw - cRaw % day else cRaw
+      // honest watermark ≤ C, sometimes absent
+      wm <- Gen.option(Gen.choose(0L, math.max(0L, c)))
+    } yield (t, ts, day0 + c, wm.map(day0 + _), dayAligned)
+    holds(forAll(gen) { case (t, ts, c, wm, dayAligned) =>
+      val rolled = ts.filter(_ < c)
+      if (rolled.isEmpty) true // no partitions: door reads base-everything
+      else {
+        val hwmDate = graft.api.StepPolicy.dateintOf(rolled.max)
+        val b = TierFreshness.freshBoundMs(hwmDate, wm, t)
+        // a sample is served by the coarse branch iff its bucket is below
+        // the bound AND the rollup reflected it; by the base branch iff
+        // ts >= bound
+        def viaCoarse(r: Long) = (r - r % t) < b && r < c
+        def viaBase(r: Long) = r >= b
+        val dupes = ts.count(r => viaCoarse(r) && viaBase(r))
+        val missed = ts.filter(r => !viaCoarse(r) && !viaBase(r))
+        val exactExpected = dayAligned || wm.isDefined
+        dupes == 0 &&
+          (if (exactExpected) missed.isEmpty
+           else missed.forall(r => r >= c &&
+             r < TierFreshness.dayEndMs(graft.api.StepPolicy.dateintOf(c))))
+      }
+    }, n = 3000)
+  }
+
   test("LogQL parser is total: arbitrary input never throws") {
     holds(forAll(Gen.asciiPrintableStr) { s =>
       graft.logql.Parser.parseFull(s)
