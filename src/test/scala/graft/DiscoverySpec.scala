@@ -129,6 +129,33 @@ class DiscoverySpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("exotic multi-tier layout (freq without dateint): discovery pins " +
+      "the coarsest tier via the distinct-freq probe — no per-tier " +
+      "double counting (r17 ADVICE #4)") {
+    import spark.implicits._
+    // a layout tierPartitions' two globs cannot see: freq= at the top,
+    // NO dateint key. The old behavior scanned every tier unfiltered and
+    // double-counted each series per tier.
+    val day0 = 1704067200000L
+    val rows = (0 until 240).map(i =>
+      (day0 + i * 600000L, "m_x", s"svc-${i % 3}", 1.0, 10000L)) ++
+      (0 until 4).map(i =>
+        (day0 + i * 3600000L, "m_x", s"svc-${i % 3}", 60.0, 3600000L))
+    val df = rows.toDF("chq_timestamp", "metric_name", "attr_svc", "chq_rollup_sum", "f")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_disc_exotic_").toString
+    df.withColumn("freq", col("f")).drop("f")
+      .write.mode("overwrite").partitionBy("freq").parquet(dir)
+    val (scan, plan) = Discovery.segmentScanWithPlan(spark, dir, day0,
+      day0 + 86400000L)
+    // pinned to the coarsest tier: exactly the 4 hourly rows survive
+    assert(scan.count() == 4, s"got ${scan.count()} rows")
+    assert(plan.exists(_.pinned.contains(3600000L)), s"plan=$plan")
+    val tv = Discovery.tagValues(scan, "attr_svc", day0, day0 + 86400000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tv.values.sum == 4, s"tv=$tv")
+  }
+
   test("tagNames drops all-empty labels and applies the time bound") {
     import spark.implicits._
     val df = Seq((1000L, "a", ""), (99999L, "b", "late"))

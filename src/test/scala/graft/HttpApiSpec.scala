@@ -376,8 +376,9 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
-  test("metrics query route: fresh=true serves the not-yet-rolled-up tail " +
-      "through SSE; default keeps the one-tier contract") {
+  test("metrics query route: the fresh tail is DEFAULT (r18) — the "
+      + "not-yet-rolled-up day streams through SSE; fresh=false keeps the "
+      + "strict one-tier contract") {
     // lagged store: 10s base for 5 days, hourly rollup stops before day 4
     val day0 = 1704067200000L
     val day = 86400000L
@@ -412,10 +413,60 @@ class HttpApiSpec extends AnyFunSuite {
             (0 until rows.size).map(i => rows.get(i).get("ts").asLong)
           }.max
       }
-      // default: the newest day is silently absent (reference parity)
-      assert(maxTs("") < day0 + 4 * day)
-      // fresh=true: the 10s tail fills it in
+      // strict opt-out: the newest day is silently absent (the
+      // reference's literal one-frequency lookup)
+      assert(maxTs("&fresh=false") < day0 + 4 * day)
+      // default (and explicit fresh=true): the 10s tail fills it in
+      assert(maxTs("") >= day0 + 4 * day)
       assert(maxTs("&fresh=true") >= day0 + 4 * day)
+    } finally api.stop()
+  }
+
+  test("discovery annotates its tier plan: a lagged store shows the " +
+      "un-rolled day pinned to the base tier; repeated calls are LIST-free " +
+      "(r17 VERDICT next-round #3/#5)") {
+    val day0 = 1704067200000L
+    val day = 86400000L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_http_plan_").toString
+    val ev = {
+      import spark.implicits._
+      (0 until 5 * 24).map(h =>
+        (day0 + h * 3600000L + 7000L, "a", 2.0)).toDF("ts_ms", "attr_k", "v")
+    }
+    val base = graft.ingest.MetricsPreAgg.preAggregate(
+      ev, col("ts_ms"), lit("m_http_plan"), col("v"),
+      Seq("attr_k" -> col("attr_k")), freqMs = 10000L, withSketch = false)
+    graft.ingest.Segments.writeMetricSegments(base, dir)
+    graft.ingest.Segments.writeMetricSegments(
+      graft.ingest.MetricsPreAgg.rollup(
+        base.filter(col("chq_timestamp") < day0 + 4 * day), 3600000L), dir)
+    val api = new HttpApi(spark, metricsDir = Some(dir)).start()
+    try {
+      val baseUrl = s"http://127.0.0.1:${api.port}"
+      def tagvalues(): String = {
+        val (code, body) = get(baseUrl,
+          s"/api/v1/metrics/tagvalues?tag=attr_k&s=$day0&e=${day0 + 5 * day}")
+        assert(code == 200, body.take(300))
+        body
+      }
+      val body = tagvalues()
+      // the response says which tier each day was read from: the operator
+      // SEES discovery running un-rolled on the fresh day (360x the rows)
+      // instead of reverse-engineering it from latency
+      assert(body.contains("\"tier_plan\":{"), body.take(400))
+      assert(body.contains("\"20240101\":3600000"), body.take(400))
+      assert(body.contains("\"20240105\":10000"), body.take(400))
+      // tags route carries the same annotation
+      val tags = get(baseUrl,
+        s"/api/v1/metrics/tags?s=$day0&e=${day0 + 5 * day}")._2
+      assert(tags.contains("\"tier_plan\":{"), tags.take(400))
+      // repeated discovery requests must NOT re-LIST the store inside the
+      // metadata TTL — the S3 autocomplete contract
+      val n0 = graft.api.TierFreshness.metadataReadCount
+      (1 to 3).foreach(_ => tagvalues())
+      assert(graft.api.TierFreshness.metadataReadCount == n0,
+        "discovery re-listed the store on a hot cache")
     } finally api.stop()
   }
 

@@ -241,6 +241,50 @@ class PropertySpec extends AnyFunSuite {
     }, n = 3000)
   }
 
+  test("batch-maintenance watermark: W = maxRolled+1 makes the union " +
+      "EXACT at every partial-ingest point; dropping the stamp (or " +
+      "writing partial days) is detectably lossy") {
+    // Models graft.ingest.MetricsPreAgg.maintainRollupsBatch: the job
+    // rolls EVERY ingested base row (C = maxIngested + 1) and stamps
+    // W = C. Ground truth: samples keep arriving after the run. The
+    // union must serve every sample exactly once with the stamp; and if
+    // a rollup path STOPPED stamping while rolling partial days, the
+    // day-granular bound over-claims — the property asserts that loss is
+    // real (non-empty misses whenever post-C samples share C's day), so
+    // a regression of either side of the whole-day/stamp contract fails
+    // here, not in production.
+    import graft.api.TierFreshness
+    val day = 86400000L
+    val day0 = 1704067200000L
+    val tiers = graft.ingest.MetricsPreAgg.RollupChainMs.filter(_ > 10000L)
+    val gen = for {
+      t <- Gen.oneOf(tiers)
+      nDays <- Gen.choose(1, 7)
+      ts <- Gen.nonEmptyListOf(Gen.choose(0L, nDays * day - 1)).map(_.map(day0 + _))
+      ingestPoint <- Gen.choose(0L, nDays * day - 1)
+    } yield (t, ts, day0 + ingestPoint)
+    holds(forAll(gen) { case (t, ts, ip) =>
+      val rolled = ts.filter(_ <= ip)
+      if (rolled.isEmpty) true // nothing ingested at run time: no tier dirs
+      else {
+        val c = rolled.max + 1 // the batch run's claim: every row < C rolled
+        val hwmDate = graft.api.StepPolicy.dateintOf(rolled.max)
+        def served(b: Long)(r: Long): Int =
+          (if ((r - r % t) < b && r < c) 1 else 0) + (if (r >= b) 1 else 0)
+        // stamped (what maintainRollupsBatch does): exact, always
+        val bStamped = TierFreshness.freshBoundMs(hwmDate, Some(c), t)
+        val exact = ts.forall(r => served(bStamped)(r) == 1)
+        // un-stamped on the same state: the day bound over-claims C's day;
+        // any sample in [C, dayEnd(day(C))) is lost — and ONLY those
+        val bDay = TierFreshness.freshBoundMs(hwmDate, None, t)
+        val missed = ts.filter(r => served(bDay)(r) == 0)
+        val dupes = ts.count(r => served(bDay)(r) > 1)
+        val tail = ts.filter(r => r >= c && r < TierFreshness.dayEndMs(hwmDate))
+        exact && dupes == 0 && missed == tail
+      }
+    }, n = 3000)
+  }
+
   test("LogQL parser is total: arbitrary input never throws") {
     holds(forAll(Gen.asciiPrintableStr) { s =>
       graft.logql.Parser.parseFull(s)

@@ -78,7 +78,8 @@ class TierFreshnessSpec extends AnyFunSuite {
     assert(grid(lagged, fresh = true) == want)
   }
 
-  test("freshTail on a settled store is a no-op; absent rollup reads the base") {
+  test("settled-store parity: the default (fresh) door is bit-identical " +
+      "to the strict one-frequency scan; absent rollup reads the base") {
     val base = preAgg(events5d)
     val settled = java.nio.file.Files
       .createTempDirectory("graft_fresh_noop_").toString
@@ -86,20 +87,24 @@ class TierFreshnessSpec extends AnyFunSuite {
     Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), settled)
     val (s, e) = (Day0, Day0 + 5 * Day)
     val q = "sum by (attr_svc) (rate(m_fresh[2h]))"
-    val a = MetricSegments.query(spark, settled, q, s, e)
+    // r18 flipped the default to fresh: on a settled store it must equal
+    // the strict reference-parity scan exactly (the parity half of the
+    // default-flip decision, r17 VERDICT next-round #6)
+    val a = MetricSegments.query(spark, settled, q, s, e, freshTail = false)
       .collect().map(_.toString).sorted
-    val b = MetricSegments.query(spark, settled, q, s, e, freshTail = true)
+    val b = MetricSegments.query(spark, settled, q, s, e)
       .collect().map(_.toString).sorted
     assert(a.nonEmpty && (a sameElements b))
 
-    // rollup never ran at all: the whole scan is the fresh tail
+    // rollup never ran at all: the whole scan is the fresh tail under the
+    // default door; the strict opt-out keeps the reference behavior
+    // (reads the absent tier, empty)
     val baseOnly = java.nio.file.Files
       .createTempDirectory("graft_fresh_only_").toString
     Segments.writeMetricSegments(base, baseOnly)
-    assert(MetricSegments.query(spark, baseOnly, q, s, e).isEmpty,
-      "default path reads the absent tier")
-    assert(MetricSegments.query(spark, baseOnly, q, s, e, freshTail = true)
-      .count() > 0)
+    assert(MetricSegments.query(spark, baseOnly, q, s, e, freshTail = false)
+      .isEmpty, "strict opt-out reads the absent tier")
+    assert(MetricSegments.query(spark, baseOnly, q, s, e).count() > 0)
   }
 
   test("discovery tier plan: per-dateint coarsest-present, gap days " +
@@ -225,5 +230,156 @@ class TierFreshnessSpec extends AnyFunSuite {
       .filter(col("org") === "b" && cb)
       .select(col("freq").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(keptB == Set(10000L))
+  }
+
+  test("settled-store scan identity: the default (fresh) door reads ZERO " +
+      "base-tier files — the fresh branch prunes away at file listing") {
+    val base = preAgg(events5d)
+    val settled = java.nio.file.Files
+      .createTempDirectory("graft_fresh_scanid_").toString
+    Segments.writeMetricSegments(base, settled)
+    Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), settled)
+    // 14-day span → hourly step → hourly tier; the union's base branch is
+    // `dateint >= dayEnd(hwm)` — past every partition, so the DEFAULT
+    // door's physical scan is file-for-file the strict door's (the parity
+    // half of the r18 default flip: fresh costs metadata, never I/O, on a
+    // settled store). Measured with the scan's actual numFiles metric —
+    // inputFiles ignores partition pruning.
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case st: QueryStageExec => leaves(st.plan)
+        case other => other.collectLeaves().flatMap {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case st: QueryStageExec => leaves(st.plan)
+          case l => Seq(l)
+        }
+      }
+      leaves(df.queryExecution.executedPlan).collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+    }
+    val q = "sum by (attr_svc) (m_fresh)"
+    val fresh = scanFiles(
+      MetricSegments.query(spark, settled, q, Day0, Day0 + 14 * Day))
+    val strict = scanFiles(
+      MetricSegments.query(spark, settled, q, Day0, Day0 + 14 * Day,
+        freshTail = false))
+    assert(strict > 0)
+    assert(fresh == strict,
+      s"fresh default read $fresh files vs strict $strict on a settled store")
+  }
+
+  test("batch rollup maintenance: whole-(tier,day) rewrite, stamped " +
+      "watermark, gap-day crash resilience — the default door answers " +
+      "exactly like a settled store at every stage") {
+    val base = preAgg(events5d)
+    val cut = Day0 + 4 * Day + 12 * 3600000L // ingest paused mid-day-5
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_batch_maint_").toString
+    Segments.writeMetricSegments(base.filter(col("chq_timestamp") < cut), dir)
+    // r17 VERDICT #2: the batch chain must stamp the rolled-through
+    // watermark too, not just the streaming rebuild
+    MetricsPreAgg.maintainRollupsBatch(spark, dir,
+      rollupTiers = Seq(3600000L))
+    // last 10-min sample before the pause is at cut − 600 000; the claim
+    // is "every base row < maxTs + 1"
+    assert(TierFreshness.readWatermark(spark, dir, 3600000L)
+      .contains(cut - 600000L + 1L))
+
+    // late data lands on the rolled boundary day + the next day, with NO
+    // re-maintenance: the default door must still answer exactly (rolled
+    // half from the tier below the watermark, fresh tail from base)
+    Segments.writeMetricSegments(base.filter(col("chq_timestamp") >= cut), dir)
+    val settled = java.nio.file.Files
+      .createTempDirectory("graft_batch_set_").toString
+    Segments.writeMetricSegments(base, settled)
+    Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), settled)
+    // 14-day span → hourly step → the 3600000 tier the maintenance wrote
+    val (s, e) = (Day0, Day0 + 14 * Day)
+    val q = "sum by (attr_svc) (m_fresh)"
+    def grid(d: String): Map[(Long, String), Double] =
+      MetricSegments.query(spark, d, q, s, e)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          math.rint(r.getDouble(2) * 1e6) / 1e6).toMap
+    val want = grid(settled)
+    assert(want.nonEmpty && grid(dir) == want)
+
+    // crash between a tier-day delete and its rewrite leaves a MID-WINDOW
+    // gap day in the tier; the query door's gap-day branch (r17 ADVICE)
+    // serves it from the base tier — still exact
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dateint=20240102/freq=3600000"), true)
+    TierFreshness.invalidateMeta(dir) // out-of-band mutation, not a writer API
+    assert(grid(dir) == want)
+
+    // incremental catch-up re-roll: only the days >= the boundary re-roll,
+    // the gap day stays un-rolled, so the watermark must NOT advance (the
+    // claim would be false for the gap day) — yet answers stay exact
+    MetricsPreAgg.maintainRollupsBatch(spark, dir,
+      rollupTiers = Seq(3600000L), sinceDateint = Some(20240105))
+    assert(TierFreshness.readWatermark(spark, dir, 3600000L)
+      .contains(cut - 600000L + 1L), "stamp must be withheld over a gap day")
+    assert(grid(dir) == want)
+
+    // full re-maintenance heals the gap and advances the stamp to the new
+    // base high-water mark; the strict door now equals settled too
+    MetricsPreAgg.maintainRollupsBatch(spark, dir,
+      rollupTiers = Seq(3600000L))
+    val lastTs = base.agg(org.apache.spark.sql.functions.max(col("chq_timestamp")))
+      .collect()(0).getLong(0)
+    assert(TierFreshness.readWatermark(spark, dir, 3600000L)
+      .contains(lastTs + 1L))
+    val strict = MetricSegments.query(spark, dir, q, s, e, freshTail = false)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        math.rint(r.getDouble(2) * 1e6) / 1e6).toMap
+    assert(strict == want)
+  }
+
+  test("metadata cache: repeated tier plans cost zero extra filesystem " +
+      "reads inside the TTL; in-process writes invalidate; TTL=0 disables") {
+    val base = preAgg(events5d.filter(col("ts_ms") < Day0 + 2 * Day))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_meta_cache_").toString
+    Segments.writeMetricSegments(base, dir)
+    Segments.writeMetricSegments(MetricsPreAgg.rollup(base, 3600000L), dir)
+    def reads = TierFreshness.metadataReadCount
+    // cold calls list (the discovery plan also reads every tier's
+    // watermark sidecar); five hot rounds list nothing (the S3 contract:
+    // ≤ one LIST per TTL window per (dir, org), r17 VERDICT #3)
+    TierFreshness.tierPartitions(spark, dir)
+    TierFreshness.discoveryTierPlan(spark, dir, Day0, Day0 + 2 * Day)
+    val warm = reads
+    (1 to 5).foreach { _ =>
+      TierFreshness.tierPartitions(spark, dir)
+      TierFreshness.readWatermark(spark, dir, 3600000L)
+      TierFreshness.discoveryTierPlan(spark, dir, Day0, Day0 + 2 * Day)
+    }
+    assert(reads == warm, "hot metadata calls must be served from cache")
+    // an in-process segment write invalidates: the next plan re-lists and
+    // sees the new day (read-your-writes)
+    Segments.writeMetricSegments(
+      preAgg(events5d.filter(col("ts_ms") >= Day0 + 2 * Day &&
+        col("ts_ms") < Day0 + 3 * Day)), dir)
+    assert(TierFreshness.tierPartitions(spark, dir)
+      .exists(_._1 == 20240103), "write must be visible immediately")
+    assert(reads > warm)
+    // a watermark write refreshes its sidecar entry
+    TierFreshness.writeWatermark(spark, dir, 3600000L, Day0 + Day)
+    assert(TierFreshness.readWatermark(spark, dir, 3600000L)
+      .contains(Day0 + Day))
+    // TTL=0: every call re-lists (the opt-out for out-of-band writers)
+    spark.conf.set(TierFreshness.MetaTtlKey, "0")
+    try {
+      val n0 = reads
+      TierFreshness.tierPartitions(spark, dir)
+      TierFreshness.tierPartitions(spark, dir)
+      assert(reads == n0 + 4, "TTL=0 must re-glob (2 layout globs per call)")
+    } finally spark.conf.unset(TierFreshness.MetaTtlKey)
   }
 }
