@@ -330,6 +330,17 @@ object TierFreshness {
               dateintBounds.forall { case (lo, hi) => d >= lo && d <= hi } =>
             (d, ps.map(_._2).min)
         }
+        // SETTLED short-circuit: when no finer-tier partition day reaches
+        // the bound (maxFineDate < bDate ⇔ the rollup covers every base
+        // day wholly) and there are no gap days, the tail branch matches
+        // zero partitions and `ts < b` is implied for every tier row
+        // (tier days ≤ hwm < bDate; dateint derives from chq_timestamp at
+        // write) — so the fresh door IS the plain equality, plan-for-plan:
+        // the default flip costs a settled store nothing, not even the
+        // extra per-row disjunct evaluation.
+        val maxFine = parts.filter(_._2 == fine).map(_._1)
+          .maxOption.getOrElse(Int.MinValue)
+        if (gaps.isEmpty && maxFine < bDate) return plain
         val tail = plain && col("chq_timestamp") < b ||
           (col("freq") === fine && col("chq_timestamp") >= b &&
             col("dateint") >= bDate)

@@ -272,6 +272,12 @@ class TierFreshnessSpec extends AnyFunSuite {
     assert(strict > 0)
     assert(fresh == strict,
       s"fresh default read $fresh files vs strict $strict on a settled store")
+    // stronger than scan identity: the settled short-circuit makes the
+    // fresh condition LITERALLY the plain tier equality — no dead tail
+    // branch, no extra per-row disjunct evaluation
+    val cond = TierFreshness.queryTierCond(spark, settled, 3600000L)
+    assert(cond.toString == (col("freq") === 3600000L).toString,
+      s"settled store must short-circuit to the plain equality: $cond")
   }
 
   test("batch rollup maintenance: whole-(tier,day) rewrite, stamped " +
