@@ -52,6 +52,7 @@ object AggFiles {
       .partitionBy("dateint")
       .option("compression", "zstd")
       .parquet(out)
+    ScanCache.invalidate(out)
     out
   }
 
@@ -73,7 +74,7 @@ object AggFiles {
       stepMs: Long, startMs: Long, endMs: Long,
       matchers: List[graft.promql.Matcher], groupBy: Seq[String]): DataFrame = {
     import graft.promql.MatchOp
-    var df = spark.read.parquet(aggDir(segDir, aggFields))
+    var df = ScanCache.read(spark, aggDir(segDir, aggFields))
       .filter(col("chq_timestamp") >= startMs && col("chq_timestamp") < endMs)
     matchers.foreach { m =>
       val c = coalesce(graft.GraftSession.safeCol(df, m.label).cast("string"), lit(""))

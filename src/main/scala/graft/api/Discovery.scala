@@ -42,7 +42,7 @@ object Discovery {
     */
   def segmentScanWithPlan(spark: SparkSession, dir: String, startMs: Long,
       endMs: Long, org: Option[String] = None): (DataFrame, Option[ScanPlan]) = {
-    var df = spark.read.parquet(dir)
+    var df = ScanCache.read(spark, dir)
     val fields = df.schema.fieldNames.toSet
     for (o <- org if fields.contains("org")) df = df.filter(col("org") === o)
     if (fields.contains("dateint"))

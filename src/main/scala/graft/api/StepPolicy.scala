@@ -39,7 +39,7 @@ object StepPolicy {
 
   /** read the right tier partition of a segment directory for a step */
   def scanTier(spark: SparkSession, segmentDir: String, stepMs: Long): DataFrame =
-    spark.read.parquet(segmentDir)
+    ScanCache.read(spark, segmentDir)
       .filter(org.apache.spark.sql.functions.col("freq") === tierFor(stepMs))
 
   /** UTC yyyyMMdd int of an epoch-ms timestamp (segment partition key) */
@@ -60,7 +60,7 @@ object StepPolicy {
   def scanTier(spark: SparkSession, segmentDir: String, stepMs: Long,
       effStartMs: Long, effEndMs: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(segmentDir)
+    ScanCache.read(spark, segmentDir)
       .filter(col("freq") === tierFor(stepMs) &&
         col("dateint") >= dateintOf(effStartMs) &&
         col("dateint") <= dateintOf(effEndMs - 1))

@@ -92,6 +92,8 @@ object TierFreshness {
     def related(k: String) = k == d || k.startsWith(d + "/") || d.startsWith(k + "/")
     partCache.keySet.removeIf(k => related(k._1))
     wmCache.keySet.removeIf(k => related(k._1))
+    // the scan-listing cache shares every writer's invalidation hook
+    ScanCache.invalidate(dir)
   }
 
   /** every (dateint, freqMs) partition pair under `dir`, from one

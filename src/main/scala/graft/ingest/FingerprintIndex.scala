@@ -138,7 +138,7 @@ object FingerprintIndex {
     * indexed columns.
     */
   def buildLogIndex(spark: SparkSession, segDir: String,
-      maxTrigramsPerFile: Long = MaxTrigramsPerFile): Unit =
+      maxTrigramsPerFile: Long = MaxTrigramsPerFile): Unit = {
     indexRows(spark.read.option("mergeSchema", "true").parquet(segDir),
       maxTrigramsPerFile)
       // overwrite semantics: a full rebuild always describes the current
@@ -147,6 +147,9 @@ object FingerprintIndex {
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#fingerprint", "true")
       .parquet(indexPath(segDir))
+    // exclusion probes cache the index read (and its absence)
+    graft.api.ScanCache.invalidate(indexPath(segDir))
+  }
 
   /** Incremental indexing — the per-batch registration an ingest worker
     * does (the reference inserts one segment row per written file; a full
@@ -175,6 +178,7 @@ object FingerprintIndex {
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#fingerprint", "true")
       .parquet(indexPath(segDir))
+    graft.api.ScanCache.invalidate(indexPath(segDir))
     newFiles.length.toLong
   }
 
@@ -609,11 +613,12 @@ object FingerprintIndex {
     if (trees.isEmpty || trees.exists(t => wantedFps(t).isEmpty)) return None
     val fileMarker = sentinelFp("__file")
     val wanted = trees.flatMap(wantedFps).toSet + fileMarker
-    val idxP = new org.apache.hadoop.fs.Path(indexPath(segDir))
-    val fs = idxP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(idxP)) return None
-    val idx = try spark.read.parquet(indexPath(segDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    // cached probe: "no index" costs one LIST per TTL window, not one
+    // exists()+read per query (graft.api.ScanCache caches the miss too)
+    val idx = graft.api.ScanCache.tryRead(spark, indexPath(segDir)) match {
+      case Some(d) => d
+      case None => return None
+    }
     indexReads.incrementAndGet()
     val hits = idx
       .filter(col("fingerprint").isin(wanted.toSeq: _*))
@@ -656,9 +661,13 @@ object FingerprintIndex {
     */
   def prunedRead(spark: SparkSession, segDir: String,
       excluded: Set[String]): DataFrame = {
-    val full = spark.read.option("mergeSchema", "true").parquet(segDir)
+    // served from the scan-listing cache: the unfiltered read was one
+    // whole-store LIST (+ mergeSchema footer reads) per query — per SSE
+    // slice on the sliced routes (graft.api.ScanCache)
+    val full = graft.api.ScanCache.read(spark, segDir, mergeSchema = true)
     if (excluded.isEmpty) return full
-    val keep = full.inputFiles.map(normPath).filterNot(excluded).toSeq
+    val keep = graft.api.ScanCache.inputFiles(spark, segDir,
+      mergeSchema = true).map(normPath).filterNot(excluded).toSeq
     if (keep.isEmpty) full.where(lit(false))
     else spark.read.option("mergeSchema", "true").option("basePath", segDir)
       .parquet(keep: _*)

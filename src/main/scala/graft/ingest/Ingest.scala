@@ -553,6 +553,9 @@ object Segments {
       .option("parquet.bloom.filter.enabled#chq_fingerprint", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+    // read-your-writes for the doors' scan-listing cache (logs carry no
+    // tier metadata, but the LogQL door caches the dir listing)
+    graft.api.TierFreshness.invalidateMeta(outDir)
   }
 
   /** spans: sort by (span_trace_id, chq_tsns) — the reference's trace
@@ -575,6 +578,7 @@ object Segments {
       .option("parquet.bloom.filter.enabled#span_trace_id", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(outDir)
+    graft.api.TierFreshness.invalidateMeta(outDir)
   }
 
   /** trace-segment compaction: same swap protocol, trace sort order */
