@@ -147,7 +147,17 @@ final class HttpApi(
   private def jsonRows(ex: HttpExchange, extraJson: String = "")(
       df: => DataFrame): Unit =
     try {
-      val rows = df.limit(maxJsonRows + 1).toJSON.collect()
+      // `df` is by-name: the swap retry re-evaluates it, so a request that
+      // raced a compaction swap re-plans against the post-swap listing
+      // instead of surfacing a spurious 500 (ScanCache.withSwapRetry)
+      def run(d: DataFrame) = d.limit(maxJsonRows + 1).toJSON.collect()
+      val rows =
+        try run(df)
+        catch {
+          case t: Throwable if ScanCache.isVanishedSnapshot(t) =>
+            ScanCache.invalidateAll(); TierFreshness.invalidateAllMeta()
+            run(df)
+        }
       val truncated = rows.length > maxJsonRows
       val kept = if (truncated) rows.take(maxJsonRows) else rows
       val extra = (if (truncated) ""","truncated":true""" else "") + extraJson
@@ -272,8 +282,17 @@ final class HttpApi(
                 val sc = dfs(i).sparkSession.sparkContext
                 sc.setJobGroup(s"$tag-$i", "sse slice prefetch",
                   interruptOnCancel = true)
-                try dfs(i).toJSON.limit(maxSliceRows + 1).collect()
-                finally sc.clearJobGroup()
+                // a slice racing a compaction swap re-plans via its mk
+                // thunk (the captured frame pins the pre-swap snapshot)
+                try {
+                  try dfs(i).toJSON.limit(maxSliceRows + 1).collect()
+                  catch {
+                    case t: Throwable if ScanCache.isVanishedSnapshot(t) =>
+                      ScanCache.invalidateAll()
+                      TierFreshness.invalidateAllMeta()
+                      mk(i)().toJSON.limit(maxSliceRows + 1).collect()
+                  }
+                } finally sc.clearJobGroup()
               }
             })
         (0 until math.min(HttpApi.SlicePrefetch, dfs.size)).foreach(submit)

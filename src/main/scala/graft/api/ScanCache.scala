@@ -52,9 +52,15 @@ object ScanCache {
   /** `df` is None only for a cached MISS (path absent / unreadable) from
     * [[tryRead]] — the index-probe path, where "no index" is as cacheable
     * as the index itself. `files` materializes lazily: only exclusion
-    * pruning needs the file list.
+    * pruning needs the file list. `owner` pins the SESSION the DataFrame
+    * was built by: the key carries only the session's identityHashCode,
+    * which the JVM can reuse after the original session is collected —
+    * without the reference-identity check a later session sharing the
+    * hash would be served a plan bound to a stopped session. Weak, so the
+    * cache never keeps a dead session (and its plans) alive.
     */
   private final class Entry(val expiresAtNanos: Long,
+      val owner: java.lang.ref.WeakReference[SparkSession],
       val df: Option[DataFrame]) {
     lazy val files: Array[String] = df.map(_.inputFiles).getOrElse(Array.empty)
   }
@@ -81,6 +87,12 @@ object ScanCache {
     cache.keySet.removeIf(k => related(k._2))
   }
 
+  /** drop every cached listing — the swap-retry path for a serving layer
+    * that does not know which of a request's dirs went stale (the cache
+    * rebuilds at one LIST per dir, so a rare whole-cache drop is cheap)
+    */
+  def invalidateAll(): Unit = cache.clear()
+
   private def load(spark: SparkSession, dir: String, mergeSchema: Boolean,
       swallowMissing: Boolean): Entry = {
     val ttl = ttlMs(spark)
@@ -89,23 +101,160 @@ object ScanCache {
     if (ttl > 0) {
       val hit = cache.get(key)
       if (hit != null && hit.expiresAtNanos > now &&
+          (hit.owner.get eq spark) &&
           (hit.df.isDefined || swallowMissing)) return hit
+      // bound growth across many short-lived sessions (test suites): drop
+      // expired and orphaned entries once the map is past a nominal size
+      if (cache.size > 512)
+        cache.values.removeIf(e => e.expiresAtNanos <= now || e.owner.get == null)
     }
     listings.incrementAndGet()
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
+    // the listing holds the dir's swap READ lock: a same-JVM compaction
+    // swap (write side) can never interleave its missing-dir window here
+    def list(): Option[DataFrame] =
+      withSwapReadLock(dir) {
+        if (swallowMissing)
+          try Some(reader.parquet(dir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        else Some(reader.parquet(dir))
+      }
     val df =
-      if (swallowMissing)
-        try Some(reader.parquet(dir))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      else Some(reader.parquet(dir))
-    val e = new Entry(now + ttl * 1000000L, df)
+      try list()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // path absent: a crashed (or cross-process mid-flight) swap
+          // leaves the data staged in .compact_old — restore and retry
+          // once; a genuinely missing store rethrows as before
+          recoverStaged(spark, dir)
+          try list() catch { case _: Throwable => throw e }
+      }
+    val e = new Entry(now + ttl * 1000000L,
+      new java.lang.ref.WeakReference(spark), df)
     // a positive entry may overwrite a cached miss (tryRead after the
     // path appeared); a miss is cached too — the no-index probe must not
     // cost a LIST per query either
     if (ttl > 0) cache.put(key, e)
     e
+  }
+
+  /** test hook: clear every cached entry's owner ref — simulates the JVM
+    * reusing a collected session's identityHashCode for a NEW session
+    * object (the collision the reference-identity check on hit guards).
+    */
+  private[graft] def orphanOwnersForTest(): Unit =
+    cache.values.forEach(_.owner.clear())
+
+  // ----------------------------------------------------- compaction swaps
+  // The compactor's two-rename swap (Segments.compactWithSwap) has a
+  // window where the live dir is briefly absent. The reference never has
+  // this problem: its segments are immutable S3 objects and readers pick
+  // a consistent set from the PG index (lrdb/queries/metric_seg.sql), so
+  // compaction registers new files and retires old ones without a gap. A
+  // filesystem store needs two mitigations instead:
+  //  - same-JVM: a per-dir read/write lock — the compactor holds the
+  //    write side across its rename pair (microseconds), listings hold
+  //    the read side, so an in-process reader can never observe the
+  //    missing-dir window;
+  //  - cross-process (or crashed compactor): a listing that finds the
+  //    dir absent while `<dir>.compact_old` exists waits briefly for the
+  //    swap to land, then restores the staged dir (the reader-side twin
+  //    of Segments.recoverStagedSwap) and retries.
+
+  private val swapLocks = new ConcurrentHashMap[String,
+    java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def lockFor(dir: String) =
+    swapLocks.computeIfAbsent(dirKey(dir),
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  /** held by [[graft.ingest.Segments.compactWithSwap]] around its rename
+    * pair so same-JVM listings never race the swap window
+    */
+  private[graft] def withSwapWriteLock[T](dir: String)(body: => T): T = {
+    val l = lockFor(dir).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  /** held around filesystem METADATA reads of `dir` too (TierFreshness's
+    * partition globs): a glob landing in the rename window would silently
+    * return zero partitions — degrading the fresh door to a wrong tier
+    * condition, worse than an error — so metadata readers exclude the
+    * same-JVM window exactly like listings do.
+    */
+  private[api] def withSwapReadLock[T](dir: String)(body: => T): T = {
+    val l = lockFor(dir).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  /** true when `t`'s failure is a planned-file-snapshot invalidation — a
+    * compaction swap (or an equivalent rewrite) replaced files between an
+    * action's planning and its execution: a FileNotFoundException anywhere
+    * in the cause chain, or Spark's own stale-snapshot diagnosis.
+    */
+  def isVanishedSnapshot(t: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    def walk(e: Throwable): Boolean =
+      e != null && seen.add(e) && {
+        e.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("FileNotFoundException") ||
+          m.contains("PATH_NOT_FOUND") ||
+          m.contains("underlying files have been updated")) ||
+        walk(e.getCause) || e.getSuppressed.exists(walk)
+      }
+    walk(t)
+  }
+
+  /** Run a door action (the terminal collect/write over scans of `dirs`),
+    * retrying ONCE when a concurrent compaction invalidated the planned
+    * file snapshot mid-flight: the retry drops the cached listings and
+    * re-plans against the post-swap store. This is the serving-layer
+    * analog of the reference re-resolving its segment set from the index
+    * on the next request — without it, a request racing a compaction
+    * surfaces a spurious 500 for data that never stopped existing.
+    */
+  /** `action` MUST rebuild its DataFrames from the doors (which list via
+    * this cache) rather than re-collecting a captured frame — a captured
+    * frame pins the pre-swap file snapshot and would fail identically.
+    * Empty `dirs` drops every cached listing (serving-layer form: the
+    * route doesn't know which of a request's dirs went stale).
+    */
+  def withSwapRetry[T](spark: SparkSession, dirs: Seq[String])(
+      action: => T): T =
+    try action catch {
+      case t: Throwable if isVanishedSnapshot(t) =>
+        if (dirs.isEmpty) {
+          invalidateAll()
+          TierFreshness.invalidateAllMeta()
+        } else dirs.foreach { d =>
+          invalidate(d)
+          TierFreshness.invalidateMeta(d)
+          recoverStaged(spark, d)
+        }
+        action
+    }
+
+  /** reader-side staged-swap recovery: if `dir` is absent but the
+    * compactor's staged `.compact_old` exists, wait briefly for an
+    * in-flight cross-process swap to land; if the dir is STILL missing the
+    * compactor is dead — restore the staged data (same contract as
+    * [[graft.ingest.Segments.recoverStagedSwap]], duplicated here so the
+    * read path owns its recovery without an ingest-module call).
+    */
+  private[api] def recoverStaged(spark: SparkSession, dir: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(dirKey(dir))
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(dirKey(dir) + ".compact_old")
+    try {
+      if (fs.exists(dirP) || !fs.exists(oldP)) return
+      var waited = 0
+      while (!fs.exists(dirP) && fs.exists(oldP) && waited < 2000) {
+        Thread.sleep(50); waited += 50
+      }
+      if (!fs.exists(dirP) && fs.exists(oldP)) fs.rename(oldP, dirP)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** `spark.read[.option(mergeSchema)].parquet(dir)`, served from the

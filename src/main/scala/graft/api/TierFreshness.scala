@@ -96,6 +96,14 @@ object TierFreshness {
     ScanCache.invalidate(dir)
   }
 
+  /** whole-cache drop — [[ScanCache.withSwapRetry]]'s serving-layer form,
+    * where the failed request doesn't know which dir's metadata went stale
+    */
+  def invalidateAllMeta(): Unit = {
+    partCache.clear()
+    wmCache.clear()
+  }
+
   /** every (dateint, freqMs) partition pair under `dir`, from one
     * filesystem glob per supported layout depth: `dateint=/freq=` at the
     * top, or under ONE leading partition key — `org=` (multi-tenant
@@ -129,12 +137,24 @@ object TierFreshness {
           } yield (p, d, f)
         }
     }
-    val flat = pairsFor("dateint=*/freq=*")
-    val nested = pairsFor("*/dateint=*/freq=*").filter { case (p, _, _) =>
-      val mid = p.getParent.getParent.getName
-      !mid.startsWith("org=") || org.forall(o => mid == s"org=$o")
+    // under the dir's swap READ lock: a glob landing in a same-JVM
+    // compaction rename window would silently return zero partitions and
+    // degrade the fresh door to a wrong tier condition (see
+    // ScanCache.withSwapReadLock); an empty result with the dir staged
+    // aside (crashed or cross-process swap) recovers and re-globs once
+    def globPairs(): Seq[(Int, Long)] = ScanCache.withSwapReadLock(dir) {
+      val flat = pairsFor("dateint=*/freq=*")
+      val nested = pairsFor("*/dateint=*/freq=*").filter { case (p, _, _) =>
+        val mid = p.getParent.getParent.getName
+        !mid.startsWith("org=") || org.forall(o => mid == s"org=$o")
+      }
+      (flat ++ nested).map { case (_, d, f) => (d, f) }.distinct
     }
-    val pairs = (flat ++ nested).map { case (_, d, f) => (d, f) }.distinct
+    var pairs = globPairs()
+    if (pairs.isEmpty) {
+      ScanCache.recoverStaged(spark, dir) // no-op unless dir staged aside
+      pairs = globPairs()
+    }
     if (ttl > 0) partCache.put(key, (now + ttl * 1000000L, pairs))
     pairs
   }

@@ -668,24 +668,31 @@ object Segments {
     val oldP = new org.apache.hadoop.fs.Path(old)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     fs.delete(oldP, true)
-    if (!fs.rename(dirP, oldP)) {
-      fs.delete(tmpP, true)
-      throw new java.io.IOException(s"compaction: could not stage $dir aside")
+    // the rename pair runs under the dir's swap WRITE lock: same-JVM
+    // readers (ScanCache listings hold the read side) can never observe
+    // the instant where the live dir is absent. Cross-process readers
+    // retain the window — they recover via ScanCache.recoverStaged /
+    // recoverStagedSwap, the same way a crashed compactor is handled.
+    graft.api.ScanCache.withSwapWriteLock(dir) {
+      if (!fs.rename(dirP, oldP)) {
+        fs.delete(tmpP, true)
+        throw new java.io.IOException(s"compaction: could not stage $dir aside")
+      }
+      if (!fs.rename(tmpP, dirP)) {
+        // roll back so the segment dir never stays missing after a failed swap
+        fs.rename(oldP, dirP)
+        fs.delete(tmpP, true)
+        throw new java.io.IOException(s"compaction swap failed for $dir (rolled back)")
+      }
+      // carry the freshness watermark sidecar across the swap: it records
+      // tier coverage, which the row rewrite preserves but cannot re-derive;
+      // losing it would be conservative-safe (day-granular bound) yet
+      // needlessly degrades intra-day freshness after every compaction
+      val wmOld = new org.apache.hadoop.fs.Path(old + "/_graft_watermarks")
+      if (fs.exists(wmOld))
+        fs.rename(wmOld,
+          new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "/_graft_watermarks"))
     }
-    if (!fs.rename(tmpP, dirP)) {
-      // roll back so the segment dir never stays missing after a failed swap
-      fs.rename(oldP, dirP)
-      fs.delete(tmpP, true)
-      throw new java.io.IOException(s"compaction swap failed for $dir (rolled back)")
-    }
-    // carry the freshness watermark sidecar across the swap: it records
-    // tier coverage, which the row rewrite preserves but cannot re-derive;
-    // losing it would be conservative-safe (day-granular bound) yet
-    // needlessly degrades intra-day freshness after every compaction
-    val wmOld = new org.apache.hadoop.fs.Path(old + "/_graft_watermarks")
-    if (fs.exists(wmOld))
-      fs.rename(wmOld,
-        new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "/_graft_watermarks"))
     fs.delete(oldP, true)
     graft.api.TierFreshness.invalidateMeta(dir)
     spark.read.parquet(dir)

@@ -117,4 +117,25 @@ class ScanCacheSpec extends AnyFunSuite {
     Segments.writeMetricSegments(preAgg(mkEvents(1)), fresh)
     assert(ScanCache.read(spark, fresh).count() > 0)
   }
+
+  test("an entry whose owning session was collected is never served: the " +
+      "identity-hash key alone is not trusted") {
+    spark.conf.set(ScanCache.TtlKey, "600000")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_scan_own_")
+        .toString
+      Segments.writeMetricSegments(preAgg(mkEvents(1)), dir)
+      val rows = ScanCache.read(spark, dir).count()
+      val warm = ScanCache.listingCount
+      assert(ScanCache.read(spark, dir).count() == rows)
+      assert(ScanCache.listingCount == warm, "hit expected before orphaning")
+      // simulate identityHashCode reuse: the cached entry's owner is gone,
+      // so a session carrying the same key hash must NOT get the orphaned
+      // plan — it re-lists and builds its own
+      ScanCache.orphanOwnersForTest()
+      assert(ScanCache.read(spark, dir).count() == rows)
+      assert(ScanCache.listingCount == warm + 1,
+        "an orphaned entry must be replaced by a fresh listing")
+    } finally spark.conf.unset(ScanCache.TtlKey)
+  }
 }
