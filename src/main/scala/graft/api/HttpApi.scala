@@ -237,8 +237,19 @@ final class HttpApi(
         batch.clear()
       }
       if (dfs.size == 1) {
-        // one frame: partition-at-a-time iterator, constant driver memory
-        val it = dfs.head.toJSON.toLocalIterator()
+        // one frame: partition-at-a-time iterator, constant driver memory.
+        // A compaction swap racing this stream can only be re-planned
+        // while NOTHING has been emitted (the first hasNext runs the first
+        // partition's job); once rows are out, the done-error event is the
+        // contract — the client retries the request.
+        var it = dfs.head.toJSON.toLocalIterator()
+        try {
+          if (!it.hasNext) () // force the first job inside the retry guard
+        } catch {
+          case t: Throwable if ScanCache.isVanishedSnapshot(t) =>
+            ScanCache.invalidateAll(); TierFreshness.invalidateAllMeta()
+            it = mk.head().toJSON.toLocalIterator()
+        }
         while (it.hasNext) {
           batch += it.next()
           if (batch.size >= sseBatchRows) flushBatch()

@@ -144,6 +144,31 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact_old")))
   }
 
+  test("a reader landing in a cross-process swap window waits for the " +
+      "swap to finish instead of stealing the staged dir") {
+    val dir = tmpDir("graft_conc_xproc_")
+    Segments.writeMetricSegments(preAgg(mkEvents(1)), dir)
+    val want = total(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TierFreshness.invalidateMeta(dir)
+    // simulate another PROCESS mid-swap (its locks are invisible here):
+    // dir staged aside now, completed 500 ms from now
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact_old")))
+    val restorer = new Thread(() => {
+      Thread.sleep(500)
+      fs.rename(new org.apache.hadoop.fs.Path(dir + ".compact_old"),
+        new org.apache.hadoop.fs.Path(dir))
+    })
+    restorer.start()
+    val got = total(dir) // recoverStaged's wait loop must see the restore
+    restorer.join()
+    assert(math.abs(got - want) < 1e-9)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact_old")))
+  }
+
   test("concurrent watermark stamps and reads: no request ever fails, no " +
       "torn value is ever observed, the final value is the maximum") {
     val dir = tmpDir("graft_conc_wm_")
