@@ -211,8 +211,19 @@ final class HttpApi(
   private def sseSlices(ex: HttpExchange, rowBudget: Option[Int] = None,
       groupOf: Int => Int = _ => 0,
       groupBudgets: Map[Int, Int] = Map.empty)(
-      mk: Seq[() => DataFrame]): Unit = {
-    val dfs = mk.map(_.apply()) // force query build; handle() maps throw -> 400
+      mk: => Seq[() => DataFrame]): Unit = {
+    val thunks = mk
+    val dfs = thunks.map(_.apply()) // force query build; handle() maps throw -> 400
+    // Swap-retry rebuild: the routes hoist a SHARED scan across their
+    // slice thunks (one listing + one index-exclusion job per request,
+    // MetricSegments.queryAtSliced), so re-invoking a captured thunk
+    // re-filters the same pre-swap snapshot. `mk` is by-name — a retry
+    // re-evaluates the whole construction against the invalidated caches,
+    // giving the slice a genuinely fresh plan.
+    def rebuilt(i: Int): DataFrame = {
+      ScanCache.invalidateAll(); TierFreshness.invalidateAllMeta()
+      mk(i)()
+    }
     val h = ex.getResponseHeaders
     h.set("Content-Type", "text/event-stream")
     h.set("Cache-Control", "no-cache")
@@ -247,8 +258,7 @@ final class HttpApi(
           if (!it.hasNext) () // force the first job inside the retry guard
         } catch {
           case t: Throwable if ScanCache.isVanishedSnapshot(t) =>
-            ScanCache.invalidateAll(); TierFreshness.invalidateAllMeta()
-            it = mk.head().toJSON.toLocalIterator()
+            it = rebuilt(0).toJSON.toLocalIterator()
         }
         while (it.hasNext) {
           batch += it.next()
@@ -293,15 +303,13 @@ final class HttpApi(
                 val sc = dfs(i).sparkSession.sparkContext
                 sc.setJobGroup(s"$tag-$i", "sse slice prefetch",
                   interruptOnCancel = true)
-                // a slice racing a compaction swap re-plans via its mk
-                // thunk (the captured frame pins the pre-swap snapshot)
+                // a slice racing a compaction swap re-plans from scratch
+                // (the captured frame pins the pre-swap snapshot)
                 try {
                   try dfs(i).toJSON.limit(maxSliceRows + 1).collect()
                   catch {
                     case t: Throwable if ScanCache.isVanishedSnapshot(t) =>
-                      ScanCache.invalidateAll()
-                      TierFreshness.invalidateAllMeta()
-                      mk(i)().toJSON.limit(maxSliceRows + 1).collect()
+                      rebuilt(i).toJSON.limit(maxSliceRows + 1).collect()
                   }
                 } finally sc.clearJobGroup()
               }

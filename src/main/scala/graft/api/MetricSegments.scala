@@ -12,6 +12,12 @@ import graft.promql._
   * window extended left by the largest range+offset lookback across the
   * expression's selectors), and the shared engine evaluates the
   * expression over the scan.
+  *
+  * Concurrency: a store being compacted while queried is safe same-JVM
+  * (the swap lock excludes the rename window at listing time), but a
+  * returned frame pins its planned file snapshot — callers executing an
+  * action that may race a swap should wrap the BUILD-plus-collect in
+  * [[ScanCache.withSwapRetry]], as the HTTP serving layer does.
   */
 object MetricSegments {
 

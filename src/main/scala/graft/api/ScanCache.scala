@@ -214,8 +214,8 @@ object ScanCache {
     * analog of the reference re-resolving its segment set from the index
     * on the next request — without it, a request racing a compaction
     * surfaces a spurious 500 for data that never stopped existing.
-    */
-  /** `action` MUST rebuild its DataFrames from the doors (which list via
+    *
+    * `action` MUST rebuild its DataFrames from the doors (which list via
     * this cache) rather than re-collecting a captured frame — a captured
     * frame pins the pre-swap file snapshot and would fail identically.
     * Empty `dirs` drops every cached listing (serving-layer form: the

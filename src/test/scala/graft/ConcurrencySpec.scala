@@ -228,6 +228,160 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally spark.conf.unset(TierFreshness.MetaTtlKey)
   }
 
+  test("HTTP SSE queries racing a compaction loop: every ok response " +
+      "carries the exact rows; the serving-layer retry absorbs the swaps") {
+    val dir = tmpDir("graft_conc_http_")
+    Segments.writeMetricSegments(preAgg(mkEvents(2)), dir,
+      maxRecordsPerFile = 50)
+    val api = new graft.api.HttpApi(spark, metricsDir = Some(dir)).start()
+    try {
+      val base = s"http://127.0.0.1:${api.port}"
+      val q = java.net.URLEncoder.encode("sum(m_conc)", "UTF-8")
+      val (s, e) = (Day0, Day0 + 2 * 86400000L)
+      val client = java.net.http.HttpClient.newHttpClient()
+      def sse(): (Boolean, Seq[String], String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"$base/api/v1/metrics/query?q=$q&s=$s&e=$e"))
+            .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val events = resp.body().linesIterator.filter(_.startsWith("data: "))
+          .map(_.stripPrefix("data: ")).toSeq
+        val ok = events.exists(ev =>
+          ev.startsWith("""{"type":"done"""") && ev.contains("\"status\":\"ok\""))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = events.filter(_.startsWith("""{"type":"result""""))
+          .flatMap { ev =>
+            val rs = om.readTree(ev).get("data").get("rows")
+            (0 until rs.size).map(i => rs.get(i).toString)
+          }
+        (resp.statusCode() == 200 && ok, rows.sorted,
+          events.filterNot(_.startsWith("""{"type":"result"""")).mkString("|"))
+      }
+      val (okFirst, want, _) = sse()
+      assert(okFirst && want.nonEmpty)
+      val firstError = new AtomicReference[String](null)
+      val pool = Executors.newFixedThreadPool(4)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new AtomicReference[List[String]](Nil)
+      val okResponses = new AtomicInteger(0)
+      val compactions = new AtomicInteger(0)
+      val start = new CountDownLatch(1)
+      (0 until 3).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            while (!stop.get()) {
+              try {
+                val (ok, rows, tailEvents) = sse()
+                if (ok) {
+                  // an ok response must NEVER carry partial rows — the
+                  // retry either fully recovers or the stream errors
+                  if (rows != want)
+                    failures.updateAndGet(
+                      s"ok response with wrong rows: ${rows.size}/${want.size}" :: _)
+                  else okResponses.incrementAndGet()
+                }
+                // a done-error is the documented double-race residue; the
+                // client retries the request — tolerated, never wrong
+                else firstError.compareAndSet(null, tailEvents.take(500))
+              } catch { case t: Throwable =>
+                failures.updateAndGet(s"client: ${t.getMessage}" :: _)
+              }
+            }
+          }
+        })
+      }
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          while (!stop.get() && compactions.get() < 3) {
+            try {
+              Segments.compactMetricSegments(spark, dir)
+              compactions.incrementAndGet()
+            } catch { case t: Throwable =>
+              failures.updateAndGet(s"compactor: ${t.getMessage}" :: _)
+            }
+          }
+        }
+      })
+      start.countDown()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (compactions.get() < 3 && failures.get().isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      stop.set(true)
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(failures.get().isEmpty, failures.get().take(3).mkString("; "))
+      assert(compactions.get() >= 3)
+      assert(okResponses.get() >= 3,
+        s"only ${okResponses.get()} ok responses during the compaction " +
+          s"storm; first non-ok tail: ${firstError.get}")
+    } finally api.stop()
+  }
+
+  test("a SECOND JVM compacting the store (graft.Maintain) while this " +
+      "JVM serves queries: reads stay exact with no in-process locks to " +
+      "lean on — the cross-process recovery story end-to-end") {
+    val dir = tmpDir("graft_conc_2jvm_")
+    Segments.writeMetricSegments(preAgg(mkEvents(2)), dir,
+      maxRecordsPerFile = 50)
+    val want = total(dir)
+    // short TTL so readers re-list often enough to race the child's swap
+    spark.conf.set(graft.api.ScanCache.TtlKey, "200")
+    spark.conf.set(TierFreshness.MetaTtlKey, "200")
+    try {
+      val addOpens = Seq(
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val cmd = (Seq("java") ++ addOpens ++ Seq("-Xmx2g",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Maintain", "compact-metrics", dir)).toArray
+      val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val failures = new AtomicReference[List[String]](Nil)
+      val reads = new AtomicInteger(0)
+      val pool = Executors.newFixedThreadPool(2)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      (0 until 2).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            while (!stop.get()) {
+              try {
+                val v = ScanCache.withSwapRetry(spark, Seq(dir))(total(dir))
+                if (math.abs(v - want) > 1e-9)
+                  failures.updateAndGet(s"total drifted: $v != $want" :: _)
+                else reads.incrementAndGet()
+              } catch {
+                case t: Throwable if ScanCache.isVanishedSnapshot(t) => ()
+                case t: Throwable =>
+                  failures.updateAndGet(s"reader: ${t.getMessage}" :: _)
+              }
+            }
+          }
+        })
+      }
+      val out = new String(child.getInputStream.readAllBytes(), "UTF-8")
+      val exited = child.waitFor(180, TimeUnit.SECONDS)
+      stop.set(true)
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(exited && child.exitValue() == 0,
+        s"maintenance JVM failed: ${out.linesIterator.toSeq.takeRight(5).mkString(" | ")}")
+      assert(out.contains("[maintain] compacted metric segments"))
+      assert(failures.get().isEmpty, failures.get().take(3).mkString("; "))
+      assert(reads.get() >= 3, s"only ${reads.get()} reads during the child run")
+      // post-swap: this JVM's caches converge on the compacted store
+      assert(math.abs(total(dir) - want) < 1e-9)
+    } finally {
+      spark.conf.unset(graft.api.ScanCache.TtlKey)
+      spark.conf.unset(TierFreshness.MetaTtlKey)
+    }
+  }
+
   test("discovery scans racing segment appends: every scan succeeds and " +
       "returns one of the two legal snapshots") {
     val dir = tmpDir("graft_conc_disc_")
