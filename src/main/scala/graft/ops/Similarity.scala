@@ -327,8 +327,15 @@ object Similarity {
   def knnLabelEval(emb: DataFrame): DataFrame = {
     // norms bound ONCE per side (sqrt is correctly rounded, so the
     // precomputed factor is bit-identical to the per-pair inline form the
-    // oracle replays) — 3 native dots per pair become 1
-    val a = emb.select(col("vec_id"), col("embedding"), col("label"))
+    // oracle replays) — 3 native dots per pair become 1.
+    // spread: the n·n dot pass is compute-dense vs input bytes and the
+    // probe side otherwise inherits the scan's partitioning (ONE task for
+    // a small parquet file — measured 3.6 s in a single task at sf0.1).
+    // Partitioning cannot move a bit here: __sim is a pure per-pair
+    // function and the argmax key (sim, −nid) is totally ordered
+    // (GraftSession.spread — no-op at scale).
+    val a = graft.GraftSession.spread(
+      emb.select(col("vec_id"), col("embedding"), col("label")))
       .withColumn("__na", norm(col("embedding")))
     val b = broadcast(emb.select(col("vec_id").as("nid"),
       col("embedding").as("nemb"), col("label").as("nlabel"))
@@ -367,8 +374,12 @@ object Similarity {
       .withColumn("__r", md5(col("vec_id").cast("string")))
       .orderBy(col("__r"), col("vec_id")).limit(m).drop("__r")
       .withColumn("__na", norm(col("embedding"))))
-    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
-      col("label").as("nlabel"))
+    // spread the corpus side: it carries the O(n·m) dot work and a small
+    // parquet file scans as ONE task (same bit-safety argument as the
+    // exact eval; no-op at scale)
+    val c = graft.GraftSession.spread(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
+        col("label").as("nlabel")))
       .withColumn("__nb", norm(col("nemb")))
     val scored = c.crossJoin(q)
       .filter(col("vec_id") =!= col("nid"))

@@ -79,7 +79,14 @@ object TextOps {
     * identical float operation order.
     */
   def qualityLr(df: DataFrame, textCol: String): DataFrame = {
-    val t = df(textCol)
+    // NO internal spread (r18, measured): callers that filter this output
+    // (curation funnel keep=1) get the predicate PUSHED below any
+    // repartition here, so the heavy expression would evaluate twice —
+    // once in the pushed filter, once in the projection — at 6x the CPU.
+    // Rows that want scan parallelism spread the INPUT instead
+    // (PipelineQueries.docsSpread).
+    val src = df
+    val t = src(textCol)
     val toks = tokens(t)
     val words = filter(toks, w => length(w) > 0)
     val nW = size(words)
@@ -94,7 +101,7 @@ object TextOps {
         length(t).cast("double")).otherwise(lit(0.0))
     val logit = lit(-2.0) + lit(0.35) * fLen + lit(3.0) * fStop +
       lit(0.15) * fMtl + lit(1.2) * fTtr - lit(2.5) * fDigit
-    df.select(df("doc_id"), nW.cast("long").as("n_words"),
+    src.select(src("doc_id"), nW.cast("long").as("n_words"),
       round(logit, 6).as("lr_logit"),
       (logit > 0.0).cast("int").as("keep"))
   }
@@ -419,7 +426,11 @@ object TextOps {
     def dupChars(counts: Column): Column = aggregate(counts, lit(0), (a, s) =>
       a + when(s.getField("c") > 1, s.getField("c") * length(s.getField("g")))
         .otherwise(lit(0)))
-    val staged = df
+    // spread: the n-gram/run-stats walk is compute-dense vs input bytes
+    // and a small parquet scan is ONE task (measured a 2.9 s single task
+    // at sf0.1); per-row projection, so partitioning moves no bit
+    // (GraftSession.spread — no-op at scale)
+    val staged = graft.GraftSession.spread(df)
       .withColumn("__t", normText(df(textCol)))
       .withColumn("__ws", split(col("__t"), " "))
       .withColumn("__lines", filter(
@@ -463,7 +474,9 @@ object TextOps {
   def gopherQuality(df0: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     // shared arrays materialized once per row (same rationale as
-    // repetitionStats — each feature column would otherwise re-derive them)
+    // repetitionStats — each feature column would otherwise re-derive them).
+    // NO internal spread — same pushed-filter double-evaluation hazard as
+    // qualityLr; callers spread the input when they need scan parallelism.
     val df = df0
       .withColumn("__t", normText(df0(textCol)))
       .withColumn("__ws", split(col("__t"), " "))

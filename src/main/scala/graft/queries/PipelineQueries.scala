@@ -14,6 +14,16 @@ object PipelineQueries extends Catalog {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** [[docs]] spread to the session's parallelism floor — for rows whose
+    * heavy work is a compute-dense projection DIRECTLY over the scan
+    * (derived-page construction, per-row language id), where the op's own
+    * internal spread would land ABOVE the expensive expression and leave
+    * it single-task on a small parquet file (GraftSession.spread — no-op
+    * at scale).
+    */
+  private def docsSpread(s: SparkSession, d: String) =
+    graft.GraftSession.spread(Tables.documents(s, d))
+
   // ---- text analysis -------------------------------------------------------
 
   private def textStats(s: SparkSession, d: String): DataFrame = {
@@ -110,7 +120,7 @@ object PipelineQueries extends Catalog {
     */
   private def stopShinglesQ(s: SparkSession, d: String): DataFrame =
     Dedup.stopShingles(
-      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
+      docsSpread(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
       w = 5, topK = 20)
 
   // def, not val: interpolates derivedPageCte, declared later in the file
@@ -380,7 +390,7 @@ object PipelineQueries extends Catalog {
     * composite key.
     */
   private def curriculumQ(s: SparkSession, d: String): DataFrame = {
-    val q = TextOps.qualityLr(docs(s, d), "text")
+    val q = TextOps.qualityLr(docsSpread(s, d), "text")
       .withColumn("band", floor(col("lr_logit") * 4).cast("int"))
       .select(col("doc_id"), col("band"))
     graft.ops.Sampling.curriculumOrder(q, "doc_id", "band", seed = 7)
@@ -453,7 +463,9 @@ object PipelineQueries extends Catalog {
     * oracle replays features and the left-associative weighted sum.
     */
   private def qualityLrQ(s: SparkSession, d: String): DataFrame =
-    TextOps.qualityLr(docs(s, d), "text")
+    // spread the INPUT: the feature projection then runs above the
+    // exchange in parallel; no downstream filter exists here to push below
+    TextOps.qualityLr(docsSpread(s, d), "text")
 
   private val qualityLrSql =
     """WITH t AS (
@@ -1373,7 +1385,7 @@ object PipelineQueries extends Catalog {
 
   private def c4Filter(s: SparkSession, d: String): DataFrame =
     TextOps.c4Stats(
-      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text")
+      docsSpread(s, d).select(col("doc_id"), derivedPage.as("text")), "text")
 
   /** DuckDB twin of [[derivedPage]] — ends in `pg(doc_id, text)` */
   private val derivedPageCte =
@@ -1430,7 +1442,7 @@ object PipelineQueries extends Catalog {
     */
   private def lineDedupQ(s: SparkSession, d: String): DataFrame =
     Dedup.lineDedup(
-      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
+      docsSpread(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
       maxDocsPerLine = 10)
 
   private val lineDedupSql =
@@ -3066,6 +3078,10 @@ object PipelineQueries extends Catalog {
     */
   private def curationE2e(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NO spread here (r18, measured): the gopher keep-filter on the kept
+    // side pushes below any input repartition and double-evaluates the
+    // feature chain — 2.8 s / 4.2 cpu with the spread vs 1.2 s / 0.8 cpu
+    // without at sf0.1
     val base = docs(s, d)
     val kept = TextOps.gopherQuality(base).filter(col("keep")).select("doc_id")
     val withFp = base.join(kept, "doc_id")
@@ -3110,7 +3126,7 @@ object PipelineQueries extends Catalog {
       (s, d) => TextOps.repetitionStats(docs(s, d)),
       Some(repetitionSql)),
     Q("pp_quality_gopher",
-      (s, d) => TextOps.gopherQuality(docs(s, d)),
+      (s, d) => TextOps.gopherQuality(docsSpread(s, d)),
       Some(gopherQualitySql)),
     Q("pp_quality_lr", qualityLrQ, Some(qualityLrSql)),
     Q("pp_jl_project", jlProject, Some(jlProjectSql)),
@@ -3132,7 +3148,7 @@ object PipelineQueries extends Catalog {
         minShared = 2, minContain = 0.5),
       Some(containmentPairsSql)),
     Q("pp_langid",
-      (s, d) => docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      (s, d) => docsSpread(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdSql)),
     Q("pp_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("pp_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

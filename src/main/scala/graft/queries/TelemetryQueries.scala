@@ -434,8 +434,13 @@ object TelemetryQueries extends Catalog {
         lit(" code "), floor(col("value") * 10).cast("long")))
       .otherwise(concat(lit("worker "), col("user_id"), lit(" entered "), variant))
     // compute the stateless template ONCE; the masked dimension joins on it
-    // and n_templates counts it — no repeated normalization passes
-    val t = raw(s, d).select(LogFingerprint.template(msg).as("__tpl"))
+    // and n_templates counts it — no repeated normalization passes.
+    // spread: the template expression is a per-row regex/normalization
+    // chain, compute-dense vs the 2 MB events scan (measured a 1.25 s
+    // single task at sf0.1); downstream is count aggregation only, so
+    // partitioning moves no bit (GraftSession.spread — no-op at scale)
+    val t = graft.GraftSession.spread(raw(s, d))
+      .select(LogFingerprint.template(msg).as("__tpl"))
     val dim = TrieFingerprint.maskedTemplates(t.distinct(), "__tpl", maxVariants = 4)
     t.join(dim, Seq("__tpl"))
       .groupBy(col("trie_fingerprint"), col("trie_template"))
