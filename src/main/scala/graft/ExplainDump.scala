@@ -57,10 +57,16 @@ object ExplainDump {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           jobs.set(0); tasks.set(0); maxTaskMs.set(0); cpuNs.set(0)
           val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df2 = fn(spark, sfDir)
+          val tBuild = System.nanoTime()
+          df2.queryExecution.executedPlan // analysis + optimization + physical
+          val tPlan = System.nanoTime()
+          df2.write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
           Thread.sleep(150) // let async listener events drain
           println(f"[probe] $name%-32s wall=$wall%7.3f cpu=${cpuNs.get / 1e9}%7.3f " +
+            f"build=${(tBuild - t0) / 1e9}%6.3f plan=${(tPlan - tBuild) / 1e9}%6.3f " +
+            f"exec=${(System.nanoTime() - tPlan) / 1e9 - 0.15}%6.3f " +
             f"jobs=${jobs.get}%3d tasks=${tasks.get}%5d maxTask=${maxTaskMs.get}%6dms")
         } else println(s"[probe] $name explained")
       } catch { case e: Throwable =>

@@ -31,6 +31,18 @@ object Cooked {
       .withColumn("attr_event_type", col("event_type"))
       .groupBy(col("chq_timestamp"), col("attr_event_type"))
       .agg(aggs.head, aggs.tail: _*)
+      // Establish the series partitioning ONCE (guide §2.4 — operations
+      // keyed the same way share one exchange): every PromQL evaluation
+      // over this store re-buckets by (step, labels) and then windows /
+      // joins by the label set, and hashpartitioning(attr_event_type)
+      // satisfies ALL of those ClusteredDistribution requirements, so the
+      // engine's leaf aggregation, range windows, and binop sort-merge
+      // joins plan with ZERO further Exchanges (pq_rate: 3 Exchanges → 2).
+      // Placed ABOVE the rollup agg so the map-side partial aggregation
+      // (aggregate-before-shuffle, §2.3) is preserved — only rolled rows
+      // cross this exchange. Skew bound: one partition per label value,
+      // exactly the bound the window stage already has inherently.
+      .repartition(col("attr_event_type"))
       .withColumn("metric_name", lit("events_value"))
       .withColumn("chq_metric_type", lit("gauge"))
   }

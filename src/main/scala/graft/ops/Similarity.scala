@@ -374,12 +374,11 @@ object Similarity {
       .withColumn("__r", md5(col("vec_id").cast("string")))
       .orderBy(col("__r"), col("vec_id")).limit(m).drop("__r")
       .withColumn("__na", norm(col("embedding"))))
-    // spread the corpus side: it carries the O(n·m) dot work and a small
-    // parquet file scans as ONE task (same bit-safety argument as the
-    // exact eval; no-op at scale)
-    val c = graft.GraftSession.spread(
-      emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
-        col("label").as("nlabel")))
+    // no spread on the corpus side (r18 bench): at m=64 the O(n·m) pass is
+    // light enough that the extra exchange cost exceeded the parallelism
+    // win (0.48 s bare vs 0.72 s spread at sf0.1)
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nemb"),
+      col("label").as("nlabel"))
       .withColumn("__nb", norm(col("nemb")))
     val scored = c.crossJoin(q)
       .filter(col("vec_id") =!= col("nid"))

@@ -390,7 +390,9 @@ object PipelineQueries extends Catalog {
     * composite key.
     */
   private def curriculumQ(s: SparkSession, d: String): DataFrame = {
-    val q = TextOps.qualityLr(docsSpread(s, d), "text")
+    // no spread: bench-neutral here (1.39 vs 1.46 s) — the global
+    // curriculum rank dominates, not the feature projection
+    val q = TextOps.qualityLr(docs(s, d), "text")
       .withColumn("band", floor(col("lr_logit") * 4).cast("int"))
       .select(col("doc_id"), col("band"))
     graft.ops.Sampling.curriculumOrder(q, "doc_id", "band", seed = 7)
@@ -1441,8 +1443,11 @@ object PipelineQueries extends Catalog {
     * reassembly
     */
   private def lineDedupQ(s: SparkSession, d: String): DataFrame =
+    // no spread: the r18 bench measured this row FASTER without the extra
+    // exchange (0.91 s vs 1.71 s) — the explode+groupBy below redistributes
+    // the lines anyway, so the derived-page pass is not the bottleneck here
     Dedup.lineDedup(
-      docsSpread(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
+      docs(s, d).select(col("doc_id"), derivedPage.as("text")), "text",
       maxDocsPerLine = 10)
 
   private val lineDedupSql =

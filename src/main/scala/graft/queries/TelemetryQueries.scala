@@ -438,9 +438,17 @@ object TelemetryQueries extends Catalog {
     // spread: the template expression is a per-row regex/normalization
     // chain, compute-dense vs the 2 MB events scan (measured a 1.25 s
     // single task at sf0.1); downstream is count aggregation only, so
-    // partitioning moves no bit (GraftSession.spread — no-op at scale)
-    val t = graft.GraftSession.spread(raw(s, d))
-      .select(LogFingerprint.template(msg).as("__tpl"))
+    // partitioning moves no bit (GraftSession.spread — no-op at scale).
+    // Materialize (r18): `t` feeds BOTH the distinct-template dimension
+    // and the message join, so the template regex chain evaluated TWICE
+    // (task-CPU 2.3 s); one materialized pass halves it (wall 2.56→2.1 s,
+    // cpu 2.3→1.1 s at sf0.1). A spread variant was also measured and
+    // REJECTED: the extra exchange + 32-way contention cost more than the
+    // parallelism won on this 100 k-row pass (wall ~2.4 s, cpu 6-15 s).
+    val t = graft.GraftSession.materialize(
+      raw(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+        .select(LogFingerprint.template(msg).as("__tpl")))
     val dim = TrieFingerprint.maskedTemplates(t.distinct(), "__tpl", maxVariants = 4)
     t.join(dim, Seq("__tpl"))
       .groupBy(col("trie_fingerprint"), col("trie_template"))
