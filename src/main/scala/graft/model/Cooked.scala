@@ -29,20 +29,27 @@ object Cooked {
     Tables.events(s, d)
       .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(FreqMs))
       .withColumn("attr_event_type", col("event_type"))
+      // Establish the series partitioning ONCE (guide §2.4 — operations
+      // keyed the same way share one exchange): the rollup below, every
+      // PromQL leaf re-bucket, the range windows, and binop sort-merge
+      // joins are all keyed by supersets of the label set, and
+      // hashpartitioning(attr_event_type) satisfies ALL of those
+      // ClusteredDistribution requirements — the whole evaluation spine
+      // plans with ONE Exchange (pq_rate: 3 → 1). BELOW the rollup agg on
+      // purpose: placed above it, the Repartition node blocked
+      // RemoveRedundantAggregates for leaves that ignore the rollup
+      // values (timestamp()/time components collapsed 2 aggs → 1 before;
+      // measured +0.3-0.4 s per such row). Trade-off, documented: the
+      // exchange carries raw event rows rather than rolled partials —
+      // acceptable because THIS derivation is the catalog's query-time
+      // fixture twin of the reference's rolled store (the oracle replays
+      // it as the `cooked` CTE); the at-scale ingest path is
+      // MetricsPreAgg.preAggregate → segments, which keeps map-side
+      // partial aggregation, and the one-partition-per-label-value skew
+      // bound here is the bound the PromQL window stage has inherently.
+      .repartition(col("attr_event_type"))
       .groupBy(col("chq_timestamp"), col("attr_event_type"))
       .agg(aggs.head, aggs.tail: _*)
-      // Establish the series partitioning ONCE (guide §2.4 — operations
-      // keyed the same way share one exchange): every PromQL evaluation
-      // over this store re-buckets by (step, labels) and then windows /
-      // joins by the label set, and hashpartitioning(attr_event_type)
-      // satisfies ALL of those ClusteredDistribution requirements, so the
-      // engine's leaf aggregation, range windows, and binop sort-merge
-      // joins plan with ZERO further Exchanges (pq_rate: 3 Exchanges → 2).
-      // Placed ABOVE the rollup agg so the map-side partial aggregation
-      // (aggregate-before-shuffle, §2.3) is preserved — only rolled rows
-      // cross this exchange. Skew bound: one partition per label value,
-      // exactly the bound the window stage already has inherently.
-      .repartition(col("attr_event_type"))
       .withColumn("metric_name", lit("events_value"))
       .withColumn("chq_metric_type", lit("gauge"))
   }

@@ -248,15 +248,22 @@ object TelemetryQueries extends Catalog {
   /** write sorted/partitioned segments, compact, read back: per-dateint
     * counts and sums must survive the round-trip exactly.
     */
+
   private def segmentRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Files.createTempDirectory("graft_seg_").toString
-    val base = MetricsPreAgg.preAggregate(
+    // materialize: BOTH write waves filter this frame — unmaterialized,
+    // each wave re-ran the whole pre-aggregation (r18; same rows either way)
+    val base = graft.GraftSession.materialize(MetricsPreAgg.preAggregate(
       raw(s, d), col("ts_ms"), lit("events_value"), col("value"),
       Seq("attr_event_type" -> col("event_type")), freqMs = 60000L,
-      withSketch = false)
+      withSketch = false))
     // two interleaved writes (alternating minutes — chq_tid has only one
     // value per event_type, so it can't split) → many small files per
-    // partition dir → compact → one sorted file per dir
+    // partition dir → compact → one sorted file per dir. SEQUENTIAL on
+    // purpose (r18): overlapping the waves (guide §2.6) was tried and
+    // REVERTED — two concurrent dynamic-partition appends to one root
+    // share the FileOutputCommitter `_temporary/0` staging dir and
+    // clobber each other (verified: half the rows vanished at sf0.01).
     val half = expr("chq_timestamp DIV 60000 % 2")
     Segments.writeMetricSegments(base.filter(half === 0), dir,
       maxRecordsPerFile = 2000)
@@ -287,7 +294,10 @@ object TelemetryQueries extends Catalog {
     */
   private def logSegmentRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Files.createTempDirectory("graft_logseg_").toString
-    val logs = graft.model.Cooked.logs(s, d)
+    // materialize, exactly as in [[segmentRoundtrip]]: the line
+    // construction (regex-heavy) otherwise runs once per write wave.
+    // Sequential waves for the same committer-staging reason.
+    val logs = graft.GraftSession.materialize(graft.model.Cooked.logs(s, d))
     val half = expr("chq_timestamp % 2")
     Segments.writeLogSegments(logs.filter(half === 0), dir, maxRecordsPerFile = 2000)
     Segments.writeLogSegments(logs.filter(half =!= 0), dir, maxRecordsPerFile = 2000)
