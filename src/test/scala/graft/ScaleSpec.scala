@@ -668,13 +668,18 @@ class ScaleSpec extends AnyFunSuite {
           segDir, commitDir, ckpt, rollupTiers = Seq(3600000L))
         q.awaitTermination()
       }
+      // rebuild units = dateint partitions under the per-tier rollup dir
+      // (r18: one write JOB per tier; the whole-(tier,day) rewrite unit is
+      // unchanged and still what this counts)
       val rollupDirs = Option(new java.io.File(segDir).listFiles()).toSeq
-        .flatten.count(_.getName.startsWith("ingest_batch=rollup-"))
+        .flatten.filter(_.getName.startsWith("ingest_batch=rollup-"))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .count(_.getName.startsWith("dateint="))
       (wall, rollupDirs)
     }
     val (rw1, rd1) = runRollup(3000)
     val (rw10a, rd10) = runRollup(30000)
-    // tier-day directories: 1 tier x 2 days at BOTH sizes — the rebuild
+    // tier-day units: 1 tier x 2 days at BOTH sizes — the rebuild
     // unit is (tier, day), never rows
     assert(rd1 == 2 && rd10 == 2, s"rollup dirs $rd1 / $rd10, want 2")
     val rw10 = if (rw10a / math.max(rw1, 0.4) >= 20.0)
