@@ -84,7 +84,15 @@ object StreamingDedup {
     // so the stream-static join doesn't re-hash it per micro-batch
     val (sigs, meta) =
       graft.ops.SignatureStore.sigsWithDelta(existing, textCol, dir)
-    bandSigs(sigs, meta.k, bands, maxDocsPerBucket)
+    // materialize the WHOLE banded reference too (r18): the static side
+    // of a stream-static join re-executes per micro-batch, so the store
+    // read + band explode + hot-bucket cap all re-ran every trigger
+    // (3 batches ≈ 3× the reference work, measured ~40 s task-CPU at
+    // sf0.1). The reference is fixed for the lifetime of the query by
+    // contract (refresh = restart against a new snapshot), so one
+    // materialized pass is semantics-preserving.
+    graft.GraftSession.materialize(
+      bandSigs(sigs, meta.k, bands, maxDocsPerBucket))
   }
 
   /** (doc_id, sig) → capped banded reference (shared tail of both
