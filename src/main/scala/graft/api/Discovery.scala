@@ -61,8 +61,14 @@ object Discovery {
           // every tier and double-count per tier (r17 ADVICE #4). Probe
           // the distinct tiers (partition-column-only job: footer reads,
           // no data pages) and pin the coarsest, the pre-r17 contract.
-          val freqs = df.select(col("freq").cast("long")).distinct()
-            .collect().map(_.getLong(0))
+          // TTL-cached with the rest of the tier metadata (r18 VERDICT
+          // #4: it was a Spark job per request on such stores).
+          val scoped = df
+          val freqs = TierFreshness.cachedFreqProbe(spark, dir, org,
+            StepPolicy.dateintOf(startMs), StepPolicy.dateintOf(endMs - 1)) {
+            scoped.select(col("freq").cast("long")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+          }
           if (freqs.length > 1) {
             df = df.filter(col("freq") === freqs.max)
             plan = Some(ScanPlan(Map.empty, Some(freqs.max)))

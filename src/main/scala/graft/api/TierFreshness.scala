@@ -74,6 +74,14 @@ object TierFreshness {
     (String, Option[String]), (Long, Seq[(Int, Long)])]()
   private val wmCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), (Long, Option[Long])]()
+  // (dir, org, dateint range) -> (expiresAt, distinct freqs) — the
+  // non-standard-layout tier probe of Discovery.segmentScanWithPlan
+  // (r18 VERDICT #4: a driver-side distinct().collect() per request;
+  // partition-column-only so footer-read cheap, but a Spark job in a
+  // serving path — cached here behind the same TTL/invalidation as the
+  // rest of the tier metadata)
+  private val freqProbeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[String], Int, Int), (Long, Seq[Long])]()
   // physical metadata operations actually issued (globs + sidecar reads)
   // — the ScaleSpec/HttpApiSpec gate counts these across repeated
   // requests to pin the ≤-one-LIST-per-TTL-window contract
@@ -92,6 +100,7 @@ object TierFreshness {
     def related(k: String) = k == d || k.startsWith(d + "/") || d.startsWith(k + "/")
     partCache.keySet.removeIf(k => related(k._1))
     wmCache.keySet.removeIf(k => related(k._1))
+    freqProbeCache.keySet.removeIf(k => related(k._1))
     // the scan-listing cache shares every writer's invalidation hook
     ScanCache.invalidate(dir)
   }
@@ -102,6 +111,29 @@ object TierFreshness {
   def invalidateAllMeta(): Unit = {
     partCache.clear()
     wmCache.clear()
+    freqProbeCache.clear()
+  }
+
+  /** TTL-cached distinct-tier probe for stores whose layout the partition
+    * globs cannot enumerate ([[Discovery.segmentScanWithPlan]]'s fallback
+    * branch): `probe` runs at most once per (dir, org, dateint window)
+    * per TTL window; writers invalidate through [[invalidateMeta]] like
+    * every other tier-metadata read. The window is part of the key
+    * because the probe runs over the caller's org/dateint-filtered scan.
+    */
+  def cachedFreqProbe(spark: SparkSession, dir: String, org: Option[String],
+      dLo: Int, dHi: Int)(probe: => Seq[Long]): Seq[Long] = {
+    val key = (dirKey(dir), org, dLo, dHi)
+    val ttl = ttlMs(spark)
+    val now = System.nanoTime()
+    if (ttl > 0) {
+      val hit = freqProbeCache.get(key)
+      if (hit != null && hit._1 > now) return hit._2
+    }
+    metaReads.incrementAndGet()
+    val freqs = probe
+    if (ttl > 0) freqProbeCache.put(key, (now + ttl * 1000000L, freqs))
+    freqs
   }
 
   /** every (dateint, freqMs) partition pair under `dir`, from one

@@ -115,19 +115,14 @@ object Compiler {
   /** synthetic cooked-metrics frame + the PromQL string (vector-agg wrapper
     * included) that evaluates `q` over it, under the given metric name
     */
-  /** Establish the series partitioning on the synthetic store right after
-    * its bucket aggregation (guide §2.4 — operations keyed the same way
-    * share one exchange): the engine's leaf re-bucket, range windows, and
-    * binop joins are all keyed by (… ⊇ labels), so
-    * hashpartitioning(labels) satisfies every downstream
-    * ClusteredDistribution and they plan with zero further Exchanges —
-    * the same trick as [[graft.model.Cooked.metrics]]. Map-side partial
-    * aggregation is preserved (only bucketed rows cross the exchange).
-    * Label-less aggregations (a global `sum(rate(...))` over one stream)
-    * stay as-is: a no-column repartition is meaningless.
-    */
-  private def seriesPartitioned(df: DataFrame, labels: Seq[String]): DataFrame =
-    if (labels.isEmpty) df else df.repartition(labels.map(col): _*)
+  // The series partitioning of the synthetic store (r18's
+  // seriesPartitioned) now lives in the ENGINE: Engine.leafBucketed /
+  // sketchStatLeaf repartition the rolled store rows by the label set
+  // exactly when a label-keyed window follows, so the synthetic frame
+  // gets the same one shared exchange without a compiler-side twin (and
+  // value-ignoring leaves skip it). Map-side partial aggregation of the
+  // bucket agg above is preserved either way — the engine's repartition
+  // sits on the rolled rows.
 
   private def synthFor(q: LogQuery, store: LogStore, p: QueryParams,
       metric: String): (DataFrame, String) = {
@@ -159,12 +154,12 @@ object Compiler {
       if (ra.fn == "quantile_over_time") {
         import graft.sketch.{functions => gf}
         val qv = ra.param.getOrElse(0.5)
-        val s = seriesPartitioned(df
+        val s = df
           .withColumn("__v", col("__unwrap_value"))
           .filter(col("__v").isNotNull)
           .withColumn("chq_timestamp", bucket)
           .groupBy((col("chq_timestamp") +: seriesLabels.map(col)): _*)
-          .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch")), seriesLabels)
+          .agg(gf.ddsketch_agg(col("__v")).as("chq_sketch"))
           .withColumn("metric_name", lit(metric))
         (s, s"quantile_over_time($qv, $metric[$rangeStr]$offsetStr)")
       } else {
@@ -192,7 +187,7 @@ object Compiler {
           case "stdvar_over_time" => (col("__unwrap_value"), "stdvar_over_time")
           case other => throw new IllegalArgumentException(s"unsupported range fn: $other")
         }
-        val s = seriesPartitioned(df
+        val s = df
           .withColumn("__v", valueCol)
           .filter(col("__v").isNotNull)
           .withColumn("chq_timestamp", bucket)
@@ -201,7 +196,7 @@ object Compiler {
             sum(col("__v")).as("chq_rollup_sum"),
             count(lit(1)).cast("double").as("chq_rollup_count"),
             min(col("__v")).as("chq_rollup_min"),
-            max(col("__v")).as("chq_rollup_max")), seriesLabels)
+            max(col("__v")).as("chq_rollup_max"))
           .withColumn("metric_name", lit(metric))
         (s, s"$promFn($metric[$rangeStr]$offsetStr)")
       }

@@ -29,25 +29,20 @@ object Cooked {
     Tables.events(s, d)
       .withColumn("chq_timestamp", col("ts_ms") - col("ts_ms") % lit(FreqMs))
       .withColumn("attr_event_type", col("event_type"))
-      // Establish the series partitioning ONCE (guide §2.4 — operations
-      // keyed the same way share one exchange): the rollup below, every
-      // PromQL leaf re-bucket, the range windows, and binop sort-merge
-      // joins are all keyed by supersets of the label set, and
-      // hashpartitioning(attr_event_type) satisfies ALL of those
-      // ClusteredDistribution requirements — the whole evaluation spine
-      // plans with ONE Exchange (pq_rate: 3 → 1). BELOW the rollup agg on
-      // purpose: placed above it, the Repartition node blocked
-      // RemoveRedundantAggregates for leaves that ignore the rollup
-      // values (timestamp()/time components collapsed 2 aggs → 1 before;
-      // measured +0.3-0.4 s per such row). Trade-off, documented: the
-      // exchange carries raw event rows rather than rolled partials —
-      // acceptable because THIS derivation is the catalog's query-time
-      // fixture twin of the reference's rolled store (the oracle replays
-      // it as the `cooked` CTE); the at-scale ingest path is
-      // MetricsPreAgg.preAggregate → segments, which keeps map-side
-      // partial aggregation, and the one-partition-per-label-value skew
-      // bound here is the bound the PromQL window stage has inherently.
-      .repartition(col("attr_event_type"))
+      // Plain rollup aggregation — partial (map-side) aggregation stays
+      // BELOW the exchange, so only per-scan-partition (minute, series)
+      // partials cross it, never raw event rows (guide §2.3
+      // aggregate-before-shuffle). The r18 form repartitioned the raw
+      // events by attr_event_type here to give the whole PromQL spine one
+      // shared exchange; that forfeited map-side partials and keyed a
+      // raw-row shuffle on a low-cardinality label (r18 VERDICT #1 — a
+      // skew+volume hazard at 100 TB even on this fixture-twin path). The
+      // shared series exchange now lives in the ENGINE
+      // (Engine.leafBucketed seriesShuffle), placed over the ROLLED
+      // output and only on leaves a label-keyed window follows — ~1/60th
+      // the rows cross it, and value-ignoring leaves (timestamp(), time
+      // components, absent()) keep their RemoveRedundantAggregates
+      // collapse to a single aggregation.
       .groupBy(col("chq_timestamp"), col("attr_event_type"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("metric_name", lit("events_value"))

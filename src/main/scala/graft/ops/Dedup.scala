@@ -24,6 +24,39 @@ object Dedup {
       transform(slice(ds, i + lit(2), size(ds)),
         y => struct(x.as("a"), y.as("b")))))
 
+  /** The same ordered-pair expansion SPREAD ACROSS TASKS (r18 VERDICT
+    * next-round #5, guide §2.5 skew): `explode(orderedPairs(ds))` builds
+    * a bucket's whole O(cap²) pair array inside the ONE reduce task that
+    * owns the bucket's groupBy output row — at cap 1000 that is a ~500k
+    * pair straggler task (measured 1-2.4 s while 31 cores idle). Here
+    * each bucket first posexplodes into (head doc `a`, tail slice) rows
+    * — O(|ds|) rows carrying the pairs as array payload — which
+    * re-partition BY `a` (high-cardinality doc id, so a hot bucket's
+    * heads land on different tasks) before the per-head tail explode.
+    * The downstream `groupBy(a, b)` is keyed by a superset of the
+    * repartition key, so it plans exchange-free: same exchange COUNT as
+    * the old shape (bucket-key exchange + one more), same pair multiset
+    * (PropertySpec pins it), no single-bucket task ceiling. Residual
+    * bound, documented: one doc id that heads MANY buckets concentrates
+    * its pair stream on one task — bounded by that doc's bucket count ×
+    * cap, which is the pair count the result itself must hold for that
+    * doc, not cap² per bucket.
+    *
+    * `lists` must carry a sorted array column `dsCol`; returns (a, b)
+    * rows, hash-partitioned by `a`.
+    */
+  private[graft] def spreadOrderedPairs(lists: DataFrame,
+      dsCol: String = "ds"): DataFrame = {
+    val ds = col(dsCol)
+    lists
+      .select(ds.as("__ds"), posexplode(ds).as(Seq("__i", "a")))
+      .filter(col("__i") < size(col("__ds")) - 1)
+      .select(col("a"),
+        slice(col("__ds"), col("__i") + lit(2), size(col("__ds"))).as("__tail"))
+      .repartition(col("a"))
+      .select(col("a"), explode(col("__tail")).as("b"))
+  }
+
   /** stable 48-bit integer hash of a string (md5-derived → engine-neutral) */
   def hash48(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 12), 16, 10)
@@ -243,13 +276,14 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation via per-shingle doc lists instead of a self-join:
     // singleton shingles (the vast majority) never reach the pair stage,
-    // and the shuffle carries each shingle once instead of twice
-    val combos = Dedup.orderedPairs(col("ds"))
-    val pairs = sh.groupBy(col("sh"))
+    // and the shuffle carries each shingle once instead of twice; the
+    // O(cap²) per-bucket expansion is spread across tasks by head doc
+    // ([[spreadOrderedPairs]] — no single-bucket straggler)
+    val lists = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocsPerShingle)
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = spreadOrderedPairs(lists)
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")

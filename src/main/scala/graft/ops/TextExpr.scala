@@ -568,3 +568,89 @@ object WordBigramPairs {
     new GenericArrayData(out)
   }
 }
+
+/** The Laplace-smoothed bigram LM of [[TextOps.bigramSurprisal]] as a
+  * broadcast model: unigram counts, bigram counts (keyed "w1 w2" -- a
+  * space-joined pair; tokens are space-split so the key cannot
+  * collide), vocabulary size. The counts are EXACT corpus statistics
+  * (integer aggregates the oracle replays identically), keyed by the
+  * same tokens() tokenization the pair expression uses. Scale posture:
+  * this is the CCNet shape -- the trained LM ships to every worker
+  * (Wenzek et al. 2020 broadcast a KenLM the same way); the model is
+  * statistics-table-sized (vocab + distinct bigrams), not corpus-sized,
+  * and a 100 TB deployment would min-count-prune it before broadcast.
+  */
+final class BigramLmModel(
+    val uni: java.util.HashMap[String, Long],
+    val big: java.util.HashMap[String, Long],
+    val vocab: Long) extends Serializable
+
+/** Fused per-document bigram-LM surprisal scoring -- the model-lookup
+  * join + position-ordered float fold of [[TextOps.bigramSurprisal]] in
+  * ONE JVM pass per document (r18 VERDICT next-round #3: the exploded
+  * per-position pair rows, the (w1,w2)-keyed count join, the w1-keyed
+  * unigram join, and the per-doc collect_list+sort fold were the
+  * catalog's largest task-CPU sink at 8-25 s).
+  *
+  * Bit parity with the Column/oracle form, term by term: tokenization =
+  * split(lower(text), " +") drop empties (tokens() parity, same as
+  * [[WordBigramPairs]]); per position i, sv = -ln((c2+1 AS DOUBLE) /
+  * (c1+V AS DOUBLE)) with integer adds before the cast, exactly the
+  * Column expression; the per-doc sum is a LEFT FOLD over sv in
+  * position order seeded at 0.0 -- the same operation sequence as
+  * aggregate(transform(array_sort(collect_list(struct(pos, sv)))), 0.0,
+  * acc + v), so every intermediate double is bit-equal; mean =
+  * sum / n_bigrams. Docs with fewer than 2 tokens return null (the
+  * inner-join form emitted no row for them -- callers filter nulls).
+  * Every (w1,w2) and w1 a document produces is PRESENT in the model by
+  * construction (the counts come from the same corpus), so lookups
+  * never miss.
+  */
+case class BigramSurprisalScore(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[BigramLmModel])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("mean", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bigram_surprisal"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramSurprisalScore.compute(input.asInstanceOf[UTF8String], model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bigramLmBc", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.BigramSurprisalScore.compute($c, " +
+        s"(graft.ops.BigramLmModel)$bcRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramSurprisalScore =
+    copy(child = newChild)
+}
+
+object BigramSurprisalScore {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def score(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[BigramLmModel]): Column =
+    ColumnBridge.column(BigramSurprisalScore(ColumnBridge.expression(text), model))
+
+  def compute(s: UTF8String, m: BigramLmModel): GenericInternalRow = {
+    val words = s.toLowerCase.toString.split(" +", -1).filter(_.nonEmpty)
+    val n = words.length - 1
+    if (n < 1) return null
+    val v = m.vocab
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val c2 = m.big.get(words(i) + " " + words(i + 1))
+      val c1 = m.uni.get(words(i))
+      sum += -math.log((c2 + 1).toDouble / (c1 + v).toDouble)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, sum / n.toDouble))
+  }
+}

@@ -267,12 +267,13 @@ object TextOps {
       maxDocsPerFp: Int = 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val fps = winnow(df, k, w, textCol, idCol)
-    val combos = Dedup.orderedPairs(col("ds"))
-    fps.groupBy(col("fp"))
+    // per-bucket pair expansion spread across tasks by head doc
+    // ([[graft.ops.Dedup.spreadOrderedPairs]] — no single-bucket straggler)
+    val lists = fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocsPerFp)
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    Dedup.spreadOrderedPairs(lists)
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -310,10 +311,10 @@ object TextOps {
       .filter(size(col("ds")) <= maxDocsPerFp)
     val sizes = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val combos = Dedup.orderedPairs(col("ds"))
-    val shared = lists.filter(size(col("ds")) >= 2)
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    // per-bucket pair expansion spread across tasks by head doc
+    // ([[graft.ops.Dedup.spreadOrderedPairs]] — no single-bucket straggler)
+    val shared = Dedup.spreadOrderedPairs(lists.filter(size(col("ds")) >= 2))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     shared
@@ -607,35 +608,42 @@ object TextOps {
     * identical doubles.
     */
   def bigramSurprisal(df: DataFrame, textCol: String): DataFrame = {
-    val src = graft.GraftSession.spread(
-      df.select(df("doc_id"), df(textCol).as("__text")))
+    val src = df.select(df("doc_id"), df(textCol).as("__text"))
     val ws = filter(tokens(col("__text")), w => length(w) > 0)
-    // fused native pair construction ([[WordBigramPairs]], property-
-    // pinned to the zip_with Column form it replaced — interpreted HOFs
-    // made this the row's dominant task-CPU)
-    val pairs = graft.GraftSession.materialize(
-      src.select(col("doc_id"),
-          posexplode(WordBigramPairs.pairs(col("__text"))).as(Seq("pos", "pr")))
-        .select(col("doc_id"), col("pos"),
-          col("pr.w1").as("w1"), col("pr.w2").as("w2")))
-    val uni = graft.GraftSession.materialize(
-      src.select(explode(ws).as("w")).groupBy(col("w"))
-        .agg(count(lit(1)).as("c1")))
-    val vocab = uni.count() // plan-time scalar, like alphaMixture's counts
-    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    pairs.join(big, Seq("w1", "w2"))
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
-      .withColumn("sv", -log((col("c2") + 1).cast("double") /
-        (col("c1") + vocab).cast("double")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
-            s => s.getField("sv")),
-          lit(0.0), (acc, v) => acc + v).as("__s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("__s") / col("n_bigrams").cast("double"))
-          .as("mean_bigram_surprisal"))
+    // Corpus LM statistics: two count aggregates (map-side combined, the
+    // explode rows never leave their shuffle), collected at model size —
+    // vocab + distinct-bigram counts, NOT corpus size — and broadcast as
+    // the model ([[BigramLmModel]]; the CCNet shape: the trained LM ships
+    // to workers). This replaces the r18 form's corpus-sized machinery:
+    // a materialized per-position pair table, a (w1,w2)-keyed count join
+    // over every position row, a w1-keyed unigram join, and a per-doc
+    // collect_list+sort fold — together the catalog's largest task-CPU
+    // sink (8-25 s; r18 VERDICT next-round #3). Counts are exact
+    // integers, so the model is bit-identical to the join form's.
+    val uniRows = src.select(explode(ws).as("w")).groupBy(col("w"))
+      .agg(count(lit(1)).as("c1")).collect()
+    val bigRows = src
+      .select(explode(WordBigramPairs.pairs(col("__text"))).as("pr"))
+      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .agg(count(lit(1)).as("c2")).collect()
+    val uniMap = new java.util.HashMap[String, Long](uniRows.length * 2)
+    uniRows.foreach(r => uniMap.put(r.getString(0), r.getLong(1)))
+    val bigMap = new java.util.HashMap[String, Long](bigRows.length * 2)
+    bigRows.foreach(r =>
+      bigMap.put(r.getString(0) + " " + r.getString(1), r.getLong(2)))
+    val model = df.sparkSession.sparkContext.broadcast(
+      new BigramLmModel(uniMap, bigMap, uniRows.length.toLong))
+    // Scoring: ONE fused JVM pass per document ([[BigramSurprisalScore]]:
+    // tokenize, model lookups, position-ordered left fold — float op
+    // sequence bit-identical to the join+sorted-fold form, which the
+    // DuckDB oracle still replays). spread: compute-dense projection
+    // over a small scan (GraftSession.spread — no-op at scale).
+    graft.GraftSession.spread(src)
+      .select(col("doc_id"),
+        BigramSurprisalScore.score(col("__text"), model).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("doc_id"), col("__r.n_bigrams").as("n_bigrams"),
+        col("__r.mean").as("mean_bigram_surprisal"))
   }
 
   /** token-boundary delimiter for the BPE string representation — a

@@ -182,7 +182,7 @@ object Engine {
       notFusable("queryMulti requires an identical selector (incl. range/offset) across expressions")
     if (sel0.rangeMs <= 0) notFusable("queryMulti window fusion needs a range selector")
     if (sel0.atKind != 0) notFusable("@-pinned selectors are not fusable")
-    val (bucketed, labels, step) = leafBucketed(sel0, store, p)
+    val (bucketed, labels, step) = leafBucketed(sel0, store, p, seriesShuffle = true)
     val range = sel0.rangeMs
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
     val rw = w.rangeBetween(math.min(0L, -(range - step)), 0)
@@ -231,7 +231,7 @@ object Engine {
       notFusable("queryMulti requires an identical selector and grouping across panels")
     if (sel0.rangeMs <= 0) notFusable("queryMulti agg-window fusion needs a range selector")
     if (sel0.atKind != 0) notFusable("@-pinned selectors are not fusable")
-    val (bucketed, labels, step) = leafBucketed(sel0, store, p)
+    val (bucketed, labels, step) = leafBucketed(sel0, store, p, seriesShuffle = true)
     val range = sel0.rangeMs
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts"))
     val rw = w.rangeBetween(math.min(0L, -(range - step)), 0)
@@ -844,9 +844,24 @@ object Engine {
     * multi-expression paths ([[queryMulti]]) reuse ONE of these per
     * request instead of one per expression. Returns (bucketed frame with
     * bsum/bcnt/bmin/bmax, label columns, step).
+    *
+    * `seriesShuffle` (guide §2.4 — operations keyed the same way share
+    * one exchange): when a label-keyed Window follows the leaf (range
+    * fns, lag-based fns), repartition the ROLLED store rows by the label
+    * set before the step re-bucket. hashpartitioning(labels) satisfies
+    * every downstream ClusteredDistribution — the step aggregation, the
+    * range window, and binop sort-merge joins — so they all plan
+    * exchange-free: the leaf costs exactly two Exchanges total (the
+    * store rollup's own, with map-side partials below it, plus this
+    * one over ~1/60th-volume rolled rows). Only where a window follows:
+    * for bare selectors the repartition placed between the store rollup
+    * and the step aggregation would block RemoveRedundantAggregates for
+    * value-ignoring consumers (timestamp(), time components, absent —
+    * measured +0.3-0.4 s per such row in r18), and buys nothing a window
+    * isn't there to reuse.
     */
   private def leafBucketed(sel: Selector, store: MetricStore,
-      p: QueryParams): (DataFrame, Seq[String], Long) = {
+      p: QueryParams, seriesShuffle: Boolean = false): (DataFrame, Seq[String], Long) = {
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
     val off = sel.offsetMs
@@ -864,6 +879,8 @@ object Engine {
     // epoch-aligned step bucket, shifted by offset so output ts is query-time
     val bucket = ((col("chq_timestamp") + lit(off)) - (col("chq_timestamp") + lit(off)) % lit(step))
     val labels = store.labelCols
+    if (seriesShuffle && labels.nonEmpty)
+      df = df.repartition(labels.map(col): _*)
     val bucketed = df
       .withColumn("ts", bucket)
       .groupBy((col("ts") +: labels.map(col)): _*)
@@ -911,7 +928,11 @@ object Engine {
     }
     val step = if (sel.subStepMs > 0) sel.subStepMs else p.stepMs
     val range = sel.rangeMs
-    val (bucketed, labels, _) = leafBucketed(sel, store, p)
+    // every named function below evaluates through a label-keyed Window
+    // (range frame or lag) EXCEPT present_over_time, whose value ignores
+    // the rollup columns entirely — it keeps the aggregate-collapse path
+    val (bucketed, labels, _) = leafBucketed(sel, store, p,
+      seriesShuffle = fn.nonEmpty && fn != "present_over_time")
 
     // exact irate (flag-gated): true last-two-buckets semantics — the last
     // delta divided by the gap to the previous bucket, PromQL's irate over
@@ -1230,6 +1251,11 @@ object Engine {
 
     val bucket = ((col("chq_timestamp") + lit(off)) - (col("chq_timestamp") + lit(off)) % lit(step))
     val labels = store.labelCols
+    // same series-shuffle placement as leafBucketed: when the range
+    // window follows, one labels-keyed exchange over the rolled sketch
+    // rows serves the bucket merge AND the window (guide §2.4)
+    if (range > 0 && labels.nonEmpty)
+      df = df.repartition(labels.map(col): _*)
     val bucketed = df
       .withColumn("ts", bucket)
       .groupBy((col("ts") +: labels.map(col)): _*)

@@ -445,10 +445,6 @@ object TelemetryQueries extends Catalog {
       .otherwise(concat(lit("worker "), col("user_id"), lit(" entered "), variant))
     // compute the stateless template ONCE; the masked dimension joins on it
     // and n_templates counts it — no repeated normalization passes.
-    // spread: the template expression is a per-row regex/normalization
-    // chain, compute-dense vs the 2 MB events scan (measured a 1.25 s
-    // single task at sf0.1); downstream is count aggregation only, so
-    // partitioning moves no bit (GraftSession.spread — no-op at scale).
     // Materialize (r18): `t` feeds BOTH the distinct-template dimension
     // and the message join, so the template regex chain evaluated TWICE
     // (task-CPU 2.3 s); one materialized pass halves it (wall 2.56→2.1 s,

@@ -119,6 +119,13 @@ object StreamingIngest {
     * (tier, day) — a 3-batch 7-day stream paid 21 write jobs where 3
     * suffice; the rewrite unit and the delete-then-rewrite exactly-once
     * contract are unchanged, only the job granularity is per tier now).
+    * One window DID widen with that consolidation (r18 ADVICE): all
+    * touched days of a tier are deleted before the single per-tier
+    * write, so a crash mid-write leaves every touched day of that tier
+    * missing — under a previously-written watermark that still claims
+    * them — until batch replay re-lands them; the old per-day loop
+    * bounded that transient gap to one (tier, day). The atomicity unit
+    * is per (tier, batch), the CONVERGENCE unit stays per (tier, day).
     * Rebuilding whole tier-days keeps the directory count bounded (days,
     * not buckets) while the rebuild read stays dateint-partition-pruned
     * to the touched days; every chain tier divides 24 h, so a coarse

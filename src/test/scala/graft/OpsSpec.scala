@@ -293,6 +293,29 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.isDefined && dup.get.getLong(0) == 1L) // kept min doc_id
   }
 
+  test("spreadOrderedPairs emits exactly the orderedPairs multiset") {
+    // the salted (per-head-distributed) expansion must be pair-for-pair
+    // the canonical single-task form — including duplicate pairs from
+    // docs co-occurring in several buckets (the downstream counts depend
+    // on the multiset, not the set)
+    import org.apache.spark.sql.functions._
+    val lists = Seq(
+      Seq(1L, 2L, 3L, 4L),
+      Seq(2L, 3L),
+      Seq(5L),          // singleton: no pairs
+      Seq(1L, 2L, 9L),
+      Seq.empty[Long]   // empty: no pairs
+    ).toDF("ds")
+    val canonical = lists
+      .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val spread = Dedup.spreadOrderedPairs(lists)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(spread == canonical, s"$spread != $canonical")
+    assert(canonical.count(_ == (2L, 3L)) == 2, "multiset must keep dupes")
+  }
+
   test("ngram jaccard finds the near-dup pair") {
     val pairs = Dedup.ngramJaccard(corpus, "text", w = 5, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

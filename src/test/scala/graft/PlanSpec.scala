@@ -307,9 +307,14 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("pp_repetition", "pp_quality_gopher", "pp_pii_scrub")) {
       val p = plan(q)
       assert(!p.contains("hashpartitioning"), s"$q key-shuffles:\n${p.take(2000)}")
+      // EVERY exchange must be a spread (r18 ADVICE: "one round-robin
+      // somewhere" let a range/single-partition exchange slip through) —
+      // in the tree-form plan each Exchange node prints its partitioning
+      // on the same line, so the counts must match exactly
       val nEx = "Exchange".r.findAllIn(p).size
-      assert(nEx == 0 || p.contains("RoundRobinPartitioning"),
-        s"$q has a non-spread exchange:\n${p.take(2000)}")
+      val nRr = "RoundRobinPartitioning".r.findAllIn(p).size
+      assert(nEx == nRr,
+        s"$q has ${nEx - nRr} non-spread exchange(s):\n${p.take(2000)}")
       assert(!p.contains("Join"), s"$q joins:\n${p.take(2000)}")
     }
   }

@@ -118,6 +118,53 @@ class ScanCacheSpec extends AnyFunSuite {
     assert(ScanCache.read(spark, fresh).count() > 0)
   }
 
+  test("non-standard-layout freq probe is cached: repeated discovery " +
+      "scans run zero Spark jobs and zero metadata reads inside the TTL") {
+    // a store with a freq dimension but NO dateint partitioning is
+    // outside both partition-glob shapes, so segmentScanWithPlan falls
+    // back to the distinct-tier probe — a (cheap, footer-only) Spark job
+    // that used to run per request in a serving path (r18 VERDICT #4)
+    spark.conf.set(TierFreshness.MetaTtlKey, "600000")
+    spark.conf.set(ScanCache.TtlKey, "600000")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_freqprobe_")
+        .toString + "/store"
+      val base = mkEvents(1).withColumn("chq_timestamp", col("ts_ms"))
+      base.withColumn("freq", lit(10000L))
+        .union(base.withColumn("freq", lit(60000L)))
+        .write.partitionBy("freq").parquet(dir)
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        def scan() = graft.api.Discovery.segmentScanWithPlan(
+          spark, dir, Day0, Day0 + 86400000L)
+        val (_, plan1) = scan()
+        assert(plan1.flatMap(_.pinned).contains(60000L),
+          s"probe must pin the coarsest tier, got $plan1")
+        Thread.sleep(300) // drain async listener events
+        val warmJobs = jobs.get()
+        assert(warmJobs >= 1, "the first probe runs a Spark job")
+        val warmMeta = TierFreshness.metadataReadCount
+        val plans = (1 to 5).map(_ => scan()._2)
+        Thread.sleep(300)
+        assert(jobs.get() == warmJobs,
+          s"hot discovery scans must be job-free (paid ${jobs.get() - warmJobs})")
+        assert(TierFreshness.metadataReadCount == warmMeta,
+          "hot discovery scans must be metadata-read-free")
+        assert(plans.forall(_ == plan1))
+      } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.conf.unset(TierFreshness.MetaTtlKey)
+      spark.conf.unset(ScanCache.TtlKey)
+    }
+  }
+
   test("an entry whose owning session was collected is never served: the " +
       "identity-hash key alone is not trusted") {
     spark.conf.set(ScanCache.TtlKey, "600000")
