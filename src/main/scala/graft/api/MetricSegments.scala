@@ -316,7 +316,17 @@ object MetricSegments {
           Some(dateintBounds(parsed, full.startMs, full.endMs, full.stepMs))) &&
         dateintCond(parsed, full.startMs, full.endMs, full.stepMs))
     val base = org.fold(base0)(o => base0.filter(col("org") === o))
-    val shared = MetricStore(graft.GraftSession.materialize(storeFrom(base).df))
+    // series-partition the shared pass once before materializing — every
+    // windowed (slice × panel) evaluation then plans exchange-free over
+    // the shared blocks (the engine skips its per-leaf series
+    // repartition; guide §2.4)
+    val store0 = storeFrom(base)
+    val preShared =
+      if (store0.labelCols.nonEmpty)
+        store0.df.repartition(store0.labelCols.map(col): _*)
+      else store0.df
+    val shared = MetricStore(graft.GraftSession.materialize(preShared),
+      seriesPartitioned = store0.labelCols.nonEmpty)
     slices.map { sp => () =>
       if (forceTagged) Engine.taggedOver(exprs, shared, sp)
       else try Engine.queryMulti(exprs, shared, sp)

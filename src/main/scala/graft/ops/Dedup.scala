@@ -419,11 +419,18 @@ object Dedup {
       bCol: String = "b", maxIter: Int = 20): (DataFrame, Int) = {
     // the longest-lived materialization in the repo (read every round):
     // set spark.graft.checkpointDir on a real cluster so a lost executor
-    // mid-convergence recovers from reliable storage (GraftSession.materialize)
+    // mid-convergence recovers from reliable storage (GraftSession.materialize).
+    // Partitioned by the join key BEFORE the checkpoint (guide §2.4 —
+    // LogicalRDD keeps the partitioning): every round's propagation join
+    // reads edges BY y, and the distinct's (x, y) partitioning satisfied
+    // none of them, so each round re-exchanged the edge set — the
+    // loop's largest side, (rounds − 1) shuffles saved for one extra
+    // up-front exchange.
     val edges = graft.GraftSession.materialize(
       pairs.select(col(aCol).as("x"), col(bCol).as("y"))
         .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-        .distinct())
+        .distinct()
+        .repartition(col("y")))
     var labels: DataFrame = edges.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id"))
     var changed = 1L
@@ -445,10 +452,18 @@ object Dedup {
       // observed metric; the count() fallback only fires if the
       // checkpoint path ever stops reporting observations
       val obs = org.apache.spark.sql.Observation(s"graft_cc_$i")
+      // label table checkpointed PARTITIONED BY id: the next round's three
+      // label-keyed reads — the propagation join (key y = renamed id), the
+      // pointer-jump self-join (key cand = renamed id), and the cand-side
+      // id join — are all satisfied by hashpartitioning(id), so the round
+      // plans ONE label exchange (this repartition) instead of one per
+      // consumer (guide §2.4; same LogicalRDD-keeps-partitioning property
+      // as the edges side above)
       val next = graft.GraftSession.materialize(
         stepped.observe(obs,
           coalesce(sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)),
-            lit(0L)).as("changed")))
+            lit(0L)).as("changed"))
+          .repartition(col("id")))
       // metric delivery is async relative to the (eager) checkpoint job:
       // wait briefly for it, then fall back to a count over the cached
       // frame if the checkpoint path ever stops reporting observations
@@ -476,8 +491,14 @@ object Dedup {
     */
   def applyClusters(df: DataFrame, clusters: DataFrame,
       idCol: String = "doc_id"): DataFrame =
-    df.join(clusters.filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    // broadcast the removal list (guide §3.1): it is bounded by the
+    // capped candidate-pair graph, while the plain anti-join SHUFFLED THE
+    // CORPUS by id against it (the checkpointed cluster frame reports no
+    // stats, so the planner defaulted to sort-merge). A corpus whose
+    // removal list outgrows broadcast has a duplicate rate where
+    // keep-one-per-cluster is the wrong tool long before the join breaks.
+    df.join(broadcast(clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))), Seq(idCol), "left_anti")
 
   /** Cluster-aware KEEP-BEST dedup apply — the curation policy real
     * pipelines want over [[applyClusters]]'s keep-canonical-id: within
@@ -494,15 +515,20 @@ object Dedup {
   def applyClustersKeepBest(df: DataFrame, clusters: DataFrame,
       scored: DataFrame, idCol: String = "doc_id",
       scoreCol: String = "score"): DataFrame = {
-    val labeled = clusters.select(col("id").as(idCol), col("comp"))
-      .join(scored.select(col(idCol), col(scoreCol).as("__q")), Seq(idCol))
+    // cluster labels broadcast into the score join (guide §3.1): `scored`
+    // is corpus-sized (a quality score per doc) and was SHUFFLED by id to
+    // meet the label table — the small side by construction (members of
+    // capped candidate clusters)
+    val labeled = scored.select(col(idCol), col(scoreCol).as("__q"))
+      .join(broadcast(clusters.select(col("id").as(idCol), col("comp"))), Seq(idCol))
     val best = labeled.groupBy(col("comp"))
       .agg(max_by(col(idCol),
         struct(col("__q"), (-col(idCol)).as("__t"))).as("__keep"))
     val removed = labeled.join(best, Seq("comp"))
       .filter(col(idCol) =!= col("__keep"))
       .select(col(idCol))
-    df.join(removed, Seq(idCol), "left_anti")
+    // removal list is a subset of the label table — same broadcast bound
+    df.join(broadcast(removed), Seq(idCol), "left_anti")
   }
 
   /** SimHash signature (`bits`-wide, ≤ 48): per token-with-multiplicity,

@@ -14,7 +14,14 @@ final case class QueryParams(startMs: Long, endMs: Long, stepMs: Long)
   * chq_rollup_{sum,count,min,max} (+optional chq_sketch), and any number of
   * label columns (resource_ / attr_ / scope_ prefixed, all StringType).
   */
-final case class MetricStore(df: DataFrame) {
+/** `seriesPartitioned`: the caller guarantees `df` is already
+  * hash-partitioned by the label set (e.g. the multi-panel doors, which
+  * repartition ONCE before materializing the shared pass) — the engine's
+  * per-leaf series repartition ([[Engine]] leafBucketed seriesShuffle)
+  * is skipped, so K panels share one exchange instead of adding one
+  * each.
+  */
+final case class MetricStore(df: DataFrame, seriesPartitioned: Boolean = false) {
   import MetricStore._
   val labelCols: Seq[String] =
     df.schema.fieldNames.filterNot(systemCols.contains).toSeq
@@ -294,7 +301,15 @@ object Engine {
     }
     val pre = multiPrefilter(parsedAll.map(_._3), p)
       .fold(store.df)(store.df.filter)
-    val shared = MetricStore(graft.GraftSession.materialize(pre))
+    // series-partition the shared pass ONCE before materializing it
+    // (LogicalRDD keeps the partitioning): every windowed panel's leaf
+    // then plans exchange-free over the shared blocks instead of adding
+    // its own per-panel repartition (guide §2.4)
+    val labels = store.labelCols
+    val prePart =
+      if (labels.nonEmpty) pre.repartition(labels.map(col): _*) else pre
+    val shared = MetricStore(graft.GraftSession.materialize(prePart),
+      seriesPartitioned = labels.nonEmpty)
     taggedOver(exprs, shared, p)
   }
 
@@ -879,7 +894,7 @@ object Engine {
     // epoch-aligned step bucket, shifted by offset so output ts is query-time
     val bucket = ((col("chq_timestamp") + lit(off)) - (col("chq_timestamp") + lit(off)) % lit(step))
     val labels = store.labelCols
-    if (seriesShuffle && labels.nonEmpty)
+    if (seriesShuffle && labels.nonEmpty && !store.seriesPartitioned)
       df = df.repartition(labels.map(col): _*)
     val bucketed = df
       .withColumn("ts", bucket)
@@ -1254,7 +1269,7 @@ object Engine {
     // same series-shuffle placement as leafBucketed: when the range
     // window follows, one labels-keyed exchange over the rolled sketch
     // rows serves the bucket merge AND the window (guide §2.4)
-    if (range > 0 && labels.nonEmpty)
+    if (range > 0 && labels.nonEmpty && !store.seriesPartitioned)
       df = df.repartition(labels.map(col): _*)
     val bucketed = df
       .withColumn("ts", bucket)
