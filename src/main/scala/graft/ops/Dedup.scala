@@ -359,13 +359,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val src = graft.GraftSession.spread(
       df.select(col("doc_id"), df(textCol).as("__t")))
-    val words = split(col("__t"), " +")
-    val grams = when(size(words) >= k,
-      transform(sequence(lit(1), size(words) - lit(k - 1)),
-        i => struct((i - 1).cast("int").as("pos"),
-          xxhash64(array_join(slice(words, i, lit(k)), " ")).as("g"))))
-      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
-    val occ = src.select(col("doc_id"), explode(grams).as("o"))
+    // anchor construction is ONE fused native pass per doc
+    // ([[WordGramAnchors]], codegen'd; DedupSpec pins it element-for-
+    // element against the Column-algebra form, whose shape the DuckDB
+    // oracle replays) — the interpreted transform × array_join(slice)
+    // chain was this row's dominant task-CPU
+    val occ = src
+      .select(col("doc_id"), explode(WordGramAnchors.anchors(col("__t"), k)).as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
     // per-gram occurrence lists, capped; pairs expand inside the bucket
     val buckets = occ.groupBy(col("g"))

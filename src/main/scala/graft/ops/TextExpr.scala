@@ -569,6 +569,70 @@ object WordBigramPairs {
   }
 }
 
+/** Native k-word gram anchors — the anchor-construction pass of
+  * [[Dedup.substrDup]] fused into one JVM scan. The Column form built
+  * every gram through interpreted HOFs (`transform(sequence)` ×
+  * `array_join(slice(words, i, k))` — O(len·k) interpreted element
+  * reads per doc, the row's dominant task-CPU). Bit parity with that
+  * form, term by term: words = split(text, " +") with NO lowercase, NO
+  * empty-filter and trailing empties kept (Java regex split, limit −1 —
+  * Spark's `split` semantics); gram = the k words joined by a single
+  * space; hash = xxhash64 of the gram's UTF-8 bytes at Spark's seed 42
+  * (the same `XxHash64Function` the Column expression evaluates); pos =
+  * 0-based gram start. Docs with fewer than k words yield an empty
+  * array (the Column form's explicit guard).
+  */
+case class WordGramAnchors(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("g", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_word_gram_anchors"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramAnchors.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.WordGramAnchors.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramAnchors =
+    copy(child = newChild)
+}
+
+object WordGramAnchors {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  /** Column-level anchor array (see [[WordGramAnchors]]) */
+  def anchors(text: Column, k: Int): Column =
+    ColumnBridge.column(WordGramAnchors(ColumnBridge.expression(text), k))
+
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val words = s.toString.split(" +", -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val g = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString),
+        org.apache.spark.sql.types.StringType, 42L)
+      out(i) = new GenericInternalRow(Array[Any](i, g))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** The Laplace-smoothed bigram LM of [[TextOps.bigramSurprisal]] as a
   * broadcast model: unigram counts, bigram counts (keyed "w1 w2" -- a
   * space-joined pair; tokens are space-split so the key cannot

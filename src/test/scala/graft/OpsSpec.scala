@@ -293,6 +293,33 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.isDefined && dup.get.getLong(0) == 1L) // kept min doc_id
   }
 
+  test("WordGramAnchors matches the Column-algebra gram construction") {
+    import org.apache.spark.sql.functions._
+    // texts exercising the split edge cases the fused pass must copy:
+    // leading/trailing/multiple spaces, fewer-than-k words, empty string
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and   irregular spacing  keeps empty tokens here ok",
+      "short doc", "", "exactly three words",
+      "a b c d e f g h i j k l m n o p").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "__t")
+    val k = 4
+    val words = split(col("__t"), " +")
+    val columnForm = when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - lit(k - 1)),
+        i => struct((i - 1).cast("int").as("pos"),
+          xxhash64(array_join(slice(words, i, lit(k)), " ")).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
+    val a = texts.select(col("doc_id"), explode(columnForm).as("o"))
+      .select(col("doc_id"), col("o.pos"), col("o.g"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val b = texts.select(col("doc_id"),
+        explode(graft.ops.WordGramAnchors.anchors(col("__t"), k)).as("o"))
+      .select(col("doc_id"), col("o.pos"), col("o.g"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(a.nonEmpty && a == b, s"native anchors diverge:\n$a\n$b")
+  }
+
   test("spreadOrderedPairs emits exactly the orderedPairs multiset") {
     // the salted (per-head-distributed) expansion must be pair-for-pair
     // the canonical single-task form — including duplicate pairs from
